@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for every performance/correctness-relevant session config
+  * so Verify, Bench, and the test suites all run the same engine.
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      // Shuffle width sized to the local core count; on a real cluster
+      // this would be executors*cores (AQE coalesces the excess anyway).
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // The driver's events.parquet uses TIMESTAMP(NANOS); read as long
+      // epoch-nanos and convert in Tables.events (lossless — data is µs).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Parse cascades (SURVEY F4) rely on null-on-failure, not throw.
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,451 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operator inventory (SURVEY.md §2.2-2.7) expressed
+  * over the driver test tables.
+  *
+  * Conventions shared with the DuckDB oracles:
+  *   - Money/measure sums cast element-wise to DECIMAL before SUM so
+  *     aggregation is exact and order-independent (a double sum would
+  *     depend on partition merge order at scale), then cast back to
+  *     DOUBLE for a stable output type.
+  *   - Every result carries a total deterministic ORDER BY.
+  *   - Aggregate/computed columns are aliased identically in the Spark
+  *     plan and the oracle SQL (driver hash-compares by column name).
+  *
+  * Scale notes are on each query: what Catalyst plans today and why
+  * that plan survives 1000 executors / 100 TB.
+  */
+object CoreQueries {
+
+  /** TPC-H Q1 shape — pricing summary (SURVEY G1/G3/G10, data_quality.py:62-165).
+    * Single scan, partial+final hash agg on 6 grouping values; no shuffle
+    * pressure at any scale (map-side combine reduces to #groups rows).
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .cast("decimal(18,6)")).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Group-count top-k (SURVEY G2/O4, data_quality.py:96-135).
+    * orderBy+limit plans as TakeOrderedAndProject — only k rows cross
+    * the final exchange regardless of group count.
+    */
+  def q2TopkGroups(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), max("ts").as("last_seen"))
+      .orderBy(desc("cnt"), asc("event_type"))
+      .limit(10)
+  }
+
+  val q2Sql: String =
+    """SELECT event_type, COUNT(*) AS cnt, MAX(ts) AS last_seen
+      |FROM events GROUP BY event_type
+      |ORDER BY cnt DESC, event_type LIMIT 10""".stripMargin
+
+  /** Conditional counts in one pass (SURVEY G3, data_quality.py:138-165).
+    * count(when(...)) compiles to a single scan with 5 accumulators —
+    * the same one-pass FILTER shape the reference uses.
+    */
+  def q3ConditionalCounts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.agg(
+      count(lit(1)).as("n_total"),
+      count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+      count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+      count(when(col("o_totalprice") > 100000.0, 1)).as("n_big"),
+      count(when(year(col("o_orderdate")) >= 1998, 1)).as("n_recent"))
+  }
+
+  val q3Sql: String =
+    """SELECT COUNT(*) AS n_total,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      |  COUNT(*) FILTER (WHERE o_totalprice > 100000.0) AS n_big,
+      |  COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) >= 1998) AS n_recent
+      |FROM orders""".stripMargin
+
+  /** Min/max sanity (SURVEY G4, data_quality.py:168-216). */
+  def q4MinMax(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.agg(
+      min("l_shipdate").as("min_ship"),
+      max("l_shipdate").as("max_ship"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  val q4Sql: String =
+    "SELECT MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship, COUNT(*) AS n_rows FROM lineitem"
+
+  /** Boolean-OR rollup (SURVEY G5, data_quality.py:248-283): per-order
+    * flags then a count-filter over the rollup. Two hash aggs; the
+    * second input is one row per order (map-side combined).
+    */
+  def q5BoolRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy("l_orderkey")
+      .agg(
+        expr("bool_or(l_returnflag = 'R')").as("has_return"),
+        expr("bool_or(l_linestatus = 'F')").as("has_finished"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(when(col("has_return"), 1)).as("n_with_return"),
+        count(when(col("has_finished"), 1)).as("n_with_finished"),
+        count(when(col("has_return") && col("has_finished"), 1)).as("n_both"))
+  }
+
+  val q5Sql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |    BOOL_OR(l_returnflag = 'R') AS has_return,
+      |    BOOL_OR(l_linestatus = 'F') AS has_finished
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT COUNT(*) AS n_orders,
+      |  COUNT(*) FILTER (WHERE has_return) AS n_with_return,
+      |  COUNT(*) FILTER (WHERE has_finished) AS n_with_finished,
+      |  COUNT(*) FILTER (WHERE has_return AND has_finished) AS n_both
+      |FROM per_order""".stripMargin
+
+  /** Distinct counts (SURVEY G6, data_quality.py:219-245). Exact here;
+    * the 100 TB variant swaps in approx_count_distinct (see
+    * StatsQueries.approxDistinct).
+    */
+  def q6DistinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.agg(
+      countDistinct(col("c_name")).as("d_name"),
+      countDistinct(col("c_mktsegment")).as("d_segment"),
+      countDistinct(col("c_nationkey")).as("d_nation"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  val q6Sql: String =
+    """SELECT COUNT(DISTINCT c_name) AS d_name,
+      |  COUNT(DISTINCT c_mktsegment) AS d_segment,
+      |  COUNT(DISTINCT c_nationkey) AS d_nation,
+      |  COUNT(*) AS n_rows FROM customer""".stripMargin
+
+  /** Daily rollup (SURVEY G8, data_quality.py:304-317). Grouping on
+    * to_date(ts) — at scale the events table would be date-partitioned
+    * and this becomes a partition-local agg.
+    */
+  def q7DailyRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy(desc("day"))
+  }
+
+  val q7Sql: String =
+    """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY day DESC""".stripMargin
+
+  /** Left-outer dim joins (SURVEY J1/J2, api.py:183-196). nation and
+    * region are broadcast — no shuffle of the fact side at any scale.
+    */
+  def q8JoinDims(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+      .orderBy("c_custkey")
+  }
+
+  val q8Sql: String =
+    """SELECT c_custkey, c_name, n_name, r_name
+      |FROM customer
+      |LEFT JOIN nation ON c_nationkey = n_nationkey
+      |LEFT JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Anti join (SURVEY J6, rag.py:97-104): customers with no orders. */
+  def q9AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val q9Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi join: suppliers that shipped at least one late-ship line. */
+  def q9bSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val late = t.lineitem.filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+    t.supplier
+      .join(late, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  val q9bSql: String =
+    """SELECT s_suppkey, s_name FROM supplier s
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_suppkey = s.s_suppkey AND l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Argmax per group (SURVEY G12/W1, rag.py:207-224): best event per
+    * user via a ranking window. One shuffle on user_id; the sort is
+    * per-partition.
+    */
+  def q10Argmax(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  val q10Sql: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Top-N sort+limit (SURVEY O1, api.py:194-195): plans as
+    * TakeOrderedAndProject — each partition keeps 200 rows, driver
+    * merges; never a full sort.
+    */
+  def q11Top200(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy(desc("o_orderdate"), asc("o_orderkey"))
+      .limit(200)
+  }
+
+  val q11Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+      |ORDER BY o_orderdate DESC, o_orderkey LIMIT 200""".stripMargin
+
+  /** Last-write-wins dedup (SURVEY W2, ingest.py:611-644): keep the
+    * newest event per (user_id, event_type).
+    */
+  def q12LastWinDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(desc("ts"), desc("event_id"))
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts")
+      .orderBy("user_id", "event_type")
+  }
+
+  val q12Sql: String =
+    """SELECT user_id, event_type, event_id, ts FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** Fact-to-fact join + dim join + agg (SURVEY J8/G-family): revenue
+    * per nation. customer and nation broadcast; orders⋈lineitem is the
+    * only real shuffle (both sides hashed on orderkey — at 100 TB this
+    * is the bucketing candidate).
+    */
+  def q13RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  val q13Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Error-ledger dedup shape (SURVEY G11, ingest.py:226-249):
+    * same-key occurrences collapse to one row with retry_count.
+    */
+  def q14RetryDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .filter(col("event_type") === "error")
+      .groupBy("user_id", "event_type")
+      .agg(
+        (count(lit(1)) - 1).as("retry_count"),
+        min("ts").as("first_seen"),
+        max("ts").as("last_seen"))
+      .orderBy("user_id")
+  }
+
+  val q14Sql: String =
+    """SELECT user_id, event_type, COUNT(*) - 1 AS retry_count,
+      |  MIN(ts) AS first_seen, MAX(ts) AS last_seen
+      |FROM events WHERE event_type = 'error'
+      |GROUP BY user_id, event_type ORDER BY user_id""".stripMargin
+
+  /** Prefix match (SURVEY P12, data_quality.py:189-208). The leading-
+    * wildcard-free LIKE is sargable: Parquet dictionary/min-max
+    * pruning applies.
+    */
+  def q15PrefixMatch(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.part
+      .filter(col("p_type").startsWith("S"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("p_brand"))
+  }
+
+  val q15Sql: String =
+    """SELECT p_brand, COUNT(*) AS cnt FROM part
+      |WHERE p_type LIKE 'S%'
+      |GROUP BY p_brand ORDER BY cnt DESC, p_brand""".stripMargin
+
+  /** Point lookup (SURVEY P7, api.py:229-244): Parquet min/max pruning
+    * stands in for the reference's B-tree index.
+    */
+  def q16PointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .filter(col("o_orderkey") === 42L)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+  }
+
+  val q16Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+      |FROM orders WHERE o_orderkey = 42""".stripMargin
+
+  /** Date-range + null-handling filters (SURVEY P8/P9). */
+  def q17RangeFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .filter(coalesce(nullif(col("o_orderpriority"), lit("")), lit("NONE")) =!= "NONE")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q17Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND COALESCE(NULLIF(o_orderpriority, ''), 'NONE') <> 'NONE'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Insert/update classification join (SURVEY J10, ingest.py:627):
+    * batch keys vs prior-snapshot keys → inserted flag. Modeled as
+    * orders-keys vs customer-keys.
+    */
+  def q18ClassifyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val prior = t.orders.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("prior_custkey")).distinct()
+    t.customer
+      .join(prior, col("c_custkey") === col("prior_custkey"), "left")
+      .withColumn("is_new", col("prior_custkey").isNull)
+      .groupBy("is_new")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("is_new")
+  }
+
+  val q18Sql: String =
+    """WITH prior AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT (o_custkey IS NULL) AS is_new, COUNT(*) AS cnt
+      |FROM customer LEFT JOIN prior ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY is_new""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_topk_groups" -> (q2TopkGroups _),
+    "q3_conditional_counts" -> (q3ConditionalCounts _),
+    "q4_minmax" -> (q4MinMax _),
+    "q5_bool_rollup" -> (q5BoolRollup _),
+    "q6_distinct_counts" -> (q6DistinctCounts _),
+    "q7_daily_rollup" -> (q7DailyRollup _),
+    "q8_join_dims" -> (q8JoinDims _),
+    "q9_anti_join" -> (q9AntiJoin _),
+    "q9b_semi_join" -> (q9bSemiJoin _),
+    "q10_argmax" -> (q10Argmax _),
+    "q11_top200" -> (q11Top200 _),
+    "q12_lastwin_dedup" -> (q12LastWinDedup _),
+    "q13_revenue_by_nation" -> (q13RevenueByNation _),
+    "q14_retry_dedup" -> (q14RetryDedup _),
+    "q15_prefix_match" -> (q15PrefixMatch _),
+    "q16_point_lookup" -> (q16PointLookup _),
+    "q17_range_filter" -> (q17RangeFilter _),
+    "q18_classify_join" -> (q18ClassifyJoin _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_topk_groups" -> q2Sql,
+    "q3_conditional_counts" -> q3Sql,
+    "q4_minmax" -> q4Sql,
+    "q5_bool_rollup" -> q5Sql,
+    "q6_distinct_counts" -> q6Sql,
+    "q7_daily_rollup" -> q7Sql,
+    "q8_join_dims" -> q8Sql,
+    "q9_anti_join" -> q9Sql,
+    "q9b_semi_join" -> q9bSql,
+    "q10_argmax" -> q10Sql,
+    "q11_top200" -> q11Sql,
+    "q12_lastwin_dedup" -> q12Sql,
+    "q13_revenue_by_nation" -> q13Sql,
+    "q14_retry_dedup" -> q14Sql,
+    "q15_prefix_match" -> q15Sql,
+    "q16_point_lookup" -> q16Sql,
+    "q17_range_filter" -> q17Sql,
+    "q18_classify_join" -> q18Sql,
+  )
+}
