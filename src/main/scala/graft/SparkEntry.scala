@@ -7,9 +7,15 @@ object SparkEntry {
     operators.CoreQueries.q13RevenueByNation(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.CoreQueries.entries
+    operators.CoreQueries.entries ++
+      operators.TextQueries.entries ++
+      operators.DedupQueries.entries ++
+      operators.VectorQueries.entries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.CoreQueries.oracle
+    operators.CoreQueries.oracle ++
+      operators.TextQueries.oracle ++
+      operators.DedupQueries.oracle ++
+      operators.VectorQueries.oracle
 }

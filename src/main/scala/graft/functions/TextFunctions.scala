@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the training-data pipeline
+  * (tokenize, shingle, hash, MinHash, SimHash, fingerprints).
+  *
+  * Design constraint: every function here must be *oracle-expressible* —
+  * the identical value computable in DuckDB SQL — so the driver's
+  * differential gate can hash-compare results. That rules out JVM-only
+  * hashes (xxhash64, murmur) on the verified paths; instead we derive
+  * 60-bit integers from md5 (identical in every engine) and do all
+  * derived hashing in modular arithmetic that never overflows a signed
+  * 64-bit int: values are reduced mod P = 2^31-1 before multiplying by
+  * seeds < 2^31, keeping products < 2^62.
+  *
+  * At 100 TB you would swap [[md5Long60]] for `xxhash64` (one fused
+  * codegen'd instruction instead of an md5 + string slice) — every
+  * consumer below is agnostic to that swap. All functions are
+  * `org.apache.spark.sql.functions` compositions: codegen'd, no UDFs,
+  * fully columnar (SURVEY.md §"Functions, not UDFs").
+  */
+object TextFunctions {
+
+  /** Mersenne prime 2^31-1 — modulus for all derived hashing. */
+  val P: Long = 2147483647L
+
+  /** Deterministic seed pairs (a_i, b_i) for the i-th hash function
+    * h_i(x) = (a_i * (x mod P) + b_i) mod P. Plain odd/even ramps —
+    * the exact constants are mirrored into the oracle SQL.
+    */
+  def seedA(i: Int): Long = 2L * i + 3L
+  def seedB(i: Int): Long = 12582917L * (i + 1L) % P
+
+  /** 60-bit integer from the first 15 hex chars of md5 — the one
+    * primitive hash shared with the oracle:
+    * DuckDB `('0x' || substr(md5(x), 1, 15))::UBIGINT`.
+    */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens, empty strings dropped (leading/trailing
+    * whitespace would otherwise produce "" entries).
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Distinct character n-gram shingles. A text shorter than n yields
+    * the single shingle = the text itself (substring clamps).
+    */
+  def charShingles(c: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+      i => c.substr(i, lit(n))))
+
+  /** Distinct word w-gram shingles joined by a single space. */
+  def wordShingles(c: Column, w: Int): Column = {
+    val toks = tokens(c)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - w, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(w)), " ")))
+  }
+
+  /** Jaccard similarity of two string arrays (assumed distinct).
+    * Integer sizes divided as double — bit-identical across engines.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  /** Base hashes of an array of shingles, reduced mod P. */
+  def baseHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => pmod(md5Long60(s), lit(P)))
+
+  /** MinHash signature (k values) from a shingle array.
+    * minhash_i = min over shingles of (a_i*h + b_i) mod P.
+    * One pass over the base hashes per signature row; at scale this is
+    * a single projection — no shuffle, no UDF.
+    */
+  def minHashSignature(shingleCol: Column, k: Int): Column = {
+    val base = baseHashes(shingleCol)
+    array((0 until k).map { i =>
+      array_min(transform(base, h => pmod(h * seedA(i) + seedB(i), lit(P))))
+    }: _*)
+  }
+
+  /** LSH band key: minhashes of band `b` (of `r` rows each) joined to a
+    * single string. Docs sharing any band key are candidate pairs.
+    */
+  def bandKey(sig: Column, band: Int, r: Int): Column =
+    concat_ws("_", (0 until r).map(j => sig.getItem(band * r + j).cast("string")): _*)
+
+  /** 32-bit SimHash over an array of tokens: bit b of the result is 1
+    * iff the sum over tokens of (+1 if bit b of h(token) else -1) > 0.
+    * Duplicate tokens intentionally count with multiplicity (standard
+    * SimHash weighting by term frequency).
+    */
+  def simHash32(tokenCol: Column): Column = {
+    val hashes = transform(tokenCol, t => pmod(md5Long60(t), lit(P)))
+    val bitSums = (0 until 32).map { b =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+    }
+    bitSums.zipWithIndex.map { case (s, b) =>
+      when(s > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 32-bit simhashes. */
+  def hamming32(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Polynomial rolling-hash fingerprint over the characters of a
+    * string: fold acc = (acc*31 + ascii(char)) mod P. Left fold in
+    * array order — the oracle replicates it with list_reduce.
+    */
+  def rollingFingerprint(c: Column): Column =
+    when(length(c) === 0, lit(7L)).otherwise(
+      aggregate(
+        // index walk, not split-on-"": Spark's sequence(1,0) would run
+        // descending on empty input and split semantics differ per
+        // engine; substr-by-index is identical everywhere
+        transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1))).cast("long")),
+        lit(7L),
+        (acc, ch) => pmod(acc * 31L + ch, lit(P))))
+
+  /** "BPE-ish" subword token count: runs of letters, runs of digits,
+    * and single other non-space chars each count as one token.
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Per-language stopword lists for the n-gram language-ID heuristic.
+    * Tiny, deterministic, shared with the oracle SQL verbatim.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo"),
+  )
+
+  /** Predicted language = argmax over stopword-hit counts; ties go to
+    * the earliest language in [[stopwords]] order; zero hits → "und".
+    * Implemented as a first-match-wins when-chain so the oracle SQL is
+    * the literally identical CASE chain.
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(lower(c))
+    val hits = stopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(lit): _*)))
+    }
+    val maxHits = greatest(hits.map(_._2): _*)
+    hits.foldLeft(when(maxHits <= 0, lit("und"))) {
+      case (acc, (lang, h)) => acc.when(h === maxHits, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: mean of four bounded signals —
+    * length ratio (chars/500 capped), alpha ratio, stopword ratio
+    * (capped at 5x), and short-token penalty. All arithmetic is
+    * integer-derived doubles: bit-identical across engines.
+    */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast("double")
+    val toks = tokens(c)
+    val nToks = size(toks).cast("double")
+    val alpha = length(regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    val allStop = stopwords.flatMap(_._2).distinct.sorted
+    val stopHits = size(filter(tokens(lower(c)),
+      t => t.isin(allStop.map(lit): _*))).cast("double")
+    val lenScore = least(nChars / 500.0d, lit(1.0d))
+    val alphaScore = when(nChars > 0, alpha / nChars).otherwise(lit(0.0d))
+    val stopScore = when(nToks > 0, least(stopHits * 5.0d / nToks, lit(1.0d))).otherwise(lit(0.0d))
+    val wordLen = when(nToks > 0, alpha / nToks).otherwise(lit(0.0d))
+    val wordScore = least(wordLen / 8.0d, lit(1.0d))
+    (lenScore + alphaScore + stopScore + wordScore) / 4.0d
+  }
+}

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators over `documents` / `embeddings` (SURVEY
+  * §"Deduplication"): exact content-hash dedup, exact blocked n-gram
+  * Jaccard, MinHash+LSH banding, SimHash banding, and embedding-cosine
+  * near-dup.
+  *
+  * Scale design: the only all-pairs computation is q31, deliberately
+  * bounded to a fixed id slice as the *oracle baseline*; every
+  * unbounded-scale variant (q32 MinHash-LSH, q33 SimHash bands) turns
+  * pair discovery into an equi-join on a band key — shuffle on
+  * (band, key), candidate count proportional to true collisions, never
+  * O(n²). That is the exact shape that survives 100 TB: band keys
+  * partition uniformly (they are hashes), and AQE's skew-join splitting
+  * covers pathological buckets.
+  */
+object DedupQueries {
+
+  /** Exact dedup keyed on md5(text). The test corpus has no exact
+    * duplicates, so the query constructs a duplicated corpus first
+    * (union with id-shifted copy) and then collapses it: keep the
+    * smallest doc_id per content hash, count copies. This is the
+    * hash-groupBy shape that dedups 100 TB in one shuffle on the
+    * content hash.
+    */
+  def q30DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select("doc_id", "text")
+    val dup = docs.unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    dup
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+  }
+
+  val q30Sql: String =
+    """WITH dup AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM dup GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Exact char-3-gram Jaccard near-dup pairs, blocked by language and
+    * bounded to a deterministic id slice (all-pairs verification is the
+    * oracle baseline; q32 is the scale path). Threshold 0.6 ≈ p99 of
+    * the corpus similarity distribution.
+    */
+  def q31DedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sh = t.documents
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("lang"), charShingles(col("text"), 3).as("s"))
+    val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("s").as("a_s"))
+    val b = sh.select(col("doc_id").as("b_id"), col("lang"), col("s").as("b_s"))
+    a.join(b, Seq("lang"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jaccard", jaccard(col("a_s"), col("b_s")))
+      .filter(col("jaccard") >= 0.6d)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  val q31Sql: String = {
+    val sh = OracleSql.charShingles("text", 3)
+    s"""WITH sh AS (
+       |  SELECT doc_id, lang, $sh AS s FROM documents WHERE doc_id < 400)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  ${OracleSql.jaccard("a.s", "b.s")} AS jaccard
+       |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE ${OracleSql.jaccard("a.s", "b.s")} >= 0.6
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** MinHash + LSH near-dup: word-bigram shingles → 16 minhashes →
+    * 8 bands × 2 rows → candidates share a band key → verified with
+    * exact Jaccard ≥ 0.05 (the corpus max is ~0.12 — synthetic data
+    * has no true near-dups, so the tail demonstrates the pipeline).
+    *
+    * Pair discovery is an equi-join on (band, key): cost tracks real
+    * collisions, not n². Signature computation is one projection —
+    * this is the canonical 100 TB dedup plan.
+    */
+  def q32DedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val k = 16; val bands = 8; val r = 2
+    val t = Tables(spark, dir)
+    val sig = t.documents
+      .select(col("doc_id"), wordShingles(col("text"), 2).as("s"))
+      .withColumn("sig", minHashSignature(col("s"), k))
+    val banded = sig.select(col("doc_id"), col("s"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandKey(col("sig"), b, r).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("s"), col("bk.band"), col("bk.key"))
+    val aa = banded.select(col("doc_id").as("a_id"), col("s").as("a_s"),
+      col("band"), col("key"))
+    val bb = banded.select(col("doc_id").as("b_id"), col("s").as("b_s"),
+      col("band"), col("key"))
+    aa.join(bb, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_s", "b_s").distinct()
+      .withColumn("jaccard", jaccard(col("a_s"), col("b_s")))
+      .filter(col("jaccard") >= 0.05d)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  val q32Sql: String = {
+    val k = 16; val bands = 8; val r = 2
+    val toks = OracleSql.tokens("text")
+    val bandRows = (0 until bands).map { b =>
+      val key = (0 until r).map(j => s"sig[${b * r + j + 1}]::VARCHAR")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, s, $b AS band, $key AS key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${OracleSql.wordShingles(toks, 2)} AS s FROM documents),
+       |mh AS (
+       |  SELECT doc_id, s,
+       |    ${OracleSql.minHashSignature(OracleSql.baseHashes("s"), k)} AS sig
+       |  FROM sh),
+       |banded AS (
+       |  ${bandRows}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.s AS a_s, b.s AS b_s
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, ${OracleSql.jaccard("a_s", "b_s")} AS jaccard
+       |FROM cand
+       |WHERE ${OracleSql.jaccard("a_s", "b_s")} >= 0.05
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** SimHash near-dup: 32-bit simhash over tokens, 4 bands of 8 bits
+    * for candidate generation, verified at Hamming distance ≤ 6.
+    * Same band-join scale shape as q32 with a constant-size signature.
+    */
+  def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sig = t.documents
+      .select(col("doc_id"), simHash32(tokens(col("text"))).as("sh"))
+    val banded = sig.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 8).bitwiseAND(255L).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+    val aa = banded.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("band"), col("key"))
+    val bb = banded.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("band"), col("key"))
+    aa.join(bb, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+      .withColumn("hamming", hamming32(col("a_sh"), col("b_sh")))
+      .filter(col("hamming") <= 6)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val q33Sql: String = {
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, sh, $b AS band, (sh >> ${b * 8}) & 255 AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sig AS (
+       |  SELECT doc_id, ${OracleSql.simHash32(OracleSql.tokens("text"))} AS sh
+       |  FROM documents),
+       |banded AS (
+       |  ${bandRows}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.sh AS a_sh, b.sh AS b_sh
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, bit_count(xor(a_sh, b_sh))::BIGINT AS hamming
+       |FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= 6
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Embedding-cosine near-dup pairs above 0.4 (corpus p99 ≈ 0.29,
+    * max ≈ 0.48 — the threshold keeps the true tail). Exact all-pairs
+    * on a bounded id slice; the scale path for this shape is the
+    * hyperplane-LSH bucketing of VectorQueries.q41.
+    */
+  def q34NearDupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.embeddings.filter(col("vec_id") < 1000)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))
+    a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", dotFold(col("a_e"), col("b_e")))
+      .filter(col("cosine") >= 0.4d)
+      .select("a_id", "b_id", "cosine")
+      .orderBy("a_id", "b_id")
+  }
+
+  val q34Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  ${OracleSql.dotFold("a.embedding", "b.embedding")} AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${OracleSql.dotFold("a.embedding", "b.embedding")} >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> (q30DedupExact _),
+    "q31_dedup_ngram" -> (q31DedupNgram _),
+    "q32_dedup_minhash_lsh" -> (q32DedupMinhashLsh _),
+    "q33_dedup_simhash" -> (q33DedupSimhash _),
+    "q34_neardup_embedding" -> (q34NearDupEmbedding _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q30_dedup_exact" -> q30Sql,
+    "q31_dedup_ngram" -> q31Sql,
+    "q32_dedup_minhash_lsh" -> q32Sql,
+    "q33_dedup_simhash" -> q33Sql,
+    "q34_neardup_embedding" -> q34Sql,
+  )
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+
+/** DuckDB SQL fragments that mirror graft.functions exactly — the same
+  * md5-derived hashing, the same left folds, the same modular
+  * arithmetic — so every derived value hash-compares bit-identically.
+  */
+object OracleSql {
+  /** 60-bit md5 hash — mirrors TextFunctions.md5Long60. */
+  def md5Long60(x: String): String =
+    s"(('0x' || substr(md5($x), 1, 15))::UBIGINT)::BIGINT"
+
+  /** Whitespace tokens, empties dropped — mirrors TextFunctions.tokens. */
+  def tokens(x: String): String =
+    s"list_filter(regexp_split_to_array($x, '\\s+'), t -> t != '')"
+
+  /** Distinct char n-grams — mirrors TextFunctions.charShingles. */
+  def charShingles(x: String, n: Int): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(len($x) - ${n - 1}, 1)), i -> substr($x, i, $n)))"
+
+  /** Distinct word w-grams — mirrors TextFunctions.wordShingles
+    * (array_join over a slice, so a short tail never gains a trailing
+    * separator).
+    */
+  def wordShingles(toksExpr: String, w: Int): String =
+    s"list_distinct(list_transform(generate_series(0, greatest(len($toksExpr) - $w, 0)), " +
+      s"i -> array_to_string(list_slice($toksExpr, i + 1, i + $w), ' ')))"
+
+  /** Jaccard of two distinct-element lists — mirrors TextFunctions.jaccard. */
+  def jaccard(a: String, b: String): String =
+    s"(len(list_intersect($a, $b))::DOUBLE / (len($a) + len($b) - len(list_intersect($a, $b)))::DOUBLE)"
+
+  /** Base hashes mod P — mirrors TextFunctions.baseHashes. */
+  def baseHashes(shingles: String): String =
+    s"list_transform($shingles, s -> ${md5Long60("s")} % ${TextFunctions.P})"
+
+  /** MinHash signature as a k-element list — mirrors minHashSignature. */
+  def minHashSignature(baseExpr: String, k: Int): String = {
+    val mins = (0 until k).map { i =>
+      s"list_min(list_transform($baseExpr, h -> (h * ${TextFunctions.seedA(i)} + ${TextFunctions.seedB(i)}) % ${TextFunctions.P}))"
+    }
+    mins.mkString("[", ", ", "]")
+  }
+
+  /** Strict left-fold dot product — mirrors VectorFunctions.dotFold. */
+  def dotFold(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
+      s"p -> p[1]::DOUBLE * p[2]::DOUBLE)), (acc, x) -> acc + x)"
+
+  /** Hyperplane component — mirrors VectorFunctions.planeComponent. */
+  def planeComponent(p: Int, i: String): String =
+    s"((${md5Long60(s"'${p}_' || ($i)::VARCHAR")} % 2001 - 1000)::DOUBLE / 1000.0)"
+
+  /** Hyperplane LSH signature — mirrors hyperplaneSignature. */
+  def hyperplaneSignature(v: String, planes: Int): String =
+    (0 until planes).map { p =>
+      val proj = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+        s"list_zip($v, generate_series(0, len($v) - 1)), " +
+        s"p -> p[1]::DOUBLE * ${planeComponent(p, "p[2]")})), (acc, x) -> acc + x)"
+      s"(CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** 32-bit SimHash over a token list — mirrors simHash32. Bit sums are
+    * order-independent integers, so list_sum is safe here.
+    */
+  def simHash32(toksExpr: String): String = {
+    val hashes = s"list_transform($toksExpr, t -> ${md5Long60("t")} % ${TextFunctions.P})"
+    (0 until 32).map { b =>
+      s"(CASE WHEN list_sum(list_transform($hashes, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Rolling fingerprint left fold — mirrors rollingFingerprint. */
+  def rollingFingerprint(x: String): String =
+    s"list_reduce(list_prepend(7::BIGINT, list_transform(" +
+      s"generate_series(1, len($x)), " +
+      s"i -> ascii(substr($x, i, 1))::BIGINT)), (acc, c) -> (acc * 31 + c) % ${TextFunctions.P})"
+
+  /** BPE-ish token count — mirrors bpeTokenCount. */
+  def bpeTokenCount(x: String): String =
+    s"len(regexp_extract_all($x, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+
+  /** Stopword hit count for one language over a token list. */
+  def stopHits(toksExpr: String, words: Seq[String]): String =
+    s"len(list_filter($toksExpr, t -> list_contains(${words.map(w => s"'$w'").mkString("[", ", ", "]")}, t)))"
+
+  /** Language-ID CASE chain — mirrors langId (first-match-wins). */
+  def langId(x: String): String = {
+    val toks = tokens(s"lower($x)")
+    val hits = TextFunctions.stopwords.map { case (lang, ws) => lang -> stopHits(toks, ws) }
+    val maxHits = s"greatest(${hits.map(_._2).mkString(", ")})"
+    val whens = hits.map { case (lang, h) => s"WHEN $h = $maxHits THEN '$lang'" }
+    s"(CASE WHEN $maxHits <= 0 THEN 'und' ${whens.mkString(" ")} ELSE 'und' END)"
+  }
+
+  /** Quality score — mirrors qualityScore term-for-term. */
+  def qualityScore(x: String): String = {
+    val nChars = s"len($x)::DOUBLE"
+    val toks = tokens(x)
+    val nToks = s"len($toks)::DOUBLE"
+    val alpha = s"len(regexp_replace($x, '[^A-Za-z]', '', 'g'))::DOUBLE"
+    val allStop = TextFunctions.stopwords.flatMap(_._2).distinct.sorted
+    val stopHitsE = stopHits(tokens(s"lower($x)"), allStop) + "::DOUBLE"
+    val lenScore = s"least($nChars / 500.0, 1.0)"
+    val alphaScore = s"(CASE WHEN $nChars > 0 THEN $alpha / $nChars ELSE 0.0 END)"
+    val stopScore = s"(CASE WHEN $nToks > 0 THEN least($stopHitsE * 5.0 / $nToks, 1.0) ELSE 0.0 END)"
+    val wordScore = s"least((CASE WHEN $nToks > 0 THEN $alpha / $nToks ELSE 0.0 END) / 8.0, 1.0)"
+    s"(($lenScore + $alphaScore + $stopScore + $wordScore) / 4.0)"
+  }
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: language ID,
+  * quality scoring, token counting, fingerprinting, chunking
+  * (SURVEY §"text analysis"; reference behaviors rag.py:44-69 chunking,
+  * ingest.py normalizers).
+  *
+  * All computation is pure column expressions — single scan per query,
+  * no UDFs, no shuffle except the final (tiny) aggregation. At 100 TB
+  * these are embarrassingly parallel map stages; the groupBys below
+  * reduce to at most a few thousand rows before the exchange.
+  */
+object TextQueries {
+
+  /** Language-ID confusion matrix: labeled lang × predicted lang.
+    * The heuristic is the stopword-argmax from TextFunctions.langId.
+    */
+  def q20LangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("pred_lang", langId(col("text")))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val q20Sql: String = {
+    s"""SELECT lang, ${OracleSql.langId("text")} AS pred_lang, COUNT(*) AS cnt
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  /** Quality-score histogram: floor(score*20) buckets with exact
+    * min/max per bucket (min/max of doubles are order-independent,
+    * unlike sums — safe to hash-compare).
+    */
+  def q21QualityHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("score", qualityScore(col("text")))
+      .groupBy(floor(col("score") * 20.0d).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min("score").as("min_score"),
+        max("score").as("max_score"))
+      .orderBy("bucket")
+  }
+
+  val q21Sql: String = {
+    val score = OracleSql.qualityScore("text")
+    s"""SELECT floor($score * 20.0)::BIGINT AS bucket, COUNT(*) AS cnt,
+       |  min($score) AS min_score, max($score) AS max_score
+       |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  /** Token statistics per language: whitespace-token and BPE-ish
+    * subword-token totals (all integer aggregates).
+    */
+  def q22TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("sum_ws_tokens"),
+        max("ws_tokens").as("max_ws_tokens"),
+        sum("bpe_tokens").as("sum_bpe_tokens"))
+      .orderBy("lang")
+  }
+
+  val q22Sql: String =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  SUM(len(${OracleSql.tokens("text")})::BIGINT) AS sum_ws_tokens,
+       |  MAX(len(${OracleSql.tokens("text")})::BIGINT) AS max_ws_tokens,
+       |  SUM(${OracleSql.bpeTokenCount("text")}::BIGINT) AS sum_bpe_tokens
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Document fingerprints: polynomial rolling hash + md5, for a
+    * deterministic id slice (bounded output at any scale factor).
+    */
+  def q23Fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        rollingFingerprint(col("text")).as("roll_fp"),
+        md5(col("text")).as("md5_fp"))
+      .orderBy("doc_id")
+  }
+
+  val q23Sql: String =
+    s"""SELECT doc_id, ${OracleSql.rollingFingerprint("text")} AS roll_fp,
+       |  md5(text) AS md5_fp
+       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  /** Fixed-size chunking with overlap (reference rag.py:44-69: size
+    * 1200 / overlap 200 on legal dockets; 120/20 here because the test
+    * documents average ~300 chars). Chunks are trimmed, empty chunks
+    * skipped, ids dense after the skip — the reference's exact
+    * semantics, expressed as sequence+substring+window instead of a
+    * per-row Python loop.
+    */
+  def q24Chunks(spark: SparkSession, dir: String): DataFrame = {
+    val size_ = 120
+    val overlap = 20
+    val step = size_ - overlap
+    val t = Tables(spark, dir)
+    val starts = t.documents
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0),
+          greatest(ceil((length(col("text")) - lit(overlap)).cast("double") / step).cast("long") - 1, lit(0))))
+          .as(Seq("pos", "k")))
+      .select(col("doc_id"), col("pos"), (col("k") * step + 1).as("start"))
+    val chunks = starts
+      .join(t.documents, "doc_id")
+      .select(col("doc_id"), col("pos"),
+        trim(col("text").substr(col("start"), lit(size_))).as("chunk"))
+      .filter(length(col("chunk")) > 0)
+    chunks
+      .withColumn("chunk_id",
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")) - 1)
+      .select("doc_id", "chunk_id", "chunk")
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val q24Sql: String =
+    """WITH starts AS (
+      |  SELECT doc_id, k, k * 100 + 1 AS start
+      |  FROM documents, unnest(generate_series(0,
+      |    greatest(ceil((len(text) - 20)::DOUBLE / 100)::BIGINT - 1, 0))) AS u(k)),
+      |chunks AS (
+      |  SELECT d.doc_id, s.k AS pos, trim(substr(d.text, s.start, 120)) AS chunk
+      |  FROM documents d JOIN starts s ON d.doc_id = s.doc_id)
+      |SELECT doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS chunk_id,
+      |  chunk
+      |FROM chunks WHERE len(chunk) > 0
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_lang_id" -> (q20LangId _),
+    "q21_quality_histogram" -> (q21QualityHistogram _),
+    "q22_token_stats" -> (q22TokenStats _),
+    "q23_fingerprints" -> (q23Fingerprints _),
+    "q24_chunks" -> (q24Chunks _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q20_lang_id" -> q20Sql,
+    "q21_quality_histogram" -> q21Sql,
+    "q22_token_stats" -> q22Sql,
+    "q23_fingerprints" -> q23Sql,
+    "q24_chunks" -> q24Sql,
+  )
+}

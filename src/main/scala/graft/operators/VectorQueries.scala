@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (SURVEY §"Similarity
+  * search"; reference rag.py:158-227 cosine ANN + best-per-case).
+  *
+  * Vectors are unit-normalized (dot ≡ cosine). q40 is the exact
+  * brute-force baseline: one scan, TakeOrderedAndProject — k rows per
+  * partition cross the exchange, never the corpus. q41 is the scale
+  * path: a random-hyperplane coarse quantizer (IVF-style) restricts
+  * the scan to the query's cell — at 100 TB the table would be
+  * written bucketed/partitioned by `cell` so a probe reads one
+  * partition, not the corpus.
+  */
+object VectorQueries {
+
+  /** Exact top-10 neighbors of vec_id=7 by cosine, brute force.
+    * The query vector joins in as a broadcast single-row DataFrame —
+    * no driver-side collect, the same plan works when "one query"
+    * becomes "a batch of queries" (q42).
+    */
+  def q40AnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val q = t.embeddings.filter(col("vec_id") === 7)
+      .select(col("embedding").as("q_emb"))
+    t.embeddings
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 7)
+      .withColumn("cosine", dotFold(col("embedding"), col("q_emb")))
+      .select("vec_id", "label", "cosine")
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(10)
+  }
+
+  val q40Sql: String =
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 7)
+       |SELECT vec_id, label, ${OracleSql.dotFold("embedding", "q_emb")} AS cosine
+       |FROM embeddings, q WHERE vec_id <> 7
+       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Hyperplane-LSH ANN: 6-bit random-hyperplane signature buckets the
+    * corpus into 64 cells; the probe scans only the query's cell and
+    * returns its exact top-10 within the cell. Approximate overall
+    * (recall < 1), exact within the probed cell — the IVF trade.
+    */
+  def q41AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val planes = 6
+    val t = Tables(spark, dir)
+    val cells = t.embeddings
+      .withColumn("cell", hyperplaneSignature(col("embedding"), planes))
+    val q = cells.filter(col("vec_id") === 7)
+      .select(col("embedding").as("q_emb"), col("cell"))
+    cells
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= 7)
+      .withColumn("cosine", dotFold(col("embedding"), col("q_emb")))
+      .select("vec_id", "label", "cell", "cosine")
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(10)
+  }
+
+  val q41Sql: String = {
+    val sig = OracleSql.hyperplaneSignature("embedding", 6)
+    s"""WITH cells AS (
+       |  SELECT vec_id, label, embedding, $sig AS cell FROM embeddings),
+       |q AS (SELECT embedding AS q_emb, cell FROM cells WHERE vec_id = 7)
+       |SELECT c.vec_id, c.label, c.cell,
+       |  ${OracleSql.dotFold("c.embedding", "q.q_emb")} AS cosine
+       |FROM cells c JOIN q ON c.cell = q.cell
+       |WHERE c.vec_id <> 7
+       |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Batched kNN: top-5 neighbors for each of 8 query vectors in one
+    * job — broadcast the query batch, window-rank per query. This is
+    * the shape a training pipeline uses for retrieval/labeling sweeps:
+    * queries broadcast, corpus scanned once, one shuffle on query_id
+    * for the ranking window.
+    */
+  def q42KnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val queries = t.embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    t.embeddings
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dotFold(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val q42Sql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    ${OracleSql.dotFold("e.embedding", "q.q_emb")} AS cosine
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+       |SELECT query_id, rank, vec_id, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_ann_brute_force" -> (q40AnnBruteForce _),
+    "q41_ann_lsh" -> (q41AnnLsh _),
+    "q42_knn_batch" -> (q42KnnBatch _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_ann_brute_force" -> q40Sql,
+    "q41_ann_lsh" -> q41Sql,
+    "q42_knn_batch" -> q42Sql,
+  )
+}
