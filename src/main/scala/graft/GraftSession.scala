@@ -16,6 +16,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Native graft expressions (codegen'd dot product for the ANN
+      // hot paths) — see graft.plans.GraftExtensions.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // The driver's events.parquet uses TIMESTAMP(NANOS); read as long
       // epoch-nanos and convert in Tables.events (lossless — data is µs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,27 @@
+package graft
+
+/** Dev-only profiler: time (and optionally explain) named queries from
+  * SparkEntry against a scale-factor dir. Not part of the driver
+  * contract — Bench/Verify are.
+  *
+  * Usage: runMain graft.Probe <sfDir> [--explain] q1 q2 ...
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val explain = args.contains("--explain")
+    val names = args.drop(1).filterNot(_ == "--explain")
+    val spark = GraftSession.get()
+    val targets =
+      if (names.isEmpty) SparkEntry.queries.keys.toSeq.sorted else names.toSeq
+    targets.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (explain) { println(s"=== $name"); df.explain("formatted") }
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name%-28s $sec%8.3f s  rows=$n")
+    }
+    spark.stop()
+  }
+}

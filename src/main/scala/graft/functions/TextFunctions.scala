@@ -74,17 +74,27 @@ object TextFunctions {
   def baseHashes(shingleCol: Column): Column =
     transform(shingleCol, s => pmod(md5Long60(s), lit(P)))
 
-  /** MinHash signature (k values) from a shingle array.
-    * minhash_i = min over shingles of (a_i*h + b_i) mod P.
-    * One pass over the base hashes per signature row; at scale this is
-    * a single projection — no shuffle, no UDF.
+  /** MinHash signature (k values) from a *pre-materialized* base-hash
+    * array column: minhash_i = min over shingles of (a_i*h + b_i) mod P.
+    *
+    * The base hashes MUST be their own projection (`.withColumn`)
+    * before this is applied: the signature references them k times, and
+    * an inlined `baseHashes(...)` would re-run the md5 transform k
+    * times per row (CollapseProject keeps a multi-referenced non-cheap
+    * alias materialized, which is exactly what we rely on — measured
+    * ~8× on the LSH dedup path).
     */
-  def minHashSignature(shingleCol: Column, k: Int): Column = {
-    val base = baseHashes(shingleCol)
+  def minHashFromBase(base: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(base, h => pmod(h * seedA(i) + seedB(i), lit(P))))
     }: _*)
-  }
+
+  /** Convenience single-expression form (inlines the base-hash
+    * transform k times — fine for tests, not for the hot path; use
+    * baseHashes + minHashFromBase in queries).
+    */
+  def minHashSignature(shingleCol: Column, k: Int): Column =
+    minHashFromBase(baseHashes(shingleCol), k)
 
   /** LSH band key: minhashes of band `b` (of `r` rows each) joined to a
     * single string. Docs sharing any band key are candidate pairs.
@@ -92,13 +102,20 @@ object TextFunctions {
   def bandKey(sig: Column, band: Int, r: Int): Column =
     concat_ws("_", (0 until r).map(j => sig.getItem(band * r + j).cast("string")): _*)
 
-  /** 32-bit SimHash over an array of tokens: bit b of the result is 1
-    * iff the sum over tokens of (+1 if bit b of h(token) else -1) > 0.
-    * Duplicate tokens intentionally count with multiplicity (standard
-    * SimHash weighting by term frequency).
+  /** Token hashes mod P — materialize this with `.withColumn` before
+    * feeding [[simHashFromHashes]] (same multi-reference rationale as
+    * [[minHashFromBase]]: the simhash reads the array 32 times, and an
+    * inlined transform would compute 32 md5s per token per row).
     */
-  def simHash32(tokenCol: Column): Column = {
-    val hashes = transform(tokenCol, t => pmod(md5Long60(t), lit(P)))
+  def tokenHashes(tokenCol: Column): Column =
+    transform(tokenCol, t => pmod(md5Long60(t), lit(P)))
+
+  /** 32-bit SimHash from a pre-materialized token-hash array: bit b of
+    * the result is 1 iff the sum over tokens of (+1 if bit b of
+    * h(token) else -1) > 0. Duplicate tokens intentionally count with
+    * multiplicity (standard SimHash weighting by term frequency).
+    */
+  def simHashFromHashes(hashes: Column): Column = {
     val bitSums = (0 until 32).map { b =>
       aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
@@ -107,6 +124,10 @@ object TextFunctions {
       when(s > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
   }
+
+  /** Convenience single-expression form (see [[simHashFromHashes]]). */
+  def simHash32(tokenCol: Column): Column =
+    simHashFromHashes(tokenHashes(tokenCol))
 
   /** Hamming distance between two 32-bit simhashes. */
   def hamming32(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

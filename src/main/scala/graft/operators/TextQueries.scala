@@ -41,8 +41,26 @@ object TextQueries {
     */
   def q21QualityHistogram(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.documents
-      .withColumn("score", qualityScore(col("text")))
+    // decomposed form of TextFunctions.qualityScore: the four raw
+    // signals materialize in one projection (each regex/tokenize pass
+    // runs once per row; the fused expression re-evaluated the alpha
+    // regex and the tokenizer), then the score is cheap arithmetic over
+    // attributes — identical doubles, term for term
+    val allStop = graft.functions.TextFunctions.stopwords.flatMap(_._2).distinct.sorted
+    val base = t.documents.select(
+      length(col("text")).cast("double").as("n_chars"),
+      size(tokens(col("text"))).cast("double").as("n_toks"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double").as("alpha"),
+      size(filter(tokens(lower(col("text"))),
+        tk => tk.isin(allStop.map(lit): _*))).cast("double").as("stop_hits"))
+    val scored = base.withColumn("score",
+      (least(col("n_chars") / 500.0d, lit(1.0d))
+        + when(col("n_chars") > 0, col("alpha") / col("n_chars")).otherwise(lit(0.0d))
+        + when(col("n_toks") > 0,
+            least(col("stop_hits") * 5.0d / col("n_toks"), lit(1.0d))).otherwise(lit(0.0d))
+        + least(when(col("n_toks") > 0, col("alpha") / col("n_toks"))
+            .otherwise(lit(0.0d)) / 8.0d, lit(1.0d))) / 4.0d)
+    scored
       .groupBy(floor(col("score") * 20.0d).as("bucket"))
       .agg(count(lit(1)).as("cnt"),
         min("score").as("min_score"),
