@@ -10,12 +10,14 @@ object SparkEntry {
     operators.CoreQueries.entries ++
       operators.TextQueries.entries ++
       operators.DedupQueries.entries ++
-      operators.VectorQueries.entries
+      operators.VectorQueries.entries ++
+      operators.IngestQueries.entries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.CoreQueries.oracle ++
       operators.TextQueries.oracle ++
       operators.DedupQueries.oracle ++
-      operators.VectorQueries.oracle
+      operators.VectorQueries.oracle ++
+      operators.IngestQueries.oracle
 }

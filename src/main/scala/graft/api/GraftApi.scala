@@ -1,0 +1,84 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.rag.{Embedder, HashingEmbedder, RagPipeline}
+
+/** API response models (reference api.py:76-110 Pydantic models). */
+final case class CaseSummary(case_number: String, title: String,
+    filed_date: String, judge: Option[String], court: Option[String],
+    status: String)
+final case class PartyRow(name: String, role: String)
+final case class SearchResult(case_number: String, title: String,
+    filed_date: String, judge: Option[String], court: Option[String],
+    best_similarity: Double, best_chunk_id: Int, best_chunk_snippet: String)
+
+/** The query facade — the three REST endpoints of the reference
+  * (api.py:154-270) as typed methods over registered tables. All
+  * filters reach the Parquet scans (predicate pushdown stands in for
+  * the reference's B-tree indexes, SURVEY §4); dim joins broadcast.
+  */
+final class GraftApi(spark: SparkSession, cases: DataFrame, judges: DataFrame,
+    courts: DataFrame, caseTypes: DataFrame, parties: DataFrame,
+    caseParties: DataFrame, embeddings: Option[DataFrame] = None,
+    embedder: Embedder = HashingEmbedder()) {
+  import spark.implicits._
+
+  private def withDims(df: DataFrame): DataFrame = df
+    .join(broadcast(judges.select(col("id").as("judge_id"),
+      col("full_name").as("judge"))), Seq("judge_id"), "left")
+    .join(broadcast(courts.select(col("id").as("court_id"),
+      col("name").as("court"))), Seq("court_id"), "left")
+
+  /** GET /cases?judge=&year= (api.py:154-199): at least one filter
+    * required (400 in the reference, api.py:164-168); judge matches
+    * normalized_name exactly; newest 200 by filed_date.
+    */
+  def listCases(judge: Option[String] = None, year: Option[Int] = None,
+      limit: Int = 200): Dataset[CaseSummary] = {
+    require(judge.isDefined || year.isDefined,
+      "at least one filter (judge, year) is required")
+    var df = cases
+    judge.foreach { j =>
+      val jid = judges.filter(col("normalized_name") === j.toLowerCase)
+        .select(col("id").as("judge_id"))
+      df = df.join(broadcast(jid), Seq("judge_id"))
+    }
+    year.foreach { y => df = df.filter(org.apache.spark.sql.functions.year(col("filed_date")) === y) }
+    withDims(df)
+      .select(col("case_number"), coalesce(col("title"), lit("")).as("title"),
+        date_format(col("filed_date"), "yyyy-MM-dd").as("filed_date"),
+        col("judge"), col("court"), col("status"))
+      .orderBy(desc("filed_date"), asc("case_number"))
+      .limit(limit)
+      .as[CaseSummary]
+  }
+
+  /** GET /cases/{case_number} detail row (api.py:221-249). */
+  def getCase(caseNumber: String): Option[CaseSummary] =
+    withDims(cases.filter(col("case_number") === caseNumber))
+      .select(col("case_number"), coalesce(col("title"), lit("")).as("title"),
+        date_format(col("filed_date"), "yyyy-MM-dd").as("filed_date"),
+        col("judge"), col("court"), col("status"))
+      .as[CaseSummary].collect().headOption
+
+  /** Parties of a case, ordered by (role, name) (api.py:252-262). */
+  def getParties(caseNumber: String): Seq[PartyRow] =
+    caseParties
+      .join(cases.select(col("id").as("case_id"), col("case_number")), Seq("case_id"))
+      .filter(col("case_number") === caseNumber)
+      .join(broadcast(parties.select(col("id").as("party_id"), col("name"))),
+        Seq("party_id"))
+      .select(col("name"), col("role"))
+      .orderBy("role", "name")
+      .as[PartyRow].collect().toSeq
+
+  /** POST /cases/search (api.py:202-218 → rag.py:158-227). */
+  def searchDockets(query: String, topK: Int = 5): Seq[SearchResult] = {
+    val emb = embeddings.getOrElse(
+      throw new IllegalStateException("no embedding table loaded"))
+    RagPipeline.searchText(emb, cases, judges, courts, query, topK, embedder)
+      .as[SearchResult].collect().toSeq
+  }
+}

@@ -1,0 +1,130 @@
+package graft.rag
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.DocketScala
+
+/** Pluggable text embedder (SURVEY F13). The reference uses MiniLM
+  * (rag.py:26-42); model weights are not hermetic, so the default is a
+  * deterministic hashing embedder with the identical contract: a
+  * unit-normalized float vector, cosine ≡ dot. Every downstream
+  * semantic (candidate pool, best-per-case, top-k, rounding) is
+  * embedder-independent.
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  def embed(text: String): Array[Float]
+}
+
+final case class HashingEmbedder(dim: Int = 384) extends Embedder {
+  override def embed(text: String): Array[Float] = DocketScala.hashEmbed(text, dim)
+}
+
+/** The RAG layer (reference rag.py): chunk → embed → backfill →
+  * cosine search with case-level aggregation.
+  *
+  * Scale notes: backfill is an anti-join + flatMap — no driver loop
+  * (the reference batches 128 cases per round-trip; a Spark job does
+  * the whole corpus in one pass). Search is one scan with a codegen'd
+  * dot product and two TakeOrderedAndProject stages — only
+  * `max(k*10, 50)` candidate rows and `k` result rows ever cross an
+  * exchange. At 100 TB the chunk table gets the hyperplane-LSH cell
+  * column of VectorQueries.q41 and a probe scans one cell.
+  */
+object RagPipeline {
+
+  val ChunkSize = 1200
+  val ChunkOverlap = 200
+  val SnippetChars = 280
+
+  /** Chunk `docket_text` per case (rag.py:44-69 exact semantics via
+    * DocketScala.chunkText). A case whose text yields no chunks gets
+    * the reference's sentinel `(0, "")` row (rag.py:146-148), so every
+    * case is represented in the embedding table.
+    */
+  def chunkCases(cases: DataFrame, size: Int = ChunkSize,
+      overlap: Int = ChunkOverlap): DataFrame = {
+    val chunkUdf = udf((s: String) => {
+      val cs = DocketScala.chunkText(s, size, overlap).map(c => (c.chunkId, c.text))
+      if (cs.isEmpty) Seq((0, "")) else cs
+    })
+    cases
+      .select(col("case_number"), explode(chunkUdf(col("docket_text"))).as("c"))
+      .select(col("case_number"), col("c._1").as("chunk_id"), col("c._2").as("chunk_text"))
+  }
+
+  /** Attach an `embedding` column (unit-normalized float vector). */
+  def embedChunks(chunks: DataFrame, embedder: Embedder = HashingEmbedder()): DataFrame = {
+    val embedUdf = udf((s: String) => embedder.embed(if (s == null) "" else s))
+    chunks.withColumn("embedding", embedUdf(col("chunk_text")))
+  }
+
+  /** Backfill: embed chunks for cases missing from the embedding table
+    * (rag.py:94-156 — the LEFT JOIN ... IS NULL scan is an anti-join).
+    */
+  def backfill(cases: DataFrame, existing: Option[DataFrame],
+      embedder: Embedder = HashingEmbedder()): DataFrame = {
+    val missing = existing match {
+      case Some(e) => cases.join(e.select("case_number").distinct(),
+        Seq("case_number"), "left_anti")
+      case None => cases
+    }
+    embedChunks(chunkCases(missing), embedder)
+  }
+
+  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Cosine search with case-level aggregation (rag.py:158-227):
+    *   1. score every chunk (unit vectors ⇒ dot = cosine = 1 - dist);
+    *   2. keep the top `max(k*10, 50)` chunks (the reference's
+    *      candidate pool, rag.py:201) — TakeOrderedAndProject;
+    *   3. join case metadata (broadcast dims);
+    *   4. best chunk per case (argmax window, ties to lowest
+    *      chunk_id — the reference's dict fold keeps the first-seen
+    *      chunk in retrieval order);
+    *   5. top-k cases by best similarity, rounded to 4 dp before the
+    *      final sort exactly as the reference rounds then sorts
+    *      (rag.py:220-226); ties broken by case_number for
+    *      determinism where the reference inherits dict order.
+    */
+  def search(embeddings: DataFrame, cases: DataFrame, judges: DataFrame,
+      courts: DataFrame, queryVec: Array[Float], topK: Int = 5): DataFrame = {
+    val pool = math.max(topK * 10, 50)
+    val scored = embeddings
+      .withColumn("similarity", dot(col("embedding"), typedlit(queryVec.toSeq)))
+      .orderBy(desc("similarity"), asc("case_number"), asc("chunk_id"))
+      .limit(pool)
+    val joined = scored
+      .join(cases.select(col("case_number"), col("title"), col("filed_date"),
+        col("judge_id"), col("court_id")), Seq("case_number"))
+      .join(broadcast(judges.select(col("id").as("judge_id"),
+        col("full_name").as("judge"))), Seq("judge_id"), "left")
+      .join(broadcast(courts.select(col("id").as("court_id"),
+        col("name").as("court"))), Seq("court_id"), "left")
+    val w = Window.partitionBy("case_number")
+      .orderBy(desc("similarity"), asc("chunk_id"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("case_number"), col("title"),
+        date_format(col("filed_date"), "yyyy-MM-dd").as("filed_date"),
+        col("judge"), col("court"),
+        bround(col("similarity"), 4).as("best_similarity"),
+        col("chunk_id").as("best_chunk_id"),
+        substring(col("chunk_text"), 1, SnippetChars).as("best_chunk_snippet"))
+      .orderBy(desc("best_similarity"), asc("case_number"))
+      .limit(topK)
+  }
+
+  /** Text-query convenience over [[search]]. */
+  def searchText(embeddings: DataFrame, cases: DataFrame, judges: DataFrame,
+      courts: DataFrame, query: String, topK: Int = 5,
+      embedder: Embedder = HashingEmbedder()): DataFrame = {
+    require(query != null && query.trim.length >= 2,
+      "query must be at least 2 characters") // api.py:64-73
+    search(embeddings, cases, judges, courts, embedder.embed(query), topK)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.store
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mutable-store emulation over immutable Parquet (SURVEY §7.4.1).
+  *
+  * The reference gets row-level upserts from Postgres (`ON CONFLICT`,
+  * `RETURNING`, ingest.py:613-644); Spark tables are immutable, so
+  * each logical table is a directory of versioned snapshots plus a
+  * `_current` pointer written via atomic rename. A merge job reads
+  * snapshot vN and the batch delta, writes vN+1, and swaps the
+  * pointer — readers see either vN or vN+1, never a partial write.
+  * On a cluster the pointer swap would be a metastore/lakehouse
+  * commit; the protocol is identical.
+  *
+  * Merge flavors cover every reference write path:
+  *   - [[mergeLastWriteWins]]  → `cases` upsert (S4)
+  *   - [[mergeInsertIfAbsent]] → dims + `case_parties` DO NOTHING
+  *     (S5/S6)
+  *   - [[mergeAdditive]]       → variation `seen_count` accumulation
+  *     (G9) and error `retry_count` (G11): counts add, first_seen
+  *     takes least, last_seen takes greatest — associative, so
+  *     splitting a batch and merging twice equals one merge
+  *     (property-tested).
+  *   - [[append]]              → run ledger / quarantine (S3/S7)
+  */
+final class SnapshotStore(spark: SparkSession, root: String) {
+
+  private def tableDir(table: String) = Paths.get(root, table)
+  private def pointer(table: String) = tableDir(table).resolve("_current")
+
+  def currentVersion(table: String): Option[Long] = {
+    val p = pointer(table)
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  def read(table: String): Option[DataFrame] =
+    currentVersion(table).map { v =>
+      spark.read.parquet(tableDir(table).resolve(s"v$v").toString)
+    }
+
+  /** Write a new snapshot version and atomically swap the pointer. */
+  def write(table: String, df: DataFrame): Long = {
+    val next = currentVersion(table).getOrElse(-1L) + 1
+    Files.createDirectories(tableDir(table))
+    df.write.mode("overwrite").parquet(tableDir(table).resolve(s"v$next").toString)
+    val tmp = tableDir(table).resolve("_current.tmp")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  private def merged(table: String, batch: DataFrame,
+      combine: (DataFrame, DataFrame) => DataFrame): Long = {
+    val next = read(table) match {
+      case Some(prior) => combine(prior, batch)
+      case None => batch
+    }
+    write(table, next)
+  }
+
+  /** Upsert: batch rows replace prior rows sharing the key (S4). */
+  def mergeLastWriteWins(table: String, batch: DataFrame, keys: Seq[String]): Long =
+    merged(table, batch, (prior, b) =>
+      prior.join(b.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(b))
+
+  /** Insert-if-absent: prior rows win, new keys append (S5/S6). */
+  def mergeInsertIfAbsent(table: String, batch: DataFrame, keys: Seq[String]): Long =
+    merged(table, batch, (prior, b) =>
+      prior.unionByName(
+        b.join(prior.select(keys.map(col): _*).distinct(), keys, "left_anti")))
+
+  /** Additive counter merge (G9/G11): `countCols` sum, `minCols` take
+    * least, `maxCols` take greatest, any other column takes the
+    * batch's value when present else the prior's.
+    */
+  def mergeAdditive(table: String, batch: DataFrame, keys: Seq[String],
+      countCols: Seq[String], minCols: Seq[String], maxCols: Seq[String]): Long =
+    merged(table, batch, (prior, b) => {
+      val all = prior.unionByName(b)
+      val others = all.columns.toSeq
+        .diff(keys ++ countCols ++ minCols ++ maxCols)
+      val aggs =
+        countCols.map(c => sum(col(c)).as(c)) ++
+          minCols.map(c => min(col(c)).as(c)) ++
+          maxCols.map(c => max(col(c)).as(c)) ++
+          others.map(c => last(col(c), ignoreNulls = true).as(c))
+      all.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        .select(all.columns.map(col).toIndexedSeq: _*)
+    })
+
+  /** Append-only ledger (S3/S7). */
+  def append(table: String, batch: DataFrame): Long =
+    merged(table, batch, (prior, b) => prior.unionByName(b))
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.IngestJob
+import graft.rag.{HashingEmbedder, RagPipeline}
+import graft.api.GraftApi
+
+/** RAG pipeline + API facade over the reference corpus: chunk
+  * semantics (incl. the empty-text sentinel, rag.py:146-148), search
+  * shape (candidate pool, best-per-case, 4-dp rounding, top-k), and
+  * the three endpoint equivalents.
+  */
+class RagPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+  private lazy val ingest = IngestJob.run(spark,
+    IngestJob.readRaw(spark, "/root/reference/data/raw_dockets.json"),
+    1, "raw_dockets.json", "ref", ts)
+  private val embedder = HashingEmbedder(64)
+  private lazy val embeddings = RagPipeline.backfill(ingest.cases, None, embedder)
+
+  test("backfill covers every case exactly (one chunk per short docket)") {
+    // docket_text is 53-128 chars (BASELINE.md) → one 1200-char chunk each
+    assert(embeddings.select("case_number").distinct().count() == 501)
+    assert(embeddings.count() == 501)
+    assert(embeddings.filter(col("chunk_id") =!= 0).count() == 0)
+  }
+
+  test("empty docket_text gets the (0, \"\") sentinel row") {
+    val one = Seq(("C-empty", "")).toDF("case_number", "docket_text")
+    val chunks = RagPipeline.chunkCases(one).collect()
+    assert(chunks.length == 1)
+    assert(chunks(0).getInt(1) == 0 && chunks(0).getString(2) == "")
+  }
+
+  test("backfill with existing table only embeds missing cases") {
+    val delta = RagPipeline.backfill(ingest.cases, Some(embeddings), embedder)
+    assert(delta.count() == 0)
+  }
+
+  test("search: self-query ranks the source case first with similarity 1") {
+    val probe = ingest.cases.select("case_number", "docket_text")
+      .orderBy("case_number").limit(1).collect()(0)
+    val qvec = embedder.embed(probe.getString(1))
+    val res = RagPipeline.search(embeddings, ingest.cases, ingest.judges,
+      ingest.courts, qvec, topK = 5).collect()
+    assert(res.length == 5)
+    assert(res(0).getAs[String]("case_number") == probe.getString(0))
+    assert(math.abs(res(0).getAs[Double]("best_similarity") - 1.0) < 1e-9)
+    // descending similarity, 4-dp rounded
+    val sims = res.map(_.getAs[Double]("best_similarity"))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(sims.forall(s => (s * 10000).round / 10000.0 == s))
+  }
+
+  test("search output has the reference's result columns") {
+    val res = RagPipeline.searchText(embeddings, ingest.cases, ingest.judges,
+      ingest.courts, "breach of contract", 3, embedder)
+    assert(res.columns.toSeq == Seq("case_number", "title", "filed_date",
+      "judge", "court", "best_similarity", "best_chunk_id", "best_chunk_snippet"))
+    assert(res.count() == 3)
+  }
+
+  test("api: listCases by judge + year filters and orders") {
+    val api = new GraftApi(spark, ingest.cases, ingest.judges, ingest.courts,
+      ingest.caseTypes, ingest.parties, ingest.caseParties, Some(embeddings), embedder)
+    val rows = api.listCases(judge = Some("Maria Rodriguez"), year = None)
+    assert(rows.collect().forall(_.judge.exists(
+      j => j.toLowerCase.contains("maria rodriguez"))))
+    val y2023 = api.listCases(judge = None, year = Some(2023)).collect()
+    assert(y2023.nonEmpty)
+    assert(y2023.forall(_.filed_date.startsWith("2023")))
+    val dates = y2023.map(_.filed_date)
+    assert(dates.sameElements(dates.sorted.reverse))
+    intercept[IllegalArgumentException](api.listCases(None, None))
+  }
+
+  test("api: getCase + getParties") {
+    val api = new GraftApi(spark, ingest.cases, ingest.judges, ingest.courts,
+      ingest.caseTypes, ingest.parties, ingest.caseParties, Some(embeddings), embedder)
+    val detail = api.getCase("1:23-cv-12345")
+    assert(detail.isDefined)
+    assert(api.getCase("no-such-case").isEmpty)
+    val ps = api.getParties("1:23-cv-12345")
+    assert(ps.nonEmpty)
+    assert(ps == ps.sortBy(p => (p.role, p.name)))
+  }
+
+  test("api: searchDockets returns k results") {
+    val api = new GraftApi(spark, ingest.cases, ingest.judges, ingest.courts,
+      ingest.caseTypes, ingest.parties, ingest.caseParties, Some(embeddings), embedder)
+    val res = api.searchDockets("motion for summary judgment", 4)
+    assert(res.length == 4)
+    intercept[IllegalArgumentException](api.searchDockets("x", 3))
+  }
+}

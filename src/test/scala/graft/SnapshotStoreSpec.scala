@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.store.SnapshotStore
+
+/** Snapshot-merge semantics (SURVEY §7.4.1): versioning, last-write-
+  * wins, insert-if-absent, additive counters (with the associativity
+  * property the cross-run ledgers rely on), append.
+  */
+class SnapshotStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newStore() =
+    new SnapshotStore(spark, Files.createTempDirectory("graft-store").toString)
+
+  test("write/read round-trip with version bump") {
+    val s = newStore()
+    assert(s.read("t").isEmpty)
+    val v0 = s.write("t", Seq((1, "a")).toDF("k", "v"))
+    assert(v0 == 0 && s.currentVersion("t").contains(0L))
+    val v1 = s.write("t", Seq((2, "b")).toDF("k", "v"))
+    assert(v1 == 1)
+    assert(s.read("t").get.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("mergeLastWriteWins: batch replaces prior rows on the key") {
+    val s = newStore()
+    s.write("cases", Seq((1, "old"), (2, "keep")).toDF("k", "v"))
+    s.mergeLastWriteWins("cases", Seq((1, "new"), (3, "ins")).toDF("k", "v"), Seq("k"))
+    val got = s.read("cases").get.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "new", 2 -> "keep", 3 -> "ins"))
+  }
+
+  test("mergeInsertIfAbsent: prior rows win (DO NOTHING semantics)") {
+    val s = newStore()
+    s.write("dims", Seq((1, "first")).toDF("k", "v"))
+    s.mergeInsertIfAbsent("dims", Seq((1, "second"), (2, "new")).toDF("k", "v"), Seq("k"))
+    val got = s.read("dims").get.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "first", 2 -> "new"))
+  }
+
+  test("mergeAdditive: counts add, first/last seen take extremes") {
+    val s = newStore()
+    s.write("var", Seq((1, 2L, 10L, 10L), (2, 1L, 5L, 5L))
+      .toDF("k", "seen_count", "first_seen", "last_seen"))
+    s.mergeAdditive("var", Seq((1, 3L, 8L, 20L), (3, 1L, 1L, 1L))
+      .toDF("k", "seen_count", "first_seen", "last_seen"),
+      Seq("k"), Seq("seen_count"), Seq("first_seen"), Seq("last_seen"))
+    val got = s.read("var").get.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1 -> ((5L, 8L, 20L)), 2 -> ((1L, 5L, 5L)), 3 -> ((1L, 1L, 1L))))
+  }
+
+  test("mergeAdditive associativity: split batch == one batch (G9 property)") {
+    val full = Seq((1, 4L, 2L, 9L), (2, 2L, 1L, 3L))
+      .toDF("k", "seen_count", "first_seen", "last_seen")
+    val part1 = Seq((1, 1L, 5L, 9L), (2, 2L, 1L, 3L))
+      .toDF("k", "seen_count", "first_seen", "last_seen")
+    val part2 = Seq((1, 3L, 2L, 7L))
+      .toDF("k", "seen_count", "first_seen", "last_seen")
+    val sOne = newStore(); val sTwo = newStore()
+    sOne.mergeAdditive("v", full, Seq("k"), Seq("seen_count"), Seq("first_seen"), Seq("last_seen"))
+    sTwo.mergeAdditive("v", part1, Seq("k"), Seq("seen_count"), Seq("first_seen"), Seq("last_seen"))
+    sTwo.mergeAdditive("v", part2, Seq("k"), Seq("seen_count"), Seq("first_seen"), Seq("last_seen"))
+    def snap(s: SnapshotStore) = s.read("v").get.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(snap(sOne) == snap(sTwo))
+  }
+
+  test("append accumulates") {
+    val s = newStore()
+    s.append("ledger", Seq((1, "r1")).toDF("run_id", "x"))
+    s.append("ledger", Seq((2, "r2")).toDF("run_id", "x"))
+    assert(s.read("ledger").get.count() == 2)
+  }
+}

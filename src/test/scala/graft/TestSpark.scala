@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for every suite (same config as the
+  * driver-facing mains — GraftSession is the single source of truth).
+  */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("4").appName("graft-test").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
