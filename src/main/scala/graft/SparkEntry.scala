@@ -11,7 +11,8 @@ object SparkEntry {
       operators.TextQueries.entries ++
       operators.DedupQueries.entries ++
       operators.VectorQueries.entries ++
-      operators.IngestQueries.entries
+      operators.IngestQueries.entries ++
+      operators.MultimodalQueries.entries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +20,6 @@ object SparkEntry {
       operators.TextQueries.oracle ++
       operators.DedupQueries.oracle ++
       operators.VectorQueries.oracle ++
-      operators.IngestQueries.oracle
+      operators.IngestQueries.oracle ++
+      operators.MultimodalQueries.oracle
 }

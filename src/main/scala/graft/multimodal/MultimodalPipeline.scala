@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY §"Multimodal columns"): media
+  * payloads ride as opaque `binary` columns with typed metadata;
+  * decode / feature-extract / resize / frame-sample run as partition-
+  * mapped functions so any real codec initializes once per partition
+  * and streams records — the exact shape a Pandas-UDF/`mapInPandas`
+  * pipeline has in PySpark, expressed as typed `mapPartitions` here.
+  *
+  * The DECODE STEP IS A DETERMINISTIC STUB: this container has no
+  * image/audio codecs, so [[StubCodec]] derives features from the raw
+  * bytes (byte histograms, strided "frames", a leading-window
+  * fingerprint). The Spark-side contract — schema, binary transport,
+  * per-partition codec lifecycle, feature shape — is real and tested;
+  * swapping StubCodec for a JNI/ONNX decoder changes no plumbing.
+  *
+  * Scale notes: payloads never pass through a shuffle (features are
+  * projected before any aggregation); a real deployment would bound
+  * `spark.sql.files.maxPartitionBytes` so a partition of blobs fits
+  * executor memory.
+  */
+object MultimodalPipeline {
+
+  /** One media record: opaque payload + typed metadata. */
+  final case class MediaRecord(media_id: Long, kind: String,
+      payload: Array[Byte], n_bytes: Long)
+
+  /** Extracted features (see [[StubCodec.decode]]). */
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      byte_sum: Long, h0: Long, h1: Long, h2: Long, h3: Long,
+      n_frames: Long, head_fingerprint: String)
+
+  /** The stand-in decoder. A real implementation would replace the
+    * body (JPEG decode → pixels, PCM decode → samples, container
+    * demux → frames); everything around it stays.
+    */
+  final class StubCodec {
+    /** Byte histogram over 4 coarse buckets (top 2 bits), strided
+      * frame count (stride 32), byte sum, and an md5 fingerprint of
+      * the leading 16-byte window ("thumbnail").
+      */
+    def decode(payload: Array[Byte]): (Long, Long, Long, Long, Long, Long, String) = {
+      val hist = new Array[Long](4)
+      var sum = 0L
+      payload.foreach { b =>
+        val u = b & 0xff
+        hist(u >> 6) += 1
+        sum += u
+      }
+      val frames = (payload.length + 31) / 32
+      val head = payload.take(16)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val fp = md.digest(head).map(x => f"$x%02x").mkString
+      (sum, hist(0), hist(1), hist(2), hist(3), frames.toLong, fp)
+    }
+  }
+
+  /** Decode features with a once-per-partition codec. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = new StubCodec // per-partition init (model/codec load)
+      it.map { m =>
+        val (sum, h0, h1, h2, h3, frames, fp) = codec.decode(m.payload)
+        MediaFeatures(m.media_id, m.kind, m.n_bytes, sum, h0, h1, h2, h3,
+          frames, fp)
+      }
+    }
+  }
+
+  /** Frame-sample: strided binary slices of the payload as rows —
+    * (media_id, frame_id, frame: binary). The video-sampling shape.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 32,
+      frameLen: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      Iterator.range(0, m.payload.length, stride).zipWithIndex.map {
+        case (off, idx) =>
+          (m.media_id, idx,
+            m.payload.slice(off, math.min(off + frameLen, m.payload.length)))
+      }
+    }.toDF("media_id", "frame_id", "frame")
+  }
+
+  /** Build a media table from the documents test table: the UTF-8
+    * bytes of `text` stand in for an encoded payload (kind rotates to
+    * exercise the metadata column).
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .as[MediaRecord]
+  }
+}

@@ -111,15 +111,64 @@ object VectorQueries {
        |  FROM scored) WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** The reference's full search composition (rag.py:158-227, SURVEY
+    * §2.9 searchDockets) as one oracle-checked plan: score → candidate
+    * pool `max(k*10, 50)` → best-chunk-per-case argmax → top-k with
+    * 4-dp rounding. `vec_id mod 100` stands in for the chunk→case
+    * grouping (the test embeddings have no case column). Rounding is
+    * `round` (half-away) here to match DuckDB bit-for-bit; the
+    * production path (RagPipeline.search) uses bround = Python
+    * banker's rounding for reference parity.
+    */
+  def q43SearchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val pool = math.max(k * 10, 50)
+    val t = Tables(spark, dir)
+    val q = t.embeddings.filter(col("vec_id") === 7)
+      .select(col("embedding").as("q_emb"))
+    val cand = t.embeddings
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 7)
+      .withColumn("similarity", dotFold(col("embedding"), col("q_emb")))
+      .select(col("vec_id"), pmod(col("vec_id"), lit(100)).as("case_key"),
+        col("similarity"))
+      .orderBy(desc("similarity"), asc("vec_id"))
+      .limit(pool)
+    val w = Window.partitionBy("case_key").orderBy(desc("similarity"), asc("vec_id"))
+    cand
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("case_key"), col("vec_id").as("best_vec"),
+        round(col("similarity"), 4).as("best_similarity"))
+      .orderBy(desc("best_similarity"), asc("case_key"))
+      .limit(k)
+  }
+
+  val q43Sql: String =
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 7),
+       |cand AS (
+       |  SELECT vec_id, vec_id % 100 AS case_key,
+       |    ${OracleSql.dotFold("embedding", "q_emb")} AS similarity
+       |  FROM embeddings, q WHERE vec_id <> 7
+       |  ORDER BY similarity DESC, vec_id LIMIT 50),
+       |best AS (
+       |  SELECT case_key, vec_id AS best_vec, round(similarity, 4) AS best_similarity,
+       |    ROW_NUMBER() OVER (PARTITION BY case_key ORDER BY similarity DESC, vec_id) AS rn
+       |  FROM cand)
+       |SELECT case_key, best_vec, best_similarity FROM best WHERE rn = 1
+       |ORDER BY best_similarity DESC, case_key LIMIT 5""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_brute_force" -> (q40AnnBruteForce _),
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q42_knn_batch" -> (q42KnnBatch _),
+    "q43_search_topk" -> (q43SearchTopk _),
   )
 
   val oracle: Map[String, String] = Map(
     "q40_ann_brute_force" -> q40Sql,
     "q41_ann_lsh" -> q41Sql,
     "q42_knn_batch" -> q42Sql,
+    "q43_search_topk" -> q43Sql,
   )
 }

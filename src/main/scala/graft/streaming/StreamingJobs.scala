@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.ingest.IngestJob
+import graft.store.SnapshotStore
+
+/** Streaming surface (SURVEY §2.10). The reference names streaming
+  * only as future work (README.md:244-245); the engine gets it for
+  * free because the batch ingest is a deterministic function
+  * `RawBatch → TableDeltas`: a `foreachBatch` wrapper replays exactly
+  * the batch semantics over a file (or Kafka) stream, and the
+  * variation counters (G9) are `flatMapGroupsWithState`-shaped.
+  */
+object StreamingIngest {
+
+  /** Continuous ingest: watch `inputDir` for JSON docket files; each
+    * micro-batch runs the batch IngestJob and merges its deltas into
+    * the snapshot store with the same semantics as a manual run
+    * (upsert cases, insert-if-absent dims, additive variations,
+    * append ledgers). runId = micro-batch id; epochTs is injectable
+    * for deterministic tests.
+    */
+  def start(spark: SparkSession, inputDir: String, checkpointDir: String,
+      store: SnapshotStore, epochTs: Long => Timestamp =
+        _ => new Timestamp(System.currentTimeMillis())): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(IngestJob.rawSchema)
+      .option("multiLine", true)
+      .json(inputDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val r = IngestJob.run(batch.sparkSession,
+          IngestJob.withSeq(batch.sparkSession, batch),
+          runId = batchId, sourceName = s"stream:$inputDir",
+          sourceUri = inputDir, ts = epochTs(batchId))
+        store.mergeLastWriteWins("cases", r.cases, Seq("case_number"))
+        store.mergeInsertIfAbsent("courts", r.courts, Seq("normalized_name"))
+        store.mergeInsertIfAbsent("judges", r.judges, Seq("normalized_name"))
+        store.mergeInsertIfAbsent("case_types", r.caseTypes, Seq("name"))
+        store.mergeInsertIfAbsent("parties", r.parties, Seq("normalized_name"))
+        store.mergeInsertIfAbsent("case_parties", r.caseParties,
+          Seq("case_id", "party_id", "role"))
+        store.mergeAdditive("court_name_variations", r.courtVariations,
+          Seq("court_id", "raw_name"), Seq("seen_count"),
+          Seq("first_seen_at"), Seq("last_seen_at"))
+        store.mergeAdditive("judge_name_variations", r.judgeVariations,
+          Seq("judge_id", "raw_name"), Seq("seen_count"),
+          Seq("first_seen_at"), Seq("last_seen_at"))
+        store.mergeAdditive("party_name_variations", r.partyVariations,
+          Seq("party_id", "raw_name"), Seq("seen_count"),
+          Seq("first_seen_at"), Seq("last_seen_at"))
+        store.append("ingest_runs", r.runLedger)
+        if (!r.quarantine.isEmpty) store.append("quarantine", r.quarantine)
+        if (!r.errors.isEmpty) store.append("ingest_errors", r.errors)
+        ()
+      }
+      .start()
+  }
+}
+
+/** Event-stream analytics: watermarked tumbling-window aggregation and
+  * an arbitrary-stateful running counter.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event_type with a watermark —
+    * late events beyond the watermark are dropped, state is bounded
+    * (the 100 TB/day concern: without the watermark, window state
+    * grows forever).
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+      window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class Seen(key: String, raw: String)
+  final case class SeenCount(key: String, raw: String, seenCount: Long)
+
+  /** Continuous G9: running per-(key, raw) seen counts via
+    * flatMapGroupsWithState — the streaming form of the variation
+    * ledger's additive merge.
+    */
+  def runningSeenCounts(ds: Dataset[Seen]): Dataset[SeenCount] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(s => (s.key, s.raw))
+      .flatMapGroupsWithState[Long, SeenCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case ((key, raw), rows, state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator(SeenCount(key, raw, total))
+      }
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.SnapshotStore
+import graft.streaming.{EventStreams, StreamingIngest}
+import graft.streaming.EventStreams.Seen
+
+/** Streaming specs: file-stream ingest merging into the snapshot
+  * store, watermarked windowed aggregation, and stateful running
+  * counts — all driven deterministically (MemoryStream /
+  * processAllAvailable).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("file-stream ingest merges micro-batches into the store") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-stream-in")
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val storeDir = Files.createTempDirectory("graft-stream-store")
+    val store = new SnapshotStore(spark, storeDir.toString)
+
+    def docket(cn: String, judge: String): String =
+      s"""{"case_number":"$cn","court":"S.D.N.Y","title":"t $cn",
+         |"filed_date":"2024-10-03","parties":"A (plaintiff); B (defendant)",
+         |"case_type":"civil","judge":"$judge","docket_text":"text $cn",
+         |"status":"active"}""".stripMargin.replaceAll("\n", "")
+
+    Files.writeString(in.resolve("batch1.json"),
+      s"[${docket("S-1", "Hon. Maria Rodriguez")},${docket("S-2", "Judge Chen")}]")
+
+    val q = StreamingIngest.start(spark, in.toString, ckpt.toString, store,
+      _ => Timestamp.valueOf("2026-01-01 00:00:00"))
+    try {
+      q.processAllAvailable()
+      assert(store.read("cases").get.count() == 2)
+
+      // second file: update S-1, add S-3, re-see the same judge spelling
+      Files.writeString(in.resolve("batch2.json"),
+        s"[${docket("S-1", "Hon. Maria Rodriguez")},${docket("S-3", "Judge Chen")}]")
+      q.processAllAvailable()
+
+      val cases = store.read("cases").get
+      assert(cases.count() == 3)
+      // upsert kept one row for S-1
+      assert(cases.filter(col("case_number") === "S-1").count() == 1)
+      // dims: 2 judges, insert-if-absent across batches
+      assert(store.read("judges").get.count() == 2)
+      // additive variation counts across micro-batches: Maria seen twice
+      val maria = store.read("judge_name_variations").get
+        .filter(col("raw_name") === "Hon. Maria Rodriguez")
+        .agg(sum("seen_count")).collect()(0).getLong(0)
+      assert(maria == 2)
+      // run ledger: one row per micro-batch
+      assert(store.read("ingest_runs").get.count() == 2)
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.windowedCounts(events, "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("win")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2026-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2026-01-01 10:45:00"), "click", 2.0),
+        (Timestamp.valueOf("2026-01-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"))).toSet
+      assert(rows.contains(("2026-01-01 10:00:00.0", "click", 2L, 3.0)))
+      assert(rows.contains(("2026-01-01 11:00:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("running seen counts accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Seen]
+    val q = EventStreams.runningSeenCounts(mem.toDS())
+      .writeStream.format("memory").queryName("seen")
+      .outputMode("update").start()
+    try {
+      mem.addData(Seen("court:1", "S.D.N.Y"), Seen("court:1", "S.D.N.Y"))
+      q.processAllAvailable()
+      mem.addData(Seen("court:1", "S.D.N.Y"), Seen("court:2", "NDCAL"))
+      q.processAllAvailable()
+      val last = spark.table("seen")
+        .groupBy("key", "raw").agg(max("seenCount").as("n")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(last(("court:1", "S.D.N.Y")) == 3L)
+      assert(last(("court:2", "NDCAL")) == 1L)
+    } finally q.stop()
+  }
+}
