@@ -85,6 +85,13 @@ object TextFunctions {
     * ~8× on the LSH dedup path).
     */
   def minHashFromBase(base: Column, k: Int): Column =
+    call_function("graft_minhash", base, lit(k))
+
+  /** Declarative HOF form of [[minHashFromBase]] — the semantics the
+    * oracle SQL mirrors literally; value-identical to the codegen'd
+    * expression (asserted in SketchExprSpec), ~8× slower.
+    */
+  def minHashFromBaseHof(base: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(base, h => pmod(h * seedA(i) + seedB(i), lit(P))))
     }: _*)
@@ -115,7 +122,15 @@ object TextFunctions {
     * h(token) else -1) > 0. Duplicate tokens intentionally count with
     * multiplicity (standard SimHash weighting by term frequency).
     */
-  def simHashFromHashes(hashes: Column): Column = {
+  def simHashFromHashes(hashes: Column): Column =
+    call_function("graft_simhash", hashes)
+
+  /** Declarative HOF form of [[simHashFromHashes]] — the semantics the
+    * oracle SQL mirrors literally; value-identical to the codegen'd
+    * expression (asserted in SketchExprSpec), ~30× slower (32
+    * interpreted folds per row).
+    */
+  def simHashFromHashesHof(hashes: Column): Column = {
     val bitSums = (0 until 32).map { b =>
       aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))

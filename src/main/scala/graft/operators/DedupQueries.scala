@@ -109,34 +109,42 @@ object DedupQueries {
   def q32DedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val k = 16; val bands = 8; val r = 2
     val t = Tables(spark, dir)
-    val docs = t.documents.select(col("doc_id"), wordShingles(col("text"), 2).as("s"))
-    val sig = docs
-      // base hashes in their own projection so the k minhash folds
-      // reuse one md5 pass (see minHashFromBase)
-      .withColumn("base", baseHashes(col("s")))
-      .select(col("doc_id"), minHashFromBase(col("base"), k).as("sig"))
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandKey(col("sig"), b, r).as("key"))): _*)).as("bk"))
+    // Postings-first shape: shingles explode ONCE, the md5 runs as a
+    // codegen'd projection over exploded rows (outside any HOF), and
+    // the signature falls out of one hash aggregate — min is
+    // order-independent, so min-over-rows ≡ array_min over the array
+    // the oracle computes. persist() because both the signature agg
+    // and the verification join read the postings.
+    val postings = t.documents
+      .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("g"))
+      .withColumn("h", pmod(md5Long60(col("g")), lit(P)))
+      .persist()
+    val minCols = (0 until k).map(i =>
+      min(pmod(col("h") * seedA(i) + seedB(i), lit(P))).as(s"_m$i"))
+    val sigs = postings.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), minCols: _*)
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until r).map(j =>
+            col(s"_m${b * r + j}").cast("string")): _*).as("key"))
+      }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    // candidate pairs: ids only through the distinct — shuffling the
-    // shingle arrays through it was most of the old cost
+    // candidate pairs: ids only through the distinct
     val cand = banded.select(col("doc_id").as("a_id"), col("band"), col("key"))
       .join(banded.select(col("doc_id").as("b_id"), col("band"), col("key")),
         Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     // exact verification via candidate-restricted postings co-occurrence
-    // (same inverted-index shape as q31): count shared shingles per
-    // candidate pair with codegen'd joins — no per-pair array ops
-    val postings = docs.select(col("doc_id"), size(col("s")).as("n_sh"),
-      explode(col("s")).as("g"))
-    val exA = postings.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("g"))
-    val exB = postings.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("g"))
-    cand.join(exA, Seq("a_id"))
-      .join(exB, Seq("b_id", "g"))
-      .groupBy("a_id", "b_id", "a_n", "b_n")
+    // (inverted-index shape, same as q31); sizes broadcast back in
+    val sizes = sigs.select(col("doc_id"), col("n_sh"))
+    cand.join(postings.select(col("doc_id").as("a_id"), col("g")), Seq("a_id"))
+      .join(postings.select(col("doc_id").as("b_id"), col("g")), Seq("b_id", "g"))
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"))), Seq("a_id"))
+      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"))), Seq("b_id"))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("a_n") + col("b_n") - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= 0.05d)
@@ -176,11 +184,23 @@ object DedupQueries {
     */
   def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // Postings-first: tokens explode once (duplicates kept — simhash
+    // weights by term frequency), md5 runs codegen'd over the rows,
+    // and the 32 per-bit sums are one hash aggregate. Sum is
+    // order-independent ⇒ identical to the per-array fold the oracle
+    // mirrors. Every doc has ≥1 token in the corpus (verified), so the
+    // inner explode loses no docs.
+    val bitSums = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"_s$b"))
     val sig = t.documents
-      // token hashes materialized once; the 32 per-bit folds of the
-      // simhash then reuse the array instead of re-hashing per bit
-      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
-      .select(col("doc_id"), simHashFromHashes(col("th")).as("sh"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", pmod(md5Long60(col("tok")), lit(P)))
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"_s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _).as("sh"))
     val banded = sig.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -47,12 +47,22 @@ object TextQueries {
     // regex and the tokenizer), then the score is cheap arithmetic over
     // attributes — identical doubles, term for term
     val allStop = graft.functions.TextFunctions.stopwords.flatMap(_._2).distinct.sorted
+    // postings-first: tokens explode once and both token stats come out
+    // of one codegen'd hash aggregate (no interpreted HOF filter);
+    // token COUNT is case-insensitive so splitting the lowercased text
+    // serves both n_toks and stop_hits
+    val tokStats = t.documents
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("double").as("n_toks"),
+        count(when(col("tok").isin(allStop.map(lit): _*), 1))
+          .cast("double").as("stop_hits"))
     val base = t.documents.select(
+      col("doc_id"),
       length(col("text")).cast("double").as("n_chars"),
-      size(tokens(col("text"))).cast("double").as("n_toks"),
-      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double").as("alpha"),
-      size(filter(tokens(lower(col("text"))),
-        tk => tk.isin(allStop.map(lit): _*))).cast("double").as("stop_hits"))
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double").as("alpha"))
+      .join(tokStats, Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("n_toks", "stop_hits"))
     val scored = base.withColumn("score",
       (least(col("n_chars") / 500.0d, lit(1.0d))
         + when(col("n_chars") > 0, col("alpha") / col("n_chars")).otherwise(lit(0.0d))

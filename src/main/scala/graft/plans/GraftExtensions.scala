@@ -18,5 +18,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_dot(a, b) takes two array columns")
         DotProductExpr(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_minhash(hashes, k) takes a hash array and a literal k")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+        }
+        MinHashSigExpr(children(0), k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash32Expr].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash(hashes) takes one hash-array column")
+        SimHash32Expr(children(0))
+      }))
   }
 }

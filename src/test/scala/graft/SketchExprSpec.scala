@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Custom codegen'd expressions must be value-identical to the
+  * declarative HOF forms the DuckDB oracle mirrors — these specs pin
+  * that equivalence (and therefore oracle parity) over real corpus
+  * data.
+  */
+class SketchExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("graft_minhash == declarative minhash over the corpus") {
+    val base = docs
+      .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 2).as("s"))
+      .withColumn("base", TextFunctions.baseHashes(col("s")))
+    val diff = base
+      .withColumn("fast", TextFunctions.minHashFromBase(col("base"), 16))
+      .withColumn("slow", TextFunctions.minHashFromBaseHof(col("base"), 16))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0)
+  }
+
+  test("graft_simhash == declarative simhash over the corpus") {
+    val hashed = docs
+      .select(col("doc_id"),
+        TextFunctions.tokenHashes(TextFunctions.tokens(col("text"))).as("th"))
+    val diff = hashed
+      .withColumn("fast", TextFunctions.simHashFromHashes(col("th")))
+      .withColumn("slow", TextFunctions.simHashFromHashesHof(col("th")))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0)
+  }
+
+  test("graft_dot == declarative fold over the embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").as("q_emb"))
+    val diff = emb.crossJoin(broadcast(q))
+      .withColumn("fast", VectorFunctions.dotFold(col("embedding"), col("q_emb")))
+      .withColumn("slow", VectorFunctions.dotFoldHof(col("embedding"), col("q_emb")))
+      // exact bitwise equality: same fold order, same accumulator type
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0)
+  }
+
+  test("graft_minhash on empty shingle arrays mirrors array_min nulls") {
+    import spark.implicits._
+    val empty = Seq((1L, Seq.empty[Long])).toDF("id", "base")
+    val r = empty.select(TextFunctions.minHashFromBase(col("base"), 4).as("sig"))
+      .collect()(0).getSeq[Any](0)
+    assert(r.size == 4 && r.forall(_ == null))
+  }
+}
