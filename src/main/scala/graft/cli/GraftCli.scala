@@ -1,0 +1,145 @@
+package graft.cli
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftSession
+import graft.api.GraftApi
+import graft.ingest.IngestJob
+import graft.quality.QualityReport
+import graft.rag.{HashingEmbedder, RagPipeline}
+import graft.store.SnapshotStore
+
+/** Command-line entry mirroring the reference's three CLIs
+  * (ingest.py / rag.py / data_quality.py) over a SnapshotStore.
+  *
+  *   ingest <json-file> --store <dir>          (ingest.py main)
+  *   backfill --store <dir>                    (rag.py backfill)
+  *   search --store <dir> --q <text> [--k N]   (rag.py search)
+  *   report --store <dir> [--run-id N]         (data_quality.py; exit code = gate)
+  *   list --store <dir> [--judge J] [--year Y] (GET /cases)
+  *   get --store <dir> <case_number>           (GET /cases/{cn})
+  */
+object GraftCli {
+
+  private def opt(args: Array[String], name: String): Option[String] =
+    args.sliding(2).collectFirst { case Array(`name`, v) => v }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: <ingest|backfill|search|report|list|get> ...")
+    val spark = GraftSession.get()
+    try sys.exit(dispatch(spark, args))
+    finally spark.stop()
+  }
+
+  private[graft] def dispatch(spark: SparkSession, args: Array[String]): Int = {
+    val storeDir = opt(args, "--store").getOrElse("/tmp/graft-store")
+    val store = new SnapshotStore(spark, storeDir)
+    args(0) match {
+      case "ingest" =>
+        val file = args(1)
+        val runId = store.read("ingest_runs")
+          .map(_.count()).getOrElse(0L) + 1
+        val ts = new Timestamp(System.currentTimeMillis())
+        val prior = store.read("cases").map(_.select("case_number"))
+        val r = IngestJob.run(spark, IngestJob.readRaw(spark, file), runId,
+          file.split('/').last, file, ts, prior)
+        store.mergeLastWriteWins("cases", r.cases, Seq("case_number"))
+        store.mergeInsertIfAbsent("courts", r.courts, Seq("normalized_name"))
+        store.mergeInsertIfAbsent("judges", r.judges, Seq("normalized_name"))
+        store.mergeInsertIfAbsent("case_types", r.caseTypes, Seq("name"))
+        store.mergeInsertIfAbsent("parties", r.parties, Seq("normalized_name"))
+        store.mergeInsertIfAbsent("case_parties", r.caseParties,
+          Seq("case_id", "party_id", "role"))
+        store.mergeAdditive("court_name_variations", r.courtVariations,
+          Seq("court_id", "raw_name"), Seq("seen_count"), Seq("first_seen_at"), Seq("last_seen_at"))
+        store.mergeAdditive("judge_name_variations", r.judgeVariations,
+          Seq("judge_id", "raw_name"), Seq("seen_count"), Seq("first_seen_at"), Seq("last_seen_at"))
+        store.mergeAdditive("party_name_variations", r.partyVariations,
+          Seq("party_id", "raw_name"), Seq("seen_count"), Seq("first_seen_at"), Seq("last_seen_at"))
+        store.append("ingest_runs", r.runLedger)
+        if (!r.quarantine.isEmpty) store.append("quarantine", r.quarantine)
+        if (!r.errors.isEmpty) store.append("ingest_errors", r.errors)
+        // the reference's JSON summary (ingest.py:768-773)
+        println(
+          s"""{"run_id": ${r.summary.runId}, "summary": {"read": ${r.summary.read}, "inserted": ${r.summary.inserted}, "updated": ${r.summary.updated}, "failed": ${r.summary.failed}}}""")
+        0
+
+      case "backfill" =>
+        val cases = store.read("cases").getOrElse(sys.error("no cases ingested"))
+        val existing = store.read("case_chunk_embeddings")
+        val delta = RagPipeline.backfill(cases, existing, HashingEmbedder())
+        val n = delta.count()
+        if (n > 0) store.append("case_chunk_embeddings", delta)
+        println(s"""{"chunks_embedded": $n}""")
+        0
+
+      case "search" =>
+        val api = apiOf(spark, store)
+        val k = opt(args, "--k").map(_.toInt).getOrElse(5)
+        val q = opt(args, "--q").getOrElse(sys.error("--q required"))
+        api.searchDockets(q, k).foreach { r =>
+          println(s"${r.case_number}  ${r.best_similarity}  ${r.title}")
+        }
+        0
+
+      case "report" =>
+        val runId = opt(args, "--run-id").map(_.toLong)
+        val runs = store.read("ingest_runs").getOrElse(sys.error("no runs"))
+        val errorsOr = store.read("ingest_errors").getOrElse {
+          import spark.implicits._
+          Seq.empty[(Long, String, Timestamp)]
+            .toDF("run_id", "error_code", "last_seen_at")
+        }
+        val cases = store.read("cases").getOrElse(sys.error("no cases"))
+        val judges = store.read("judges").get
+        val courts = store.read("courts").get
+        val caseParties = store.read("case_parties").get
+        val volume = QualityReport.volumeSummary(runs, runId)
+        val complete = QualityReport.completeness(cases, None)
+        print(QualityReport.render(volume,
+          QualityReport.errorBreakdown(errorsOr, runId), complete,
+          QualityReport.dateSanity(cases, errorsOr, runId),
+          QualityReport.entityNormalization(judges, courts),
+          QualityReport.partiesCoverage(caseParties, cases),
+          QualityReport.roleHistogram(caseParties),
+          QualityReport.recentDaily(runs)))
+        val v = volume.collect()(0)
+        val c = complete.collect()(0)
+        QualityReport.exitCode(v.getLong(0), v.getLong(3), c.getLong(0),
+          c.getLong(1), c.getLong(2), c.getLong(3))
+
+      case "list" =>
+        val api = apiOf(spark, store)
+        api.listCases(opt(args, "--judge"), opt(args, "--year").map(_.toInt))
+          .collect().foreach { c =>
+            println(s"${c.case_number}  ${c.filed_date}  ${c.judge.getOrElse("-")}  ${c.title}")
+          }
+        0
+
+      case "get" =>
+        val api = apiOf(spark, store)
+        val cn = args.drop(1).filterNot(_.startsWith("--"))
+          .filterNot(a => opt(args, "--store").contains(a)).head
+        api.getCase(cn) match {
+          case Some(c) =>
+            println(s"${c.case_number}  ${c.filed_date}  status=${c.status}")
+            api.getParties(cn).foreach(p => println(s"  ${p.role}: ${p.name}"))
+            0
+          case None =>
+            System.err.println(s"case not found: $cn"); 1
+        }
+
+      case other => System.err.println(s"unknown command: $other"); 2
+    }
+  }
+
+  private def apiOf(spark: SparkSession, store: SnapshotStore): GraftApi =
+    new GraftApi(spark,
+      store.read("cases").getOrElse(sys.error("no cases ingested")),
+      store.read("judges").get, store.read("courts").get,
+      store.read("case_types").get, store.read("parties").get,
+      store.read("case_parties").get,
+      store.read("case_chunk_embeddings"))
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cli.GraftCli
+
+/** CLI dispatch spec: ingest → backfill → report → list/get/search over
+  * a temp snapshot store, exercising the same flows as the reference's
+  * three command-line tools.
+  */
+class GraftCliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val storeDir =
+    Files.createTempDirectory("graft-cli-store").toString
+
+  test("ingest → backfill → report → query flows") {
+    val store = Array("--store", storeDir)
+    assert(GraftCli.dispatch(spark,
+      Array("ingest", "/root/reference/data/raw_dockets.json") ++ store) == 0)
+    assert(GraftCli.dispatch(spark, Array("backfill") ++ store) == 0)
+    // report gate: corpus has 57/501 ≈ 11.4% missing judges → exit 1
+    // (the reference's >10% completeness gate fires on its own corpus)
+    assert(GraftCli.dispatch(spark, Array("report") ++ store) == 1)
+    assert(GraftCli.dispatch(spark,
+      Array("list", "--year", "2023") ++ store) == 0)
+    assert(GraftCli.dispatch(spark,
+      Array("get", "1:23-cv-12345") ++ store) == 0)
+    assert(GraftCli.dispatch(spark,
+      Array("get", "nope-404") ++ store) == 1)
+    assert(GraftCli.dispatch(spark,
+      Array("search", "--q", "breach of contract", "--k", "3") ++ store) == 0)
+    assert(GraftCli.dispatch(spark, Array("bogus") ++ store) == 2)
+  }
+
+  test("second ingest of the same file classifies as updates") {
+    val store = Array("--store", storeDir)
+    assert(GraftCli.dispatch(spark,
+      Array("ingest", "/root/reference/data/raw_dockets.json") ++ store) == 0)
+    val runs = new graft.store.SnapshotStore(spark, storeDir)
+      .read("ingest_runs").get.orderBy("run_id").collect()
+    assert(runs.length == 2)
+    val second = runs(1)
+    assert(second.getAs[Long]("total_inserted") == 0)
+    assert(second.getAs[Long]("total_updated") == 502)
+  }
+}
