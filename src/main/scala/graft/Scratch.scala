@@ -13,33 +13,36 @@ object Scratch {
     val t = Tables(spark, dir)
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val x = f
-      println(f"[stage] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s"); x
+      println(f"[stage] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  -> $x"); x
     }
-    val docs = t.documents.select(col("doc_id"), wordShingles(col("text"), 2).as("s"))
-    time("shingles+count")(docs.count())
-    val sig = docs.withColumn("base", baseHashes(col("s")))
-      .select(col("doc_id"), minHashFromBase(col("base"), k).as("sig"))
-    time("signatures")(sig.count())
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandKey(col("sig"), b, r).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    time("banded")(banded.count())
+    val postings = t.documents
+      .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("g"))
+      .withColumn("h", pmod(md5Long60(col("g")), lit(P)))
+      .persist()
+    time("postings rows")(postings.count())
+    val minCols = (0 until k).map(i =>
+      min(pmod(col("h") * seedA(i) + seedB(i), lit(P))).as(s"_m$i"))
+    val sigs = postings.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), minCols: _*).persist()
+    time("sigs")(sigs.count())
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until r).map(j =>
+            col(s"_m${b * r + j}").cast("string")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key")).persist()
+    time("banded rows")(banded.count())
     val joined = banded.select(col("doc_id").as("a_id"), col("band"), col("key"))
       .join(banded.select(col("doc_id").as("b_id"), col("band"), col("key")),
         Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
     time("band-join pairs")(joined.count())
-    val cand = joined.select("a_id", "b_id").distinct()
+    val cand = joined.select("a_id", "b_id").distinct().persist()
     time("distinct cand")(cand.count())
-    val postings = docs.select(col("doc_id"), size(col("s")).as("n_sh"),
-      explode(col("s")).as("g"))
-    time("postings")(postings.count())
-    val exA = postings.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("g"))
-    val exB = postings.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("g"))
-    val verified = cand.join(exA, Seq("a_id")).join(exB, Seq("b_id", "g"))
-      .groupBy("a_id", "b_id", "a_n", "b_n").agg(count(lit(1)).as("n_inter"))
-    time("verify join+agg")(verified.count())
+    val verify = cand.join(postings.select(col("doc_id").as("a_id"), col("g")), Seq("a_id"))
+      .join(postings.select(col("doc_id").as("b_id"), col("g")), Seq("b_id", "g"))
+    time("verify matched rows")(verify.count())
     spark.stop()
   }
 }

@@ -46,16 +46,31 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= "")
 
-  /** Distinct character n-gram shingles. A text shorter than n yields
-    * the single shingle = the text itself (substring clamps).
+  /** Distinct character n-gram shingles (native expression — one eval
+    * per row; see plans.CharShinglesExpr). A text shorter than n
+    * yields the single shingle = the text itself (substring clamps).
     */
   def charShingles(c: Column, n: Int): Column =
+    call_function("graft_char_shingles", c, lit(n))
+
+  /** Declarative form of [[charShingles]] — the semantics the oracle
+    * mirrors; value-identical (SketchExprSpec), slower.
+    */
+  def charShinglesHof(c: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
       i => c.substr(i, lit(n))))
 
-  /** Distinct word w-gram shingles joined by a single space. */
-  def wordShingles(c: Column, w: Int): Column = {
+  /** Distinct word w-gram shingles joined by a single space (native
+    * expression — see plans.WordShinglesExpr).
+    */
+  def wordShingles(c: Column, w: Int): Column =
+    call_function("graft_word_shingles", c, lit(w))
+
+  /** Declarative form of [[wordShingles]] — the semantics the oracle
+    * mirrors; value-identical (SketchExprSpec), slower.
+    */
+  def wordShinglesHof(c: Column, w: Int): Column = {
     val toks = tokens(c)
     array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - w, lit(0))),

@@ -29,6 +29,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSigExpr(children(0), k)
       }))
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "graft_word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_word_shingles(text, w)")
+        WordShinglesExpr(children(0), intLit(children(1), "w"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_shingles"),
+      new ExpressionInfo(classOf[CharShinglesExpr].getName, "graft_char_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_char_shingles(text, n)")
+        CharShinglesExpr(children(0), intLit(children(1), "n"))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash32Expr].getName, "graft_simhash"),

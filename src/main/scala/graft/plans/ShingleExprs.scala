@@ -1,0 +1,86 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native shingle builders. The declarative forms
+  * (TextFunctions.wordShinglesHof / charShinglesHof — sequence +
+  * transform + array_join/substr + array_distinct) evaluate one
+  * interpreted lambda frame per shingle, which measured ~1.3 ms/doc on
+  * the corpus; these do one eval call per row into a tight Scala loop.
+  * CodegenFallback: the enclosing stage stays whole-stage-codegen'd
+  * and calls eval() once per row — the per-element lambda dispatch is
+  * what disappears.
+  *
+  * Semantics are pinned to the declarative forms (SketchExprSpec):
+  * order-preserving first-occurrence distinct; word mode joins
+  * `slice(tokens, i+1, w)` (a short tail never gains a separator) and
+  * yields the single shingle joined-from-whatever-exists when there
+  * are fewer than w tokens (including "" for zero tokens); char mode
+  * substrings clamp, and a text shorter than n yields itself.
+  */
+abstract class ShinglesExprBase extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got $other")
+  }
+  protected def shingles(s: String): Array[UTF8String]
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(shingles(input.toString).asInstanceOf[Array[Any]])
+}
+
+/** Distinct word w-gram shingles joined by single spaces —
+  * value-identical to TextFunctions.wordShinglesHof.
+  */
+case class WordShinglesExpr(child: Expression, w: Int) extends ShinglesExprBase {
+  override def prettyName: String = "graft_word_shingles"
+
+  override protected def shingles(s: String): Array[UTF8String] = {
+    val toks = s.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    val out = new mutable.LinkedHashSet[String]
+    var i = 0
+    val last = math.max(n - w, 0)
+    while (i <= last) {
+      // slice semantics: clamp the end; fewer than w tokens join what exists
+      val end = math.min(i + w, n)
+      out += toks.slice(i, end).mkString(" ")
+      i += 1
+    }
+    out.iterator.map(UTF8String.fromString).toArray
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+/** Distinct character n-gram shingles — value-identical to
+  * TextFunctions.charShinglesHof (substring clamps; text shorter than
+  * n yields the single shingle = the text itself).
+  */
+case class CharShinglesExpr(child: Expression, n: Int) extends ShinglesExprBase {
+  override def prettyName: String = "graft_char_shingles"
+
+  override protected def shingles(s: String): Array[UTF8String] = {
+    val len = s.length
+    val out = new mutable.LinkedHashSet[String]
+    val last = math.max(len - (n - 1), 1)
+    var i = 1
+    while (i <= last) {
+      out += s.substring(i - 1, math.min(i - 1 + n, len))
+      i += 1
+    }
+    out.iterator.map(UTF8String.fromString).toArray
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharShinglesExpr =
+    copy(child = newChild)
+}

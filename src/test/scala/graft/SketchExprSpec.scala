@@ -50,6 +50,29 @@ class SketchExprSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("native shingle expressions == declarative forms over the corpus") {
+    val diff = docs
+      .withColumn("wf", TextFunctions.wordShingles(col("text"), 2))
+      .withColumn("ws", TextFunctions.wordShinglesHof(col("text"), 2))
+      .withColumn("cf", TextFunctions.charShingles(col("text"), 3))
+      .withColumn("cs", TextFunctions.charShinglesHof(col("text"), 3))
+      .filter(col("wf") =!= col("ws") || col("cf") =!= col("cs"))
+    assert(diff.count() == 0)
+  }
+
+  test("native shingle expressions: edge cases match declarative forms") {
+    import spark.implicits._
+    val edge = Seq("", "a", "ab", "one", "one two", "  padded  ", "a\tb\nc")
+      .toDF("text")
+    val diff = edge
+      .withColumn("wf", TextFunctions.wordShingles(col("text"), 2))
+      .withColumn("ws", TextFunctions.wordShinglesHof(col("text"), 2))
+      .withColumn("cf", TextFunctions.charShingles(col("text"), 3))
+      .withColumn("cs", TextFunctions.charShinglesHof(col("text"), 3))
+      .filter(col("wf") =!= col("ws") || col("cf") =!= col("cs"))
+    assert(diff.count() == 0)
+  }
+
   test("graft_minhash on empty shingle arrays mirrors array_min nulls") {
     import spark.implicits._
     val empty = Seq((1L, Seq.empty[Long])).toDF("id", "base")
