@@ -405,7 +405,22 @@ object CoreQueries {
       |FROM customer LEFT JOIN prior ON c_custkey = o_custkey
       |GROUP BY 1 ORDER BY is_new""".stripMargin
 
+  /** G6 at scale: HLL approx-distinct next to the exact counts. No
+    * DuckDB oracle (HLL sketches are engine-specific) — the driver
+    * records the weaker rows-only check; the spec in CoreQueriesSpec
+    * bounds the relative error against the exact values instead.
+    */
+  def q19ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.agg(
+      countDistinct(col("o_custkey")).as("exact_cust"),
+      approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+      countDistinct(col("o_orderdate")).as("exact_dates"),
+      approx_count_distinct(col("o_orderdate"), 0.02).as("approx_dates"))
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_approx_distinct" -> (q19ApproxDistinct _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_groups" -> (q2TopkGroups _),
     "q3_conditional_counts" -> (q3ConditionalCounts _),

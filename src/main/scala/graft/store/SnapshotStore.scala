@@ -42,11 +42,18 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       spark.read.parquet(tableDir(table).resolve(s"v$v").toString)
     }
 
-  /** Write a new snapshot version and atomically swap the pointer. */
-  def write(table: String, df: DataFrame): Long = {
+  /** Write a new snapshot version and atomically swap the pointer.
+    * `partitionCols` lays the snapshot out hive-partitioned (e.g.
+    * `cases` by filing year) so partition pruning replaces the
+    * reference's date index at scale (SURVEY §4: P6/P8 year and
+    * date-range filters prune whole directories).
+    */
+  def write(table: String, df: DataFrame, partitionCols: Seq[String] = Nil): Long = {
     val next = currentVersion(table).getOrElse(-1L) + 1
     Files.createDirectories(tableDir(table))
-    df.write.mode("overwrite").parquet(tableDir(table).resolve(s"v$next").toString)
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tableDir(table).resolve(s"v$next").toString)
     val tmp = tableDir(table).resolve("_current.tmp")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,

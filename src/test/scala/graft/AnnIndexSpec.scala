@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.rag.AnnIndex
+import graft.store.SnapshotStore
+
+/** MLlib-LSH ANN index + partitioned snapshot layout. */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("LSH index recalls the exact top neighbor for most probes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val index = AnnIndex.build(emb, numHashTables = 6, bucketLength = 1.0)
+    import graft.functions.VectorFunctions.dotFold
+    val probes = emb.filter(col("vec_id") < 10).collect()
+    var hits = 0
+    probes.foreach { row =>
+      val vid = row.getLong(0)
+      val vec = row.getSeq[Float](1).toArray
+      // exact best neighbor by cosine
+      val exact = emb.filter(col("vec_id") =!= vid)
+        .withColumn("cos", dotFold(col("embedding"), typedlit(vec.toSeq)))
+        .orderBy(desc("cos")).limit(1).collect()(0).getLong(0)
+      val approx = index.query(vec, 5).filter(col("id") =!= vid)
+        .collect().map(_.getLong(0))
+      if (approx.contains(exact)) hits += 1
+    }
+    // LSH is approximate: require strong-but-not-perfect recall
+    assert(hits >= 7, s"recall@5 too low: $hits/10")
+  }
+
+  test("ann cosine matches exact cosine for returned neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = AnnIndex.build(emb)
+    val probe = emb.filter(col("vec_id") === 0).collect()(0)
+      .getSeq[Float](1).toArray
+    import graft.functions.VectorFunctions.dotFold
+    val res = index.query(probe, 3)
+      .join(emb, col("id") === col("vec_id"))
+      .withColumn("exact", dotFold(col("embedding"), typedlit(probe.toSeq)))
+      .withColumn("diff", abs(col("cosine") - col("exact")))
+    // d^2 = 2 - 2cos identity holds to float rounding
+    assert(res.agg(max("diff")).collect()(0).getDouble(0) < 1e-5)
+  }
+
+  test("partitioned snapshot write prunes by partition column") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark,
+      Files.createTempDirectory("graft-part").toString)
+    val df = Seq((1, 2022, "a"), (2, 2023, "b"), (3, 2023, "c"))
+      .toDF("id", "year", "v")
+    store.write("cases_by_year", df, partitionCols = Seq("year"))
+    val back = store.read("cases_by_year").get
+    assert(back.count() == 3)
+    val pruned = back.filter(col("year") === 2023)
+    assert(pruned.count() == 2)
+    // partition pruning: the filter runs against the directory layout,
+    // not the data (inputFiles reflects the pre-pruning relation, so
+    // inspect the scan's PartitionFilters instead)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2023"), scan)
+  }
+}
