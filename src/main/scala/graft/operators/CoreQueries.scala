@@ -419,8 +419,50 @@ object CoreQueries {
       approx_count_distinct(col("o_orderdate"), 0.02).as("approx_dates"))
   }
 
+  /** Tumbling-window aggregation in batch mode (the batch twin of
+    * EventStreams.windowedCounts): Spark's `window()` generator vs
+    * DuckDB's time_bucket.
+    */
+  def q28TumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val q28Sql: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** ROLLUP hierarchy totals (status × priority + subtotals + grand
+    * total) — grouping-set coverage beyond the reference's plain
+    * GROUP BYs.
+    */
+  def q29Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  val q29Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_approx_distinct" -> (q19ApproxDistinct _),
+    "q28_tumbling_window" -> (q28TumblingWindow _),
+    "q29_rollup" -> (q29Rollup _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_groups" -> (q2TopkGroups _),
     "q3_conditional_counts" -> (q3ConditionalCounts _),
@@ -443,6 +485,8 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q28_tumbling_window" -> q28Sql,
+    "q29_rollup" -> q29Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_topk_groups" -> q2Sql,
     "q3_conditional_counts" -> q3Sql,
