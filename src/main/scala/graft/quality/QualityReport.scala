@@ -25,9 +25,19 @@ object QualityReport {
       .withColumn("warnings", lit(0L))
   }
 
-  /** G2 (data_quality.py:96-135): top-10 error codes. */
-  def errorBreakdown(errors: DataFrame, runId: Option[Long]): DataFrame = {
-    val scoped = runId.map(id => errors.filter(col("run_id") === id)).getOrElse(errors)
+  /** G2 (data_quality.py:96-135): top-10 error codes, scopable by run
+    * or by run start date (the `since` variant is the J7 errors⋈runs
+    * inner join, data_quality.py:113-123).
+    */
+  def errorBreakdown(errors: DataFrame, runId: Option[Long],
+      since: Option[String] = None, runs: Option[DataFrame] = None): DataFrame = {
+    val scoped = (runId, since, runs) match {
+      case (Some(id), _, _) => errors.filter(col("run_id") === id)
+      case (None, Some(s), Some(r)) =>
+        errors.join(r.filter(col("started_at") >= to_date(lit(s)))
+          .select("run_id"), Seq("run_id"))
+      case _ => errors
+    }
     scoped.groupBy("error_code")
       .agg(count(lit(1)).as("cnt"), max("last_seen_at").as("most_recent"))
       .orderBy(desc("cnt"), asc("error_code"))

@@ -75,6 +75,23 @@ class QualityReportSpec extends AnyFunSuite {
     assert(text.contains("Total records: 502"))
   }
 
+  test("error breakdown scopes by run id and by since-date (J7 join)") {
+    import spark.implicits._
+    val errors = Seq((1L, "BAD_DATE", ts), (1L, "BAD_DATE", ts),
+      (2L, "FK_COURT", ts)).toDF("run_id", "error_code", "last_seen_at")
+    val runs = Seq(
+      (1L, Timestamp.valueOf("2025-12-01 00:00:00")),
+      (2L, Timestamp.valueOf("2026-01-05 00:00:00")))
+      .toDF("run_id", "started_at")
+    val byRun = QualityReport.errorBreakdown(errors, Some(1L)).collect()
+    assert(byRun.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("BAD_DATE" -> 2L))
+    val since = QualityReport.errorBreakdown(errors, None,
+      Some("2026-01-01"), Some(runs)).collect()
+    assert(since.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("FK_COURT" -> 1L))
+  }
+
   test("ascii bar matches the reference shape") {
     assert(QualityReport.asciiBar(20, 40, 40) == "█" * 20 + "░" * 20)
     assert(QualityReport.asciiBar(0, 40, 40) == "░" * 40)
