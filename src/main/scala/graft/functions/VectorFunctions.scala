@@ -77,4 +77,17 @@ object VectorFunctions {
       val plane = typedlit((0 until dim).map(i => planeComponentLocal(p, i)))
       when(dotFold(v, plane) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
+
+  /** Driver-side twin of [[hyperplaneSignature]] for probe vectors:
+    * the query's cell is a pure function of md5-derived constants, so
+    * computing it locally lets a search plan filter on the cell column
+    * (partition-prunable when the table is laid out by cell).
+    */
+  def hyperplaneSignatureLocal(v: Array[Float], planes: Int): Long =
+    (0 until planes).map { p =>
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += v(i).toDouble * planeComponentLocal(p, i); i += 1 }
+      if (acc > 0) 1L << p else 0L
+    }.sum
 }

@@ -264,7 +264,43 @@ object DedupQueries {
        |WHERE ${OracleSql.dotFold("a.embedding", "b.embedding")} >= 0.4
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** The 100 TB path for q34: hyperplane-LSH cells bucket the corpus
+    * (8 planes → 256 cells) and only within-cell pairs are scored —
+    * pair discovery is an equi-join on the cell key, cost ∝ bucket
+    * occupancy, never O(n²). Approximate: cross-cell near-dups are
+    * missed (the recall/throughput trade the reference makes with
+    * IVFFLAT probes). At scale the table would be written bucketed by
+    * `cell` so the join is shuffle-free.
+    */
+  def q35NearDupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val planes = 8
+    val t = Tables(spark, dir)
+    val cells = t.embeddings
+      .select(col("vec_id"), col("embedding"),
+        hyperplaneSignature(col("embedding"), planes).as("cell"))
+    val a = cells.select(col("vec_id").as("a_id"), col("embedding").as("a_e"), col("cell"))
+    val b = cells.select(col("vec_id").as("b_id"), col("embedding").as("b_e"), col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", dotFold(col("a_e"), col("b_e")))
+      .filter(col("cosine") >= 0.4d)
+      .select("a_id", "b_id", "cosine")
+      .orderBy("a_id", "b_id")
+  }
+
+  val q35Sql: String = {
+    val sig = OracleSql.hyperplaneSignature("embedding", 8)
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding, $sig AS cell FROM embeddings)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  ${OracleSql.dotFold("a.embedding", "b.embedding")} AS cosine
+       |FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE ${OracleSql.dotFold("a.embedding", "b.embedding")} >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_neardup_embedding_lsh" -> (q35NearDupEmbeddingLsh _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_dedup_ngram" -> (q31DedupNgram _),
     "q32_dedup_minhash_lsh" -> (q32DedupMinhashLsh _),
@@ -273,6 +309,7 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q35_neardup_embedding_lsh" -> q35Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_dedup_ngram" -> q31Sql,
     "q32_dedup_minhash_lsh" -> q32Sql,

@@ -119,6 +119,32 @@ object RagPipeline {
       .limit(topK)
   }
 
+  /** IVF-style cell-probe search: the embedding table carries a
+    * precomputed hyperplane-LSH `cell` column (see [[withCells]]); the
+    * probe computes the query's cell driver-side (it is a pure
+    * function of md5-derived constants) and scans ONLY that cell —
+    * exact within the cell, approximate overall, the same
+    * recall/latency trade as the reference's IVFFLAT probes
+    * (rag.py:179-180). At 100 TB the table is written partitioned by
+    * `cell`, so the filter prunes whole directories.
+    */
+  def searchCellProbe(embeddingsWithCells: DataFrame, cases: DataFrame,
+      judges: DataFrame, courts: DataFrame, queryVec: Array[Float],
+      topK: Int = 5, planes: Int = 6): DataFrame = {
+    val qCell = graft.functions.VectorFunctions
+      .hyperplaneSignatureLocal(queryVec, planes)
+    search(embeddingsWithCells.filter(col("cell") === qCell)
+      .drop("cell"), cases, judges, courts, queryVec, topK)
+  }
+
+  /** Attach the hyperplane-LSH cell column (layout/bucketing key).
+    * `dim` must match the embedding dimensionality.
+    */
+  def withCells(embeddings: DataFrame, planes: Int = 6, dim: Int = 384): DataFrame =
+    embeddings.withColumn("cell",
+      graft.functions.VectorFunctions.hyperplaneSignature(
+        col("embedding"), planes, dim))
+
   /** Text-query convenience over [[search]]. */
   def searchText(embeddings: DataFrame, cases: DataFrame, judges: DataFrame,
       courts: DataFrame, query: String, topK: Int = 5,

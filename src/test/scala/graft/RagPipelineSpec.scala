@@ -66,6 +66,23 @@ class RagPipelineSpec extends AnyFunSuite {
     assert(res.count() == 3)
   }
 
+  test("cell-probe search: self-query still found, scans one cell") {
+    val probe = ingest.cases.select("case_number", "docket_text")
+      .orderBy("case_number").limit(1).collect()(0)
+    val qvec = embedder.embed(probe.getString(1))
+    val withCells = RagPipeline.withCells(embeddings, planes = 4, dim = 64)
+    val res = RagPipeline.searchCellProbe(withCells, ingest.cases,
+      ingest.judges, ingest.courts, qvec, topK = 5, planes = 4).collect()
+    // the query vector's own case shares its cell by construction
+    assert(res.nonEmpty)
+    assert(res(0).getAs[String]("case_number") == probe.getString(0))
+    assert(math.abs(res(0).getAs[Double]("best_similarity") - 1.0) < 1e-9)
+    // the probed cell holds a strict subset of the corpus
+    val qCell = graft.functions.VectorFunctions.hyperplaneSignatureLocal(qvec, 4)
+    val cellSize = withCells.filter(col("cell") === qCell).count()
+    assert(cellSize < embeddings.count())
+  }
+
   test("api: listCases by judge + year filters and orders") {
     val api = new GraftApi(spark, ingest.cases, ingest.judges, ingest.courts,
       ingest.caseTypes, ingest.parties, ingest.caseParties, Some(embeddings), embedder)
