@@ -9,6 +9,9 @@ import graft.rag.{Embedder, HashingEmbedder, RagPipeline}
 final case class CaseSummary(case_number: String, title: String,
     filed_date: String, judge: Option[String], court: Option[String],
     status: String)
+final case class CaseDetail(case_number: String, title: String,
+    filed_date: String, judge: Option[String], court: Option[String],
+    case_type: Option[String], status: String, docket_text: String)
 final case class PartyRow(name: String, role: String)
 final case class SearchResult(case_number: String, title: String,
     filed_date: String, judge: Option[String], court: Option[String],
@@ -39,6 +42,8 @@ final class GraftApi(spark: SparkSession, cases: DataFrame, judges: DataFrame,
       limit: Int = 200): Dataset[CaseSummary] = {
     require(judge.isDefined || year.isDefined,
       "at least one filter (judge, year) is required")
+    year.foreach(y => require(y >= 1900 && y <= 2100,
+      "year must be in [1900, 2100]")) // api.py:156-157
     var df = cases
     judge.foreach { j =>
       val jid = judges.filter(col("normalized_name") === j.toLowerCase)
@@ -55,13 +60,18 @@ final class GraftApi(spark: SparkSession, cases: DataFrame, judges: DataFrame,
       .as[CaseSummary]
   }
 
-  /** GET /cases/{case_number} detail row (api.py:221-249). */
-  def getCase(caseNumber: String): Option[CaseSummary] =
+  /** GET /cases/{case_number} detail row with the case-type dim join
+    * (api.py:221-249, J2).
+    */
+  def getCase(caseNumber: String): Option[CaseDetail] =
     withDims(cases.filter(col("case_number") === caseNumber))
+      .join(broadcast(caseTypes.select(col("id").as("case_type_id"),
+        col("name").as("case_type"))), Seq("case_type_id"), "left")
       .select(col("case_number"), coalesce(col("title"), lit("")).as("title"),
         date_format(col("filed_date"), "yyyy-MM-dd").as("filed_date"),
-        col("judge"), col("court"), col("status"))
-      .as[CaseSummary].collect().headOption
+        col("judge"), col("court"), col("case_type"), col("status"),
+        coalesce(col("docket_text"), lit("")).as("docket_text"))
+      .as[CaseDetail].collect().headOption
 
   /** Parties of a case, ordered by (role, name) (api.py:252-262). */
   def getParties(caseNumber: String): Seq[PartyRow] =
@@ -76,6 +86,7 @@ final class GraftApi(spark: SparkSession, cases: DataFrame, judges: DataFrame,
 
   /** POST /cases/search (api.py:202-218 → rag.py:158-227). */
   def searchDockets(query: String, topK: Int = 5): Seq[SearchResult] = {
+    require(topK >= 1 && topK <= 50, "top_k must be in [1, 50]") // api.py:66
     val emb = embeddings.getOrElse(
       throw new IllegalStateException("no embedding table loaded"))
     RagPipeline.searchText(emb, cases, judges, courts, query, topK, embedder)

@@ -102,6 +102,8 @@ class RagPipelineSpec extends AnyFunSuite {
       ingest.caseTypes, ingest.parties, ingest.caseParties, Some(embeddings), embedder)
     val detail = api.getCase("1:23-cv-12345")
     assert(detail.isDefined)
+    assert(detail.get.case_type.contains("civil"))
+    assert(detail.get.docket_text.nonEmpty)
     assert(api.getCase("no-such-case").isEmpty)
     val ps = api.getParties("1:23-cv-12345")
     assert(ps.nonEmpty)
@@ -114,5 +116,8 @@ class RagPipelineSpec extends AnyFunSuite {
     val res = api.searchDockets("motion for summary judgment", 4)
     assert(res.length == 4)
     intercept[IllegalArgumentException](api.searchDockets("x", 3))
+    intercept[IllegalArgumentException](api.searchDockets("valid query", 51))
+    intercept[IllegalArgumentException](
+      api.listCases(judge = None, year = Some(1800)))
   }
 }
