@@ -12,7 +12,8 @@ object SparkEntry {
       operators.DedupQueries.entries ++
       operators.VectorQueries.entries ++
       operators.IngestQueries.entries ++
-      operators.MultimodalQueries.entries
+      operators.MultimodalQueries.entries ++
+      operators.PipelineQueries.entries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +22,6 @@ object SparkEntry {
       operators.DedupQueries.oracle ++
       operators.VectorQueries.oracle ++
       operators.IngestQueries.oracle ++
-      operators.MultimodalQueries.oracle
+      operators.MultimodalQueries.oracle ++
+      operators.PipelineQueries.oracle
 }
