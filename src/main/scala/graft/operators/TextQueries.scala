@@ -171,7 +171,35 @@ object TextQueries {
       |FROM chunks WHERE len(chunk) > 0
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Exact length percentiles per language (corpus profiling — the
+    * length-distribution pass a training pipeline runs before choosing
+    * truncation budgets). Exact `percentile` (both engines use linear
+    * interpolation over sorted values, so results hash-match); the
+    * 100 TB variant swaps in percentile_approx, which is engine-
+    * specific and therefore left un-oracled.
+    */
+  def q27LengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .groupBy("lang")
+      .agg(
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        expr("percentile(n_chars, 0.99)").as("p99"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
+  val q27Sql: String =
+    """SELECT lang,
+      |  quantile_cont(n_chars, 0.5) AS p50,
+      |  quantile_cont(n_chars, 0.9) AS p90,
+      |  quantile_cont(n_chars, 0.99) AS p99,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_length_percentiles" -> (q27LengthPercentiles _),
     "q20_lang_id" -> (q20LangId _),
     "q21_quality_histogram" -> (q21QualityHistogram _),
     "q22_token_stats" -> (q22TokenStats _),
@@ -180,6 +208,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q27_length_percentiles" -> q27Sql,
     "q20_lang_id" -> q20Sql,
     "q21_quality_histogram" -> q21Sql,
     "q22_token_stats" -> q22Sql,
