@@ -13,7 +13,8 @@ object SparkEntry {
       operators.VectorQueries.entries ++
       operators.IngestQueries.entries ++
       operators.MultimodalQueries.entries ++
-      operators.PipelineQueries.entries
+      operators.PipelineQueries.entries ++
+      operators.SearchQueries.entries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -23,5 +24,6 @@ object SparkEntry {
       operators.VectorQueries.oracle ++
       operators.IngestQueries.oracle ++
       operators.MultimodalQueries.oracle ++
-      operators.PipelineQueries.oracle
+      operators.PipelineQueries.oracle ++
+      operators.SearchQueries.oracle
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Keyword retrieval and event sessionization — the full-text half of
+  * the search surface (the reference ships an unused GIN full-text
+  * index, schema.sql:141; this is its Spark trajectory: a tokenized
+  * inverted index instead of an opaque index structure) and the
+  * classic event-analytics operator.
+  */
+object SearchQueries {
+
+  /** Deterministic TF×rarity keyword search (BM25-shaped, integer
+    * arithmetic): score(d) = Σ_t tf(t,d) · W(t) with
+    * W(t) = ((N − df_t) · 1_000_000) ÷ df_t (integer division).
+    * Integer weights make the sum order-independent and therefore
+    * hash-comparable across engines — a float BM25 would drift in the
+    * reduction order; the production variant would swap W for real
+    * IDF and tolerate approximate comparison.
+    *
+    * Shape: inverted index (doc, term, tf) ⇒ broadcast join against
+    * the query terms ⇒ per-doc sum ⇒ top-k. At 100 TB the inverted
+    * index is the materialized table and this is one bucket-join probe.
+    */
+  def q44KeywordSearch(spark: SparkSession, dir: String): DataFrame = {
+    val queryTerms = Seq("vector", "merge", "batch")
+    val t = Tables(spark, dir)
+    val n = t.documents.count()
+    val postings = t.documents
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term").isin(queryTerms.map(lit): _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    // integer (floor) division via `div` — a double Divide would be
+    // correctly-rounded but could still truncate across the floor
+    // boundary in edge cases, breaking oracle parity
+    val df = postings.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"))
+      .withColumn("w", expr(s"(($n - df) * 1000000L) div df"))
+    postings
+      .join(broadcast(df.select("term", "w")), Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("w")).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
+  val q44Sql: String =
+    """WITH postings AS (
+      |  SELECT doc_id, t.term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')) AS term
+      |        FROM documents) t
+      |  WHERE t.term IN ('vector', 'merge', 'batch')
+      |  GROUP BY doc_id, t.term),
+      |weights AS (
+      |  SELECT term,
+      |    (((SELECT COUNT(*) FROM documents) - COUNT(DISTINCT doc_id)) * 1000000)
+      |      // COUNT(DISTINCT doc_id) AS w
+      |  FROM postings GROUP BY term)
+      |SELECT p.doc_id, SUM(p.tf * w.w) AS score, COUNT(*) AS n_terms_matched
+      |FROM postings p JOIN weights w ON p.term = w.term
+      |GROUP BY p.doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity closes a session):
+    * lag + cumulative-sum window assigns session ids, then per-user
+    * session stats. One shuffle on user_id; both windows share the
+    * partitioning (single exchange).
+    */
+  def q37Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = t.events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_s"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n_events").as("max_session_events"),
+        max("duration_s").as("max_session_s"))
+      .orderBy("user_id")
+  }
+
+  val q37Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT) AS duration_s
+      |  FROM sessions GROUP BY user_id, session_id)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  MAX(n_events) AS max_session_events,
+      |  MAX(duration_s) AS max_session_s
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_sessionize" -> (q37Sessionize _),
+    "q44_keyword_search" -> (q44KeywordSearch _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q37_sessionize" -> q37Sql,
+    "q44_keyword_search" -> q44Sql,
+  )
+}
