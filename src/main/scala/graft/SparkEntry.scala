@@ -14,7 +14,8 @@ object SparkEntry {
       operators.IngestQueries.entries ++
       operators.MultimodalQueries.entries ++
       operators.PipelineQueries.entries ++
-      operators.SearchQueries.entries
+      operators.SearchQueries.entries ++
+      operators.SamplingQueries.entries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -25,5 +26,6 @@ object SparkEntry {
       operators.IngestQueries.oracle ++
       operators.MultimodalQueries.oracle ++
       operators.PipelineQueries.oracle ++
-      operators.SearchQueries.oracle
+      operators.SearchQueries.oracle ++
+      operators.SamplingQueries.oracle
 }

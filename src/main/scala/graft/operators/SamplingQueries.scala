@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.md5Long60
+
+/** Reproducible sampling/splitting and cross-dataset decontamination —
+  * training-data operations that must be DETERMINISTIC functions of
+  * the data (a `rand()` sample is neither reproducible across reruns
+  * nor auditable): hash-bucket splits and exact-content overlap
+  * removal.
+  */
+object SamplingQueries {
+
+  /** Deterministic train/val/test assignment: bucket =
+    * md5(doc_id) mod 100 → 80/10/10. Stable under reruns, rescaling,
+    * and repartitioning (pure function of the key — the property that
+    * matters when the corpus is 100 TB and the split must never move
+    * a document between sets across pipeline versions). Output: per
+    * (lang, split) counts + per-split char volume.
+    */
+  def q38SplitAssignment(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bucket = pmod(md5Long60(col("doc_id").cast("string")), lit(100L))
+    t.documents
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "split")
+  }
+
+  val q38Sql: String = {
+    val bucket = s"(${OracleSql.md5Long60("doc_id::VARCHAR")} % 100)"
+    s"""SELECT lang,
+       |  CASE WHEN $bucket < 80 THEN 'train'
+       |       WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+  }
+
+  /** Decontamination: exact-content overlap between the corpus and an
+    * "evaluation set" (here: the test split of q38 stands in for a
+    * benchmark). Contaminated = a train document whose md5(text)
+    * appears in the eval set — the hash semi-join that, at scale,
+    * runs as one shuffle on the 128-bit content key (or a broadcast
+    * when the benchmark side is small, as benchmarks are).
+    */
+  def q39Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bucket = pmod(md5Long60(col("doc_id").cast("string")), lit(100L))
+    val tagged = t.documents
+      .withColumn("split", when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test"))
+      .withColumn("content_hash", md5(col("text")))
+    val evalHashes = tagged.filter(col("split") === "test")
+      .select(col("content_hash")).distinct()
+    val contaminated = tagged.filter(col("split") === "train")
+      .join(broadcast(evalHashes), Seq("content_hash"), "left_semi")
+    val clean = tagged.filter(col("split") === "train")
+      .join(broadcast(evalHashes), Seq("content_hash"), "left_anti")
+    contaminated.agg(count(lit(1)).as("n_contaminated"))
+      .crossJoin(clean.agg(count(lit(1)).as("n_clean_train")))
+      .crossJoin(evalHashes.agg(count(lit(1)).as("n_eval_hashes")))
+  }
+
+  val q39Sql: String = {
+    val bucket = s"(${OracleSql.md5Long60("doc_id::VARCHAR")} % 100)"
+    s"""WITH tagged AS (
+       |  SELECT doc_id, md5(text) AS content_hash,
+       |    CASE WHEN $bucket < 80 THEN 'train'
+       |         WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents),
+       |eval_hashes AS (
+       |  SELECT DISTINCT content_hash FROM tagged WHERE split = 'test')
+       |SELECT
+       |  (SELECT COUNT(*) FROM tagged t WHERE split = 'train'
+       |     AND EXISTS (SELECT 1 FROM eval_hashes e WHERE e.content_hash = t.content_hash)) AS n_contaminated,
+       |  (SELECT COUNT(*) FROM tagged t WHERE split = 'train'
+       |     AND NOT EXISTS (SELECT 1 FROM eval_hashes e WHERE e.content_hash = t.content_hash)) AS n_clean_train,
+       |  (SELECT COUNT(*) FROM eval_hashes) AS n_eval_hashes""".stripMargin
+  }
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_split_assignment" -> (q38SplitAssignment _),
+    "q39_decontaminate" -> (q39Decontaminate _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q38_split_assignment" -> q38Sql,
+    "q39_decontaminate" -> q39Sql,
+  )
+}
