@@ -459,10 +459,33 @@ object CoreQueries {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Grouped top-3 via the custom TopKPerKey operator (full
+    * LogicalPlan → Strategy → heap-based physical exec with map-side
+    * partial, graft.plans.TopKPerKey) — the same result the q10/q45
+    * ROW_NUMBER oracle computes, without sorting every row: at most
+    * k·keys rows per input partition cross the exchange.
+    */
+  def q45TopkCustomOp(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    graft.plans.TopKPerKey(
+      t.events.select("user_id", "event_id", "value"),
+      Seq("user_id"), Seq(desc("value"), asc("event_id")), 3)
+      .select(col("user_id"), col("rank").cast("long").as("rank"),
+        col("event_id"), col("value"))
+      .orderBy("user_id", "rank")
+  }
+
+  val q45Sql: String =
+    """SELECT user_id, rank, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+      |  FROM events) WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_approx_distinct" -> (q19ApproxDistinct _),
     "q28_tumbling_window" -> (q28TumblingWindow _),
     "q29_rollup" -> (q29Rollup _),
+    "q45_topk_custom_op" -> (q45TopkCustomOp _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_groups" -> (q2TopkGroups _),
     "q3_conditional_counts" -> (q3ConditionalCounts _),
@@ -487,6 +510,7 @@ object CoreQueries {
   val oracle: Map[String, String] = Map(
     "q28_tumbling_window" -> q28Sql,
     "q29_rollup" -> q29Sql,
+    "q45_topk_custom_op" -> q45Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_topk_groups" -> q2Sql,
     "q3_conditional_counts" -> q3Sql,
