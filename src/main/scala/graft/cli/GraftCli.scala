@@ -59,7 +59,14 @@ object GraftCli {
         store.mergeAdditive("party_name_variations", r.partyVariations,
           Seq("party_id", "raw_name"), Seq("seen_count"), Seq("first_seen_at"), Seq("last_seen_at"))
         store.append("ingest_runs", r.runLedger)
-        if (!r.quarantine.isEmpty) store.append("quarantine", r.quarantine)
+        if (!r.quarantine.isEmpty) {
+          store.append("quarantine", r.quarantine)
+          // the reference's per-run JSONL quarantine file
+          // (ingest.py:170-202): one JSON object per line, envelope
+          // field order = schema order
+          r.quarantine.write.mode("overwrite")
+            .json(s"$storeDir/quarantine_jsonl/ingest_run_$runId")
+        }
         if (!r.errors.isEmpty) store.append("ingest_errors", r.errors)
         // the reference's JSON summary (ingest.py:768-773)
         println(

@@ -253,7 +253,12 @@ object IngestJob {
         lit(runId).as("run_id"),
         col("record_hash"), col("case_number"), col("error_code"),
         col("error_message"),
-        struct(col("_raw").as("raw"), col("error_message").as("why"),
+        // full reference envelope (ingest.py:218-224): normalized_attempt
+        // and context are always empty in the reference's call sites
+        struct(col("_raw").as("raw"),
+          map().cast("map<string,string>").as("normalized_attempt"),
+          map().cast("map<string,string>").as("context"),
+          col("error_message").as("why"),
           lit("").as("suggestion")).as("details"),
         col("retry_count"),
         lit(ts).as("first_seen_at"), lit(ts).as("last_seen_at"),
