@@ -212,6 +212,10 @@ object DedupQueries {
       col("band"), col("key"))
     aa.join(bb, Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
+      // distinct first, then one hamming per unique pair: on this
+      // corpus most collisions survive the hamming filter, so
+      // filter-first would recompute hamming per duplicate collision
+      // for no distinct-input reduction (measured slower)
       .select("a_id", "b_id", "a_sh", "b_sh").distinct()
       .withColumn("hamming", hamming32(col("a_sh"), col("b_sh")))
       .filter(col("hamming") <= 6)
