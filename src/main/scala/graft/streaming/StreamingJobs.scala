@@ -85,6 +85,16 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen within the watermark horizon — bounded state (the unbounded
+    * variant would grow a key per event forever; the watermark is what
+    * makes exact dedup viable on an infinite stream).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Seen(key: String, raw: String)
   final case class SeenCount(key: String, raw: String, seenCount: Long)
 

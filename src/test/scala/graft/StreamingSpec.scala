@@ -85,6 +85,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "value")
+    val q = graft.streaming.EventStreams.dedupStream(events, "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2026-01-01 10:00:00"), 1.0),
+        (1L, Timestamp.valueOf("2026-01-01 10:00:30"), 2.0), // dup id
+        (2L, Timestamp.valueOf("2026-01-01 10:01:00"), 3.0))
+      q.processAllAvailable()
+      mem.addData((2L, Timestamp.valueOf("2026-01-01 10:02:00"), 4.0)) // dup id
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("running seen counts accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
