@@ -481,11 +481,51 @@ object CoreQueries {
       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
       |  FROM events) WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin
 
+  /** Analytic window-function sweep: lag/lead, rank/dense_rank,
+    * percent_rank/cume_dist, ntile, and a running frame-bounded sum —
+    * one partitioned pass (all functions share the window ordering, so
+    * Catalyst plans a single sort+window).
+    */
+  def q46WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority").orderBy(asc("o_totalprice"), asc("o_orderkey"))
+    t.orders
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn("next_price", lead("o_totalprice", 1).over(w))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("run_cnt", count(lit(1)).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .orderBy("o_orderpriority", "rnk")
+  }
+
+  val q46Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  lag(o_totalprice) OVER w AS prev_price,
+      |  lead(o_totalprice) OVER w AS next_price,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  ntile(4) OVER w AS quartile,
+      |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt
+      |FROM orders WHERE o_orderkey < 2000
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, rnk""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_approx_distinct" -> (q19ApproxDistinct _),
     "q28_tumbling_window" -> (q28TumblingWindow _),
     "q29_rollup" -> (q29Rollup _),
     "q45_topk_custom_op" -> (q45TopkCustomOp _),
+    "q46_window_analytics" -> (q46WindowAnalytics _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_topk_groups" -> (q2TopkGroups _),
     "q3_conditional_counts" -> (q3ConditionalCounts _),
@@ -511,6 +551,7 @@ object CoreQueries {
     "q28_tumbling_window" -> q28Sql,
     "q29_rollup" -> q29Sql,
     "q45_topk_custom_op" -> q45Sql,
+    "q46_window_analytics" -> q46Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_topk_groups" -> q2Sql,
     "q3_conditional_counts" -> q3Sql,

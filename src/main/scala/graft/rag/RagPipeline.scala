@@ -16,6 +16,11 @@ import graft.functions.DocketScala
 trait Embedder extends Serializable {
   def dim: Int
   def embed(text: String): Array[Float]
+
+  /** Batch hook: a real model (ONNX/JNI) overrides this to run one
+    * inference call per batch; the default maps singly.
+    */
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map(embed)
 }
 
 final case class HashingEmbedder(dim: Int = 384) extends Embedder {
@@ -59,6 +64,28 @@ object RagPipeline {
   def embedChunks(chunks: DataFrame, embedder: Embedder = HashingEmbedder()): DataFrame = {
     val embedUdf = udf((s: String) => embedder.embed(if (s == null) "" else s))
     chunks.withColumn("embedding", embedUdf(col("chunk_text")))
+  }
+
+  /** Batched embedding via mapPartitions: rows stream through in
+    * `batchSize` groups and each group makes ONE `embedBatch` call —
+    * the plumbing shape real model inference needs (weights load once
+    * per partition, the accelerator sees full batches, results zip
+    * back positionally). Identical output to [[embedChunks]] for any
+    * embedder whose embedBatch agrees with embed (tested).
+    */
+  def embedChunksBatched(chunks: DataFrame, embedder: Embedder = HashingEmbedder(),
+      batchSize: Int = 64): DataFrame = {
+    import chunks.sparkSession.implicits._
+    val cols = chunks.columns
+    chunks.select(col("case_number"), col("chunk_id"), col("chunk_text"))
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val vecs = embedder.embedBatch(batch.map(b => Option(b._3).getOrElse("")))
+          batch.lazyZip(vecs).map { case ((cn, cid, txt), v) => (cn, cid, txt, v) }
+        }
+      }
+      .toDF(cols.take(3) :+ "embedding": _*)
   }
 
   /** Backfill: embed chunks for cases missing from the embedding table

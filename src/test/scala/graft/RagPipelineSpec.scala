@@ -66,6 +66,15 @@ class RagPipelineSpec extends AnyFunSuite {
     assert(res.count() == 3)
   }
 
+  test("batched embedding == per-row embedding") {
+    val chunks = RagPipeline.chunkCases(
+      ingest.cases.limit(200).select("case_number", "docket_text"))
+    val single = RagPipeline.embedChunks(chunks, embedder)
+    val batched = RagPipeline.embedChunksBatched(chunks, embedder, batchSize = 7)
+    assert(single.exceptAll(batched).count() == 0)
+    assert(batched.exceptAll(single).count() == 0)
+  }
+
   test("cell-probe search: self-query still found, scans one cell") {
     val probe = ingest.cases.select("case_number", "docket_text")
       .orderBy("case_number").limit(1).collect()(0)
