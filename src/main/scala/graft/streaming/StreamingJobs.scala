@@ -95,6 +95,22 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join: match each action event
+    * to the click by the same user within the preceding hour. Both
+    * sides carry watermarks and the join condition bounds event time
+    * on both ends, so Spark can expire state — the requirements that
+    * make an infinite-stream join feasible.
+    */
+  def clickToAction(clicks: DataFrame, actions: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("click_ts", watermark)
+    val a = actions.withWatermark("action_ts", watermark)
+    a.join(c,
+      expr("""click_user = action_user AND
+              click_ts <= action_ts AND
+              click_ts >= action_ts - INTERVAL 1 HOUR"""))
+  }
+
   final case class Seen(key: String, raw: String)
   final case class SeenCount(key: String, raw: String, seenCount: Long)
 

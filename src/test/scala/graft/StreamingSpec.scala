@@ -107,6 +107,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches actions to preceding clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val actions = MemoryStream[(Long, Timestamp, String)]
+    val joined = graft.streaming.EventStreams.clickToAction(
+      clicks.toDF().toDF("click_user", "click_ts"),
+      actions.toDF().toDF("action_user", "action_ts", "action"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, Timestamp.valueOf("2026-01-01 10:00:00")),
+        (2L, Timestamp.valueOf("2026-01-01 10:05:00")))
+      actions.addData(
+        (1L, Timestamp.valueOf("2026-01-01 10:30:00"), "purchase"), // within 1h
+        (2L, Timestamp.valueOf("2026-01-01 12:00:00"), "purchase"), // too late
+        (3L, Timestamp.valueOf("2026-01-01 10:10:00"), "purchase")) // no click
+      q.processAllAvailable()
+      val rows = spark.table("ssj").select("action_user").collect()
+        .map(_.getLong(0)).toSeq
+      assert(rows == Seq(1L))
+    } finally q.stop()
+  }
+
   test("running seen counts accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
