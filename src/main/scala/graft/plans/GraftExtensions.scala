@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectOptimizerRule(_ => TopKRewrite)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
