@@ -45,7 +45,7 @@ object GraftCli {
         val prior = store.read("cases").map(_.select("case_number"))
         val r = IngestJob.run(spark, IngestJob.readRaw(spark, file), runId,
           file.split('/').last, file, ts, prior)
-        store.mergeLastWriteWins("cases", r.cases, Seq("case_number"))
+        store.mergeLastWriteWins("cases", r.cases, Seq("case_number"), partitionCols = Seq("filed_year"))
         store.mergeInsertIfAbsent("courts", r.courts, Seq("normalized_name"))
         store.mergeInsertIfAbsent("judges", r.judges, Seq("normalized_name"))
         store.mergeInsertIfAbsent("case_types", r.caseTypes, Seq("name"))

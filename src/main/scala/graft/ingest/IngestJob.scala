@@ -223,7 +223,11 @@ object IngestJob {
         col("docket_text"),
         col("_status").as("status"),
         lit(ts).as("created_at"),
-        lit(ts).as("updated_at"))
+        lit(ts).as("updated_at"),
+        // materialized partition column: the snapshot lays out by
+        // filing year so P6/P8 year and date-range filters prune whole
+        // directories (stands in for the reference's filed_date index)
+        year(col("_filed")).as("filed_year"))
 
     // ------------------------------------------------------ quarantine
     val rawStruct = struct(rawFields.map(col): _*).as("raw")

@@ -62,19 +62,24 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   }
 
   private def merged(table: String, batch: DataFrame,
-      combine: (DataFrame, DataFrame) => DataFrame): Long = {
+      combine: (DataFrame, DataFrame) => DataFrame,
+      partitionCols: Seq[String] = Nil): Long = {
     val next = read(table) match {
       case Some(prior) => combine(prior, batch)
       case None => batch
     }
-    write(table, next)
+    write(table, next, partitionCols)
   }
 
-  /** Upsert: batch rows replace prior rows sharing the key (S4). */
-  def mergeLastWriteWins(table: String, batch: DataFrame, keys: Seq[String]): Long =
+  /** Upsert: batch rows replace prior rows sharing the key (S4).
+    * `partitionCols` keeps the merged snapshot hive-partitioned (e.g.
+    * cases by `filed_year`).
+    */
+  def mergeLastWriteWins(table: String, batch: DataFrame, keys: Seq[String],
+      partitionCols: Seq[String] = Nil): Long =
     merged(table, batch, (prior, b) =>
       prior.join(b.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        .unionByName(b))
+        .unionByName(b), partitionCols)
 
   /** Insert-if-absent: prior rows win, new keys append (S5/S6). */
   def mergeInsertIfAbsent(table: String, batch: DataFrame, keys: Seq[String]): Long =

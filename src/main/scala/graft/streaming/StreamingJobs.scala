@@ -39,7 +39,7 @@ object StreamingIngest {
           IngestJob.withSeq(batch.sparkSession, batch),
           runId = batchId, sourceName = s"stream:$inputDir",
           sourceUri = inputDir, ts = epochTs(batchId))
-        store.mergeLastWriteWins("cases", r.cases, Seq("case_number"))
+        store.mergeLastWriteWins("cases", r.cases, Seq("case_number"), partitionCols = Seq("filed_year"))
         store.mergeInsertIfAbsent("courts", r.courts, Seq("normalized_name"))
         store.mergeInsertIfAbsent("judges", r.judges, Seq("normalized_name"))
         store.mergeInsertIfAbsent("case_types", r.caseTypes, Seq("name"))
