@@ -83,13 +83,54 @@ object SamplingQueries {
        |  (SELECT COUNT(*) FROM eval_hashes) AS n_eval_hashes""".stripMargin
   }
 
+  /** Sequence packing into fixed token budgets, defined declaratively:
+    * docs walk in doc_id order within a language and map onto
+    * consecutive 2048-token stripes of the cumulative token stream —
+    * `bin = floor(pre_doc_cumsum / budget)` over one cumulative
+    * window. A stripe assignment (not a stateful greedy reset): the
+    * shuffle-once deterministic form of the packing pass a training
+    * pipeline runs before batching sequences, trading perfect fill for
+    * a single window scan. Output: pack counts and fill levels per
+    * (lang, bin) — the stats that tell you padding waste.
+    */
+  def q47SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val t = Tables(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t.documents
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.bpeTokenCount(col("text")).cast("long").as("toks"))
+      .withColumn("cum", sum("toks").over(w))
+      .withColumn("bin", floor((col("cum") - col("toks")).cast("double") / budget).cast("long"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("pack_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  val q47Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, ${OracleSql.bpeTokenCount("text")}::BIGINT AS toks
+       |  FROM documents),
+       |packed AS (
+       |  SELECT lang, toks,
+       |    SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM toks)
+       |SELECT lang, floor((cum - toks)::DOUBLE / 2048)::BIGINT AS bin,
+       |  COUNT(*) AS n_docs, SUM(toks) AS pack_tokens
+       |FROM packed GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_split_assignment" -> (q38SplitAssignment _),
     "q39_decontaminate" -> (q39Decontaminate _),
+    "q47_sequence_packing" -> (q47SequencePacking _),
   )
 
   val oracle: Map[String, String] = Map(
     "q38_split_assignment" -> q38Sql,
     "q39_decontaminate" -> q39Sql,
+    "q47_sequence_packing" -> q47Sql,
   )
 }
