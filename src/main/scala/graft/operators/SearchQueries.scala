@@ -115,13 +115,56 @@ object SearchQueries {
       |  MAX(duration_s) AS max_session_s
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** As-of (backward) join: each purchase matches the most recent
+    * click at-or-before it by the same user. Spark has no native
+    * AS OF join; the scalable composition is a union of both sides
+    * ordered by event time with an ignore-nulls last_value
+    * carry-forward — ONE shuffle on the key, no per-row range probe
+    * (the naive range-join form explodes to pairs; this walks each
+    * user's timeline once). Ties break on event_id via the window
+    * order, so the result is deterministic; the oracle runs the
+    * identical window composition.
+    */
+  def q48AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("last_click_id"), col("last_click_ts"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val q48Sql: String =
+    """SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+      |  last_click_id, last_click_ts
+      |FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |      OVER w AS last_click_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      |      OVER w AS last_click_ts
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, purchase_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_sessionize" -> (q37Sessionize _),
     "q44_keyword_search" -> (q44KeywordSearch _),
+    "q48_asof_join" -> (q48AsofJoin _),
   )
 
   val oracle: Map[String, String] = Map(
     "q37_sessionize" -> q37Sql,
     "q44_keyword_search" -> q44Sql,
+    "q48_asof_join" -> q48Sql,
   )
 }
