@@ -15,22 +15,28 @@ final case class IngestSummary(runId: Long, read: Long, inserted: Long,
 
 /** Every table delta one ingest run produces (SURVEY §1.1): the fact,
   * the four dims, the bridge, the three variation ledgers, the two run
-  * ledgers, and the quarantine stream.
+  * ledgers, and the quarantine stream. All members are lazy plans;
+  * `summary` and `runLedger` are additionally lazy EXECUTIONS — they
+  * run the two counting jobs on first access, so a consumer that only
+  * reads e.g. `cases` never pays for them.
   */
-final case class IngestResult(
-    cases: DataFrame,
-    courts: DataFrame,
-    judges: DataFrame,
-    caseTypes: DataFrame,
-    parties: DataFrame,
-    caseParties: DataFrame,
-    courtVariations: DataFrame,
-    judgeVariations: DataFrame,
-    partyVariations: DataFrame,
-    quarantine: DataFrame,
-    errors: DataFrame,
-    runLedger: DataFrame,
-    summary: IngestSummary)
+final class IngestResult(
+    val cases: DataFrame,
+    val courts: DataFrame,
+    val judges: DataFrame,
+    val caseTypes: DataFrame,
+    val parties: DataFrame,
+    val caseParties: DataFrame,
+    val courtVariations: DataFrame,
+    val judgeVariations: DataFrame,
+    val partyVariations: DataFrame,
+    val quarantine: DataFrame,
+    val errors: DataFrame,
+    runLedgerThunk: () => DataFrame,
+    summaryThunk: () => IngestSummary) {
+  lazy val summary: IngestSummary = summaryThunk()
+  lazy val runLedger: DataFrame = runLedgerThunk()
+}
 
 /** The batch ingest pipeline: one declarative DataFrame DAG replacing
   * the reference's per-record loop (ingest.py:676-798). Validation
@@ -269,25 +275,27 @@ object IngestJob {
         lit(false).as("resolved"))
 
     // ----------------------------------------------------- run ledger
-    val counts = annotated.agg(
-      count(lit(1)).as("read"),
-      count(when(col("_error_code").isNotNull, 1)).as("failed"))
-      .collect()(0)
-    val actions = classified.groupBy(col("_action")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    lazy val summary: IngestSummary = {
+      val counts = annotated.agg(
+        count(lit(1)).as("read"),
+        count(when(col("_error_code").isNotNull, 1)).as("failed"))
+        .collect()(0)
+      val actions = classified.groupBy(col("_action")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      IngestSummary(runId, counts.getAs[Long]("read"),
+        actions.getOrElse("inserted", 0L), actions.getOrElse("updated", 0L),
+        counts.getAs[Long]("failed"))
+    }
 
-    val summary = IngestSummary(runId, counts.getAs[Long]("read"),
-      actions.getOrElse("inserted", 0L), actions.getOrElse("updated", 0L),
-      counts.getAs[Long]("failed"))
+    def runLedger: DataFrame =
+      Seq((runId, sourceName, sourceUri, ts, ts,
+        summary.read, summary.inserted, summary.updated, summary.failed))
+        .toDF("run_id", "source_name", "source_uri", "started_at",
+          "finished_at", "total_read", "total_inserted", "total_updated",
+          "total_failed")
 
-    val runLedger = Seq((runId, sourceName, sourceUri, ts, ts,
-      summary.read, summary.inserted, summary.updated, summary.failed))
-      .toDF("run_id", "source_name", "source_uri", "started_at",
-        "finished_at", "total_read", "total_inserted", "total_updated",
-        "total_failed")
-
-    IngestResult(cases, courts, judges, caseTypes, parties, caseParties,
+    new IngestResult(cases, courts, judges, caseTypes, parties, caseParties,
       courtVariations, judgeVariations, partyVariations, quarantine,
-      errors, runLedger, summary)
+      errors, () => runLedger, () => summary)
   }
 }
