@@ -210,13 +210,20 @@ object DedupQueries {
       col("band"), col("key"))
     val bb = banded.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
       col("band"), col("key"))
+    // minimal-band emission: a pair is emitted only by the FIRST band
+    // where its key bytes collide (all earlier bands must differ) —
+    // every colliding pair appears exactly once, so the distinct (the
+    // shuffle that dominated this query) disappears. The predicate is
+    // pure integer ops over the two signatures already in the row.
+    val minimalBand = (0 until 4).map { j =>
+      when(col("band") > j,
+        shiftright(col("a_sh"), j * 8).bitwiseAND(255L) =!=
+          shiftright(col("b_sh"), j * 8).bitwiseAND(255L))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
     aa.join(bb, Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
-      // distinct first, then one hamming per unique pair: on this
-      // corpus most collisions survive the hamming filter, so
-      // filter-first would recompute hamming per duplicate collision
-      // for no distinct-input reduction (measured slower)
-      .select("a_id", "b_id", "a_sh", "b_sh").distinct()
+      .filter(minimalBand)
       .withColumn("hamming", hamming32(col("a_sh"), col("b_sh")))
       .filter(col("hamming") <= 6)
       .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
