@@ -156,15 +156,50 @@ object SearchQueries {
       |WHERE event_type = 'purchase'
       |ORDER BY user_id, purchase_id""".stripMargin
 
+  /** Broadcast range join: classify events into value tiers via a
+    * `lo <= value < hi` interval join against a tiny tier table.
+    * Spark plans the non-equi condition as a BroadcastNestedLoopJoin —
+    * correct here because the build side is 4 rows; at scale with a
+    * large interval table the shape becomes bin-bucketing (join on
+    * `floor(value / binWidth)` equi-keys, then refine), the same
+    * discretize-then-verify trade as the LSH dedups.
+    */
+  def q49RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val tiers = Seq(
+      ("small", 0.0d, 1.0d), ("medium", 1.0d, 5.0d),
+      ("large", 5.0d, 50.0d), ("huge", 50.0d, 1.0e9d))
+      .toDF("tier", "lo", "hi")
+    t.events
+      .join(broadcast(tiers),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("tier")
+  }
+
+  val q49Sql: String =
+    """SELECT tier, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |JOIN (VALUES ('small', 0.0, 1.0), ('medium', 1.0, 5.0),
+      |             ('large', 5.0, 50.0), ('huge', 50.0, 1000000000.0)) t(tier, lo, hi)
+      |  ON value >= lo AND value < hi
+      |GROUP BY tier ORDER BY tier""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_sessionize" -> (q37Sessionize _),
     "q44_keyword_search" -> (q44KeywordSearch _),
     "q48_asof_join" -> (q48AsofJoin _),
+    "q49_range_join" -> (q49RangeJoin _),
   )
 
   val oracle: Map[String, String] = Map(
     "q37_sessionize" -> q37Sql,
     "q44_keyword_search" -> q44Sql,
     "q48_asof_join" -> q48Sql,
+    "q49_range_join" -> q49Sql,
   )
 }
