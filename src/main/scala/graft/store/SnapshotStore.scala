@@ -2,6 +2,8 @@ package graft.store
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -109,4 +111,29 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   /** Append-only ledger (S3/S7). */
   def append(table: String, batch: DataFrame): Long =
     merged(table, batch, (prior, b) => prior.unionByName(b))
+
+  /** Every table currently in the store. */
+  def tables(): Seq[String] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => Files.exists(p.resolve("_current")))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Register every stored table as a temp view so ad-hoc SQL works
+    * against the current snapshots — the engine's psql-equivalent
+    * surface (`spark.sql("SELECT ... FROM cases JOIN courts ...")`).
+    * Views bind to the snapshot CURRENT AT registration; re-register
+    * after merges to see newer versions.
+    */
+  def registerViews(prefix: String = ""): Seq[String] =
+    tables().map { t =>
+      read(t).get.createOrReplaceTempView(prefix + t)
+      prefix + t
+    }
 }

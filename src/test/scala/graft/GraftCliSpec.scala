@@ -33,6 +33,18 @@ class GraftCliSpec extends AnyFunSuite {
     assert(GraftCli.dispatch(spark, Array("bogus") ++ store) == 2)
   }
 
+  test("registerViews exposes the store to ad-hoc SQL") {
+    val store = new graft.store.SnapshotStore(spark, storeDir)
+    val views = store.registerViews()
+    assert(views.contains("cases") && views.contains("courts"))
+    val n = spark.sql(
+      """SELECT COUNT(*) FROM cases c
+        |JOIN courts co ON c.court_id = co.id
+        |WHERE co.normalized_name = 'SDNY'""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n > 0)
+  }
+
   test("second ingest of the same file classifies as updates") {
     val store = Array("--store", storeDir)
     assert(GraftCli.dispatch(spark,
