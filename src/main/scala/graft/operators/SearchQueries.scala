@@ -29,7 +29,9 @@ object SearchQueries {
   def q44KeywordSearch(spark: SparkSession, dir: String): DataFrame = {
     val queryTerms = Seq("vector", "merge", "batch")
     val t = Tables(spark, dir)
-    val n = t.documents.count()
+    // corpus size joins in as a broadcast scalar — no driver-side
+    // count() job at plan-construction time
+    val nTotal = t.documents.agg(count(lit(1)).as("n_total"))
     val postings = t.documents
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
       .filter(col("term").isin(queryTerms.map(lit): _*))
@@ -40,7 +42,8 @@ object SearchQueries {
     // boundary in edge cases, breaking oracle parity
     val df = postings.groupBy("term")
       .agg(countDistinct("doc_id").as("df"))
-      .withColumn("w", expr(s"(($n - df) * 1000000L) div df"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("w", expr("((n_total - df) * 1000000L) div df"))
     postings
       .join(broadcast(df.select("term", "w")), Seq("term"))
       .groupBy("doc_id")
