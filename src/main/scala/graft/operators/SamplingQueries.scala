@@ -37,7 +37,7 @@ object SamplingQueries {
     s"""SELECT lang,
        |  CASE WHEN $bucket < 80 THEN 'train'
        |       WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split,
-       |  COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+       |  COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
   }
 
@@ -119,7 +119,7 @@ object SamplingQueries {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM toks)
        |SELECT lang, floor((cum - toks)::DOUBLE / 2048)::BIGINT AS bin,
-       |  COUNT(*) AS n_docs, SUM(toks) AS pack_tokens
+       |  COUNT(*) AS n_docs, SUM(toks)::BIGINT AS pack_tokens
        |FROM packed GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -65,7 +65,7 @@ object SearchQueries {
       |    (((SELECT COUNT(*) FROM documents) - COUNT(DISTINCT doc_id)) * 1000000)
       |      // COUNT(DISTINCT doc_id) AS w
       |  FROM postings GROUP BY term)
-      |SELECT p.doc_id, SUM(p.tf * w.w) AS score, COUNT(*) AS n_terms_matched
+      |SELECT p.doc_id, SUM(p.tf * w.w)::BIGINT AS score, COUNT(*) AS n_terms_matched
       |FROM postings p JOIN weights w ON p.term = w.term
       |GROUP BY p.doc_id
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin

@@ -104,9 +104,9 @@ object TextQueries {
 
   val q22Sql: String =
     s"""SELECT lang, COUNT(*) AS n_docs,
-       |  SUM(len(${OracleSql.tokens("text")})::BIGINT) AS sum_ws_tokens,
+       |  SUM(len(${OracleSql.tokens("text")})::BIGINT)::BIGINT AS sum_ws_tokens,
        |  MAX(len(${OracleSql.tokens("text")})::BIGINT) AS max_ws_tokens,
-       |  SUM(${OracleSql.bpeTokenCount("text")}::BIGINT) AS sum_bpe_tokens
+       |  SUM(${OracleSql.bpeTokenCount("text")}::BIGINT)::BIGINT AS sum_bpe_tokens
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Document fingerprints: polynomial rolling hash + md5, for a
