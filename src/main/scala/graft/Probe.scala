@@ -4,19 +4,21 @@ package graft
   * SparkEntry against a scale-factor dir. Not part of the driver
   * contract — Bench/Verify are.
   *
-  * Usage: runMain graft.Probe <sfDir> [--explain] q1 q2 ...
+  * Usage: runMain graft.Probe <sfDir> [--explain] [--show] q1 q2 ...
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val explain = args.contains("--explain")
-    val names = args.drop(1).filterNot(_ == "--explain")
+    val show = args.contains("--show")
+    val names = args.drop(1).filterNot(a => a == "--explain" || a == "--show")
     val spark = GraftSession.get()
     val targets =
       if (names.isEmpty) SparkEntry.queries.keys.toSeq.sorted else names.toSeq
     targets.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       if (explain) { println(s"=== $name"); df.explain("formatted") }
+      if (show) df.show(50, truncate = false)
       val t0 = System.nanoTime()
       val n = df.count()
       val sec = (System.nanoTime() - t0) / 1e9

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -405,19 +405,33 @@ object CoreQueries {
       |FROM customer LEFT JOIN prior ON c_custkey = o_custkey
       |GROUP BY 1 ORDER BY is_new""".stripMargin
 
-  /** G6 at scale: HLL approx-distinct next to the exact counts. No
-    * DuckDB oracle (HLL sketches are engine-specific) — the driver
-    * records the weaker rows-only check; the spec in CoreQueriesSpec
-    * bounds the relative error against the exact values instead.
+  /** G6 at scale: HLL approx-distinct next to the exact counts. The
+    * HLL estimates themselves are engine-specific (DuckDB cannot
+    * reproduce Spark's sketch), so the checkable contract is: the
+    * exact counts hash against the oracle, and the approx estimates
+    * are emitted as within-relative-error booleans (oracled as TRUE).
+    * A sketch regression past the 5% bound flips the driver's hash.
+    * The spec in CoreQueriesSpec additionally pins the raw estimates.
     */
   def q19ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    def withinRel(approx: Column, exact: Column): Column =
+      abs(approx.cast("double") - exact.cast("double")) <= exact.cast("double") * 0.05
     t.orders.agg(
       countDistinct(col("o_custkey")).as("exact_cust"),
       approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
       countDistinct(col("o_orderdate")).as("exact_dates"),
       approx_count_distinct(col("o_orderdate"), 0.02).as("approx_dates"))
+      .select(col("exact_cust"),
+        withinRel(col("approx_cust"), col("exact_cust")).as("approx_cust_ok"),
+        col("exact_dates"),
+        withinRel(col("approx_dates"), col("exact_dates")).as("approx_dates_ok"))
   }
+
+  val q19Sql: String =
+    """SELECT COUNT(DISTINCT o_custkey) AS exact_cust, TRUE AS approx_cust_ok,
+      |  COUNT(DISTINCT o_orderdate) AS exact_dates, TRUE AS approx_dates_ok
+      |FROM orders""".stripMargin
 
   /** Tumbling-window aggregation in batch mode (the batch twin of
     * EventStreams.windowedCounts): Spark's `window()` generator vs
@@ -548,6 +562,7 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q19_approx_distinct" -> q19Sql,
     "q28_tumbling_window" -> q28Sql,
     "q29_rollup" -> q29Sql,
     "q45_topk_custom_op" -> q45Sql,

@@ -10,14 +10,12 @@ class CoreQueriesSpec extends AnyFunSuite {
   test("approx_count_distinct lands within the configured error bound") {
     val r = CoreQueries.q19ApproxDistinct(spark, "/root/testdata/sf0.01")
       .collect()(0)
-    val exactCust = r.getAs[Long]("exact_cust").toDouble
-    val approxCust = r.getAs[Long]("approx_cust").toDouble
-    val exactDates = r.getAs[Long]("exact_dates").toDouble
-    val approxDates = r.getAs[Long]("approx_dates").toDouble
-    // rsd = 0.02; allow 5 sigma
-    assert(math.abs(approxCust - exactCust) / exactCust < 0.10,
-      s"cust: $approxCust vs $exactCust")
-    assert(math.abs(approxDates - exactDates) / exactDates < 0.10,
-      s"dates: $approxDates vs $exactDates")
+    // the query itself asserts |approx - exact| <= 5% * exact; these
+    // booleans are what the driver hashes against literal TRUEs
+    assert(r.getAs[Boolean]("approx_cust_ok"),
+      s"cust approx outside 5% of ${r.getAs[Long]("exact_cust")}")
+    assert(r.getAs[Boolean]("approx_dates_ok"),
+      s"dates approx outside 5% of ${r.getAs[Long]("exact_dates")}")
+    assert(r.getAs[Long]("exact_cust") > 0 && r.getAs[Long]("exact_dates") > 0)
   }
 }
