@@ -50,7 +50,19 @@ final class GraftApi(spark: SparkSession, cases: DataFrame, judges: DataFrame,
         .select(col("id").as("judge_id"))
       df = df.join(broadcast(jid), Seq("judge_id"))
     }
-    year.foreach { y => df = df.filter(org.apache.spark.sql.functions.year(col("filed_date")) === y) }
+    year.foreach { y =>
+      // The cases snapshot is hive-partitioned by filed_year
+      // (IngestJob writes it; SnapshotStore.write partitionCols), and
+      // Spark cannot rewrite year(filed_date)=y into directory
+      // pruning — filter on the partition column explicitly so the
+      // scan reads ONE year directory instead of the whole snapshot
+      // (the B-tree-index equivalent of reference api.py:171-178 at
+      // 100 TB). The filed_date predicate stays for inputs that lack
+      // the partition column (e.g. ad-hoc DataFrames in tests).
+      if (df.columns.contains("filed_year"))
+        df = df.filter(col("filed_year") === y)
+      df = df.filter(org.apache.spark.sql.functions.year(col("filed_date")) === y)
+    }
     withDims(df)
       .select(col("case_number"), coalesce(col("title"), lit("")).as("title"),
         date_format(col("filed_date"), "yyyy-MM-dd").as("filed_date"),

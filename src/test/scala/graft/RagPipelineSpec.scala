@@ -106,6 +106,34 @@ class RagPipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](api.listCases(None, None))
   }
 
+  test("api: listCases year filter prunes snapshot partitions") {
+    // persist cases the way GraftCli does (hive-partitioned by
+    // filed_year) and assert the year path reads ONE year directory:
+    // the pruning evidence lives in the scan's PartitionFilters, same
+    // style as BucketedJoinSpec
+    val root = java.nio.file.Files.createTempDirectory("graft-api-store").toString
+    val store = new graft.store.SnapshotStore(spark, root)
+    store.write("cases", ingest.cases, partitionCols = Seq("filed_year"))
+    val snap = store.read("cases").get
+    val api = new GraftApi(spark, snap, ingest.judges, ingest.courts,
+      ingest.caseTypes, ingest.parties, ingest.caseParties)
+    val ds = api.listCases(judge = None, year = Some(2023))
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*filed_year[^\\]]*\\].*"),
+      s"filed_year not in PartitionFilters:\n$plan")
+    // the scan must actually select a strict subset of partitions
+    val scans = ds.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.selectedPartitions.partitionCount <
+      snap.select("filed_year").distinct().count()), "no partition was pruned")
+    // and the pruned path returns the same rows as the unpruned input
+    val expect = new GraftApi(spark, ingest.cases, ingest.judges, ingest.courts,
+      ingest.caseTypes, ingest.parties, ingest.caseParties)
+      .listCases(judge = None, year = Some(2023)).collect()
+    assert(ds.collect().toSeq == expect.toSeq)
+  }
+
   test("api: getCase + getParties") {
     val api = new GraftApi(spark, ingest.cases, ingest.judges, ingest.courts,
       ingest.caseTypes, ingest.parties, ingest.caseParties, Some(embeddings), embedder)
