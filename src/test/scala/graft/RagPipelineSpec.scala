@@ -118,20 +118,32 @@ class RagPipelineSpec extends AnyFunSuite {
     val api = new GraftApi(spark, snap, ingest.judges, ingest.courts,
       ingest.caseTypes, ingest.parties, ingest.caseParties)
     val ds = api.listCases(judge = None, year = Some(2023))
+    val got = ds.collect() // trigger execution so the adaptive plan finalizes
     val plan = ds.queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*filed_year[^\\]]*\\].*"),
       s"filed_year not in PartitionFilters:\n$plan")
-    // the scan must actually select a strict subset of partitions
-    val scans = ds.queryExecution.executedPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }
+    // the scan must actually select a strict subset of partitions. Under AQE
+    // both AdaptiveSparkPlanExec and the QueryStageExec wrappers it inserts
+    // are LEAF nodes holding their subtree in a field, so a plain collect
+    // never reaches the scan — recurse through them explicitly.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+    }.flatten
+    val scans = allScans(ds.queryExecution.executedPlan)
+    assert(scans.nonEmpty,
+      s"no FileSourceScanExec found in:\n${ds.queryExecution.executedPlan}")
     assert(scans.exists(_.selectedPartitions.partitionCount <
       snap.select("filed_year").distinct().count()), "no partition was pruned")
     // and the pruned path returns the same rows as the unpruned input
     val expect = new GraftApi(spark, ingest.cases, ingest.judges, ingest.courts,
       ingest.caseTypes, ingest.parties, ingest.caseParties)
       .listCases(judge = None, year = Some(2023)).collect()
-    assert(ds.collect().toSeq == expect.toSeq)
+    assert(got.toSeq == expect.toSeq)
   }
 
   test("api: getCase + getParties") {
