@@ -2,7 +2,7 @@ package graft.ingest
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -82,7 +82,9 @@ object IngestJob {
 
   /** Read a JSON array file of raw dockets with an explicit schema and
     * a `_seq` input-position column (drives last-write-wins — SURVEY
-    * §7.4.3). zipWithIndex preserves JSON array order.
+    * §7.4.3). A multiLine JSON array is unsplittable, so the single
+    * reference file arrives as ONE partition and `_seq` is exactly the
+    * array index.
     */
   def readRaw(spark: SparkSession, path: String): DataFrame = {
     val base = spark.read.schema(rawSchema)
@@ -90,14 +92,24 @@ object IngestJob {
     withSeq(spark, base)
   }
 
-  /** Attach `_seq` = stable input position to any raw frame. */
-  def withSeq(spark: SparkSession, df: DataFrame): DataFrame = {
-    val indexed = df.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(indexed,
-      StructType(df.schema.fields :+ StructField("_seq", LongType, nullable = false)))
-  }
+  /** Attach `_seq` = stable input position to any raw frame.
+    *
+    * `monotonically_increasing_id` is (partitionIndex << 33) | offset:
+    * it totally orders rows by (partition, position) WITHOUT leaving
+    * Tungsten — no RDD conversion, no extra count job (the previous
+    * `rdd.zipWithIndex` ran both, roughly doubling the ingest read at
+    * scale). Every `_seq` consumer (min_by, last-write-wins windows)
+    * needs only this relative order, never contiguous values.
+    *
+    * Order contract: correct whenever partition index order equals
+    * input order — true for the unsplittable single-file multiLine
+    * read above and for parallelized local data. For a multi-file
+    * ingest whose file order must be honored, ingest per file with
+    * increasing run ids (the reference processes one file per run,
+    * ingest.py:676) rather than globbing files into one read.
+    */
+  def withSeq(spark: SparkSession, df: DataFrame): DataFrame =
+    df.withColumn("_seq", monotonically_increasing_id())
 
   private def id(domain: String, key: org.apache.spark.sql.Column) =
     xxhash64(lit(domain), key)
