@@ -410,13 +410,15 @@ object CoreQueries {
     * reproduce Spark's sketch), so the checkable contract is: the
     * exact counts hash against the oracle, and the approx estimates
     * are emitted as within-relative-error booleans (oracled as TRUE).
-    * A sketch regression past the 5% bound flips the driver's hash.
-    * The spec in CoreQueriesSpec additionally pins the raw estimates.
+    * A sketch regression past the 10% bound flips the driver's hash —
+    * 10% is 5 sigma for rsd=0.02, so a legitimate HLL estimate at an
+    * unseen scale factor cannot plausibly flip it (5% was only
+    * ~2.5 sigma). The spec in CoreQueriesSpec pins the raw estimates.
     */
   def q19ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     def withinRel(approx: Column, exact: Column): Column =
-      abs(approx.cast("double") - exact.cast("double")) <= exact.cast("double") * 0.05
+      abs(approx.cast("double") - exact.cast("double")) <= exact.cast("double") * 0.10
     t.orders.agg(
       countDistinct(col("o_custkey")).as("exact_cust"),
       approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),

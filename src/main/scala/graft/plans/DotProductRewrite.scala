@@ -22,8 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * null product into the fold; DotProductExpr iterates the common
   * prefix instead. On well-formed fixed-dimension embedding data the
   * two are identical (pinned by SketchExprSpec / DotRewriteSpec).
+  * Because that contract silently changes null/ragged-array semantics
+  * of arbitrary user SQL, the rewrite is gated on
+  * `spark.graft.rewrite.dotProduct` (default true) — set it false to
+  * get exact zip_with/aggregate semantics back session-wide.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.rewrite.dotProduct"
 
   private def isElemRef(e: Expression, v: NamedLambdaVariable): Boolean = e match {
     case x: NamedLambdaVariable => x.exprId == v.exprId
@@ -36,7 +42,11 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(ConfKey, "true").toBoolean) plan
+    else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
         ZipWith(a, b, LambdaFunction(Multiply(ml, mr, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
         Literal(zero, DoubleType),

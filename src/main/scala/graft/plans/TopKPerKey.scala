@@ -80,11 +80,16 @@ case class TopKPerKeyExec(groupKeys: Seq[Expression],
     val keys = groupKeys
     val sortExprs = ordering
     val childOutput = child.output
+    val outAttrs = output
     val emitRank = rankAttr.isDefined
     val kk = k
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
       val ord = new LazilyGeneratedOrdering(sortExprs, childOutput)
+      // downstream consumers (getByteArrayRdd in collect(), exchanges)
+      // require UnsafeRow; the rank-joined rows below are Generic, so
+      // the final phase converts on emit
+      val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
       // per-key bounded heap; heap head = worst currently-kept row
       val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
       val heapOrd: Ordering[InternalRow] = ord // max-heap on "worst first"
@@ -109,7 +114,7 @@ case class TopKPerKeyExec(groupKeys: Seq[Expression],
             joined.update(j, r.get(j, fields(j).dataType)); j += 1
           }
           joined.update(r.numFields, i + 1)
-          joined.asInstanceOf[InternalRow]
+          toUnsafe(joined).copy(): InternalRow
         }
       }
     }

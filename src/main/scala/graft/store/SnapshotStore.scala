@@ -91,21 +91,27 @@ final class SnapshotStore(spark: SparkSession, root: String) {
 
   /** Additive counter merge (G9/G11): `countCols` sum, `minCols` take
     * least, `maxCols` take greatest, any other column takes the
-    * batch's value when present else the prior's.
+    * batch's value when present else the prior's — resolved with
+    * `max_by` over an explicit source flag (batch=1 > prior=0), not
+    * `last(ignoreNulls)`, whose result depends on partition order.
     */
   def mergeAdditive(table: String, batch: DataFrame, keys: Seq[String],
       countCols: Seq[String], minCols: Seq[String], maxCols: Seq[String]): Long =
     merged(table, batch, (prior, b) => {
-      val all = prior.unionByName(b)
-      val others = all.columns.toSeq
-        .diff(keys ++ countCols ++ minCols ++ maxCols)
+      val all = prior.withColumn("_src", lit(0))
+        .unionByName(b.withColumn("_src", lit(1)))
+      val out = prior.columns.toSeq
+      val others = out.diff(keys ++ countCols ++ minCols ++ maxCols)
       val aggs =
         countCols.map(c => sum(col(c)).as(c)) ++
           minCols.map(c => min(col(c)).as(c)) ++
           maxCols.map(c => max(col(c)).as(c)) ++
-          others.map(c => last(col(c), ignoreNulls = true).as(c))
+          // max_by skips null ordering keys, so nulling the flag under a
+          // null value gives "batch when present else prior" exactly
+          others.map(c =>
+            max_by(col(c), when(col(c).isNotNull, col("_src"))).as(c))
       all.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        .select(all.columns.map(col).toIndexedSeq: _*)
+        .select(out.map(col): _*)
     })
 
   /** Append-only ledger (S3/S7). */

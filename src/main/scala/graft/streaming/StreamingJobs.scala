@@ -35,32 +35,54 @@ object StreamingIngest {
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val r = IngestJob.run(batch.sparkSession,
-          IngestJob.withSeq(batch.sparkSession, batch),
-          runId = batchId, sourceName = s"stream:$inputDir",
-          sourceUri = inputDir, ts = epochTs(batchId))
-        store.mergeLastWriteWins("cases", r.cases, Seq("case_number"), partitionCols = Seq("filed_year"))
-        store.mergeInsertIfAbsent("courts", r.courts, Seq("normalized_name"))
-        store.mergeInsertIfAbsent("judges", r.judges, Seq("normalized_name"))
-        store.mergeInsertIfAbsent("case_types", r.caseTypes, Seq("name"))
-        store.mergeInsertIfAbsent("parties", r.parties, Seq("normalized_name"))
-        store.mergeInsertIfAbsent("case_parties", r.caseParties,
-          Seq("case_id", "party_id", "role"))
-        store.mergeAdditive("court_name_variations", r.courtVariations,
-          Seq("court_id", "raw_name"), Seq("seen_count"),
-          Seq("first_seen_at"), Seq("last_seen_at"))
-        store.mergeAdditive("judge_name_variations", r.judgeVariations,
-          Seq("judge_id", "raw_name"), Seq("seen_count"),
-          Seq("first_seen_at"), Seq("last_seen_at"))
-        store.mergeAdditive("party_name_variations", r.partyVariations,
-          Seq("party_id", "raw_name"), Seq("seen_count"),
-          Seq("first_seen_at"), Seq("last_seen_at"))
-        store.append("ingest_runs", r.runLedger)
-        if (!r.quarantine.isEmpty) store.append("quarantine", r.quarantine)
-        if (!r.errors.isEmpty) store.append("ingest_errors", r.errors)
-        ()
+        processBatch(store, batch, batchId, s"stream:$inputDir", inputDir,
+          epochTs(batchId))
       }
       .start()
+  }
+
+  /** One micro-batch's store merge. IDEMPOTENT on `batchId`: after a
+    * crash between the sink commit and the checkpoint commit,
+    * foreachBatch REPLAYS the batch — without this guard the replay
+    * would double the additive variation counters and duplicate every
+    * ledger append. The run ledger doubles as the commit log: a batch
+    * whose run_id is already recorded was fully merged (it is appended
+    * last), so the replay is a no-op.
+    */
+  def processBatch(store: SnapshotStore, batch: DataFrame, batchId: Long,
+      sourceName: String, sourceUri: String, ts: Timestamp): Unit = {
+    val alreadyDone = store.read("ingest_runs").exists(
+      _.filter(col("run_id") === batchId).limit(1).count() > 0)
+    if (alreadyDone) return
+    // classify inserted/updated against the snapshot the reference way
+    // (xmax=0, ingest.py:627): a streamed case_number that already
+    // exists in the store is an update, not an insert
+    val prior = store.read("cases").map(_.select("case_number"))
+    val r = IngestJob.run(batch.sparkSession,
+      IngestJob.withSeq(batch.sparkSession, batch),
+      runId = batchId, sourceName = sourceName,
+      sourceUri = sourceUri, ts = ts, priorCaseNumbers = prior)
+    store.mergeLastWriteWins("cases", r.cases, Seq("case_number"), partitionCols = Seq("filed_year"))
+    store.mergeInsertIfAbsent("courts", r.courts, Seq("normalized_name"))
+    store.mergeInsertIfAbsent("judges", r.judges, Seq("normalized_name"))
+    store.mergeInsertIfAbsent("case_types", r.caseTypes, Seq("name"))
+    store.mergeInsertIfAbsent("parties", r.parties, Seq("normalized_name"))
+    store.mergeInsertIfAbsent("case_parties", r.caseParties,
+      Seq("case_id", "party_id", "role"))
+    store.mergeAdditive("court_name_variations", r.courtVariations,
+      Seq("court_id", "raw_name"), Seq("seen_count"),
+      Seq("first_seen_at"), Seq("last_seen_at"))
+    store.mergeAdditive("judge_name_variations", r.judgeVariations,
+      Seq("judge_id", "raw_name"), Seq("seen_count"),
+      Seq("first_seen_at"), Seq("last_seen_at"))
+    store.mergeAdditive("party_name_variations", r.partyVariations,
+      Seq("party_id", "raw_name"), Seq("seen_count"),
+      Seq("first_seen_at"), Seq("last_seen_at"))
+    if (!r.quarantine.isEmpty) store.append("quarantine", r.quarantine)
+    if (!r.errors.isEmpty) store.append("ingest_errors", r.errors)
+    // the commit marker: MUST stay the last write (see idempotency note)
+    store.append("ingest_runs", r.runLedger)
+    ()
   }
 }
 

@@ -23,6 +23,20 @@ class DotRewriteSpec extends AnyFunSuite {
     assert(found.nonEmpty, s"expected DotProductExpr in:\n$optimized")
   }
 
+  test("spark.graft.rewrite.dotProduct=false disables the rewrite") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 3).select(col("embedding").as("q_emb"))
+    spark.conf.set(graft.plans.DotProductRewrite.ConfKey, "false")
+    try {
+      val scored = emb.crossJoin(broadcast(q))
+        .select(VectorFunctions.dotFoldHof(col("embedding"), col("q_emb")).as("sim"))
+      val found = scored.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+        case d: DotProductExpr => d
+      })
+      assert(found.isEmpty, "rewrite fired despite the conf gate")
+    } finally spark.conf.unset(graft.plans.DotProductRewrite.ConfKey)
+  }
+
   test("rewritten plan computes the same values") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
     val q = emb.filter(col("vec_id") === 3).select(col("embedding").as("q_emb"))

@@ -62,6 +62,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("replayed micro-batch is a no-op (idempotent foreachBatch)") {
+    import spark.implicits._
+    val storeDir = Files.createTempDirectory("graft-replay-store")
+    val store = new SnapshotStore(spark, storeDir.toString)
+    val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+    val batch = Seq(
+      ("R-1", "S.D.N.Y", "t1", "2024-10-03", "A (plaintiff)", "civil",
+        "Judge Chen", "txt", "active"),
+      ("R-1", "S.D.N.Y", "t1b", "2024-10-03", "A (plaintiff)", "civil",
+        "Judge Chen", "txt2", "active"))
+      .toDF("case_number", "court", "title", "filed_date", "parties",
+        "case_type", "judge", "docket_text", "status")
+
+    StreamingIngest.processBatch(store, batch, 7L, "stream:test", "test", ts)
+    val casesAfter1 = store.read("cases").get.count()
+    val seenAfter1 = store.read("judge_name_variations").get
+      .agg(sum("seen_count")).collect()(0).getLong(0)
+    val runsAfter1 = store.read("ingest_runs").get.count()
+
+    // crash-recovery replay of the SAME batch id must change nothing
+    StreamingIngest.processBatch(store, batch, 7L, "stream:test", "test", ts)
+    assert(store.read("cases").get.count() == casesAfter1)
+    assert(store.read("judge_name_variations").get
+      .agg(sum("seen_count")).collect()(0).getLong(0) == seenAfter1)
+    assert(store.read("ingest_runs").get.count() == runsAfter1)
+
+    // a NEW batch id over an existing case classifies as updated, not
+    // inserted (xmax semantics against the prior snapshot)
+    StreamingIngest.processBatch(store, batch.limit(1), 8L, "stream:test", "test", ts)
+    val run8 = store.read("ingest_runs").get.filter(col("run_id") === 8L)
+      .select("total_inserted", "total_updated").collect()(0)
+    assert(run8.getLong(0) == 0L, "existing case counted as inserted")
+    assert(run8.getLong(1) == 1L)
+  }
+
   test("windowed counts with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -50,6 +50,16 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("collect() with the operator as plan root returns UnsafeRow-backed results") {
+    // regression: the final phase used to emit GenericInternalRow, which
+    // getByteArrayRdd cannot serialize — a bare .collect() (no projection
+    // above the operator) threw ClassCastException
+    val df = TopKPerKey(events, Seq("user_id"), Seq(desc("value"), asc("event_id")), 2)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(r.fieldIndex("rank")) >= 1))
+  }
+
   test("works after filters and projections") {
     val filtered = events.filter(col("event_type") === "click")
       .select("user_id", "event_id", "value")
