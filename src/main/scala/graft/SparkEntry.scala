@@ -14,6 +14,7 @@ object SparkEntry {
       operators.IngestQueries.entries ++
       operators.MultimodalQueries.entries ++
       operators.PipelineQueries.entries ++
+      operators.QualityQueries.entries ++
       operators.SearchQueries.entries ++
       operators.SamplingQueries.entries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -26,6 +27,7 @@ object SparkEntry {
       operators.IngestQueries.oracle ++
       operators.MultimodalQueries.oracle ++
       operators.PipelineQueries.oracle ++
+      operators.QualityQueries.oracle ++
       operators.SearchQueries.oracle ++
       operators.SamplingQueries.oracle
 }

@@ -27,9 +27,15 @@ object PipelineQueries {
     *   - court: blank every 23rd (FK_COURT), else per-lang spelling;
     *   - case_type: blank every 11th (VALIDATION_ERROR quirk);
     *   - status: "archived" every 13th (STATUS_UNMAPPED), else mixed
-    *     casing; title whitespace-padded (must flow through).
+    *     casing; title whitespace-padded (must flow through);
+    *   - parties: plaintiff always, defendant dropped every 7th
+    *     (exercises the coverage report, QualityQueries q66);
+    *   - judge: blank every 5th (⇒ null judge_id, completeness q63).
+    *
+    * Shared with QualityQueries q61-q68 — their DuckDB oracles
+    * replicate THIS generator, so keep the two in lockstep.
     */
-  private def synthesizeRaw(t: Tables): DataFrame = {
+  private[operators] def synthesizeRaw(t: Tables): DataFrame = {
     val d = t.documents
     val base = date_add(to_date(lit("2020-01-01")), (col("doc_id") % 900).cast("int"))
     d.select(
@@ -43,8 +49,10 @@ object PipelineQueries {
         .when(col("doc_id") % 3 === 0, date_format(base, "yyyy-MM-dd"))
         .when(col("doc_id") % 3 === 1, date_format(base, "M/d/yyyy"))
         .otherwise(date_format(base, "MMM d, yyyy")).as("filed_date"),
-      concat(col("source"), lit(" (plaintiff); Counterparty of "),
-        col("lang"), lit(" (defendant)")).as("parties"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("source"), lit(" (plaintiff)")))
+        .otherwise(concat(col("source"), lit(" (plaintiff); Counterparty of "),
+          col("lang"), lit(" (defendant)"))).as("parties"),
       when(col("doc_id") % 11 === 0, lit(""))
         .otherwise(lit("Civil")).as("case_type"),
       when(col("doc_id") % 5 === 0, lit(""))

@@ -108,9 +108,13 @@ object QualityReport {
       .orderBy(desc("cnt"), asc("role"))
       .limit(10)
 
-  /** G8 (data_quality.py:304-317): daily rollup of the last 7 days. */
-  def recentDaily(runs: DataFrame): DataFrame =
-    runs.filter(col("started_at") >= date_sub(current_date(), 7))
+  /** G8 (data_quality.py:304-317): daily rollup of the last 7 days.
+    * `asOf` defaults to the reference's CURRENT_DATE; injectable so the
+    * window is testable/oracle-able deterministically.
+    */
+  def recentDaily(runs: DataFrame,
+      asOf: org.apache.spark.sql.Column = current_date()): DataFrame =
+    runs.filter(col("started_at") >= date_sub(asOf, 7))
       .groupBy(to_date(col("started_at")).as("day"))
       .agg(sum("total_read").as("ingested"), sum("total_failed").as("failed"))
       .orderBy(desc("day"))
