@@ -113,40 +113,64 @@ object DedupQueries {
     // codegen'd projection over exploded rows (outside any HOF), and
     // the signature falls out of one hash aggregate — min is
     // order-independent, so min-over-rows ≡ array_min over the array
-    // the oracle computes. persist() because both the signature agg
-    // and the verification join read the postings.
+    // the oracle computes. The postings (~10× the corpus) have exactly
+    // ONE consumer (this aggregate), so nothing corpus-sized is ever
+    // cached — the round-2 memory-discipline concern is gone by
+    // construction, not by a persist knob.
     val postings = t.documents
       .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("g"))
       .withColumn("h", pmod(md5Long60(col("g")), lit(P)))
-      .persist()
     val minCols = (0 until k).map(i =>
       min(pmod(col("h") * seedA(i) + seedB(i), lit(P))).as(s"_m$i"))
+    // one compact row per doc; cached because both band-join sides
+    // would otherwise re-run the signature aggregate over the postings
     val sigs = postings.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"), minCols: _*)
-    val banded = sigs.select(col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws("_", (0 until r).map(j =>
-            col(s"_m${b * r + j}").cast("string")): _*).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    // candidate pairs: ids only through the distinct
-    val cand = banded.select(col("doc_id").as("a_id"), col("band"), col("key"))
-      .join(banded.select(col("doc_id").as("b_id"), col("band"), col("key")),
-        Seq("band", "key"))
+      .agg(minCols.head, minCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // each doc's 16 minhash values as one compact long array, carried
+    // through the band join so the minimal-band predicate below can
+    // see BOTH docs' full signatures
+    val minsArr = array((0 until k).map(i => col(s"_m$i")): _*)
+    val banded = sigs.select(col("doc_id"), minsArr.as("mins"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("mins"), col("band"),
+        concat_ws("_", (0 until r).map(j =>
+          element_at(col("mins"), col("band") * r + j + 1).cast("string")): _*)
+          .as("key"))
+    // minimal-band emission (same trick as q33): a pair is kept only in
+    // the FIRST band where its signatures collide — every candidate
+    // pair appears exactly once, so the distinct() over the collision
+    // set (a full extra shuffle) disappears.
+    val minimalBand = (0 until bands).map { j =>
+      when(col("band") > j,
+        (0 until r).map(i =>
+          element_at(col("a_mins"), j * r + i + 1) =!=
+            element_at(col("b_mins"), j * r + i + 1)).reduce(_ || _))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    val cand = banded
+      .select(col("doc_id").as("a_id"), col("mins").as("a_mins"),
+        col("band"), col("key"))
+      .join(banded.select(col("doc_id").as("b_id"), col("mins").as("b_mins"),
+        col("band"), col("key")), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    // exact verification via candidate-restricted postings co-occurrence
-    // (inverted-index shape, same as q31); sizes broadcast back in
-    val sizes = sigs.select(col("doc_id"), col("n_sh"))
-    cand.join(postings.select(col("doc_id").as("a_id"), col("g")), Seq("a_id"))
-      .join(postings.select(col("doc_id").as("b_id"), col("g")), Seq("b_id", "g"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("n_inter"))
-      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"))), Seq("a_id"))
-      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"))), Seq("b_id"))
+      .filter(minimalBand)
+      .select("a_id", "b_id")
+    // exact verification per pair: shingles are DISTINCT per doc (the
+    // wordShingles contract), so |intersection| of the two arrays IS
+    // the postings co-occurrence count — two doc_id equi-joins against
+    // one-row-per-doc shingle arrays replace the (doc, shingle)
+    // postings join that used to shuffle the whole inverted index by
+    // (doc, shingle). The intersection gets its own projection so it
+    // evaluates once per pair, not once per reference.
+    val shingles = t.documents
+      .select(col("doc_id"), wordShingles(col("text"), 2).as("s"))
+    cand
+      .join(shingles.select(col("doc_id").as("a_id"), col("s").as("a_s")), Seq("a_id"))
+      .join(shingles.select(col("doc_id").as("b_id"), col("s").as("b_s")), Seq("b_id"))
+      .withColumn("n_inter", size(array_intersect(col("a_s"), col("b_s"))))
       .withColumn("jaccard", col("n_inter").cast("double") /
-        (col("a_n") + col("b_n") - col("n_inter")).cast("double"))
+        (size(col("a_s")) + size(col("b_s")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= 0.05d)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
