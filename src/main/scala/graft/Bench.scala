@@ -1,6 +1,63 @@
 package graft
+
+import java.sql.Timestamp
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftApi
+import graft.ingest.IngestJob
+import graft.rag.{HashingEmbedder, RagPipeline}
+import graft.store.SnapshotStore
+
 object Bench {
+
+  /** The three REST-endpoint equivalents (api.py:154-270) timed over a
+    * snapshot built from the scale dir's documents: ingest → hive-
+    * partitioned cases snapshot → embeddings backfill (all untimed
+    * setup), then listCases year (partition-pruned scan), listCases
+    * judge (broadcast dim semi-join), getCase (point lookup), and
+    * searchDockets (RAG top-k). Each runs once warm before the timed
+    * call, matching the steady-state convention of the query loop.
+    */
+  private def apiBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    val t = Tables(spark, sfDir)
+    val raw = t.documents.select(
+      concat(lit("B-"), col("doc_id")).as("case_number"),
+      concat(lit("Dist. Court of "), upper(col("lang"))).as("court"),
+      concat(lit("Case "), col("doc_id")).as("title"),
+      date_format(date_add(to_date(lit("2020-01-01")),
+        (col("doc_id") % 900).cast("int")), "yyyy-MM-dd").as("filed_date"),
+      concat(col("source"), lit(" (plaintiff); Counterparty of "),
+        col("lang"), lit(" (defendant)")).as("parties"),
+      lit("civil").as("case_type"),
+      concat(lit("Judge "), col("lang")).as("judge"),
+      col("text").as("docket_text"),
+      lit("active").as("status"),
+      col("doc_id").as("_seq"))
+    val r = IngestJob.run(spark, raw, runId = 1, sourceName = "bench",
+      sourceUri = sfDir, ts = Timestamp.valueOf("2026-01-01 00:00:00"))
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-store").toString
+    val store = new SnapshotStore(spark, root)
+    store.write("cases", r.cases, partitionCols = Seq("filed_year"))
+    val snap = store.read("cases").get
+    val embedder = HashingEmbedder(64)
+    val embeddings = RagPipeline.backfill(snap, None, embedder).persist()
+    embeddings.count() // materialize the corpus index outside the timers
+    val api = new GraftApi(spark, snap, r.judges, r.courts, r.caseTypes,
+      r.parties, r.caseParties, Some(embeddings), embedder)
+    def time(name: String)(f: => Unit): (String, Double) = {
+      f // warm
+      val t0 = System.nanoTime(); f
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
+      time("api_list_cases_year") { api.listCases(year = Some(2021)).collect() },
+      time("api_list_cases_judge") { api.listCases(judge = Some("en")).collect() },
+      time("api_get_case") { api.getCase("B-42") },
+      time("api_search_dockets") { api.searchDockets("spark group query row data", 5) })
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -17,9 +74,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val api = try apiBench(spark, sfDir) catch { case _: Throwable => Seq.empty }
+    val all = results.toSeq ++ api
+    val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = all.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
