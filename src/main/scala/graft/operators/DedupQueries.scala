@@ -206,8 +206,16 @@ object DedupQueries {
     * for candidate generation, verified at Hamming distance ≤ 6.
     * Same band-join scale shape as q32 with a constant-size signature.
     */
-  def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
+  def q33DedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables(spark, dir), maxHamming = 6)
+      .orderBy("a_id", "b_id")
+
+  /** Simhash near-dup pairs at a given Hamming bound (shared core of
+    * q33 and q36's edge set). Banding is 4 × 8 bits, so recall is
+    * EXACT for bounds ≤ 3 (pigeonhole: ≤3 differing bits leave one
+    * band untouched) and the documented band-recall trade above that.
+    */
+  private def simhashPairs(t: Tables, maxHamming: Int): DataFrame = {
     // Postings-first: tokens explode once (duplicates kept — simhash
     // weights by term frequency), md5 runs codegen'd over the rows,
     // and the 32 per-bit sums are one hash aggregate. Sum is
@@ -249,9 +257,56 @@ object DedupQueries {
       .filter(col("a_id") < col("b_id"))
       .filter(minimalBand)
       .withColumn("hamming", hamming32(col("a_sh"), col("b_sh")))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
-      .orderBy("a_id", "b_id")
+  }
+
+  /** Dedup CLUSTERING: near-dup pairs are only half the job — the
+    * pipeline then groups them and keeps one canonical doc per group.
+    * Edges = simhash pairs at Hamming ≤ 2 (exact recall, see
+    * [[simhashPairs]]); groups = distributed connected components
+    * ([[GraphOps.connectedComponents]] — join-based min-label
+    * propagation with pointer compression, O(log n) rounds); canonical
+    * = the min doc_id of each component (deterministic keep-rule).
+    * Every doc is emitted: singletons are their own canonical group.
+    */
+  def q36DedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = simhashPairs(t, maxHamming = 2)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val nodes = t.documents.select(col("doc_id").as("id"))
+    GraphOps.connectedComponents(nodes, edges)
+      .select(col("id").as("doc_id"), col("comp").as("comp_id"),
+        (col("comp") === col("id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  val q36Sql: String = {
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, sh, $b AS band, (sh >> ${b * 8}) & 255 AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE sig AS (
+       |  SELECT doc_id, ${OracleSql.simHash32(OracleSql.tokens("text"))} AS sh
+       |  FROM documents),
+       |banded AS (
+       |  ${bandRows}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.sh AS a_sh, b.sh AS b_sh
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT a_id, b_id FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= 2),
+       |e2 AS (
+       |  SELECT a_id AS src, b_id AS dst FROM edges
+       |  UNION ALL SELECT b_id, a_id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM sig
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src)
+       |SELECT src AS doc_id, min(dst) AS comp_id,
+       |  (min(dst) = src) AS is_canonical
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
   }
 
   val q33Sql: String = {
@@ -341,6 +396,7 @@ object DedupQueries {
     "q32_dedup_minhash_lsh" -> (q32DedupMinhashLsh _),
     "q33_dedup_simhash" -> (q33DedupSimhash _),
     "q34_neardup_embedding" -> (q34NearDupEmbedding _),
+    "q36_dedup_cluster" -> (q36DedupCluster _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -350,5 +406,6 @@ object DedupQueries {
     "q32_dedup_minhash_lsh" -> q32Sql,
     "q33_dedup_simhash" -> q33Sql,
     "q34_neardup_embedding" -> q34Sql,
+    "q36_dedup_cluster" -> q36Sql,
   )
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed iterative graph primitives for dedup clustering.
+  *
+  * A training-data pipeline rarely stops at near-dup PAIRS: the edges
+  * are clustered into groups and one canonical document per group
+  * survives. The clustering step is connected components — here as
+  * min-label propagation with pointer compression, the join-based
+  * formulation that scales to edge sets far beyond one machine
+  * (the same algorithmic family as large-star/small-star; converges
+  * in O(log n) rounds on real graphs thanks to the compression step).
+  */
+object GraphOps {
+
+  /** Connected components over an undirected edge list.
+    *
+    * @param nodes one `id` column, every vertex (isolated vertices
+    *              become their own singleton component)
+    * @param edges `src`/`dst` columns (undirected; one orientation
+    *              suffices)
+    * @return (id, comp) where comp = min vertex id in the component
+    *
+    * Each round: (1) every vertex takes the min label among itself and
+    * its neighbors (one shuffle on vertex id); (2) labels compress one
+    * pointer-hop (labels are vertex ids, so a self-join resolves
+    * label → label's label). Convergence = label sum unchanged (labels
+    * only ever decrease; summed as decimal so the test cannot overflow
+    * at any vertex-id scale). Per-round state is one (id, comp) row
+    * per vertex, persisted and swapped — nothing grows with iteration
+    * count except the logical plan, and rounds are logarithmic.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIterations: Int = 50): DataFrame = {
+    val e2 = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist): `m` below is referenced TWICE per
+    // round, so without lineage truncation the LOGICAL plan doubles
+    // every iteration and Catalyst analysis goes exponential long
+    // before the data does — the classic iterative-DataFrame trap.
+    // Each round's state restarts from a LogicalRDD of constant size.
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var lastSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      // (1) min over self + neighbors
+      val viaNeighbors = e2
+        .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
+        .select(col("dst").as("id"), col("comp"))
+      val m = labels.unionByName(viaNeighbors)
+        .groupBy("id").agg(min("comp").as("comp"))
+      // (2) pointer compression: comp(v) ← comp(comp(v))
+      val parent = m.select(col("id").as("comp"), col("comp").as("pcomp"))
+      val next = m.join(parent, Seq("comp"), "left")
+        .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp"))
+        .localCheckpoint(true) // materializes + truncates lineage
+      val s = labelSum(next)
+      labels = next
+      converged = s.compareTo(lastSum) == 0
+      lastSum = s
+      iter += 1
+    }
+    e2.unpersist()
+    labels
+  }
+}

@@ -198,7 +198,53 @@ object TextQueries {
       |  COUNT(*) AS n_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** PII-style redaction scrub — a training-data pipeline staple: a
+    * cascade of anchored regex rewrites (emails → phones → long digit
+    * runs, applied in that order so later patterns see earlier
+    * replacements) plus per-class match counts for audit. The corpus
+    * text is synthetic word-salad, so a deterministic PII-bearing
+    * suffix is appended first to make the scrub observable; patterns
+    * stay in the regex subset Java and RE2 interpret identically.
+    * Everything is codegen'd string ops — at 100 TB this is a pure
+    * map stage, no shuffle.
+    */
+  def q54Redact(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\d{3}[- ]\\d{3,4}"
+    val digitsRe = "\\d{4,}"
+    t.documents
+      .withColumn("aug", concat(substring(col("text"), 1, 80),
+        lit(" contact a"), col("doc_id"), lit("@example.com or 555-"),
+        col("doc_id") + 1000, lit(" ref "), col("doc_id") * 100000 + 7))
+      .select(
+        col("doc_id"),
+        regexp_count(col("aug"), lit(emailRe)).as("n_email"),
+        regexp_count(col("aug"), lit(phoneRe)).as("n_phone"),
+        regexp_replace(regexp_replace(regexp_replace(col("aug"),
+          emailRe, "[EMAIL]"), phoneRe, "[PHONE]"), digitsRe, "[NUM]")
+          .as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  val q54Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 80) || ' contact a' || doc_id::VARCHAR ||
+      |    '@example.com or 555-' || (doc_id + 1000)::VARCHAR ||
+      |    ' ref ' || (doc_id * 100000 + 7)::VARCHAR AS aug
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_email,
+      |  len(regexp_extract_all(aug, '\d{3}[- ]\d{3,4}'))::BIGINT AS n_phone,
+      |  regexp_replace(regexp_replace(regexp_replace(aug,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+      |    '\d{3}[- ]\d{3,4}', '[PHONE]', 'g'),
+      |    '\d{4,}', '[NUM]', 'g') AS redacted
+      |FROM aug ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_redact" -> (q54Redact _),
     "q27_length_percentiles" -> (q27LengthPercentiles _),
     "q20_lang_id" -> (q20LangId _),
     "q21_quality_histogram" -> (q21QualityHistogram _),
@@ -208,6 +254,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q54_redact" -> q54Sql,
     "q27_length_percentiles" -> q27Sql,
     "q20_lang_id" -> q20Sql,
     "q21_quality_histogram" -> q21Sql,

@@ -133,6 +133,24 @@ object EventStreams {
               click_ts >= action_ts - INTERVAL 1 HOUR"""))
   }
 
+  /** Streaming sessionization (the continuous twin of batch q37):
+    * Spark's native `session_window` merges events into gap-separated
+    * sessions per user and — with the watermark — emits a session
+    * exactly once, when event time passes its close. State is bounded
+    * by open sessions only; no custom flatMapGroupsWithState needed
+    * (the built-in operator already maintains merging session state,
+    * so this stays whole-stage-planned — "let Catalyst do it").
+    */
+  def sessionizedCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   final case class Seen(key: String, raw: String)
   final case class SeenCount(key: String, raw: String, seenCount: Long)
 

@@ -167,6 +167,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows close at watermark and merge by gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val q = graft.streaming.EventStreams
+      .sessionizedCounts(events, gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2026-01-01 10:00:00")),
+        (1L, Timestamp.valueOf("2026-01-01 10:10:00")), // same session (gap 30m)
+        (2L, Timestamp.valueOf("2026-01-01 10:05:00")))
+      q.processAllAvailable()
+      // watermark moves past 10:40/10:35 → both sessions close
+      mem.addData((1L, Timestamp.valueOf("2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      // ...and past 12:30 → user 1's second session closes too
+      mem.addData((9L, Timestamp.valueOf("2026-01-01 14:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start").toString,
+          r.getAs[Timestamp]("session_end").toString,
+          r.getAs[Long]("n_events"))).toSet
+      assert(rows.contains((1L, "2026-01-01 10:00:00.0", "2026-01-01 10:40:00.0", 2L)),
+        s"merged 2-event session missing in $rows")
+      assert(rows.contains((2L, "2026-01-01 10:05:00.0", "2026-01-01 10:35:00.0", 1L)))
+      assert(rows.contains((1L, "2026-01-01 12:00:00.0", "2026-01-01 12:30:00.0", 1L)))
+      // user 9's session is still open (watermark has not passed it)
+      assert(!rows.exists(_._1 == 9L))
+    } finally q.stop()
+  }
+
   test("running seen counts accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
