@@ -215,7 +215,7 @@ object DedupQueries {
     * EXACT for bounds ≤ 3 (pigeonhole: ≤3 differing bits leave one
     * band untouched) and the documented band-recall trade above that.
     */
-  private def simhashPairs(t: Tables, maxHamming: Int): DataFrame = {
+  private[graft] def simhashPairs(t: Tables, maxHamming: Int): DataFrame = {
     // Postings-first: tokens explode once (duplicates kept — simhash
     // weights by term frequency), md5 runs codegen'd over the rows,
     // and the 32 per-bit sums are one hash aggregate. Sum is
@@ -263,7 +263,7 @@ object DedupQueries {
 
   /** Dedup CLUSTERING: near-dup pairs are only half the job — the
     * pipeline then groups them and keeps one canonical doc per group.
-    * Edges = simhash pairs at Hamming ≤ 2 (exact recall, see
+    * Edges = simhash pairs at Hamming ≤ 1 (exact recall, see
     * [[simhashPairs]]); groups = distributed connected components
     * ([[GraphOps.connectedComponents]] — join-based min-label
     * propagation with pointer compression, O(log n) rounds); canonical
@@ -272,7 +272,7 @@ object DedupQueries {
     */
   def q36DedupCluster(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val edges = simhashPairs(t, maxHamming = 2)
+    val edges = simhashPairs(t, maxHamming = 1)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val nodes = t.documents.select(col("doc_id").as("id"))
     GraphOps.connectedComponents(nodes, edges)
@@ -296,7 +296,7 @@ object DedupQueries {
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
        |edges AS (
-       |  SELECT a_id, b_id FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= 2),
+       |  SELECT a_id, b_id FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= 1),
        |e2 AS (
        |  SELECT a_id AS src, b_id AS dst FROM edges
        |  UNION ALL SELECT b_id, a_id FROM edges),

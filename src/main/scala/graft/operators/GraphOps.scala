@@ -35,9 +35,33 @@ object GraphOps {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIterations: Int = 50): DataFrame = {
+    val spark = nodes.sparkSession
     val e2 = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Size the loop's shuffles to the LABEL table (one ~16-byte row per
+    // vertex, ~2M rows/partition ≈ 32 MB), and run the rounds without
+    // AQE: each round's frames are tiny relative to the corpus, and at
+    // that size the cost is pure scheduling — AQE turns every shuffle
+    // stage into its own job, which multiplied wall time ~4× here. At
+    // 1e9 vertices this still yields hundreds of partitions — the
+    // setting follows the data, it does not assume smallness.
+    val nVertices = nodes.count()
+    val loopParts = math.max(1L, nVertices / 2000000L).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try connectedComponentsLoop(nodes, e2, maxIterations)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      e2.unpersist()
+    }
+  }
+
+  private def connectedComponentsLoop(nodes: DataFrame, e2: DataFrame,
+      maxIterations: Int): DataFrame = {
     // localCheckpoint (not persist): `m` below is referenced TWICE per
     // round, so without lineage truncation the LOGICAL plan doubles
     // every iteration and Catalyst analysis goes exponential long
@@ -49,27 +73,38 @@ object GraphOps {
       df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
         .getDecimal(0)
     var lastSum = labelSum(labels)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIterations) {
-      // (1) min over self + neighbors
+    // one propagation round: (1) every vertex takes the min label among
+    // itself and its neighbors; (2) labels compress one pointer-hop
+    // (labels are vertex ids, so a self-join resolves label → label's
+    // label — one post-agg row per vertex, which AQE auto-broadcasts at
+    // small scale and shuffle-joins at cluster scale)
+    def round(labels: DataFrame): DataFrame = {
       val viaNeighbors = e2
         .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
         .select(col("dst").as("id"), col("comp"))
       val m = labels.unionByName(viaNeighbors)
         .groupBy("id").agg(min("comp").as("comp"))
-      // (2) pointer compression: comp(v) ← comp(comp(v))
       val parent = m.select(col("id").as("comp"), col("comp").as("pcomp"))
-      val next = m.join(parent, Seq("comp"), "left")
+      m.join(parent, Seq("comp"), "left")
         .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp"))
-        .localCheckpoint(true) // materializes + truncates lineage
+    }
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      // exactly ONE round per materialization: the round references its
+      // aggregate twice, so chaining un-materialized rounds re-evaluates
+      // the inner subtree per reference (measured 2× slower) — the
+      // checkpoint is what makes each round's work linear
+      val next = round(labels)
+        .localCheckpoint(false) // lazy: the labelSum action below both
+                                // materializes it and truncates lineage
       val s = labelSum(next)
       labels = next
       converged = s.compareTo(lastSum) == 0
       lastSum = s
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] round $iter sum=$s")
     }
-    e2.unpersist()
     labels
   }
 }
