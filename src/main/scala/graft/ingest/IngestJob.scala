@@ -124,16 +124,24 @@ object IngestJob {
       "parties" -> pa, "case_type" -> ct, "judge" -> ju,
       "docket_text" -> dt, "status" -> st))))
 
+  /** @param cacheIntermediate persist the annotated (validated) batch:
+    *   right when several of the result's frames will each be acted on
+    *   (e.g. the quality-report suite reads cases, errors, dims and the
+    *   ledger from ONE run) — without it every frame re-runs the scan +
+    *   validation expressions. Leave false for single-consumer runs.
+    */
   def run(spark: SparkSession, raw: DataFrame, runId: Long,
       sourceName: String, sourceUri: String, ts: Timestamp,
-      priorCaseNumbers: Option[DataFrame] = None): IngestResult = {
+      priorCaseNumbers: Option[DataFrame] = None,
+      cacheIntermediate: Boolean = false): IngestResult = {
     import spark.implicits._
 
-    val annotated = raw
+    val annotated0 = raw
       .withColumn("_error_code", DF.errorCode(col("case_number"),
         col("filed_date"), col("court"), col("case_type"), col("status")))
       .withColumn("_why", DF.errorWhy(col("case_number"),
         col("filed_date"), col("court"), col("case_type"), col("status")))
+    val annotated = if (cacheIntermediate) annotated0.persist() else annotated0
 
     val bad = annotated.filter(col("_error_code").isNotNull)
 

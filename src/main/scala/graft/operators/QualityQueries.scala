@@ -44,7 +44,8 @@ object QualityQueries {
   private def ingested(spark: SparkSession, dir: String): IngestResult =
     cache.getOrElseUpdate(dir, {
       val r = IngestJob.run(spark, PipelineQueries.synthesizeRaw(Tables(spark, dir)),
-        runId = 1, sourceName = "synthesized", sourceUri = dir, ts = ts1)
+        runId = 1, sourceName = "synthesized", sourceUri = dir, ts = ts1,
+        cacheIntermediate = true)
       Seq(r.cases, r.errors, r.judges, r.courts, r.caseParties)
         .foreach(_.persist())
       r
