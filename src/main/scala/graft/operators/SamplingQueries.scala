@@ -122,15 +122,81 @@ object SamplingQueries {
        |  COUNT(*) AS n_docs, SUM(toks)::BIGINT AS pack_tokens
        |FROM packed GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
 
+  /** The full curation pipeline as ONE query — the composition a
+    * training-data team actually ships: inject exact duplicates (the
+    * corpus has none), then
+    *   1. exact-dedup (keep min doc_id per content hash — one shuffle
+    *      on the 128-bit key, q30's shape);
+    *   2. quality-filter at score ≥ 0.55 (TextQueries.qualityScored,
+    *      the oracle-validated signal);
+    *   3. stratified cap: best 200 docs per language by (score desc,
+    *      doc_id) — one ranking window per stratum;
+    *   4. deterministic hash-bucket split (q38's 80/10/10);
+    * and report the resulting mix: docs + char volume + score range
+    * per (lang, split). Every stage is a deterministic function of
+    * the data — rerun it on 100 TB and the same documents land in the
+    * same splits.
+    */
+  def q55TrainingMix(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select("doc_id", "lang", "n_chars", "text")
+    val dup = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val keepIds = dup.groupBy(md5(col("text")).as("_h"))
+      .agg(min("doc_id").as("doc_id")).drop("_h")
+    val kept = dup.join(keepIds, Seq("doc_id"), "left_semi")
+    val scored = kept.join(
+      TextQueries.qualityScored(kept.select("doc_id", "text")), Seq("doc_id"))
+      .filter(col("score") >= 0.55d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("score"), asc("doc_id"))
+    val bucket = pmod(md5Long60(col("doc_id").cast("string")), lit(100L))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 200)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("score").as("min_score"), max("score").as("max_score"))
+      .orderBy("lang", "split")
+  }
+
+  val q55Sql: String = {
+    val score = OracleSql.qualityScore("text")
+    val bucket = s"(${OracleSql.md5Long60("doc_id::VARCHAR")} % 100)"
+    s"""WITH dup AS (
+       |  SELECT doc_id, lang, n_chars, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, lang, n_chars, text FROM documents),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM dup GROUP BY md5(text)),
+       |kept AS (SELECT d.* FROM dup d JOIN keep k USING (doc_id)),
+       |scored AS (
+       |  SELECT *, $score AS score FROM kept),
+       |filtered AS (SELECT * FROM scored WHERE score >= 0.55),
+       |capped AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY score DESC, doc_id) AS rn
+       |  FROM filtered),
+       |mixed AS (
+       |  SELECT *, CASE WHEN $bucket < 80 THEN 'train'
+       |                 WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM capped WHERE rn <= 200)
+       |SELECT lang, split, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+       |  min(score) AS min_score, max(score) AS max_score
+       |FROM mixed GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_split_assignment" -> (q38SplitAssignment _),
     "q39_decontaminate" -> (q39Decontaminate _),
     "q47_sequence_packing" -> (q47SequencePacking _),
+    "q55_training_mix" -> (q55TrainingMix _),
   )
 
   val oracle: Map[String, String] = Map(
     "q38_split_assignment" -> q38Sql,
     "q39_decontaminate" -> q39Sql,
     "q47_sequence_packing" -> q47Sql,
+    "q55_training_mix" -> q55Sql,
   )
 }
