@@ -1,0 +1,90 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.GraphOps
+import graft.rag.WordPieceTokenizer
+
+/** Property tests for the round-3 primitives:
+  *   - distributed connected components vs a driver-side union-find
+  *     reference on random graphs;
+  *   - WordPiece greedy segmentation invariants on words composed from
+  *     the vocab (coverage, continuation marking, idempotent casing).
+  */
+object GraphProperties extends Properties("Graph") {
+  private lazy val spark = TestSpark.spark
+
+  // each CC case runs a full distributed loop (several Spark jobs);
+  // a dozen random graphs give the coverage without minutes of wall
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private val graphGen: Gen[(Seq[Long], Seq[(Long, Long)])] = for {
+    n <- Gen.choose(1, 24)
+    nodes = (0L until n.toLong)
+    nEdges <- Gen.choose(0, 30)
+    edges <- Gen.listOfN(nEdges, for {
+      a <- Gen.choose(0L, n.toLong - 1)
+      b <- Gen.choose(0L, n.toLong - 1)
+    } yield (a, b))
+  } yield (nodes, edges.filter(e => e._1 != e._2))
+
+  /** Reference union-find (path compression, driver-side). */
+  private def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(v => v -> v): _*)
+    def find(v: Long): Long = {
+      var r = v
+      while (parent(r) != r) r = parent(r)
+      var c = v
+      while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // normalize: component label = min member id
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, vs) => vs.map(_ -> vs.min) }
+  }
+
+  property("connectedComponents == union-find on random graphs") =
+    forAll(graphGen) { case (nodes, edges) =>
+      import spark.implicits._
+      val got = GraphOps.connectedComponents(
+        nodes.toDF("id"), edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(nodes, edges)
+    }
+
+  // -------------------------------------------------- WordPiece props
+  private val pieces = Seq("a", "ab", "abc", "b", "bc", "c", "##a",
+    "##ab", "##b", "##bc", "##c", "##cc")
+  private val vocab: Map[String, Int] =
+    (Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]") ++ pieces).zipWithIndex.toMap
+  private val inv = vocab.map(_.swap)
+  private val tok = new WordPieceTokenizer(vocab)
+
+  private val wordGen: Gen[String] = for {
+    first <- Gen.oneOf(pieces.filterNot(_.startsWith("##")))
+    rest <- Gen.listOf(Gen.oneOf(pieces.filter(_.startsWith("##"))))
+  } yield first + rest.map(_.stripPrefix("##")).mkString
+
+  property("wordpiece: segmentation covers the word exactly") =
+    forAll(wordGen) { w =>
+      val ids = tok.tokenize(w)
+      val toks = ids.map(inv)
+      // a word composed from vocab pieces never degrades to UNK, the
+      // first piece is a root, continuations carry ##, and the pieces
+      // re-concatenate to the word
+      toks.nonEmpty &&
+        !toks.contains("[UNK]") &&
+        !toks.head.startsWith("##") &&
+        toks.tail.forall(_.startsWith("##")) &&
+        (toks.head + toks.tail.map(_.stripPrefix("##")).mkString) == w
+    }
+
+  property("wordpiece: case-insensitive") =
+    forAll(wordGen) { w => tok.tokenize(w.toUpperCase) == tok.tokenize(w) }
+}
