@@ -87,10 +87,12 @@ object QualityQueries {
   def q68RecentDaily(spark: SparkSession, dir: String): DataFrame = {
     val raw = PipelineQueries.synthesizeRaw(Tables(spark, dir))
     val r1 = IngestJob.run(spark, raw.filter(col("_seq") % 2 === 0),
-      runId = 11, sourceName = "day1", sourceUri = dir, ts = ts1)
+      runId = 11, sourceName = "day1", sourceUri = dir, ts = ts1,
+      cacheIntermediate = true)
     val r2 = IngestJob.run(spark, raw.filter(col("_seq") % 2 =!= 0),
       runId = 12, sourceName = "day9", sourceUri = dir,
-      ts = Timestamp.valueOf("2026-01-09 00:00:00"))
+      ts = Timestamp.valueOf("2026-01-09 00:00:00"),
+      cacheIntermediate = true)
     QualityReport.recentDaily(r1.runLedger.unionByName(r2.runLedger),
       asOf = to_date(lit("2026-01-09")))
   }
