@@ -86,6 +86,96 @@ object StreamingIngest {
   }
 }
 
+/** Continuous near-duplicate filtering — the streaming face of the
+  * batch dedup family (DedupQueries q33/q36): each micro-batch's
+  * documents are simhash-banded and joined against the ACCUMULATED
+  * signature store, so a doc within Hamming ≤ `maxHamming` of any
+  * previously kept doc (or of an earlier doc in the same batch) is
+  * diverted to `near_dups`; novel docs land in `kept` and append
+  * their signatures. State is the banded signature table itself —
+  * 4 longs per kept doc, snapshot-versioned, shared with batch
+  * consumers — rather than opaque operator state, and the per-batch
+  * work is the exact band-equi-join shape that scales (cost tracks
+  * collisions, never batch × corpus). Idempotent on batchId via the
+  * same ledger-as-commit-log protocol as StreamingIngest.
+  */
+object StreamingNearDup {
+  import graft.functions.TextFunctions._
+
+  private val bands = 4
+
+  private def banded(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sh"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 8).bitwiseAND(255L).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+
+  /** One micro-batch: returns (kept, nearDups) after merging into the
+    * store. Public so tests (and batch callers) can drive it directly.
+    */
+  def processBatch(store: SnapshotStore, batch: DataFrame, batchId: Long,
+      maxHamming: Int = 2): Unit = {
+    val alreadyDone = store.read("neardup_batches").exists(
+      _.filter(col("batch_id") === batchId).limit(1).count() > 0)
+    if (alreadyDone) return
+    val spark = batch.sparkSession
+    val sigs = batch
+      .select(col("doc_id"), col("text"),
+        simHash32(tokens(col("text"))).as("sh"))
+      .localCheckpoint(true) // tiny; read by several joins below
+    val newBanded = banded(sigs.select("doc_id", "sh"))
+    // vs prior corpus: any stored signature within the Hamming bound
+    val dupVsPrior = store.read("signatures") match {
+      case Some(prior) =>
+        newBanded.join(banded(prior).select(col("band"), col("key"),
+          col("sh").as("p_sh")), Seq("band", "key"))
+          .filter(hamming32(col("sh"), col("p_sh")) <= maxHamming)
+          .select("doc_id").distinct()
+      case None => sigs.select("doc_id").limit(0)
+    }
+    // within-batch: the EARLIER doc (min doc_id) survives, exactly the
+    // batch family's canonical keep-rule
+    val dupInBatch = newBanded.select(col("doc_id").as("a_id"),
+      col("sh").as("a_sh"), col("band"), col("key"))
+      .join(newBanded.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        col("band"), col("key")), Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(hamming32(col("a_sh"), col("b_sh")) <= maxHamming)
+      .select(col("b_id").as("doc_id")).distinct()
+    val dupIds = dupVsPrior.unionByName(dupInBatch).distinct()
+    val kept = sigs.join(dupIds, Seq("doc_id"), "left_anti")
+    val dups = sigs.join(dupIds, Seq("doc_id"), "left_semi")
+    store.append("signatures", kept.select("doc_id", "sh"))
+    store.append("kept", kept.select("doc_id", "text"))
+    if (!dups.isEmpty)
+      store.append("near_dups", dups.select("doc_id", "text"))
+    // commit marker LAST (see StreamingIngest.processBatch)
+    store.append("neardup_batches", {
+      import spark.implicits._
+      Seq(batchId).toDF("batch_id")
+    })
+    ()
+  }
+
+  /** Watch `inputDir` for JSON files of `{doc_id, text}` documents. */
+  def start(spark: SparkSession, inputDir: String, checkpointDir: String,
+      store: SnapshotStore, maxHamming: Int = 2): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).option("multiLine", true).json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(store, batch, batchId, maxHamming)
+      }
+      .start()
+  }
+}
+
 /** Event-stream analytics: watermarked tumbling-window aggregation and
   * an arbitrary-stateful running counter.
   */

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for the shapes PLANS.md documents:
+  * the point is that a future edit silently reintroducing a shuffle or
+  * losing a broadcast FAILS here, not in a bench report three rounds
+  * later. All collectors recurse through AQE's leaf wrappers
+  * (AdaptiveSparkPlanExec / QueryStageExec hold their subtree in a
+  * field, invisible to a plain collect).
+  */
+class PlanGuardsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def collectNodes[T](df: DataFrame)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    df.collect() // finalize the adaptive plan first
+    def go(p: SparkPlan): Seq[T] = {
+      val here = p.collect {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case q: QueryStageExec => go(q.plan)
+        case n if pf.isDefinedAt(n) => Seq(pf(n))
+      }
+      here.flatten
+    }
+    go(df.queryExecution.executedPlan)
+  }
+
+  test("q32 shuffles exactly twice: signature aggregate + result sort") {
+    val df = operators.DedupQueries.q32DedupMinhashLsh(spark, dir)
+    val shuffles = collectNodes(df) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2,
+      s"q32 grew a shuffle (${shuffles.size}):\n${df.queryExecution.executedPlan}")
+    assert(shuffles.nonEmpty, "expected at least the signature aggregate exchange")
+  }
+
+  test("q13 broadcasts all three dimension joins") {
+    val df = operators.CoreQueries.q13RevenueByNation(spark, dir)
+    val bhj = collectNodes(df) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 3,
+      s"expected >=3 broadcast joins, got ${bhj.size}:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q36's signature stage plans without an aggregate exchange") {
+    // the per-row graft_simhash fold replaced the explode + 32-sum
+    // aggregate; the edge GENERATION up to the band join must not
+    // shuffle the corpus (the band self-join itself may)
+    val sig = Tables(spark, dir).documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.TextFunctions.simHash32(
+          graft.functions.TextFunctions.tokens(
+            org.apache.spark.sql.functions.col("text"))).as("sh"))
+    val shuffles = collectNodes(sig) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty,
+      s"signature stage should be shuffle-free:\n${sig.queryExecution.executedPlan}")
+  }
+}

@@ -97,6 +97,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(run8.getLong(1) == 1L)
   }
 
+  test("streaming near-dup filter: prior-corpus, within-batch, and replay") {
+    import spark.implicits._
+    val storeDir = Files.createTempDirectory("graft-neardup-store")
+    val store = new SnapshotStore(spark, storeDir.toString)
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    graft.streaming.StreamingNearDup.processBatch(store,
+      docs(1L -> "alpha beta gamma delta",
+           2L -> "totally different words entirely"), batchId = 0L)
+    assert(store.read("kept").get.count() == 2)
+    assert(store.read("near_dups").isEmpty || store.read("near_dups").get.count() == 0)
+
+    // batch 1: doc 3 repeats doc 1's text (Hamming 0 vs the stored
+    // signature) → diverted; doc 4 is novel → kept
+    graft.streaming.StreamingNearDup.processBatch(store,
+      docs(3L -> "alpha beta gamma delta",
+           4L -> "novel content with fresh vocabulary"), batchId = 1L)
+    assert(store.read("kept").get.select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L))
+    assert(store.read("near_dups").get.select("doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+
+    // crash-recovery replay of batch 1 must change nothing
+    graft.streaming.StreamingNearDup.processBatch(store,
+      docs(3L -> "alpha beta gamma delta",
+           4L -> "novel content with fresh vocabulary"), batchId = 1L)
+    assert(store.read("kept").get.count() == 3)
+    assert(store.read("near_dups").get.count() == 1)
+
+    // batch 2: within-batch duplicate pair — the earlier doc_id wins
+    graft.streaming.StreamingNearDup.processBatch(store,
+      docs(5L -> "completely original phrasing again",
+           6L -> "completely original phrasing again"), batchId = 2L)
+    assert(store.read("kept").get.select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L, 5L))
+    assert(store.read("near_dups").get.select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(3L, 6L))
+  }
+
   test("windowed counts with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
