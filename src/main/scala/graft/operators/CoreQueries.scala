@@ -475,6 +475,61 @@ object CoreQueries {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** CUBE over (status, priority): all four grouping sets in one scan
+    * with partial aggregation before the single exchange — completes
+    * the grouping-set family next to q29's ROLLUP. grouping_id
+    * disambiguates genuine NULL keys from subtotal rows.
+    */
+  def q56Cube(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        grouping_id(col("o_orderstatus"), col("o_orderpriority"))
+          .cast("long").as("gid"))
+      .orderBy(asc("gid"), asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+      .select("gid", "o_orderstatus", "o_orderpriority", "cnt", "sum_price")
+  }
+
+  val q56Sql: String =
+    """SELECT GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+      |  o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Approximate percentiles next to exact ones, contract-oracled like
+    * q19: the exact quantiles hash against DuckDB, the sketch
+    * estimates are emitted as within-rank-error booleans (oracled as
+    * TRUE). approx_percentile's accuracy parameter 10000 bounds rank
+    * error at 1/10000; the contract allows 1% of the value RANGE via
+    * the exact p1/p99 spread, generous enough to never flip on a
+    * legitimate sketch at any scale factor.
+    */
+  def q57ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val agg = t.orders.agg(
+      expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+      expr("percentile(o_totalprice, 0.99)").as("exact_p99"),
+      expr("percentile(o_totalprice, 0.01)").as("exact_p01"),
+      expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"),
+      expr("approx_percentile(o_totalprice, 0.99, 10000)").as("ap99"))
+    agg.select(
+      col("exact_p50"), col("exact_p99"),
+      (abs(col("ap50") - col("exact_p50")) <=
+        (col("exact_p99") - col("exact_p01")) * 0.01d).as("approx_p50_ok"),
+      (abs(col("ap99") - col("exact_p99")) <=
+        (col("exact_p99") - col("exact_p01")) * 0.01d).as("approx_p99_ok"))
+  }
+
+  val q57Sql: String =
+    """SELECT quantile_cont(o_totalprice, 0.5) AS exact_p50,
+      |  quantile_cont(o_totalprice, 0.99) AS exact_p99,
+      |  TRUE AS approx_p50_ok, TRUE AS approx_p99_ok
+      |FROM orders""".stripMargin
+
   /** Grouped top-3 via the custom TopKPerKey operator (full
     * LogicalPlan → Strategy → heap-based physical exec with map-side
     * partial, graft.plans.TopKPerKey) — the same result the q10/q45
@@ -540,6 +595,8 @@ object CoreQueries {
     "q19_approx_distinct" -> (q19ApproxDistinct _),
     "q28_tumbling_window" -> (q28TumblingWindow _),
     "q29_rollup" -> (q29Rollup _),
+    "q56_cube" -> (q56Cube _),
+    "q57_approx_percentiles" -> (q57ApproxPercentiles _),
     "q45_topk_custom_op" -> (q45TopkCustomOp _),
     "q46_window_analytics" -> (q46WindowAnalytics _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -567,6 +624,8 @@ object CoreQueries {
     "q19_approx_distinct" -> q19Sql,
     "q28_tumbling_window" -> q28Sql,
     "q29_rollup" -> q29Sql,
+    "q56_cube" -> q56Sql,
+    "q57_approx_percentiles" -> q57Sql,
     "q45_topk_custom_op" -> q45Sql,
     "q46_window_analytics" -> q46Sql,
     "q1_pricing_summary" -> q1Sql,
