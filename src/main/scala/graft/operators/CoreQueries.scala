@@ -530,6 +530,68 @@ object CoreQueries {
       |  TRUE AS approx_p50_ok, TRUE AS approx_p99_ok
       |FROM orders""".stripMargin
 
+  /** Full-outer reconciliation — the one join flavor the inventory
+    * lacked: daily order counts vs daily event counts, keyed on day,
+    * with COALESCE closing the gaps on both sides. The classic
+    * "compare two pipelines' outputs" audit query; both inputs
+    * pre-aggregate before the join so the shuffle carries days, not
+    * rows.
+    */
+  def q58FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val orders = t.orders.groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val events = t.events.groupBy(to_date(col("ts")).cast("timestamp").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    orders.join(events, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .filter(col("n_orders") === 0 || col("n_events") === 0)
+      .orderBy("day")
+  }
+
+  val q58Sql: String =
+    """WITH o AS (SELECT o_orderdate AS day, COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |e AS (SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1)
+      |SELECT COALESCE(o.day, e.day) AS day,
+      |  COALESCE(n_orders, 0) AS n_orders, COALESCE(n_events, 0) AS n_events
+      |FROM o FULL OUTER JOIN e ON o.day = e.day
+      |WHERE COALESCE(n_orders, 0) = 0 OR COALESCE(n_events, 0) = 0
+      |ORDER BY day""".stripMargin
+
+  /** JSON path functions (§2.8 tail): documents render a JSON envelope
+    * (byte-identical literal construction on both engines) and the
+    * fields are pulled back out with path extraction — the
+    * get_json_object / json_extract pairing an ingest layer leans on
+    * when payloads arrive as JSON strings inside columns.
+    */
+  def q59JsonPaths(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("j", concat(lit("{\"id\":"), col("doc_id"),
+        lit(",\"meta\":{\"lang\":\""), col("lang"),
+        lit("\",\"source\":\""), col("source"), lit("\"}}")))
+      .select(
+        get_json_object(col("j"), "$.meta.lang").as("lang_out"),
+        get_json_object(col("j"), "$.id").cast("long").as("id_out"))
+      .groupBy("lang_out")
+      .agg(count(lit(1)).as("n"), sum("id_out").as("sum_ids"))
+      .orderBy("lang_out")
+  }
+
+  val q59Sql: String =
+    """WITH j AS (
+      |  SELECT '{"id":' || doc_id || ',"meta":{"lang":"' || lang ||
+      |    '","source":"' || source || '"}}' AS j
+      |  FROM documents)
+      |SELECT json_extract_string(j, '$.meta.lang') AS lang_out,
+      |  COUNT(*) AS n,
+      |  SUM(json_extract_string(j, '$.id')::BIGINT)::BIGINT AS sum_ids
+      |FROM j GROUP BY 1 ORDER BY lang_out""".stripMargin
+
   /** Grouped top-3 via the custom TopKPerKey operator (full
     * LogicalPlan → Strategy → heap-based physical exec with map-side
     * partial, graft.plans.TopKPerKey) — the same result the q10/q45
@@ -596,6 +658,8 @@ object CoreQueries {
     "q28_tumbling_window" -> (q28TumblingWindow _),
     "q29_rollup" -> (q29Rollup _),
     "q56_cube" -> (q56Cube _),
+    "q58_full_outer" -> (q58FullOuter _),
+    "q59_json_paths" -> (q59JsonPaths _),
     "q57_approx_percentiles" -> (q57ApproxPercentiles _),
     "q45_topk_custom_op" -> (q45TopkCustomOp _),
     "q46_window_analytics" -> (q46WindowAnalytics _),
@@ -625,6 +689,8 @@ object CoreQueries {
     "q28_tumbling_window" -> q28Sql,
     "q29_rollup" -> q29Sql,
     "q56_cube" -> q56Sql,
+    "q58_full_outer" -> q58Sql,
+    "q59_json_paths" -> q59Sql,
     "q57_approx_percentiles" -> q57Sql,
     "q45_topk_custom_op" -> q45Sql,
     "q46_window_analytics" -> q46Sql,
