@@ -592,6 +592,53 @@ object CoreQueries {
       |  SUM(json_extract_string(j, '$.id')::BIGINT)::BIGINT AS sum_ids
       |FROM j GROUP BY 1 ORDER BY lang_out""".stripMargin
 
+  /** PIVOT: long → wide on an explicit value list (explicit so the
+    * output schema is static — the form that scales, since a dynamic
+    * pivot needs a driver-side distinct pass first). One hash
+    * aggregate; each pivot cell is a count-filter accumulator.
+    */
+  def q70Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q70Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** UNPIVOT (melt): wide → long over the three customer measure
+    * columns — a pure per-row expansion (Generate), no shuffle until
+    * the output sort.
+    */
+  def q71Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .filter(col("c_custkey") <= 50)
+      .select(col("c_custkey"), col("c_acctbal").cast("double").as("acctbal"),
+        col("c_nationkey").cast("double").as("nationkey"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("acctbal"), col("nationkey")), "measure", "value")
+      .orderBy("c_custkey", "measure")
+  }
+
+  val q71Sql: String =
+    """SELECT c_custkey, measure, value FROM (
+      |  SELECT c_custkey, 'acctbal' AS measure, c_acctbal::DOUBLE AS value
+      |  FROM customer WHERE c_custkey <= 50
+      |  UNION ALL
+      |  SELECT c_custkey, 'nationkey', c_nationkey::DOUBLE
+      |  FROM customer WHERE c_custkey <= 50)
+      |ORDER BY c_custkey, measure""".stripMargin
+
   /** Grouped top-3 via the custom TopKPerKey operator (full
     * LogicalPlan → Strategy → heap-based physical exec with map-side
     * partial, graft.plans.TopKPerKey) — the same result the q10/q45
@@ -659,6 +706,8 @@ object CoreQueries {
     "q29_rollup" -> (q29Rollup _),
     "q56_cube" -> (q56Cube _),
     "q58_full_outer" -> (q58FullOuter _),
+    "q70_pivot" -> (q70Pivot _),
+    "q71_unpivot" -> (q71Unpivot _),
     "q59_json_paths" -> (q59JsonPaths _),
     "q57_approx_percentiles" -> (q57ApproxPercentiles _),
     "q45_topk_custom_op" -> (q45TopkCustomOp _),
@@ -690,6 +739,8 @@ object CoreQueries {
     "q29_rollup" -> q29Sql,
     "q56_cube" -> q56Sql,
     "q58_full_outer" -> q58Sql,
+    "q70_pivot" -> q70Sql,
+    "q71_unpivot" -> q71Sql,
     "q59_json_paths" -> q59Sql,
     "q57_approx_percentiles" -> q57Sql,
     "q45_topk_custom_op" -> q45Sql,
