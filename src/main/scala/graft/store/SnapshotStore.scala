@@ -44,6 +44,48 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       spark.read.parquet(tableDir(table).resolve(s"v$v").toString)
     }
 
+  /** Time travel: read a specific retained snapshot version (None if
+    * that version was never written or has been vacuumed).
+    */
+  def readVersion(table: String, version: Long): Option[DataFrame] = {
+    val dir = tableDir(table).resolve(s"v$version")
+    if (Files.isDirectory(dir)) Some(spark.read.parquet(dir.toString))
+    else None
+  }
+
+  /** Versions currently on disk for a table, ascending. */
+  def versions(table: String): Seq[Long] = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toLong).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Drop all but the newest `keepLast` versions of a table (never the
+    * current pointer's target). The reclamation pass every versioned
+    * store needs — old snapshots otherwise accumulate one full table
+    * copy per merge. Readers of the CURRENT version are unaffected:
+    * only strictly older directories are removed.
+    */
+  def vacuum(table: String, keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val cur = currentVersion(table).getOrElse(return Seq.empty)
+    val drop = versions(table).filter(_ <= cur).dropRight(keepLast)
+      .filterNot(_ == cur)
+    drop.foreach { v =>
+      val dir = tableDir(table).resolve(s"v$v")
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally s.close()
+    }
+    drop
+  }
+
   /** Write a new snapshot version and atomically swap the pointer.
     * `partitionCols` lays the snapshot out hive-partitioned (e.g.
     * `cases` by filing year) so partition pruning replaces the

@@ -77,4 +77,25 @@ class SnapshotStoreSpec extends AnyFunSuite {
     s.append("ledger", Seq((2, "r2")).toDF("run_id", "x"))
     assert(s.read("ledger").get.count() == 2)
   }
+
+  test("time travel + vacuum: old versions readable until reclaimed") {
+    val s = newStore()
+    s.write("t", Seq((1, "a")).toDF("k", "v"))            // v0
+    s.write("t", Seq((1, "b"), (2, "c")).toDF("k", "v"))  // v1
+    s.write("t", Seq((3, "d")).toDF("k", "v"))            // v2
+    assert(s.versions("t") == Seq(0L, 1L, 2L))
+    assert(s.readVersion("t", 0).get.count() == 1)
+    assert(s.readVersion("t", 1).get.count() == 2)
+    assert(s.read("t").get.collect().map(_.getInt(0)).toSeq == Seq(3))
+
+    val dropped = s.vacuum("t", keepLast = 2)
+    assert(dropped == Seq(0L))
+    assert(s.readVersion("t", 0).isEmpty)
+    assert(s.readVersion("t", 1).isDefined, "kept versions still readable")
+    assert(s.read("t").get.count() == 1, "current snapshot unaffected")
+
+    assert(s.vacuum("t", keepLast = 1) == Seq(1L))
+    assert(s.versions("t") == Seq(2L))
+    intercept[IllegalArgumentException](s.vacuum("t", keepLast = 0))
+  }
 }
