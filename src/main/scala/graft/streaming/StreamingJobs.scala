@@ -25,9 +25,17 @@ object StreamingIngest {
     * append ledgers). runId = micro-batch id; epochTs is injectable
     * for deterministic tests.
     */
+  /** @param retainVersions when set, vacuum each merged table down to
+    *   the newest N snapshot versions after every batch — continuous
+    *   merges otherwise accumulate a full table copy per micro-batch.
+    *   Leave None if external readers time-travel into old versions
+    *   (single-writer assumption: vacuum deletes files a concurrent
+    *   reader of an OLD version could still hold open).
+    */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
       store: SnapshotStore, epochTs: Long => Timestamp =
-        _ => new Timestamp(System.currentTimeMillis())): StreamingQuery = {
+        _ => new Timestamp(System.currentTimeMillis()),
+      retainVersions: Option[Int] = None): StreamingQuery = {
     val raw = spark.readStream
       .schema(IngestJob.rawSchema)
       .option("multiLine", true)
@@ -37,6 +45,8 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(store, batch, batchId, s"stream:$inputDir", inputDir,
           epochTs(batchId))
+        retainVersions.foreach(n =>
+          store.tables().foreach(t => store.vacuum(t, keepLast = n)))
       }
       .start()
   }

@@ -36,7 +36,8 @@ class StreamingSpec extends AnyFunSuite {
       s"[${docket("S-1", "Hon. Maria Rodriguez")},${docket("S-2", "Judge Chen")}]")
 
     val q = StreamingIngest.start(spark, in.toString, ckpt.toString, store,
-      _ => Timestamp.valueOf("2026-01-01 00:00:00"))
+      _ => Timestamp.valueOf("2026-01-01 00:00:00"),
+      retainVersions = Some(2))
     try {
       q.processAllAvailable()
       assert(store.read("cases").get.count() == 2)
@@ -59,6 +60,9 @@ class StreamingSpec extends AnyFunSuite {
       assert(maria == 2)
       // run ledger: one row per micro-batch
       assert(store.read("ingest_runs").get.count() == 2)
+      // retention: every table vacuumed to at most 2 snapshot versions
+      assert(store.tables().forall(t => store.versions(t).size <= 2),
+        store.tables().map(t => t -> store.versions(t)).toString)
     } finally q.stop()
   }
 
