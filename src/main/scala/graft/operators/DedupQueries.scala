@@ -227,6 +227,9 @@ object DedupQueries {
     // stage is now embarrassingly parallel.
     val sig = t.documents
       .select(col("doc_id"), simHash32(tokens(col("text"))).as("sh"))
+      // two longs per doc, read by BOTH band-join sides — without this
+      // the signature pass (the expensive md5 fold) runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val banded = sig.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
