@@ -69,6 +69,10 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"), charShingles(col("text"), 3).as("s"))
       .select(col("doc_id"), col("lang"), size(col("s")).as("n_sh"),
         explode(col("s")).as("g"))
+      // both self-join sides read the postings; without the cache the
+      // shingle explode runs twice (id-bounded slice, so memory is
+      // bounded too — the unbounded-scale path is q32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val a = postings.select(col("doc_id").as("a_id"), col("lang"),
       col("n_sh").as("a_n"), col("g"))
     val b = postings.select(col("doc_id").as("b_id"), col("lang"),
