@@ -58,6 +58,32 @@ object Bench {
       time("api_search_dockets") { api.searchDockets("spark group query row data", 5) })
   }
 
+  /** Head-to-head: the custom TopKPerKey operator vs Spark's
+    * sort-everything window plan for the same grouped top-3 — the
+    * window variant runs with the TopKRewrite gate OFF so it is the
+    * genuine baseline, not the rewritten plan timing itself twice.
+    */
+  private def topkBench(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val events = Tables(spark, sfDir).events.select("user_id", "event_id", "value")
+    def windowForm() = events
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        W.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))))
+      .filter(col("rank") <= 3).count()
+    def operatorForm() = graft.plans.TopKPerKey(events, Seq("user_id"),
+      Seq(desc("value"), asc("event_id")), 3).count()
+    def time(name: String)(f: => Unit): (String, Double) = {
+      f // warm
+      val t0 = System.nanoTime(); f
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val op = time("topk_operator") { operatorForm() }
+    spark.conf.set(graft.plans.TopKRewrite.ConfKey, "false")
+    val win = try time("topk_window_baseline") { windowForm() }
+      finally spark.conf.unset(graft.plans.TopKRewrite.ConfKey)
+    Seq(op, win)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -75,7 +101,8 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val api = try apiBench(spark, sfDir) catch { case _: Throwable => Seq.empty }
-    val all = results.toSeq ++ api
+    val topk = try topkBench(spark, sfDir) catch { case _: Throwable => Seq.empty }
+    val all = results.toSeq ++ api ++ topk
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).sum

@@ -22,8 +22,14 @@ import org.apache.spark.sql.types.IntegerType
   * expression (row_number), a Filter directly above it (optionally
   * with extra conjuncts, which are preserved), non-empty partition
   * spec, and a positive literal bound.
+  *
+  * Gated on `spark.graft.rewrite.topk` (default true) — a session-wide
+  * replan of user SQL should always be opt-out-able; the gate is also
+  * what lets the bench time the window baseline honestly.
   */
 object TopKRewrite extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.rewrite.topk"
 
   private def boundOf(cond: Expression, rn: Attribute): Option[(Int, Seq[Expression])] = {
     val conjuncts = splitConjuncts(cond)
@@ -49,7 +55,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(ConfKey, "true").toBoolean) plan
+    else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond,
         w @ Window(Seq(alias @ Alias(
           WindowExpression(_: RowNumber,

@@ -45,6 +45,15 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(reference.exceptAll(df).count() == 0)
   }
 
+  test("spark.graft.rewrite.topk=false disables the rewrite") {
+    val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+    spark.conf.set(graft.plans.TopKRewrite.ConfKey, "false")
+    try {
+      val df = events.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      assert(!hasTopK(df), "rewrite fired despite the conf gate")
+    } finally spark.conf.unset(graft.plans.TopKRewrite.ConfKey)
+  }
+
   test("plans with other window functions are not rewritten") {
     val w = Window.partitionBy("user_id").orderBy(desc("value"))
     val df = events.withColumn("rk", rank().over(w)).filter(col("rk") <= 2)
