@@ -47,6 +47,10 @@ object GraphOps {
     // 1e9 vertices this still yields hundreds of partitions — the
     // setting follows the data, it does not assume smallness.
     val nVertices = nodes.count()
+    if (nVertices == 0) { // empty graph: avoid the loop entirely (the
+      e2.unpersist()      // convergence sum over zero rows is NULL)
+      return nodes.select(col("id"), col("id").as("comp"))
+    }
     val loopParts = math.max(1L, nVertices / 2000000L).toInt
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")

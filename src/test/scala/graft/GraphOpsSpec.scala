@@ -36,6 +36,10 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(Seq(20L, 21L).forall(got(_) == 20L))
   }
 
+  test("empty graph yields an empty result") {
+    assert(cc(Seq.empty, Seq.empty).isEmpty)
+  }
+
   test("edge orientation does not matter") {
     val a = cc(1L to 5L, Seq((5L, 4L), (3L, 4L), (1L, 2L), (2L, 3L)))
     assert(a.values.forall(_ == 1L))
