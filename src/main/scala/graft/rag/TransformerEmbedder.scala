@@ -16,7 +16,11 @@ package graft.rag
   *     `input_ids`/`attention_mask` int64 tensors of shape
   *     [batch, seq], read `last_hidden_state` floats of shape
   *     [batch, seq, hidden]) — a ~15-line class with no changes on
-  *     this side. CI uses [[DeterministicFakeSession]].
+  *     this side. A native runtime session is NOT serializable: the
+  *     adapter should hold the model PATH and build its session in a
+  *     `@transient lazy val`, so each executor loads the weights once
+  *     on first use (the embedder itself ships only the path + vocab).
+  *     CI uses [[DeterministicFakeSession]].
   *
   * The embedder honours the [[Embedder]] contract (unit-normalized
   * vectors, cosine ≡ dot), so every downstream semantic — backfill,

@@ -55,6 +55,23 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(got == Map(1 -> ((5L, 8L, 20L)), 2 -> ((1L, 5L, 5L)), 3 -> ((1L, 1L, 1L))))
   }
 
+  test("mergeAdditive residual columns: batch wins when present, else prior") {
+    val s = newStore()
+    s.write("var", Seq((1, 1L, "old-label"), (2, 1L, "keep-me"), (3, 1L, null))
+      .toDF("k", "seen_count", "label"))
+    s.mergeAdditive("var",
+      Seq((1, 1L, "new-label"), (2, 1L, null), (3, 1L, "filled"), (4, 1L, null))
+        .toDF("k", "seen_count", "label"),
+      Seq("k"), Seq("seen_count"), Seq.empty, Seq.empty)
+    val got = s.read("var").get.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), Option(r.getString(2))))).toMap
+    assert(got == Map(
+      1 -> ((2L, Some("new-label"))),  // batch overrides
+      2 -> ((2L, Some("keep-me"))),    // batch null → prior survives
+      3 -> ((2L, Some("filled"))),     // prior null → batch fills
+      4 -> ((1L, None))))              // batch-only, null stays null
+  }
+
   test("mergeAdditive associativity: split batch == one batch (G9 property)") {
     val full = Seq((1, 4L, 2L, 9L), (2, 2L, 1L, 3L))
       .toDF("k", "seen_count", "first_seen", "last_seen")
