@@ -251,6 +251,23 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-static enrichment: a micro-batch stream left-joined to a
+    * broadcast dimension (the streaming twin of the batch engine's J1
+    * dim joins) with a per-(dim-attribute) windowed rollup behind it.
+    * The static side re-resolves per micro-batch, so a snapshot-store
+    * dim picked up between batches is reflected without restarting
+    * the query.
+    */
+  def enrichedCounts(events: DataFrame, userDim: DataFrame,
+      watermark: String = "10 minutes", window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(userDim), Seq("user_id"), "left")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        coalesce(col("tier"), lit("unknown")).as("tier"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("tier"), col("n_events"))
+
   final case class Seen(key: String, raw: String)
   final case class SeenCount(key: String, raw: String, seenCount: Long)
 

@@ -185,6 +185,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches events with dim attributes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val q = graft.streaming.EventStreams.enrichedCounts(events, dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2026-01-01 10:05:00")),
+        (1L, Timestamp.valueOf("2026-01-01 10:15:00")),
+        (2L, Timestamp.valueOf("2026-01-01 10:20:00")),
+        (9L, Timestamp.valueOf("2026-01-01 10:25:00"))) // not in dim
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getAs[String]("tier"), r.getAs[Long]("n_events"))).toSet
+      assert(rows == Set(("gold", 2L), ("basic", 1L), ("unknown", 1L)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches actions to preceding clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
