@@ -94,42 +94,151 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     */
   def write(table: String, df: DataFrame, partitionCols: Seq[String] = Nil): Long = {
     val next = currentVersion(table).getOrElse(-1L) + 1
+    writeVersionDir(table, next, df, partitionCols)
+    swapPointer(table, next)
+    next
+  }
+
+  private def writeVersionDir(table: String, version: Long, df: DataFrame,
+      partitionCols: Seq[String]): Unit = {
     Files.createDirectories(tableDir(table))
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(tableDir(table).resolve(s"v$next").toString)
+      .parquet(tableDir(table).resolve(s"v$version").toString)
+  }
+
+  private def swapPointer(table: String, version: Long): Unit = {
     val tmp = tableDir(table).resolve("_current.tmp")
-    Files.writeString(tmp, next.toString)
+    Files.writeString(tmp, version.toString)
     Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    next
+  }
+
+  /** Spark's hive-style directory name for one partition value (null →
+    * `__HIVE_DEFAULT_PARTITION__`, special chars escaped the same way
+    * Spark's writer escapes them).
+    */
+  private def partitionDirName(colName: String, value: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val s = value match {
+      case null => ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      case v => ExternalCatalogUtils.escapePathName(String.valueOf(v))
+    }
+    s"$colName=$s"
+  }
+
+  /** Partition-scoped merge: rewrite ONLY the hive partitions the
+    * batch touches; every untouched partition directory of the prior
+    * snapshot is hard-linked into the new version unchanged. This is
+    * the lakehouse commit model (a new snapshot re-references the old
+    * data files it didn't change — Delta/Iceberg do it via manifests;
+    * on one filesystem a hardlink is the same thing), and it turns the
+    * per-micro-batch merge cost from O(full table) to O(touched
+    * partitions) — the reference's row-level `ON CONFLICT`
+    * (ingest.py:613-644) costs O(batch), and at 100 TB a whole-table
+    * rewrite per batch is the difference between a pipeline and a
+    * bonfire.
+    *
+    * Correctness subtlety: a batch key may collide with a prior row in
+    * a DIFFERENT partition (a case's `filed_year` changes on
+    * re-ingest). Touched = batch's partitions ∪ partitions holding
+    * colliding prior keys, found by a column-pruned key probe (reads
+    * only key + partition columns — at cluster scale this is the
+    * manifest/bloom-filter lookup every lakehouse MERGE does). All
+    * prior rows sharing a batch key are therefore inside
+    * `priorTouched`, so every combine flavor (last-write-wins /
+    * insert-if-absent / additive) sees exactly the rows it needs.
+    *
+    * `vacuum` stays safe: deleting an old version's files only drops
+    * one hard link; the data lives while any newer version links it.
+    */
+  private def mergedPartitionScoped(table: String, cur: Long, batch: DataFrame,
+      combine: (DataFrame, DataFrame) => DataFrame,
+      partitionCols: Seq[String], probeKeys: Seq[String]): Long = {
+    import org.apache.spark.storage.StorageLevel
+    val pc = partitionCols.head
+    val curDir = tableDir(table).resolve(s"v$cur")
+    val priorPartDirs: Map[String, java.nio.file.Path] = {
+      val s = Files.list(curDir)
+      try s.iterator().asScala.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"$pc="))
+        .map(p => p.getFileName.toString -> p).toMap
+      finally s.close()
+    }
+    // prior layout isn't partitioned on pc (layout change) → full rewrite
+    if (priorPartDirs.isEmpty)
+      return write(table, combine(read(table).get, batch), partitionCols)
+    batch.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val prior = spark.read.parquet(curDir.toString)
+      val batchVals = batch.select(col(pc)).distinct().collect().map(_.get(0))
+      val collideVals: Array[Any] =
+        if (probeKeys.isEmpty) Array.empty
+        else prior.select((probeKeys :+ pc).distinct.map(col): _*)
+          .join(batch.select(probeKeys.map(col): _*).distinct(), probeKeys, "left_semi")
+          .select(col(pc)).distinct().collect().map(_.get(0))
+      val touchedVals = (batchVals ++ collideVals).toSet
+      val touchedDirs = touchedVals.map(partitionDirName(pc, _))
+      val nonNull = touchedVals.filter(_ != null).toSeq
+      val touchedPred = {
+        val in = if (nonNull.nonEmpty) col(pc).isin(nonNull: _*) else lit(false)
+        if (touchedVals.contains(null)) in || col(pc).isNull else in
+      }
+      val priorTouched = prior.filter(touchedPred)
+      val next = cur + 1
+      writeVersionDir(table, next, combine(priorTouched, batch), partitionCols)
+      val nextDir = tableDir(table).resolve(s"v$next")
+      priorPartDirs.foreach { case (name, path) =>
+        if (!touchedDirs.contains(name)) linkTree(path, nextDir.resolve(name))
+      }
+      swapPointer(table, next) // only after untouched links exist: readers
+      next                     // of v_next always see a complete table
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Recursively hard-link `src` into `dst` (fallback: copy, for
+    * filesystems without link support).
+    */
+  private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val s = Files.walk(src)
+    try s.iterator().asScala.foreach { p =>
+      val target = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else try Files.createLink(target, p)
+      catch { case _: UnsupportedOperationException =>
+        Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING) }
+    } finally s.close()
   }
 
   private def merged(table: String, batch: DataFrame,
       combine: (DataFrame, DataFrame) => DataFrame,
-      partitionCols: Seq[String] = Nil): Long = {
-    val next = read(table) match {
-      case Some(prior) => combine(prior, batch)
-      case None => batch
+      partitionCols: Seq[String] = Nil,
+      probeKeys: Seq[String] = Nil): Long =
+    currentVersion(table) match {
+      case Some(cur) if partitionCols.nonEmpty =>
+        mergedPartitionScoped(table, cur, batch, combine, partitionCols, probeKeys)
+      case Some(_) => write(table, combine(read(table).get, batch), partitionCols)
+      case None => write(table, batch, partitionCols)
     }
-    write(table, next, partitionCols)
-  }
 
   /** Upsert: batch rows replace prior rows sharing the key (S4).
     * `partitionCols` keeps the merged snapshot hive-partitioned (e.g.
-    * cases by `filed_year`).
+    * cases by `filed_year`) AND scopes the merge I/O to the touched
+    * partitions (see [[mergedPartitionScoped]]).
     */
   def mergeLastWriteWins(table: String, batch: DataFrame, keys: Seq[String],
       partitionCols: Seq[String] = Nil): Long =
     merged(table, batch, (prior, b) =>
       prior.join(b.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        .unionByName(b), partitionCols)
+        .unionByName(b), partitionCols, probeKeys = keys)
 
   /** Insert-if-absent: prior rows win, new keys append (S5/S6). */
-  def mergeInsertIfAbsent(table: String, batch: DataFrame, keys: Seq[String]): Long =
+  def mergeInsertIfAbsent(table: String, batch: DataFrame, keys: Seq[String],
+      partitionCols: Seq[String] = Nil): Long =
     merged(table, batch, (prior, b) =>
       prior.unionByName(
-        b.join(prior.select(keys.map(col): _*).distinct(), keys, "left_anti")))
+        b.join(prior.select(keys.map(col): _*).distinct(), keys, "left_anti")),
+      partitionCols, probeKeys = keys)
 
   /** Additive counter merge (G9/G11): `countCols` sum, `minCols` take
     * least, `maxCols` take greatest, any other column takes the
@@ -138,7 +247,8 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     * `last(ignoreNulls)`, whose result depends on partition order.
     */
   def mergeAdditive(table: String, batch: DataFrame, keys: Seq[String],
-      countCols: Seq[String], minCols: Seq[String], maxCols: Seq[String]): Long =
+      countCols: Seq[String], minCols: Seq[String], maxCols: Seq[String],
+      partitionCols: Seq[String] = Nil): Long =
     merged(table, batch, (prior, b) => {
       val all = prior.withColumn("_src", lit(0))
         .unionByName(b.withColumn("_src", lit(1)))
@@ -154,11 +264,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
             max_by(col(c), when(col(c).isNotNull, col("_src"))).as(c))
       all.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
         .select(out.map(col): _*)
-    })
+    }, partitionCols, probeKeys = keys)
 
-  /** Append-only ledger (S3/S7). */
-  def append(table: String, batch: DataFrame): Long =
-    merged(table, batch, (prior, b) => prior.unionByName(b))
+  /** Append-only ledger (S3/S7). Partition-scoped when partitioned:
+    * no key collisions exist by definition, so touched = the batch's
+    * own partitions (probeKeys empty).
+    */
+  def append(table: String, batch: DataFrame, partitionCols: Seq[String] = Nil): Long =
+    merged(table, batch, (prior, b) => prior.unionByName(b), partitionCols)
 
   /** Every table currently in the store. */
   def tables(): Seq[String] = {

@@ -95,6 +95,88 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(s.read("ledger").get.count() == 2)
   }
 
+  private def partFiles(dir: java.nio.file.Path): Set[String] = {
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    } finally s.close()
+  }
+
+  test("partition-scoped merge rewrites only the touched partition dir") {
+    val root = Files.createTempDirectory("graft-store")
+    val s = new SnapshotStore(spark, root.toString)
+    s.write("cases",
+      Seq((1, 2019, "a"), (2, 2020, "b"), (3, 2021, "c"))
+        .toDF("k", "filed_year", "v"), Seq("filed_year"))
+    s.mergeLastWriteWins("cases",
+      Seq((2, 2020, "b2"), (4, 2020, "d")).toDF("k", "filed_year", "v"),
+      Seq("k"), partitionCols = Seq("filed_year"))
+    val v0 = root.resolve("cases").resolve("v0")
+    val v1 = root.resolve("cases").resolve("v1")
+    // untouched years carry v0's data files forward unchanged (hardlink
+    // = manifest reuse); ONLY the touched year got new files
+    assert(partFiles(v1.resolve("filed_year=2019")) ==
+      partFiles(v0.resolve("filed_year=2019")))
+    assert(partFiles(v1.resolve("filed_year=2021")) ==
+      partFiles(v0.resolve("filed_year=2021")))
+    assert(partFiles(v1.resolve("filed_year=2020"))
+      .intersect(partFiles(v0.resolve("filed_year=2020"))).isEmpty)
+    val got = s.read("cases").get.collect()
+      .map(r => r.getAs[Int]("k") -> ((r.getAs[Int]("filed_year"), r.getAs[String]("v")))).toMap
+    assert(got == Map(1 -> ((2019, "a")), 2 -> ((2020, "b2")),
+      3 -> ((2021, "c")), 4 -> ((2020, "d"))))
+  }
+
+  test("partition-scoped merge: key moving partitions rewrites both") {
+    val s = newStore()
+    // case 1 originally filed_year=2019; re-ingest corrects it to 2020 —
+    // the stale 2019 row must NOT survive behind the partition scope
+    s.write("cases", Seq((1, 2019, "orig"), (2, 2019, "stay"), (3, 2021, "far"))
+      .toDF("k", "filed_year", "v"), Seq("filed_year"))
+    s.mergeLastWriteWins("cases",
+      Seq((1, 2020, "moved")).toDF("k", "filed_year", "v"),
+      Seq("k"), partitionCols = Seq("filed_year"))
+    val got = s.read("cases").get.collect()
+      .map(r => r.getAs[Int]("k") -> ((r.getAs[Int]("filed_year"), r.getAs[String]("v")))).toMap
+    assert(got == Map(1 -> ((2020, "moved")), 2 -> ((2019, "stay")),
+      3 -> ((2021, "far"))))
+  }
+
+  test("partition-scoped insert-if-absent and additive keep semantics") {
+    val s = newStore()
+    s.write("dims", Seq((1, 2019, "first")).toDF("k", "y", "v"), Seq("y"))
+    s.mergeInsertIfAbsent("dims",
+      Seq((1, 2020, "second"), (2, 2020, "new")).toDF("k", "y", "v"),
+      Seq("k"), partitionCols = Seq("y"))
+    val dims = s.read("dims").get.collect()
+      .map(r => r.getAs[Int]("k") -> ((r.getAs[Int]("y"), r.getAs[String]("v")))).toMap
+    assert(dims == Map(1 -> ((2019, "first")), 2 -> ((2020, "new"))))
+
+    val t = newStore()
+    t.write("var", Seq((1, 2019, 2L), (2, 2020, 1L)).toDF("k", "y", "n"), Seq("y"))
+    t.mergeAdditive("var", Seq((1, 2019, 3L)).toDF("k", "y", "n"),
+      Seq("k"), Seq("n"), Nil, Nil, partitionCols = Seq("y"))
+    val vars = t.read("var").get.collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[Long]("n")).toMap
+    assert(vars == Map(1 -> 5L, 2 -> 1L))
+  }
+
+  test("vacuum after scoped merge: linked data survives old-version delete") {
+    val s = newStore()
+    s.write("cases", Seq((1, 2019, "a"), (2, 2020, "b")).toDF("k", "filed_year", "v"),
+      Seq("filed_year"))
+    s.mergeLastWriteWins("cases", Seq((2, 2020, "b2")).toDF("k", "filed_year", "v"),
+      Seq("k"), partitionCols = Seq("filed_year"))
+    // v1's filed_year=2019 files are hard links into v0; vacuuming v0
+    // drops one link, not the data
+    assert(s.vacuum("cases", keepLast = 1) == Seq(0L))
+    val got = s.read("cases").get.collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[String]("v")).toMap
+    assert(got == Map(1 -> "a", 2 -> "b2"))
+  }
+
   test("time travel + vacuum: old versions readable until reclaimed") {
     val s = newStore()
     s.write("t", Seq((1, "a")).toDF("k", "v"))            // v0
