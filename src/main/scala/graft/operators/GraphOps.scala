@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -13,6 +15,18 @@ import org.apache.spark.storage.StorageLevel
   * formulation that scales to edge sets far beyond one machine
   * (the same algorithmic family as large-star/small-star; converges
   * in O(log n) rounds on real graphs thanks to the compression step).
+  *
+  * The LOOP itself runs on pair-RDDs, not DataFrames — the one place
+  * in the engine where RDDs genuinely beat Catalyst (GraphX makes the
+  * same call). A fixpoint loop re-plans, re-analyzes and re-schedules
+  * a 4-exchange DAG every round under DataFrames (~5 stages/round of
+  * pure overhead on small rounds, and lineage must be manually
+  * truncated to stop Catalyst analysis going exponential); with a
+  * shared `HashPartitioner`, the RDD loop makes the edge⋈label join
+  * and the label merge NARROW (zero shuffle), leaving exactly two
+  * small shuffles per round — the new neighbor messages and the
+  * compression lookup — which is also the minimum data movement the
+  * algorithm needs on a 1000-executor cluster.
   */
 object GraphOps {
 
@@ -22,93 +36,171 @@ object GraphOps {
     *              become their own singleton component)
     * @param edges `src`/`dst` columns (undirected; one orientation
     *              suffices)
-    * @return (id, comp) where comp = min vertex id in the component
+    * @return (id, comp) where comp = min vertex id in the component,
+    *         in the same column type as the input ids
     *
     * Each round: (1) every vertex takes the min label among itself and
-    * its neighbors (one shuffle on vertex id); (2) labels compress one
-    * pointer-hop (labels are vertex ids, so a self-join resolves
-    * label → label's label). Convergence = label sum unchanged (labels
-    * only ever decrease; summed as decimal so the test cannot overflow
-    * at any vertex-id scale). Per-round state is one (id, comp) row
-    * per vertex, persisted and swapped — nothing grows with iteration
-    * count except the logical plan, and rounds are logarithmic.
+    * its neighbors; (2) labels compress one pointer-hop (labels are
+    * vertex ids, so a lookup resolves label → label's label).
+    * Convergence = label sum unchanged (labels only ever decrease;
+    * summed as BigInt so the test cannot overflow at any vertex-id
+    * scale). Per-round state is one (id, comp) pair per vertex,
+    * localCheckpoint'd so lineage stays constant across rounds.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIterations: Int = 50): DataFrame = {
-    val spark = nodes.sparkSession
-    val e2 = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Size the loop's shuffles to the LABEL table (one ~16-byte row per
-    // vertex, ~2M rows/partition ≈ 32 MB), and run the rounds without
-    // AQE: each round's frames are tiny relative to the corpus, and at
-    // that size the cost is pure scheduling — AQE turns every shuffle
-    // stage into its own job, which multiplied wall time ~4× here. At
-    // 1e9 vertices this still yields hundreds of partitions — the
-    // setting follows the data, it does not assume smallness.
     val nVertices = nodes.count()
     if (nVertices == 0) { // empty graph: avoid the loop entirely (the
-      e2.unpersist()      // convergence sum over zero rows is NULL)
+      // convergence sum over zero rows is NULL)
       return nodes.select(col("id"), col("id").as("comp"))
     }
+    // one ~16-byte pair per vertex, ~2M pairs/partition ≈ 32 MB; at 1e9
+    // vertices this still yields hundreds of partitions — the width
+    // follows the data, it does not assume smallness
     val loopParts = math.max(1L, nVertices / 2000000L).toInt
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try connectedComponentsLoop(nodes, e2, maxIterations)
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      e2.unpersist()
+    connectedComponentsLoop(nodes, edges, maxIterations, loopParts)
+  }
+
+  /** Open-addressing long→long hash map (linear probing, power-of-two
+    * capacity). The partition-local union-find below holds one entry
+    * per vertex in the partition; a boxed HashMap costs ~60 B/entry
+    * where this costs 32 — at 2M vertices/partition that is the
+    * difference between 64 MB and a GC storm per task.
+    */
+  private final class LongLongMap(initialCapacity: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCapacity) * 2 - 1) << 1
+    private var ks = new Array[Long](cap)
+    private var vs = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+    def size: Int = n
+    private def slot(k: Long): Int = {
+      var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & (cap - 1)
+      while (used(i) && ks(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def getOrElse(k: Long, dflt: Long): Long = {
+      val i = slot(k); if (used(i)) vs(i) else dflt
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!used(i)) {
+        used(i) = true; ks(i) = k; n += 1
+        if (n * 2 > cap) grow()
+      }
+      vs(slot(k)) = v
+    }
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (used(i)) f(ks(i)); i += 1 }
+    }
+    private def grow(): Unit = {
+      val oks = ks; val ovs = vs; val oused = used
+      cap <<= 1
+      ks = new Array[Long](cap); vs = new Array[Long](cap)
+      used = new Array[Boolean](cap); n = 0
+      var i = 0
+      while (i < oks.length) {
+        if (oused(i)) put(oks(i), ovs(i))
+        i += 1
+      }
     }
   }
 
-  private def connectedComponentsLoop(nodes: DataFrame, e2: DataFrame,
-      maxIterations: Int): DataFrame = {
-    // localCheckpoint (not persist): `m` below is referenced TWICE per
-    // round, so without lineage truncation the LOGICAL plan doubles
-    // every iteration and Catalyst analysis goes exponential long
-    // before the data does — the classic iterative-DataFrame trap.
-    // Each round's state restarts from a LogicalRDD of constant size.
-    var labels = nodes.select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
-    var lastSum = labelSum(labels)
-    // one propagation round: (1) every vertex takes the min label among
-    // itself and its neighbors; (2) labels compress one pointer-hop
-    // (labels are vertex ids, so a self-join resolves label → label's
-    // label — one post-agg row per vertex, which AQE auto-broadcasts at
-    // small scale and shuffle-joins at cluster scale)
-    def round(labels: DataFrame): DataFrame = {
-      val viaNeighbors = e2
-        .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
-        .select(col("dst").as("id"), col("comp"))
-      val m = labels.unionByName(viaNeighbors)
-        .groupBy("id").agg(min("comp").as("comp"))
-      val parent = m.select(col("id").as("comp"), col("comp").as("pcomp"))
-      m.join(parent, Seq("comp"), "left")
-        .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp"))
+  /** Collapse each partition's edges with an in-memory union-find and
+    * emit ONE star edge (vertex → partition-local min root) per
+    * non-root vertex. Connectivity is exactly preserved — a vertex is
+    * connected to its local root — but chains and dense neighborhoods
+    * collapse to depth 1 locally, so the global loop afterwards only
+    * has to stitch components ACROSS partitions: round counts drop
+    * from O(log diameter) to the handful needed for cross-partition
+    * stitching (and a single-partition graph is fully solved here, so
+    * the loop just confirms). This is the standard local-contraction
+    * step production CC implementations use; per-task memory is one
+    * map entry per vertex in the partition, bounded by the same 2M
+    * rows/partition the loop width is sized to.
+    */
+  private def contractLocal(edges: RDD[(Long, Long)]): RDD[(Long, Long)] =
+    edges.mapPartitions { it =>
+      val parent = new LongLongMap(1 << 12)
+      def find(x: Long): Long = {
+        var r = x
+        var p = parent.getOrElse(r, r)
+        while (p != r) { r = p; p = parent.getOrElse(r, r) }
+        var c = x // path compression
+        while (c != r) { val nx = parent.getOrElse(c, c); parent.put(c, r); c = nx }
+        r
+      }
+      it.foreach { case (s, d) =>
+        val rs = find(s); val rd = find(d)
+        if (rs < rd) parent.put(rd, rs)
+        else if (rd < rs) parent.put(rs, rd)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.foreachKey { k =>
+        val r = find(k)
+        if (r != k) out += ((k, r))
+      }
+      out.iterator
     }
+
+  private def connectedComponentsLoop(nodes: DataFrame, edgesDf: DataFrame,
+      maxIterations: Int, loopParts: Int): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val idType = nodes.schema("id").dataType
+    val part = new HashPartitioner(loopParts)
+    // partition raw edges by src (groups each vertex's star for the
+    // local contraction), contract, then double orientations and
+    // co-partition with the labels — the per-round neighbor join is
+    // then narrow on BOTH sides
+    val raw: RDD[(Long, Long)] = edgesDf
+      .select(col("src").cast("long"), col("dst").cast("long")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .partitionBy(part)
+    val edges: RDD[(Long, Long)] = contractLocal(raw)
+      .flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels: RDD[(Long, Long)] = nodes.select(col("id").cast("long")).rdd
+      .map { r => val v = r.getLong(0); (v, v) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    def bigSum(l: RDD[(Long, Long)]): BigInt =
+      l.aggregate(BigInt(0))((a, kv) => a + kv._2, _ + _)
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    val tInit0 = System.nanoTime()
+    var lastSum = bigSum(labels)
+    if (debug) println(f"[cc] init ${(System.nanoTime() - tInit0) / 1e9}%.3f s")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
-      // exactly ONE round per materialization: the round references its
-      // aggregate twice, so chaining un-materialized rounds re-evaluates
-      // the inner subtree per reference (measured 2× slower) — the
-      // checkpoint is what makes each round's work linear
-      val next = round(labels)
-        .localCheckpoint(false) // lazy: the labelSum action below both
-                                // materializes it and truncates lineage
-      val s = labelSum(next)
+      val tR = System.nanoTime()
+      // min step: only the NEW neighbor messages shuffle (reduceByKey);
+      // the merge with the current labels is a narrow co-partitioned
+      // join, and mapValues preserves the partitioner
+      val mins = edges.join(labels, part)
+        .map { case (_, (dst, comp)) => (dst, comp) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      val m = labels.leftOuterJoin(mins, part)
+        .mapValues { case (old, n) => math.min(old, n.getOrElse(Long.MaxValue)) }
+      // compression: resolve label → label's label (m is keyed by id and
+      // labels ARE ids, so re-keying by comp + one narrow lookup does it)
+      val next = m.map { case (id, comp) => (comp, id) }
+        .leftOuterJoin(m, part)
+        .map { case (comp, (id, p)) => (id, p.getOrElse(comp)) }
+        .partitionBy(part)
+      next.localCheckpoint() // constant lineage: the bigSum action below
+      val s = bigSum(next)   // both materializes and truncates
+      val old = labels
       labels = next
-      converged = s.compareTo(lastSum) == 0
+      old.unpersist(false)
+      converged = s == lastSum
       lastSum = s
       iter += 1
-      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] round $iter sum=$s")
+      if (debug)
+        println(f"[cc] round $iter sum=$s ${(System.nanoTime() - tR) / 1e9}%.3f s")
     }
-    labels
+    edges.unpersist(false)
+    labels.toDF("id", "comp")
+      .select(col("id").cast(idType).as("id"), col("comp").cast(idType).as("comp"))
   }
 }
