@@ -90,4 +90,53 @@ object VectorFunctions {
       while (i < v.length) { acc += v(i).toDouble * planeComponentLocal(p, i); i += 1 }
       if (acc > 0) 1L << p else 0L
     }.sum
+
+  /** Multi-probe cell sequence for a query vector (driver-side, pure).
+    *
+    * The query's own cell first, then neighbor cells in order of how
+    * cheaply they can be reached: flipping a signature bit whose
+    * hyperplane margin |dot(q, plane_p)| is small barely moves the
+    * boundary, so those cells are the likeliest homes of true
+    * neighbors the quantizer split away (standard multi-probe LSH).
+    * Returns the `probes` best cells, ranked by the summed |margin| of
+    * flipped planes (ties by mask for determinism).
+    *
+    * This is the engine's analog of the reference's
+    * `SET ivfflat.probes = N` (rag.py:179-180; API.md:239-243): one
+    * knob trading recall for scan cost, and because cells are a layout
+    * key, each probed cell is still a pruned partition read — never a
+    * corpus scan.
+    *
+    * For wide signatures the subset enumeration is capped to the 12
+    * lowest-|margin| planes (4096 candidate masks ≥ any sane probe
+    * count); flipping a high-margin plane is never competitive.
+    */
+  def multiProbeCellsLocal(v: Array[Float], planes: Int, probes: Int): Seq[Long] = {
+    require(probes >= 1, "probes must be >= 1")
+    val margins = (0 until planes).map { p =>
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += v(i).toDouble * planeComponentLocal(p, i); i += 1 }
+      acc
+    }
+    val qCell = (0 until planes).map(p => if (margins(p) > 0) 1L << p else 0L).sum
+    val flippable = margins.zipWithIndex.sortBy { case (m, p) => (math.abs(m), p) }
+      .map(_._2).take(math.min(planes, 12))
+    val masks = (0 until (1 << flippable.length)).map { bits =>
+      var mask = 0L
+      var cost = 0.0
+      var j = 0
+      while (j < flippable.length) {
+        if ((bits >> j & 1) == 1) {
+          mask |= 1L << flippable(j)
+          cost += math.abs(margins(flippable(j)))
+        }
+        j += 1
+      }
+      (cost, mask)
+    }
+    masks.sortBy { case (cost, mask) => (cost, mask) }
+      .take(math.min(probes, masks.length))
+      .map { case (_, mask) => qCell ^ mask }
+  }
 }

@@ -52,13 +52,18 @@ object OracleSql {
   def planeComponent(p: Int, i: String): String =
     s"((${md5Long60(s"'${p}_' || ($i)::VARCHAR")} % 2001 - 1000)::DOUBLE / 1000.0)"
 
+  /** Projection of a vector onto hyperplane `p` (the signed margin) —
+    * the same left fold graft_dot uses, so doubles match bit-for-bit.
+    */
+  def hyperplaneProjection(v: String, p: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+      s"list_zip($v, generate_series(0, len($v) - 1)), " +
+      s"p -> p[1]::DOUBLE * ${planeComponent(p, "p[2]")})), (acc, x) -> acc + x)"
+
   /** Hyperplane LSH signature — mirrors hyperplaneSignature. */
   def hyperplaneSignature(v: String, planes: Int): String =
     (0 until planes).map { p =>
-      val proj = s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
-        s"list_zip($v, generate_series(0, len($v) - 1)), " +
-        s"p -> p[1]::DOUBLE * ${planeComponent(p, "p[2]")})), (acc, x) -> acc + x)"
-      s"(CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END)"
+      s"(CASE WHEN ${hyperplaneProjection(v, p)} > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   /** 32-bit SimHash over a token list — mirrors simHash32. Bit sums are

@@ -76,6 +76,75 @@ object VectorQueries {
        |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin
   }
 
+  /** Multi-probe LSH ANN (fills the q69 slot): q41 probes ONLY the
+    * query's own cell, silently losing every neighbor the quantizer
+    * split across a boundary — the reference instead sets
+    * `ivfflat.probes = 10` (rag.py:179-180). Here the probe set is the
+    * query cell plus the cells reached by flipping the LOWEST-|margin|
+    * hyperplanes (cheapest boundary crossings = likeliest homes of
+    * lost neighbors, standard multi-probe LSH), computed relationally:
+    * a 2^planes mask table is costed against the query's margins, the
+    * `probes` cheapest masks XOR into cell ids, and the scan joins on
+    * those cells. Both the mask costing and the cosine use the same
+    * left-fold order as DuckDB so the oracle hash-matches.
+    */
+  def q69AnnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val planes = 6
+    val probes = 4
+    val t = Tables(spark, dir)
+    val cells = t.embeddings
+      .withColumn("cell", hyperplaneSignature(col("embedding"), planes))
+    val q = cells.filter(col("vec_id") === 7)
+      .select(col("embedding").as("q_emb"), col("cell").as("q_cell"))
+    val margins = (0 until planes).foldLeft(q) { (df, p) =>
+      val plane = typedlit((0 until 64).map(i => planeComponentLocal(p, i)))
+      df.withColumn(s"m$p", dotFold(col("q_emb"), plane))
+    }.select((col("q_cell") +: (0 until planes).map(p => col(s"m$p"))): _*)
+    val masks = spark.range(1L << planes).select(col("id").as("mask"))
+      .crossJoin(broadcast(margins))
+    val cost = (0 until planes).map { p =>
+      when(shiftright(col("mask"), p).bitwiseAND(lit(1L)) === 1,
+        abs(col(s"m$p"))).otherwise(lit(0.0d))
+    }.reduce(_ + _)
+    val probe = masks.withColumn("cost", cost)
+      .orderBy(asc("cost"), asc("mask"))
+      .limit(probes)
+      .select(col("q_cell").bitwiseXOR(col("mask")).as("cell"))
+    cells
+      .join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= 7)
+      .crossJoin(broadcast(q.select(col("q_emb"))))
+      .withColumn("cosine", dotFold(col("embedding"), col("q_emb")))
+      .select("vec_id", "label", "cell", "cosine")
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(10)
+  }
+
+  val q69Sql: String = {
+    val sig = OracleSql.hyperplaneSignature("embedding", 6)
+    val margins = (0 until 6)
+      .map(p => s"${OracleSql.hyperplaneProjection("q_emb", p)} AS m$p")
+      .mkString(", ")
+    val cost = (0 until 6)
+      .map(p => s"CASE WHEN (r.range >> $p) & 1 = 1 THEN abs(m$p) ELSE 0.0 END")
+      .mkString(" + ")
+    s"""WITH cells AS (
+       |  SELECT vec_id, label, embedding, $sig AS cell FROM embeddings),
+       |q AS (SELECT embedding AS q_emb, cell AS q_cell FROM cells WHERE vec_id = 7),
+       |margins AS (SELECT q_cell, $margins FROM q),
+       |masks AS (
+       |  SELECT q_cell, r.range AS mask, ($cost) AS cost
+       |  FROM margins, range(64) r),
+       |probe AS (
+       |  SELECT xor(q_cell, mask) AS cell FROM masks
+       |  ORDER BY cost, mask LIMIT 4)
+       |SELECT c.vec_id, c.label, c.cell,
+       |  ${OracleSql.dotFold("c.embedding", "q.q_emb")} AS cosine
+       |FROM cells c JOIN probe p ON c.cell = p.cell, q
+       |WHERE c.vec_id <> 7
+       |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin
+  }
+
   /** Batched kNN: top-5 neighbors for each of 8 query vectors in one
     * job — broadcast the query batch, window-rank per query. This is
     * the shape a training pipeline uses for retrieval/labeling sweeps:
@@ -161,6 +230,7 @@ object VectorQueries {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_brute_force" -> (q40AnnBruteForce _),
     "q41_ann_lsh" -> (q41AnnLsh _),
+    "q69_ann_multiprobe" -> (q69AnnMultiprobe _),
     "q42_knn_batch" -> (q42KnnBatch _),
     "q43_search_topk" -> (q43SearchTopk _),
   )
@@ -168,6 +238,7 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "q40_ann_brute_force" -> q40Sql,
     "q41_ann_lsh" -> q41Sql,
+    "q69_ann_multiprobe" -> q69Sql,
     "q42_knn_batch" -> q42Sql,
     "q43_search_topk" -> q43Sql,
   )

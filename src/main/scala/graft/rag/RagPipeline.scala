@@ -148,19 +148,24 @@ object RagPipeline {
 
   /** IVF-style cell-probe search: the embedding table carries a
     * precomputed hyperplane-LSH `cell` column (see [[withCells]]); the
-    * probe computes the query's cell driver-side (it is a pure
-    * function of md5-derived constants) and scans ONLY that cell —
-    * exact within the cell, approximate overall, the same
-    * recall/latency trade as the reference's IVFFLAT probes
-    * (rag.py:179-180). At 100 TB the table is written partitioned by
-    * `cell`, so the filter prunes whole directories.
+    * probe computes its cell list driver-side (cells are a pure
+    * function of md5-derived constants) and scans ONLY those cells —
+    * exact within the probed cells, approximate overall, the same
+    * recall/latency knob as the reference's `SET ivfflat.probes = 10`
+    * (rag.py:179-180; API.md:239-243), whose default the `probes`
+    * default mirrors. Cells beyond the query's own are chosen
+    * multi-probe style — flip the lowest-|margin| hyperplanes first
+    * (VectorFunctions.multiProbeCellsLocal) — so recall climbs with
+    * `probes` where naive single-cell probing silently lost cross-cell
+    * neighbors. At 100 TB the table is written partitioned by `cell`,
+    * so the IN-filter prunes to exactly `probes` directories.
     */
   def searchCellProbe(embeddingsWithCells: DataFrame, cases: DataFrame,
       judges: DataFrame, courts: DataFrame, queryVec: Array[Float],
-      topK: Int = 5, planes: Int = 6): DataFrame = {
-    val qCell = graft.functions.VectorFunctions
-      .hyperplaneSignatureLocal(queryVec, planes)
-    search(embeddingsWithCells.filter(col("cell") === qCell)
+      topK: Int = 5, planes: Int = 6, probes: Int = 10): DataFrame = {
+    val cells = graft.functions.VectorFunctions
+      .multiProbeCellsLocal(queryVec, planes, probes)
+    search(embeddingsWithCells.filter(col("cell").isin(cells: _*))
       .drop("cell"), cases, judges, courts, queryVec, topK)
   }
 

@@ -32,6 +32,33 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(hits >= 7, s"recall@5 too low: $hits/10")
   }
 
+  test("multi-probe cells: recall rises with probes, all-cells = exact") {
+    import graft.functions.VectorFunctions._
+    val planes = 6
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cells = emb.withColumn("cell", hyperplaneSignature(col("embedding"), planes))
+    val qv = emb.filter(col("vec_id") === 7).collect()(0).getSeq[Float](1).toArray
+    def top10(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("vec_id") =!= 7)
+        .withColumn("cos", dotFold(col("embedding"), typedlit(qv.toSeq)))
+        .orderBy(desc("cos"), asc("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+    val exact = top10(emb)
+    def recallAt(probes: Int): Double = {
+      val pc = multiProbeCellsLocal(qv, planes, probes)
+      assert(pc.length == math.min(probes, 1 << planes) && pc.distinct == pc)
+      top10(cells.filter(col("cell").isin(pc: _*))).intersect(exact).size / 10.0
+    }
+    // first probe is always the query's own cell
+    assert(multiProbeCellsLocal(qv, planes, 1) ==
+      Seq(hyperplaneSignatureLocal(qv, planes)))
+    val r1 = recallAt(1); val r8 = recallAt(8); val rAll = recallAt(1 << planes)
+    assert(r1 <= r8 && r8 <= rAll, s"recall not monotone: $r1 $r8 $rAll")
+    assert(rAll == 1.0, s"probing every cell must equal exact, got $rAll")
+    assert(r8 > r1, s"multi-probe should recover cross-cell neighbors here " +
+      s"(r1=$r1 r8=$r8)") // data-dependent but pinned: vec 7's top-10 spans cells
+  }
+
   test("ann cosine matches exact cosine for returned neighbors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val index = AnnIndex.build(emb)
