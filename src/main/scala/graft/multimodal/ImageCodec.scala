@@ -1,0 +1,96 @@
+package graft.multimodal
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+/** Deterministic 24-bit BMP encoder: pixels are the input bytes as
+  * gray levels (B=G=R=byte), `width` pixels per row (bottom-up, as BMP
+  * mandates), last row zero-padded. Width 16 keeps rows at 48 bytes —
+  * already 4-byte aligned, so no per-row padding ambiguity.
+  *
+  * Purpose: the test corpus ships no real image files, but an encoder
+  * whose pixels are a pure function of known bytes lets the REAL
+  * decode path (javax.imageio) produce features DuckDB can recompute
+  * from character codes — a differential oracle over an actual codec
+  * rather than a stub.
+  */
+object BmpEncoder {
+
+  val DefaultWidth = 16
+
+  def grayBmp(bytes: Array[Byte], width: Int = DefaultWidth): Array[Byte] = {
+    require(width > 0 && (width * 3) % 4 == 0,
+      "row stride must be 4-byte aligned (width*3 % 4 == 0)")
+    require(bytes.nonEmpty, "BMP needs at least one pixel")
+    val height = (bytes.length + width - 1) / width
+    val rowBytes = width * 3
+    val dataSize = rowBytes * height
+    val fileSize = 54 + dataSize
+    val out = new Array[Byte](fileSize)
+    def putIntLE(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = (v >> 8 & 0xff).toByte
+      out(off + 2) = (v >> 16 & 0xff).toByte
+      out(off + 3) = (v >> 24 & 0xff).toByte
+    }
+    // BITMAPFILEHEADER
+    out(0) = 'B'; out(1) = 'M'
+    putIntLE(2, fileSize)
+    putIntLE(10, 54) // pixel data offset
+    // BITMAPINFOHEADER
+    putIntLE(14, 40)
+    putIntLE(18, width)
+    putIntLE(22, height) // positive → bottom-up row order
+    out(26) = 1 // planes
+    out(28) = 24 // bits per pixel
+    putIntLE(34, dataSize)
+    putIntLE(38, 2835); putIntLE(42, 2835) // 72 dpi
+    var i = 0
+    while (i < width * height) {
+      val v: Byte = if (i < bytes.length) bytes(i) else 0
+      val row = i / width
+      val colOff = (i % width) * 3
+      // bottom-up: logical row r lands at physical row (height-1-r)
+      val off = 54 + (height - 1 - row) * rowBytes + colOff
+      out(off) = v; out(off + 1) = v; out(off + 2) = v
+      i += 1
+    }
+    out
+  }
+}
+
+/** Pixel-level features from a genuinely decoded image. */
+final case class ImageFeatures(width: Int, height: Int, lum_sum: Long,
+    lh0: Long, lh1: Long, lh2: Long, lh3: Long)
+
+/** Real image decoder on the JDK's ImageIO (PNG, BMP, GIF, JPEG —
+  * no external deps). Replaces the stub for the decode step the
+  * container previously couldn't exercise: payload bytes are demuxed
+  * and decompressed by the actual codec, and features come from the
+  * decoded PIXELS. Instantiate once per partition (ImageIO's reader
+  * lookup is not free) exactly like a model/codec handle.
+  */
+final class ImageCodec {
+  def decode(payload: Array[Byte]): ImageFeatures = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val hist = new Array[Long](4)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
+        hist(lum >> 6) += 1
+        sum += lum
+        x += 1
+      }
+      y += 1
+    }
+    ImageFeatures(w, h, sum, hist(0), hist(1), hist(2), hist(3))
+  }
+}

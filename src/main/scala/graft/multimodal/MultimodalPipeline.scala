@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   * and streams records — the exact shape a Pandas-UDF/`mapInPandas`
   * pipeline has in PySpark, expressed as typed `mapPartitions` here.
   *
-  * The DECODE STEP IS A DETERMINISTIC STUB: this container has no
-  * image/audio codecs, so [[StubCodec]] derives features from the raw
-  * bytes (byte histograms, strided "frames", a leading-window
-  * fingerprint). The Spark-side contract — schema, binary transport,
-  * per-partition codec lifecycle, feature shape — is real and tested;
-  * swapping StubCodec for a JNI/ONNX decoder changes no plumbing.
+  * Two decode paths share the plumbing: [[ImageCodec]] is a REAL
+  * decoder (JDK ImageIO — PNG/BMP/GIF/JPEG) producing pixel-level
+  * features ([[extractImageFeatures]], oracled as q72); [[StubCodec]]
+  * derives features from raw bytes for payload kinds this container
+  * has no codec for (audio/video), keeping the schema, binary
+  * transport, per-partition codec lifecycle and feature shape
+  * identical — swapping in a JNI/FFmpeg decoder changes no plumbing.
   *
   * Scale notes: payloads never pass through a shuffle (features are
   * projected before any aggregation); a real deployment would bound
@@ -84,6 +85,43 @@ object MultimodalPipeline {
             m.payload.slice(off, math.min(off + frameLen, m.payload.length)))
       }
     }.toDF("media_id", "frame_id", "frame")
+  }
+
+  /** Genuinely decoded pixel features: payloads are REAL images, the
+    * decode is javax.imageio (per-partition codec instance), and the
+    * features come from decoded pixels — the stub's byte-level path
+    * (q25) stays for payloads with no registered codec. Output rows
+    * carry the media metadata plus [[ImageFeatures]].
+    */
+  def extractImageFeatures(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = new ImageCodec // per-partition init, like a model load
+      it.map { m =>
+        val f = codec.decode(m.payload)
+        (m.media_id, m.kind, m.n_bytes, f.width, f.height, f.lum_sum,
+          f.lh0, f.lh1, f.lh2, f.lh3)
+      }
+    }.toDF("media_id", "kind", "n_bytes", "width", "height", "lum_sum",
+      "lh0", "lh1", "lh2", "lh3")
+  }
+
+  /** Media table whose payloads are real BMP images encoding the
+    * documents' bytes as gray pixels ([[BmpEncoder]]) — decodable by
+    * the actual JDK codec while every pixel stays a pure function of
+    * the text, which is what keeps the decode oracle-checkable.
+    */
+  def bmpMediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    val bmp = udf((text: String) =>
+      BmpEncoder.grayBmp(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    docs.filter(length(col("text")) > 0)
+      .select(
+        col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        bmp(col("text")).as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .as[MediaRecord]
   }
 
   /** Build a media table from the documents test table: the UTF-8

@@ -58,13 +58,53 @@ object MultimodalQueries {
       |    k -> least(16, len(text) - k * 32))), 0)::BIGINT AS sampled_bytes
       |FROM documents WHERE doc_id < 200 AND len(text) > 0 ORDER BY media_id""".stripMargin
 
+  /** REAL image decode: each document's bytes become gray pixels of an
+    * actual BMP (BmpEncoder), javax.imageio decodes it on executors,
+    * and the features come from the decoded pixels. Because the
+    * encoder is a pure function of the text, DuckDB recomputes every
+    * pixel feature from character codes — a differential oracle over
+    * a genuine codec path (gray pixel: (c+c+c)/3 ≡ c, zero-padding of
+    * the last row lands in luminance bucket 0).
+    */
+  def q72ImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val media = MultimodalPipeline.bmpMediaFromDocuments(
+      t.documents.filter(col("doc_id") < 200))
+    MultimodalPipeline.extractImageFeatures(media)
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("lum_sum"), col("lh0"), col("lh1"), col("lh2"), col("lh3"))
+      .orderBy("media_id")
+  }
+
+  val q72Sql: String = {
+    val codes = "list_transform(generate_series(1, len(text)), i -> ascii(substr(text, i, 1)))"
+    def bucket(b: Int) =
+      s"coalesce(len(list_filter($codes, c -> c // 64 = $b)), 0)"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, len(text) AS n, (len(text) + 15) // 16 AS height
+       |  FROM documents WHERE doc_id < 200 AND len(text) > 0)
+       |SELECT doc_id AS media_id, 'image' AS kind,
+       |  (54 + 48 * height)::BIGINT AS n_bytes,
+       |  16::BIGINT AS width, height::BIGINT AS height,
+       |  coalesce(list_sum($codes), 0)::BIGINT AS lum_sum,
+       |  (${bucket(0)} + (16 * height - n))::BIGINT AS lh0,
+       |  ${bucket(1)}::BIGINT AS lh1,
+       |  ${bucket(2)}::BIGINT AS lh2,
+       |  ${bucket(3)}::BIGINT AS lh3
+       |FROM d ORDER BY media_id""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_multimodal_features" -> (q25MultimodalFeatures _),
     "q26_frame_sample" -> (q26FrameSample _),
+    "q72_image_decode" -> (q72ImageDecode _),
   )
 
   val oracle: Map[String, String] = Map(
     "q25_multimodal_features" -> q25Sql,
     "q26_frame_sample" -> q26Sql,
+    "q72_image_decode" -> q72Sql,
   )
 }
