@@ -182,10 +182,81 @@ object OnnxMiniLmEmbedder {
   /** Deploy-time entry: point at an exported MiniLM ONNX model + its
     * vocab.txt. This build ships no ONNX runtime jar (zero-egress
     * container), so constructing the real session is left to a
-    * runtime adapter — see the class Scaladoc for its 15-line shape.
+    * runtime adapter — [[OrtReflectiveSession]] is the default.
     */
   def fromModel(modelPath: String, vocabPath: String,
-      sessionFactory: String => TransformerSession): OnnxMiniLmEmbedder =
+      sessionFactory: String => TransformerSession =
+        p => new OrtReflectiveSession(p)): OnnxMiniLmEmbedder =
     OnnxMiniLmEmbedder(WordPieceTokenizer.loadVocab(vocabPath),
       sessionFactory(modelPath))
+}
+
+/** The real forward pass, bound to `ai.onnxruntime` REFLECTIVELY: this
+  * build cannot declare the dependency (zero-egress container), so the
+  * adapter resolves `OrtEnvironment`/`OrtSession`/`OnnxTensor` at
+  * first use — from the application classpath, or from an explicit
+  * `runtimeJar` via a child classloader. Holds only the model PATH
+  * and jar path (both serializable); the native session lives in a
+  * `@transient lazy val`, so each executor loads the weights exactly
+  * once on first batch, the pattern the class Scaladoc above
+  * prescribes. Feeds `input_ids`/`attention_mask` (and zeroed
+  * `token_type_ids` when the exported graph declares it) as int64
+  * [batch, seq] tensors and reads output 0 as float
+  * [batch, seq, hidden] — the standard sentence-transformers MiniLM
+  * export shape (rag.py:26-42 runs the same model via the Python
+  * runtime). Exercised by the env-gated integration test in
+  * TransformerEmbedderSpec whenever GRAFT_ONNX_MODEL points at real
+  * weights.
+  */
+final class OrtReflectiveSession(modelPath: String,
+    runtimeJar: Option[String] = None,
+    override val hiddenSize: Int = 384) extends TransformerSession {
+
+  @transient private lazy val bound: (ClassLoader, Class[_], Object, Object) = {
+    val cl = runtimeJar match {
+      case Some(j) => new java.net.URLClassLoader(
+        Array(new java.io.File(j).toURI.toURL), getClass.getClassLoader)
+      case None => getClass.getClassLoader
+    }
+    val envCls = Class.forName("ai.onnxruntime.OrtEnvironment", true, cl)
+    val env = envCls.getMethod("getEnvironment").invoke(null)
+    val session = envCls.getMethod("createSession", classOf[String])
+      .invoke(env, modelPath)
+    (cl, envCls, env, session)
+  }
+
+  override def run(inputIds: Array[Array[Long]],
+      attentionMask: Array[Array[Long]]): Array[Array[Array[Float]]] = {
+    val (cl, envCls, env, session) = bound
+    val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor", true, cl)
+    val create = tensorCls.getMethod("createTensor", envCls, classOf[Object])
+    val sessCls = Class.forName("ai.onnxruntime.OrtSession", true, cl)
+    val inputs = new java.util.HashMap[String, Object]()
+    val made = new scala.collection.mutable.ArrayBuffer[Object](3)
+    def feed(name: String, v: Object): Unit = {
+      val t = create.invoke(null, env, v)
+      made += t
+      inputs.put(name, t)
+      ()
+    }
+    try {
+      feed("input_ids", inputIds)
+      feed("attention_mask", attentionMask)
+      val declared = sessCls.getMethod("getInputNames").invoke(session)
+        .asInstanceOf[java.util.Set[String]]
+      if (declared.contains("token_type_ids"))
+        feed("token_type_ids", inputIds.map(_.map(_ => 0L)))
+      val result = sessCls.getMethod("run", classOf[java.util.Map[_, _]])
+        .invoke(session, inputs)
+      try {
+        val value = result.getClass.getMethod("get", classOf[Int])
+          .invoke(result, Integer.valueOf(0))
+        value.getClass.getMethod("getValue").invoke(value)
+          .asInstanceOf[Array[Array[Array[Float]]]]
+      } finally {
+        result.getClass.getMethod("close").invoke(result)
+        ()
+      }
+    } finally made.foreach(t => t.getClass.getMethod("close").invoke(t))
+  }
 }

@@ -177,6 +177,24 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(got == Map(1 -> "a", 2 -> "b2"))
   }
 
+  test("vacuum vs time travel: a held old-version frame breaks, current survives") {
+    // Pins the documented single-writer assumption (vacuum deletes files
+    // a concurrent reader of an OLD version could still hold open): a
+    // DataFrame bound to a vacuumed version fails at scan time, while
+    // readers of the CURRENT version are untouched. Operationally:
+    // never vacuum below any version an external reader time-travels to.
+    val s = newStore()
+    s.write("t", Seq((1, "a")).toDF("k", "v"))           // v0
+    s.write("t", Seq((1, "b")).toDF("k", "v"))           // v1
+    val held = s.readVersion("t", 0).get                 // reader holds v0
+    assert(held.count() == 1, "old version readable before vacuum")
+    val current = s.read("t").get
+    assert(s.vacuum("t", keepLast = 1) == Seq(0L))
+    intercept[Exception](held.collect())                 // v0 files are gone
+    assert(current.collect().map(_.getString(1)).toSeq == Seq("b"),
+      "current-version reader unaffected by vacuum")
+  }
+
   test("time travel + vacuum: old versions readable until reclaimed") {
     val s = newStore()
     s.write("t", Seq((1, "a")).toDF("k", "v"))            // v0

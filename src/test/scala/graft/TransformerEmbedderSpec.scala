@@ -125,6 +125,29 @@ class TransformerEmbedderSpec extends AnyFunSuite {
     rankingHolds(OnnxMiniLmEmbedder(vocab, DeterministicFakeSession(48)))
   }
 
+  test("real MiniLM ONNX weights through the reflective session (env-gated)") {
+    // Runs only when real weights are provisioned:
+    //   GRAFT_ONNX_MODEL=/path/model.onnx  GRAFT_ONNX_VOCAB=/path/vocab.txt
+    //   [GRAFT_ONNX_JAR=/path/onnxruntime.jar]  sbt "testOnly *TransformerEmbedderSpec*"
+    // Canceled (not passed, not failed) otherwise — this container ships
+    // neither the runtime jar nor the weights.
+    val model = sys.env.get("GRAFT_ONNX_MODEL")
+    val vocabPath = sys.env.get("GRAFT_ONNX_VOCAB")
+    assume(model.isDefined && vocabPath.isDefined,
+      "set GRAFT_ONNX_MODEL / GRAFT_ONNX_VOCAB (and optionally GRAFT_ONNX_JAR)")
+    val emb = OnnxMiniLmEmbedder.fromModel(model.get, vocabPath.get,
+      p => new OrtReflectiveSession(p, sys.env.get("GRAFT_ONNX_JAR")))
+    val Seq(a, b, c) = emb.embedBatch(Seq(
+      "the court granted the motion to dismiss",
+      "the judge granted the dismissal motion",
+      "photosynthesis in deep-sea algae"))
+    def dot(x: Array[Float], y: Array[Float]): Double =
+      x.lazyZip(y).map((p, q) => p.toDouble * q.toDouble).sum
+    assert(math.abs(dot(a, a) - 1.0) < 1e-3, "unit norm")
+    assert(dot(a, b) > dot(a, c),
+      s"paraphrase must beat unrelated text: ${dot(a, b)} vs ${dot(a, c)}")
+  }
+
   test("ranking semantics hold with the trained Word2Vec embedder") {
     import spark.implicits._
     val corpus = Seq(
