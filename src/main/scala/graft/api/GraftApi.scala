@@ -12,7 +12,7 @@ final case class CaseSummary(case_number: String, title: String,
 final case class CaseDetail(case_number: String, title: String,
     filed_date: String, judge: Option[String], court: Option[String],
     case_type: Option[String], status: String, docket_text: String)
-final case class PartyRow(name: String, role: String)
+final case class PartyRow(name: String, normalized_name: String, role: String)
 final case class SearchResult(case_number: String, title: String,
     filed_date: String, judge: Option[String], court: Option[String],
     best_similarity: Double, best_chunk_id: Int, best_chunk_snippet: String)
@@ -90,9 +90,9 @@ final class GraftApi(spark: SparkSession, cases: DataFrame, judges: DataFrame,
     caseParties
       .join(cases.select(col("id").as("case_id"), col("case_number")), Seq("case_id"))
       .filter(col("case_number") === caseNumber)
-      .join(broadcast(parties.select(col("id").as("party_id"), col("name"))),
-        Seq("party_id"))
-      .select(col("name"), col("role"))
+      .join(broadcast(parties.select(col("id").as("party_id"), col("name"),
+        col("normalized_name"))), Seq("party_id"))
+      .select(col("name"), col("normalized_name"), col("role"))
       .orderBy("role", "name")
       .as[PartyRow].collect().toSeq
 

@@ -1,0 +1,131 @@
+package graft.api
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** The reference's REST surface (api.py:112-281, FastAPI + uvicorn)
+  * over [[GraftApi]], on the JDK's built-in HTTP server — zero new
+  * dependencies (Jackson rides in with Spark). Routes, validation
+  * semantics and error bodies mirror the reference:
+  *
+  *   - `GET /health`                         → `{"status":"ok",...}`
+  *   - `GET /cases?judge=&year=`             → newest-200 summaries;
+  *     400 when neither filter is given (api.py:164-168), 422 when
+  *     `year` falls outside [1900, 2100] (FastAPI Query validation)
+  *   - `GET /cases/{case_number}`            → detail + parties array
+  *     (api.py:221-270); 404 when unknown
+  *   - `POST /cases/search` `{query, limit}` → top-k semantic search;
+  *     422 for a sub-2-char query or a limit outside [1, 50]
+  *     (SearchRequest validators, api.py:64-74)
+  *
+  * Failures serialize as `{"error": "..."}` exactly like the
+  * reference's exception handlers (api.py:137-150). The driver-side
+  * pool of the reference (AsyncConnectionPool) maps to a fixed thread
+  * pool feeding Spark jobs — Spark's scheduler multiplexes concurrent
+  * queries the way the connection pool multiplexed connections.
+  *
+  * Serving is a driver-side concern: each request runs a small
+  * already-optimized Spark plan (point lookup / pruned scan /
+  * broadcast search) and collects a bounded result — the engine side
+  * stays fully distributed.
+  */
+final class GraftHttpServer(api: GraftApi, port: Int = 0, poolSize: Int = 8) {
+
+  private val mapper = new ObjectMapper()
+  mapper.registerModule(DefaultScalaModule)
+
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(poolSize))
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  /** Actual bound port (pass 0 to pick a free one). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+
+  private final case class HttpError(status: Int, message: String)
+    extends RuntimeException(message)
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val method = ex.getRequestMethod
+    try {
+      (method, path) match {
+        case ("GET", "/health") =>
+          respond(ex, 200, Map("status" -> "ok", "engine" -> "spark"))
+        case ("GET", "/cases") => listCases(ex)
+        case ("POST", "/cases/search") => search(ex)
+        case ("GET", p) if p.startsWith("/cases/") =>
+          getCase(ex, URLDecoder.decode(p.stripPrefix("/cases/"), "UTF-8"))
+        case _ => throw HttpError(404, s"no route for $method $path")
+      }
+    } catch {
+      case HttpError(status, msg) => respond(ex, status, Map("error" -> msg))
+      case e: Exception =>
+        respond(ex, 500, Map("error" -> s"Internal server error: ${e.getMessage}"))
+    } finally ex.close()
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        URLDecoder.decode(k, "UTF-8") -> URLDecoder.decode(v, "UTF-8")
+      }.toMap
+
+  private def listCases(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    val judge = params.get("judge").filter(_.nonEmpty)
+    val year = params.get("year").map { y =>
+      val v = y.toIntOption.getOrElse(
+        throw HttpError(422, "year must be an integer"))
+      if (v < 1900 || v > 2100)
+        throw HttpError(422, "year must be in [1900, 2100]")
+      v
+    }
+    if (judge.isEmpty && year.isEmpty)
+      throw HttpError(400, "At least one of 'judge' or 'year' must be provided")
+    respond(ex, 200, api.listCases(judge, year).collect().toSeq)
+  }
+
+  private def getCase(ex: HttpExchange, caseNumber: String): Unit =
+    api.getCase(caseNumber) match {
+      case None => throw HttpError(404, s"Case $caseNumber not found")
+      case Some(d) =>
+        respond(ex, 200, Map(
+          "case_number" -> d.case_number, "title" -> d.title,
+          "filed_date" -> d.filed_date, "docket_text" -> d.docket_text,
+          "status" -> d.status, "judge" -> d.judge, "court" -> d.court,
+          "case_type" -> d.case_type,
+          "parties" -> api.getParties(caseNumber)))
+    }
+
+  private def search(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val node = try mapper.readTree(body) catch {
+      case _: Exception => throw HttpError(422, "request body must be JSON")
+    }
+    val query = Option(node.path("query").asText(null)).map(_.trim).getOrElse("")
+    if (query.length < 2)
+      throw HttpError(422, "query must be at least 2 characters")
+    val limit = if (node.has("limit")) node.get("limit").asInt(-1) else 5
+    if (limit < 1 || limit > 50)
+      throw HttpError(422, "limit must be in [1, 50]")
+    respond(ex, 200, api.searchDockets(query, limit))
+  }
+
+  private def respond(ex: HttpExchange, status: Int, value: Any): Unit = {
+    val bytes = mapper.writeValueAsBytes(value)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

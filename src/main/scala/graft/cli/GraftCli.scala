@@ -20,6 +20,7 @@ import graft.store.SnapshotStore
   *   report --store <dir> [--run-id N]         (data_quality.py; exit code = gate)
   *   list --store <dir> [--judge J] [--year Y] (GET /cases)
   *   get --store <dir> <case_number>           (GET /cases/{cn})
+  *   serve --store <dir> [--port N]            (uvicorn api:app — HTTP layer)
   */
 object GraftCli {
 
@@ -137,6 +138,15 @@ object GraftCli {
           case None =>
             System.err.println(s"case not found: $cn"); 1
         }
+
+      case "serve" =>
+        // the reference's `uvicorn api:app --port 8000` (api.py:280-281)
+        val port = opt(args, "--port").map(_.toInt).getOrElse(8000)
+        val server = new graft.api.GraftHttpServer(apiOf(spark, store), port)
+        server.start()
+        println(s"graft api serving on http://127.0.0.1:${server.boundPort}")
+        Thread.currentThread().join() // serve until killed
+        0
 
       case other => System.err.println(s"unknown command: $other"); 2
     }

@@ -1,0 +1,105 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{GraftApi, GraftHttpServer}
+import graft.ingest.IngestJob
+import graft.rag.{HashingEmbedder, RagPipeline}
+
+/** The HTTP serving layer end-to-end over the reference corpus: every
+  * reference endpoint (api.py:154-281) hit through a real socket, with
+  * the reference's status codes and error bodies.
+  */
+class GraftHttpSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val server = {
+    val ingest = IngestJob.run(spark,
+      IngestJob.readRaw(spark, "/root/reference/data/raw_dockets.json"),
+      1, "raw_dockets.json", "ref", Timestamp.valueOf("2026-01-01 00:00:00"))
+    val embedder = HashingEmbedder(64)
+    val embeddings = RagPipeline.backfill(ingest.cases, None, embedder)
+    val api = new GraftApi(spark, ingest.cases, ingest.judges, ingest.courts,
+      ingest.caseTypes, ingest.parties, ingest.caseParties,
+      Some(embeddings), embedder)
+    val s = new GraftHttpServer(api, port = 0)
+    s.start()
+    s
+  }
+  private lazy val base = s"http://127.0.0.1:${server.boundPort}"
+  private val client = HttpClient.newHttpClient()
+  private val mapper = new ObjectMapper()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(base + path))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("GET /health") {
+    val r = get("/health")
+    assert(r.statusCode() == 200)
+    assert(mapper.readTree(r.body()).path("status").asText() == "ok")
+  }
+
+  test("GET /cases?year= returns summaries; missing filters → 400; bad year → 422") {
+    val ok = get("/cases?year=2023")
+    assert(ok.statusCode() == 200)
+    val arr = mapper.readTree(ok.body())
+    assert(arr.isArray && arr.size() > 0)
+    assert(arr.get(0).has("case_number") && arr.get(0).has("judge"))
+    assert(arr.get(0).path("filed_date").asText().startsWith("2023"))
+
+    val none = get("/cases")
+    assert(none.statusCode() == 400)
+    assert(mapper.readTree(none.body()).path("error").asText()
+      .contains("judge"))
+
+    assert(get("/cases?year=1776").statusCode() == 422)
+    assert(get("/cases?year=abc").statusCode() == 422)
+  }
+
+  test("GET /cases/{case_number}: detail with parties; unknown → 404") {
+    val r = get("/cases/1:23-cv-12345")
+    assert(r.statusCode() == 200)
+    val d = mapper.readTree(r.body())
+    assert(d.path("case_number").asText() == "1:23-cv-12345")
+    assert(d.path("docket_text").asText().nonEmpty)
+    val parties = d.path("parties")
+    assert(parties.isArray && parties.size() > 0)
+    assert(parties.get(0).has("name") && parties.get(0).has("normalized_name")
+      && parties.get(0).has("role"))
+
+    val missing = get("/cases/no-such-case")
+    assert(missing.statusCode() == 404)
+    assert(mapper.readTree(missing.body()).path("error").asText()
+      .contains("not found"))
+  }
+
+  test("POST /cases/search: top-k results; validation → 422") {
+    val r = post("/cases/search", """{"query":"breach of contract","limit":3}""")
+    assert(r.statusCode() == 200)
+    val arr = mapper.readTree(r.body())
+    assert(arr.isArray && arr.size() == 3)
+    assert(arr.get(0).has("best_similarity") && arr.get(0).has("best_chunk_snippet"))
+
+    assert(post("/cases/search", """{"query":"x"}""").statusCode() == 422)
+    assert(post("/cases/search", """{"query":"valid","limit":99}""").statusCode() == 422)
+    assert(post("/cases/search", "not json").statusCode() == 422)
+  }
+
+  test("unknown route → 404 error body") {
+    val r = get("/nope")
+    assert(r.statusCode() == 404)
+    assert(mapper.readTree(r.body()).has("error"))
+  }
+}
