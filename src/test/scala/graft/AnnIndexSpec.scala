@@ -32,6 +32,32 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(hits >= 7, s"recall@5 too low: $hits/10")
   }
 
+  test("IVF-Flat: recall rises with nprobe, all-lists = exact, probes prune") {
+    import graft.functions.VectorFunctions.dotFold
+    import graft.rag.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lists = 16
+    val index = IvfIndex.build(emb, lists = lists)
+    assert(index.centroids.length == lists)
+    val qv = emb.filter(col("vec_id") === 7).collect()(0).getSeq[Float](1).toArray
+    val exact = emb.filter(col("vec_id") =!= 7)
+      .withColumn("cos", dotFold(col("embedding"), typedlit(qv.toSeq)))
+      .orderBy(desc("cos"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = index.query(qv, 11, nprobe).filter(col("id") =!= 7)
+        .limit(10).collect().map(_.getLong(0)).toSet
+      got.intersect(exact).size / 10.0
+    }
+    val r1 = recallAt(1); val r4 = recallAt(4); val rAll = recallAt(lists)
+    assert(r1 <= r4 && r4 <= rAll, s"recall not monotone: $r1 $r4 $rAll")
+    assert(rAll == 1.0, s"probing every list must equal exact, got $rAll")
+    // a probe reads a strict subset of the corpus
+    val probed = index.table
+      .filter(col("list_id").isin(index.probeLists(qv, 1): _*)).count()
+    assert(probed < emb.count(), "nprobe=1 must not scan the whole corpus")
+  }
+
   test("multi-probe cells: recall rises with probes, all-cells = exact") {
     import graft.functions.VectorFunctions._
     val planes = 6

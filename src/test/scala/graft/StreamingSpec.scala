@@ -66,6 +66,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("micro-batch merge rewrites only the touched filed_year partition") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-stream-in2")
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt2")
+    val storeDir = Files.createTempDirectory("graft-stream-store2")
+    val store = new SnapshotStore(spark, storeDir.toString)
+
+    def docket(cn: String, filed: String): String =
+      s"""{"case_number":"$cn","court":"S.D.N.Y","title":"t $cn",
+         |"filed_date":"$filed","parties":"A (plaintiff); B (defendant)",
+         |"case_type":"civil","judge":"Judge Chen","docket_text":"text $cn",
+         |"status":"active"}""".stripMargin.replaceAll("\n", "")
+
+    def partFiles(version: Long, year: Int): Set[String] = {
+      val dir = storeDir.resolve("cases").resolve(s"v$version")
+        .resolve(s"filed_year=$year")
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      } finally s.close()
+    }
+
+    Files.writeString(in.resolve("b1.json"),
+      s"[${docket("Y-1", "2023-03-01")},${docket("Y-2", "2024-04-01")}]")
+    val q = StreamingIngest.start(spark, in.toString, ckpt.toString, store,
+      _ => Timestamp.valueOf("2026-01-01 00:00:00"))
+    try {
+      q.processAllAvailable()
+      // second micro-batch touches ONLY 2024: the 2023 partition of the
+      // new version must carry the previous version's files forward
+      // unchanged (hardlinked), not be rewritten
+      Files.writeString(in.resolve("b2.json"), s"[${docket("Y-3", "2024-05-01")}]")
+      q.processAllAvailable()
+      val v = store.currentVersion("cases").get
+      assert(v > 0)
+      assert(partFiles(v, 2023) == partFiles(v - 1, 2023),
+        "untouched year partition was rewritten by the micro-batch")
+      assert(partFiles(v, 2024).intersect(partFiles(v - 1, 2024)).isEmpty,
+        "touched year partition should have new files")
+      assert(store.read("cases").get.count() == 3)
+    } finally q.stop()
+  }
+
   test("replayed micro-batch is a no-op (idempotent foreachBatch)") {
     import spark.implicits._
     val storeDir = Files.createTempDirectory("graft-replay-store")
