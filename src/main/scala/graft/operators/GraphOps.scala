@@ -47,8 +47,12 @@ object GraphOps {
     * scale). Per-round state is one (id, comp) pair per vertex,
     * localCheckpoint'd so lineage stays constant across rounds.
     */
+  /** @param partitions loop width override (tests use it to force the
+    *   multi-partition stitching path; production leaves it None and
+    *   the width follows the data)
+    */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50, partitions: Option[Int] = None): DataFrame = {
     val nVertices = nodes.count()
     if (nVertices == 0) { // empty graph: avoid the loop entirely (the
       // convergence sum over zero rows is NULL)
@@ -57,7 +61,8 @@ object GraphOps {
     // one ~16-byte pair per vertex, ~2M pairs/partition ≈ 32 MB; at 1e9
     // vertices this still yields hundreds of partitions — the width
     // follows the data, it does not assume smallness
-    val loopParts = math.max(1L, nVertices / 2000000L).toInt
+    val loopParts = partitions.getOrElse(
+      math.max(1L, nVertices / 2000000L).toInt)
     connectedComponentsLoop(nodes, edges, maxIterations, loopParts)
   }
 
@@ -158,12 +163,26 @@ object GraphOps {
       .select(col("src").cast("long"), col("dst").cast("long")).rdd
       .map(r => (r.getLong(0), r.getLong(1)))
       .partitionBy(part)
-    val edges: RDD[(Long, Long)] = contractLocal(raw)
+    val stars: RDD[(Long, Long)] = contractLocal(raw)
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val edges: RDD[(Long, Long)] = stars
       .flatMap { case (s, d) => Iterator((s, d), (d, s)) }
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // Seed labels from the contraction's own star roots (self for
+    // vertices the contraction never saw): the initial state is already
+    // the per-partition fixpoint, so the loop only pays for CROSS-
+    // partition stitching — a graph one partition solved outright
+    // converges after a single confirm round. A vertex that straddles
+    // partitions has one star root PER partition, so take the min
+    // first (narrow: stars is already hash-partitioned) — joining the
+    // raw multi-rooted stars would duplicate the vertex's label row.
+    val seedRoots = stars.reduceByKey(part, math.min(_: Long, _: Long))
     var labels: RDD[(Long, Long)] = nodes.select(col("id").cast("long")).rdd
       .map { r => val v = r.getLong(0); (v, v) }
-      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(part)
+      .leftOuterJoin(seedRoots, part)
+      .mapValues { case (self, root) => root.getOrElse(self) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
     def bigSum(l: RDD[(Long, Long)]): BigInt =
       l.aggregate(BigInt(0))((a, kv) => a + kv._2, _ + _)
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
@@ -200,6 +219,7 @@ object GraphOps {
         println(f"[cc] round $iter sum=$s ${(System.nanoTime() - tR) / 1e9}%.3f s")
     }
     edges.unpersist(false)
+    stars.unpersist(false)
     labels.toDF("id", "comp")
       .select(col("id").cast(idType).as("id"), col("comp").cast(idType).as("comp"))
   }

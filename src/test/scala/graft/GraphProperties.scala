@@ -58,6 +58,23 @@ object GraphProperties extends Properties("Graph") {
       got == unionFind(nodes, edges)
     }
 
+  // the same contract with the loop FORCED to several partitions: the
+  // local-contraction fast path can no longer solve the graph alone, so
+  // this exercises the cross-partition stitching rounds production
+  // would run at cluster scale (the single-partition runs above solve
+  // everything in the union-find contraction)
+  property("connectedComponents stitches across forced partitions") =
+    forAll(graphGen) { case (nodes, edges) =>
+      import spark.implicits._
+      val rows = GraphOps.connectedComponents(
+        nodes.toDF("id"), edges.toDF("src", "dst"), partitions = Some(4))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      // exactly one row per vertex (a multi-partition vertex picking up
+      // one seed root per partition would duplicate its label row), and
+      // the labels match the reference
+      rows.length == nodes.size && rows.toMap == unionFind(nodes, edges)
+    }
+
   // -------------------------------------------------- WordPiece props
   private val pieces = Seq("a", "ab", "abc", "b", "bc", "c", "##a",
     "##ab", "##b", "##bc", "##c", "##cc")
