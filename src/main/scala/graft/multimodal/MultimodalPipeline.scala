@@ -106,6 +106,42 @@ object MultimodalPipeline {
       "lh0", "lh1", "lh2", "lh3")
   }
 
+  /** Genuinely decoded audio features: payloads are REAL WAV files,
+    * the decode is javax.sound.sampled (per-partition codec instance),
+    * and the features come from decoded PCM samples — the audio twin
+    * of [[extractImageFeatures]].
+    */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = new AudioCodec // per-partition init, like a model load
+      it.map { m =>
+        val f = codec.decode(m.payload)
+        (m.media_id, m.kind, m.n_bytes, f.sample_rate, f.n_samples,
+          f.abs_sum, f.peak, f.zero_crossings)
+      }
+    }.toDF("media_id", "kind", "n_bytes", "sample_rate", "n_samples",
+      "abs_sum", "peak", "zero_crossings")
+  }
+
+  /** Media table whose payloads are real WAV files encoding the
+    * documents' bytes as PCM samples ([[WavEncoder]]) — decodable by
+    * the actual javasound codec while every sample stays a pure
+    * function of the text, keeping the decode oracle-checkable.
+    */
+  def wavMediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    val wav = udf((text: String) =>
+      WavEncoder.pcm16Wav(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    docs.filter(length(col("text")) > 0)
+      .select(
+        col("doc_id").as("media_id"),
+        lit("audio").as("kind"),
+        wav(col("text")).as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .as[MediaRecord]
+  }
+
   /** Media table whose payloads are real BMP images encoding the
     * documents' bytes as gray pixels ([[BmpEncoder]]) — decodable by
     * the actual JDK codec while every pixel stays a pure function of

@@ -96,15 +96,53 @@ object MultimodalQueries {
        |FROM d ORDER BY media_id""".stripMargin
   }
 
+  /** REAL audio decode: each document's bytes become PCM samples of an
+    * actual WAV (WavEncoder), javax.sound.sampled decodes it on
+    * executors, and the features come from the decoded samples.
+    * Sample = (byte - 96) * 256, centered so real text crosses zero —
+    * DuckDB recomputes every sample feature from character codes.
+    */
+  def q73AudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val media = MultimodalPipeline.wavMediaFromDocuments(
+      t.documents.filter(col("doc_id") < 200))
+    MultimodalPipeline.extractAudioFeatures(media)
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"), col("abs_sum"), col("peak"),
+        col("zero_crossings"))
+      .orderBy("media_id")
+  }
+
+  val q73Sql: String = {
+    val samples = "list_transform(generate_series(1, len(text)), i -> (ascii(substr(text, i, 1)) - 96) * 256)"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, len(text) AS n
+       |  FROM documents WHERE doc_id < 200 AND len(text) > 0)
+       |SELECT doc_id AS media_id, 'audio' AS kind,
+       |  (44 + 2 * n)::BIGINT AS n_bytes,
+       |  8000::BIGINT AS sample_rate,
+       |  n::BIGINT AS n_samples,
+       |  coalesce(list_sum(list_transform($samples, s -> abs(s))), 0)::BIGINT AS abs_sum,
+       |  coalesce(list_max(list_transform($samples, s -> abs(s))), 0)::BIGINT AS peak,
+       |  coalesce(list_sum(list_transform(generate_series(2, n), i ->
+       |    CASE WHEN (ascii(substr(text, i - 1, 1)) - 96)
+       |            * (ascii(substr(text, i, 1)) - 96) < 0
+       |         THEN 1 ELSE 0 END)), 0)::BIGINT AS zero_crossings
+       |FROM d ORDER BY media_id""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_multimodal_features" -> (q25MultimodalFeatures _),
     "q26_frame_sample" -> (q26FrameSample _),
     "q72_image_decode" -> (q72ImageDecode _),
+    "q73_audio_decode" -> (q73AudioDecode _),
   )
 
   val oracle: Map[String, String] = Map(
     "q25_multimodal_features" -> q25Sql,
     "q26_frame_sample" -> q26Sql,
     "q72_image_decode" -> q72Sql,
+    "q73_audio_decode" -> q73Sql,
   )
 }

@@ -250,7 +250,41 @@ object TextQueries {
       |    '\d{4,}', '[NUM]', 'g') AS redacted
       |FROM aug ORDER BY doc_id""".stripMargin
 
+  /** Exact corpus-wide heavy hitters via sketch-then-verify: a
+    * Misra–Gries sketch (graft_heavy_hitters — mergeable
+    * TypedImperativeAggregate, one `capacity`-bounded state per
+    * partition crosses the shuffle) nominates candidates, a second
+    * pass counts ONLY the candidates exactly (broadcast semi-join —
+    * nothing else shuffles), and the top-k is exact because every
+    * token with frequency > N/(capacity+1) is guaranteed a counter.
+    * At 100 TB the naive groupBy-all-tokens shuffle moves the whole
+    * token stream; this moves 1024 rows per partition plus the
+    * candidate counts. Capacity 1024 » k=20: a Zipf-shaped corpus has
+    * its 20th token far above N/1025.
+    */
+  def q74HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def toks = t.documents
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+    val cands = toks
+      .agg(call_function("graft_heavy_hitters", col("tok"), lit(1024)).as("sk"))
+      .select(explode(col("sk")).as("c"))
+      .select(col("c.token").as("tok"))
+    toks.join(broadcast(cands), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(20)
+  }
+
+  val q74Sql: String =
+    s"""WITH toks AS (
+       |  SELECT t.tok AS tok
+       |  FROM documents, unnest(${OracleSql.tokens("lower(text)")}) AS t(tok))
+       |SELECT tok, COUNT(*)::BIGINT AS cnt
+       |FROM toks GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_heavy_hitters" -> (q74HeavyHitters _),
     "q54_redact" -> (q54Redact _),
     "q27_length_percentiles" -> (q27LengthPercentiles _),
     "q20_lang_id" -> (q20LangId _),
@@ -261,6 +295,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q74_heavy_hitters" -> q74Sql,
     "q54_redact" -> q54Sql,
     "q27_length_percentiles" -> q27Sql,
     "q20_lang_id" -> q20Sql,

@@ -51,6 +51,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CharShinglesExpr(children(0), intLit(children(1), "n"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitterAgg].getName, "graft_heavy_hitters"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_heavy_hitters(item, capacity) takes a string column and a literal capacity")
+        HeavyHitterAgg(children(0), intLit(children(1), "capacity"))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash32Expr].getName, "graft_simhash"),
       (children: Seq[Expression]) => {
