@@ -16,7 +16,8 @@ object SparkEntry {
       operators.PipelineQueries.entries ++
       operators.QualityQueries.entries ++
       operators.SearchQueries.entries ++
-      operators.SamplingQueries.entries
+      operators.SamplingQueries.entries ++
+      operators.TemporalQueries.entries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -29,5 +30,6 @@ object SparkEntry {
       operators.PipelineQueries.oracle ++
       operators.QualityQueries.oracle ++
       operators.SearchQueries.oracle ++
-      operators.SamplingQueries.oracle
+      operators.SamplingQueries.oracle ++
+      operators.TemporalQueries.oracle
 }
