@@ -17,7 +17,8 @@ object SparkEntry {
       operators.QualityQueries.entries ++
       operators.SearchQueries.entries ++
       operators.SamplingQueries.entries ++
-      operators.TemporalQueries.entries
+      operators.TemporalQueries.entries ++
+      operators.SketchQueries.entries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.QualityQueries.oracle ++
       operators.SearchQueries.oracle ++
       operators.SamplingQueries.oracle ++
-      operators.TemporalQueries.oracle
+      operators.TemporalQueries.oracle ++
+      operators.SketchQueries.oracle
 }

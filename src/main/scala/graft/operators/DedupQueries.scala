@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -390,7 +391,69 @@ object DedupQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** C4/RefinedWeb-style span dedup: split each document into
+    * pseudo-lines of 10 tokens (the corpus has no newlines — at
+    * production scale the splitter is `split(text, '\n')` and the rest
+    * is identical), keep each distinct span only at its FIRST
+    * occurrence corpus-wide (min (doc_id, span_idx)), and reassemble
+    * the surviving spans into the cleaned document.
+    *
+    * Shape: spans are a pure projection (transform+slice — no
+    * explode-then-groupBy re-shuffle to build them), first-occurrence
+    * is a min-struct window over the span hash partition (ONE shuffle,
+    * no join-back), reassembly is one groupBy on doc_id. Two shuffles
+    * total; nothing driver-side. This is the training-data dedup that
+    * at 100 TB removes boilerplate (headers, navbars, license blocks)
+    * exact-duplicated across billions of pages.
+    */
+  def q76SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val spans = t.documents
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .withColumn("n_spans", expr("cast(ceil(size(ts) / 10.0) as int)"))
+      .select(col("doc_id"), col("n_spans"),
+        posexplode(expr(
+          "transform(sequence(0, n_spans - 1), i -> array_join(slice(ts, i*10 + 1, 10), ' '))"))
+          .as(Seq("span_idx", "span")))
+    val firstWins = Window.partitionBy("span")
+    spans
+      .withColumn("keeper", min(struct(col("doc_id"), col("span_idx"))).over(firstWins))
+      .filter(struct(col("doc_id"), col("span_idx")) === col("keeper"))
+      .groupBy("doc_id")
+      .agg(first(col("n_spans")).cast("long").as("n_spans"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          x => x.getField("span")), " ").as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  val q76Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${OracleSql.tokens("text")} AS ts
+       |  FROM documents WHERE len(${OracleSql.tokens("text")}) > 0),
+       |spans AS (
+       |  SELECT doc_id, n_spans, i - 1 AS span_idx,
+       |    array_to_string(ts[(i-1)*10 + 1 : (i-1)*10 + 10], ' ') AS span
+       |  FROM (
+       |    SELECT doc_id, ts, cast(ceil(len(ts) / 10.0) AS BIGINT) AS n_spans,
+       |      unnest(generate_series(1, cast(ceil(len(ts) / 10.0) AS INT))) AS i
+       |    FROM toks)),
+       |firsts AS (SELECT span, min(doc_id) AS kd FROM spans GROUP BY span),
+       |firsts2 AS (
+       |  SELECT s.span, s.doc_id, min(s.span_idx) AS ki
+       |  FROM spans s JOIN firsts f ON s.span = f.span AND s.doc_id = f.kd
+       |  GROUP BY s.span, s.doc_id),
+       |kept AS (
+       |  SELECT s.* FROM spans s JOIN firsts2 f
+       |  ON s.span = f.span AND s.doc_id = f.doc_id AND s.span_idx = f.ki)
+       |SELECT doc_id, any_value(n_spans) AS n_spans, COUNT(*) AS n_kept,
+       |  string_agg(span, ' ' ORDER BY span_idx) AS cleaned
+       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_span_dedup" -> (q76SpanDedup _),
     "q35_neardup_embedding_lsh" -> (q35NearDupEmbeddingLsh _),
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_dedup_ngram" -> (q31DedupNgram _),
@@ -401,6 +464,7 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q76_span_dedup" -> q76Sql,
     "q35_neardup_embedding_lsh" -> q35Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_dedup_ngram" -> q31Sql,
