@@ -273,6 +273,62 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def append(table: String, batch: DataFrame, partitionCols: Seq[String] = Nil): Long =
     merged(table, batch, (prior, b) => prior.unionByName(b), partitionCols)
 
+  private def parquetFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    finally s.close()
+  }
+
+  /** Small-file compaction: streaming micro-batch merges leave each
+    * touched partition with one more file pile per version, and at
+    * some point the read cost is task-scheduling, not I/O (the classic
+    * lakehouse OPTIMIZE problem). Rewrites ONLY partitions holding
+    * more than `maxFilesPerPartition` data files — coalesced to one
+    * file per hive partition via a repartition on the partition column
+    * (at cluster scale the same job would `repartitionByRange` to a
+    * target file size instead of one file) — and hard-links every
+    * already-compact partition into the new version unchanged, exactly
+    * like [[mergedPartitionScoped]]. Row content is untouched; old
+    * versions stay readable (time travel) and vacuum-safe.
+    *
+    * Returns the new version, or None when every partition is already
+    * under the threshold (no version is created).
+    */
+  def compact(table: String, maxFilesPerPartition: Int = 4): Option[Long] = {
+    require(maxFilesPerPartition >= 1, "threshold must be at least 1 file")
+    val cur = currentVersion(table).getOrElse(return None)
+    val curDir = tableDir(table).resolve(s"v$cur")
+    val partDirs: Seq[java.nio.file.Path] = {
+      val s = Files.list(curDir)
+      try s.iterator().asScala.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.contains("=")).toSeq
+      finally s.close()
+    }
+    val next = cur + 1
+    val nextDir = tableDir(table).resolve(s"v$next")
+    if (partDirs.isEmpty) {
+      // unpartitioned table: one flat pile of files
+      if (parquetFiles(curDir).size <= maxFilesPerPartition) return None
+      writeVersionDir(table, next, spark.read.parquet(curDir.toString).coalesce(1), Nil)
+    } else {
+      val pc = partDirs.head.getFileName.toString.split("=")(0)
+      val needy = partDirs.filter(p => parquetFiles(p).size > maxFilesPerPartition)
+      if (needy.isEmpty) return None
+      // basePath keeps the partition column alive on a sub-dir read
+      val rows = spark.read.option("basePath", curDir.toString)
+        .parquet(needy.map(_.toString): _*)
+      writeVersionDir(table, next, rows.repartition(col(pc)), Seq(pc))
+      val needyNames = needy.map(_.getFileName.toString).toSet
+      partDirs.foreach { p =>
+        val name = p.getFileName.toString
+        if (!needyNames.contains(name)) linkTree(p, nextDir.resolve(name))
+      }
+    }
+    swapPointer(table, next)
+    Some(next)
+  }
+
   /** Every table currently in the store. */
   def tables(): Seq[String] = {
     val dir = Paths.get(root)

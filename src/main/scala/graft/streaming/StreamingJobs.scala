@@ -60,7 +60,8 @@ object StreamingIngest {
     * last), so the replay is a no-op.
     */
   def processBatch(store: SnapshotStore, batch: DataFrame, batchId: Long,
-      sourceName: String, sourceUri: String, ts: Timestamp): Unit = {
+      sourceName: String, sourceUri: String, ts: Timestamp,
+      compactEvery: Int = 0): Unit = {
     val alreadyDone = store.read("ingest_runs").exists(
       _.filter(col("run_id") === batchId).limit(1).count() > 0)
     if (alreadyDone) return
@@ -92,6 +93,11 @@ object StreamingIngest {
     if (!r.errors.isEmpty) store.append("ingest_errors", r.errors)
     // the commit marker: MUST stay the last write (see idempotency note)
     store.append("ingest_runs", r.runLedger)
+    // post-commit maintenance: every partition-scoped merge adds a file
+    // pile to the touched partitions, so long-running streams compact on
+    // a cadence. Content-neutral, so replay/crash around it is safe.
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      store.compact("cases", maxFilesPerPartition = 4)
     ()
   }
 }

@@ -215,4 +215,52 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(s.versions("t") == Seq(2L))
     intercept[IllegalArgumentException](s.vacuum("t", keepLast = 0))
   }
+
+  test("compact: rewrites only over-threshold partitions, links the rest") {
+    val s = newStore()
+    val root = {
+      // write an initial two-partition table, then pile small files
+      // onto year 2023 only via repeated 3-file appends
+      s.write("cases",
+        Seq((1, 2022, "a"), (2, 2023, "b")).toDF("k", "filed_year", "v"),
+        partitionCols = Seq("filed_year"))
+      for (i <- 3 to 11 by 3)
+        s.append("cases",
+          Seq((i, 2023, "x"), (i + 1, 2023, "y"), (i + 2, 2023, "z"))
+            .toDF("k", "filed_year", "v").repartition(3),
+          partitionCols = Seq("filed_year"))
+      java.nio.file.Paths.get(s.read("cases").get.inputFiles.head
+        .stripPrefix("file:")).getParent.getParent
+    }
+    import scala.jdk.CollectionConverters._
+    def files(ver: Long, part: String) = {
+      val d = root.getParent.resolve(s"v$ver").resolve(part)
+      val l = Files.list(d)
+      try l.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally l.close()
+    }
+    val cur = s.currentVersion("cases").get
+    val before = s.read("cases").get.collect().map(r =>
+      (r.getAs[Int]("k"), r.getAs[String]("v"))).toSet
+    assert(files(cur, "filed_year=2023").size > 4, "setup piled small files")
+    val coldBefore = files(cur, "filed_year=2022")
+
+    val v = s.compact("cases", maxFilesPerPartition = 4)
+    assert(v.contains(cur + 1))
+    assert(files(v.get, "filed_year=2023").size == 1, "hot partition compacted")
+    // the cold partition was hard-linked, not rewritten: same inode
+    val coldAfter = files(v.get, "filed_year=2022")
+    assert(coldAfter.map(_.getFileName.toString).toSet ==
+      coldBefore.map(_.getFileName.toString).toSet)
+    assert(Files.isSameFile(coldBefore.head, coldAfter.head),
+      "cold partition files must be the same inode (linked)")
+    // content identical, old version still time-travelable
+    val after = s.read("cases").get.collect().map(r =>
+      (r.getAs[Int]("k"), r.getAs[String]("v"))).toSet
+    assert(after == before, "compaction must not change rows")
+    assert(s.readVersion("cases", cur).get.count() == before.size)
+    // everything under threshold now -> no-op, no new version
+    assert(s.compact("cases", maxFilesPerPartition = 4).isEmpty)
+  }
 }
