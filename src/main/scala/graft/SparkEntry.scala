@@ -18,7 +18,8 @@ object SparkEntry {
       operators.SearchQueries.entries ++
       operators.SamplingQueries.entries ++
       operators.TemporalQueries.entries ++
-      operators.SketchQueries.entries
+      operators.SketchQueries.entries ++
+      operators.SkewTools.entries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.SearchQueries.oracle ++
       operators.SamplingQueries.oracle ++
       operators.TemporalQueries.oracle ++
-      operators.SketchQueries.oracle
+      operators.SketchQueries.oracle ++
+      operators.SkewTools.oracle
 }

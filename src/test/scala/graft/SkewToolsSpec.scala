@@ -29,6 +29,16 @@ class SkewToolsSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() == 0)
   }
 
+  test("q78 executes a salted SHUFFLE join, not a broadcast") {
+    val df = SkewTools.q78SaltedJoin(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"broadcast would bypass the salt:\n$plan")
+    assert(plan.matches("(?s).*hashpartitioning\\(event_type[^)]*_salt.*"),
+      s"join must shuffle on (event_type, _salt):\n$plan")
+  }
+
   test("hot key scatters across all salt buckets") {
     val events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
     val buckets = events
