@@ -72,18 +72,28 @@ final case class ImageFeatures(width: Int, height: Int, lum_sum: Long,
   * lookup is not free) exactly like a model/codec handle.
   */
 final class ImageCodec {
-  def decode(payload: Array[Byte]): ImageFeatures = {
+  def decode(payload: Array[Byte]): ImageFeatures = decodeResized(payload, 1)
+
+  /** Decode + nearest-neighbor downsample by an integer `factor`:
+    * resized pixel (x, y) samples decoded pixel (x·f, y·f), output
+    * dims are ceil(w/f) × ceil(h/f). factor=1 is a plain decode. The
+    * resample happens on the DECODED raster (the real resize shape —
+    * decode once per record, never re-encode), and features come from
+    * the resized grid.
+    */
+  def decodeResized(payload: Array[Byte], factor: Int): ImageFeatures = {
+    require(factor >= 1, "factor must be >= 1")
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     require(img != null, "payload is not a decodable image")
-    val w = img.getWidth
-    val h = img.getHeight
+    val w2 = (img.getWidth + factor - 1) / factor
+    val h2 = (img.getHeight + factor - 1) / factor
     val hist = new Array[Long](4)
     var sum = 0L
     var y = 0
-    while (y < h) {
+    while (y < h2) {
       var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
+      while (x < w2) {
+        val rgb = img.getRGB(x * factor, y * factor)
         val lum = ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
         hist(lum >> 6) += 1
         sum += lum
@@ -91,6 +101,6 @@ final class ImageCodec {
       }
       y += 1
     }
-    ImageFeatures(w, h, sum, hist(0), hist(1), hist(2), hist(3))
+    ImageFeatures(w2, h2, sum, hist(0), hist(1), hist(2), hist(3))
   }
 }

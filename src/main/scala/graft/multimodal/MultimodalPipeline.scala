@@ -106,6 +106,25 @@ object MultimodalPipeline {
       "lh0", "lh1", "lh2", "lh3")
   }
 
+  /** Decode + nearest-neighbor resize in one executor-side pass
+    * ([[ImageCodec.decodeResized]]): the feature-extraction shape for
+    * thumbnailing a 100 TB image corpus — decode once, sample the
+    * raster, emit fixed-width features; no re-encoded binary crosses a
+    * shuffle.
+    */
+  def resizeImageFeatures(media: Dataset[MediaRecord], factor: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = new ImageCodec
+      it.map { m =>
+        val f = codec.decodeResized(m.payload, factor)
+        (m.media_id, m.kind, m.n_bytes, f.width, f.height, f.lum_sum,
+          f.lh0, f.lh1, f.lh2, f.lh3)
+      }
+    }.toDF("media_id", "kind", "n_bytes", "width", "height", "lum_sum",
+      "lh0", "lh1", "lh2", "lh3")
+  }
+
   /** Genuinely decoded audio features: payloads are REAL WAV files,
     * the decode is javax.sound.sampled (per-partition codec instance),
     * and the features come from decoded PCM samples — the audio twin

@@ -132,11 +132,53 @@ object MultimodalQueries {
        |FROM d ORDER BY media_id""".stripMargin
   }
 
+  /** REAL decode + nearest-neighbor 2× downsample: resized pixel
+    * (x, y) samples decoded pixel (2x, 2y), so DuckDB recomputes every
+    * sampled luminance from the character at index y·32 + x·2
+    * (0-based; beyond-text indices are the BMP's zero padding). Output
+    * grid is 8 × ceil(H/2) for the 16-wide source.
+    */
+  def q79ImageResize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val media = MultimodalPipeline.bmpMediaFromDocuments(
+      t.documents.filter(col("doc_id") < 200))
+    MultimodalPipeline.resizeImageFeatures(media, factor = 2)
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("lum_sum"), col("lh0"), col("lh1"), col("lh2"), col("lh3"))
+      .orderBy("media_id")
+  }
+
+  val q79Sql: String = {
+    // sampled luminances: k enumerates the resized grid row-major;
+    // original index = (k // 8) * 32 + (k % 8) * 2 (both coords doubled)
+    val codes = """list_transform(generate_series(0, 8 * h2 - 1), k ->
+                  |    CASE WHEN ((k // 8) * 32 + (k % 8) * 2) < n
+                  |         THEN ascii(substr(text, (k // 8) * 32 + (k % 8) * 2 + 1, 1))
+                  |         ELSE 0 END)""".stripMargin
+    def bucket(b: Int) =
+      s"coalesce(len(list_filter($codes, c -> c // 64 = $b)), 0)::BIGINT"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, len(text) AS n,
+       |    (len(text) + 15) // 16 AS height,
+       |    ((len(text) + 15) // 16 + 1) // 2 AS h2
+       |  FROM documents WHERE doc_id < 200 AND len(text) > 0)
+       |SELECT doc_id AS media_id, 'image' AS kind,
+       |  (54 + 48 * height)::BIGINT AS n_bytes,
+       |  8::BIGINT AS width, h2::BIGINT AS height,
+       |  coalesce(list_sum($codes), 0)::BIGINT AS lum_sum,
+       |  ${bucket(0)} AS lh0, ${bucket(1)} AS lh1,
+       |  ${bucket(2)} AS lh2, ${bucket(3)} AS lh3
+       |FROM d ORDER BY media_id""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_multimodal_features" -> (q25MultimodalFeatures _),
     "q26_frame_sample" -> (q26FrameSample _),
     "q72_image_decode" -> (q72ImageDecode _),
     "q73_audio_decode" -> (q73AudioDecode _),
+    "q79_image_resize" -> (q79ImageResize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -144,5 +186,6 @@ object MultimodalQueries {
     "q26_frame_sample" -> q26Sql,
     "q72_image_decode" -> q72Sql,
     "q73_audio_decode" -> q73Sql,
+    "q79_image_resize" -> q79Sql,
   )
 }
