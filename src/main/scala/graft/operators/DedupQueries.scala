@@ -452,7 +452,113 @@ object DedupQueries {
        |  string_agg(span, ' ' ORDER BY span_idx) AS cleaned
        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Prefix-filtered exact set-similarity join (the PPJoin family's
+    * core filter — Chaudhuri/Ganti/Kaushik's prefix principle): under
+    * ANY global token order, two sets with Jaccard ≥ t MUST share a
+    * token inside each other's first `|x| − ⌈t·|x|⌉ + 1` tokens, so
+    * candidate generation explodes ONLY those prefixes instead of
+    * every token. Ordering rarest-first (global df asc, token asc)
+    * makes the shared-prefix tokens the most selective ones — the
+    * stop-word postings that turn a naive token self-join into a
+    * near-cross-product never enter a prefix. Exactness is restored by
+    * verifying true Jaccard on the candidates' full sets.
+    *
+    * Returns (a_id, b_id, jaccard) for all pairs with Jaccard ≥ t over
+    * `sets` = (doc_id, toks: distinct token array). No id bounds — this
+    * is the unbounded-scale version of q31's postings join, and the
+    * equality with the ALL-pairs result is the oracle (q80) plus a
+    * random-sets property (DedupProperties).
+    */
+  def prefixJaccardPairs(sets: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val s = sets.withColumn("n", size(col("toks"))).filter(col("n") > 0)
+      // prefix generation and both verify sides read it
+      .persist(StorageLevel.MEMORY_ONLY)
+    val postings = s.select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
+    val df = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+    // the (df, tok) struct IS the global order — no single-task
+    // row_number rank assignment; the dictionary broadcasts (at corpus
+    // scale: sort-merge join the postings, same plan shape)
+    val prefixes = postings.join(broadcast(df), "tok")
+      .groupBy("doc_id", "n")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
+      .select(col("doc_id"), col("n"),
+        explode(slice(transform(col("ordered"), x => x.getField("tok")),
+          lit(1), col("n") - ceil(col("n") * t).cast("int") + 1)).as("tok"))
+    // length filter (the second PPJoin prune): Jaccard ≥ t forces
+    // t·|B| ≤ |A| ≤ |B|/t, so wildly different sizes never verify
+    val cand = prefixes.as("pa").join(prefixes.as("pb"), "tok")
+      .filter(col("pa.doc_id") < col("pb.doc_id") &&
+        col("pa.n") >= ceil(col("pb.n") * t) &&
+        col("pb.n") >= ceil(col("pa.n") * t))
+      .select(col("pa.doc_id").as("a_id"), col("pb.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(s.select(col("doc_id").as("a_id"), col("toks").as("a_toks"),
+        col("n").as("a_n")), "a_id")
+      .join(s.select(col("doc_id").as("b_id"), col("toks").as("b_toks"),
+        col("n").as("b_n")), "b_id")
+      .withColumn("n_inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("a_n") + col("b_n") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= t)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** q80: prefix-filtered bigram-shingle Jaccard ≥ 0.7 over a bounded
+    * slice plus a constructed near-dup twin per document (every 10th
+    * token dropped — the same make-the-duplicates-exist trick as q30),
+    * so the result is exactly the doc↔twin pairs with headroom on both
+    * sides (corpus cross-pair bigram similarity tops out ≈0.12).
+    *
+    * Bounded like q31, and for the same reason: this synthetic corpus
+    * draws from a ~60-word vocabulary, so EVERY bigram posting list is
+    * dense and any exact pairwise join — prefix-filtered or not — is
+    * intrinsically quadratic in it. On real text (large vocabularies,
+    * Zipf-thin posting tails) the prefix filter is what makes the
+    * UNBOUNDED exact join feasible; DedupProperties proves the filter
+    * loses no pair on skewed random sets, and the oracle's exhaustive
+    * join proves it again on this slice.
+    */
+  def q80JaccardPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = t.documents.filter(col("doc_id") < 300).select(col("doc_id"),
+      tokens(lower(col("text"))).as("ts"))
+    val twin = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("filter(ts, (x, i) -> i % 10 != 0)").as("ts"))
+    // distinct word bigrams from the token list (mirrors
+    // TextFunctions.wordShinglesHof, which starts from raw text)
+    def bigrams(ts: org.apache.spark.sql.Column) =
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(ts) - 2, lit(0))),
+        i => array_join(slice(ts, i + 1, lit(2)), " ")))
+    val sets = base.unionByName(twin)
+      .select(col("doc_id"), bigrams(col("ts")).as("toks"))
+    prefixJaccardPairs(sets, 0.7).orderBy("a_id", "b_id")
+  }
+
+  val q80Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${OracleSql.tokens("lower(text)")} AS ts
+       |  FROM documents WHERE doc_id < 300),
+       |uni AS (
+       |  SELECT doc_id, ts FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, list_filter(ts, (x, i) -> (i - 1) % 10 != 0)
+       |  FROM base),
+       |sets AS (SELECT doc_id, ${OracleSql.wordShingles("ts", 2)} AS toks FROM uni),
+       |postings AS (
+       |  SELECT doc_id, len(toks) AS n, unnest(toks) AS tok
+       |  FROM sets WHERE len(toks) > 0)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  COUNT(*)::DOUBLE / (a.n + b.n - COUNT(*))::DOUBLE AS jaccard
+       |FROM postings a JOIN postings b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+       |HAVING COUNT(*)::DOUBLE / (a.n + b.n - COUNT(*))::DOUBLE >= 0.7
+       |ORDER BY a_id, b_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_jaccard_prefix" -> (q80JaccardPrefix _),
     "q76_span_dedup" -> (q76SpanDedup _),
     "q35_neardup_embedding_lsh" -> (q35NearDupEmbeddingLsh _),
     "q30_dedup_exact" -> (q30DedupExact _),
@@ -464,6 +570,7 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q80_jaccard_prefix" -> q80Sql,
     "q76_span_dedup" -> q76Sql,
     "q35_neardup_embedding_lsh" -> q35Sql,
     "q30_dedup_exact" -> q30Sql,
