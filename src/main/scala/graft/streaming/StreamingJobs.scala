@@ -274,6 +274,55 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("tier"), col("n_events"))
 
+  final case class EventRow(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class AsofMatch(event_id: Long, user_id: Long,
+      click_ts: java.sql.Timestamp, click_value: Double,
+      view_ts: Option[java.sql.Timestamp], view_value: Option[Double])
+
+  /** Streaming as-of enrichment — the continuous twin of the batch
+    * asofJoin (TemporalQueries/q75): each click emits with the same
+    * user's latest view at-or-before it. Per-key state is ONE row (the
+    * latest view), so state size is O(distinct users) regardless of
+    * stream length — the property that keeps an infinite-stream as-of
+    * feasible where the stream-stream interval join (clickToAction)
+    * must buffer a whole horizon of both sides.
+    *
+    * Rows are replayed in event-time order WITHIN each micro-batch
+    * (views before clicks on ties, same as the batch operator); across
+    * batches the state is monotone, so semantics match batch exactly
+    * under per-key in-order arrival. A view arriving AFTER a click it
+    * should have matched (cross-batch late data) cannot retro-emit —
+    * that is the streaming trade-off, stated rather than hidden.
+    */
+  def asofEnrich(events: Dataset[EventRow]): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[(Long, Double)]) =>
+          val sorted = rows.toSeq.sortBy(r =>
+            (micros(r.ts), if (r.event_type == "view") 0 else 1))
+          var st = state.getOption
+          val out = Seq.newBuilder[AsofMatch]
+          sorted.foreach { r =>
+            if (r.event_type == "view") st = Some((micros(r.ts), r.value))
+            else if (r.event_type == "click") out += AsofMatch(
+              r.event_id, user, r.ts, r.value,
+              st.map(s => java.sql.Timestamp.from(
+                java.time.Instant.ofEpochSecond(s._1 / 1000000L,
+                  (s._1 % 1000000L) * 1000L))),
+              st.map(_._2))
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   final case class Seen(key: String, raw: String)
   final case class SeenCount(key: String, raw: String, seenCount: Long)
 

@@ -331,4 +331,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(last(("court:2", "NDCAL")) == 1L)
     } finally q.stop()
   }
+
+  test("streaming as-of enrichment: state carries the latest view across batches") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.EventRow
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.asofEnrich(mem.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        EventRow(1, 7, ts("2026-01-01 10:00:05"), "click", 1.0), // before any view
+        EventRow(2, 7, ts("2026-01-01 10:00:10"), "view", 11.0),
+        EventRow(3, 7, ts("2026-01-01 10:00:10"), "click", 2.0), // tie -> inclusive
+        EventRow(4, 7, ts("2026-01-01 10:00:20"), "click", 3.0)) // -> view@10
+      q.processAllAvailable()
+      mem.addData(
+        EventRow(5, 7, ts("2026-01-01 10:00:30"), "click", 4.0), // state view@10
+        EventRow(6, 7, ts("2026-01-01 10:00:40"), "view", 12.0),
+        EventRow(7, 7, ts("2026-01-01 10:00:50"), "click", 5.0), // -> view@40
+        EventRow(8, 9, ts("2026-01-01 10:00:50"), "click", 6.0)) // other user, no view
+      q.processAllAvailable()
+      val got = spark.table("asof").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.sql.Timestamp]("view_ts")).map(_.toString)).toMap
+      assert(got == Map(
+        1L -> None,
+        3L -> Some("2026-01-01 10:00:10.0"),
+        4L -> Some("2026-01-01 10:00:10.0"),
+        5L -> Some("2026-01-01 10:00:10.0"),
+        7L -> Some("2026-01-01 10:00:40.0"),
+        8L -> None))
+    } finally q.stop()
+  }
 }
