@@ -273,6 +273,38 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def append(table: String, batch: DataFrame, partitionCols: Seq[String] = Nil): Long =
     merged(table, batch, (prior, b) => prior.unionByName(b), partitionCols)
 
+  /** Change data feed: the row-level diff between two retained
+    * versions, keyed on `keys` — `op` ∈ insert/update/delete (updates
+    * only where a non-key column actually changed; a rewritten file
+    * with identical rows produces NO change rows, so compaction is
+    * CDC-silent). This is what lets a downstream consumer (a search
+    * index, an embedding backfill, a replica) follow a 100 TB table by
+    * processing deltas instead of re-reading snapshots — the lakehouse
+    * CDF surface on the same version directories time travel reads.
+    *
+    * Plan shape: one full-outer join on the keys between the two
+    * versions; at scale both sides are partition-pruned by the same
+    * hive layout the merges maintain.
+    */
+  def readChanges(table: String, fromVersion: Long, toVersion: Long,
+      keys: Seq[String]): Option[DataFrame] = {
+    val oldDf = readVersion(table, fromVersion).getOrElse(return None)
+    val newDf = readVersion(table, toVersion).getOrElse(return None)
+    val valueCols = newDf.columns.toSeq.diff(keys)
+    val o = oldDf.select(
+      keys.map(col) :+ struct(valueCols.map(col): _*).as("_old"): _*)
+    val n = newDf.select(
+      keys.map(col) :+ struct(valueCols.map(col): _*).as("_new"): _*)
+    Some(o.join(n, keys, "full_outer")
+      .withColumn("op",
+        when(col("_old").isNull, lit("insert"))
+          .when(col("_new").isNull, lit("delete"))
+          .when(col("_old") =!= col("_new"), lit("update")))
+      .filter(col("op").isNotNull)
+      .select(keys.map(col) :+ col("op") :+
+        col("_old").as("before") :+ col("_new").as("after"): _*))
+  }
+
   private def parquetFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
     val s = Files.list(dir)
     try s.iterator().asScala

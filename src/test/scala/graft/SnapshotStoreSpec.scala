@@ -216,6 +216,24 @@ class SnapshotStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](s.vacuum("t", keepLast = 0))
   }
 
+  test("readChanges: insert/update/delete diff between versions; compaction is CDC-silent") {
+    val s = newStore()
+    s.write("t", Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "v", "w")) // v0
+    s.write("t", Seq((1, "a", 10), (2, "B", 20), (4, "d", 40)).toDF("k", "v", "w")) // v1
+    val ch = s.readChanges("t", 0, 1, Seq("k")).get.collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[String]("op")).toMap
+    // k=1 identical -> absent; k=2 value changed; k=3 gone; k=4 new
+    assert(ch == Map(2 -> "update", 3 -> "delete", 4 -> "insert"))
+    val upd = s.readChanges("t", 0, 1, Seq("k")).get
+      .filter(col("op") === "update").collect()(0)
+    assert(upd.getAs[org.apache.spark.sql.Row]("before").getAs[String]("v") == "b")
+    assert(upd.getAs[org.apache.spark.sql.Row]("after").getAs[String]("v") == "B")
+    // a pure rewrite (here: identical content re-written as v2) emits nothing
+    s.write("t", s.readVersion("t", 1).get)
+    assert(s.readChanges("t", 1, 2, Seq("k")).get.isEmpty)
+    assert(s.readChanges("t", 0, 99, Seq("k")).isEmpty, "unknown version -> None")
+  }
+
   test("compact: rewrites only over-threshold partitions, links the rest") {
     val s = newStore()
     val root = {
