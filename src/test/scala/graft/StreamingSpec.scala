@@ -332,6 +332,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of equals the batch as-of join on the test corpus") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.EventRow
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = EventStreams.asofEnrich(mem.toDS())
+      .writeStream.format("memory").queryName("asof_parity")
+      .outputMode("append").start()
+    try {
+      val rows = Tables(spark, "/root/testdata/sf0.001").events
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .as[EventRow].collect()
+      mem.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("asof_parity").collect().map(r =>
+        r.getAs[Long]("event_id") ->
+          ((Option(r.getAs[java.sql.Timestamp]("view_ts"))
+            .map(t => t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L),
+            Option(r.getAs[java.lang.Double]("view_value")).map(_.doubleValue)))).toMap
+      val batch = graft.operators.TemporalQueries
+        .q75AsofJoin(spark, "/root/testdata/sf0.001").collect().map(r =>
+          r.getAs[Long]("event_id") ->
+            ((Option(r.getAs[java.lang.Long]("view_us")).map(_.longValue),
+              Option(r.getAs[java.lang.Double]("view_value")).map(_.doubleValue)))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment: state carries the latest view across batches") {
     import spark.implicits._
     import graft.streaming.EventStreams.EventRow
