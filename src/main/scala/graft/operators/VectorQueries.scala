@@ -227,7 +227,60 @@ object VectorQueries {
        |SELECT case_key, best_vec, best_similarity FROM best WHERE rn = 1
        |ORDER BY best_similarity DESC, case_key LIMIT 5""".stripMargin
 
+  /** One Lloyd assignment step — the training iteration behind the
+    * IVF-Flat index (rag/AnnIndex): 8 seed centroids (vec_id < 8, the
+    * deterministic stand-in for k-means‖ init), every vector assigned
+    * to its max-dot centroid, per-cluster population + dot mass out.
+    *
+    * Scale shape: seeds BROADCAST (centroid tables are KBs); scoring is
+    * a map-only projection of the fact table (8 codegen'd graft_dot
+    * evals per row — no explode); the argmax is a min-of-struct
+    * aggregate with map-side partial combine, so the one shuffle
+    * carries a single row per vector, and the cluster rollup rides the
+    * same exchange. A window/row_number formulation would instead sort
+    * ALL n×8 scored rows after a full shuffle. Ties (equal dot) break
+    * to the lowest seed id in both engines.
+    */
+  def q81KmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val vecs = t.embeddings.select(col("vec_id"), col("embedding"))
+    val seeds = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed"))
+    val scored = vecs.crossJoin(broadcast(seeds))
+      .withColumn("dot", dotFold(col("embedding"), col("seed")))
+    scored
+      .groupBy("vec_id")
+      .agg(min(struct((col("dot") * lit(-1.0d)).as("ndot"),
+        col("seed_id").as("seed_id"))).as("b"))
+      .select(col("vec_id"), col("b.seed_id").as("cluster_id"),
+        (col("b.ndot") * lit(-1.0d)).as("dot"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("dot").cast("decimal(28,12)")).cast("double").as("sum_dot"))
+      .orderBy("cluster_id")
+  }
+
+  val q81Sql: String = {
+    val dot = OracleSql.dotFold("v.embedding", "s.seed")
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS seed
+       |  FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT v.vec_id, s.seed_id, $dot AS dot
+       |  FROM embeddings v CROSS JOIN seeds s),
+       |best AS (
+       |  SELECT vec_id, seed_id, dot,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                       ORDER BY dot DESC, seed_id) AS rn
+       |  FROM scored)
+       |SELECT seed_id AS cluster_id, COUNT(*) AS n_assigned,
+       |  SUM(dot::DECIMAL(28,12))::DOUBLE AS sum_dot
+       |FROM best WHERE rn = 1
+       |GROUP BY seed_id ORDER BY cluster_id""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_kmeans_assign" -> (q81KmeansAssign _),
     "q40_ann_brute_force" -> (q40AnnBruteForce _),
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q69_ann_multiprobe" -> (q69AnnMultiprobe _),
@@ -236,6 +289,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q81_kmeans_assign" -> q81Sql,
     "q40_ann_brute_force" -> q40Sql,
     "q41_ann_lsh" -> q41Sql,
     "q69_ann_multiprobe" -> q69Sql,
