@@ -83,10 +83,20 @@ object GraphProperties extends Properties("Graph") {
   private val inv = vocab.map(_.swap)
   private val tok = new WordPieceTokenizer(vocab)
 
+  // cap at the tokenizer's HF-compatible maxWordChars=100: longer
+  // words are DEFINED to collapse to [UNK] (pinned below), so the
+  // coverage property only claims what holds under the cap
   private val wordGen: Gen[String] = for {
     first <- Gen.oneOf(pieces.filterNot(_.startsWith("##")))
     rest <- Gen.listOf(Gen.oneOf(pieces.filter(_.startsWith("##"))))
-  } yield first + rest.map(_.stripPrefix("##")).mkString
+  } yield {
+    val sb = new StringBuilder(first)
+    rest.foreach { p =>
+      val s = p.stripPrefix("##")
+      if (sb.length + s.length <= 100) sb ++= s
+    }
+    sb.toString
+  }
 
   property("wordpiece: segmentation covers the word exactly") =
     forAll(wordGen) { w =>
@@ -104,4 +114,11 @@ object GraphProperties extends Properties("Graph") {
 
   property("wordpiece: case-insensitive") =
     forAll(wordGen) { w => tok.tokenize(w.toUpperCase) == tok.tokenize(w) }
+
+  property("wordpiece: words beyond maxWordChars collapse to [UNK]") =
+    forAll(wordGen, Gen.choose(101, 160)) { (w, len) =>
+      val long = (w * ((len / math.max(w.length, 1)) + 1)).take(len)
+      val ids = tok.tokenize(long)
+      ids.map(inv) == Seq("[UNK]")
+    }
 }
