@@ -21,6 +21,13 @@ import graft.store.SnapshotStore
   *   list --store <dir> [--judge J] [--year Y] (GET /cases)
   *   get --store <dir> <case_number>           (GET /cases/{cn})
   *   serve --store <dir> [--port N]            (uvicorn api:app — HTTP layer)
+  *
+  * Store-maintenance commands (no reference equivalent — Postgres does
+  * these inside the engine; a snapshot store surfaces them):
+  *
+  *   vacuum --store <dir> [--table T] [--keep N]        drop old versions
+  *   compact --store <dir> [--table T] [--max-files N]  merge small files
+  *   changes --store <dir> --table T --from V --to V --keys k1,k2  CDC diff
   */
 object GraftCli {
 
@@ -147,6 +154,35 @@ object GraftCli {
         println(s"graft api serving on http://127.0.0.1:${server.boundPort}")
         Thread.currentThread().join() // serve until killed
         0
+
+      case "vacuum" =>
+        val keep = opt(args, "--keep").map(_.toInt).getOrElse(1)
+        val tables = opt(args, "--table").map(Seq(_)).getOrElse(store.tables())
+        tables.foreach { t =>
+          val dropped = store.vacuum(t, keep)
+          println(s"""{"table": "$t", "dropped_versions": [${dropped.mkString(",")}]}""")
+        }
+        0
+
+      case "compact" =>
+        val maxFiles = opt(args, "--max-files").map(_.toInt).getOrElse(4)
+        val tables = opt(args, "--table").map(Seq(_)).getOrElse(store.tables())
+        tables.foreach { t =>
+          val v = store.compact(t, maxFiles)
+          println(s"""{"table": "$t", "compacted_to_version": ${v.getOrElse(null)}}""")
+        }
+        0
+
+      case "changes" =>
+        val table = opt(args, "--table").getOrElse(sys.error("--table required"))
+        val from = opt(args, "--from").getOrElse(sys.error("--from required")).toLong
+        val to = opt(args, "--to").getOrElse(sys.error("--to required")).toLong
+        val keys = opt(args, "--keys").getOrElse(sys.error("--keys required"))
+          .split(',').toSeq
+        store.readChanges(table, from, to, keys) match {
+          case Some(df) => df.show(1000, truncate = false); 0
+          case None => System.err.println("unknown version(s)"); 1
+        }
 
       case other => System.err.println(s"unknown command: $other"); 2
     }
