@@ -19,7 +19,9 @@ object SparkEntry {
       operators.SamplingQueries.entries ++
       operators.TemporalQueries.entries ++
       operators.SketchQueries.entries ++
-      operators.SkewTools.entries
+      operators.SkewTools.entries ++
+      operators.IncrementalQueries.entries ++
+      operators.ProfileQueries.entries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -35,5 +37,7 @@ object SparkEntry {
       operators.SamplingQueries.oracle ++
       operators.TemporalQueries.oracle ++
       operators.SketchQueries.oracle ++
-      operators.SkewTools.oracle
+      operators.SkewTools.oracle ++
+      operators.IncrementalQueries.oracle ++
+      operators.ProfileQueries.oracle
 }

@@ -48,6 +48,19 @@ object OracleSql {
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
       s"p -> p[1]::DOUBLE * p[2]::DOUBLE)), (acc, x) -> acc + x)"
 
+  /** Strict left-fold squared-L2 distance over a 1-based inclusive
+    * slice `[start, start+len-1]` of two vectors — mirrors the
+    * subspace distance in VectorQueries.q86AnnIvfPq (same element
+    * order, same `(x-y)*(x-y)` form, same double accumulator).
+    */
+  def l2SubFold(a: String, b: String, start: Int, len: Int): String = {
+    val end = start + len - 1
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+      s"list_zip($a[$start:$end], $b[$start:$end]), " +
+      s"p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), " +
+      s"(acc, x) -> acc + x)"
+  }
+
   /** Hyperplane component — mirrors VectorFunctions.planeComponent. */
   def planeComponent(p: Int, i: String): String =
     s"((${md5Long60(s"'${p}_' || ($i)::VARCHAR")} % 2001 - 1000)::DOUBLE / 1000.0)"

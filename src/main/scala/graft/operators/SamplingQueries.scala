@@ -186,11 +186,60 @@ object SamplingQueries {
        |FROM mixed GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
   }
 
+  /** Temperature-weighted sampling — the corpus-mixing knob training
+    * pipelines use to upweight high-quality documents: sampling mass
+    * ∝ score^(1/T) (T=2 here, the flattening root), normalized so the
+    * sampled corpus targets 2× the input size. Each document's
+    * expected copy count splits into floor + a fractional coin, and
+    * the coin is a HASH of the doc id, not rand() — rerun the job on
+    * 100 TB and the exact same documents duplicate, which is what
+    * makes epoch composition auditable. Normalization needs one
+    * scalar aggregate broadcast back over the corpus (a crossJoin of
+    * a 1-row side — no shuffle of the big side).
+    */
+  def q84TemperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select("doc_id", "source", "text")
+    val scored = docs
+      .join(TextQueries.qualityScored(docs.select("doc_id", "text")), Seq("doc_id"))
+      .withColumn("wt", sqrt(col("score")))
+    val tot = scored.agg(sum("wt").as("total"), count(lit(1)).as("n"))
+    val expCopies = lit(2.0d) * col("n") * col("wt") / col("total")
+    scored.crossJoin(broadcast(tot))
+      .withColumn("exp_c", expCopies)
+      .withColumn("repeats", floor(col("exp_c")) +
+        when(pmod(md5Long60(col("doc_id").cast("string")), lit(1000000L))
+          .cast("double") < (col("exp_c") - floor(col("exp_c"))) * 1000000d, 1L)
+          .otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("repeats").as("n_sampled"),
+        min("repeats").as("min_repeats"), max("repeats").as("max_repeats"))
+      .orderBy("source")
+  }
+
+  val q84Sql: String = {
+    val score = OracleSql.qualityScore("text")
+    val coin = s"(${OracleSql.md5Long60("doc_id::VARCHAR")} % 1000000)"
+    s"""WITH w AS (
+       |  SELECT doc_id, source, sqrt($score) AS wt FROM documents),
+       |tot AS (SELECT sum(wt) AS total, count(*) AS n FROM w),
+       |rep AS (
+       |  SELECT source,
+       |    (floor(2.0 * n * wt / total) +
+       |     CASE WHEN $coin < (2.0 * n * wt / total - floor(2.0 * n * wt / total)) * 1000000
+       |          THEN 1 ELSE 0 END)::BIGINT AS repeats
+       |  FROM w, tot)
+       |SELECT source, COUNT(*) AS n_docs, SUM(repeats)::BIGINT AS n_sampled,
+       |  MIN(repeats)::BIGINT AS min_repeats, MAX(repeats)::BIGINT AS max_repeats
+       |FROM rep GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_split_assignment" -> (q38SplitAssignment _),
     "q39_decontaminate" -> (q39Decontaminate _),
     "q47_sequence_packing" -> (q47SequencePacking _),
     "q55_training_mix" -> (q55TrainingMix _),
+    "q84_temperature_sample" -> (q84TemperatureSample _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -198,5 +247,6 @@ object SamplingQueries {
     "q39_decontaminate" -> q39Sql,
     "q47_sequence_packing" -> q47Sql,
     "q55_training_mix" -> q55Sql,
+    "q84_temperature_sample" -> q84Sql,
   )
 }

@@ -78,11 +78,60 @@ object TemporalQueries {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  /** SCD Type-2 history build from a change stream — the lakehouse
+    * dimension-maintenance staple: per user, collapse consecutive
+    * events carrying the same tracked attribute (here `event_type`)
+    * and emit one validity interval per surviving change,
+    * `[valid_from, valid_to)` with `valid_to` = the next change's
+    * instant and NULL (+ `is_current`) on the open row.
+    *
+    * Shape that survives 100 TB: ONE shuffle on the key, then two
+    * linear window scans over the same sort (lag to detect changes,
+    * lead over the filtered survivors to close intervals) — Catalyst
+    * reuses the exchange and sort for both windows, and the
+    * change-collapse filter shrinks the second scan to the version
+    * rows only. Ties are impossible: (ts, event_id) is unique.
+    */
+  def q82Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("attr"))
+      .withColumn("prev_attr", lag(col("attr"), 1).over(w))
+      .filter(col("prev_attr").isNull || col("attr") =!= col("prev_attr"))
+      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+      .select(col("user_id"), col("attr"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
+  val q82Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, event_type AS attr,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_attr
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_id, ts, attr FROM ordered
+      |  WHERE prev_attr IS NULL OR attr <> prev_attr)
+      |SELECT user_id, attr,
+      |  epoch_us(ts)::BIGINT AS valid_from_us,
+      |  lead(epoch_us(ts)::BIGINT)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
+      |  lead(epoch_us(ts)::BIGINT)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM changes
+      |ORDER BY user_id, valid_from_us""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_asof_join" -> (q75AsofJoin _),
+    "q82_scd2_history" -> (q82Scd2History _),
   )
 
   val oracle: Map[String, String] = Map(
     "q75_asof_join" -> q75Sql,
+    "q82_scd2_history" -> q82Sql,
   )
 }

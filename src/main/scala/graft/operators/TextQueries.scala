@@ -283,7 +283,60 @@ object TextQueries {
        |SELECT tok, COUNT(*)::BIGINT AS cnt
        |FROM toks GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin
 
+  /** q87: distributed-BPE tokenization of the corpus. Trains 8 merge
+    * rules from the corpus's own word-frequency table (one tiny Spark
+    * job per round — see [[graft.functions.BpeTokenizer]]), then
+    * tokenizes every document with the learned subword vocabulary.
+    *
+    * The oracle re-derives everything SQL can see — doc count, exact
+    * whitespace-token total, exact non-space char total — and pins the
+    * BPE-specific outputs as contracts the engine must satisfy: every
+    * document reconstructs byte-exactly from its tokens, and the
+    * subword token total lands in [n_words, n_nonspace_chars] (merges
+    * only ever concatenate within a word). Token-level values are
+    * additionally pinned in BpeTokenizerSpec.
+    */
+  def q87BpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val wordFreq = t.documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val merges = graft.functions.BpeTokenizer.train(wordFreq, 8)
+    val bpe = udf { (text: String) =>
+      val words = text.split("\\s+").filter(_.nonEmpty)
+      var nTok = 0L
+      var ok = true
+      words.foreach { w =>
+        val toks = graft.functions.BpeTokenizer.tokenizeWord(w, merges)
+        nTok += toks.length
+        ok &&= toks.mkString("") == w
+      }
+      (nTok, ok)
+    }
+    t.documents
+      .select(col("doc_id"), col("text"),
+        size(tokens(col("text"))).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace"),
+        bpe(col("text")).as("b"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        sum("n_nonspace").as("total_nonspace_chars"),
+        (min(col("b._2")) === true).as("all_roundtrip_ok"),
+        (sum(col("b._1")).between(sum("n_words"), sum("n_nonspace")))
+          .as("bpe_total_in_bounds"))
+  }
+
+  val q87Sql: String =
+    s"""SELECT COUNT(*) AS n_docs,
+       |  SUM(len(${OracleSql.tokens("text")}))::BIGINT AS total_words,
+       |  SUM(len(regexp_replace(text, '\\s', '', 'g')))::BIGINT
+       |    AS total_nonspace_chars,
+       |  TRUE AS all_roundtrip_ok,
+       |  TRUE AS bpe_total_in_bounds
+       |FROM documents""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_bpe_tokenize" -> (q87BpeTokenize _),
     "q74_heavy_hitters" -> (q74HeavyHitters _),
     "q54_redact" -> (q54Redact _),
     "q27_length_percentiles" -> (q27LengthPercentiles _),
@@ -295,6 +348,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q87_bpe_tokenize" -> q87Sql,
     "q74_heavy_hitters" -> q74Sql,
     "q54_redact" -> q54Sql,
     "q27_length_percentiles" -> q27Sql,

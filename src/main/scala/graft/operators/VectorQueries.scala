@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -279,8 +279,95 @@ object VectorQueries {
        |GROUP BY seed_id ORDER BY cluster_id""".stripMargin
   }
 
+  /** q86: IVF-PQ — the product-quantization ADC scan that makes
+    * billion-vector ANN affordable: vectors compress to m=4 one-byte
+    * codes (each subspace quantized against a 16-centroid codebook),
+    * and a query scans CODES plus a tiny per-query distance table
+    * instead of raw floats — 64 floats/row shrink to 4 bytes, a 64×
+    * I/O cut at 100 TB. Codebooks here are hash-seeded (subvectors of
+    * vec_id < 16 — q81's Lloyd step is the refinement iteration that
+    * would polish them), which keeps the whole index + scan exactly
+    * DuckDB-expressible, so encode AND scan are hash-oracled, not just
+    * contract-checked.
+    *
+    * Scale shape: codebook/distance-table sides are broadcast
+    * (16 rows); encoding is one map-side-combined aggregate (16
+    * candidate rows in, ONE coded row per vector out of the shuffle);
+    * the ADC scan is 4 broadcast joins + a TakeOrderedAndProject.
+    * Recall vs the exact q40 answer is pinned in AnnIndexSpec.
+    */
+  def q86AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val m = 4
+    val dsub = 16
+    def sub(c: Column, s: Int): Column = slice(c, s * dsub + 1, dsub)
+    def l2(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0d), (acc, v) => acc + v)
+    val t = Tables(spark, dir)
+    val vecs = t.embeddings.select(col("vec_id"), col("embedding"))
+    val seeds = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed"))
+    val withD = vecs.crossJoin(broadcast(seeds)).select(
+      col("vec_id") +: col("seed_id") +:
+        (0 until m).map(s => l2(sub(col("embedding"), s), sub(col("seed"), s)).as(s"d$s")): _*)
+    val mins = (0 until m).map(s =>
+      min(struct(col(s"d$s").as("d"), col("seed_id").as("c"))).as(s"b$s"))
+    val codes = withD.groupBy("vec_id").agg(mins.head, mins.tail: _*)
+      .select(col("vec_id") +:
+        (0 until m).map(s => col(s"b$s.c").as(s"code$s")): _*)
+    val q = vecs.filter(col("vec_id") === 7).select(col("embedding").as("q_emb"))
+    val dt = seeds.crossJoin(broadcast(q)).select(
+      col("seed_id") +:
+        (0 until m).map(s => l2(sub(col("q_emb"), s), sub(col("seed"), s)).as(s"dq$s")): _*)
+    val joined = (0 until m).foldLeft(codes) { (df, s) =>
+      df.join(broadcast(dt.select(col("seed_id").as(s"c$s"), col(s"dq$s"))),
+        col(s"code$s") === col(s"c$s"))
+    }
+    joined.filter(col("vec_id") =!= 7)
+      .withColumn("approx_dist", (0 until m).map(s => col(s"dq$s")).reduce(_ + _))
+      .select(col("vec_id"), col("code0"), col("code1"), col("code2"),
+        col("code3"), col("approx_dist"))
+      .orderBy(asc("approx_dist"), asc("vec_id"))
+      .limit(10)
+  }
+
+  val q86Sql: String = {
+    def l2sub(a: String, b: String, s: Int): String =
+      OracleSql.l2SubFold(a, b, s * 16 + 1, 16)
+    val dCols = (0 until 4)
+      .map(s => s"${l2sub("v.embedding", "s.seed", s)} AS d$s").mkString(", ")
+    val rCols = (0 until 4)
+      .map(s => s"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d$s, seed_id) AS r$s")
+      .mkString(", ")
+    val cCols = (0 until 4)
+      .map(s => s"MAX(CASE WHEN r$s = 1 THEN seed_id END) AS code$s").mkString(", ")
+    val dqCols = (0 until 4)
+      .map(s => s"${l2sub("q.q_emb", "s.seed", s)} AS dq$s").mkString(", ")
+    val joins = (0 until 4)
+      .map(s => s"JOIN dt t$s ON c.code$s = t$s.seed_id").mkString(" ")
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS seed
+       |  FROM embeddings WHERE vec_id < 16),
+       |scored AS (
+       |  SELECT v.vec_id, s.seed_id, $dCols
+       |  FROM embeddings v CROSS JOIN seeds s),
+       |ranked AS (SELECT vec_id, seed_id, $rCols FROM scored),
+       |codes AS (SELECT vec_id, $cCols FROM ranked GROUP BY vec_id),
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 7),
+       |dt AS (SELECT s.seed_id, $dqCols FROM seeds s, q)
+       |SELECT c.vec_id, c.code0, c.code1, c.code2, c.code3,
+       |  t0.dq0 + t1.dq1 + t2.dq2 + t3.dq3 AS approx_dist
+       |FROM codes c $joins
+       |WHERE c.vec_id <> 7
+       |ORDER BY approx_dist, c.vec_id LIMIT 10""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_kmeans_assign" -> (q81KmeansAssign _),
+    "q86_ann_ivfpq" -> (q86AnnIvfPq _),
     "q40_ann_brute_force" -> (q40AnnBruteForce _),
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q69_ann_multiprobe" -> (q69AnnMultiprobe _),
@@ -290,6 +377,7 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "q81_kmeans_assign" -> q81Sql,
+    "q86_ann_ivfpq" -> q86Sql,
     "q40_ann_brute_force" -> q40Sql,
     "q41_ann_lsh" -> q41Sql,
     "q69_ann_multiprobe" -> q69Sql,
