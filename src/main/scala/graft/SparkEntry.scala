@@ -21,7 +21,8 @@ object SparkEntry {
       operators.SketchQueries.entries ++
       operators.SkewTools.entries ++
       operators.IncrementalQueries.entries ++
-      operators.ProfileQueries.entries
+      operators.ProfileQueries.entries ++
+      operators.LayoutQueries.entries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -39,5 +40,6 @@ object SparkEntry {
       operators.SketchQueries.oracle ++
       operators.SkewTools.oracle ++
       operators.IncrementalQueries.oracle ++
-      operators.ProfileQueries.oracle
+      operators.ProfileQueries.oracle ++
+      operators.LayoutQueries.oracle
 }

@@ -64,37 +64,55 @@ object BpeTokenizer {
 
   /** Train `nMerges` merge rules from a `(word, cnt)` frequency table.
     * Stops early when no pair occurs at least twice (weighted).
+    *
+    * ONE job per round: the pair-count action materializes the
+    * current symbol table into its cache as a side effect (no
+    * separate count()), and the previous round's cache unpersists
+    * only after its successor is pinned. Tiny-data iterative rounds
+    * are scheduling-bound, so the loop runs with few shuffle
+    * partitions and AQE off (AQE submits every shuffle stage as its
+    * own job), restoring both confs on exit.
     */
   def train(words: DataFrame, nMerges: Int): Seq[(String, String)] = {
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var syms = words
-      .select(col("cnt"), charSplit(col("word")).as("sym"))
-      .persist()
-    syms.count()
-    var done = false
-    var round = 0
-    while (round < nMerges && !done) {
-      val top = syms
-        .select(col("cnt"), explode(adjacentPairs(col("sym"))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("cnt").as("w"))
-        .orderBy(desc("w"), asc("a"), asc("b"))
-        .limit(1)
-        .collect()
-      if (top.isEmpty || top(0).getLong(2) < 2L) done = true
-      else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
-        val next = syms
-          .withColumn("sym", mergeOne(col("sym"), lit(a), lit(b)))
-          .persist()
-        next.count()
-        syms.unpersist()
-        syms = next
+    val conf = words.sparkSession.conf
+    val oldShuffle = conf.get("spark.sql.shuffle.partitions")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var syms = words
+        .select(col("cnt"), charSplit(col("word")).as("sym"))
+        .persist()
+      var prev: DataFrame = null
+      var done = false
+      var round = 0
+      while (round < nMerges && !done) {
+        val top = syms
+          .select(col("cnt"), explode(adjacentPairs(col("sym"))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("cnt").as("w"))
+          .orderBy(desc("w"), asc("a"), asc("b"))
+          .limit(1)
+          .collect()
+        if (prev != null) { prev.unpersist(); prev = null }
+        if (top.isEmpty || top(0).getLong(2) < 2L) done = true
+        else {
+          val (a, b) = (top(0).getString(0), top(0).getString(1))
+          merges += ((a, b))
+          prev = syms
+          syms = syms
+            .withColumn("sym", mergeOne(col("sym"), lit(a), lit(b)))
+            .persist()
+        }
+        round += 1
       }
-      round += 1
+      syms.unpersist()
+      if (prev != null) prev.unpersist()
+      merges.toSeq
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
     }
-    syms.unpersist()
-    merges.toSeq
   }
 }

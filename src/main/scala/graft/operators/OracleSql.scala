@@ -48,17 +48,18 @@ object OracleSql {
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), " +
       s"p -> p[1]::DOUBLE * p[2]::DOUBLE)), (acc, x) -> acc + x)"
 
-  /** Strict left-fold squared-L2 distance over a 1-based inclusive
-    * slice `[start, start+len-1]` of two vectors — mirrors the
-    * subspace distance in VectorQueries.q86AnnIvfPq (same element
-    * order, same `(x-y)*(x-y)` form, same double accumulator).
+  /** Squared-L2 distance over a 1-based inclusive slice
+    * `[start, start+len-1]` of two vectors, in the expanded form
+    * `ssq(a) + ssq(b) − 2·dot(a,b)` with every term the same strict
+    * left fold as graft_dot — mirrors the subspace distance in
+    * VectorQueries.q86AnnIvfPq term for term (the expansion keeps the
+    * Spark side inside whole-stage codegen).
     */
   def l2SubFold(a: String, b: String, start: Int, len: Int): String = {
     val end = start + len - 1
-    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
-      s"list_zip($a[$start:$end], $b[$start:$end]), " +
-      s"p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), " +
-      s"(acc, x) -> acc + x)"
+    val as = s"$a[$start:$end]"
+    val bs = s"$b[$start:$end]"
+    s"(${dotFold(as, as)} + ${dotFold(bs, bs)} - 2.0 * ${dotFold(as, bs)})"
   }
 
   /** Hyperplane component — mirrors VectorFunctions.planeComponent. */

@@ -118,6 +118,83 @@ object SearchQueries {
       |  MAX(duration_s) AS max_session_s
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q88: ordered funnel analysis (view → click → purchase) per
+    * session, computed as a running STATE MACHINE in window flags —
+    * never a self-join per stage (the naive funnel is one join per
+    * step, each a full shuffle of the fact table; this is the shape
+    * that collapses at 100 TB). Running `max` flags encode "a view
+    * happened", "a click after a view happened", and a purchase only
+    * advances the funnel when the click-after-view flag is already
+    * set, so stages are strictly ordered within the session.
+    *
+    * Two exchanges total: one on user_id to assign gap sessions
+    * (q37's logic), one on (user_id, session_id) for the funnel
+    * windows + rollup — at cluster scale the events table is bucketed
+    * by user_id and the first vanishes.
+    */
+  def q88Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val bySess = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sv",
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).over(bySess))
+      .withColumn("cav",
+        when(col("event_type") === "click" && col("sv") === 1L, 1L).otherwise(0L))
+      .withColumn("scv", max(col("cav")).over(bySess))
+      .withColumn("st",
+        when(col("event_type") === "purchase" && col("scv") === 1L, 3L)
+          .when(col("cav") === 1L, 2L)
+          .when(col("event_type") === "view", 1L)
+          .otherwise(0L))
+      .groupBy("user_id", "session_id")
+      .agg(max("st").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_sessions"))
+      .orderBy("stage")
+  }
+
+  val q88Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |s1 AS (
+      |  SELECT *, MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER ws AS sv
+      |  FROM sess
+      |  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s2 AS (
+      |  SELECT *, CASE WHEN event_type = 'click' AND sv = 1 THEN 1 ELSE 0 END AS cav
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT *, MAX(cav) OVER ws AS scv
+      |  FROM s2
+      |  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |per_session AS (
+      |  SELECT user_id, session_id,
+      |    MAX(CASE WHEN event_type = 'purchase' AND scv = 1 THEN 3
+      |             WHEN cav = 1 THEN 2
+      |             WHEN event_type = 'view' THEN 1 ELSE 0 END) AS stage
+      |  FROM s3 GROUP BY user_id, session_id)
+      |SELECT stage, COUNT(*) AS n_sessions
+      |FROM per_session GROUP BY stage ORDER BY stage""".stripMargin
+
   /** As-of (backward) join: each purchase matches the most recent
     * click at-or-before it by the same user. Spark has no native
     * AS OF join; the scalable composition is a union of both sides
@@ -197,6 +274,7 @@ object SearchQueries {
     "q44_keyword_search" -> (q44KeywordSearch _),
     "q48_asof_join" -> (q48AsofJoin _),
     "q49_range_join" -> (q49RangeJoin _),
+    "q88_funnel" -> (q88Funnel _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -204,5 +282,6 @@ object SearchQueries {
     "q44_keyword_search" -> q44Sql,
     "q48_asof_join" -> q48Sql,
     "q49_range_join" -> q49Sql,
+    "q88_funnel" -> q88Sql,
   )
 }

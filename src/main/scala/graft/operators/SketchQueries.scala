@@ -53,11 +53,62 @@ object SketchQueries {
       |FROM orders
       |ORDER BY grp""".stripMargin
 
+  /** q91: sketch-based SET-INTERSECTION estimation — the audience-
+    * overlap / cross-epoch-contamination question ("how many customers
+    * ordered in BOTH years?") answered from per-segment HLL sketches
+    * by inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B),
+    * where the union estimate UNIONS THE STORED SKETCHES — no second
+    * scan of the fact table, no shuffle of raw keys. At 100 TB the
+    * exact answer is a full self-join of distinct key sets; the
+    * sketch answer is arithmetic over a few KB.
+    *
+    * Exact counts ride along and hash against the oracle; the
+    * inclusion-exclusion estimate is gated as a within-5%-of-exact
+    * boolean (subtraction amplifies the per-sketch rsd, so the bound
+    * is looser than q77's 2%).
+    */
+  def q91SketchIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val a = t.orders.filter(year(col("o_orderdate")) === 1995)
+    val b = t.orders.filter(year(col("o_orderdate")) === 1996)
+    val skA = a.agg(hll_sketch_agg(col("o_custkey")).as("ska"),
+      countDistinct(col("o_custkey")).as("n_a_exact"))
+    val skB = b.agg(hll_sketch_agg(col("o_custkey")).as("skb"),
+      countDistinct(col("o_custkey")).as("n_b_exact"))
+    val exactI = a.select("o_custkey").intersect(b.select("o_custkey"))
+      .agg(count(lit(1)).as("n_intersect_exact"))
+    skA.crossJoin(skB).crossJoin(exactI)
+      .withColumn("est_union", hll_sketch_estimate(
+        hll_union(col("ska"), col("skb"))))
+      .withColumn("est_intersect",
+        hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb"))
+          - col("est_union"))
+      .select(col("n_a_exact"), col("n_b_exact"), col("n_intersect_exact"),
+        (abs(col("est_intersect") - col("n_intersect_exact").cast("double"))
+          <= col("n_intersect_exact").cast("double") * 0.05d)
+          .as("inclusion_exclusion_ok"))
+  }
+
+  val q91Sql: String =
+    """SELECT
+      |  (SELECT COUNT(DISTINCT o_custkey) FROM orders
+      |     WHERE year(o_orderdate) = 1995) AS n_a_exact,
+      |  (SELECT COUNT(DISTINCT o_custkey) FROM orders
+      |     WHERE year(o_orderdate) = 1996) AS n_b_exact,
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |     INTERSECT
+      |     SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996))
+      |    AS n_intersect_exact,
+      |  TRUE AS inclusion_exclusion_ok""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_hll_rollup" -> (q77HllRollup _),
+    "q91_sketch_intersect" -> (q91SketchIntersect _),
   )
 
   val oracle: Map[String, String] = Map(
     "q77_hll_rollup" -> q77Sql,
+    "q91_sketch_intersect" -> q91Sql,
   )
 }

@@ -335,7 +335,55 @@ object TextQueries {
        |  TRUE AS bpe_total_in_bounds
        |FROM documents""".stripMargin
 
+  /** q89: unigram language-model scoring — the "model-based quality
+    * filter" shape: train a unigram LM on the corpus itself (token →
+    * corpus frequency), score each document by its tokens' average
+    * rarity, histogram the scores per language. Rarity uses the
+    * frequency CLASS floor(log2(cnt)) = len(bin(cnt))-1, computed in
+    * INTEGER arithmetic — a float `ln` differs in the last ulp
+    * between libm implementations and would break hash parity; bit
+    * length is exact everywhere and preserves the ranking signal.
+    *
+    * Scale shape: one shuffle builds the vocab, one scores documents;
+    * the vocab side of the scoring join is Zipf-compressed (millions
+    * of rows from 100 TB of text) and broadcasts or bucket-joins.
+    * Low-average-frequency-class docs = rare-token-heavy = the tail a
+    * perplexity filter would flag.
+    */
+  def q89UnigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = t.documents
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    toks.join(vocab, Seq("tok"))
+      .withColumn("fc", (length(bin(col("cnt"))) - 1).cast("long"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("fc").as("fc_sum"), count(lit(1)).as("n_toks"))
+      .withColumn("bucket",
+        floor(lit(10.0d) * col("fc_sum") / col("n_toks")).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), min("fc_sum").as("min_fc_sum"),
+        max("fc_sum").as("max_fc_sum"))
+      .orderBy("lang", "bucket")
+  }
+
+  val q89Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(${OracleSql.tokens("text")}) AS tok
+       |  FROM documents),
+       |vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+       |scored AS (
+       |  SELECT t.doc_id, t.lang,
+       |    SUM(len(bin(v.cnt)) - 1)::BIGINT AS fc_sum, COUNT(*) AS n_toks
+       |  FROM toks t JOIN vocab v ON t.tok = v.tok
+       |  GROUP BY t.doc_id, t.lang)
+       |SELECT lang, floor(10.0 * fc_sum / n_toks)::BIGINT AS bucket,
+       |  COUNT(*) AS n_docs, MIN(fc_sum)::BIGINT AS min_fc_sum,
+       |  MAX(fc_sum)::BIGINT AS max_fc_sum
+       |FROM scored GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_unigram_score" -> (q89UnigramScore _),
     "q87_bpe_tokenize" -> (q87BpeTokenize _),
     "q74_heavy_hitters" -> (q74HeavyHitters _),
     "q54_redact" -> (q54Redact _),
@@ -348,6 +396,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q89_unigram_score" -> q89Sql,
     "q87_bpe_tokenize" -> q87Sql,
     "q74_heavy_hitters" -> q74Sql,
     "q54_redact" -> q54Sql,

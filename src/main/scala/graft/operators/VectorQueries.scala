@@ -294,18 +294,17 @@ object VectorQueries {
     * (16 rows); encoding is one map-side-combined aggregate (16
     * candidate rows in, ONE coded row per vector out of the shuffle);
     * the ADC scan is 4 broadcast joins + a TakeOrderedAndProject.
-    * Recall vs the exact q40 answer is pinned in AnnIndexSpec.
+    * Subspace L2² expands to `ssq(a) + ssq(b) − 2·dot(a,b)` so every
+    * term is the codegen'd graft_dot — an interpreted `(x−y)²` lambda
+    * fold here cost ~4× the whole query. Recall vs the exact q40
+    * answer is pinned in AnnIndexSpec.
     */
   def q86AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val m = 4
     val dsub = 16
     def sub(c: Column, s: Int): Column = slice(c, s * dsub + 1, dsub)
     def l2(a: Column, b: Column): Column =
-      aggregate(
-        zip_with(a, b, (x, y) =>
-          (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0d), (acc, v) => acc + v)
+      dotFold(a, a) + dotFold(b, b) - lit(2.0d) * dotFold(a, b)
     val t = Tables(spark, dir)
     val vecs = t.embeddings.select(col("vec_id"), col("embedding"))
     val seeds = vecs.filter(col("vec_id") < 16)

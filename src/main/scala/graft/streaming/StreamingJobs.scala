@@ -323,6 +323,49 @@ object EventStreams {
       }
   }
 
+  final case class Scd2Row(user_id: Long, attr: String,
+      valid_from_us: Long, valid_to_us: Long)
+
+  /** Streaming SCD Type-2 apply — the continuous twin of the batch
+    * history build (TemporalQueries.q82Scd2History): per user, an
+    * attribute change CLOSES the open version (emitting its finished
+    * `[valid_from, valid_to)` interval) and opens a new one held in
+    * state. Per-key state is ONE (attr, from) pair, so state size is
+    * O(distinct users) for any stream length. Only closed intervals
+    * emit (Append mode); the open tail version lives in state until
+    * the next change — its batch counterpart is q82's
+    * `is_current = true` row. Same cross-batch in-order caveat as
+    * [[asofEnrich]].
+    */
+  def scd2Apply(events: Dataset[EventRow]): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(String, Long), Scd2Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[(String, Long)]) =>
+          val sorted = rows.toSeq.sortBy(r => (micros(r.ts), r.event_id))
+          var st = state.getOption // (open attr, valid_from micros)
+          val out = Seq.newBuilder[Scd2Row]
+          sorted.foreach { r =>
+            val t = micros(r.ts)
+            st match {
+              case Some((attr, from)) if attr != r.event_type =>
+                out += Scd2Row(user, attr, from, t)
+                st = Some((r.event_type, t))
+              case None =>
+                st = Some((r.event_type, t))
+              case _ => () // same attr: the open interval continues
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   final case class Seen(key: String, raw: String)
   final case class SeenCount(key: String, raw: String, seenCount: Long)
 

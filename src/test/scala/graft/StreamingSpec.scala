@@ -332,6 +332,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 closed intervals equal the batch q82 history") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.EventRow
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = graft.streaming.EventStreams.scd2Apply(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_parity")
+      .outputMode("append").start()
+    try {
+      // feed in two event-time-ordered batches to exercise cross-batch state
+      val rows = Tables(spark, "/root/testdata/sf0.001").events
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .as[EventRow].collect().sortBy(r => (r.ts.getTime, r.event_id))
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(second.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_parity").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batchClosed = graft.operators.TemporalQueries
+        .q82Scd2History(spark, "/root/testdata/sf0.001")
+        .filter(col("valid_to_us").isNotNull).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batchClosed)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming as-of equals the batch as-of join on the test corpus") {
     import spark.implicits._
     import graft.streaming.EventStreams.EventRow
