@@ -52,11 +52,94 @@ object IncrementalQueries {
       |  max(o_orderdate) AS last_date
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q92: Merkle-style table reconciliation — "are these two 100 TB
+    * replicas identical, and if not, WHERE?" answered without a
+    * row-by-row compare: each side reduces to 256 bucket checksums
+    * (order-independent bit_xor of row hashes — one aggregate pass,
+    * 256 rows out), and only the buckets whose checksums disagree are
+    * drilled with a row-level join. v2 is the orders table; v1
+    * simulates a drifted replica (keys % 997 == 0 missing, keys
+    * % 1009 == 0 with a shifted price), so ~30 dirty keys land in a
+    * handful of buckets and the drill join touches ONLY those — the
+    * bucket filter pushes down ahead of the join, so the expensive
+    * pass reads a few hundred rows, not the table.
+    */
+  def q92MerkleDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long60
+    val orders = Tables(spark, dir).orders
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val v2 = orders.select(col("o_orderkey").as("k"), cents.as("cents"))
+    val v1 = v2.filter(pmod(col("k"), lit(997L)) =!= 0L)
+      .withColumn("cents", col("cents") +
+        when(pmod(col("k"), lit(1009L)) === 0L, 100L).otherwise(0L))
+    def keyed(df: DataFrame): DataFrame = df
+      .withColumn("bucket", pmod(md5Long60(col("k").cast("string")), lit(256L)))
+      .withColumn("rh",
+        md5Long60(concat(col("k").cast("string"), lit(":"),
+          col("cents").cast("string"))))
+    def checksums(df: DataFrame): DataFrame = keyed(df)
+      .groupBy("bucket")
+      .agg(expr("bit_xor(rh)").as("h"), count(lit(1)).as("n"))
+    val dirty = checksums(v1).as("a")
+      .join(checksums(v2).as("b"), Seq("bucket"), "full_outer")
+      .filter(coalesce(col("a.h"), lit(0L)) =!= coalesce(col("b.h"), lit(0L)) ||
+        coalesce(col("a.n"), lit(0L)) =!= coalesce(col("b.n"), lit(0L)))
+      .select(col("bucket"), coalesce(col("a.n"), lit(0L)).as("n_v1"),
+        coalesce(col("b.n"), lit(0L)).as("n_v2"))
+    val dirtyBuckets = dirty.select("bucket")
+    val d1 = keyed(v1).join(broadcast(dirtyBuckets), Seq("bucket"))
+    val d2 = keyed(v2).join(broadcast(dirtyBuckets), Seq("bucket"))
+    val drill = d1.select(col("bucket"), col("k"), col("rh").as("rh1"))
+      .join(d2.select(col("bucket"), col("k"), col("rh").as("rh2")),
+        Seq("bucket", "k"), "full_outer")
+      .filter(col("rh1").isNull || col("rh2").isNull || col("rh1") =!= col("rh2"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_changed_keys"))
+    dirty.join(drill, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_changed_keys"))
+      .orderBy("bucket")
+  }
+
+  val q92Sql: String = {
+    val bucket = s"(${OracleSql.md5Long60("k::VARCHAR")} % 256)"
+    val rh = OracleSql.md5Long60("k::VARCHAR || ':' || cents::VARCHAR")
+    s"""WITH v2 AS (
+       |  SELECT o_orderkey AS k, round(o_totalprice * 100)::BIGINT AS cents
+       |  FROM orders),
+       |v1 AS (
+       |  SELECT k, cents + CASE WHEN k % 1009 = 0 THEN 100 ELSE 0 END AS cents
+       |  FROM v2 WHERE k % 997 <> 0),
+       |k1 AS (SELECT k, cents, $bucket AS bucket, $rh AS rh FROM v1),
+       |k2 AS (SELECT k, cents, $bucket AS bucket, $rh AS rh FROM v2),
+       |c1 AS (SELECT bucket, bit_xor(rh) AS h, COUNT(*) AS n FROM k1 GROUP BY 1),
+       |c2 AS (SELECT bucket, bit_xor(rh) AS h, COUNT(*) AS n FROM k2 GROUP BY 1),
+       |dirty AS (
+       |  SELECT COALESCE(c1.bucket, c2.bucket) AS bucket,
+       |    COALESCE(c1.n, 0) AS n_v1, COALESCE(c2.n, 0) AS n_v2
+       |  FROM c1 FULL OUTER JOIN c2 ON c1.bucket = c2.bucket
+       |  WHERE COALESCE(c1.h, 0) <> COALESCE(c2.h, 0)
+       |     OR COALESCE(c1.n, 0) <> COALESCE(c2.n, 0)),
+       |drill AS (
+       |  SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+       |    COUNT(*) AS n_changed_keys
+       |  FROM (SELECT * FROM k1 WHERE bucket IN (SELECT bucket FROM dirty)) a
+       |  FULL OUTER JOIN
+       |       (SELECT * FROM k2 WHERE bucket IN (SELECT bucket FROM dirty)) b
+       |    ON a.bucket = b.bucket AND a.k = b.k
+       |  WHERE a.rh IS NULL OR b.rh IS NULL OR a.rh <> b.rh
+       |  GROUP BY 1)
+       |SELECT d.bucket, d.n_v1, d.n_v2,
+       |  COALESCE(dr.n_changed_keys, 0) AS n_changed_keys
+       |FROM dirty d LEFT JOIN drill dr ON d.bucket = dr.bucket
+       |ORDER BY d.bucket""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_incremental_agg" -> (q83IncrementalAgg _),
+    "q92_merkle_diff" -> (q92MerkleDiff _),
   )
 
   val oracle: Map[String, String] = Map(
     "q83_incremental_agg" -> q83Sql,
+    "q92_merkle_diff" -> q92Sql,
   )
 }

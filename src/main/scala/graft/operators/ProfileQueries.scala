@@ -50,11 +50,64 @@ object ProfileQueries {
        |FROM documents""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
+  /** q93: interchange-format fidelity audit — the "did the export
+    * lose anything?" check run before handing a corpus drop to
+    * another system: events round-trip through CSV and JSONL (written
+    * with explicit schemas/formats, read back with explicit schemas —
+    * never inference) and each read-back must reproduce the parquet
+    * truth EXACTLY, compared by an order-independent integer
+    * fingerprint (bit_xor of a row hash over id, type, and the
+    * microsecond timestamp) plus row count. The fingerprint is the
+    * only honest cross-format equality check at 100 TB — sorting two
+    * copies of a table to diff them is a full shuffle each; the xor
+    * fingerprint is one map-side-combined aggregate per copy.
+    *
+    * The oracle re-derives count + fingerprint from parquet and pins
+    * both round-trip verdicts as TRUE contracts.
+    */
+  def q93FormatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long60
+    val t = Tables(spark, dir)
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val base = t.events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"))
+    def fingerprint(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rh", md5Long60(concat(
+        col("event_id").cast("string"), lit(":"), col("event_type"),
+        lit(":"), unix_micros(col("ts")).cast("string"))))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("fp"))
+    val out = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    base.write.option("header", "true").option("timestampFormat", tsFmt)
+      .csv(s"$out/csv")
+    base.write.option("timestampFormat", tsFmt).json(s"$out/json")
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+    val csvBack = spark.read.schema(schema).option("header", "true")
+      .option("timestampFormat", tsFmt).csv(s"$out/csv")
+    val jsonBack = spark.read.schema(schema).option("timestampFormat", tsFmt)
+      .json(s"$out/json")
+    fingerprint(base).as("p")
+      .crossJoin(fingerprint(csvBack).select(col("n").as("cn"), col("fp").as("cfp")))
+      .crossJoin(fingerprint(jsonBack).select(col("n").as("jn"), col("fp").as("jfp")))
+      .select(col("n").as("n_rows"), col("fp").as("fingerprint"),
+        (col("cn") === col("n") && col("cfp") === col("fp")).as("csv_roundtrip_ok"),
+        (col("jn") === col("n") && col("jfp") === col("fp")).as("json_roundtrip_ok"))
+  }
+
+  val q93Sql: String = {
+    val rh = OracleSql.md5Long60(
+      "event_id::VARCHAR || ':' || event_type || ':' || epoch_us(ts)::BIGINT::VARCHAR")
+    s"""SELECT COUNT(*) AS n_rows, bit_xor($rh) AS fingerprint,
+       |  TRUE AS csv_roundtrip_ok, TRUE AS json_roundtrip_ok
+       |FROM events""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_profile" -> (q85Profile _),
+    "q93_format_roundtrip" -> (q93FormatRoundtrip _),
   )
 
   val oracle: Map[String, String] = Map(
     "q85_profile" -> q85Sql,
+    "q93_format_roundtrip" -> q93Sql,
   )
 }

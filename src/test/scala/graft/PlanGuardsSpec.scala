@@ -59,4 +59,40 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(shuffles.isEmpty,
       s"signature stage should be shuffle-free:\n${sig.queryExecution.executedPlan}")
   }
+
+  test("q82 SCD2: both windows ride ONE exchange on the key") {
+    // lag (change detect) + lead (interval close) share partitioning
+    // and sort; a second exchange means someone broke the shared-sort
+    // contract and the 100 TB plan now shuffles the fact table twice
+    // (the final presentation orderBy adds a range exchange; allow 2).
+    val df = operators.TemporalQueries.q82Scd2History(spark, dir)
+    val shuffles = collectNodes(df) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2,
+      s"q82 grew an exchange (${shuffles.size}):\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q85 profiler: ONE pass over the table (a single scan node)") {
+    val df = operators.ProfileQueries.q85Profile(spark, dir)
+    val scans = collectNodes(df) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"profiler must not scan per column (${scans.size} scans):\n" +
+        df.queryExecution.executedPlan)
+  }
+
+  test("q86 IVF-PQ: codebook and distance-table sides broadcast; one agg shuffle") {
+    val df = operators.VectorQueries.q86AnnIvfPq(spark, dir)
+    val bcast = collectNodes(df) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bcast.size >= 5, // 1 encode crossJoin + 4 ADC joins (+ dt internals)
+      s"expected broadcast joins in the ADC scan, got ${bcast.size}:\n" +
+        df.queryExecution.executedPlan)
+    val shuffles = collectNodes(df) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2,
+      s"q86 should shuffle only the encode aggregate (+top-k), got " +
+        s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
+  }
 }
