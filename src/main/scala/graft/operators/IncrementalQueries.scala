@@ -64,19 +64,22 @@ object IncrementalQueries {
     * bucket filter pushes down ahead of the join, so the expensive
     * pass reads a few hundred rows, not the table.
     */
-  def q92MerkleDiff(spark: SparkSession, dir: String): DataFrame = {
+  /** Generic Merkle-style diff of two keyed tables: per-bucket xor
+    * checksums on each side, then a row-level drill join over ONLY the
+    * buckets whose (checksum, count) disagree. Output: one row per
+    * dirty bucket with both side counts and the drilled number of
+    * differing keys (missing on either side, or same key + different
+    * payload).
+    */
+  def merkleDiff(v1: DataFrame, v2: DataFrame, key: String, payload: String,
+      buckets: Int): DataFrame = {
     import graft.functions.TextFunctions.md5Long60
-    val orders = Tables(spark, dir).orders
-    val cents = round(col("o_totalprice") * 100).cast("long")
-    val v2 = orders.select(col("o_orderkey").as("k"), cents.as("cents"))
-    val v1 = v2.filter(pmod(col("k"), lit(997L)) =!= 0L)
-      .withColumn("cents", col("cents") +
-        when(pmod(col("k"), lit(1009L)) === 0L, 100L).otherwise(0L))
     def keyed(df: DataFrame): DataFrame = df
-      .withColumn("bucket", pmod(md5Long60(col("k").cast("string")), lit(256L)))
+      .withColumn("bucket",
+        pmod(md5Long60(col(key).cast("string")), lit(buckets.toLong)))
       .withColumn("rh",
-        md5Long60(concat(col("k").cast("string"), lit(":"),
-          col("cents").cast("string"))))
+        md5Long60(concat(col(key).cast("string"), lit(":"),
+          col(payload).cast("string"))))
     def checksums(df: DataFrame): DataFrame = keyed(df)
       .groupBy("bucket")
       .agg(expr("bit_xor(rh)").as("h"), count(lit(1)).as("n"))
@@ -89,14 +92,24 @@ object IncrementalQueries {
     val dirtyBuckets = dirty.select("bucket")
     val d1 = keyed(v1).join(broadcast(dirtyBuckets), Seq("bucket"))
     val d2 = keyed(v2).join(broadcast(dirtyBuckets), Seq("bucket"))
-    val drill = d1.select(col("bucket"), col("k"), col("rh").as("rh1"))
-      .join(d2.select(col("bucket"), col("k"), col("rh").as("rh2")),
-        Seq("bucket", "k"), "full_outer")
+    val drill = d1.select(col("bucket"), col(key).as("__k"), col("rh").as("rh1"))
+      .join(d2.select(col("bucket"), col(key).as("__k"), col("rh").as("rh2")),
+        Seq("bucket", "__k"), "full_outer")
       .filter(col("rh1").isNull || col("rh2").isNull || col("rh1") =!= col("rh2"))
       .groupBy("bucket").agg(count(lit(1)).as("n_changed_keys"))
     dirty.join(drill, Seq("bucket"), "left")
       .na.fill(0L, Seq("n_changed_keys"))
       .orderBy("bucket")
+  }
+
+  def q92MerkleDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir).orders
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val v2 = orders.select(col("o_orderkey").as("k"), cents.as("cents"))
+    val v1 = v2.filter(pmod(col("k"), lit(997L)) =!= 0L)
+      .withColumn("cents", col("cents") +
+        when(pmod(col("k"), lit(1009L)) === 0L, 100L).otherwise(0L))
+    merkleDiff(v1, v2, "k", "cents", 256)
   }
 
   val q92Sql: String = {

@@ -92,20 +92,30 @@ object TemporalQueries {
     * change-collapse filter shrinks the second scan to the version
     * rows only. Ties are impossible: (ts, event_id) is unique.
     */
-  def q82Scd2History(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    Tables(spark, dir).events
-      .select(col("user_id"), col("event_id"), col("ts"),
-        col("event_type").as("attr"))
-      .withColumn("prev_attr", lag(col("attr"), 1).over(w))
-      .filter(col("prev_attr").isNull || col("attr") =!= col("prev_attr"))
-      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
-      .select(col("user_id"), col("attr"),
-        unix_micros(col("ts")).as("valid_from_us"),
+  /** Generic SCD2 history build: collapse consecutive equal values of
+    * `attr` per `key` (ordered by `time`, ties broken by `tiebreak`)
+    * into `[valid_from_us, valid_to_us)` version intervals.
+    */
+  def scd2History(df: DataFrame, key: String, time: String, tiebreak: String,
+      attr: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(time), col(tiebreak))
+    df
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .filter(col("__prev").isNull || col(attr) =!= col("__prev"))
+      .withColumn("valid_to_us", lead(unix_micros(col(time)), 1).over(w))
+      .select(col(key), col(attr),
+        unix_micros(col(time)).as("valid_from_us"),
         col("valid_to_us"),
         col("valid_to_us").isNull.as("is_current"))
-      .orderBy("user_id", "valid_from_us")
   }
+
+  def q82Scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2History(
+      Tables(spark, dir).events
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type").as("attr")),
+      "user_id", "ts", "event_id", "attr")
+      .orderBy("user_id", "valid_from_us")
 
   val q82Sql: String =
     """WITH ordered AS (

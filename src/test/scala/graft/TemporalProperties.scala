@@ -53,4 +53,41 @@ object TemporalProperties extends Properties("AsofJoin") {
       }.toMap
       got == want
   }
+
+  /** SCD2 history build vs a driver-side collapse of the same random
+    * change streams: intervals tile each key's timeline (first change
+    * opens, each close is the next change's instant, exactly one open
+    * row per key) and consecutive versions never share an attribute.
+    */
+  private val scd2Gen: Gen[Seq[(Long, Long, String)]] = for {
+    nKeys <- Gen.choose(1, 4)
+    rows <- Gen.listOfN(40, for {
+      k <- Gen.choose(0L, nKeys.toLong - 1)
+      ts <- Gen.choose(0L, 30L)
+      a <- Gen.oneOf("red", "green", "blue")
+    } yield (k, ts, a))
+  } yield rows.groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+
+  property("scd2 equals driver-side change collapse") = forAll(scd2Gen) { rows =>
+    import spark.implicits._
+    val df = rows.zipWithIndex.map { case ((k, ts, a), i) =>
+      (k, i.toLong, new Timestamp(ts * 1000L), a)
+    }.toDF("user_id", "event_id", "ts", "attr")
+    val got = TemporalQueries
+      .scd2History(df, "user_id", "ts", "event_id", "attr")
+      .select("user_id", "attr", "valid_from_us", "valid_to_us")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    val want = rows.groupBy(_._1).flatMap { case (k, hist) =>
+      val changes = hist.sortBy(_._2)
+        .foldLeft(Vector.empty[(Long, String)]) { (acc, r) =>
+          if (acc.nonEmpty && acc.last._2 == r._3) acc
+          else acc :+ (r._2 * 1000000L, r._3)
+        }
+      changes.zipWithIndex.map { case ((from, a), i) =>
+        (k, a, from,
+          if (i + 1 < changes.length) Some(changes(i + 1)._1) else None)
+      }
+    }.toSet
+    got == want
+  }
 }
