@@ -135,13 +135,93 @@ object TemporalQueries {
       |FROM changes
       |ORDER BY user_id, valid_from_us""".stripMargin
 
+  /** q94: interval-overlap self-join — "which session pairs were
+    * concurrently active" — via GRID BINNING, the composition that
+    * makes interval×interval joins survive scale. Spark plans a raw
+    * `a.start <= b.end AND b.start <= a.end` join as a nested-loop
+    * over |A|×|B| pairs; here each session explodes to the hour cells
+    * it spans, candidates meet through a plain EQUI-join on the cell
+    * (cost ∝ per-cell density², never |A|×|B|), and a pair that
+    * shares many cells is counted ONCE without any distinct: it is
+    * emitted only in the first cell both sessions occupy
+    * (`cell = greatest(first_cell_a, first_cell_b)` — dedup by
+    * construction, no extra shuffle). The overlap predicate then
+    * verifies exactly. Output: overlapping-pair counts by overlap
+    * duration (10-minute buckets, integer micros — exact).
+    *
+    * The oracle is the NAIVE theta join in DuckDB — the binned plan
+    * must reproduce it pair-for-pair.
+    */
+  def q94IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    // grid width trades explode factor against per-cell density²:
+    // sessions here are minutes long, so a 10-minute grid keeps both
+    // small (hour cells measured 6× more candidate pairs at sf0.1)
+    val gridUs = 600L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = Tables(spark, dir).events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .select((col("user_id") * 1000000L + col("session_id")).as("sid"),
+        col("start_us"), col("end_us"),
+        expr(s"start_us div $gridUs").as("first_cell"),
+        expr(s"end_us div $gridUs").as("last_cell"))
+    def cells(side: String) = sess
+      .select(explode(sequence(col("first_cell"), col("last_cell"))).as("cell"),
+        col("sid").as(s"sid_$side"), col("start_us").as(s"s_$side"),
+        col("end_us").as(s"e_$side"), col("first_cell").as(s"fc_$side"))
+    cells("a").join(cells("b"), Seq("cell"))
+      .filter(col("sid_a") < col("sid_b") &&
+        col("cell") === greatest(col("fc_a"), col("fc_b")) &&
+        col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .withColumn("overlap_us",
+        least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+      .select(expr("overlap_us div 600000000").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+  }
+
+  val q94Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+      |    ts
+      |  FROM flagged),
+      |iv AS (
+      |  SELECT user_id * 1000000 + session_id AS sid,
+      |    MIN(epoch_us(ts)::BIGINT) AS start_us,
+      |    MAX(epoch_us(ts)::BIGINT) AS end_us
+      |  FROM sess GROUP BY user_id, session_id)
+      |SELECT (least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us))
+      |         // 600000000 AS bucket,
+      |  COUNT(*) AS n_pairs
+      |FROM iv a JOIN iv b
+      |  ON a.sid < b.sid AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_asof_join" -> (q75AsofJoin _),
     "q82_scd2_history" -> (q82Scd2History _),
+    "q94_interval_join" -> (q94IntervalJoin _),
   )
 
   val oracle: Map[String, String] = Map(
     "q75_asof_join" -> q75Sql,
     "q82_scd2_history" -> q82Sql,
+    "q94_interval_join" -> q94Sql,
   )
 }
