@@ -323,6 +323,64 @@ object EventStreams {
       }
   }
 
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** Timeout-closed streaming sessionization — the batch gap
+    * sessionizer (q37/q94's first stage) as continuous state with
+    * EVENT-TIME TIMEOUT: a user's open session lives in state and
+    * closes either when a same-batch event arrives past the gap, or —
+    * the part only a timeout can do — when the WATERMARK passes
+    * `last_event + gap` with no successor at all: the session that
+    * simply ended. Without the timeout, a user who walks away leaks an
+    * open session in state forever; with it, state stays O(active
+    * users) and every session eventually emits exactly once.
+    *
+    * The caller must put a watermark on `ts` before grouping (the
+    * timeout clock IS the watermark). Emits only CLOSED sessions
+    * (Append mode).
+    */
+  def sessionizeStream(events: Dataset[EventRow], gapSec: Long = 1800L):
+      Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val gapUs = gapSec * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[(Long, Long, Long)]) =>
+          val out = Seq.newBuilder[SessionOut]
+          if (state.hasTimedOut) {
+            val (s, e, n) = state.get
+            out += SessionOut(user, s, e, n)
+            state.remove()
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (micros(r.ts), r.event_id))
+            var st = state.getOption
+            sorted.foreach { r =>
+              val t = micros(r.ts)
+              st match {
+                case Some((s, e, n)) if t - e <= gapUs =>
+                  st = Some((s, math.max(e, t), n + 1))
+                case Some((s, e, n)) =>
+                  out += SessionOut(user, s, e, n)
+                  st = Some((t, t, 1L))
+                case None =>
+                  st = Some((t, t, 1L))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s._2 + gapUs) / 1000L + 1L)
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   final case class Scd2Row(user_id: Long, attr: String,
       valid_from_us: Long, valid_to_us: Long)
 

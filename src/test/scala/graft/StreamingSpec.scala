@@ -332,6 +332,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("timeout sessionization closes sessions in-batch AND by watermark") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.EventRow
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    def us(s: String) = ts(s).toInstant.getEpochSecond * 1000000L
+    val mem = MemoryStream[EventRow]
+    val q = graft.streaming.EventStreams.sessionizeStream(
+      mem.toDS().withWatermark("ts", "0 seconds").as[EventRow], gapSec = 60)
+      .writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        EventRow(1, 1, ts("2026-01-01 10:00:00"), "view", 1.0),
+        EventRow(2, 1, ts("2026-01-01 10:00:30"), "click", 1.0),
+        EventRow(3, 1, ts("2026-01-01 10:05:00"), "view", 1.0)) // in-batch close of s1
+      q.processAllAvailable()
+      mem.addData( // watermark -> 10:30, times out the 10:05 session
+        EventRow(4, 1, ts("2026-01-01 10:30:00"), "view", 1.0))
+      q.processAllAvailable()
+      mem.addData( // watermark -> 11:30, times out the 10:30 session
+        EventRow(5, 2, ts("2026-01-01 11:30:00"), "view", 1.0))
+      q.processAllAvailable()
+      // one more empty-ish trigger so the last timeout can fire
+      mem.addData(EventRow(6, 2, ts("2026-01-01 11:30:01"), "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_timeout").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == Set(
+        (1L, us("2026-01-01 10:00:00"), us("2026-01-01 10:00:30"), 2L),
+        (1L, us("2026-01-01 10:05:00"), us("2026-01-01 10:05:00"), 1L),
+        (1L, us("2026-01-01 10:30:00"), us("2026-01-01 10:30:00"), 1L)))
+      // user 2's session is still open: held in state, not emitted
+    } finally q.stop()
+  }
+
   test("streaming SCD2 closed intervals equal the batch q82 history") {
     import spark.implicits._
     import graft.streaming.EventStreams.EventRow
