@@ -700,7 +700,67 @@ object CoreQueries {
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderpriority, rnk""".stripMargin
 
+  /** q95: group-wise linear statistics (slope + correlation of order
+    * value against order date) computed from EXACT INTEGER MOMENTS —
+    * the distributed-statistics shape that hash-matches across
+    * engines. `corr`/`regr_slope` built-ins accumulate floating-point
+    * running moments whose value depends on reduction order; here the
+    * five moments (Σx, Σy, Σxy, Σx², Σy²) are DECIMAL sums of integer
+    * cents×days (order-independent, exact, one map-side-combined
+    * aggregate), and the closed-form slope/corr arithmetic runs in a
+    * fixed expression order on doubles — bit-identical in Spark and
+    * DuckDB. This is also the 100 TB shape: moments are mergeable
+    * partials (shuffle carries 5 numbers per group), and the same
+    * moments answer slope, corr, variance, and mean without rescans.
+    */
+  def q95GroupStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val x = datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
+      .cast("long")
+    val y = round(col("o_totalprice") * 100).cast("long")
+    val d = "decimal(38,0)"
+    val moments = t.orders
+      .select(col("o_orderpriority"), x.as("x"), y.as("y"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d)).cast("double").as("sx"),
+        sum(col("y").cast(d)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(d)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(d)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(d)).cast("double").as("syy"))
+    moments
+      .withColumn("nn", col("n").cast("double"))
+      .select(col("o_orderpriority"), col("n"),
+        ((col("nn") * col("sxy") - col("sx") * col("sy")) /
+          (col("nn") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        ((col("nn") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("nn") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("nn") * col("syy") - col("sy") * col("sy")))).as("corr"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q95Sql: String =
+    """WITH keyed AS (
+      |  SELECT o_orderpriority,
+      |    date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT AS x,
+      |    round(o_totalprice * 100)::BIGINT AS y
+      |  FROM orders),
+      |m AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n,
+      |    SUM(x::DECIMAL(38,0))::DOUBLE AS sx,
+      |    SUM(y::DECIMAL(38,0))::DOUBLE AS sy,
+      |    SUM((x * y)::DECIMAL(38,0))::DOUBLE AS sxy,
+      |    SUM((x * x)::DECIMAL(38,0))::DOUBLE AS sxx,
+      |    SUM((y * y)::DECIMAL(38,0))::DOUBLE AS syy
+      |  FROM keyed GROUP BY 1)
+      |SELECT o_orderpriority, n,
+      |  (n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sxx - sx * sx) AS slope,
+      |  (n::DOUBLE * sxy - sx * sy) /
+      |    (sqrt(n::DOUBLE * sxx - sx * sx) * sqrt(n::DOUBLE * syy - sy * sy)) AS corr
+      |FROM m ORDER BY o_orderpriority""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_group_stats" -> (q95GroupStats _),
     "q19_approx_distinct" -> (q19ApproxDistinct _),
     "q28_tumbling_window" -> (q28TumblingWindow _),
     "q29_rollup" -> (q29Rollup _),
@@ -734,6 +794,7 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q95_group_stats" -> q95Sql,
     "q19_approx_distinct" -> q19Sql,
     "q28_tumbling_window" -> q28Sql,
     "q29_rollup" -> q29Sql,
