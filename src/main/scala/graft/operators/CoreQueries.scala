@@ -759,7 +759,38 @@ object CoreQueries {
       |    (sqrt(n::DOUBLE * sxx - sx * sx) * sqrt(n::DOUBLE * syy - sy * sy)) AS corr
       |FROM m ORDER BY o_orderpriority""".stripMargin
 
+  /** q96: the set-operation surface (SURVEY §2.7 — the reference
+    * exposes none, so this is the beyond-reference completion):
+    * customer retention algebra between two order years via INTERSECT
+    * (retained), EXCEPT (churned / acquired), and UNION (either).
+    * Catalyst plans these as left-semi / left-anti joins and a
+    * distinct union — one shuffle each on the key, no materialized
+    * intermediate sets.
+    */
+  def q96SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def custs(yr: Int) = t.orders
+      .filter(year(col("o_orderdate")) === yr).select("o_custkey")
+    val a = custs(1995)
+    val b = custs(1996)
+    a.intersect(b).agg(count(lit(1)).as("retained"))
+      .crossJoin(a.except(b).agg(count(lit(1)).as("churned")))
+      .crossJoin(b.except(a).agg(count(lit(1)).as("acquired")))
+      .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("either")))
+  }
+
+  val q96Sql: String =
+    """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      |     b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      |SELECT
+      |  (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS retained,
+      |  (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS churned,
+      |  (SELECT COUNT(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS acquired,
+      |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM (
+      |     SELECT * FROM a UNION ALL SELECT * FROM b))) AS either""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_set_ops" -> (q96SetOps _),
     "q95_group_stats" -> (q95GroupStats _),
     "q19_approx_distinct" -> (q19ApproxDistinct _),
     "q28_tumbling_window" -> (q28TumblingWindow _),
@@ -794,6 +825,7 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q96_set_ops" -> q96Sql,
     "q95_group_stats" -> q95Sql,
     "q19_approx_distinct" -> q19Sql,
     "q28_tumbling_window" -> q28Sql,
