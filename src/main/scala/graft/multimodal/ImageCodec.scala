@@ -103,4 +103,31 @@ final class ImageCodec {
     }
     ImageFeatures(w2, h2, sum, hist(0), hist(1), hist(2), hist(3))
   }
+
+  /** 63-bit difference hash (perceptual dHash) over the decoded
+    * raster: bit k is set iff luminance at row-major position k
+    * exceeds position k+1 (positions beyond the raster read as 0).
+    * 63 bits keep the hash positive in a signed 64-bit long. Computed
+    * from DECODED pixels — the perceptual fingerprint survives
+    * re-encoding, which is the point of hashing images instead of
+    * their bytes.
+    */
+  def dHash63(payload: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val total = w * img.getHeight
+    def lum(k: Int): Int =
+      if (k < total) {
+        val rgb = img.getRGB(k % w, k / w)
+        ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
+      } else 0
+    var h = 0L
+    var k = 0
+    while (k < 63) {
+      if (lum(k) > lum(k + 1)) h |= (1L << k)
+      k += 1
+    }
+    h
+  }
 }

@@ -125,6 +125,18 @@ object MultimodalPipeline {
       "lh0", "lh1", "lh2", "lh3")
   }
 
+  /** Perceptual hashes from genuinely decoded images: one
+    * (media_id, dhash) row per payload via [[ImageCodec.dHash63]] —
+    * the map stage feeding image near-dup detection (q97).
+    */
+  def imageDHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = new ImageCodec
+      it.map(m => (m.media_id, codec.dHash63(m.payload)))
+    }.toDF("media_id", "dhash")
+  }
+
   /** Genuinely decoded audio features: payloads are REAL WAV files,
     * the decode is javax.sound.sampled (per-partition codec instance),
     * and the features come from decoded PCM samples — the audio twin

@@ -173,7 +173,73 @@ object MultimodalQueries {
        |FROM d ORDER BY media_id""".stripMargin
   }
 
+  /** q97: IMAGE near-duplicate detection via perceptual hashing — the
+    * multimodal member of the dedup family: every payload decodes to
+    * pixels (real javax.imageio path, per-partition codec) and hashes
+    * to a 63-bit dHash ([[graft.multimodal.ImageCodec.dHash63]]);
+    * re-encoded or resaved copies of an image collide where byte
+    * hashes cannot. Candidate pairs meet through a 16-bit BAND
+    * equi-join on the hash (SimHash/q33's shape — cost ∝ collisions,
+    * never n²) and verify exactly with `bit_count(xor) <= 3`. A
+    * shifted-id twin of every image guarantees detectable duplicates;
+    * the oracle re-derives each dHash from the text bytes the BMPs
+    * encode, so decode + hash + band join are all hash-checked.
+    */
+  def q97ImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = t.documents.filter(col("doc_id") < 200).select("doc_id", "text")
+    val twin = base.withColumn("doc_id", col("doc_id") + 1000L)
+    val media = MultimodalPipeline.bmpMediaFromDocuments(base.unionByName(twin))
+    val hashes = MultimodalPipeline.imageDHashes(media)
+    val banded = hashes.select(col("media_id"), col("dhash"),
+      explode(typedlit((0 until 4).map(_.toLong))).as("band"))
+      .withColumn("bval",
+        expr("shiftright(dhash, cast(band * 16 AS int)) & 65535"))
+    banded.select(col("band"), col("bval"),
+      col("media_id").as("id_a"), col("dhash").as("h_a"))
+      .join(banded.select(col("band"), col("bval"),
+        col("media_id").as("id_b"), col("dhash").as("h_b")),
+        Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b")))
+        .cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q97Sql: String = {
+    val codes = """list_transform(generate_series(0, 16 * ((len(text) + 15) // 16) - 1),
+                  |    i -> CASE WHEN i < len(text) THEN ascii(substr(text, i + 1, 1)) ELSE 0 END)""".stripMargin
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS media_id, $codes AS codes
+       |  FROM documents WHERE doc_id < 200 AND len(text) > 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000 AS media_id, $codes AS codes
+       |  FROM documents WHERE doc_id < 200 AND len(text) > 0),
+       |hashed AS (
+       |  SELECT media_id,
+       |    list_sum(list_transform(generate_series(0, 62), k ->
+       |      CASE WHEN coalesce(codes[k + 1], 0) > coalesce(codes[k + 2], 0)
+       |           THEN (1::BIGINT << k) ELSE 0 END))::BIGINT AS dhash
+       |  FROM imgs),
+       |banded AS (
+       |  SELECT media_id, dhash, b.range AS band,
+       |    (dhash >> (16 * b.range)::INTEGER) & 65535 AS bval
+       |  FROM hashed, range(4) b),
+       |pairs AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       |    a.dhash AS h_a, b.dhash AS h_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.media_id < b.media_id)
+       |SELECT id_a, id_b, bit_count(xor(h_a, h_b))::BIGINT AS hamming
+       |FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_image_neardup" -> (q97ImageNeardup _),
     "q25_multimodal_features" -> (q25MultimodalFeatures _),
     "q26_frame_sample" -> (q26FrameSample _),
     "q72_image_decode" -> (q72ImageDecode _),
@@ -182,6 +248,7 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q97_image_neardup" -> q97Sql,
     "q25_multimodal_features" -> q25Sql,
     "q26_frame_sample" -> q26Sql,
     "q72_image_decode" -> q72Sql,
