@@ -99,4 +99,41 @@ final class AudioCodec {
       AudioFeatures(fmt.getSampleRate.toInt, n, absSum, peak, crossings)
     } finally in.close()
   }
+
+  /** 63-bit acoustic fingerprint (Haitsma–Kalker sign-of-energy-
+    * difference shape) from DECODED samples: the stream splits into
+    * 64 frames of `frameLen` samples, frame energy is the sum of
+    * absolute sample values (frames past the end read 0), and bit k
+    * is set iff energy(k) > energy(k+1). Like the image dHash, the
+    * fingerprint survives container re-encoding because it hashes
+    * decoded audio, not payload bytes.
+    */
+  def fingerprint63(payload: Array[Byte], frameLen: Int = 8): Long = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono PCM, got $fmt")
+      val raw = in.readAllBytes()
+      val bigEndian = fmt.isBigEndian
+      val energies = new Array[Long](64)
+      var i = 0
+      var n = 0
+      while (i + 2 <= raw.length && n < 64 * frameLen) {
+        val s =
+          if (bigEndian) (raw(i) << 8) | (raw(i + 1) & 0xff)
+          else (raw(i + 1) << 8) | (raw(i) & 0xff)
+        energies(n / frameLen) += math.abs(s.toLong)
+        n += 1
+        i += 2
+      }
+      var h = 0L
+      var k = 0
+      while (k < 63) {
+        if (energies(k) > energies(k + 1)) h |= (1L << k)
+        k += 1
+      }
+      h
+    } finally in.close()
+  }
 }

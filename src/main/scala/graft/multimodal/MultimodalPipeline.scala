@@ -137,6 +137,18 @@ object MultimodalPipeline {
     }.toDF("media_id", "dhash")
   }
 
+  /** Acoustic fingerprints from genuinely decoded audio: one
+    * (media_id, afp) row per payload via [[AudioCodec.fingerprint63]]
+    * — the map stage feeding audio near-dup detection (q98).
+    */
+  def audioFingerprints(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = new AudioCodec
+      it.map(m => (m.media_id, codec.fingerprint63(m.payload)))
+    }.toDF("media_id", "afp")
+  }
+
   /** Genuinely decoded audio features: payloads are REAL WAV files,
     * the decode is javax.sound.sampled (per-partition codec instance),
     * and the features come from decoded PCM samples — the audio twin

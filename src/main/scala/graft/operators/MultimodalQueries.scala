@@ -238,7 +238,72 @@ object MultimodalQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q98: AUDIO near-duplicate detection — q97's twin for the audio
+    * modality: payloads demux through the real javasound provider,
+    * decoded PCM hashes to a 63-bit sign-of-energy-difference
+    * fingerprint ([[graft.multimodal.AudioCodec.fingerprint63]],
+    * the Haitsma–Kalker shape), and candidates meet through the same
+    * 16-bit band equi-join + `bit_count(xor) <= 3` exact verify.
+    * Twins guarantee detectable duplicates; the oracle re-derives
+    * every frame energy from the text bytes the WAVs encode.
+    */
+  def q98AudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = t.documents.filter(col("doc_id") < 200).select("doc_id", "text")
+    val twin = base.withColumn("doc_id", col("doc_id") + 1000L)
+    val media = MultimodalPipeline.wavMediaFromDocuments(base.unionByName(twin))
+    val hashes = MultimodalPipeline.audioFingerprints(media)
+    val banded = hashes.select(col("media_id"), col("afp"),
+      explode(typedlit((0 until 4).map(_.toLong))).as("band"))
+      .withColumn("bval",
+        expr("shiftright(afp, cast(band * 16 AS int)) & 65535"))
+    banded.select(col("band"), col("bval"),
+      col("media_id").as("id_a"), col("afp").as("h_a"))
+      .join(banded.select(col("band"), col("bval"),
+        col("media_id").as("id_b"), col("afp").as("h_b")),
+        Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b")))
+        .cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q98Sql: String = {
+    val energies =
+      """list_transform(generate_series(0, 63), k ->
+        |      coalesce(list_sum(list_transform(generate_series(k * 8 + 1, k * 8 + 8), i ->
+        |        CASE WHEN i <= len(text)
+        |             THEN abs((ascii(substr(text, i, 1)) - 96) * 256) ELSE 0 END)), 0))""".stripMargin
+    s"""WITH snd AS (
+       |  SELECT doc_id AS media_id, $energies AS e
+       |  FROM documents WHERE doc_id < 200 AND len(text) > 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000 AS media_id, $energies AS e
+       |  FROM documents WHERE doc_id < 200 AND len(text) > 0),
+       |hashed AS (
+       |  SELECT media_id,
+       |    list_sum(list_transform(generate_series(0, 62), k ->
+       |      CASE WHEN e[k + 1] > e[k + 2] THEN (1::BIGINT << k) ELSE 0 END))::BIGINT AS afp
+       |  FROM snd),
+       |banded AS (
+       |  SELECT media_id, afp, b.range AS band,
+       |    (afp >> (16 * b.range)::INTEGER) & 65535 AS bval
+       |  FROM hashed, range(4) b),
+       |pairs AS (
+       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       |    a.afp AS h_a, b.afp AS h_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.media_id < b.media_id)
+       |SELECT id_a, id_b, bit_count(xor(h_a, h_b))::BIGINT AS hamming
+       |FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_audio_neardup" -> (q98AudioNeardup _),
     "q97_image_neardup" -> (q97ImageNeardup _),
     "q25_multimodal_features" -> (q25MultimodalFeatures _),
     "q26_frame_sample" -> (q26FrameSample _),
@@ -248,6 +313,7 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q98_audio_neardup" -> q98Sql,
     "q97_image_neardup" -> q97Sql,
     "q25_multimodal_features" -> q25Sql,
     "q26_frame_sample" -> q26Sql,
