@@ -152,7 +152,12 @@ object TemporalQueries {
     * The oracle is the NAIVE theta join in DuckDB — the binned plan
     * must reproduce it pair-for-pair.
     */
-  def q94IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** Overlapping session pairs via the binned interval join (see
+    * q94's doc): returns (sid_a, sid_b, overlap_us) with
+    * sid = user_id·10⁶ + session_id, each pair exactly once.
+    */
+  private[operators] def overlappingSessionPairs(spark: SparkSession,
+      dir: String): DataFrame = {
     // grid width trades explode factor against per-cell density²:
     // sessions here are minutes long, so a 10-minute grid keeps both
     // small (hour cells measured 6× more candidate pairs at sf0.1)
@@ -181,12 +186,16 @@ object TemporalQueries {
       .filter(col("sid_a") < col("sid_b") &&
         col("cell") === greatest(col("fc_a"), col("fc_b")) &&
         col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
-      .withColumn("overlap_us",
-        least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+      .select(col("sid_a"), col("sid_b"),
+        (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+          .as("overlap_us"))
+  }
+
+  def q94IntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    overlappingSessionPairs(spark, dir)
       .select(expr("overlap_us div 600000000").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
       .orderBy("bucket")
-  }
 
   val q94Sql: String =
     """WITH flagged AS (
@@ -213,15 +222,119 @@ object TemporalQueries {
       |  ON a.sid < b.sid AND a.start_us <= b.end_us AND b.start_us <= a.end_us
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** q99: exact TRIANGLE COUNTING with degree-ordered orientation —
+    * the classic distributed graph-analytics kernel, run on the
+    * co-presence graph (users whose sessions overlapped in time, from
+    * [[overlappingSessionPairs]]). The naive count joins the edge
+    * list to itself twice with hub vertices fanning out O(d_max²);
+    * orienting every edge from the LOWER (degree, id) endpoint to the
+    * higher (Schank–Wagner) caps each vertex's out-degree near √|E|,
+    * so the wedge join — the only quadratic step — is bounded by the
+    * orientation, not by the hubs. Three shuffles total: degree
+    * aggregate, wedge self-join, closing-edge join.
+    */
+  def q99TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    // the edge list is referenced by the degree table, the orientation
+    // join, and the final count — localCheckpoint materializes the
+    // expensive interval-join upstream ONCE and truncates the lineage
+    // (without it the session pipeline re-executed per reference).
+    // Edges require >= 60s of co-presence: the noise floor that keeps
+    // the graph meaningful (and its wedge count bounded) — without it
+    // a month of events connects nearly every user pair
+    val edges = overlappingSessionPairs(spark, dir)
+      .filter(col("overlap_us") >= 60000000L)
+      .select(expr("sid_a div 1000000").as("ua"),
+        expr("sid_b div 1000000").as("ub"))
+      .filter(col("ua") =!= col("ub"))
+      .select(least(col("ua"), col("ub")).as("u"),
+        greatest(col("ua"), col("ub")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = edges.select(col("u").as("x"))
+      .unionAll(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("id"), col("du").as("d")))
+        .otherwise(struct(col("v").as("id"), col("dv").as("d"))).as("src"),
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("v").as("id"), col("dv").as("d")))
+        .otherwise(struct(col("u").as("id"), col("du").as("d"))).as("dst"))
+      .select(col("src.id").as("s"), col("src.d").as("sd"),
+        col("dst.id").as("t"), col("dst.d").as("td"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.s") === col("e2.s") &&
+        (struct(col("e1.td"), col("e1.t")) < struct(col("e2.td"), col("e2.t"))))
+      .select(col("e1.t").as("w_s"), col("e2.t").as("w_t"))
+    val triangles = wedges
+      .join(oriented, col("w_s") === col("s") && col("w_t") === col("t"))
+    edges.agg(count(lit(1)).as("n_edges")).crossJoin(
+      deg.agg(count(lit(1)).as("n_vertices"))).crossJoin(
+      triangles.agg(count(lit(1)).as("n_triangles")))
+      .select("n_vertices", "n_edges", "n_triangles")
+  }
+
+  val q99Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+      |    ts
+      |  FROM flagged),
+      |iv AS (
+      |  SELECT user_id,
+      |    MIN(epoch_us(ts)::BIGINT) AS start_us,
+      |    MAX(epoch_us(ts)::BIGINT) AS end_us
+      |  FROM sess GROUP BY user_id, session_id),
+      |edges AS (
+      |  SELECT DISTINCT least(a.user_id, b.user_id) AS u,
+      |    greatest(a.user_id, b.user_id) AS v
+      |  FROM iv a JOIN iv b
+      |    ON a.user_id < b.user_id
+      |   AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+      |   AND least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us)
+      |       >= 60000000),
+      |deg AS (
+      |  SELECT x, COUNT(*) AS d FROM (
+      |    SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+      |  GROUP BY x),
+      |oriented AS (
+      |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+      |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN du.d ELSE dv.d END AS sd,
+      |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+      |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS td
+      |  FROM edges e
+      |  JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x),
+      |wedges AS (
+      |  SELECT e1.t AS w_s, e2.t AS w_t
+      |  FROM oriented e1 JOIN oriented e2
+      |    ON e1.s = e2.s AND (e1.td, e1.t) < (e2.td, e2.t))
+      |SELECT
+      |  (SELECT COUNT(*) FROM deg) AS n_vertices,
+      |  (SELECT COUNT(*) FROM edges) AS n_edges,
+      |  (SELECT COUNT(*) FROM wedges w
+      |     JOIN oriented o ON w.w_s = o.s AND w.w_t = o.t) AS n_triangles""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_asof_join" -> (q75AsofJoin _),
     "q82_scd2_history" -> (q82Scd2History _),
     "q94_interval_join" -> (q94IntervalJoin _),
+    "q99_triangle_count" -> (q99TriangleCount _),
   )
 
   val oracle: Map[String, String] = Map(
     "q75_asof_join" -> q75Sql,
     "q82_scd2_history" -> q82Sql,
     "q94_interval_join" -> q94Sql,
+    "q99_triangle_count" -> q99Sql,
   )
 }
