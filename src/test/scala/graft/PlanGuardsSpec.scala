@@ -95,4 +95,15 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"q86 should shuffle only the encode aggregate (+top-k), got " +
         s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
   }
+
+  test("q94 interval join: candidates meet via an EQUI-join, never nested-loop") {
+    val df = operators.TemporalQueries.q94IntervalJoin(spark, dir)
+    val nlj = collectNodes(df) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nlj.isEmpty,
+      s"the binned form must never plan a nested-loop/cartesian join:\n" +
+        df.queryExecution.executedPlan)
+  }
 }
