@@ -468,18 +468,27 @@ object DedupQueries {
     * is the unbounded-scale version of q31's postings join, and the
     * equality with the ALL-pairs result is the oracle (q80) plus a
     * random-sets property (DedupProperties).
+    *
+    * The token→document-frequency dictionary joins back onto the
+    * postings SIZE-CONDITIONALLY: broadcast while it fits on the
+    * driver, sort-merge past `dictBroadcastMax` rows — at 100 TB of
+    * text distinct shingles run to billions, where an unconditional
+    * broadcast is a driver OOM. The dictionary is persisted, so the
+    * sizing count and the join share one aggregation of the postings.
     */
-  def prefixJaccardPairs(sets: DataFrame, t: Double): DataFrame = {
+  def prefixJaccardPairs(sets: DataFrame, t: Double,
+      dictBroadcastMax: Long = 2000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val s = sets.withColumn("n", size(col("toks"))).filter(col("n") > 0)
       // prefix generation and both verify sides read it
       .persist(StorageLevel.MEMORY_ONLY)
     val postings = s.select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
     val df = postings.groupBy("tok").agg(count(lit(1)).as("df"))
+      .persist(StorageLevel.MEMORY_ONLY)
     // the (df, tok) struct IS the global order — no single-task
-    // row_number rank assignment; the dictionary broadcasts (at corpus
-    // scale: sort-merge join the postings, same plan shape)
-    val prefixes = postings.join(broadcast(df), "tok")
+    // row_number rank assignment
+    val dict = if (df.count() <= dictBroadcastMax) broadcast(df) else df
+    val prefixes = postings.join(dict, "tok")
       .groupBy("doc_id", "n")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
       .select(col("doc_id"), col("n"),

@@ -96,6 +96,51 @@ class PlanGuardsSpec extends AnyFunSuite {
         s"${shuffles.size}:\n${df.queryExecution.executedPlan}")
   }
 
+  test("prefixJaccardPairs dictionary join is size-conditional: broadcast " +
+      "small, sort-merge past the cap — same pairs either way") {
+    import org.apache.spark.sql.functions.{col, lower}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val sets = Tables(spark, dir).documents
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(lower(col("text"))).as("toks"))
+    // pin auto-broadcast off so the ONLY broadcast in the plan is the
+    // explicit dictionary hint (AQE would otherwise broadcast every
+    // tiny test-scale join and blind the assertion)
+    val conf = spark.conf
+    val old = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      scala.util.Try(
+        conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")).toOption
+        .filter(_ != null))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val small = operators.DedupQueries.prefixJaccardPairs(sets, 0.5)
+      assert(collectNodes(small) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"small dictionary must broadcast:\n${small.queryExecution.executedPlan}")
+      val large = operators.DedupQueries
+        .prefixJaccardPairs(sets, 0.5, dictBroadcastMax = 0L)
+      assert(collectNodes(large) { case b: BroadcastHashJoinExec => b }.isEmpty,
+        s"over-cap dictionary must not broadcast:\n" +
+          large.queryExecution.executedPlan)
+      assert(collectNodes(large) { case s: SortMergeJoinExec => s }.nonEmpty,
+        s"expected a sort-merge dictionary join:\n" +
+          large.queryExecution.executedPlan)
+      val k = Seq("a_id", "b_id", "jaccard")
+      assert(small.orderBy(k.map(col): _*).collect().toSeq ==
+        large.orderBy(k.map(col): _*).collect().toSeq,
+        "the join strategy changed the result")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", old._1)
+      old._2 match {
+        case Some(v) =>
+          conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("q94 interval join: candidates meet via an EQUI-join, never nested-loop") {
     val df = operators.TemporalQueries.q94IntervalJoin(spark, dir)
     val nlj = collectNodes(df) {
