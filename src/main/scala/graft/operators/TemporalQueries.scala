@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -155,6 +155,11 @@ object TemporalQueries {
   /** Overlapping session pairs via the binned interval join (see
     * q94's doc): returns (sid_a, sid_b, overlap_us) with
     * sid = user_id·10⁶ + session_id, each pair exactly once.
+    *
+    * The sid packing assumes user_id < ~9.2·10¹² and < 10⁶ sessions
+    * per user per corpus — beyond either bound the Long arithmetic
+    * silently collides; a corpus that can breach it needs a
+    * two-column (user_id, session_id) key instead.
     */
   private[operators] def overlappingSessionPairs(spark: SparkSession,
       dir: String): DataFrame = {
@@ -175,18 +180,61 @@ object TemporalQueries {
       .agg(min(unix_micros(col("ts"))).as("start_us"),
         max(unix_micros(col("ts"))).as("end_us"))
       .select((col("user_id") * 1000000L + col("session_id")).as("sid"),
-        col("start_us"), col("end_us"),
+        col("start_us"), col("end_us"))
+    overlappingIntervalPairs(sess, gridUs)
+  }
+
+  /** The binned interval self-join over an `(sid, start_us, end_us)`
+    * frame, with DENSITY-CONDITIONAL SALTING of hot cells. Candidate
+    * cost is per-cell density², so one flash-crowd cell at corpus
+    * scale is a single-task straggler no matter how well the grid
+    * width fits the median. Cells whose session count exceeds
+    * `hotDensity` get their self-join TRIANGLE-PARTITIONED: sessions
+    * hash into `salts` buckets b, the pair space splits into the
+    * (lo ≤ hi) bucket-pair tasks, and each row replicates to the
+    * tasks that need it — side A carries bucket b to (lo=b, hi≥b),
+    * side B to (lo≤b, hi=b), so the unordered pair with buckets
+    * (i ≤ j) meets EXACTLY once, at task (i, j) (same-bucket pairs
+    * dedup on sid order, cross-bucket pairs cannot recur — the
+    * mirrored emission would need j ≤ i). Max task work drops from
+    * density² to (density/salts)², for salts× replication of hot-cell
+    * rows only; cold cells keep lo = hi = 0 and one copy. Results are
+    * salt-invariant (IntervalSkewSpec pins equality on a fixture with
+    * half the corpus in one cell).
+    *
+    * The sessions frame materializes through a lazy localCheckpoint:
+    * the density aggregate and both join sides read it, and without
+    * the checkpoint the (expensive) upstream recomputes per reference.
+    */
+  private[graft] def overlappingIntervalPairs(sessions: DataFrame,
+      gridUs: Long, hotDensity: Int = 1000, salts: Int = 8): DataFrame = {
+    val sess = sessions
+      .select(col("sid"), col("start_us"), col("end_us"),
         expr(s"start_us div $gridUs").as("first_cell"),
         expr(s"end_us div $gridUs").as("last_cell"))
-    def cells(side: String) = sess
+      .localCheckpoint(false)
+    val exploded = sess
       .select(explode(sequence(col("first_cell"), col("last_cell"))).as("cell"),
-        col("sid").as(s"sid_$side"), col("start_us").as(s"s_$side"),
-        col("end_us").as(s"e_$side"), col("first_cell").as(s"fc_$side"))
-    cells("a").join(cells("b"), Seq("cell"))
-      .filter(col("sid_a") < col("sid_b") &&
+        col("sid"), col("start_us"), col("end_us"), col("first_cell"))
+    // one row per occupied cell — bounded by timespan/gridUs, tiny
+    val density = exploded.groupBy("cell")
+      .agg(count(lit(1)).as("cell_n"))
+      .select(col("cell"),
+        when(col("cell_n") > hotDensity, lit(salts)).otherwise(lit(1)).as("k"))
+    val bucketed = exploded.join(broadcast(density), "cell")
+      .withColumn("b", pmod(xxhash64(col("sid")), col("k")).cast("int"))
+    def side(name: String, lo: Column, hi: Column) = bucketed
+      .select(col("cell"), lo.as("lo"), hi.as("hi"),
+        col("sid").as(s"sid_$name"), col("start_us").as(s"s_$name"),
+        col("end_us").as(s"e_$name"), col("first_cell").as(s"fc_$name"))
+    val a = side("a", col("b"), explode(sequence(col("b"), col("k") - 1)))
+    val b = side("b", explode(sequence(lit(0), col("b"))), col("b"))
+    a.join(b, Seq("cell", "lo", "hi"))
+      .filter((col("lo") =!= col("hi") || col("sid_a") < col("sid_b")) &&
         col("cell") === greatest(col("fc_a"), col("fc_b")) &&
         col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
-      .select(col("sid_a"), col("sid_b"),
+      .select(least(col("sid_a"), col("sid_b")).as("sid_a"),
+        greatest(col("sid_a"), col("sid_b")).as("sid_b"),
         (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
           .as("overlap_us"))
   }
