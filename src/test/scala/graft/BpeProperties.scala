@@ -44,4 +44,56 @@ object BpeProperties extends Properties("Bpe") {
     forAll(wordGen, mergesGen) { (w, merges) =>
       w.isEmpty || BpeTokenizer.tokenizeWord(w, merges).length <= w.length
     }
+
+  // --- distributed trainer vs a driver-side sequential reference ---
+  //
+  // The incremental/batched trainer must learn the EXACT sequence the
+  // textbook one-merge-at-a-time loop learns: this pins both the
+  // delta pair-count maintenance (a wrong delta shifts some round's
+  // argmax) and selectBatch's order-equivalence rule (an unsafe batch
+  // reorders merges). batchTop=4 forces the truncated-page wStop path.
+
+  private lazy val spark = TestSpark.spark
+
+  private def refTrain(words: Seq[(String, Long)], n: Int): Seq[(String, String)] = {
+    var tbl: Seq[(IndexedSeq[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString): IndexedSeq[String], c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var go = true
+    while (out.size < n && go) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      for ((s, c) <- tbl; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) += c
+      val best = counts.toSeq
+        .sortBy { case ((a, b), w) => (-w, a, b) }.headOption
+      best match {
+        case Some(((a, b), w)) if w >= 2L =>
+          out += ((a, b))
+          tbl = tbl.map { case (s, c) =>
+            (BpeTokenizer.applyMerge(s, a, b), c) }
+        case _ => go = false
+      }
+    }
+    out.toSeq
+  }
+
+  private val tableGen: Gen[(Seq[(String, Long)], Int)] = for {
+    nWords <- Gen.choose(1, 12)
+    words <- Gen.listOfN(nWords, for {
+      len <- Gen.choose(0, 8)
+      w <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', 'd', 'e', 'f')).map(_.mkString)
+      c <- Gen.choose(1L, 5L)
+    } yield (w, c))
+    n <- Gen.choose(1, 12)
+  } yield (words, n)
+
+  property("batched incremental training equals sequential training") = {
+    import spark.implicits._
+    forAll(tableGen) { case (words, n) =>
+      val df = words.toDF("word", "cnt")
+      val got = BpeTokenizer.train(df, n, batchTop = 4, checkpointEvery = 3)
+      got == refTrain(words, n)
+    }
+  }
 }
