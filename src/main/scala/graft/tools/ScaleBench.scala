@@ -1,0 +1,104 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.functions.TextFunctions.tokens
+import graft.operators.{DedupQueries, TemporalQueries}
+
+/** Scale-decade stress harness: runs the quadratic-risk operators on
+  * ScaleGen scratch dirs (typically sf0.1 and sf1, same generator) and
+  * prints one JSON line per (dir, query) with wall seconds, total
+  * shuffle-write bytes, and the max/total task time — the inputs for
+  * SCALING.md's scaling-exponent table. Exponent = log10(metric@sf1 /
+  * metric@sf0.1) when the dirs are a decade apart.
+  *
+  * Queries run UNBOUNDED (no doc_id slices): this harness exists to
+  * measure how candidate generation grows with the corpus, which the
+  * oracle-anchored bounded variants deliberately cap.
+  */
+object ScaleBench {
+
+  private final class TaskAgg extends SparkListener {
+    val shuffleWrite = new AtomicLong
+    val maxTaskMs = new AtomicLong
+    val sumTaskMs = new AtomicLong
+    val nTasks = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      if (e.taskInfo != null) {
+        val d = e.taskInfo.duration
+        maxTaskMs.accumulateAndGet(d, (a: Long, b: Long) => math.max(a, b))
+        sumTaskMs.addAndGet(d)
+        nTasks.incrementAndGet()
+      }
+    }
+  }
+
+  /** Full-corpus prefix-filtered Jaccard join over word bigrams — the
+    * unbounded form of q80 (the generator's constructed near-dups are
+    * the expected hits).
+    */
+  private def ppjoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
+    val sets = base.select(col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(col("ts")) - 2, lit(0))),
+        i => array_join(slice(col("ts"), i + 1, lit(2)), " "))).as("toks"))
+    // 0.65 sits under the constructed twins' ~0.73 bigram Jaccard
+    DedupQueries.prefixJaccardPairs(sets, 0.65)
+  }
+
+  private def bpeMerges(spark: SparkSession, dir: String): Int = {
+    val freq = Tables(spark, dir).documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    graft.functions.BpeTokenizer.train(freq, 1000).length
+  }
+
+  private val queries: Seq[(String, (SparkSession, String) => Long)] = Seq(
+    "q32_minhash_lsh" -> ((s, d) => DedupQueries.q32DedupMinhashLsh(s, d).count()),
+    "q36_simhash_cc" -> ((s, d) => DedupQueries.q36DedupCluster(s, d).count()),
+    "q80_ppjoin" -> ((s, d) => ppjoin(s, d).count()),
+    "q94_interval_join" -> ((s, d) =>
+      TemporalQueries.q94IntervalJoin(s, d).collect()
+        .map(_.getLong(1)).sum),
+    "q99_triangle" -> ((s, d) =>
+      TemporalQueries.q99TriangleCount(s, d).collect().head.getLong(2)),
+    "q87_bpe_train1000" -> ((s, d) => bpeMerges(s, d).toLong),
+  )
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    val sc = spark.sparkContext
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").toSet)
+    for (dir <- args; (name, run) <- queries
+        if only.forall(_.contains(name))) {
+      var best: (Double, TaskAgg, Long) = null
+      for (_ <- 1 to reps) {
+        val agg = new TaskAgg
+        sc.addSparkListener(agg)
+        val t0 = System.nanoTime()
+        val rows = run(spark, dir)
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let the async listener bus drain
+        sc.removeSparkListener(agg)
+        if (best == null || secs < best._1) best = (secs, agg, rows)
+        spark.sqlContext.clearCache()
+      }
+      val (secs, agg, rows) = best
+      println(f"""{"dir": "$dir", "query": "$name", "secs": $secs%.2f, """ +
+        f""""rows": $rows, "shuffle_mb": ${agg.shuffleWrite.get / 1e6}%.1f, """ +
+        f""""max_task_ms": ${agg.maxTaskMs.get}, """ +
+        f""""sum_task_ms": ${agg.sumTaskMs.get}, "n_tasks": ${agg.nTasks.get}}""")
+    }
+  }
+}

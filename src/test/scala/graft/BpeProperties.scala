@@ -92,8 +92,15 @@ object BpeProperties extends Properties("Bpe") {
     import spark.implicits._
     forAll(tableGen) { case (words, n) =>
       val df = words.toDF("word", "cnt")
-      val got = BpeTokenizer.train(df, n, batchTop = 4, checkpointEvery = 3)
+      // maxLocalWords = 0 forces the DISTRIBUTED incremental loop
+      val got = BpeTokenizer.train(df, n, batchTop = 4, checkpointEvery = 3,
+        maxLocalWords = 0L)
       got == refTrain(words, n)
     }
   }
+
+  property("driver-local delta training equals sequential training") =
+    forAll(tableGen) { case (words, n) =>
+      BpeTokenizer.trainLocal(words, n) == refTrain(words, n)
+    }
 }
