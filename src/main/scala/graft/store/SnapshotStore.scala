@@ -28,8 +28,24 @@ import org.apache.spark.sql.functions._
   *     splitting a batch and merging twice equals one merge
   *     (property-tested).
   *   - [[append]]              → run ledger / quarantine (S3/S7)
+  *
+  * Two COMMIT MODES for the partition-scoped paths, chosen at
+  * construction:
+  *   - link (default): untouched partition dirs of the prior snapshot
+  *     hard-link into the new version (one filesystem, zero data
+  *     movement; `linkTree` degrades to copies where links are
+  *     unsupported).
+  *   - manifest (`manifestCommits = true`): the new version carries a
+  *     `_manifest` file listing the PHYSICAL partition dirs it retains
+  *     from older versions — the Delta/Iceberg commit model, and the
+  *     only one that stays O(touched partitions) on S3-like stores
+  *     with no hard links. Manifests always point at physical dirs
+  *     (references resolve before writing), so reads never chase
+  *     chains, and [[vacuum]] reference-counts: a dropped version's
+  *     dirs survive while any retained version's manifest lists them.
   */
-final class SnapshotStore(spark: SparkSession, root: String) {
+final class SnapshotStore(spark: SparkSession, root: String,
+    manifestCommits: Boolean = false) {
 
   private def tableDir(table: String) = Paths.get(root, table)
   private def pointer(table: String) = tableDir(table).resolve("_current")
@@ -40,27 +56,73 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   }
 
   def read(table: String): Option[DataFrame] =
-    currentVersion(table).map { v =>
-      spark.read.parquet(tableDir(table).resolve(s"v$v").toString)
+    currentVersion(table).flatMap(readVersion(table, _))
+
+  private def manifestFile(dir: java.nio.file.Path) = dir.resolve("_manifest")
+  private def vacuumedMark(dir: java.nio.file.Path) = dir.resolve("_vacuumed")
+
+  /** The PHYSICAL hive partition dirs backing a version: its own dirs
+    * plus, for a manifest version, the older-version dirs its manifest
+    * retains (physical by construction — manifests are written
+    * resolved, never chained).
+    */
+  private def physicalParts(table: String,
+      version: Long): Map[String, java.nio.file.Path] = {
+    val dir = tableDir(table).resolve(s"v$version")
+    if (!Files.isDirectory(dir)) return Map.empty
+    val own: Map[String, java.nio.file.Path] = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.contains("="))
+        .map(p => p.getFileName.toString -> p).toMap
+      finally s.close()
     }
+    val mf = manifestFile(dir)
+    val refs: Map[String, java.nio.file.Path] =
+      if (!Files.exists(mf)) Map.empty
+      else Files.readAllLines(mf).asScala.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('/')
+        line.substring(i + 1) ->
+          tableDir(table).resolve(line.substring(0, i)).resolve(line.substring(i + 1))
+      }.toMap
+    refs ++ own
+  }
+
+  /** Read a set of physical partition dirs as one frame, grouping by
+    * containing version dir so each read's `basePath` recovers the
+    * hive partition column.
+    */
+  private def readParts(paths: Iterable[java.nio.file.Path]): DataFrame =
+    paths.groupBy(_.getParent).toSeq.sortBy(_._1.toString)
+      .map { case (vdir, ps) =>
+        spark.read.option("basePath", vdir.toString)
+          .parquet(ps.map(_.toString).toSeq.sorted: _*)
+      }.reduce(_ unionByName _)
 
   /** Time travel: read a specific retained snapshot version (None if
     * that version was never written or has been vacuumed).
     */
   def readVersion(table: String, version: Long): Option[DataFrame] = {
     val dir = tableDir(table).resolve(s"v$version")
-    if (Files.isDirectory(dir)) Some(spark.read.parquet(dir.toString))
-    else None
+    if (!Files.isDirectory(dir) || Files.exists(vacuumedMark(dir))) None
+    else if (Files.exists(manifestFile(dir)))
+      Some(readParts(physicalParts(table, version).values))
+    else Some(spark.read.parquet(dir.toString))
   }
 
-  /** Versions currently on disk for a table, ascending. */
+  /** Versions currently readable for a table, ascending (vacuumed
+    * version dirs that persist only as storage for newer manifests are
+    * excluded).
+    */
   def versions(table: String): Seq[Long] = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) Seq.empty
     else {
       val s = Files.list(dir)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.matches("v\\d+")).map(_.drop(1).toLong).toSeq.sorted
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("v\\d+") &&
+          !Files.exists(vacuumedMark(p)))
+        .map(_.getFileName.toString.drop(1).toLong).toSeq.sorted
       finally s.close()
     }
   }
@@ -74,14 +136,37 @@ final class SnapshotStore(spark: SparkSession, root: String) {
   def vacuum(table: String, keepLast: Int = 1): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the current version")
     val cur = currentVersion(table).getOrElse(return Seq.empty)
-    val drop = versions(table).filter(_ <= cur).dropRight(keepLast)
+    val all = versions(table)
+    val drop = all.filter(_ <= cur).dropRight(keepLast)
       .filterNot(_ == cur)
+    // physical dirs any RETAINED version's manifest still references —
+    // those survive the drop (manifest-mode reference counting; in
+    // link mode the set is empty and whole dirs delete, link counts
+    // keeping shared file data alive)
+    val referenced: Set[java.nio.file.Path] = all.diff(drop)
+      .flatMap(v => physicalParts(table, v).values)
+      .map(_.toAbsolutePath.normalize).toSet
     drop.foreach { v =>
       val dir = tableDir(table).resolve(s"v$v")
-      val s = Files.walk(dir)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-      finally s.close()
+      val keep = referenced.filter(_.getParent ==
+        dir.toAbsolutePath.normalize)
+      def deleteTree(p: java.nio.file.Path): Unit = {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+        finally s.close()
+      }
+      if (keep.isEmpty) deleteTree(dir)
+      else {
+        // partially reclaimed: this dir is now pure storage for newer
+        // manifests — no longer a readable version
+        val s = Files.list(dir)
+        try s.iterator().asScala.toSeq
+          .filterNot(p => keep.contains(p.toAbsolutePath.normalize))
+          .foreach(deleteTree)
+        finally s.close()
+        Files.writeString(vacuumedMark(dir), "")
+      }
     }
     drop
   }
@@ -157,20 +242,14 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       partitionCols: Seq[String], probeKeys: Seq[String]): Long = {
     import org.apache.spark.storage.StorageLevel
     val pc = partitionCols.head
-    val curDir = tableDir(table).resolve(s"v$cur")
-    val priorPartDirs: Map[String, java.nio.file.Path] = {
-      val s = Files.list(curDir)
-      try s.iterator().asScala.filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(s"$pc="))
-        .map(p => p.getFileName.toString -> p).toMap
-      finally s.close()
-    }
+    val priorPartDirs: Map[String, java.nio.file.Path] =
+      physicalParts(table, cur).filter(_._1.startsWith(s"$pc="))
     // prior layout isn't partitioned on pc (layout change) → full rewrite
     if (priorPartDirs.isEmpty)
       return write(table, combine(read(table).get, batch), partitionCols)
     batch.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val prior = spark.read.parquet(curDir.toString)
+      val prior = readVersion(table, cur).get
       val batchVals = batch.select(col(pc)).distinct().collect().map(_.get(0))
       val collideVals: Array[Any] =
         if (probeKeys.isEmpty) Array.empty
@@ -188,13 +267,27 @@ final class SnapshotStore(spark: SparkSession, root: String) {
       val next = cur + 1
       writeVersionDir(table, next, combine(priorTouched, batch), partitionCols)
       val nextDir = tableDir(table).resolve(s"v$next")
-      priorPartDirs.foreach { case (name, path) =>
-        if (!touchedDirs.contains(name)) linkTree(path, nextDir.resolve(name))
-      }
-      swapPointer(table, next) // only after untouched links exist: readers
-      next                     // of v_next always see a complete table
+      retainParts(table, nextDir,
+        priorPartDirs.filterNot(p => touchedDirs.contains(p._1)))
+      swapPointer(table, next) // only after retained parts are wired:
+      next                     // readers of v_next always see a complete table
     } finally { batch.unpersist(); () }
   }
+
+  /** Wire the untouched partitions of the prior snapshot into a new
+    * version dir: hard links in link mode, `_manifest` lines
+    * (`v<src>/<partDir>`, physical locations) in manifest mode.
+    */
+  private def retainParts(table: String, nextDir: java.nio.file.Path,
+      retained: Map[String, java.nio.file.Path]): Unit =
+    if (manifestCommits) {
+      val lines = retained.toSeq.map { case (name, path) =>
+        s"${path.getParent.getFileName}/$name"
+      }.sorted
+      Files.write(manifestFile(nextDir), lines.asJava)
+    } else retained.foreach { case (name, path) =>
+      linkTree(path, nextDir.resolve(name))
+    }
 
   /** Recursively hard-link `src` into `dst` (fallback: copy, for
     * filesystems without link support).
@@ -331,31 +424,20 @@ final class SnapshotStore(spark: SparkSession, root: String) {
     require(maxFilesPerPartition >= 1, "threshold must be at least 1 file")
     val cur = currentVersion(table).getOrElse(return None)
     val curDir = tableDir(table).resolve(s"v$cur")
-    val partDirs: Seq[java.nio.file.Path] = {
-      val s = Files.list(curDir)
-      try s.iterator().asScala.filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.contains("=")).toSeq
-      finally s.close()
-    }
+    val parts = physicalParts(table, cur)
     val next = cur + 1
     val nextDir = tableDir(table).resolve(s"v$next")
-    if (partDirs.isEmpty) {
+    if (parts.isEmpty) {
       // unpartitioned table: one flat pile of files
       if (parquetFiles(curDir).size <= maxFilesPerPartition) return None
       writeVersionDir(table, next, spark.read.parquet(curDir.toString).coalesce(1), Nil)
     } else {
-      val pc = partDirs.head.getFileName.toString.split("=")(0)
-      val needy = partDirs.filter(p => parquetFiles(p).size > maxFilesPerPartition)
+      val pc = parts.head._1.split("=")(0)
+      val needy = parts.filter(p => parquetFiles(p._2).size > maxFilesPerPartition)
       if (needy.isEmpty) return None
-      // basePath keeps the partition column alive on a sub-dir read
-      val rows = spark.read.option("basePath", curDir.toString)
-        .parquet(needy.map(_.toString): _*)
+      val rows = readParts(needy.values)
       writeVersionDir(table, next, rows.repartition(col(pc)), Seq(pc))
-      val needyNames = needy.map(_.getFileName.toString).toSet
-      partDirs.foreach { p =>
-        val name = p.getFileName.toString
-        if (!needyNames.contains(name)) linkTree(p, nextDir.resolve(name))
-      }
+      retainParts(table, nextDir, parts -- needy.keys)
     }
     swapPointer(table, next)
     Some(next)

@@ -281,4 +281,108 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // everything under threshold now -> no-op, no new version
     assert(s.compact("cases", maxFilesPerPartition = 4).isEmpty)
   }
+
+  // --- manifest commit mode (the object-store path: no hard links) ---
+
+  private def caseMap(s: SnapshotStore) = s.read("cases").get.collect()
+    .map(r => r.getAs[Int]("k") ->
+      ((r.getAs[Int]("filed_year"), r.getAs[String]("v")))).toMap
+
+  test("manifest merge writes ONLY touched-partition files; retained " +
+      "partitions are resolved references") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft-store")
+    val s = new SnapshotStore(spark, root.toString, manifestCommits = true)
+    s.write("cases",
+      Seq((1, 2019, "a"), (2, 2020, "b"), (3, 2021, "c"))
+        .toDF("k", "filed_year", "v"), Seq("filed_year"))
+    s.mergeLastWriteWins("cases",
+      Seq((2, 2020, "b2"), (4, 2020, "d")).toDF("k", "filed_year", "v"),
+      Seq("k"), partitionCols = Seq("filed_year"))
+    val v1 = root.resolve("cases").resolve("v1")
+    // physically, v1 holds only the touched year
+    assert(Files.isDirectory(v1.resolve("filed_year=2020")))
+    assert(!Files.exists(v1.resolve("filed_year=2019")))
+    assert(!Files.exists(v1.resolve("filed_year=2021")))
+    assert(Files.readAllLines(v1.resolve("_manifest")).asScala.toSet ==
+      Set("v0/filed_year=2019", "v0/filed_year=2021"))
+    assert(caseMap(s) == Map(1 -> ((2019, "a")), 2 -> ((2020, "b2")),
+      3 -> ((2021, "c")), 4 -> ((2020, "d"))))
+    // a second merge must re-reference v0's untouched year RESOLVED
+    // (manifests never chain through v1's manifest)
+    s.mergeLastWriteWins("cases",
+      Seq((3, 2021, "c2")).toDF("k", "filed_year", "v"),
+      Seq("k"), partitionCols = Seq("filed_year"))
+    val v2 = root.resolve("cases").resolve("v2")
+    assert(Files.readAllLines(v2.resolve("_manifest")).asScala.toSet ==
+      Set("v0/filed_year=2019", "v1/filed_year=2020"))
+    assert(caseMap(s) == Map(1 -> ((2019, "a")), 2 -> ((2020, "b2")),
+      3 -> ((2021, "c2")), 4 -> ((2020, "d"))))
+    // CDC across manifest versions
+    val ch = s.readChanges("cases", 1, 2, Seq("k")).get.collect()
+    assert(ch.map(r => (r.getAs[Int]("k"), r.getAs[String]("op"))).toSet ==
+      Set((3, "update")))
+  }
+
+  test("manifest vacuum reference-counts: dirs a retained manifest " +
+      "lists survive the drop") {
+    val root = Files.createTempDirectory("graft-store")
+    val s = new SnapshotStore(spark, root.toString, manifestCommits = true)
+    s.write("cases",
+      Seq((1, 2019, "a"), (2, 2020, "b"), (3, 2021, "c"))
+        .toDF("k", "filed_year", "v"), Seq("filed_year"))
+    s.mergeLastWriteWins("cases",
+      Seq((2, 2020, "b2")).toDF("k", "filed_year", "v"),
+      Seq("k"), partitionCols = Seq("filed_year"))
+    s.mergeLastWriteWins("cases",
+      Seq((3, 2021, "c2")).toDF("k", "filed_year", "v"),
+      Seq("k"), partitionCols = Seq("filed_year"))
+    val before = caseMap(s)
+    assert(s.vacuum("cases") == Seq(0, 1))
+    // v0 survives as storage (v2 references its 2019) but is no
+    // longer a readable version; v1's 2020 likewise
+    val cases = root.resolve("cases")
+    assert(Files.isDirectory(cases.resolve("v0").resolve("filed_year=2019")))
+    assert(Files.isDirectory(cases.resolve("v1").resolve("filed_year=2020")))
+    // v0's superseded partitions were reclaimed
+    assert(!Files.exists(cases.resolve("v0").resolve("filed_year=2020")))
+    assert(!Files.exists(cases.resolve("v0").resolve("filed_year=2021")))
+    assert(s.readVersion("cases", 0).isEmpty)
+    assert(s.readVersion("cases", 1).isEmpty)
+    assert(s.versions("cases") == Seq(2))
+    assert(caseMap(s) == before, "current version must survive vacuum intact")
+    assert(s.vacuum("cases").isEmpty, "vacuum is idempotent")
+  }
+
+  test("manifest compact rewrites only the over-threshold partition") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft-store")
+    val s = new SnapshotStore(spark, root.toString, manifestCommits = true)
+    s.write("cases",
+      Seq((1, 2022, "a"), (2, 2023, "b")).toDF("k", "filed_year", "v"),
+      partitionCols = Seq("filed_year"))
+    for (i <- 3 to 11 by 3)
+      s.append("cases",
+        Seq((i, 2023, "x"), (i + 1, 2023, "y"), (i + 2, 2023, "z"))
+          .toDF("k", "filed_year", "v").repartition(3),
+        partitionCols = Seq("filed_year"))
+    val before = caseMap(s)
+    val cur = s.currentVersion("cases").get
+    val v = s.compact("cases", maxFilesPerPartition = 4)
+    assert(v.contains(cur + 1))
+    val vDir = root.resolve("cases").resolve(s"v${v.get}")
+    def nFiles(d: java.nio.file.Path) = {
+      val l = Files.list(d)
+      try l.iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      finally l.close()
+    }
+    assert(nFiles(vDir.resolve("filed_year=2023")) == 1, "hot partition compacted")
+    // the cold partition stayed where it was: a manifest line, no dir
+    assert(!Files.exists(vDir.resolve("filed_year=2022")))
+    assert(Files.readAllLines(vDir.resolve("_manifest")).asScala.toSet ==
+      Set("v0/filed_year=2022"))
+    assert(caseMap(s) == before, "compaction must not change rows")
+    assert(s.compact("cases", maxFilesPerPartition = 4).isEmpty)
+  }
 }
