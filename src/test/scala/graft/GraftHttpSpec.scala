@@ -102,4 +102,61 @@ class GraftHttpSpec extends AnyFunSuite {
     assert(r.statusCode() == 404)
     assert(mapper.readTree(r.body()).has("error"))
   }
+
+  test("concurrent soak: parallel mixed requests through the fixed " +
+      "pool get isolated, correct responses") {
+    // every case number in the corpus, each with a validator that only
+    // ITS OWN response satisfies — a cross-request bleed (shared
+    // mutable state anywhere in server → api → Spark collect) would
+    // hand some request another request's payload and fail its check
+    val caseNumbers = {
+      val arr = mapper.readTree(get("/cases?year=2023").body())
+      (0 until arr.size()).map(i => arr.get(i).path("case_number").asText())
+    }
+    assert(caseNumbers.nonEmpty)
+    type Check = java.net.http.HttpResponse[String] => Unit
+    val detail: Seq[(String, () => java.net.http.HttpResponse[String], Check)] =
+      caseNumbers.map { cn =>
+        val enc = java.net.URLEncoder.encode(cn, "UTF-8").replace("+", "%20")
+        (s"detail:$cn", () => get(s"/cases/$enc"), (r: java.net.http.HttpResponse[String]) => {
+          assert(r.statusCode() == 200)
+          assert(mapper.readTree(r.body()).path("case_number").asText() == cn,
+            s"response for $cn carried another case")
+        })
+      }
+    val mixed: Seq[(String, () => java.net.http.HttpResponse[String], Check)] = Seq(
+      ("list2023", () => get("/cases?year=2023"), r => {
+        assert(r.statusCode() == 200)
+        val a = mapper.readTree(r.body())
+        (0 until a.size()).foreach(i =>
+          assert(a.get(i).path("filed_date").asText().startsWith("2023")))
+      }),
+      ("search", () => post("/cases/search",
+        """{"query":"breach of contract","limit":3}"""), r => {
+        assert(r.statusCode() == 200)
+        assert(mapper.readTree(r.body()).size() == 3)
+      }),
+      ("missing", () => get("/cases/no-such-case"),
+        r => assert(r.statusCode() == 404)),
+      ("badyear", () => get("/cases?year=1776"),
+        r => assert(r.statusCode() == 422)),
+      ("health", () => get("/health"), r => assert(r.statusCode() == 200)),
+    )
+    val work = Iterator.continually(detail ++ mixed).flatten.take(60).toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+    try {
+      import scala.jdk.CollectionConverters._
+      val results = pool.invokeAll(work.map { case (name, fire, check) =>
+        new java.util.concurrent.Callable[Option[String]] {
+          def call(): Option[String] =
+            try { check(fire()); None }
+            catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+        }
+      }.asJava).asScala.map(_.get())
+      val failures = results.flatten
+      assert(failures.isEmpty,
+        s"${failures.size} of ${work.size} concurrent requests failed:\n" +
+          failures.take(5).mkString("\n"))
+    } finally pool.shutdown()
+  }
 }
