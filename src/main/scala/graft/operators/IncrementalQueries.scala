@@ -70,6 +70,15 @@ object IncrementalQueries {
     * dirty bucket with both side counts and the drilled number of
     * differing keys (missing on either side, or same key + different
     * payload).
+    *
+    * Detection is PROBABILISTIC, up to hash collision: drift is
+    * invisible exactly when a bucket's (bit_xor of 60-bit row hashes,
+    * count) both survive — e.g. two modified rows whose row-hash xors
+    * cancel. For k drifted rows in a bucket that's a ~2⁻⁶⁰ event per
+    * bucket (the xor of k ≥ 1 independent 60-bit deltas is uniform),
+    * the same class of guarantee as any checksum-based reconciliation
+    * — not an exact one. ReconcileProperties holds modulo the same
+    * bound.
     */
   def merkleDiff(v1: DataFrame, v2: DataFrame, key: String, payload: String,
       buckets: Int): DataFrame = {

@@ -64,6 +64,15 @@ object ProfileQueries {
     *
     * The oracle re-derives count + fingerprint from parquet and pins
     * both round-trip verdicts as TRUE contracts.
+    *
+    * This operator is an AUDIT, not a query: it runs eagerly (write →
+    * read back → fingerprint) and returns the verdicts as a literal
+    * row, so the scratch export is deleted the moment the fingerprints
+    * exist — repeated verify/bench runs leave no temp litter. The
+    * scratch path is driver-local, which assumes a single-process
+    * filesystem (local mode / one driver); at cluster scale the export
+    * target would be a shared-store path, with the same delete-after-
+    * audit lifecycle.
     */
   def q93FormatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.md5Long60
@@ -71,26 +80,34 @@ object ProfileQueries {
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val base = t.events.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"))
-    def fingerprint(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("rh", md5Long60(concat(
+    def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.withColumn("rh", md5Long60(concat(
         col("event_id").cast("string"), lit(":"), col("event_type"),
         lit(":"), unix_micros(col("ts")).cast("string"))))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("fp"))
-    val out = java.nio.file.Files.createTempDirectory("graft-fmt").toString
-    base.write.option("header", "true").option("timestampFormat", tsFmt)
-      .csv(s"$out/csv")
-    base.write.option("timestampFormat", tsFmt).json(s"$out/json")
-    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
-    val csvBack = spark.read.schema(schema).option("header", "true")
-      .option("timestampFormat", tsFmt).csv(s"$out/csv")
-    val jsonBack = spark.read.schema(schema).option("timestampFormat", tsFmt)
-      .json(s"$out/json")
-    fingerprint(base).as("p")
-      .crossJoin(fingerprint(csvBack).select(col("n").as("cn"), col("fp").as("cfp")))
-      .crossJoin(fingerprint(jsonBack).select(col("n").as("jn"), col("fp").as("jfp")))
-      .select(col("n").as("n_rows"), col("fp").as("fingerprint"),
-        (col("cn") === col("n") && col("cfp") === col("fp")).as("csv_roundtrip_ok"),
-        (col("jn") === col("n") && col("jfp") === col("fp")).as("json_roundtrip_ok"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("fp"))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-fmt")
+    try {
+      base.write.option("header", "true").option("timestampFormat", tsFmt)
+        .csv(s"$out/csv")
+      base.write.option("timestampFormat", tsFmt).json(s"$out/json")
+      val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+      val p = fingerprint(base)
+      val c = fingerprint(spark.read.schema(schema).option("header", "true")
+        .option("timestampFormat", tsFmt).csv(s"$out/csv"))
+      val j = fingerprint(spark.read.schema(schema)
+        .option("timestampFormat", tsFmt).json(s"$out/json"))
+      import spark.implicits._
+      Seq((p._1, p._2, c == p, j == p))
+        .toDF("n_rows", "fingerprint", "csv_roundtrip_ok", "json_roundtrip_ok")
+    } finally {
+      val s = java.nio.file.Files.walk(out)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().forEachRemaining(p => java.nio.file.Files.delete(p))
+      finally s.close()
+    }
   }
 
   val q93Sql: String = {

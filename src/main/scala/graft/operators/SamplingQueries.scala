@@ -196,13 +196,21 @@ object SamplingQueries {
     * makes epoch composition auditable. Normalization needs one
     * scalar aggregate broadcast back over the corpus (a crossJoin of
     * a 1-row side — no shuffle of the big side).
+    *
+    * The weight quantizes to fixed-point (floor(√score·10⁶), an exact
+    * integer) BEFORE the normalizer sum: a float sum's last ulp
+    * depends on reduction order, and the normalizer feeds a floor and
+    * a hash-coin threshold, so an order-dependent sum could flip a
+    * document's repeat count between partitionings (or vs the
+    * oracle). Integer sums are order-independent in both engines; the
+    * scale cancels out of the expected-copies ratio.
     */
   def q84TemperatureSample(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.documents.select("doc_id", "source", "text")
     val scored = docs
       .join(TextQueries.qualityScored(docs.select("doc_id", "text")), Seq("doc_id"))
-      .withColumn("wt", sqrt(col("score")))
+      .withColumn("wt", floor(sqrt(col("score")) * 1000000d).cast("long"))
     val tot = scored.agg(sum("wt").as("total"), count(lit(1)).as("n"))
     val expCopies = lit(2.0d) * col("n") * col("wt") / col("total")
     scored.crossJoin(broadcast(tot))
@@ -221,7 +229,8 @@ object SamplingQueries {
     val score = OracleSql.qualityScore("text")
     val coin = s"(${OracleSql.md5Long60("doc_id::VARCHAR")} % 1000000)"
     s"""WITH w AS (
-       |  SELECT doc_id, source, sqrt($score) AS wt FROM documents),
+       |  SELECT doc_id, source,
+       |    floor(sqrt($score) * 1000000)::BIGINT AS wt FROM documents),
        |tot AS (SELECT sum(wt) AS total, count(*) AS n FROM w),
        |rep AS (
        |  SELECT source,

@@ -10,6 +10,14 @@ import graft.operators.IncrementalQueries
   * keys — no false negatives (every deleted/modified key is counted in
   * its bucket), no false positives (clean replicas diff to zero rows),
   * on random tables with random drift.
+  *
+  * "No false negatives" holds UP TO HASH COLLISION, like any
+  * checksum-based reconciliation: compensating drift inside one bucket
+  * (row-hash xors cancelling with counts unchanged) is undetectable —
+  * a ~2⁻⁶⁰-per-bucket event with the 60-bit row hash (see
+  * merkleDiff's docstring). The generator draws payloads whose hash
+  * deltas are effectively random, so the property tests the
+  * construction, not a cryptographic absolute.
   */
 object ReconcileProperties extends Properties("MerkleDiff") {
   private lazy val spark = TestSpark.spark
