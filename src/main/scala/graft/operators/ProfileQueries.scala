@@ -80,25 +80,29 @@ object ProfileQueries {
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val base = t.events.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"))
-    def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val r = df.withColumn("rh", md5Long60(concat(
+    def fingerprint(df: org.apache.spark.sql.DataFrame, tag: String) = df
+      .withColumn("rh", md5Long60(concat(
         col("event_id").cast("string"), lit(":"), col("event_type"),
         lit(":"), unix_micros(col("ts")).cast("string"))))
-        .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("fp"))
-        .collect().head
-      (r.getLong(0), r.getLong(1))
-    }
+      .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("fp"))
+      .select(lit(tag).as("t"), col("n"), col("fp"))
     val out = java.nio.file.Files.createTempDirectory("graft-fmt")
     try {
       base.write.option("header", "true").option("timestampFormat", tsFmt)
         .csv(s"$out/csv")
       base.write.option("timestampFormat", tsFmt).json(s"$out/json")
       val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
-      val p = fingerprint(base)
-      val c = fingerprint(spark.read.schema(schema).option("header", "true")
-        .option("timestampFormat", tsFmt).csv(s"$out/csv"))
-      val j = fingerprint(spark.read.schema(schema)
-        .option("timestampFormat", tsFmt).json(s"$out/json"))
+      // ONE action for all three fingerprints: the union's branches
+      // run as parallel stages of a single job
+      val fps = fingerprint(base, "p")
+        .unionAll(fingerprint(spark.read.schema(schema)
+          .option("header", "true").option("timestampFormat", tsFmt)
+          .csv(s"$out/csv"), "c"))
+        .unionAll(fingerprint(spark.read.schema(schema)
+          .option("timestampFormat", tsFmt).json(s"$out/json"), "j"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val (p, c, j) = (fps("p"), fps("c"), fps("j"))
       import spark.implicits._
       Seq((p._1, p._2, c == p, j == p))
         .toDF("n_rows", "fingerprint", "csv_roundtrip_ok", "json_roundtrip_ok")
