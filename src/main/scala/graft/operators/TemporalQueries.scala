@@ -161,8 +161,8 @@ object TemporalQueries {
     * silently collides; a corpus that can breach it needs a
     * two-column (user_id, session_id) key instead.
     */
-  private[operators] def overlappingSessionPairs(spark: SparkSession,
-      dir: String): DataFrame = {
+  private[graft] def overlappingSessionPairs(spark: SparkSession,
+      dir: String, hotDensity: Int = 1000, salts: Int = 8): DataFrame = {
     // grid width trades explode factor against per-cell density²:
     // sessions here are minutes long, so a 10-minute grid keeps both
     // small (hour cells measured 6× more candidate pairs at sf0.1)
@@ -181,7 +181,7 @@ object TemporalQueries {
         max(unix_micros(col("ts"))).as("end_us"))
       .select((col("user_id") * 1000000L + col("session_id")).as("sid"),
         col("start_us"), col("end_us"))
-    overlappingIntervalPairs(sess, gridUs)
+    overlappingIntervalPairs(sess, gridUs, hotDensity, salts)
   }
 
   /** The binned interval self-join over an `(sid, start_us, end_us)`
@@ -202,12 +202,21 @@ object TemporalQueries {
     * salt-invariant (IntervalSkewSpec pins equality on a fixture with
     * half the corpus in one cell).
     *
+    * `hotDensity` is calibrated from the per-task pair budget, not
+    * from data volume: codegen'd pair verification runs ~30-100M
+    * candidates/s per core, so a cell under ~8k sessions (≤64M
+    * candidate pairs) finishes inside a normal task's time budget and
+    * salting would only add its replication + wider-key overhead
+    * (measured ~25% on a 3.2k-dense cell, where AQE's sort-merge skew
+    * split already kept tasks balanced). Past ~8k, one key's density²
+    * outruns anything AQE can split without salting.
+    *
     * The sessions frame materializes through a lazy localCheckpoint:
     * the density aggregate and both join sides read it, and without
     * the checkpoint the (expensive) upstream recomputes per reference.
     */
   private[graft] def overlappingIntervalPairs(sessions: DataFrame,
-      gridUs: Long, hotDensity: Int = 1000, salts: Int = 8): DataFrame = {
+      gridUs: Long, hotDensity: Int = 8000, salts: Int = 8): DataFrame = {
     val sess = sessions
       .select(col("sid"), col("start_us"), col("end_us"),
         expr(s"start_us div $gridUs").as("first_cell"),

@@ -72,6 +72,14 @@ object ScaleBench {
     "q99_triangle" -> ((s, d) =>
       TemporalQueries.q99TriangleCount(s, d).collect().head.getLong(2)),
     "q87_bpe_train1000" -> ((s, d) => bpeMerges(s, d).toLong),
+    // flash-crowd pair (for --skew dirs): the same interval join with
+    // the density-conditional salting ON (default) vs forced OFF —
+    // compare max_task_ms to see the straggler the salting removes
+    "q94_skew_salted" -> ((s, d) =>
+      TemporalQueries.overlappingSessionPairs(s, d).count()),
+    "q94_skew_unsalted" -> ((s, d) =>
+      TemporalQueries.overlappingSessionPairs(s, d,
+        hotDensity = Int.MaxValue).count()),
   )
 
   def main(args: Array[String]): Unit = {

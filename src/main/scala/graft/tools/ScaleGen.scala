@@ -81,7 +81,7 @@ object ScaleGen {
   }
 
   def writeEvents(spark: SparkSession, dir: String, sf: Double,
-      wide: Boolean): Unit = {
+      wide: Boolean, skew: Boolean = false): Unit = {
     val nEvents = (1000000 * sf).toLong
     // dense axis: driver-style fixed 30-day window, users ∝ sf;
     // wide axis: driver-style user density, window ∝ sf
@@ -90,10 +90,22 @@ object ScaleGen {
       else 30L * 86400000000L
     val startUs = 1704067200000000L // 2024-01-01T00:00:00Z
     val types = Seq("click", "error", "purchase", "signup", "view")
+    // --skew: a FLASH CROWD — 5% of events collapse into one
+    // 10-minute window mid-corpus (≈3 events per user at sf1), so one
+    // grid cell holds a session per user: tens of thousands of
+    // concurrent sessions whose pair space is a single join key — the
+    // straggler case the interval join's density-conditional salting
+    // exists for; uniform timestamps cannot produce it
+    val burst: Column =
+      if (skew) pmod(xxhash64(col("id"), lit(17)), lit(100)) < 5
+      else lit(false)
+    val burstStartUs = startUs + 15L * 86400000000L
     val df = spark.range(nEvents)
       .select(col("id").as("event_id"),
-        timestamp_micros(lit(startUs) +
-          floor(u01(col("id"), 11) * windowUs).cast("long")).as("ts"),
+        timestamp_micros(when(burst,
+          lit(burstStartUs) + floor(u01(col("id"), 11) * 600000000L).cast("long"))
+          .otherwise(lit(startUs) +
+            floor(u01(col("id"), 11) * windowUs).cast("long"))).as("ts"),
         pmod(xxhash64(col("id"), lit(12)), lit(nUsers)).as("user_id"),
         element_at(typedlit(types),
           (pmod(xxhash64(col("id"), lit(13)), lit(5)) + 1).cast("int")).as("event_type"),
@@ -103,14 +115,15 @@ object ScaleGen {
     df.write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 
-  /** args: <outDir> <sf> [--wide] */
+  /** args: <outDir> <sf> [--wide] [--skew] */
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val sf = args(1).toDouble
     val wide = args.contains("--wide")
+    val skew = args.contains("--skew")
     val spark = GraftSession.get()
     writeDocuments(spark, dir, sf)
-    writeEvents(spark, dir, sf, wide)
-    println(s"""{"generated": "$dir", "sf": $sf, "wide": $wide}""")
+    writeEvents(spark, dir, sf, wide, skew)
+    println(s"""{"generated": "$dir", "sf": $sf, "wide": $wide, "skew": $skew}""")
   }
 }
