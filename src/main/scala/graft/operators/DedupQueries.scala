@@ -488,18 +488,32 @@ object DedupQueries {
     // the (df, tok) struct IS the global order — no single-task
     // row_number rank assignment
     val dict = if (df.count() <= dictBroadcastMax) broadcast(df) else df
+    // prefix tokens carry their POSITION in the global order: the
+    // positional filter below needs how many tokens remain after the
+    // collision on each side
     val prefixes = postings.join(dict, "tok")
       .groupBy("doc_id", "n")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
       .select(col("doc_id"), col("n"),
-        explode(slice(transform(col("ordered"), x => x.getField("tok")),
-          lit(1), col("n") - ceil(col("n") * t).cast("int") + 1)).as("tok"))
-    // length filter (the second PPJoin prune): Jaccard ≥ t forces
-    // t·|B| ≤ |A| ≤ |B|/t, so wildly different sizes never verify
+        posexplode(slice(transform(col("ordered"), x => x.getField("tok")),
+          lit(1), col("n") - ceil(col("n") * t).cast("int") + 1)))
+      .withColumnRenamed("col", "tok")
+    // two more PPJoin prunes on each collision:
+    //  - length filter: Jaccard ≥ t forces t·|B| ≤ |A| ≤ |B|/t, so
+    //    wildly different sizes never verify;
+    //  - positional filter: colliding at (ordered) positions (i, j)
+    //    caps the overlap at 1 + min(|A|−i−1, |B|−j−1), which must
+    //    reach α = ⌈t/(1+t)·(|A|+|B|)⌉ (the overlap a Jaccard of t
+    //    implies). Exact per-collision: a qualifying pair's FIRST
+    //    common prefix token always passes its own bound, so the pair
+    //    survives even when later collisions are pruned.
     val cand = prefixes.as("pa").join(prefixes.as("pb"), "tok")
       .filter(col("pa.doc_id") < col("pb.doc_id") &&
         col("pa.n") >= ceil(col("pb.n") * t) &&
-        col("pb.n") >= ceil(col("pa.n") * t))
+        col("pb.n") >= ceil(col("pa.n") * t) &&
+        lit(1) + least(col("pa.n") - col("pa.pos") - 1,
+          col("pb.n") - col("pb.pos") - 1) >=
+          ceil((col("pa.n") + col("pb.n")) * lit(t) / lit(1 + t)))
       .select(col("pa.doc_id").as("a_id"), col("pb.doc_id").as("b_id"))
       .distinct()
     cand
