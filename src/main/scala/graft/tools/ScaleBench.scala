@@ -80,6 +80,13 @@ object ScaleBench {
     "q94_skew_unsalted" -> ((s, d) =>
       TemporalQueries.overlappingSessionPairs(s, d,
         hotDensity = Int.MaxValue).count()),
+    // ANN family: exact scan vs cell probe vs compressed-codes scan
+    "q40_ann_brute" -> ((s, d) =>
+      graft.operators.VectorQueries.q40AnnBruteForce(s, d).count()),
+    "q41_ann_cell" -> ((s, d) =>
+      graft.operators.VectorQueries.q41AnnLsh(s, d).count()),
+    "q86_ann_ivfpq" -> ((s, d) =>
+      graft.operators.VectorQueries.q86AnnIvfPq(s, d).count()),
   )
 
   def main(args: Array[String]): Unit = {

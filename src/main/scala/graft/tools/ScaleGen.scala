@@ -115,15 +115,45 @@ object ScaleGen {
     df.write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 
-  /** args: <outDir> <sf> [--wide] [--skew] */
+  /** Unit-norm 64-dim vectors in 10 hash-derived clusters (the driver
+    * corpus's shape: balanced labels, cluster structure for ANN recall
+    * to find, unit norm so dot = cosine).
+    */
+  def writeEmbeddings(spark: SparkSession, dir: String, sf: Double): Unit = {
+    val nVecs = (20000 * sf).toLong
+    val dim = 64
+    def noisy(label: Column, id: Column) = transform(
+      sequence(lit(0), lit(dim - 1)),
+      d => (u01(xxhash64(label, d, lit(21)), 22) - 0.5) +
+        (u01(xxhash64(id, d, lit(23)), 24) - 0.5) * lit(0.8))
+    val df = spark.range(nVecs)
+      .withColumn("label", pmod(xxhash64(col("id"), lit(20)), lit(10)).cast("int"))
+      .withColumn("raw", noisy(col("label"), col("id")))
+      .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0d),
+        (acc, x) => acc + x * x)))
+      .select(col("id").as("vec_id"),
+        transform(col("raw"), x => (x / col("norm")).cast("float")).as("embedding"),
+        col("label"))
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** args: <outDir> <sf> [--wide] [--skew] [--vecs]
+    * `--vecs` writes ONLY the embeddings table — embedding corpora
+    * outgrow their document corpora (one vector per chunk), so the
+    * ANN decade is measured on vector counts 100× the driver ratio.
+    */
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val sf = args(1).toDouble
     val wide = args.contains("--wide")
     val skew = args.contains("--skew")
     val spark = GraftSession.get()
-    writeDocuments(spark, dir, sf)
-    writeEvents(spark, dir, sf, wide, skew)
+    if (args.contains("--vecs")) writeEmbeddings(spark, dir, sf)
+    else {
+      writeDocuments(spark, dir, sf)
+      writeEvents(spark, dir, sf, wide, skew)
+      writeEmbeddings(spark, dir, sf)
+    }
     println(s"""{"generated": "$dir", "sf": $sf, "wide": $wide, "skew": $skew}""")
   }
 }
