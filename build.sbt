@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run stdout through UNDECORATED (no `[info] ` prefix):
+// the round driver parses Bench's one-line JSON record from stdout,
+// and sbt's logger decoration has made that parse fail every round
+// (BENCH_r0*.json all carry "parsed": null, only a 2000-char tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

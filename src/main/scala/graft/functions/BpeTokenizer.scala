@@ -100,9 +100,18 @@ object BpeTokenizer {
   /** Driver-local trainer over a collected word-frequency table, with
     * the same delta formulation as the distributed loop: a pair→weight
     * map plus a pair→containing-words index, so each merge re-counts
-    * only the words it touches. The argmax scan is O(distinct pairs)
-    * per merge — at the ≤1M-word sizes this path serves, comfortably
-    * sub-second per thousand merges.
+    * only the words it touches.
+    *
+    * The per-merge argmax is a LAZY MAX-HEAP with stale-entry
+    * skipping, not an O(distinct pairs) scan: every time a pair's
+    * weight changes it is re-pushed at its new weight, and a popped
+    * entry counts only if it still matches the live weight — the
+    * classic lazy-deletion heap, O(log P) amortized per merge instead
+    * of a full P-scan (at vocab scale, 32k merges × a multi-million-
+    * pair scan was the dominant cost of the local path). The heap
+    * invariant — every live (pair, weight ≥ 2) has a matching entry —
+    * holds because the initial build pushes all of them and each
+    * merge re-pushes exactly the pairs it touched.
     */
   private[graft] def trainLocal(words: Seq[(String, Long)],
       nMerges: Int): Seq[(String, String)] = {
@@ -117,19 +126,36 @@ object BpeTokenizer {
       counts(p) += c
       where.getOrElseUpdate(p, mutable.Set.empty) += i
     }
+    // max-heap: higher weight first, ties to the lexicographically
+    // smaller pair — the same total order as the distributed loop's
+    // ORDER BY w DESC, a ASC, b ASC
+    val ord: Ordering[((String, String), Long)] =
+      new Ordering[((String, String), Long)] {
+        def compare(x: ((String, String), Long),
+            y: ((String, String), Long)): Int = {
+          val c = java.lang.Long.compare(x._2, y._2)
+          if (c != 0) c
+          else {
+            val ca = y._1._1.compareTo(x._1._1)
+            if (ca != 0) ca else y._1._2.compareTo(x._1._2)
+          }
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[((String, String), Long)](ord)
+    for ((p, w) <- counts if w >= 2L) heap.enqueue((p, w))
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.size < nMerges && !done) {
       var best: ((String, String), Long) = null
-      for ((p, w) <- counts if w >= 2L) {
-        if (best == null || w > best._2 || (w == best._2 &&
-            (p._1 < best._1._1 ||
-              (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, w)
+      while (best == null && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (counts(e._1) == e._2) best = e
       }
       if (best == null) done = true
       else {
         val (a, b) = best._1
         merges += ((a, b))
+        val touched = mutable.Set.empty[(String, String)]
         for (i <- where.getOrElse((a, b), mutable.Set.empty).toArray) {
           val (s, c) = tbl(i)
           for (k <- 0 until s.length - 1) {
@@ -137,6 +163,7 @@ object BpeTokenizer {
             counts(p) -= c
             if (counts(p) == 0L) counts.remove(p)
             where.get(p).foreach(_ -= i)
+            touched += p
           }
           val ns = applyMerge(s.toIndexedSeq, a, b)
           s.clear(); s ++= ns
@@ -144,7 +171,12 @@ object BpeTokenizer {
             val p = (s(k), s(k + 1))
             counts(p) += c
             where.getOrElseUpdate(p, mutable.Set.empty) += i
+            touched += p
           }
+        }
+        for (p <- touched) {
+          val w = counts(p)
+          if (w >= 2L) heap.enqueue((p, w))
         }
       }
     }

@@ -216,11 +216,28 @@ object DedupQueries {
       .orderBy("a_id", "b_id")
 
   /** Simhash near-dup pairs at a given Hamming bound (shared core of
-    * q33 and q36's edge set). Banding is 4 × 8 bits, so recall is
-    * EXACT for bounds ≤ 3 (pigeonhole: ≤3 differing bits leave one
-    * band untouched) and the documented band-recall trade above that.
+    * q33 and q36's edge set). `bands` splits the 32-bit signature into
+    * equal band keys (32/bands bits each): recall is EXACT for bounds
+    * ≤ bands − 1 (pigeonhole: that many differing bits leave one band
+    * untouched) and the documented band-recall trade above that.
+    *
+    * BAND CAPACITY IS THE SCALE KNOB, measured the hard way
+    * (SCALING.md sf10): each band key has 2^(32/bands) buckets, and
+    * once the corpus outgrows them, per-bucket density — and with it
+    * candidate-pair work, density² per bucket — grows quadratically no
+    * matter how balanced the keys are (AQE cannot split the OUTPUT of
+    * one join key). Fewer bands = exponentially more buckets, so the
+    * right setting is the MINIMUM band count the Hamming bound needs:
+    * q36 (h ≤ 1) runs 2 × 16 bits — identical exact recall, 256× the
+    * buckets of the old 4 × 8 — while q33's h ≤ 6 keeps 4 × 8 (its
+    * documented recall contract needs the band count). Past ~10⁷ docs
+    * the same rule moves to a 64-bit signature (h+1 bands of 64/(h+1)
+    * bits); the signature fold and this join shape are width-agnostic.
     */
-  private[graft] def simhashPairs(t: Tables, maxHamming: Int): DataFrame = {
+  private[graft] def simhashPairs(t: Tables, maxHamming: Int,
+      bands: Int = 4): DataFrame = {
+    val bits = 32 / bands
+    val mask = (1L << bits) - 1
     // Signature = ONE narrow pass, zero shuffles: the codegen'd
     // graft_simhash expression folds the per-token hashes row-local
     // (duplicates kept — simhash weights by term frequency; the fold
@@ -236,9 +253,9 @@ object DedupQueries {
       // the signature pass (the expensive md5 fold) runs twice
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val banded = sig.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 8).bitwiseAND(255L).as("key"))): _*)).as("bk"))
+          shiftright(col("sh"), b * bits).bitwiseAND(mask).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
     val aa = banded.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
       col("band"), col("key"))
@@ -249,10 +266,10 @@ object DedupQueries {
     // every colliding pair appears exactly once, so the distinct (the
     // shuffle that dominated this query) disappears. The predicate is
     // pure integer ops over the two signatures already in the row.
-    val minimalBand = (0 until 4).map { j =>
+    val minimalBand = (0 until bands).map { j =>
       when(col("band") > j,
-        shiftright(col("a_sh"), j * 8).bitwiseAND(255L) =!=
-          shiftright(col("b_sh"), j * 8).bitwiseAND(255L))
+        shiftright(col("a_sh"), j * bits).bitwiseAND(mask) =!=
+          shiftright(col("b_sh"), j * bits).bitwiseAND(mask))
         .otherwise(lit(true))
     }.reduce(_ && _)
     aa.join(bb, Seq("band", "key"))
@@ -274,7 +291,9 @@ object DedupQueries {
     */
   def q36DedupCluster(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val edges = simhashPairs(t, maxHamming = 1)
+    // h ≤ 1 needs only 2 bands for exact recall → 16-bit keys, the
+    // widest buckets the 32-bit signature allows (see simhashPairs)
+    val edges = simhashPairs(t, maxHamming = 1, bands = 2)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val nodes = t.documents.select(col("doc_id").as("id"))
     GraphOps.connectedComponents(nodes, edges)
@@ -284,8 +303,8 @@ object DedupQueries {
   }
 
   val q36Sql: String = {
-    val bandRows = (0 until 4).map { b =>
-      s"SELECT doc_id, sh, $b AS band, (sh >> ${b * 8}) & 255 AS key FROM sig"
+    val bandRows = (0 until 2).map { b =>
+      s"SELECT doc_id, sh, $b AS band, (sh >> ${b * 16}) & 65535 AS key FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH RECURSIVE sig AS (
        |  SELECT doc_id, ${OracleSql.simHash32(OracleSql.tokens("text"))} AS sh
@@ -475,9 +494,27 @@ object DedupQueries {
     * text distinct shingles run to billions, where an unconditional
     * broadcast is a driver OOM. The dictionary is persisted, so the
     * sizing count and the join share one aggregation of the postings.
+    *
+    * HOT PREFIX TOKENS are salted (measured need, SCALING.md sf10:
+    * the candidate join's max/mean task ratio grew 7.2× → 9.6× over a
+    * decade with a 37 s straggler — one token's posting list is ONE
+    * join key, whose density² pair output AQE cannot split). Tokens
+    * whose document frequency exceeds `hotPostings` get the same
+    * triangle-partitioned self-join as the interval join's hot cells
+    * (TemporalQueries.overlappingIntervalPairs): postings hash into
+    * `salts` buckets, the pair space becomes the (lo ≤ hi)
+    * bucket-pair tasks, every unordered pair meets exactly once, and
+    * the worst task drops from density² to (density/salts)². The
+    * trigger is df itself — already materialized for the dictionary
+    * sizing, so the salting decision costs NO extra job, and df ≥
+    * prefix-posting count makes it conservative (a salted cold token
+    * only pays `salts`× replication of its few prefix rows). Uniform
+    * corpora broadcast an EMPTY hot list and plan exactly the
+    * unsalted join with constant lo = hi = 0.
     */
   def prefixJaccardPairs(sets: DataFrame, t: Double,
-      dictBroadcastMax: Long = 2000000L): DataFrame = {
+      dictBroadcastMax: Long = 2000000L,
+      hotPostings: Int = 8000, salts: Int = 8): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val s = sets.withColumn("n", size(col("toks"))).filter(col("n") > 0)
       // prefix generation and both verify sides read it
@@ -507,14 +544,32 @@ object DedupQueries {
     //    implies). Exact per-collision: a qualifying pair's FIRST
     //    common prefix token always passes its own bound, so the pair
     //    survives even when later collisions are pruned.
-    val cand = prefixes.as("pa").join(prefixes.as("pb"), "tok")
-      .filter(col("pa.doc_id") < col("pb.doc_id") &&
-        col("pa.n") >= ceil(col("pb.n") * t) &&
-        col("pb.n") >= ceil(col("pa.n") * t) &&
-        lit(1) + least(col("pa.n") - col("pa.pos") - 1,
-          col("pb.n") - col("pb.pos") - 1) >=
-          ceil((col("pa.n") + col("pb.n")) * lit(t) / lit(1 + t)))
-      .select(col("pa.doc_id").as("a_id"), col("pb.doc_id").as("b_id"))
+    val hotToks = df.filter(col("df") > hotPostings)
+      .select(col("tok"), lit(salts).as("k"))
+    val bp = prefixes.join(broadcast(hotToks), Seq("tok"), "left")
+      .withColumn("k", coalesce(col("k"), lit(1)))
+      .withColumn("b", pmod(xxhash64(col("doc_id")), col("k")).cast("int"))
+    def pside(name: String, lo: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column) = bp.select(
+      col("tok"), lo.as("lo"), hi.as("hi"),
+      col("doc_id").as(s"${name}_id"), col("n").as(s"${name}_n"),
+      col("pos").as(s"${name}_pos"))
+    val pa = pside("a", col("b"), explode(sequence(col("b"), col("k") - 1)))
+    val pb = pside("b", explode(sequence(lit(0), col("b"))), col("b"))
+    // same-bucket tasks order the pair; cross-bucket pairs meet only
+    // at (min-bucket, max-bucket), so each unordered pair survives
+    // exactly once per shared token — the final distinct (already
+    // needed across tokens) normalizes the id order
+    val cand = pa.join(pb, Seq("tok", "lo", "hi"))
+      .filter((col("lo") =!= col("hi") || col("a_id") < col("b_id")) &&
+        col("a_id") =!= col("b_id") &&
+        col("a_n") >= ceil(col("b_n") * t) &&
+        col("b_n") >= ceil(col("a_n") * t) &&
+        lit(1) + least(col("a_n") - col("a_pos") - 1,
+          col("b_n") - col("b_pos") - 1) >=
+          ceil((col("a_n") + col("b_n")) * lit(t) / lit(1 + t)))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct()
     cand
       .join(s.select(col("doc_id").as("a_id"), col("toks").as("a_toks"),

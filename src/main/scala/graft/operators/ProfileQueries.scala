@@ -68,13 +68,22 @@ object ProfileQueries {
     * This operator is an AUDIT, not a query: it runs eagerly (write →
     * read back → fingerprint) and returns the verdicts as a literal
     * row, so the scratch export is deleted the moment the fingerprints
-    * exist — repeated verify/bench runs leave no temp litter. The
-    * scratch path is driver-local, which assumes a single-process
-    * filesystem (local mode / one driver); at cluster scale the export
-    * target would be a shared-store path, with the same delete-after-
-    * audit lifecycle.
+    * exist — repeated verify/bench runs leave no temp litter.
     */
-  def q93FormatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+  def q93FormatRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    q93FormatRoundtrip(spark, dir, None)
+
+  /** `scratchRoot`: explicit export root for the audit's scratch files
+    * — on a cluster, a shared-store URI (any Hadoop filesystem: hdfs,
+    * s3a, file) visible to all executors; the default (None) is a
+    * driver-local temp dir, which is only correct in local mode. Each
+    * audit writes under a unique subdirectory of the root and deletes
+    * it in a finally block — the same delete-after-audit lifecycle on
+    * either path, via the Hadoop FileSystem API so the cleanup follows
+    * the URI's scheme rather than assuming a local disk.
+    */
+  def q93FormatRoundtrip(spark: SparkSession, dir: String,
+      scratchRoot: Option[String]): DataFrame = {
     import graft.functions.TextFunctions.md5Long60
     val t = Tables(spark, dir)
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -86,7 +95,13 @@ object ProfileQueries {
         lit(":"), unix_micros(col("ts")).cast("string"))))
       .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("fp"))
       .select(lit(tag).as("t"), col("n"), col("fp"))
-    val out = java.nio.file.Files.createTempDirectory("graft-fmt")
+    val out = scratchRoot match {
+      case Some(root) => new org.apache.hadoop.fs.Path(root,
+        s"graft-fmt-${java.util.UUID.randomUUID()}")
+      case None => new org.apache.hadoop.fs.Path(
+        java.nio.file.Files.createTempDirectory("graft-fmt").toUri)
+    }
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       base.write.option("header", "true").option("timestampFormat", tsFmt)
         .csv(s"$out/csv")
@@ -106,12 +121,7 @@ object ProfileQueries {
       import spark.implicits._
       Seq((p._1, p._2, c == p, j == p))
         .toDF("n_rows", "fingerprint", "csv_roundtrip_ok", "json_roundtrip_ok")
-    } finally {
-      val s = java.nio.file.Files.walk(out)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().forEachRemaining(p => java.nio.file.Files.delete(p))
-      finally s.close()
-    }
+    } finally fs.delete(out, true)
   }
 
   val q93Sql: String = {

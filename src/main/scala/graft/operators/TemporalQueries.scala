@@ -153,14 +153,23 @@ object TemporalQueries {
     * must reproduce it pair-for-pair.
     */
   /** Overlapping session pairs via the binned interval join (see
-    * q94's doc): returns (sid_a, sid_b, overlap_us) with
-    * sid = user_id·10⁶ + session_id, each pair exactly once.
-    *
-    * The sid packing assumes user_id < ~9.2·10¹² and < 10⁶ sessions
-    * per user per corpus — beyond either bound the Long arithmetic
-    * silently collides; a corpus that can breach it needs a
-    * two-column (user_id, session_id) key instead.
+    * q94's doc): returns (sid_a, sid_b, overlap_us), each unordered
+    * pair exactly once. The session key is the two-column struct
+    * (user_id, session_id) carried end-to-end — structs hash
+    * (xxhash64), compare, and least/greatest like any orderable type
+    * in Spark, so no packed-Long encoding (and no silent collision
+    * bound past 10⁶ sessions/user) is needed.
     */
+  /** Per-(dir, gridUs, hotDensity) memo of the hotness probe: cell
+    * density is a property of the INPUT DATA, so within one session it
+    * is decided once and reused — q94, q99, and every bench rep after
+    * the first skip the probe job entirely. Assumes the scale dirs are
+    * immutable snapshots (they are: driver-generated parquet), the same
+    * assumption the memoized shared ingests already make.
+    */
+  private val hotMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Int), Boolean]
+
   private[graft] def overlappingSessionPairs(spark: SparkSession,
       dir: String, hotDensity: Int = 1000, salts: Int = 8): DataFrame = {
     // grid width trades explode factor against per-cell density²:
@@ -179,10 +188,23 @@ object TemporalQueries {
       .groupBy("user_id", "session_id")
       .agg(min(unix_micros(col("ts"))).as("start_us"),
         max(unix_micros(col("ts"))).as("end_us"))
-      .select((col("user_id") * 1000000L + col("session_id")).as("sid"),
+      .select(struct(col("user_id"), col("session_id")).as("sid"),
         col("start_us"), col("end_us"))
-    overlappingIntervalPairs(sess, gridUs, hotDensity, salts)
+    val anyHot = hotMemo.getOrElseUpdate((dir, gridUs, hotDensity),
+      probeHot(sess, gridUs, hotDensity))
+    overlappingIntervalPairs(sess, gridUs, hotDensity, salts, Some(anyHot))
   }
+
+  /** Exact hotness probe: does any grid cell hold more than
+    * `hotDensity` intervals? One small cell-density aggregate.
+    */
+  private def probeHot(sessions: DataFrame, gridUs: Long,
+      hotDensity: Int): Boolean =
+    !sessions
+      .select(explode(sequence(expr(s"start_us div $gridUs"),
+        expr(s"end_us div $gridUs"))).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") > hotDensity).isEmpty
 
   /** The binned interval self-join over an `(sid, start_us, end_us)`
     * frame, with DENSITY-CONDITIONAL SALTING of hot cells. Candidate
@@ -211,41 +233,67 @@ object TemporalQueries {
     * split already kept tasks balanced). Past ~8k, one key's density²
     * outruns anything AQE can split without salting.
     *
-    * The sessions frame materializes through a lazy localCheckpoint:
-    * the density aggregate and both join sides read it, and without
-    * the checkpoint the (expensive) upstream recomputes per reference.
+    * The salting machinery is PAY-WHEN-HOT: a driver-side probe (one
+    * small cell-density aggregate — [[probeHot]], memoized per input
+    * dir by [[overlappingSessionPairs]] so steady-state calls skip the
+    * job) decides the plan before it is built. A uniform corpus — the
+    * common case — takes the cold path: a plain cell equi-join with no
+    * localCheckpoint, no density broadcast, and no (lo, hi) key
+    * widening, i.e. exactly the pre-salting plan and its cost (the
+    * always-on checkpoint alone measured ~25-50% overhead at sf0.1).
+    * Only when some cell exceeds `hotDensity` does the salted
+    * triangle-partitioned plan engage, with the sessions frame behind
+    * a lazy localCheckpoint because the density join and both salted
+    * sides all read it.
     */
   private[graft] def overlappingIntervalPairs(sessions: DataFrame,
-      gridUs: Long, hotDensity: Int = 8000, salts: Int = 8): DataFrame = {
-    val sess = sessions
+      gridUs: Long, hotDensity: Int = 8000, salts: Int = 8,
+      knownHot: Option[Boolean] = None): DataFrame = {
+    val base = sessions
       .select(col("sid"), col("start_us"), col("end_us"),
         expr(s"start_us div $gridUs").as("first_cell"),
         expr(s"end_us div $gridUs").as("last_cell"))
-      .localCheckpoint(false)
-    val exploded = sess
+    def explodedOf(df: DataFrame) = df
       .select(explode(sequence(col("first_cell"), col("last_cell"))).as("cell"),
         col("sid"), col("start_us"), col("end_us"), col("first_cell"))
-    // one row per occupied cell — bounded by timespan/gridUs, tiny
-    val density = exploded.groupBy("cell")
-      .agg(count(lit(1)).as("cell_n"))
-      .select(col("cell"),
-        when(col("cell_n") > hotDensity, lit(salts)).otherwise(lit(1)).as("k"))
-    val bucketed = exploded.join(broadcast(density), "cell")
-      .withColumn("b", pmod(xxhash64(col("sid")), col("k")).cast("int"))
-    def side(name: String, lo: Column, hi: Column) = bucketed
-      .select(col("cell"), lo.as("lo"), hi.as("hi"),
-        col("sid").as(s"sid_$name"), col("start_us").as(s"s_$name"),
-        col("end_us").as(s"e_$name"), col("first_cell").as(s"fc_$name"))
-    val a = side("a", col("b"), explode(sequence(col("b"), col("k") - 1)))
-    val b = side("b", explode(sequence(lit(0), col("b"))), col("b"))
-    a.join(b, Seq("cell", "lo", "hi"))
-      .filter((col("lo") =!= col("hi") || col("sid_a") < col("sid_b")) &&
-        col("cell") === greatest(col("fc_a"), col("fc_b")) &&
-        col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
-      .select(least(col("sid_a"), col("sid_b")).as("sid_a"),
-        greatest(col("sid_a"), col("sid_b")).as("sid_b"),
-        (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
-          .as("overlap_us"))
+    def overlapCols(ordered: Column) = Seq(
+      when(ordered, col("sid_a")).otherwise(col("sid_b")).as("sid_a"),
+      when(ordered, col("sid_b")).otherwise(col("sid_a")).as("sid_b"),
+      (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+        .as("overlap_us"))
+    val anyHot = knownHot.getOrElse(probeHot(sessions, gridUs, hotDensity))
+    if (!anyHot) {
+      val exploded = explodedOf(base)
+      def side(name: String) = exploded
+        .select(col("cell"), col("sid").as(s"sid_$name"),
+          col("start_us").as(s"s_$name"), col("end_us").as(s"e_$name"),
+          col("first_cell").as(s"fc_$name"))
+      side("a").join(side("b"), Seq("cell"))
+        .filter(col("sid_a") < col("sid_b") &&
+          col("cell") === greatest(col("fc_a"), col("fc_b")) &&
+          col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+        .select(overlapCols(lit(true)): _*)
+    } else {
+      val sess = base.localCheckpoint(false)
+      val exploded = explodedOf(sess)
+      val density = exploded.groupBy("cell")
+        .agg(count(lit(1)).as("cell_n"))
+        .select(col("cell"),
+          when(col("cell_n") > hotDensity, lit(salts)).otherwise(lit(1)).as("k"))
+      val bucketed = exploded.join(broadcast(density), "cell")
+        .withColumn("b", pmod(xxhash64(col("sid")), col("k")).cast("int"))
+      def side(name: String, lo: Column, hi: Column) = bucketed
+        .select(col("cell"), lo.as("lo"), hi.as("hi"),
+          col("sid").as(s"sid_$name"), col("start_us").as(s"s_$name"),
+          col("end_us").as(s"e_$name"), col("first_cell").as(s"fc_$name"))
+      val a = side("a", col("b"), explode(sequence(col("b"), col("k") - 1)))
+      val b = side("b", explode(sequence(lit(0), col("b"))), col("b"))
+      a.join(b, Seq("cell", "lo", "hi"))
+        .filter((col("lo") =!= col("hi") || col("sid_a") < col("sid_b")) &&
+          col("cell") === greatest(col("fc_a"), col("fc_b")) &&
+          col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+        .select(overlapCols(col("sid_a") < col("sid_b")): _*)
+    }
   }
 
   def q94IntervalJoin(spark: SparkSession, dir: String): DataFrame =
@@ -268,7 +316,7 @@ object TemporalQueries {
       |    ts
       |  FROM flagged),
       |iv AS (
-      |  SELECT user_id * 1000000 + session_id AS sid,
+      |  SELECT user_id, session_id,
       |    MIN(epoch_us(ts)::BIGINT) AS start_us,
       |    MAX(epoch_us(ts)::BIGINT) AS end_us
       |  FROM sess GROUP BY user_id, session_id)
@@ -276,7 +324,8 @@ object TemporalQueries {
       |         // 600000000 AS bucket,
       |  COUNT(*) AS n_pairs
       |FROM iv a JOIN iv b
-      |  ON a.sid < b.sid AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+      |  ON (a.user_id, a.session_id) < (b.user_id, b.session_id)
+      | AND a.start_us <= b.end_us AND b.start_us <= a.end_us
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
   /** q99: exact TRIANGLE COUNTING with degree-ordered orientation —
@@ -300,8 +349,8 @@ object TemporalQueries {
     // a month of events connects nearly every user pair
     val edges = overlappingSessionPairs(spark, dir)
       .filter(col("overlap_us") >= 60000000L)
-      .select(expr("sid_a div 1000000").as("ua"),
-        expr("sid_b div 1000000").as("ub"))
+      .select(col("sid_a.user_id").as("ua"),
+        col("sid_b.user_id").as("ub"))
       .filter(col("ua") =!= col("ub"))
       .select(least(col("ua"), col("ub")).as("u"),
         greatest(col("ua"), col("ub")).as("v"))

@@ -192,7 +192,18 @@ final class SnapshotStore(spark: SparkSession, root: String,
       .parquet(tableDir(table).resolve(s"v$version").toString)
   }
 
+  /** Test hook, invoked once the new version directory (data files
+    * plus its manifest / retained links) is fully on disk and
+    * immediately before the `_current` pointer swap — throwing from it
+    * simulates a crash between the two commit steps, the window whose
+    * safety the protocol claims: the orphaned version dir is invisible
+    * (the pointer still names the old version) and the next write of
+    * the same version number overwrites it. No-op in production.
+    */
+  private[graft] var beforeSwap: (String, Long) => Unit = (_, _) => ()
+
   private def swapPointer(table: String, version: Long): Unit = {
+    beforeSwap(table, version)
     val tmp = tableDir(table).resolve("_current.tmp")
     Files.writeString(tmp, version.toString)
     Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,

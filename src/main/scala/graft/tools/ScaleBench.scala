@@ -55,11 +55,12 @@ object ScaleBench {
     DedupQueries.prefixJaccardPairs(sets, 0.65)
   }
 
-  private def bpeMerges(spark: SparkSession, dir: String): Int = {
+  private def bpeMerges(spark: SparkSession, dir: String,
+      nMerges: Int = 1000): Int = {
     val freq = Tables(spark, dir).documents
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    graft.functions.BpeTokenizer.train(freq, 1000).length
+    graft.functions.BpeTokenizer.train(freq, nMerges).length
   }
 
   private val queries: Seq[(String, (SparkSession, String) => Long)] = Seq(
@@ -72,6 +73,10 @@ object ScaleBench {
     "q99_triangle" -> ((s, d) =>
       TemporalQueries.q99TriangleCount(s, d).collect().head.getLong(2)),
     "q87_bpe_train1000" -> ((s, d) => bpeMerges(s, d).toLong),
+    // vocab-scale argmax stress: the 32k-merge cap exercises the local
+    // trainer's lazy max-heap (rows = merges actually learned before
+    // the pair supply runs dry)
+    "q87_bpe_train32k" -> ((s, d) => bpeMerges(s, d, 32000).toLong),
     // flash-crowd pair (for --skew dirs): the same interval join with
     // the density-conditional salting ON (default) vs forced OFF —
     // compare max_task_ms to see the straggler the salting removes

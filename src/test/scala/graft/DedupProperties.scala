@@ -42,10 +42,15 @@ object DedupProperties extends Properties("PrefixJaccard") {
         .toDF("doc_id", "toks")
       val got = DedupQueries.prefixJaccardPairs(sets, t)
         .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      // hotPostings = 0 forces EVERY token through the salted
+      // triangle-partitioned path — salting must be result-invariant
+      val gotSalted = DedupQueries
+        .prefixJaccardPairs(sets, t, hotPostings = 0, salts = 4)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
       val want = (for {
         a <- docs.indices; b <- docs.indices if a < b
         if jaccard(docs(a).toSet, docs(b).toSet) >= t
       } yield (a.toLong, b.toLong)).toSet
-      got == want
+      got == want && gotSalted == want
   }
 }

@@ -385,4 +385,59 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(caseMap(s) == before, "compaction must not change rows")
     assert(s.compact("cases", maxFilesPerPartition = 4).isEmpty)
   }
+
+  test("manifest commit crash between version write and pointer swap: " +
+      "old version stays live, re-run converges") {
+    val root = Files.createTempDirectory("graft-store")
+    val s = new SnapshotStore(spark, root.toString, manifestCommits = true)
+    s.write("cases",
+      Seq((1, 2019, "a"), (2, 2020, "b"), (3, 2021, "c"))
+        .toDF("k", "filed_year", "v"), Seq("filed_year"))
+    val before = caseMap(s)
+    val batch = Seq((2, 2020, "b2"), (4, 2020, "d"))
+      .toDF("k", "filed_year", "v")
+    // crash AFTER v1 (data + manifest) is fully on disk, BEFORE the
+    // pointer swap — the exact window the protocol claims is safe
+    s.beforeSwap = (_, _) => throw new RuntimeException("crash before swap")
+    intercept[RuntimeException] {
+      s.mergeLastWriteWins("cases", batch, Seq("k"),
+        partitionCols = Seq("filed_year"))
+    }
+    // the orphaned v1 exists on disk but is invisible: pointer, read(),
+    // and time travel all still serve v0
+    assert(Files.isDirectory(root.resolve("cases").resolve("v1")))
+    assert(s.currentVersion("cases").contains(0L))
+    assert(caseMap(s) == before, "reader after the crash must see v0")
+    // a second store instance (the restarted writer) re-runs the same
+    // merge: it re-derives next = 1, overwrites the orphan, and commits
+    val s2 = new SnapshotStore(spark, root.toString, manifestCommits = true)
+    val v = s2.mergeLastWriteWins("cases", batch, Seq("k"),
+      partitionCols = Seq("filed_year"))
+    assert(v == 1L && s2.currentVersion("cases").contains(1L))
+    assert(caseMap(s2) == Map(1 -> ((2019, "a")), 2 -> ((2020, "b2")),
+      3 -> ((2021, "c")), 4 -> ((2020, "d"))))
+    assert(s2.readVersion("cases", 0).isDefined, "time travel to v0 intact")
+  }
+
+  test("manifest mode: a reader holding the current snapshot survives " +
+      "a concurrent vacuum") {
+    val root = Files.createTempDirectory("graft-store")
+    val s = new SnapshotStore(spark, root.toString, manifestCommits = true)
+    s.write("cases",
+      Seq((1, 2019, "a"), (2, 2020, "b"), (3, 2021, "c"))
+        .toDF("k", "filed_year", "v"), Seq("filed_year"))
+    s.mergeLastWriteWins("cases",
+      Seq((2, 2020, "b2")).toDF("k", "filed_year", "v"),
+      Seq("k"), partitionCols = Seq("filed_year"))
+    // the reader binds to v1 BEFORE vacuum; v1's manifest references
+    // v0's physical dirs, which the vacuum's reference counting must
+    // keep while it reclaims the rest of v0
+    val held = s.read("cases").get
+    assert(s.vacuum("cases", keepLast = 1) == Seq(0L))
+    val got = held.collect()
+      .map(r => r.getAs[Int]("k") ->
+        ((r.getAs[Int]("filed_year"), r.getAs[String]("v")))).toMap
+    assert(got == Map(1 -> ((2019, "a")), 2 -> ((2020, "b2")),
+      3 -> ((2021, "c"))), "mid-flight reader broken by vacuum")
+  }
 }
