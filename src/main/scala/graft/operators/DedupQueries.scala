@@ -515,6 +515,37 @@ object DedupQueries {
   def prefixJaccardPairs(sets: DataFrame, t: Double,
       dictBroadcastMax: Long = 2000000L,
       hotPostings: Int = 8000, salts: Int = 8): DataFrame = {
+    val (s, cand) = prefixCandidates(sets, t, dictBroadcastMax, hotPostings, salts)
+    // Verification stays on the builtin hash-based array_intersect —
+    // a PPJoin-style sorted-merge count with early exit (native
+    // codegen expression, arrays pre-sorted per document) was built
+    // and A/B-measured in round 6 and LOST: 1.5× more task-time at
+    // sf10 (2,422 vs 1,591 task-seconds over the same 900k
+    // candidates), because byte-wise UTF8String comparisons on
+    // prefix-sharing word bigrams cost more than hashing each element
+    // once, and the early-exit bound only engages after the pointers
+    // pass the α-sized tail. Measured, not assumed — see SCALING.md
+    // round-6 addendum.
+    cand
+      .join(s.select(col("doc_id").as("a_id"), col("toks").as("a_toks"),
+        col("n").as("a_n")), "a_id")
+      .join(s.select(col("doc_id").as("b_id"), col("toks").as("b_toks"),
+        col("n").as("b_n")), "b_id")
+      .withColumn("n_inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("a_n") + col("b_n") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= t)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Candidate-generation stage of [[prefixJaccardPairs]] — split out
+    * so the scale harness can measure candidate cost and selectivity
+    * separately from verification. Returns (prepared sets with n,
+    * candidate (a_id, b_id) pairs).
+    */
+  private[graft] def prefixCandidates(sets: DataFrame, t: Double,
+      dictBroadcastMax: Long,
+      hotPostings: Int, salts: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val s = sets.withColumn("n", size(col("toks"))).filter(col("n") > 0)
       // prefix generation and both verify sides read it
@@ -571,16 +602,7 @@ object DedupQueries {
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct()
-    cand
-      .join(s.select(col("doc_id").as("a_id"), col("toks").as("a_toks"),
-        col("n").as("a_n")), "a_id")
-      .join(s.select(col("doc_id").as("b_id"), col("toks").as("b_toks"),
-        col("n").as("b_n")), "b_id")
-      .withColumn("n_inter", size(array_intersect(col("a_toks"), col("b_toks"))))
-      .withColumn("jaccard", col("n_inter").cast("double") /
-        (col("a_n") + col("b_n") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= t)
-      .select("a_id", "b_id", "jaccard")
+    (s, cand)
   }
 
   /** q80: prefix-filtered bigram-shingle Jaccard ≥ 0.7 over a bounded

@@ -44,6 +44,11 @@ object ScaleBench {
     * unbounded form of q80 (the generator's constructed near-dups are
     * the expected hits).
     */
+  /** With SPARK_GRAFT_SCALE_EXPLAIN=1, print each query's formatted
+    * plan before running it (DataFrame-returning entries only).
+    */
+  private val explain = sys.env.get("SPARK_GRAFT_SCALE_EXPLAIN").contains("1")
+
   private def ppjoin(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables(spark, dir).documents
       .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
@@ -66,7 +71,22 @@ object ScaleBench {
   private val queries: Seq[(String, (SparkSession, String) => Long)] = Seq(
     "q32_minhash_lsh" -> ((s, d) => DedupQueries.q32DedupMinhashLsh(s, d).count()),
     "q36_simhash_cc" -> ((s, d) => DedupQueries.q36DedupCluster(s, d).count()),
-    "q80_ppjoin" -> ((s, d) => ppjoin(s, d).count()),
+    "q80_ppjoin" -> ((s, d) => {
+      val q = ppjoin(s, d)
+      if (explain) q.explain("formatted")
+      q.count()
+    }),
+    // candidate stage alone (same 0.65 threshold): subtract from
+    // q80_ppjoin to see the generation-vs-verification cost split
+    "q80_candidates" -> ((s, d) => {
+      val base = Tables(s, d).documents
+        .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
+      val sets = base.select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(col("ts")) - 2, lit(0))),
+          i => array_join(slice(col("ts"), i + 1, lit(2)), " "))).as("toks"))
+      DedupQueries.prefixCandidates(sets, 0.65, 2000000L, 8000, 8)._2.count()
+    }),
     "q94_interval_join" -> ((s, d) =>
       TemporalQueries.q94IntervalJoin(s, d).collect()
         .map(_.getLong(1)).sum),
