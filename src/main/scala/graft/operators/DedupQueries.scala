@@ -554,8 +554,15 @@ object DedupQueries {
     val df = postings.groupBy("tok").agg(count(lit(1)).as("df"))
       .persist(StorageLevel.MEMORY_ONLY)
     // the (df, tok) struct IS the global order — no single-task
-    // row_number rank assignment
-    val dict = if (df.count() <= dictBroadcastMax) broadcast(df) else df
+    // row_number rank assignment. Past the broadcast cap the dict
+    // join goes SHUFFLE_HASH, not sort-merge: the postings side is
+    // the corpus's full token stream (350M rows at sf10) and sorting
+    // it buys nothing — the dict side is the distinct-token table,
+    // orders of magnitude smaller, and builds a bounded per-task hash
+    // map. Same-JVM conf-flip A/B at sf10 attributed most of the
+    // 56→39s candidate-stage win to this join (see SCALING.md).
+    val dict = if (df.count() <= dictBroadcastMax) broadcast(df)
+               else df.hint("SHUFFLE_HASH")
     // prefix tokens carry their POSITION in the global order: the
     // positional filter below needs how many tokens remain after the
     // collision on each side
@@ -590,8 +597,15 @@ object DedupQueries {
     // same-bucket tasks order the pair; cross-bucket pairs meet only
     // at (min-bucket, max-bucket), so each unordered pair survives
     // exactly once per shared token — the final distinct (already
-    // needed across tokens) normalizes the id order
-    val cand = pa.join(pb, Seq("tok", "lo", "hi"))
+    // needed across tokens) normalizes the id order.
+    // SHUFFLE_HASH over the planner's sort-merge default: the join is
+    // many-to-many on short rows, so the two full sorts are pure
+    // overhead — same-JVM A/B at sf10 measured SMJ 56.4s / 1,649
+    // task-sec vs SHJ 39.2s / 1,162 task-sec (30% off wall AND max
+    // task 31.6→22.1s). Per-task hash maps stay bounded because the
+    // hot-posting salting above caps any single (tok, bucket) key's
+    // postings, and AQE's skew split handles SHJ stages too.
+    val cand = pa.join(pb.hint("SHUFFLE_HASH"), Seq("tok", "lo", "hi"))
       .filter((col("lo") =!= col("hi") || col("a_id") < col("b_id")) &&
         col("a_id") =!= col("b_id") &&
         col("a_n") >= ceil(col("b_n") * t) &&

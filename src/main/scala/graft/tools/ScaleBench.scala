@@ -60,6 +60,16 @@ object ScaleBench {
     DedupQueries.prefixJaccardPairs(sets, 0.65)
   }
 
+  private def candidates(spark: SparkSession, dir: String): Long = {
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
+    val sets = base.select(col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(col("ts")) - 2, lit(0))),
+        i => array_join(slice(col("ts"), i + 1, lit(2)), " "))).as("toks"))
+    DedupQueries.prefixCandidates(sets, 0.65, 2000000L, 8000, 8)._2.count()
+  }
+
   private def bpeMerges(spark: SparkSession, dir: String,
       nMerges: Int = 1000): Int = {
     val freq = Tables(spark, dir).documents
@@ -78,15 +88,7 @@ object ScaleBench {
     }),
     // candidate stage alone (same 0.65 threshold): subtract from
     // q80_ppjoin to see the generation-vs-verification cost split
-    "q80_candidates" -> ((s, d) => {
-      val base = Tables(s, d).documents
-        .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
-      val sets = base.select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(0), greatest(size(col("ts")) - 2, lit(0))),
-          i => array_join(slice(col("ts"), i + 1, lit(2)), " "))).as("toks"))
-      DedupQueries.prefixCandidates(sets, 0.65, 2000000L, 8000, 8)._2.count()
-    }),
+    "q80_candidates" -> ((s, d) => candidates(s, d)),
     "q94_interval_join" -> ((s, d) =>
       TemporalQueries.q94IntervalJoin(s, d).collect()
         .map(_.getLong(1)).sum),

@@ -97,9 +97,9 @@ class PlanGuardsSpec extends AnyFunSuite {
   }
 
   test("prefixJaccardPairs dictionary join is size-conditional: broadcast " +
-      "small, sort-merge past the cap — same pairs either way") {
+      "small, shuffled-hash past the cap — same pairs either way") {
     import org.apache.spark.sql.functions.{col, lower}
-    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     val sets = Tables(spark, dir).documents
       .filter(col("doc_id") < 40)
       .select(col("doc_id"),
@@ -123,8 +123,11 @@ class PlanGuardsSpec extends AnyFunSuite {
       assert(collectNodes(large) { case b: BroadcastHashJoinExec => b }.isEmpty,
         s"over-cap dictionary must not broadcast:\n" +
           large.queryExecution.executedPlan)
-      assert(collectNodes(large) { case s: SortMergeJoinExec => s }.nonEmpty,
-        s"expected a sort-merge dictionary join:\n" +
+      // over the cap the dict join must be shuffled-hash (dict build
+      // side), never sort-merge — sorting the full postings stream is
+      // the measured pessimization (SCALING.md round 6, 56→39s at sf10)
+      assert(collectNodes(large) { case s: ShuffledHashJoinExec => s }.nonEmpty,
+        s"expected a shuffled-hash dictionary join:\n" +
           large.queryExecution.executedPlan)
       val k = Seq("a_id", "b_id", "jaccard")
       assert(small.orderBy(k.map(col): _*).collect().toSeq ==
