@@ -22,7 +22,8 @@ object SparkEntry {
       operators.SkewTools.entries ++
       operators.IncrementalQueries.entries ++
       operators.ProfileQueries.entries ++
-      operators.LayoutQueries.entries
+      operators.LayoutQueries.entries ++
+      operators.GraphQueries.entries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -41,5 +42,6 @@ object SparkEntry {
       operators.SkewTools.oracle ++
       operators.IncrementalQueries.oracle ++
       operators.ProfileQueries.oracle ++
-      operators.LayoutQueries.oracle
+      operators.LayoutQueries.oracle ++
+      operators.GraphQueries.oracle
 }

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+
+/** Iterative link-analysis ranking over a transaction graph — the
+  * "which documents/entities matter" primitive a training-data
+  * pipeline runs to weight a crawl graph or a citation network
+  * before sampling (quality-weighted mixing wants a per-source
+  * importance score, and PageRank over the reference graph is the
+  * standard one).
+  *
+  * The graph here is the customer↔supplier bipartite graph induced
+  * by orders⋈lineitem (who trades with whom); node ids are
+  * disambiguated as 2·custkey / 2·suppkey+1 so the two key spaces
+  * cannot collide. Undirected (both orientations emitted), so every
+  * node with an edge has out-degree ≥ 1 and there is no dangling
+  * mass to redistribute — the recurrence stays a pure local message
+  * exchange in BOTH engines.
+  *
+  * **Fixed-point integer arithmetic** (the q84 pattern): ranks are
+  * BIGINTs scaled by 1e12; each round is
+  * `r'(v) = (15·S)/100 + (85 · Σ_{u→v} r(u) div deg(u)) / 100`
+  * with truncating integer division throughout. Double arithmetic
+  * would make the oracle hash a bet on summation order; integer sums
+  * are order-independent, so the DuckDB twin (the same five rounds
+  * unrolled as CTEs) matches bit-for-bit. The truncation loses < deg
+  * ulps of mass per node per round — ranking-irrelevant at S=1e12.
+  * Overflow bound: the damped sum is ≤ 85·S·N, so S=1e12 is safe to
+  * N≈10^5 nodes; at larger N pass a smaller `scale` (S=1e6 is safe
+  * to N≈10^11 — the bound is `85·S·N < 2^63`).
+  *
+  * **Execution** (the GraphOps pattern — RDD loop, not a DataFrame
+  * loop): edges are hash-partitioned by src ONCE and the per-round
+  * rank join is narrow on both sides; only the new contribution
+  * messages (reduceByKey) cross the wire each round — the minimum
+  * movement the algorithm needs on a 1000-executor cluster. A
+  * DataFrame loop would re-plan and re-shuffle the edge table every
+  * round. Iteration count is FIXED (5), not convergence-tested, so
+  * the oracle can unroll the same five rounds; lineage depth is
+  * bounded by the same constant.
+  */
+object GraphQueries {
+
+  val Scale: Long = 1000000000000L // 1e12; see overflow bound above
+  val Iterations: Int = 5
+
+  /** q100: five fixed rounds of damped PageRank (d=0.85) over the
+    * undirected customer↔supplier trade graph. Output one row per
+    * node that trades: (node_id, kind, entity_id, pr_rank).
+    */
+  def q100PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val ranks = pageRank(pairs, Iterations, Scale)
+    ranks.select(col("node_id"),
+      when(pmod(col("node_id"), lit(2L)) === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("kind"),
+      shiftright(col("node_id"), 1).as("entity_id"),
+      col("pr_rank"))
+  }
+
+  /** The loop. `pairs` is one row per undirected edge (c, s); both
+    * orientations are emitted internally. Returns (node_id, pr_rank)
+    * for every node appearing in an edge.
+    *
+    * @param partitions loop width override for tests; production
+    *   sizes it from the edge count (~2M edges/partition).
+    */
+  def pageRank(pairs: DataFrame, iterations: Int, scale: Long,
+      partitions: Option[Int] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val raw: RDD[(Long, Long)] = pairs
+      .select(col(pairs.columns(0)).cast("long"),
+        col(pairs.columns(1)).cast("long")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nEdges = raw.count()
+    if (nEdges == 0) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("node_id", "pr_rank")
+    }
+    val loopParts = partitions.getOrElse(
+      math.max(1L, 2L * nEdges / 2000000L).toInt)
+    val part = new HashPartitioner(loopParts)
+    // both orientations, partitioned by src once; deg rides along so
+    // the per-round contribution map needs no extra join
+    val edges: RDD[(Long, Long)] = raw
+      .flatMap { case (c, s) => Iterator((c, s), (s, c)) }
+      .partitionBy(part)
+    val deg: RDD[(Long, Long)] = edges.mapValues(_ => 1L)
+      .reduceByKey(part, _ + _)
+    val edgesWithDeg: RDD[(Long, (Long, Long))] = edges.join(deg, part)
+      .mapValues { case (dst, d) => (dst, d) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val teleport = (15L * scale) / 100L
+    var ranks: RDD[(Long, Long)] = deg.mapValues(_ => scale)
+    var i = 0
+    while (i < iterations) {
+      val contribs = edgesWithDeg.join(ranks, part) // narrow both sides
+        .map { case (_, ((dst, d), r)) => (dst, r / d) }
+        .reduceByKey(part, _ + _) // the round's ONE shuffle
+      ranks = deg.leftOuterJoin(contribs, part) // narrow
+        .mapValues { case (_, s) =>
+          teleport + (85L * s.getOrElse(0L)) / 100L }
+      i += 1
+    }
+    val out = ranks.toDF()
+      .select(col("_1").as("node_id"), col("_2").as("pr_rank"))
+    edgesWithDeg.unpersist(false)
+    out
+  }
+
+  /** DuckDB twin: the same five rounds unrolled as CTEs, same
+    * integer recurrence (`//` is DuckDB's truncating integer
+    * division; all values are positive so it agrees with Scala's
+    * `/` on Long).
+    */
+  val q100Sql: String = {
+    val teleport = (15L * Scale) / 100L
+    val rounds = (1 to Iterations).map { k =>
+      s"""r$k AS (SELECT deg.id,
+         |  ($teleport + (85 * COALESCE(m.s, 0)) // 100)::BIGINT AS r
+         |  FROM deg LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.r // d.d)::BIGINT AS s
+         |    FROM edges e JOIN deg d ON e.src = d.id
+         |    JOIN r${k - 1} p ON e.src = p.id
+         |    GROUP BY e.dst) m ON deg.id = m.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM pairs
+       |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src AS id, COUNT(*)::BIGINT AS d FROM edges GROUP BY 1),
+       |r0 AS (SELECT id, ${Scale}::BIGINT AS r FROM deg),
+       |$rounds
+       |SELECT id AS node_id,
+       |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  id // 2 AS entity_id, r AS pr_rank
+       |FROM r${Iterations}""".stripMargin
+  }
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_pagerank" -> (q100PageRank _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q100_pagerank" -> q100Sql,
+  )
+}
