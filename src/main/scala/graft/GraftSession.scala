@@ -22,6 +22,13 @@ object GraftSession {
       // The driver's events.parquet uses TIMESTAMP(NANOS); read as long
       // epoch-nanos and convert in Tables.events (lossless — data is µs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Round-6 regen flipped the testdata timestamps to
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false); without this they
+      // surface as TIMESTAMP_NTZ and every unix_micros/long-cast/LTZ
+      // comparison breaks. Read them as session-zoned TIMESTAMP (the
+      // pre-3.4 behavior) — value-identical under the pinned UTC tz,
+      // and exactly how the DuckDB oracle sees the same bytes.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Parse cascades (SURVEY F4) rely on null-on-failure, not throw.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
