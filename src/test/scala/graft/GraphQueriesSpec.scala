@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphQueries
+
+/** Fixed-point PageRank kernel on hand-built graphs where the
+  * recurrence can be computed by hand (or by a tiny in-test
+  * reference), plus the invariants the integer formulation promises:
+  * determinism under repartitioning and bounded mass loss.
+  */
+class GraphQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val S = GraphQueries.Scale
+
+  private def pr(pairs: Seq[(Long, Long)], iters: Int,
+      parts: Option[Int] = None): Map[Long, Long] = {
+    import spark.implicits._
+    GraphQueries.pageRank(pairs.toDF("c", "s"), iters, S, parts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** In-test sequential reference: the exact same integer recurrence
+    * over an undirected edge list, computed single-threaded.
+    */
+  private def reference(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val teleport = (15L * S) / 100L
+    var ranks = deg.map { case (k, _) => k -> S }
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .map { case (src, dst) => dst -> ranks(src) / deg(src) }
+        .groupBy(_._1).map { case (k, cs) => k -> cs.map(_._2).sum }
+      ranks = deg.map { case (k, _) =>
+        k -> (teleport + (85L * contribs.getOrElse(k, 0L)) / 100L) }
+    }
+    ranks
+  }
+
+  test("single edge: both endpoints fix at exactly S") {
+    // deg=1 both sides, each round r' = 0.15S + 0.85r; from r=S this
+    // is the fixed point (up to truncation: 0.15S + 0.85S = S).
+    val got = pr(Seq((2L, 3L)), iters = 5)
+    assert(got.keySet == Set(2L, 3L))
+    // truncating division loses <100 units/round on S=1e12
+    got.values.foreach(v => assert(math.abs(v - S) < 1000L))
+  }
+
+  test("star graph: hub outranks leaves and matches the sequential reference") {
+    // node 1 trades with nodes 10..14 (pageRank takes node ids as-is;
+    // the 2k/2k+1 key disambiguation lives in q100PageRank)
+    val pairs = (10L to 14L).map(s => (1L, s))
+    val got = pr(pairs, iters = 5)
+    val want = reference(pairs, iters = 5)
+    assert(got == want)
+    val hub = got(1L)
+    val leaves = (10L to 14L).map(got)
+    assert(leaves.forall(_ < hub), s"hub $hub must outrank leaves $leaves")
+    assert(leaves.distinct.size == 1, "symmetric leaves rank equally")
+  }
+
+  test("asymmetric graph matches the sequential reference bit-for-bit") {
+    // two customers, overlapping suppliers, uneven degrees
+    val pairs = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 12L), (2L, 13L),
+      (3L, 13L), (3L, 10L), (3L, 14L), (3L, 15L))
+    val got = pr(pairs, iters = 5)
+    assert(got == reference(pairs, iters = 5))
+  }
+
+  test("result is invariant to the loop partitioner width") {
+    val pairs = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (3L, 13L))
+    val p1 = pr(pairs, iters = 5, parts = Some(1))
+    val p7 = pr(pairs, iters = 5, parts = Some(7))
+    assert(p1 == p7)
+  }
+
+  test("total mass stays within the truncation bound") {
+    // Undirected graph: no dangling mass, so sum(ranks) would be
+    // exactly N·S in real arithmetic; truncation loses < deg units
+    // per node per round.
+    val pairs = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L),
+      (3L, 12L), (3L, 13L), (4L, 13L), (4L, 10L))
+    val got = pr(pairs, iters = 5)
+    val n = got.size.toLong
+    val total = got.values.sum
+    assert(total <= n * S)
+    // max loss: iters * (sum of degrees + n truncations) ≈ tiny
+    assert(n * S - total < 5L * 1000L, s"lost ${n * S - total} units")
+  }
+
+  test("empty edge set yields an empty frame") {
+    assert(pr(Seq.empty, iters = 3).isEmpty)
+  }
+}
