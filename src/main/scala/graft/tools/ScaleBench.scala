@@ -107,6 +107,21 @@ object ScaleBench {
     "q94_skew_unsalted" -> ((s, d) =>
       TemporalQueries.overlappingSessionPairs(s, d,
         hotDensity = Int.MaxValue).count()),
+    // PageRank over the co-presence graph (q99's edge derivation —
+    // ≥60s session overlap): rounds are zipPartitions exchanges over
+    // the persisted adjacency list, so the decade should be linear in
+    // edges; the --skew flash-crowd axis makes one cell's pair space
+    // a dense hub neighborhood, stressing the per-partition LongMap
+    // accumulation instead of a shuffle key (contributions to a hub
+    // pre-combine map-side — the hot key never concentrates a task)
+    "q100_pagerank" -> ((s, d) => {
+      val edges = TemporalQueries.overlappingSessionPairs(s, d)
+        .filter(col("overlap_us") >= 60000000L)
+        .select(col("sid_a.user_id").as("ua"), col("sid_b.user_id").as("ub"))
+        .filter(col("ua") =!= col("ub"))
+      graft.operators.GraphQueries
+        .pageRank(edges, 5, 1000000000000L).count()
+    }),
     // ANN family: exact scan vs cell probe vs compressed-codes scan
     "q40_ann_brute" -> ((s, d) =>
       graft.operators.VectorQueries.q40AnnBruteForce(s, d).count()),
