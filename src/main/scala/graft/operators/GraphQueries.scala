@@ -94,7 +94,25 @@ object GraphQueries {
     *   sizes it from the edge count (~2M edges/partition).
     */
   def pageRank(pairs: DataFrame, iterations: Int, scale: Long,
-      partitions: Option[Int] = None): DataFrame = {
+      partitions: Option[Int] = None): DataFrame =
+    run(pairs, iterations, scale, partitions, seeds = None)
+
+  /** Personalized PageRank: identical recurrence, but the teleport
+    * mass lands ONLY on `seeds` (first column = node id) and the
+    * initial rank is `scale` for seeds, 0 elsewhere — rank measures
+    * proximity to the seed set instead of global importance (the
+    * seed-weighted crawl/citation scoring a curation pipeline uses to
+    * upweight documents near a trusted set). Seeds without any edge
+    * do not appear in the output (rank is defined over the graph's
+    * nodes, exactly like the oracle's `deg` table).
+    */
+  def personalizedPageRank(pairs: DataFrame, seeds: DataFrame,
+      iterations: Int, scale: Long,
+      partitions: Option[Int] = None): DataFrame =
+    run(pairs, iterations, scale, partitions, Some(seeds))
+
+  private def run(pairs: DataFrame, iterations: Int, scale: Long,
+      partitions: Option[Int], seeds: Option[DataFrame]): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val raw: RDD[(Long, Long)] = pairs
@@ -144,7 +162,31 @@ object GraphQueries {
     // the result frame is dropped.
     raw.unpersist(false)
     val teleport = (15L * scale) / 100L
-    var ranks: RDD[(Long, Long)] = adj.mapValues(_ => scale)
+    // per-node teleport base, co-partitioned with adj: the constant
+    // for global PageRank (derived narrowly from adj each use — one
+    // long per node, not worth a cache), or the seed-masked base for
+    // the personalized variant (one small partitionBy shuffle of the
+    // seed ids, built once and persisted across rounds)
+    val tele: RDD[(Long, Long)] = seeds match {
+      case None => adj.mapValues(_ => teleport)
+      case Some(sd) =>
+        val seedIds = sd
+          .select(col(sd.columns(0)).cast("long")).rdd
+          .map(r => (r.getLong(0), ()))
+          .partitionBy(part)
+        val t = adj.zipPartitions(seedIds, preservesPartitioning = true) {
+          (ai, si) =>
+            val ss = collection.mutable.LongMap.empty[Unit]
+            si.foreach { case (k, _) => ss(k) = () }
+            ai.map { case (src, _) =>
+              (src, if (ss.contains(src)) teleport else 0L) }
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+        t.foreachPartition(_ => ())
+        t
+    }
+    var ranks: RDD[(Long, Long)] =
+      if (seeds.isEmpty) adj.mapValues(_ => scale)
+      else tele.mapValues(t => if (t != 0L) scale else 0L)
     var i = 0
     while (i < iterations) {
       // NOT preservesPartitioning: the emitted keys are dst, which
@@ -169,12 +211,12 @@ object GraphQueries {
           acc.iterator
         }
         .reduceByKey(part, _ + _) // the round's ONE shuffle
-      ranks = adj // narrow: rebuild the full node set with defaults
-        .zipPartitions(contribs, preservesPartitioning = true) { (ai, ci) =>
+      ranks = tele // narrow: rebuild the full node set with defaults
+        .zipPartitions(contribs, preservesPartitioning = true) { (ti, ci) =>
           val cm = collection.mutable.LongMap.empty[Long]
           ci.foreach { case (k, v) => cm(k) = v }
-          ai.map { case (src, _) =>
-            (src, teleport + (85L * cm.getOrElse(src, 0L)) / 100L) }
+          ti.map { case (src, tb) =>
+            (src, tb + (85L * cm.getOrElse(src, 0L)) / 100L) }
         }
       i += 1
     }
@@ -213,11 +255,71 @@ object GraphQueries {
        |FROM r${Iterations}""".stripMargin
   }
 
+  /** q101: personalized PageRank from the BUILDING-segment customers
+    * — "how close is each trading party to the BUILDING market" as a
+    * seed-relative importance score. Same graph, same fixed-point
+    * arithmetic; only the teleport vector changes.
+    */
+  def q101SegmentPpr(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+    val seeds = t.customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select((col("c_custkey") * 2).as("node_id"))
+    val ranks = personalizedPageRank(pairs, seeds, Iterations, Scale)
+    ranks.select(col("node_id"),
+      when(pmod(col("node_id"), lit(2L)) === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("kind"),
+      shiftright(col("node_id"), 1).as("entity_id"),
+      col("pr_rank").as("ppr_rank"))
+  }
+
+  /** DuckDB twin of q101: q100's unrolled CTEs with the teleport and
+    * initial mass masked to the seed set.
+    */
+  val q101Sql: String = {
+    val teleport = (15L * Scale) / 100L
+    val rounds = (1 to Iterations).map { k =>
+      s"""r$k AS (SELECT deg.id,
+         |  ((CASE WHEN sd.id IS NOT NULL THEN $teleport ELSE 0 END)
+         |   + (85 * COALESCE(m.s, 0)) // 100)::BIGINT AS r
+         |  FROM deg LEFT JOIN seeds sd ON deg.id = sd.id
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(p.r // d.d)::BIGINT AS s
+         |    FROM edges e JOIN deg d ON e.src = d.id
+         |    JOIN r${k - 1} p ON e.src = p.id
+         |    GROUP BY e.dst) m ON deg.id = m.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (SELECT c AS src, s AS dst FROM pairs
+       |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+       |deg AS (SELECT src AS id, COUNT(*)::BIGINT AS d FROM edges GROUP BY 1),
+       |seeds AS (SELECT c_custkey * 2 AS id FROM customer
+       |          WHERE c_mktsegment = 'BUILDING'),
+       |r0 AS (SELECT deg.id,
+       |  (CASE WHEN sd.id IS NOT NULL THEN ${Scale} ELSE 0 END)::BIGINT AS r
+       |  FROM deg LEFT JOIN seeds sd ON deg.id = sd.id),
+       |$rounds
+       |SELECT id AS node_id,
+       |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  id // 2 AS entity_id, r AS ppr_rank
+       |FROM r${Iterations}""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_pagerank" -> (q100PageRank _),
+    "q101_ppr_segment" -> (q101SegmentPpr _),
   )
 
   val oracle: Map[String, String] = Map(
     "q100_pagerank" -> q100Sql,
+    "q101_ppr_segment" -> q101Sql,
   )
 }

@@ -93,4 +93,68 @@ class GraphQueriesSpec extends AnyFunSuite {
   test("empty edge set yields an empty frame") {
     assert(pr(Seq.empty, iters = 3).isEmpty)
   }
+
+  // ---- personalized variant ----
+
+  private def ppr(pairs: Seq[(Long, Long)], seeds: Seq[Long], iters: Int,
+      parts: Option[Int] = None): Map[Long, Long] = {
+    import spark.implicits._
+    GraphQueries.personalizedPageRank(
+      pairs.toDF("c", "s"), seeds.toDF("node_id"), iters, S, parts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Sequential reference with seed-masked teleport + initial mass. */
+  private def referenceP(pairs: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val teleport = (15L * S) / 100L
+    var ranks = deg.map { case (k, _) => k -> (if (seeds(k)) S else 0L) }
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .map { case (src, dst) => dst -> ranks(src) / deg(src) }
+        .groupBy(_._1).map { case (k, cs) => k -> cs.map(_._2).sum }
+      ranks = deg.map { case (k, _) =>
+        k -> ((if (seeds(k)) teleport else 0L) +
+          (85L * contribs.getOrElse(k, 0L)) / 100L) }
+    }
+    ranks
+  }
+
+  test("personalized: matches the sequential reference bit-for-bit") {
+    val pairs = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 12L), (2L, 13L),
+      (3L, 13L), (3L, 10L), (3L, 14L), (3L, 15L))
+    val seeds = Seq(1L)
+    assert(ppr(pairs, seeds, iters = 5) ==
+      referenceP(pairs, seeds.toSet, iters = 5))
+  }
+
+  test("personalized: rank decays with distance from the seed") {
+    // path 1 - 10 - 2 - 11 - 3 : seed at node 1
+    val pairs = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L))
+    val got = ppr(pairs, Seq(1L), iters = 6)
+    assert(got(1L) > got(10L), "seed outranks its neighbor")
+    assert(got(10L) > got(11L), "closer to seed outranks farther")
+    // no assertion on the path's far endpoint: a degree-1 node
+    // returns ALL its mass to its neighbor each round, so endpoint
+    // ranks can exceed interior ones — decay is not monotone in hops
+  }
+
+  test("personalized: empty seed set drains all rank to zero") {
+    val pairs = Seq((1L, 10L), (2L, 10L))
+    val got = ppr(pairs, Seq.empty, iters = 5)
+    assert(got.values.forall(_ == 0L))
+    assert(got.keySet == Set(1L, 2L, 10L))
+  }
+
+  test("personalized: seeds without edges are ignored, invariant to partitioning") {
+    val pairs = Seq((1L, 10L), (2L, 10L), (2L, 11L))
+    val seeds = Seq(1L, 99L) // 99 has no edge
+    val p1 = ppr(pairs, seeds, iters = 5, parts = Some(1))
+    val p5 = ppr(pairs, seeds, iters = 5, parts = Some(5))
+    assert(p1 == p5)
+    assert(!p1.contains(99L))
+    assert(p1 == referenceP(pairs, Set(1L), iters = 5))
+  }
 }
