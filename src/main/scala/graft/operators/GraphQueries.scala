@@ -56,22 +56,31 @@ object GraphQueries {
     * undirected customer↔supplier trade graph. Output one row per
     * node that trades: (node_id, kind, entity_id, pr_rank).
     */
-  def q100PageRank(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    // no .distinct() — the kernel's adjacency build deduplicates
-    // (src, dst) per partition, saving the extra full shuffle
-    val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+  /** The customer↔supplier trade graph both queries rank: one row per
+    * (2·custkey, 2·suppkey+1) trading pair. No `.distinct()` — the
+    * kernel's adjacency build deduplicates (src, dst) per partition,
+    * saving the extra full shuffle. ONE definition shared by q100 and
+    * q101 so the Spark side cannot diverge between them (the SQL twin
+    * prefix is shared the same way — `graphCtes`).
+    */
+  private def tradePairs(t: Tables): DataFrame =
+    t.orders.select(col("o_orderkey"), col("o_custkey"))
       .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"),
         (col("l_suppkey") * 2 + 1).as("s"))
-    val ranks = pageRank(pairs, Iterations, Scale)
+
+  private def rankOutput(ranks: DataFrame, rankCol: String): DataFrame =
     ranks.select(col("node_id"),
       when(pmod(col("node_id"), lit(2L)) === 0, lit("customer"))
         .otherwise(lit("supplier")).as("kind"),
       shiftright(col("node_id"), 1).as("entity_id"),
-      col("pr_rank"))
-  }
+      col("pr_rank").as(rankCol))
+
+  def q100PageRank(spark: SparkSession, dir: String): DataFrame =
+    rankOutput(
+      pageRank(tradePairs(Tables(spark, dir)), Iterations, Scale),
+      "pr_rank")
 
   /** The loop. `pairs` is one row per undirected edge (c, s); both
     * orientations are emitted internally and duplicate (src, dst)
@@ -154,21 +163,33 @@ object GraphQueries {
         }
       }, preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    adj.foreachPartition(_ => ()) // materialize NOW, while raw is
-    // still cached; then raw can go. adj itself must stay persisted
-    // for the (lazy) returned frame's action — the original version
+    val nNodes = adj.count() // materialize NOW, while raw is still
+    // cached; then raw can go. adj itself must stay persisted for the
+    // (lazy) returned frame's action — the original version
     // unpersisted before the action and silently recomputed the whole
     // edge lineage every round; the ContextCleaner reclaims adj once
     // the result frame is dropped.
     raw.unpersist(false)
+    // the documented overflow bound, enforced: a node's contribution
+    // sum is < N·scale, and the update multiplies it by 85 — a graph
+    // past the bound must pass a smaller scale (silent Long wrap
+    // would produce plausible-looking garbage ranks)
+    require(nNodes < Long.MaxValue / 85L / scale,
+      s"85*scale*nNodes overflows Long for nNodes=$nNodes at " +
+        s"scale=$scale — pass a smaller scale (bound: 85*S*N < 2^63)")
     val teleport = (15L * scale) / 100L
-    // per-node teleport base, co-partitioned with adj: the constant
-    // for global PageRank (derived narrowly from adj each use — one
-    // long per node, not worth a cache), or the seed-masked base for
-    // the personalized variant (one small partitionBy shuffle of the
-    // seed ids, built once and persisted across rounds)
-    val tele: RDD[(Long, Long)] = seeds match {
-      case None => adj.mapValues(_ => teleport)
+    require(seeds.isEmpty || teleport > 0L,
+      s"scale=$scale gives an all-zero teleport (15*scale/100 == 0); " +
+        "personalized ranks would be identically zero")
+    // per-node seed flag (1 = seed), co-partitioned with adj: the
+    // teleport base and the initial mass BOTH derive from it, so seed
+    // membership is never inferred from a derived value (a
+    // teleport-of-zero must not erase the seeds' initial mass). For
+    // global PageRank the flag is the constant 1. The personalized
+    // flag rides one small partitionBy shuffle of the seed ids and
+    // persists across rounds.
+    val seedFlag: RDD[(Long, Long)] = seeds match {
+      case None => adj.mapValues(_ => 1L)
       case Some(sd) =>
         val seedIds = sd
           .select(col(sd.columns(0)).cast("long")).rdd
@@ -179,14 +200,12 @@ object GraphQueries {
             val ss = collection.mutable.LongMap.empty[Unit]
             si.foreach { case (k, _) => ss(k) = () }
             ai.map { case (src, _) =>
-              (src, if (ss.contains(src)) teleport else 0L) }
+              (src, if (ss.contains(src)) 1L else 0L) }
         }.persist(StorageLevel.MEMORY_AND_DISK)
         t.foreachPartition(_ => ())
         t
     }
-    var ranks: RDD[(Long, Long)] =
-      if (seeds.isEmpty) adj.mapValues(_ => scale)
-      else tele.mapValues(t => if (t != 0L) scale else 0L)
+    var ranks: RDD[(Long, Long)] = seedFlag.mapValues(_ * scale)
     var i = 0
     while (i < iterations) {
       // NOT preservesPartitioning: the emitted keys are dst, which
@@ -211,12 +230,12 @@ object GraphQueries {
           acc.iterator
         }
         .reduceByKey(part, _ + _) // the round's ONE shuffle
-      ranks = tele // narrow: rebuild the full node set with defaults
-        .zipPartitions(contribs, preservesPartitioning = true) { (ti, ci) =>
+      ranks = seedFlag // narrow: rebuild the full node set with defaults
+        .zipPartitions(contribs, preservesPartitioning = true) { (fi, ci) =>
           val cm = collection.mutable.LongMap.empty[Long]
           ci.foreach { case (k, v) => cm(k) = v }
-          ti.map { case (src, tb) =>
-            (src, tb + (85L * cm.getOrElse(src, 0L)) / 100L) }
+          fi.map { case (src, flag) =>
+            (src, flag * teleport + (85L * cm.getOrElse(src, 0L)) / 100L) }
         }
       i += 1
     }
@@ -224,35 +243,53 @@ object GraphQueries {
       .select(col("_1").as("node_id"), col("_2").as("pr_rank"))
   }
 
-  /** DuckDB twin: the same five rounds unrolled as CTEs, same
-    * integer recurrence (`//` is DuckDB's truncating integer
-    * division; all values are positive so it agrees with Scala's
-    * `/` on Long).
+  /** The CTE prefix both SQL twins share — the same trade graph as
+    * `tradePairs` plus edges/deg (`//` is DuckDB's truncating integer
+    * division; all values are positive so it agrees with Scala's `/`
+    * on Long).
     */
-  val q100Sql: String = {
-    val teleport = (15L * Scale) / 100L
-    val rounds = (1 to Iterations).map { k =>
+  private val graphCtes: String =
+    """pairs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |edges AS (SELECT c AS src, s AS dst FROM pairs
+      |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+      |deg AS (SELECT src AS id, COUNT(*)::BIGINT AS d FROM edges GROUP BY 1)"""
+      .stripMargin
+
+  /** The unrolled rounds both SQL twins share: `teleSql` is the SQL
+    * expression for the node's teleport term (a constant for q100, a
+    * seed-masked CASE for q101 — `deg LEFT JOIN seeds sd` is in scope
+    * when `seedJoin` is set).
+    */
+  private def roundCtes(teleSql: String, seedJoin: Boolean): String =
+    (1 to Iterations).map { k =>
+      val sj = if (seedJoin) " LEFT JOIN seeds sd ON deg.id = sd.id" else ""
       s"""r$k AS (SELECT deg.id,
-         |  ($teleport + (85 * COALESCE(m.s, 0)) // 100)::BIGINT AS r
-         |  FROM deg LEFT JOIN (
+         |  (($teleSql) + (85 * COALESCE(m.s, 0)) // 100)::BIGINT AS r
+         |  FROM deg$sj LEFT JOIN (
          |    SELECT e.dst AS id, SUM(p.r // d.d)::BIGINT AS s
          |    FROM edges e JOIN deg d ON e.src = d.id
          |    JOIN r${k - 1} p ON e.src = p.id
          |    GROUP BY e.dst) m ON deg.id = m.id)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (
-       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |edges AS (SELECT c AS src, s AS dst FROM pairs
-       |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
-       |deg AS (SELECT src AS id, COUNT(*)::BIGINT AS d FROM edges GROUP BY 1),
-       |r0 AS (SELECT id, ${Scale}::BIGINT AS r FROM deg),
-       |$rounds
-       |SELECT id AS node_id,
+
+  private def rankOutputSql(rankCol: String): String =
+    s"""SELECT id AS node_id,
        |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
-       |  id // 2 AS entity_id, r AS pr_rank
+       |  id // 2 AS entity_id, r AS $rankCol
        |FROM r${Iterations}""".stripMargin
+
+  /** DuckDB twin of q100: the same five rounds unrolled as CTEs, same
+    * integer recurrence.
+    */
+  val q100Sql: String = {
+    val teleport = (15L * Scale) / 100L
+    s"""WITH $graphCtes,
+       |r0 AS (SELECT id, ${Scale}::BIGINT AS r FROM deg),
+       |${roundCtes(teleport.toString, seedJoin = false)}
+       |${rankOutputSql("pr_rank")}""".stripMargin
   }
 
   /** q101: personalized PageRank from the BUILDING-segment customers
@@ -262,20 +299,12 @@ object GraphQueries {
     */
   def q101SegmentPpr(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
     val seeds = t.customer
       .filter(col("c_mktsegment") === "BUILDING")
       .select((col("c_custkey") * 2).as("node_id"))
-    val ranks = personalizedPageRank(pairs, seeds, Iterations, Scale)
-    ranks.select(col("node_id"),
-      when(pmod(col("node_id"), lit(2L)) === 0, lit("customer"))
-        .otherwise(lit("supplier")).as("kind"),
-      shiftright(col("node_id"), 1).as("entity_id"),
-      col("pr_rank").as("ppr_rank"))
+    rankOutput(
+      personalizedPageRank(tradePairs(t), seeds, Iterations, Scale),
+      "ppr_rank")
   }
 
   /** DuckDB twin of q101: q100's unrolled CTEs with the teleport and
@@ -283,34 +312,16 @@ object GraphQueries {
     */
   val q101Sql: String = {
     val teleport = (15L * Scale) / 100L
-    val rounds = (1 to Iterations).map { k =>
-      s"""r$k AS (SELECT deg.id,
-         |  ((CASE WHEN sd.id IS NOT NULL THEN $teleport ELSE 0 END)
-         |   + (85 * COALESCE(m.s, 0)) // 100)::BIGINT AS r
-         |  FROM deg LEFT JOIN seeds sd ON deg.id = sd.id
-         |  LEFT JOIN (
-         |    SELECT e.dst AS id, SUM(p.r // d.d)::BIGINT AS s
-         |    FROM edges e JOIN deg d ON e.src = d.id
-         |    JOIN r${k - 1} p ON e.src = p.id
-         |    GROUP BY e.dst) m ON deg.id = m.id)"""
-        .stripMargin
-    }.mkString(",\n")
-    s"""WITH pairs AS (
-       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |edges AS (SELECT c AS src, s AS dst FROM pairs
-       |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
-       |deg AS (SELECT src AS id, COUNT(*)::BIGINT AS d FROM edges GROUP BY 1),
+    s"""WITH $graphCtes,
        |seeds AS (SELECT c_custkey * 2 AS id FROM customer
        |          WHERE c_mktsegment = 'BUILDING'),
        |r0 AS (SELECT deg.id,
        |  (CASE WHEN sd.id IS NOT NULL THEN ${Scale} ELSE 0 END)::BIGINT AS r
        |  FROM deg LEFT JOIN seeds sd ON deg.id = sd.id),
-       |$rounds
-       |SELECT id AS node_id,
-       |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
-       |  id // 2 AS entity_id, r AS ppr_rank
-       |FROM r${Iterations}""".stripMargin
+       |${roundCtes(
+            s"CASE WHEN sd.id IS NOT NULL THEN $teleport ELSE 0 END",
+            seedJoin = true)}
+       |${rankOutputSql("ppr_rank")}""".stripMargin
   }
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -40,35 +40,36 @@ object ScaleBench {
     }
   }
 
-  /** Full-corpus prefix-filtered Jaccard join over word bigrams — the
-    * unbounded form of q80 (the generator's constructed near-dups are
-    * the expected hits).
-    */
-  /** With SPARK_GRAFT_SCALE_EXPLAIN=1, print each query's formatted
-    * plan before running it (DataFrame-returning entries only).
+  /** With SPARK_GRAFT_SCALE_EXPLAIN=1, q80_ppjoin (the one entry
+    * whose plan shape the skew work keeps changing) prints its
+    * formatted plan before running.
     */
   private val explain = sys.env.get("SPARK_GRAFT_SCALE_EXPLAIN").contains("1")
 
-  private def ppjoin(spark: SparkSession, dir: String): DataFrame = {
+  /** One (doc_id, bigram set) frame shared by the q80 entries, so the
+    * full join and its candidate-only stage measure the SAME corpus —
+    * the generation-vs-verification subtraction depends on it.
+    */
+  private def bigramSets(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables(spark, dir).documents
       .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
-    val sets = base.select(col("doc_id"),
+    base.select(col("doc_id"),
       array_distinct(transform(
         sequence(lit(0), greatest(size(col("ts")) - 2, lit(0))),
         i => array_join(slice(col("ts"), i + 1, lit(2)), " "))).as("toks"))
-    // 0.65 sits under the constructed twins' ~0.73 bigram Jaccard
-    DedupQueries.prefixJaccardPairs(sets, 0.65)
   }
 
-  private def candidates(spark: SparkSession, dir: String): Long = {
-    val base = Tables(spark, dir).documents
-      .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
-    val sets = base.select(col("doc_id"),
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(col("ts")) - 2, lit(0))),
-        i => array_join(slice(col("ts"), i + 1, lit(2)), " "))).as("toks"))
-    DedupQueries.prefixCandidates(sets, 0.65, 2000000L, 8000, 8)._2.count()
-  }
+  /** Full-corpus prefix-filtered Jaccard join over word bigrams — the
+    * unbounded form of q80 (the generator's constructed near-dups are
+    * the expected hits). 0.65 sits under the constructed twins' ~0.73
+    * bigram Jaccard.
+    */
+  private def ppjoin(spark: SparkSession, dir: String): DataFrame =
+    DedupQueries.prefixJaccardPairs(bigramSets(spark, dir), 0.65)
+
+  private def candidates(spark: SparkSession, dir: String): Long =
+    DedupQueries.prefixCandidates(
+      bigramSets(spark, dir), 0.65, 2000000L, 8000, 8)._2.count()
 
   private def bpeMerges(spark: SparkSession, dir: String,
       nMerges: Int = 1000): Int = {
@@ -119,8 +120,11 @@ object ScaleBench {
         .filter(col("overlap_us") >= 60000000L)
         .select(col("sid_a.user_id").as("ua"), col("sid_b.user_id").as("ub"))
         .filter(col("ua") =!= col("ub"))
+      // scale 1e9, NOT the query's 1e12: this graph grows with the
+      // dir, and the kernel's 85*S*N < 2^63 bound caps S=1e12 at
+      // ~1e5 nodes (sf10 crosses it); S=1e9 is safe to ~1e8 nodes
       graft.operators.GraphQueries
-        .pageRank(edges, 5, 1000000000000L).count()
+        .pageRank(edges, 5, 1000000000L).count()
     }),
     // ANN family: exact scan vs cell probe vs compressed-codes scan
     "q40_ann_brute" -> ((s, d) =>

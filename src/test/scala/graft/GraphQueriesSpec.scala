@@ -148,6 +148,22 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(got.keySet == Set(1L, 2L, 10L))
   }
 
+  test("guards: overflow-prone scale and zero-teleport scale are rejected") {
+    import spark.implicits._
+    val pairs = Seq((1L, 10L), (2L, 10L)).toDF("c", "s")
+    val seeds = Seq(1L).toDF("node_id")
+    // 3 nodes at scale=2^62: 85*S*N wraps — must throw, not wrap
+    val e1 = intercept[IllegalArgumentException] {
+      GraphQueries.pageRank(pairs, 1, Long.MaxValue / 2)
+    }
+    assert(e1.getMessage.contains("overflows"))
+    // scale=6 → teleport = 0: personalized ranks would all be zero
+    val e2 = intercept[IllegalArgumentException] {
+      GraphQueries.personalizedPageRank(pairs, seeds, 1, 6L)
+    }
+    assert(e2.getMessage.contains("teleport"))
+  }
+
   test("personalized: seeds without edges are ignored, invariant to partitioning") {
     val pairs = Seq((1L, 10L), (2L, 10L), (2L, 11L))
     val seeds = Seq(1L, 99L) // 99 has no edge
