@@ -162,6 +162,12 @@ object GraphQueries {
           (src, java.util.Arrays.copyOf(a, n))
         }
       }, preservesPartitioning = true)
+      // Object-form cache, NOT _SER: Java-serialized adjacency cost
+      // ~3x per-round deserialization at 60M edges (19s vs 16s loops,
+      // 6.3s vs 2.2s at sf0.1), and the memory hazard SER would hedge
+      // — two multi-GB copies coexisting across back-to-back runs,
+      // measured 43s GC-thrash — is retired structurally by the
+      // eager checkpoint + unpersist at the end of this method.
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nNodes = adj.count() // materialize NOW, while raw is still
     // cached; then raw can go. adj itself must stay persisted for the
@@ -185,26 +191,26 @@ object GraphQueries {
     // teleport base and the initial mass BOTH derive from it, so seed
     // membership is never inferred from a derived value (a
     // teleport-of-zero must not erase the seeds' initial mass). For
-    // global PageRank the flag is the constant 1. The personalized
-    // flag rides one small partitionBy shuffle of the seed ids and
-    // persists across rounds.
-    val seedFlag: RDD[(Long, Long)] = seeds match {
+    // global PageRank the flag is the constant 1. PERSISTED in both
+    // branches — it is one long per node, and deriving it from adj
+    // lazily would deserialize the whole adjacency a second time per
+    // round inside the rank rebuild (measured ~2s/pass at 60M edges).
+    val seedFlag: RDD[(Long, Long)] = (seeds match {
       case None => adj.mapValues(_ => 1L)
       case Some(sd) =>
         val seedIds = sd
           .select(col(sd.columns(0)).cast("long")).rdd
           .map(r => (r.getLong(0), ()))
           .partitionBy(part)
-        val t = adj.zipPartitions(seedIds, preservesPartitioning = true) {
+        adj.zipPartitions(seedIds, preservesPartitioning = true) {
           (ai, si) =>
             val ss = collection.mutable.LongMap.empty[Unit]
             si.foreach { case (k, _) => ss(k) = () }
             ai.map { case (src, _) =>
               (src, if (ss.contains(src)) 1L else 0L) }
-        }.persist(StorageLevel.MEMORY_AND_DISK)
-        t.foreachPartition(_ => ())
-        t
-    }
+        }
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    seedFlag.foreachPartition(_ => ())
     var ranks: RDD[(Long, Long)] = seedFlag.mapValues(_ * scale)
     var i = 0
     while (i < iterations) {
@@ -239,6 +245,17 @@ object GraphQueries {
         }
       i += 1
     }
+    // Materialize the final ranks (one long per node) and truncate
+    // their lineage, so the multi-GB adjacency can be released NOW
+    // instead of lingering until the ContextCleaner notices — two
+    // coexisting cached adjacencies measurably GC-thrashed
+    // back-to-back sf10 runs (16s → 43s for the identical job). The
+    // kernel is eager as a result, which an iterative loop would
+    // effectively be at first action anyway.
+    ranks.localCheckpoint()
+    ranks.count()
+    adj.unpersist(false)
+    seedFlag.unpersist(false)
     ranks.toDF()
       .select(col("_1").as("node_id"), col("_2").as("pr_rank"))
   }
