@@ -76,9 +76,25 @@ object BpeTokenizer {
     *
     * When the collected page is exhausted without conflict, unseen
     * candidates bound wStop instead (their w ≤ the page's last).
+    *
+    * Self-pairs (a,a) are the one shape the progenitor argument does
+    * not cover (see the comment in the body) and always train as a
+    * batch of one.
     */
   private[graft] def selectBatch(top: Seq[(String, String, Long)],
       pageFull: Boolean, maxBatch: Int): Seq[(String, String)] = {
+    // SELF-PAIRS (a,a) break the progenitor argument above: merging
+    // (a,a) creates (aa,a)/(a,aa) pairs whose progenitor is the
+    // member ITSELF, so no conflicter bounds their weight — they can
+    // weigh up to the member's own application count and out-rank any
+    // later member (found by BpeProperties: {"  "x2, "aaa"x5} — the
+    // head (a,a)=10 creates (aa,a)=5, which sequentially out-ranks
+    // (' ',' ')=2, so the batch [(a,a), (' ',' ')] is not
+    // sequential-equivalent). A self-pair is therefore safe only as a
+    // batch of ONE: as the head it trains alone; met mid-scan it
+    // stops the batch like a conflicter.
+    if (top.head._1 == top.head._2)
+      return Seq((top.head._1, top.head._2))
     val batch = scala.collection.mutable.ArrayBuffer(top.head)
     val used = scala.collection.mutable.Set(top.head._1, top.head._2)
     var wStop = if (pageFull) top.last._3 else 0L
@@ -86,7 +102,7 @@ object BpeTokenizer {
     var stopped = false
     while (i < top.length && !stopped) {
       val (a, b, w) = top(i)
-      if (w < 2L || used.contains(a) || used.contains(b)) {
+      if (w < 2L || a == b || used.contains(a) || used.contains(b)) {
         wStop = math.max(wStop, w); stopped = true
       } else {
         batch += top(i); used += a; used += b

@@ -34,6 +34,28 @@ class BpeTokenizerSpec extends AnyFunSuite {
     assert(BpeTokenizer.train(words, 5) == Seq())
   }
 
+  test("a self-pair head trains as a batch of one (BpeProperties counterexample)") {
+    import spark.implicits._
+    // {"  "×2, "aaa"×5}: round-1 weights (a,a)=10, (' ',' ')=2 —
+    // symbol-disjoint, so the old batch rule committed BOTH. But
+    // merging (a,a) CREATES (aa,a)=5, which sequentially out-ranks
+    // (' ',' ')=2: the correct sequence is (a,a), (aa,a). A self-pair
+    // merge can create pairs whose progenitor is the member itself,
+    // so it must never share a batch.
+    val words = Seq(("  ", 2L), ("aaa", 5L)).toDF("word", "cnt")
+    val got = BpeTokenizer.train(words, 2, batchTop = 4,
+      checkpointEvery = 3, maxLocalWords = 0L)
+    assert(got == Seq(("a", "a"), ("aa", "a")))
+    // selectBatch unit shape: self-pair head alone; mid-scan
+    // self-pair stops the batch like a conflicter
+    assert(BpeTokenizer.selectBatch(
+      Seq(("a", "a", 10L), (" ", " ", 2L)), pageFull = false, 8) ==
+      Seq(("a", "a")))
+    assert(BpeTokenizer.selectBatch(
+      Seq(("a", "b", 10L), ("c", "c", 6L), ("d", "e", 5L)),
+      pageFull = false, 8) == Seq(("a", "b")))
+  }
+
   test("corpus training is deterministic and round-trips every word") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.tokens
