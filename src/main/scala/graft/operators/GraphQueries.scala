@@ -120,30 +120,15 @@ object GraphQueries {
       partitions: Option[Int] = None): DataFrame =
     run(pairs, iterations, scale, partitions, Some(seeds))
 
-  private def run(pairs: DataFrame, iterations: Int, scale: Long,
-      partitions: Option[Int], seeds: Option[DataFrame]): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    val raw: RDD[(Long, Long)] = pairs
-      .select(col(pairs.columns(0)).cast("long"),
-        col(pairs.columns(1)).cast("long")).rdd
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = raw.count() // also materializes the cache the
-    // adjacency build reads — the upstream join runs ONCE, not twice
-    if (nEdges == 0) {
-      raw.unpersist(false)
-      return Seq.empty[(Long, Long)].toDF("node_id", "pr_rank")
-    }
-    val loopParts = partitions.getOrElse(
-      math.max(1L, 2L * nEdges / 2000000L).toInt)
-    val part = new HashPartitioner(loopParts)
-    // adjacency: both orientations, partitioned by src once; dsts
-    // sorted + deduped per src (all (src, *) land in one partition,
-    // so per-partition dedup is global dedup)
-    val adj: RDD[(Long, Array[Long])] = raw
-      .flatMap { case (c, s) => Iterator((c, s), (s, c)) }
-      .partitionBy(part)
+  /** Adjacency-list build shared by the PageRank and HITS kernels:
+    * partition the edge list by src once, then per-partition group
+    * into (src, sorted deduped Array[dst]) — all (src, *) rows land
+    * in one partition, so per-partition dedup is global dedup and
+    * callers need no upstream `distinct` (one less full shuffle).
+    */
+  private def buildAdjacency(edges: RDD[(Long, Long)],
+      part: HashPartitioner): RDD[(Long, Array[Long])] =
+    edges.partitionBy(part)
       .mapPartitions({ it =>
         val m = collection.mutable.LongMap
           .empty[collection.mutable.ArrayBuilder.ofLong]
@@ -162,12 +147,35 @@ object GraphQueries {
           (src, java.util.Arrays.copyOf(a, n))
         }
       }, preservesPartitioning = true)
-      // Object-form cache, NOT _SER: Java-serialized adjacency cost
-      // ~3x per-round deserialization at 60M edges (19s vs 16s loops,
-      // 6.3s vs 2.2s at sf0.1), and the memory hazard SER would hedge
-      // — two multi-GB copies coexisting across back-to-back runs,
-      // measured 43s GC-thrash — is retired structurally by the
-      // eager checkpoint + unpersist at the end of this method.
+
+  private def run(pairs: DataFrame, iterations: Int, scale: Long,
+      partitions: Option[Int], seeds: Option[DataFrame]): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val raw: RDD[(Long, Long)] = pairs
+      .select(col(pairs.columns(0)).cast("long"),
+        col(pairs.columns(1)).cast("long")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = raw.count() // also materializes the cache the
+    // adjacency build reads — the upstream join runs ONCE, not twice
+    if (nEdges == 0) {
+      raw.unpersist(false)
+      return Seq.empty[(Long, Long)].toDF("node_id", "pr_rank")
+    }
+    val loopParts = partitions.getOrElse(
+      math.max(1L, 2L * nEdges / 2000000L).toInt)
+    val part = new HashPartitioner(loopParts)
+    // adjacency: both orientations, partitioned by src once
+    //
+    // Object-form cache, NOT _SER: Java-serialized adjacency cost
+    // ~3x per-round deserialization at 60M edges (19s vs 16s loops,
+    // 6.3s vs 2.2s at sf0.1), and the memory hazard SER would hedge
+    // — two multi-GB copies coexisting across back-to-back runs,
+    // measured 43s GC-thrash — is retired structurally by the
+    // eager checkpoint + unpersist at the end of this method.
+    val adj: RDD[(Long, Array[Long])] = buildAdjacency(
+      raw.flatMap { case (c, s) => Iterator((c, s), (s, c)) }, part)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nNodes = adj.count() // materialize NOW, while raw is still
     // cached; then raw can go. adj itself must stay persisted for the
@@ -341,13 +349,184 @@ object GraphQueries {
        |${rankOutputSql("ppr_rank")}""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q102: HITS hubs & authorities
+  // ------------------------------------------------------------------
+
+  /** Fixed-point scale for HITS. Smaller than PageRank's 1e12 because
+    * the normalization multiplies a raw sum (≤ maxDegree·S) by S
+    * before dividing: the per-round overflow bound is
+    * `maxRawSum · S < 2^63`, i.e. maxDegree · S² < 2^63 — S=1e6 is
+    * safe to ~9×10^6 max degree (enforced per round, never silent).
+    */
+  val HitsScale: Long = 1000000L
+
+  /** q102: HITS hubs/authorities over the DIRECTED bipartite trade
+    * graph (customer → supplier). Five rounds of the mutual
+    * recurrence — auth(s) = Σ_{c→s} hub(c), hub(c) = Σ_{c→s} auth(s)
+    * — each half-round L∞-normalized (divide by the max, truncating):
+    * the max is order-independent and integer division is exact, so
+    * the DuckDB twin (the same rounds unrolled as CTEs with scalar
+    * MAX subqueries) matches bit-for-bit. Hub scores weight "good
+    * aggregators" (customers whose suppliers are widely demanded) and
+    * authority scores "widely demanded sources" — the classic
+    * crawl-graph quality-weighting pair a curation pipeline uses
+    * alongside PageRank to pick seed documents and demote spam.
+    */
+  def q102Hits(spark: SparkSession, dir: String): DataFrame =
+    hits(tradePairs(Tables(spark, dir)), Iterations, HitsScale)
+      .select(col("node_id"),
+        when(pmod(col("node_id"), lit(2L)) === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        shiftright(col("node_id"), 1).as("entity_id"),
+        col("hub_rank"), col("auth_rank"))
+
+  /** The HITS loop on an arbitrary directed edge list (general
+    * digraph — a node may carry both scores; on the bipartite trade
+    * graph each carries one and the other is 0). Returns
+    * (node_id, hub_rank, auth_rank) for every node with an edge.
+    *
+    * Same execution scheme as [[pageRank]]: two persisted adjacency
+    * lists (forward by src, reverse by dst — the SAME partitioner, so
+    * the final hub⋈auth outer join is narrow), zipPartitions exchange
+    * with LongMap pre-combination, one reduceByKey shuffle per
+    * half-round. The L∞ normalization needs the round's max — one
+    * tiny `values.max` action per half-round over a persisted
+    * one-long-per-node RDD, which also materializes it (the kernel is
+    * eager like pageRank; all caches are released before returning).
+    */
+  def hits(pairs: DataFrame, iterations: Int, scale: Long,
+      partitions: Option[Int] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    require(scale > 0L, s"scale must be positive, got $scale")
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    val raw: RDD[(Long, Long)] = pairs
+      .select(col(pairs.columns(0)).cast("long"),
+        col(pairs.columns(1)).cast("long")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = raw.count()
+    if (nEdges == 0) {
+      raw.unpersist(false)
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("node_id", "hub_rank", "auth_rank")
+    }
+    val loopParts = partitions.getOrElse(
+      math.max(1L, 2L * nEdges / 2000000L).toInt)
+    val part = new HashPartitioner(loopParts)
+    val fwd = buildAdjacency(raw, part).persist(StorageLevel.MEMORY_AND_DISK)
+    val rev = buildAdjacency(raw.map(_.swap), part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    fwd.count(); rev.count()
+    raw.unpersist(false)
+    val retired = collection.mutable.ArrayBuffer.empty[RDD[_]]
+
+    // one half-round: sum the sender scores into each receiver via the
+    // sender-side adjacency; emission is structural (a receiver gets an
+    // entry whenever an edge points at it, even for a zero sum), so the
+    // node set never shrinks across rounds
+    def exchange(adj: RDD[(Long, Array[Long])],
+        scores: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      adj.zipPartitions(scores) { (ai, si) =>
+        val score = collection.mutable.LongMap.empty[Long]
+        si.foreach { case (k, v) => score(k) = v }
+        val acc = collection.mutable.LongMap.empty[Long]
+        ai.foreach { case (src, dsts) =>
+          val r = score.getOrElse(src, 0L)
+          var j = 0
+          while (j < dsts.length) {
+            val d = dsts(j)
+            acc(d) = acc.getOrElse(d, 0L) + r
+            j += 1
+          }
+        }
+        acc.iterator
+      }.reduceByKey(part, _ + _) // the half-round's ONE shuffle
+
+    // L∞ normalization: persist the raw sums, take the max (the
+    // action that materializes them), rescale so the max is exactly
+    // `scale`. The max element is ≥ scale·1 > 0 by induction (the
+    // previous round's max holder sends `scale` somewhere), so the
+    // division is always defined.
+    def normalized(rawScores: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      rawScores.persist(StorageLevel.MEMORY_AND_DISK)
+      retired += rawScores
+      val mx = rawScores.values.max()
+      require(mx <= Long.MaxValue / scale,
+        s"HITS normalization overflows Long: round max $mx at " +
+          s"scale=$scale (bound: maxRawSum*scale < 2^63) — " +
+          "pass a smaller scale")
+      rawScores.mapValues(v => v * scale / mx)
+    }
+
+    var hub: RDD[(Long, Long)] = fwd.mapValues(_ => scale)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    hub.foreachPartition(_ => ())
+    retired += hub
+    var auth: RDD[(Long, Long)] = null
+    var i = 0
+    while (i < iterations) {
+      auth = normalized(exchange(fwd, hub))
+      hub = normalized(exchange(rev, auth))
+      i += 1
+    }
+    // both sides carry `part`, so the outer join is narrow
+    val out = hub.fullOuterJoin(auth, part)
+      .map { case (id, (h, a)) => (id, h.getOrElse(0L), a.getOrElse(0L)) }
+    out.localCheckpoint()
+    out.count()
+    fwd.unpersist(false)
+    rev.unpersist(false)
+    retired.foreach(_.unpersist(false))
+    out.toDF()
+      .select(col("_1").as("node_id"), col("_2").as("hub_rank"),
+        col("_3").as("auth_rank"))
+  }
+
+  /** DuckDB twin of q102: the same five rounds unrolled, each
+    * half-round normalized with `MAX(..) OVER ()` (a whole-frame
+    * window, NOT a scalar subquery — a subquery would reference each
+    * round's CTE twice, and an engine that inlines CTEs re-evaluates
+    * the whole chain per reference: 2^rounds blowup, measured as a
+    * 15-minute oracle before the rewrite; the window form keeps every
+    * CTE single-referenced, a linear chain) and `//` truncating
+    * division — bit-exact against the kernel.
+    */
+  val q102Sql: String = {
+    val s = HitsScale
+    val rounds = (1 to Iterations).map { k =>
+      s"""a$k AS (
+         |  SELECT p.s AS id, (SUM(h.r) * $s //
+         |    MAX(SUM(h.r)) OVER ())::BIGINT AS r
+         |  FROM pairs p JOIN h${k - 1} h ON p.c = h.id GROUP BY p.s),
+         |h$k AS (
+         |  SELECT p.c AS id, (SUM(a.r) * $s //
+         |    MAX(SUM(a.r)) OVER ())::BIGINT AS r
+         |  FROM pairs p JOIN a$k a ON p.s = a.id GROUP BY p.c)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |h0 AS (SELECT DISTINCT c AS id, ${s}::BIGINT AS r FROM pairs),
+       |$rounds
+       |SELECT id AS node_id, 'customer' AS kind, id // 2 AS entity_id,
+       |       r AS hub_rank, 0::BIGINT AS auth_rank FROM h${Iterations}
+       |UNION ALL
+       |SELECT id, 'supplier', id // 2, 0::BIGINT, r FROM a${Iterations}"""
+      .stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_pagerank" -> (q100PageRank _),
     "q101_ppr_segment" -> (q101SegmentPpr _),
+    "q102_hits" -> (q102Hits _),
   )
 
   val oracle: Map[String, String] = Map(
     "q100_pagerank" -> q100Sql,
     "q101_ppr_segment" -> q101Sql,
+    "q102_hits" -> q102Sql,
   )
 }

@@ -173,4 +173,92 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(!p1.contains(99L))
     assert(p1 == referenceP(pairs, Set(1L), iters = 5))
   }
+
+  // ---- HITS hubs & authorities ----
+
+  private val HS = GraphQueries.HitsScale
+
+  private def hits(pairs: Seq[(Long, Long)], iters: Int,
+      parts: Option[Int] = None,
+      scale: Long = HS): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    GraphQueries.hits(pairs.toDF("c", "s"), iters, scale, parts)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  /** Sequential reference: same recurrence, same truncating L∞
+    * normalization, over a distinct directed edge list.
+    */
+  private def referenceHits(pairs: Seq[(Long, Long)], iters: Int,
+      scale: Long = HS): Map[Long, (Long, Long)] = {
+    val es = pairs.distinct
+    var hub = es.map(_._1).distinct.map(_ -> scale).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val ar = es.groupBy(_._2).map { case (s, e) =>
+        s -> e.map(x => hub.getOrElse(x._1, 0L)).sum }
+      val amax = ar.values.max
+      auth = ar.map { case (k, v) => k -> v * scale / amax }
+      val hr = es.groupBy(_._1).map { case (c, e) =>
+        c -> e.map(x => auth.getOrElse(x._2, 0L)).sum }
+      val hmax = hr.values.max
+      hub = hr.map { case (k, v) => k -> v * scale / hmax }
+    }
+    val ids = hub.keySet ++ auth.keySet
+    ids.map(id =>
+      id -> (hub.getOrElse(id, 0L), auth.getOrElse(id, 0L))).toMap
+  }
+
+  test("hits: bipartite star — hub center and all authorities peg at scale") {
+    // customer 1 supplies from 10..14: hub(1) is the only hub (max →
+    // exactly S); each supplier's raw auth is equal, so all peg at S
+    val pairs = (10L to 14L).map(s => (1L, s))
+    val got = hits(pairs, iters = 5)
+    assert(got(1L) == (HS, 0L))
+    (10L to 14L).foreach(s => assert(got(s) == (0L, HS)))
+  }
+
+  test("hits: asymmetric bipartite graph matches the sequential reference") {
+    val pairs = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 12L), (2L, 13L),
+      (3L, 13L), (3L, 10L), (3L, 14L), (3L, 15L), (4L, 10L))
+    assert(hits(pairs, iters = 5) == referenceHits(pairs, iters = 5))
+  }
+
+  test("hits: general digraph — a mid-path node carries both scores") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val got = hits(pairs, iters = 5)
+    assert(got == referenceHits(pairs, iters = 5))
+    val (h2, a2) = got(2L)
+    assert(h2 > 0L && a2 > 0L, s"node 2 must be both hub and authority: $h2/$a2")
+  }
+
+  test("hits: max hub and max authority are exactly scale every run") {
+    val pairs = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (3L, 13L))
+    val got = hits(pairs, iters = 5)
+    assert(got.values.map(_._1).max == HS)
+    assert(got.values.map(_._2).max == HS)
+  }
+
+  test("hits: result is invariant to the loop partitioner width") {
+    val pairs = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (3L, 13L),
+      (4L, 10L), (4L, 13L))
+    assert(hits(pairs, iters = 5, parts = Some(1)) ==
+      hits(pairs, iters = 5, parts = Some(7)))
+  }
+
+  test("hits: duplicate edges collapse (same result as the distinct list)") {
+    val pairs = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 11L), (2L, 11L))
+    assert(hits(pairs, iters = 5) == hits(pairs.distinct, iters = 5))
+  }
+
+  test("hits: empty edge set yields an empty frame; bad scale rejected") {
+    assert(hits(Seq.empty, iters = 3).isEmpty)
+    import spark.implicits._
+    val df = Seq((1L, 10L)).toDF("c", "s")
+    val e = intercept[IllegalArgumentException] {
+      GraphQueries.hits(df, 1, Long.MaxValue / 2)
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
 }
