@@ -126,6 +126,20 @@ object ScaleBench {
       graft.operators.GraphQueries
         .pageRank(edges, 5, 1000000000L).count()
     }),
+    // HITS on the same co-presence edges (as a digraph): the exchange
+    // is the PageRank shape plus one tiny max action per half-round —
+    // this entry exists to confirm the normalization actions don't
+    // change the decade behavior (HitsScale=1e6 keeps the
+    // maxDegree*S^2 < 2^63 normalization bound at the skew axis's
+    // 12k-degree hubs)
+    "q102_hits" -> ((s, d) => {
+      val edges = TemporalQueries.overlappingSessionPairs(s, d)
+        .filter(col("overlap_us") >= 60000000L)
+        .select(col("sid_a.user_id").as("ua"), col("sid_b.user_id").as("ub"))
+        .filter(col("ua") =!= col("ub"))
+      graft.operators.GraphQueries
+        .hits(edges, 5, graft.operators.GraphQueries.HitsScale).count()
+    }),
     // ANN family: exact scan vs cell probe vs compressed-codes scan
     "q40_ann_brute" -> ((s, d) =>
       graft.operators.VectorQueries.q40AnnBruteForce(s, d).count()),
