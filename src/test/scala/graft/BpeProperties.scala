@@ -99,8 +99,42 @@ object BpeProperties extends Properties("Bpe") {
     }
   }
 
+  // Self-pair-dense axis: words over {a,b} with long repeat runs, so
+  // (a,a)/(b,b) merges — the shape whose created pairs the batch
+  // safety argument cannot bound (the progenitor is the member
+  // itself; see selectBatch) — dominate every round instead of
+  // appearing in ~1/600 random tables. This is the generator that
+  // would have caught the self-pair batching bug on every run.
+  private val runTableGen: Gen[(Seq[(String, Long)], Int)] = for {
+    nWords <- Gen.choose(1, 8)
+    words <- Gen.listOfN(nWords, for {
+      runs <- Gen.choose(1, 4)
+      w <- Gen.listOfN(runs, for {
+        ch <- Gen.oneOf('a', 'b')
+        len <- Gen.choose(1, 5)
+      } yield ch.toString * len).map(_.mkString)
+      c <- Gen.choose(1L, 5L)
+    } yield (w, c))
+    n <- Gen.choose(1, 10)
+  } yield (words, n)
+
+  property("batched training equals sequential on self-pair-dense tables") = {
+    import spark.implicits._
+    forAll(runTableGen) { case (words, n) =>
+      val df = words.toDF("word", "cnt")
+      val got = BpeTokenizer.train(df, n, batchTop = 4, checkpointEvery = 3,
+        maxLocalWords = 0L)
+      got == refTrain(words, n)
+    }
+  }
+
   property("driver-local delta training equals sequential training") =
     forAll(tableGen) { case (words, n) =>
+      BpeTokenizer.trainLocal(words, n) == refTrain(words, n)
+    }
+
+  property("driver-local training equals sequential on self-pair-dense tables") =
+    forAll(runTableGen) { case (words, n) =>
       BpeTokenizer.trainLocal(words, n) == refTrain(words, n)
     }
 }
