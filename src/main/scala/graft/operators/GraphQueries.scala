@@ -120,14 +120,34 @@ object GraphQueries {
       partitions: Option[Int] = None): DataFrame =
     run(pairs, iterations, scale, partitions, Some(seeds))
 
+  /** Weighted PageRank under MULTI-EDGE semantics: `pairs` may repeat
+    * an edge, degree is total multiplicity, and an edge of weight w
+    * carries w·(rank div degree) per round — integer-exact, so the
+    * oracle (SUM(w · (r // d)) over a grouped-weight edge table)
+    * matches bit-for-bit. This is the natural weighting for
+    * interaction graphs where the weight IS a repetition count
+    * (trades, co-occurrences, link multiplicity). Each duplicate
+    * occupies one adjacency slot, so weights are assumed bounded
+    * (here: lineitems per (customer, supplier) pair, ≤ ~30); a
+    * huge-weight corpus would want a (dst, w)-packed adjacency
+    * instead — same recurrence, different representation.
+    */
+  def weightedPageRank(pairs: DataFrame, iterations: Int, scale: Long,
+      partitions: Option[Int] = None): DataFrame =
+    run(pairs, iterations, scale, partitions, seeds = None, multi = true)
+
   /** Adjacency-list build shared by the PageRank and HITS kernels:
     * partition the edge list by src once, then per-partition group
-    * into (src, sorted deduped Array[dst]) — all (src, *) rows land
-    * in one partition, so per-partition dedup is global dedup and
-    * callers need no upstream `distinct` (one less full shuffle).
+    * into (src, sorted Array[dst]) — all (src, *) rows land in one
+    * partition, so per-partition dedup is global dedup and callers
+    * need no upstream `distinct` (one less full shuffle). With
+    * `dedup = false` parallel edges are KEPT: degree becomes the
+    * total multiplicity and each duplicate slot carries one unit of
+    * contribution — multi-edge (weighted) graph semantics.
     */
   private def buildAdjacency(edges: RDD[(Long, Long)],
-      part: HashPartitioner): RDD[(Long, Array[Long])] =
+      part: HashPartitioner,
+      dedup: Boolean = true): RDD[(Long, Array[Long])] =
     edges.partitionBy(part)
       .mapPartitions({ it =>
         val m = collection.mutable.LongMap
@@ -138,18 +158,22 @@ object GraphQueries {
         m.iterator.map { case (src, b) =>
           val a = b.result()
           java.util.Arrays.sort(a)
-          var n = 0
-          var j = 0
-          while (j < a.length) { // in-place dedup of the sorted run
-            if (n == 0 || a(j) != a(n - 1)) { a(n) = a(j); n += 1 }
-            j += 1
+          if (!dedup) (src, a)
+          else {
+            var n = 0
+            var j = 0
+            while (j < a.length) { // in-place dedup of the sorted run
+              if (n == 0 || a(j) != a(n - 1)) { a(n) = a(j); n += 1 }
+              j += 1
+            }
+            (src, java.util.Arrays.copyOf(a, n))
           }
-          (src, java.util.Arrays.copyOf(a, n))
         }
       }, preservesPartitioning = true)
 
   private def run(pairs: DataFrame, iterations: Int, scale: Long,
-      partitions: Option[Int], seeds: Option[DataFrame]): DataFrame = {
+      partitions: Option[Int], seeds: Option[DataFrame],
+      multi: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val raw: RDD[(Long, Long)] = pairs
@@ -175,7 +199,8 @@ object GraphQueries {
     // measured 43s GC-thrash — is retired structurally by the
     // eager checkpoint + unpersist at the end of this method.
     val adj: RDD[(Long, Array[Long])] = buildAdjacency(
-      raw.flatMap { case (c, s) => Iterator((c, s), (s, c)) }, part)
+      raw.flatMap { case (c, s) => Iterator((c, s), (s, c)) }, part,
+      dedup = !multi)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nNodes = adj.count() // materialize NOW, while raw is still
     // cached; then raw can go. adj itself must stay persisted for the
@@ -282,18 +307,21 @@ object GraphQueries {
       |deg AS (SELECT src AS id, COUNT(*)::BIGINT AS d FROM edges GROUP BY 1)"""
       .stripMargin
 
-  /** The unrolled rounds both SQL twins share: `teleSql` is the SQL
-    * expression for the node's teleport term (a constant for q100, a
-    * seed-masked CASE for q101 — `deg LEFT JOIN seeds sd` is in scope
-    * when `seedJoin` is set).
+  /** The unrolled rounds all PageRank SQL twins share: `teleSql` is
+    * the SQL expression for the node's teleport term (a constant for
+    * q100, a seed-masked CASE for q101 — `deg LEFT JOIN seeds sd` is
+    * in scope when `seedJoin` is set); `contribSql` is one edge's
+    * contribution (`p.r // d.d` unweighted, `e.w * (p.r // d.d)` for
+    * the multi-edge weighted variant).
     */
-  private def roundCtes(teleSql: String, seedJoin: Boolean): String =
+  private def roundCtes(teleSql: String, seedJoin: Boolean,
+      contribSql: String = "p.r // d.d"): String =
     (1 to Iterations).map { k =>
       val sj = if (seedJoin) " LEFT JOIN seeds sd ON deg.id = sd.id" else ""
       s"""r$k AS (SELECT deg.id,
          |  (($teleSql) + (85 * COALESCE(m.s, 0)) // 100)::BIGINT AS r
          |  FROM deg$sj LEFT JOIN (
-         |    SELECT e.dst AS id, SUM(p.r // d.d)::BIGINT AS s
+         |    SELECT e.dst AS id, SUM($contribSql)::BIGINT AS s
          |    FROM edges e JOIN deg d ON e.src = d.id
          |    JOIN r${k - 1} p ON e.src = p.id
          |    GROUP BY e.dst) m ON deg.id = m.id)"""
@@ -347,6 +375,38 @@ object GraphQueries {
             s"CASE WHEN sd.id IS NOT NULL THEN $teleport ELSE 0 END",
             seedJoin = true)}
        |${rankOutputSql("ppr_rank")}""".stripMargin
+  }
+
+  /** q103: weighted PageRank — the same trade graph, but every
+    * lineitem counts: a (customer, supplier) pair that trades 30
+    * line items pulls 30× the rank of a one-line relationship
+    * (multi-edge semantics; see [[weightedPageRank]]). `tradePairs`
+    * is already one row per order⋈lineitem match, so the weighted
+    * kernel consumes it as-is — the unweighted q100 is the one that
+    * collapses it.
+    */
+  def q103WeightedPageRank(spark: SparkSession, dir: String): DataFrame =
+    rankOutput(
+      weightedPageRank(tradePairs(Tables(spark, dir)), Iterations, Scale),
+      "wpr_rank")
+
+  /** DuckDB twin of q103: grouped-weight edge table, degree = total
+    * multiplicity, contribution = w · (r // d) per edge group.
+    */
+  val q103Sql: String = {
+    val teleport = (15L * Scale) / 100L
+    s"""WITH wpairs AS (
+       |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+       |         COUNT(*)::BIGINT AS w
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT c AS src, s AS dst, w FROM wpairs
+       |          UNION ALL SELECT s AS src, c AS dst, w FROM wpairs),
+       |deg AS (SELECT src AS id, SUM(w)::BIGINT AS d FROM edges GROUP BY 1),
+       |r0 AS (SELECT id, ${Scale}::BIGINT AS r FROM deg),
+       |${roundCtes(teleport.toString, seedJoin = false,
+            contribSql = "e.w * (p.r // d.d)")}
+       |${rankOutputSql("wpr_rank")}""".stripMargin
   }
 
   // ------------------------------------------------------------------
@@ -522,11 +582,13 @@ object GraphQueries {
     "q100_pagerank" -> (q100PageRank _),
     "q101_ppr_segment" -> (q101SegmentPpr _),
     "q102_hits" -> (q102Hits _),
+    "q103_pagerank_weighted" -> (q103WeightedPageRank _),
   )
 
   val oracle: Map[String, String] = Map(
     "q100_pagerank" -> q100Sql,
     "q101_ppr_segment" -> q101Sql,
     "q102_hits" -> q102Sql,
+    "q103_pagerank_weighted" -> q103Sql,
   )
 }

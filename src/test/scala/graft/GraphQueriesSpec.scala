@@ -174,6 +174,63 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(p1 == referenceP(pairs, Set(1L), iters = 5))
   }
 
+  // ---- weighted (multi-edge) PageRank ----
+
+  private def wpr(pairs: Seq[(Long, Long)], iters: Int,
+      parts: Option[Int] = None): Map[Long, Long] = {
+    import spark.implicits._
+    GraphQueries.weightedPageRank(pairs.toDF("c", "s"), iters, S, parts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Multi-edge sequential reference: duplicates kept, degree = total
+    * multiplicity, each duplicate carries one `rank div deg` unit.
+    */
+  private def referenceW(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val teleport = (15L * S) / 100L
+    var ranks = deg.map { case (k, _) => k -> S }
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .map { case (src, dst) => dst -> ranks(src) / deg(src) }
+        .groupBy(_._1).map { case (k, cs) => k -> cs.map(_._2).sum }
+      ranks = deg.map { case (k, _) =>
+        k -> (teleport + (85L * contribs.getOrElse(k, 0L)) / 100L) }
+    }
+    ranks
+  }
+
+  test("weighted: multi-edge graph matches the sequential reference bit-for-bit") {
+    // edge (1,10) three times, (1,11) once, plus a disjoint pair
+    val pairs = Seq((1L, 10L), (1L, 10L), (1L, 10L), (1L, 11L),
+      (2L, 11L), (2L, 12L), (2L, 12L))
+    assert(wpr(pairs, iters = 5) == referenceW(pairs, iters = 5))
+  }
+
+  test("weighted: a heavier edge pulls more rank than a lighter one") {
+    // node 1 trades 4× with 10 and 1× with 11 — 10 must outrank 11
+    val pairs = Seq((1L, 10L), (1L, 10L), (1L, 10L), (1L, 10L), (1L, 11L))
+    val got = wpr(pairs, iters = 5)
+    assert(got(10L) > got(11L),
+      s"heavy neighbor ${got(10L)} must outrank light ${got(11L)}")
+    // and the unweighted kernel sees them identically
+    val un = pr(pairs, iters = 5)
+    assert(un(10L) == un(11L))
+  }
+
+  test("weighted: collapses to unweighted when every multiplicity is 1") {
+    val pairs = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (3L, 13L))
+    assert(wpr(pairs, iters = 5) == pr(pairs, iters = 5))
+  }
+
+  test("weighted: invariant to the loop partitioner width") {
+    val pairs = Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 11L), (2L, 11L),
+      (3L, 12L))
+    assert(wpr(pairs, iters = 5, parts = Some(1)) ==
+      wpr(pairs, iters = 5, parts = Some(7)))
+  }
+
   // ---- HITS hubs & authorities ----
 
   private val HS = GraphQueries.HitsScale
