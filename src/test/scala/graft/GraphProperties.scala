@@ -121,4 +121,102 @@ object GraphProperties extends Properties("Graph") {
       val ids = tok.tokenize(long)
       ids.map(inv) == Seq("[UNK]")
     }
+
+  // ---- rank kernels vs sequential references on random graphs ----
+  //
+  // The fixed cases in GraphQueriesSpec pin hand-checkable shapes;
+  // these run the same bit-exact comparison on arbitrary small
+  // graphs (each case is a full eager RDD loop — the 12-case budget
+  // above applies). Iterations = 3 keeps a case under a second.
+
+  import graft.operators.GraphQueries
+
+  private val S = GraphQueries.Scale
+  private val prIters = 3
+
+  // random pair lists over a small id space; duplicates allowed (the
+  // unweighted kernels dedup, the weighted one keeps multiplicity)
+  private val pairsGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(1, 15)
+    pairs <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 7L)
+      b <- Gen.choose(8L, 14L) // disjoint ranges: no self-loops
+    } yield (a, b))
+  } yield pairs
+
+  private def refPr(pairs: Seq[(Long, Long)], seeds: Option[Set[Long]],
+      multi: Boolean): Map[Long, Long] = {
+    val base = if (multi) pairs else pairs.distinct
+    val edges = base.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val teleport = (15L * S) / 100L
+    val isSeed = (k: Long) => seeds.forall(_.contains(k))
+    var ranks = deg.map { case (k, _) => k -> (if (isSeed(k)) S else 0L) }
+    for (_ <- 1 to prIters) {
+      val contribs = edges
+        .map { case (src, dst) => dst -> ranks(src) / deg(src) }
+        .groupBy(_._1).map { case (k, cs) => k -> cs.map(_._2).sum }
+      ranks = deg.map { case (k, _) =>
+        k -> ((if (isSeed(k)) teleport else 0L) +
+          (85L * contribs.getOrElse(k, 0L)) / 100L) }
+    }
+    ranks
+  }
+
+  private def collectRanks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  property("pageRank equals the sequential reference on random graphs") =
+    forAll(pairsGen) { pairs =>
+      import spark.implicits._
+      collectRanks(GraphQueries.pageRank(
+        pairs.toDF("c", "s"), prIters, S)) ==
+        refPr(pairs, None, multi = false)
+    }
+
+  property("personalized pageRank equals the seed-masked reference") =
+    forAll(pairsGen, Gen.someOf(0L to 14L)) { (pairs, seedSel) =>
+      import spark.implicits._
+      val seeds = seedSel.toSet
+      collectRanks(GraphQueries.personalizedPageRank(
+        pairs.toDF("c", "s"), seeds.toSeq.toDF("node_id"), prIters, S)) ==
+        refPr(pairs, Some(seeds), multi = false)
+    }
+
+  property("weighted pageRank equals the multi-edge reference") =
+    forAll(pairsGen) { pairs =>
+      import spark.implicits._
+      collectRanks(GraphQueries.weightedPageRank(
+        pairs.toDF("c", "s"), prIters, S)) ==
+        refPr(pairs, None, multi = true)
+    }
+
+  private def refHits(pairs: Seq[(Long, Long)], iters: Int,
+      scale: Long): Map[Long, (Long, Long)] = {
+    val es = pairs.distinct
+    var hub = es.map(_._1).distinct.map(_ -> scale).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val ar = es.groupBy(_._2).map { case (s, e) =>
+        s -> e.map(x => hub.getOrElse(x._1, 0L)).sum }
+      val amax = ar.values.max
+      auth = ar.map { case (k, v) => k -> v * scale / amax }
+      val hr = es.groupBy(_._1).map { case (c, e) =>
+        c -> e.map(x => auth.getOrElse(x._2, 0L)).sum }
+      val hmax = hr.values.max
+      hub = hr.map { case (k, v) => k -> v * scale / hmax }
+    }
+    (hub.keySet ++ auth.keySet).map(id =>
+      id -> (hub.getOrElse(id, 0L), auth.getOrElse(id, 0L))).toMap
+  }
+
+  property("hits equals the sequential reference on random digraphs") =
+    forAll(pairsGen) { pairs =>
+      import spark.implicits._
+      GraphQueries.hits(pairs.toDF("c", "s"), prIters,
+          GraphQueries.HitsScale)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap ==
+        refHits(pairs, prIters, GraphQueries.HitsScale)
+    }
 }
