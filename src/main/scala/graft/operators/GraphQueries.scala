@@ -578,11 +578,207 @@ object GraphQueries {
       .stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q106: semi-supervised label propagation
+  // ------------------------------------------------------------------
+
+  /** Rounds for label propagation. Three is where this bipartite
+    * seeding stabilizes: round 1 labels the far side from the seeds,
+    * round 2 labels the unseeded near side, round 3 re-votes the far
+    * side now that BOTH sides vote (the first round whose electorate
+    * is the full labeled graph).
+    */
+  val LpIterations: Int = 3
+
+  /** Synchronous weighted label propagation (Raghavan et al. 2007's
+    * LPA made deterministic): seed nodes carry fixed labels; each
+    * round every node re-takes the label with the LARGEST total edge
+    * weight among its labeled neighbors' previous-round labels, ties
+    * to the SMALLEST label id, seeds clamped. Non-seed labels are
+    * re-derived every round (not sticky), so round k is a pure
+    * function of round k-1 — which is what lets the oracle unroll the
+    * rounds as single-reference CTEs and hash-match bit-for-bit (all
+    * arithmetic is integer vote sums; no convergence test, fixed
+    * round count, same reasons as PageRank's).
+    *
+    * This is the label-spreading pass a web-corpus curation pipeline
+    * runs to extend a small trusted/spam/domain-topic seed annotation
+    * over the hyperlink (or co-occurrence) graph — the graph-side
+    * complement of the per-document quality filters: a page earns its
+    * neighbors' label before any of its own content is scored.
+    *
+    * Execution is the PageRank scheme on the shared adjacency build
+    * (multi-edge: parallel slots ARE the vote weights): per round one
+    * zipPartitions vote emission packs (node, label) into a single
+    * long key — labels must fit 5 bits, checked against the seed
+    * range — with LongMap pre-combination, then two bounded shuffles:
+    * reduceByKey on the packed key (≤ 32·|nodes| rows) and an argmax
+    * reduceByKey back on the node partitioner, so the seed-clamp
+    * merge with the co-partitioned seed RDD is narrow. Nothing
+    * edge-sized ever crosses the wire after the adjacency build.
+    *
+    * Returns (node_id, label) for every labeled node after
+    * `iterations` rounds (seeds always included, even edge-less ones;
+    * unreachable non-seeds stay absent).
+    */
+  def labelPropagate(pairs: DataFrame, seeds: DataFrame, iterations: Int,
+      partitions: Option[Int] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    val raw: RDD[(Long, Long)] = pairs
+      .select(col(pairs.columns(0)).cast("long"),
+        col(pairs.columns(1)).cast("long")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = raw.count()
+    val seedPairs: RDD[(Long, Long)] = seeds
+      .select(col(seeds.columns(0)).cast("long"),
+        col(seeds.columns(1)).cast("long")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (nEdges == 0) {
+      raw.unpersist(false)
+      // no edges: nothing propagates; the seeds are the fixed point
+      return seedPairs.toDF().select(col("_1").as("node_id"),
+        col("_2").as("label"))
+    }
+    val loopParts = partitions.getOrElse(
+      math.max(1L, 2L * nEdges / 2000000L).toInt)
+    val part = new HashPartitioner(loopParts)
+    val adj = buildAdjacency(
+      raw.flatMap { case (c, s) => Iterator((c, s), (s, c)) }, part,
+      dedup = false) // parallel slots = vote weights
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    raw.unpersist(false)
+    val seedsRdd = seedPairs.partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = seedsRdd.count()
+    if (nSeeds == 0) {
+      adj.unpersist(false)
+      seedsRdd.unpersist(false)
+      return Seq.empty[(Long, Long)].toDF("node_id", "label")
+    }
+    // the packed vote key carries the label in the low 5 bits
+    val (labMin, labMax) = seedsRdd.values
+      .aggregate((Long.MaxValue, Long.MinValue))(
+        (a, v) => (math.min(a._1, v), math.max(a._2, v)),
+        (a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
+    require(labMin >= 0L && labMax < 32L,
+      s"labels must be in [0, 32) to pack beside the node id, got " +
+        s"[$labMin, $labMax] — remap labels to a dense small domain first")
+    var labels: RDD[(Long, Long)] = seedsRdd
+    var i = 0
+    while (i < iterations) {
+      val votes = adj.zipPartitions(labels) { (ai, li) =>
+        val lab = collection.mutable.LongMap.empty[Long]
+        li.foreach { case (k, v) => lab(k) = v }
+        val acc = collection.mutable.LongMap.empty[Long] // (dst<<5|lab) -> w
+        ai.foreach { case (src, dsts) =>
+          val l = lab.getOrElse(src, -1L)
+          if (l >= 0L) {
+            var j = 0
+            while (j < dsts.length) {
+              val key = (dsts(j) << 5) | l
+              acc(key) = acc.getOrElse(key, 0L) + 1L
+              j += 1
+            }
+          }
+        }
+        acc.iterator
+      }.reduceByKey(part, _ + _) // shuffle 1: votes per (node, label)
+      val best = votes
+        .map { case (key, w) => (key >>> 5, (w, key & 31L)) }
+        .reduceByKey(part, (a: (Long, Long), b: (Long, Long)) =>
+          // max weight, ties to the smaller label id
+          if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)
+      // seed clamp, narrow: both sides carry `part`
+      labels = seedsRdd.zipPartitions(best,
+        preservesPartitioning = true) { (si, bi) =>
+        val seed = collection.mutable.LongMap.empty[Long]
+        si.foreach { case (k, v) => seed(k) = v }
+        bi.collect { case (k, (_, l)) if !seed.contains(k) => (k, l) } ++
+          seed.iterator
+      }
+      i += 1
+    }
+    labels.localCheckpoint()
+    labels.count()
+    adj.unpersist(false)
+    seedsRdd.unpersist(false)
+    labels.toDF().select(col("_1").as("node_id"), col("_2").as("label"))
+  }
+
+  /** q106: propagate customer NATION labels over the trade graph —
+    * seed = high-balance customers (c_acctbal > 5000, ~45% of them),
+    * label = their nation; three weighted rounds (every lineitem is
+    * one vote) assign each supplier, and then each unseeded customer,
+    * to the nation whose trade volume dominates its neighborhood.
+    * Output: node counts and entity-id range per (kind, label).
+    */
+  def q106LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val seeds = t.customer.filter(col("c_acctbal") > 5000.0d)
+      .select((col("c_custkey") * 2).as("node_id"),
+        col("c_nationkey").cast("long").as("label"))
+    labelPropagate(tradePairs(t), seeds, LpIterations)
+      .select(
+        when(pmod(col("node_id"), lit(2L)) === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        col("label"), shiftright(col("node_id"), 1).as("entity_id"))
+      .groupBy("kind", "label")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("entity_id").as("min_entity"), max("entity_id").as("max_entity"))
+      .orderBy("kind", "label")
+  }
+
+  /** DuckDB twin of q106: the same three rounds unrolled. Each round
+    * references the previous round's CTE exactly ONCE (the vote join)
+    * — the non-sticky semantics is what makes that possible; a
+    * keep-previous fallback would reference it twice and an
+    * inlining engine re-evaluates the chain exponentially (the q102
+    * lesson). `seeds` is re-referenced per round, but it is a plain
+    * base-table filter — re-inlining it is a constant-cost scan.
+    */
+  val q106Sql: String = {
+    val rounds = (1 to LpIterations).map { k =>
+      s"""v$k AS (
+         |  SELECT e.dst AS id, p.lab, SUM(e.w) AS wsum,
+         |    ROW_NUMBER() OVER (PARTITION BY e.dst
+         |      ORDER BY SUM(e.w) DESC, p.lab) AS rn
+         |  FROM edges e JOIN l${k - 1} p ON e.src = p.id
+         |  GROUP BY e.dst, p.lab),
+         |l$k AS (
+         |  SELECT id, lab FROM seeds
+         |  UNION ALL
+         |  SELECT v.id, v.lab FROM v$k v
+         |  WHERE v.rn = 1
+         |    AND NOT EXISTS (SELECT 1 FROM seeds s WHERE s.id = v.id))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH epairs AS (
+       |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+       |         COUNT(*)::BIGINT AS w
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT c AS src, s AS dst, w FROM epairs
+       |          UNION ALL SELECT s AS src, c AS dst, w FROM epairs),
+       |seeds AS (SELECT c_custkey * 2 AS id, c_nationkey::BIGINT AS lab
+       |          FROM customer WHERE c_acctbal > 5000),
+       |l0 AS (SELECT id, lab FROM seeds),
+       |$rounds
+       |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  lab AS label, COUNT(*) AS n_nodes,
+       |  MIN(id // 2)::BIGINT AS min_entity, MAX(id // 2)::BIGINT AS max_entity
+       |FROM l${LpIterations} GROUP BY 1, 2 ORDER BY kind, label""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_pagerank" -> (q100PageRank _),
     "q101_ppr_segment" -> (q101SegmentPpr _),
     "q102_hits" -> (q102Hits _),
     "q103_pagerank_weighted" -> (q103WeightedPageRank _),
+    "q106_label_prop" -> (q106LabelProp _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -590,5 +786,6 @@ object GraphQueries {
     "q101_ppr_segment" -> q101Sql,
     "q102_hits" -> q102Sql,
     "q103_pagerank_weighted" -> q103Sql,
+    "q106_label_prop" -> q106Sql,
   )
 }

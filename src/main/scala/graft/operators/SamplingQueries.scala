@@ -243,12 +243,59 @@ object SamplingQueries {
        |FROM rep GROUP BY 1 ORDER BY source""".stripMargin
   }
 
+  /** Weighted sampling WITHOUT replacement, k=200, by priority
+    * sampling (Ohlsson's sequential Poisson / Duffield–Lund–Thorup):
+    * draw u_i uniform per item, keep the k smallest ranks u_i/w_i —
+    * heavier documents sample with probability ≈ proportional to
+    * weight, and unlike q84's with-replacement repeats, no document
+    * appears twice. Two engineering choices make it exact and
+    * 100 TB-shaped:
+    *
+    *   - u_i is `md5Long60(doc_id)` (a deterministic hash, not
+    *     rand()) and the rank is the TRUNCATING INTEGER division
+    *     `hash div w` — `floor(hash / w)` in doubles would round
+    *     (the hash needs 60 bits, doubles carry 53), so the order
+    *     could differ between engines; integer division is exact in
+    *     both, and dividing the fixed 60-bit u by w preserves the
+    *     u/w ordering at integer resolution.
+    *   - the bottom-k executes as `ORDER BY ... LIMIT k` →
+    *     TakeOrderedAndProject: each task keeps a k-row heap and only
+    *     k rows per partition cross the wire — no full sort, no full
+    *     shuffle, at any corpus size. Bottom-k sketches also merge:
+    *     per-shard samples union and re-take, which is how the same
+    *     sample composes across 100 TB of partitioned input.
+    *
+    * Ties in rank break by doc_id in BOTH engines, so the kept set is
+    * fully deterministic — rerun it and the same 200 documents come
+    * back, the property that makes a weighted corpus subsample
+    * auditable.
+    */
+  def q104WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), col("lang"),
+        greatest(col("n_chars"), lit(1L)).as("w"),
+        md5Long60(col("doc_id").cast("string")).as("_u"))
+      .withColumn("smp_rank", expr("_u div w"))
+      .drop("_u")
+      .orderBy(col("smp_rank"), col("doc_id"))
+      .limit(200)
+  }
+
+  val q104Sql: String = {
+    val u = OracleSql.md5Long60("doc_id::VARCHAR")
+    s"""SELECT doc_id, lang, greatest(n_chars, 1)::BIGINT AS w,
+       |  ($u // greatest(n_chars, 1))::BIGINT AS smp_rank
+       |FROM documents ORDER BY smp_rank, doc_id LIMIT 200""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_split_assignment" -> (q38SplitAssignment _),
     "q39_decontaminate" -> (q39Decontaminate _),
     "q47_sequence_packing" -> (q47SequencePacking _),
     "q55_training_mix" -> (q55TrainingMix _),
     "q84_temperature_sample" -> (q84TemperatureSample _),
+    "q104_weighted_sample" -> (q104WeightedSample _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -257,5 +304,6 @@ object SamplingQueries {
     "q47_sequence_packing" -> q47Sql,
     "q55_training_mix" -> q55Sql,
     "q84_temperature_sample" -> q84Sql,
+    "q104_weighted_sample" -> q104Sql,
   )
 }

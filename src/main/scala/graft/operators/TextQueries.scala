@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -382,7 +382,119 @@ object TextQueries {
        |  MAX(fc_sum)::BIGINT AS max_fc_sum
        |FROM scored GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  /** Gopher-style in-document repetition filters (Rae et al. 2021,
+    * §A1.1: "fraction of characters in the most common n-gram" and
+    * "fraction of characters in duplicated n-grams") — the
+    * quality-filter family every large-scale web-corpus pipeline
+    * (Gopher, FineWeb, RefinedWeb) applies before training, catching
+    * boilerplate and generated-loop spam that per-token stats (q21)
+    * miss. Two per-document metrics, word-level:
+    *
+    *   - `frac2`: chars in the MOST COMMON word 2-gram (all
+    *     occurrences; gram length counts the joining space) as a
+    *     per-mille of n_chars — Gopher flags > 0.20;
+    *   - `frac3`: chars in DUPLICATED word 3-grams (count ≥ 2, all
+    *     occurrences) per-mille — flags > 0.15.
+    *
+    * Both are per-mille INTEGERS via truncating division, so the
+    * cross-engine comparison is exact (a double ratio's last ulp is
+    * engine-dependent).
+    *
+    * Execution shape is the point: each document's gram counting runs
+    * INSIDE its own row — build the gram array, `array_sort` it, and
+    * run-length-scan it with one `aggregate` fold (max run·len for
+    * frac2, sum of run·len over runs ≥ 2 for frac3). No explode, no
+    * per-gram shuffle: the whole metric pass is a map stage in
+    * whole-stage codegen, and the only exchange is the final per-lang
+    * rollup (≤ 5 rows). The oracle re-derives the same counts the
+    * orthodox way — unnest → group by (doc, gram) — so the fold's
+    * run-length identity (sorted array ⇒ runs = occurrence counts) is
+    * itself what the gate checks.
+    */
+  def q105Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = tokens(col("text"))
+    // all-occurrence word n-grams (NOT distinct — counts matter here),
+    // sorted so equal grams are adjacent for the run-length folds
+    def sortedGrams(n: Int): Column =
+      array_sort(when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+    // max over grams of count·len — one pass over the sorted run
+    def topGramChars(sorted: Column): Column =
+      aggregate(sorted,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (st, g) => {
+          val run = when(g === st.getField("prev"), st.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(g.as("prev"), run.as("run"),
+            greatest(st.getField("best"), run * length(g)).as("best"))
+        },
+        st => st.getField("best"))
+    // sum over grams with count ≥ 2 of count·len — runs close when the
+    // gram changes; the finish clause closes the last run
+    def dupGramChars(sorted: Column): Column = {
+      def closing(st: Column): Column =
+        when(st.getField("run") >= 2L,
+          st.getField("run") * length(st.getField("prev"))).otherwise(lit(0L))
+      aggregate(sorted,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+        (st, g) => {
+          val acc = when(g =!= st.getField("prev"),
+            st.getField("acc") + closing(st)).otherwise(st.getField("acc"))
+          val run = when(g === st.getField("prev"), st.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(g.as("prev"), run.as("run"), acc.as("acc"))
+        },
+        st => st.getField("acc") + closing(st))
+    }
+    t.documents
+      .select(col("lang"),
+        (lit(1000L) * topGramChars(sortedGrams(2))).as("_t2"),
+        (lit(1000L) * dupGramChars(sortedGrams(3))).as("_d3"),
+        greatest(col("n_chars"), lit(1L)).as("_nc"))
+      .withColumn("frac2", expr("_t2 div _nc"))
+      .withColumn("frac3", expr("_d3 div _nc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("frac2") > 200, 1)).as("n_fail_top2"),
+        count(when(col("frac3") > 150, 1)).as("n_fail_dup3"),
+        sum("frac2").as("sum_frac2"),
+        sum("frac3").as("sum_frac3"))
+      .orderBy("lang")
+  }
+
+  val q105Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, greatest(n_chars, 1) AS nc,
+       |    ${OracleSql.tokens("text")} AS tk
+       |  FROM documents),
+       |g2 AS (
+       |  SELECT doc_id, g, COUNT(*) * len(g) AS chars
+       |  FROM toks, UNNEST(list_transform(generate_series(1, len(tk) - 1),
+       |      i -> tk[i] || ' ' || tk[i + 1])) AS u(g)
+       |  GROUP BY doc_id, g),
+       |g3 AS (
+       |  SELECT doc_id, g, COUNT(*) AS cnt, COUNT(*) * len(g) AS chars
+       |  FROM toks, UNNEST(list_transform(generate_series(1, len(tk) - 2),
+       |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS u(g)
+       |  GROUP BY doc_id, g),
+       |m2 AS (SELECT doc_id, MAX(chars) AS top2 FROM g2 GROUP BY doc_id),
+       |m3 AS (SELECT doc_id, SUM(chars) FILTER (WHERE cnt >= 2) AS dup3
+       |       FROM g3 GROUP BY doc_id),
+       |m AS (SELECT t.doc_id, t.lang,
+       |        (1000 * COALESCE(m2.top2, 0)) // t.nc AS frac2,
+       |        (1000 * COALESCE(m3.dup3, 0)) // t.nc AS frac3
+       |      FROM toks t LEFT JOIN m2 USING (doc_id)
+       |                  LEFT JOIN m3 USING (doc_id))
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  COUNT(*) FILTER (WHERE frac2 > 200) AS n_fail_top2,
+       |  COUNT(*) FILTER (WHERE frac3 > 150) AS n_fail_dup3,
+       |  SUM(frac2)::BIGINT AS sum_frac2, SUM(frac3)::BIGINT AS sum_frac3
+       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_repetition" -> (q105Repetition _),
     "q89_unigram_score" -> (q89UnigramScore _),
     "q87_bpe_tokenize" -> (q87BpeTokenize _),
     "q74_heavy_hitters" -> (q74HeavyHitters _),
@@ -396,6 +508,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q105_repetition" -> q105Sql,
     "q89_unigram_score" -> q89Sql,
     "q87_bpe_tokenize" -> q87Sql,
     "q74_heavy_hitters" -> q74Sql,

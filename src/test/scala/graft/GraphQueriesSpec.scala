@@ -318,4 +318,101 @@ class GraphQueriesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("overflow"))
   }
+
+  // ---- label propagation ----
+
+  private def lp(pairs: Seq[(Long, Long)], seeds: Seq[(Long, Long)],
+      iters: Int, parts: Option[Int] = None): Map[Long, Long] = {
+    import spark.implicits._
+    GraphQueries.labelPropagate(
+      pairs.toDF("c", "s"), seeds.toDF("id", "lab"), iters, parts)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Sequential reference: synchronous rounds, weighted votes over
+    * the undirected multi-edge list, max weight then smallest label,
+    * seeds clamped, non-sticky for everyone else.
+    */
+  private def referenceLp(pairs: Seq[(Long, Long)],
+      seeds: Map[Long, Long], iters: Int): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    var labels = seeds
+    for (_ <- 1 to iters) {
+      val best = edges
+        .flatMap { case (src, dst) => labels.get(src).map(l => (dst, l)) }
+        .groupBy(identity).map { case ((dst, l), occ) => (dst, l, occ.size.toLong) }
+        .groupBy(_._1).map { case (dst, vs) =>
+          dst -> vs.map(v => (v._3, v._2)).reduce((a, b) =>
+            if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)._2 }
+      labels = best ++ seeds
+    }
+    labels
+  }
+
+  test("lp: bipartite two-community graph matches the sequential reference") {
+    // seeds 1→lab 3, 2→lab 7; suppliers 10,11 trade mostly with 1,
+    // suppliers 12,13 mostly with 2; customer 4 unseeded in between
+    val pairs = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 12L), (2L, 12L),
+      (2L, 13L), (4L, 11L), (4L, 12L))
+    val seeds = Map(1L -> 3L, 2L -> 7L)
+    val got = lp(pairs, seeds.toSeq, iters = 3)
+    assert(got == referenceLp(pairs, seeds, iters = 3))
+    assert(got(10L) == 3L && got(11L) == 3L)
+    assert(got(12L) == 7L && got(13L) == 7L)
+  }
+
+  test("lp: equal votes break to the smaller label id") {
+    // node 10 hears one vote each for labels 5 and 2 → takes 2
+    val pairs = Seq((1L, 10L), (2L, 10L))
+    val got = lp(pairs, Seq((1L, 5L), (2L, 2L)), iters = 1)
+    assert(got(10L) == 2L)
+  }
+
+  test("lp: seeds are clamped against any majority") {
+    // seed 1 (lab 0) trades only with suppliers that re-vote lab 9
+    // back at it — 1 must stay 0
+    val pairs = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 10L),
+      (2L, 11L), (2L, 11L))
+    val seeds = Seq((1L, 0L), (2L, 9L))
+    val got = lp(pairs, seeds, iters = 3)
+    assert(got(1L) == 0L, "seed must keep its label")
+    assert(got(10L) == 9L && got(11L) == 9L, "2's double edges outvote 1")
+    assert(got == referenceLp(pairs, seeds.toMap, iters = 3))
+  }
+
+  test("lp: parallel edges are vote weights") {
+    // 10 hears 3 votes for lab 8 (triple edge) vs 1 for lab 1
+    val pairs = Seq((1L, 10L), (2L, 10L), (2L, 10L), (2L, 10L))
+    val got = lp(pairs, Seq((1L, 1L), (2L, 8L)), iters = 1)
+    assert(got(10L) == 8L)
+  }
+
+  test("lp: result is invariant to the loop partitioner width") {
+    val pairs = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (3L, 13L),
+      (3L, 13L), (4L, 10L))
+    val seeds = Seq((1L, 2L), (2L, 5L), (3L, 1L))
+    assert(lp(pairs, seeds, iters = 3, parts = Some(1)) ==
+      lp(pairs, seeds, iters = 3, parts = Some(7)))
+  }
+
+  test("lp: seeded random graph matches the sequential reference") {
+    val rnd = new scala.util.Random(20260814L)
+    val pairs = Seq.fill(300)(
+      (rnd.nextInt(20).toLong, 100L + rnd.nextInt(25).toLong))
+    val seeds = (0L until 20L by 3L).map(c => c -> (c % 30L / 3L)).toSeq
+    val got = lp(pairs, seeds, iters = 3, parts = Some(5))
+    assert(got == referenceLp(pairs, seeds.toMap, iters = 3))
+  }
+
+  test("lp: empty seeds yield empty; no edges return the seeds; bad labels rejected") {
+    import spark.implicits._
+    assert(lp(Seq((1L, 10L)), Seq.empty, iters = 2).isEmpty)
+    assert(lp(Seq.empty, Seq((1L, 4L), (2L, 6L)), iters = 2) ==
+      Map(1L -> 4L, 2L -> 6L))
+    val e = intercept[IllegalArgumentException] {
+      GraphQueries.labelPropagate(Seq((1L, 10L)).toDF("c", "s"),
+        Seq((1L, 40L)).toDF("id", "lab"), 1)
+    }
+    assert(e.getMessage.contains("[0, 32)"))
+  }
 }
