@@ -140,6 +140,29 @@ object ScaleBench {
       graft.operators.GraphQueries
         .hits(edges, 5, graft.operators.GraphQueries.HitsScale).count()
     }),
+    // label propagation over the same co-presence graph: seeds =
+    // every third user labeled user_id % 8 (8 labels, inside the
+    // 32-slot dense vote vector). The exchange is the PageRank shape
+    // but each receiver accumulates a 32-long array instead of one
+    // long — the decade should stay edge-linear, and the --skew hub
+    // axis stresses the same map-side pre-combination (a hub's
+    // thousands of votes collapse into ONE array before the shuffle)
+    "q106_label_prop" -> ((s, d) => {
+      val edges = TemporalQueries.overlappingSessionPairs(s, d)
+        .filter(col("overlap_us") >= 60000000L)
+        .select(col("sid_a.user_id").as("ua"), col("sid_b.user_id").as("ub"))
+        .filter(col("ua") =!= col("ub"))
+      // seeds from the base table, NOT from `edges` — a seed frame
+      // derived off the edge list would re-run the whole interval
+      // join a second time inside the kernel's seed materialization
+      // (measured 6× end-to-end at sf1); kernels take seeds as an
+      // independent input for exactly this reason
+      val seeds = graft.Tables(s, d).events
+        .select(col("user_id").as("id")).distinct()
+        .filter(col("id") % 3 === 0)
+        .select(col("id"), (col("id") % 8).as("lab"))
+      graft.operators.GraphQueries.labelPropagate(edges, seeds, 3).count()
+    }),
     // ANN family: exact scan vs cell probe vs compressed-codes scan
     "q40_ann_brute" -> ((s, d) =>
       graft.operators.VectorQueries.q40AnnBruteForce(s, d).count()),
