@@ -413,7 +413,10 @@ object TextQueries {
     */
   def q105Repetition(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val toks = tokens(col("text"))
+    // tokens materialize in their own projection — inlining the split
+    // into every lambda element_at would re-tokenize per gram (the
+    // q31/q107 lesson)
+    val toks = col("tk")
     // all-occurrence word n-grams (NOT distinct — counts matter here),
     // sorted so equal grams are adjacent for the run-length folds
     def sortedGrams(n: Int): Column =
@@ -449,6 +452,7 @@ object TextQueries {
         st => st.getField("acc") + closing(st))
     }
     t.documents
+      .select(col("lang"), col("n_chars"), tokens(col("text")).as("tk"))
       .select(col("lang"),
         (lit(1000L) * topGramChars(sortedGrams(2))).as("_t2"),
         (lit(1000L) * dupGramChars(sortedGrams(3))).as("_d3"),
@@ -493,7 +497,89 @@ object TextQueries {
        |  SUM(frac2)::BIGINT AS sum_frac2, SUM(frac3)::BIGINT AS sum_frac3
        |FROM m GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Bigram-LM fluency scoring — the conditional complement of q89's
+    * unigram rarity: a corpus-trained bigram model scores each
+    * document by how SURPRISING its word transitions are, which is
+    * what catches shuffled/templated word salad whose unigrams are
+    * individually common (the failure mode a perplexity filter
+    * exists for; KenLM-over-CommonCrawl is the classic instance).
+    *
+    * Per within-document bigram (w1, w2) the surprisal proxy is
+    * `bitlen(count(w1·)) − bitlen(count(w1 w2))` ≈ −log2 P(w2|w1) in
+    * frequency classes — INTEGER arithmetic end to end (q89's
+    * `len(bin(n))−1` trick; libm `ln` drifts in the last ulp across
+    * engines, bit length is exact everywhere). `count(w1·)` is the
+    * CONTINUATION count (occurrences of w1 as a bigram prefix), so
+    * the proxy is a true conditional: surp ≥ 0, and 0 means "w2 is
+    * what always follows w1". Per-doc mean surprisal (×10, floored)
+    * buckets per language with exact min/max sums.
+    *
+    * Scale shape: bigram derivation is ROW-LOCAL (transform over the
+    * token array — no self-join, no lag window over an exploded
+    * table), then one explode feeds two grouped counts (bigram
+    * table, prefix table — the same shuffle key modulo the second
+    * element) and one scoring join whose model side is
+    * Zipf-compressed and broadcastable at corpus scale.
+    */
+  def q107BigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // tokens materialize in their OWN projection: referencing the
+    // `tokens(text)` expression from inside the gram lambda would let
+    // CollapseProject inline the whole split into every element_at —
+    // O(len²) re-tokenization per row (the q31 lesson; measured 12.3s
+    // → 1.9s warm at sf0.1 for this query, and 1.1s → 0.3s for q105)
+    val tokenized = t.documents
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+    val tk = col("tk")
+    val bigrams = when(size(tk) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tk) - 2),
+        i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2))))
+    val docBigrams = tokenized
+      .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
+    val bgCounts = docBigrams.groupBy("bg").agg(count(lit(1)).as("bg_cnt"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val prefixCounts = bgCounts.groupBy("w1")
+      .agg(sum("bg_cnt").as("w1_cnt"))
+    val model = bgCounts.join(prefixCounts, Seq("w1"))
+      .select(col("bg"),
+        ((length(bin(col("w1_cnt"))) - length(bin(col("bg_cnt"))))
+          .cast("long")).as("surp"))
+    docBigrams.join(model, Seq("bg"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("surp").as("surp_sum"), count(lit(1)).as("n_bigrams"))
+      .withColumn("bucket", expr("(10 * surp_sum) div n_bigrams"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), min("surp_sum").as("min_surp"),
+        max("surp_sum").as("max_surp"))
+      .orderBy("lang", "bucket")
+  }
+
+  val q107Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, ${OracleSql.tokens("text")} AS tk
+       |  FROM documents),
+       |db AS (
+       |  SELECT doc_id, lang, g AS bg
+       |  FROM toks, UNNEST(list_transform(generate_series(1, len(tk) - 1),
+       |      i -> tk[i] || ' ' || tk[i + 1])) AS u(g)),
+       |bgc AS (SELECT bg, COUNT(*) AS bg_cnt FROM db GROUP BY bg),
+       |pfx AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(bg_cnt) AS w1_cnt
+       |        FROM bgc GROUP BY 1),
+       |model AS (
+       |  SELECT bg, (len(bin(w1_cnt)) - len(bin(bg_cnt)))::BIGINT AS surp
+       |  FROM bgc JOIN pfx ON split_part(bgc.bg, ' ', 1) = pfx.w1),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang, SUM(m.surp)::BIGINT AS surp_sum,
+       |    COUNT(*) AS n_bigrams
+       |  FROM db d JOIN model m ON d.bg = m.bg
+       |  GROUP BY d.doc_id, d.lang)
+       |SELECT lang, (10 * surp_sum) // n_bigrams AS bucket,
+       |  COUNT(*) AS n_docs, MIN(surp_sum)::BIGINT AS min_surp,
+       |  MAX(surp_sum)::BIGINT AS max_surp
+       |FROM scored GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_bigram_score" -> (q107BigramScore _),
     "q105_repetition" -> (q105Repetition _),
     "q89_unigram_score" -> (q89UnigramScore _),
     "q87_bpe_tokenize" -> (q87BpeTokenize _),
@@ -508,6 +594,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q107_bigram_score" -> q107Sql,
     "q105_repetition" -> q105Sql,
     "q89_unigram_score" -> q89Sql,
     "q87_bpe_tokenize" -> q87Sql,
