@@ -411,51 +411,60 @@ object TextQueries {
     * run-length identity (sorted array ⇒ runs = occurrence counts) is
     * itself what the gate checks.
     */
+  /** Sorted all-occurrence word n-grams of a token-array column (NOT
+    * distinct — counts matter), equal grams adjacent for the
+    * run-length folds. `toks` must be a MATERIALIZED column reference
+    * (see the q107 inlining note), not a raw `tokens(text)` tree.
+    */
+  private[graft] def sortedGrams(toks: Column, n: Int): Column =
+    array_sort(when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+
+  /** Max over grams of count·len — one run-length pass over a sorted
+    * gram array (runs = occurrence counts).
+    */
+  private[graft] def topGramChars(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, g) => {
+        val run = when(g === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run * length(g)).as("best"))
+      },
+      st => st.getField("best"))
+
+  /** Sum over grams with count ≥ 2 of count·len — runs close when the
+    * gram changes; the finish clause closes the last run.
+    */
+  private[graft] def dupGramChars(sorted: Column): Column = {
+    def closing(st: Column): Column =
+      when(st.getField("run") >= 2L,
+        st.getField("run") * length(st.getField("prev"))).otherwise(lit(0L))
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+      (st, g) => {
+        val acc = when(g =!= st.getField("prev"),
+          st.getField("acc") + closing(st)).otherwise(st.getField("acc"))
+        val run = when(g === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"), acc.as("acc"))
+      },
+      st => st.getField("acc") + closing(st))
+  }
+
   def q105Repetition(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     // tokens materialize in their own projection — inlining the split
     // into every lambda element_at would re-tokenize per gram (the
     // q31/q107 lesson)
-    val toks = col("tk")
-    // all-occurrence word n-grams (NOT distinct — counts matter here),
-    // sorted so equal grams are adjacent for the run-length folds
-    def sortedGrams(n: Int): Column =
-      array_sort(when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
-    // max over grams of count·len — one pass over the sorted run
-    def topGramChars(sorted: Column): Column =
-      aggregate(sorted,
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (st, g) => {
-          val run = when(g === st.getField("prev"), st.getField("run") + 1L)
-            .otherwise(lit(1L))
-          struct(g.as("prev"), run.as("run"),
-            greatest(st.getField("best"), run * length(g)).as("best"))
-        },
-        st => st.getField("best"))
-    // sum over grams with count ≥ 2 of count·len — runs close when the
-    // gram changes; the finish clause closes the last run
-    def dupGramChars(sorted: Column): Column = {
-      def closing(st: Column): Column =
-        when(st.getField("run") >= 2L,
-          st.getField("run") * length(st.getField("prev"))).otherwise(lit(0L))
-      aggregate(sorted,
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
-        (st, g) => {
-          val acc = when(g =!= st.getField("prev"),
-            st.getField("acc") + closing(st)).otherwise(st.getField("acc"))
-          val run = when(g === st.getField("prev"), st.getField("run") + 1L)
-            .otherwise(lit(1L))
-          struct(g.as("prev"), run.as("run"), acc.as("acc"))
-        },
-        st => st.getField("acc") + closing(st))
-    }
+    def sortedGramsTk(n: Int): Column = sortedGrams(col("tk"), n)
     t.documents
       .select(col("lang"), col("n_chars"), tokens(col("text")).as("tk"))
       .select(col("lang"),
-        (lit(1000L) * topGramChars(sortedGrams(2))).as("_t2"),
-        (lit(1000L) * dupGramChars(sortedGrams(3))).as("_d3"),
+        (lit(1000L) * topGramChars(sortedGramsTk(2))).as("_t2"),
+        (lit(1000L) * dupGramChars(sortedGramsTk(3))).as("_d3"),
         greatest(col("n_chars"), lit(1L)).as("_nc"))
       .withColumn("frac2", expr("_t2 div _nc"))
       .withColumn("frac3", expr("_d3 div _nc"))
