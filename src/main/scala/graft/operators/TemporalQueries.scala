@@ -430,11 +430,144 @@ object TemporalQueries {
       |  (SELECT COUNT(*) FROM wedges w
       |     JOIN oriented o ON w.w_s = o.s AND w.w_t = o.t) AS n_triangles""".stripMargin
 
+  /** 3-core peel rounds. Four is where this corpus's cascade reaches
+    * its fixed point at every scale factor (the sf0.1 graph needs all
+    * four: 12,074 → 11,666 → 11,636 → 11,632 → 11,632 directed
+    * edges); the output carries a `converged` flag — last round
+    * removed nothing — so a corpus that needs more rounds is visible,
+    * not silently mis-cored.
+    */
+  val KCoreK: Int = 3
+  val KCoreRounds: Int = 4
+
+  /** q108: k-core decomposition (bounded peeling) of the co-presence
+    * graph — the dense-subgraph filter a crawl/interaction-graph
+    * curation pipeline runs to find (or drop) tightly-coupled
+    * communities: nodes that survive the K-core have ≥ K neighbors
+    * who THEMSELVES survive, the standard structural spam/bot-ring
+    * and community-strength signal (Seidman 1983). Peeling repeats
+    * "drop every node with current degree < K" until fixed point;
+    * here a FIXED round count (the PageRank discipline) so the DuckDB
+    * twin unrolls, with convergence surfaced as a result column
+    * instead of a loop test.
+    *
+    * Execution: each round annotates the (shrinking) directed edge
+    * list with both endpoint degrees via two window counts — the
+    * symmetric edge list makes `COUNT(*) OVER (PARTITION BY dst)`
+    * the dst's full degree, so a round is two shuffles of the
+    * surviving edges and nothing else; the round-k CTE references
+    * round k-1 exactly ONCE (the q102 inlining discipline — a
+    * separate degree-table formulation would reference it twice per
+    * round and inline 2^rounds copies). The loop runs EAGERLY with
+    * loop-sized shuffle partitions and AQE off (the q36 lesson:
+    * tiny-data iterative rounds are scheduling-bound — the lazy form
+    * paid one AQE job per window stage plus a second evaluation of
+    * the round chain for the convergence count; 2.8s → 2.1s warm at
+    * sf0.1, the remainder being the co-presence derivation itself),
+    * each round localCheckpoint'd, so the per-round edge counts land
+    * on the driver and `converged` is a comparison of the last two —
+    * no second lazy reference to the round chain at all. The
+    * expensive co-presence derivation materializes ONCE up front
+    * (the q99 lesson).
+    */
+  def q108KCore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val undirected = overlappingSessionPairs(spark, dir)
+      .filter(col("overlap_us") >= 60000000L)
+      .select(col("sid_a.user_id").as("ua"), col("sid_b.user_id").as("ub"))
+      .filter(col("ua") =!= col("ub"))
+      .select(least(col("ua"), col("ub")).as("u"),
+        greatest(col("ua"), col("ub")).as("v"))
+      .distinct()
+    var e = undirected.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(undirected.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    val counts = collection.mutable.ArrayBuffer(e.count())
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // partitions sized from the live edge count, never a constant:
+      // the same loop on a 10^12-edge graph wants ~500k
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(4L, counts.head / 2000000L).toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for (_ <- 1 to KCoreRounds) {
+        e = e
+          .withColumn("ds", count(lit(1)).over(Window.partitionBy("src")))
+          .withColumn("dd", count(lit(1)).over(Window.partitionBy("dst")))
+          .filter(col("ds") >= KCoreK && col("dd") >= KCoreK)
+          .select("src", "dst")
+          .localCheckpoint()
+        counts += e.count()
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+    val converged = counts(KCoreRounds) == counts(KCoreRounds - 1)
+    e.agg(count(lit(1)).as("n_core_edges"),
+      countDistinct(col("src")).as("n_core_nodes"),
+      min(col("src")).as("min_user"), max(col("src")).as("max_user"))
+      .withColumn("converged", lit(converged))
+  }
+
+  /** DuckDB twin of q108: q99's co-presence prefix, then the same
+    * window-degree rounds unrolled; `converged` compares the final
+    * two rounds' edge counts (the ONLY second reference, at the top
+    * of the chain — not compounding per round).
+    */
+  val q108Sql: String = {
+    val rounds = (1 to KCoreRounds).map { k =>
+      s"""e$k AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      COUNT(*) OVER (PARTITION BY src) AS ds,
+         |      COUNT(*) OVER (PARTITION BY dst) AS dd
+         |    FROM e${k - 1})
+         |  WHERE ds >= $KCoreK AND dd >= $KCoreK)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800 THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+       |    ts
+       |  FROM flagged),
+       |iv AS (
+       |  SELECT user_id,
+       |    MIN(epoch_us(ts)::BIGINT) AS start_us,
+       |    MAX(epoch_us(ts)::BIGINT) AS end_us
+       |  FROM sess GROUP BY user_id, session_id),
+       |pairs AS (
+       |  SELECT DISTINCT least(a.user_id, b.user_id) AS u,
+       |    greatest(a.user_id, b.user_id) AS v
+       |  FROM iv a JOIN iv b
+       |    ON a.user_id < b.user_id
+       |   AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+       |   AND least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us)
+       |       >= 60000000),
+       |e0 AS (SELECT u AS src, v AS dst FROM pairs
+       |       UNION ALL SELECT v AS src, u AS dst FROM pairs),
+       |$rounds
+       |SELECT COUNT(*) AS n_core_edges,
+       |  COUNT(DISTINCT src) AS n_core_nodes,
+       |  MIN(src) AS min_user, MAX(src) AS max_user,
+       |  COUNT(*) = (SELECT COUNT(*) FROM e${KCoreRounds - 1}) AS converged
+       |FROM e${KCoreRounds}""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_asof_join" -> (q75AsofJoin _),
     "q82_scd2_history" -> (q82Scd2History _),
     "q94_interval_join" -> (q94IntervalJoin _),
     "q99_triangle_count" -> (q99TriangleCount _),
+    "q108_kcore" -> (q108KCore _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -442,5 +575,6 @@ object TemporalQueries {
     "q82_scd2_history" -> q82Sql,
     "q94_interval_join" -> q94Sql,
     "q99_triangle_count" -> q99Sql,
+    "q108_kcore" -> q108Sql,
   )
 }
