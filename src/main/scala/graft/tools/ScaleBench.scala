@@ -163,6 +163,12 @@ object ScaleBench {
         .select(col("id"), (col("id") % 8).as("lab"))
       graft.operators.GraphQueries.labelPropagate(edges, seeds, 3).count()
     }),
+    // k-core peel on the same co-presence graph: the rounds are
+    // window counts over a shrinking edge list with loop-sized
+    // partitions, so the decade should track the edge derivation
+    // (the q94/q99 curve), not the peel
+    "q108_kcore" -> ((s, d) =>
+      graft.operators.TemporalQueries.q108KCore(s, d).count()),
     // ANN family: exact scan vs cell probe vs compressed-codes scan
     "q40_ann_brute" -> ((s, d) =>
       graft.operators.VectorQueries.q40AnnBruteForce(s, d).count()),
