@@ -154,4 +154,36 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"the binned form must never plan a nested-loop/cartesian join:\n" +
         df.queryExecution.executedPlan)
   }
+
+  test("q104 priority sample runs as a top-k heap, never a global sort") {
+    // ORDER BY rank LIMIT k must plan TakeOrderedAndProject (k rows per
+    // partition cross the wire); a SortExec would mean the whole corpus
+    // sorts for a 200-row sample
+    val df = operators.SamplingQueries.q104WeightedSample(spark, dir)
+    val topk = collectNodes(df) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    val sorts = collectNodes(df) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(topk.nonEmpty,
+      s"expected TakeOrderedAndProject:\n${df.queryExecution.executedPlan}")
+    assert(sorts.isEmpty,
+      s"a global sort defeats the bottom-k heap:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q105 repetition metrics: single scan, only the per-lang rollup shuffles") {
+    val df = operators.TextQueries.q105Repetition(spark, dir)
+    val scans = collectNodes(df) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val shuffles = collectNodes(df) { case s: ShuffleExchangeLike => s }
+    assert(scans.size == 1,
+      s"gram counting must stay inside one scan of documents:\n" +
+        df.queryExecution.executedPlan)
+    // partial agg -> exchange -> final agg (+ the orderBy's tiny range
+    // exchange over <=5 rows): never a per-gram explode shuffle
+    assert(shuffles.size <= 2,
+      s"q105 grew a shuffle (${shuffles.size}):\n${df.queryExecution.executedPlan}")
+  }
 }
