@@ -424,6 +424,59 @@ object EventStreams {
       }
   }
 
+  final case class DocIn(doc_id: Long, lang: String, w: Long)
+  final case class SampleOut(lang: String, version: Long, doc_id: Long,
+    w: Long, smp_rank: Long)
+
+  /** JVM twin of TextFunctions.md5Long60 (first 60 bits of the MD5 of
+    * the string) — the shared deterministic-uniform the batch q104 and
+    * this stream both rank by, so their samples are comparable.
+    */
+  private[graft] def md5Long60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Streaming twin of q104's priority sample: a per-language bottom-k
+    * weighted sample WITHOUT replacement, maintained incrementally —
+    * the state is the current k smallest (rank = hash div weight,
+    * doc_id) and a merge with each batch's arrivals re-takes the
+    * bottom k. Because the rank is a pure function of the document
+    * (not of arrival order or batch boundaries), the maintained sample
+    * after ANY prefix of the stream equals the batch bottom-k over the
+    * same rows — bottom-k sketches are mergeable, which is exactly why
+    * this streams — and replayed documents dedup by id, so at-least-
+    * once delivery cannot bias the sample. Emits the group's full
+    * sample with a bumped `version` only when a batch changes it;
+    * consumers take the max version per language.
+    */
+  def prioritySampleStream(docs: Dataset[DocIn], k: Int): Dataset[SampleOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.lang)
+      .flatMapGroupsWithState[(Long, Seq[(Long, Long, Long)]), SampleOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (lang, rows, state: GroupState[(Long, Seq[(Long, Long, Long)])]) =>
+          val (ver, cur) = state.getOption.getOrElse(
+            (0L, Seq.empty[(Long, Long, Long)]))
+          val incoming = rows.map { d =>
+            val w = math.max(d.w, 1L)
+            (md5Long60Jvm(d.doc_id.toString) / w, d.doc_id, w)
+          }
+          val merged = (cur ++ incoming)
+            .groupBy(_._2).map(_._2.head).toSeq // replay-idempotent by id
+            .sortBy(t => (t._1, t._2)).take(k)
+          if (merged == cur) Iterator.empty
+          else {
+            val v = ver + 1
+            state.update((v, merged))
+            merged.iterator.map { case (r, id, w) =>
+              SampleOut(lang, v, id, w, r) }
+          }
+      }
+  }
+
   final case class Seen(key: String, raw: String)
   final case class SeenCount(key: String, raw: String, seenCount: Long)
 

@@ -462,4 +462,56 @@ class StreamingSpec extends AnyFunSuite {
         8L -> None))
     } finally q.stop()
   }
+
+  test("streaming priority sample equals the batch bottom-k and is replay-proof") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{DocIn, md5Long60Jvm}
+    implicit val sqlCtx = spark.sqlContext
+    val k = 3
+    val all = Seq(
+      DocIn(1L, "en", 100L), DocIn(2L, "en", 10L), DocIn(3L, "en", 900L),
+      DocIn(4L, "en", 50L), DocIn(5L, "en", 700L), DocIn(6L, "en", 5L),
+      DocIn(10L, "de", 40L), DocIn(11L, "de", 300L), DocIn(12L, "de", 60L))
+    val mem = MemoryStream[DocIn]
+    val q = EventStreams.prioritySampleStream(mem.toDS(), k)
+      .writeStream.format("memory").queryName("psample")
+      .outputMode("update").start()
+    try {
+      mem.addData(all.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(4): _*)
+      q.processAllAvailable()
+      def current(): Map[String, Seq[Long]] = {
+        val rows = spark.table("psample")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        rows.groupBy(_._1).map { case (lang, rs) =>
+          val vMax = rs.map(_._2).max
+          lang -> rs.filter(_._2 == vMax).map(_._3).sorted.toSeq
+        }
+      }
+      // batch reference: the q104 rank on the same rows, per lang
+      def batchBottomK(docs: Seq[DocIn]): Map[String, Seq[Long]] =
+        docs.groupBy(_.lang).map { case (lang, ds) =>
+          lang -> ds.map(d => (md5Long60Jvm(d.doc_id.toString) /
+              math.max(d.w, 1L), d.doc_id))
+            .sorted.take(k).map(_._2).sorted.toSeq
+        }
+      val afterAll = current()
+      assert(afterAll == batchBottomK(all),
+        s"stream sample $afterAll != batch ${batchBottomK(all)}")
+      val versionsBefore = spark.table("psample")
+        .groupBy("lang").agg(max("version")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // replay the whole input: dedup-by-id must keep the sample AND
+      // the version unchanged (no spurious emissions)
+      mem.addData(all: _*)
+      q.processAllAvailable()
+      val versionsAfter = spark.table("psample")
+        .groupBy("lang").agg(max("version")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(versionsAfter == versionsBefore,
+        "a replayed batch must not change or re-emit the sample")
+      assert(current() == batchBottomK(all))
+    } finally q.stop()
+  }
 }
