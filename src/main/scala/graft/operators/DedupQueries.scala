@@ -671,7 +671,83 @@ object DedupQueries {
        |HAVING COUNT(*)::DOUBLE / (a.n + b.n - COUNT(*))::DOUBLE >= 0.7
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q109: CONTAINMENT join — the asymmetric member of the dedup
+    * family: C(A→B) = |A∩B| / |A| over distinct word trigrams finds
+    * documents SUBSTANTIALLY CONTAINED in another (quotes, excerpts,
+    * partial scrapes, page-of-a-larger-doc shards), which symmetric
+    * Jaccard misses by construction — a short excerpt of a long doc
+    * has tiny Jaccard but containment ≈ 1. This is the
+    * subset-duplication signal behind "remove documents that are
+    * mostly a substring of another" curation rules (Lee et al. 2022
+    * observe exactly this class). The corpus has no true partial
+    * copies, so the query injects them (the q55 pattern): the first
+    * half of each document re-enters as its own doc (id + 1e6), and
+    * the join must recover exactly those excerpt→source pairs —
+    * word-trigram containment separates cleanly here (injected pairs
+    * ≥ 0.9, max unrelated same-lang pair 0.27 at sf0.01; char-3-gram
+    * shingles saturate to 1.0 on unrelated docs and CANNOT express
+    * this query — measured before choosing the shingle).
+    *
+    * Shape: the q31 postings self-join (explode once, equi-join on
+    * (lang, shingle), group-count the intersection) with the
+    * asymmetric normalizer — directed pairs, a_n alone in the
+    * denominator. Zero-intersection pairs vacuously fail the
+    * threshold, so the inner join losing them is semantics-
+    * preserving. At 100 TB the candidate generation follows q80's
+    * prefix-filter discipline (order tokens rarest-first, index the
+    * first ⌈(1-t)·|A|⌉+1 of the CONTAINED side only — containment's
+    * prefix filter is one-sided); this oracled slice pins the
+    * semantics the scaled plan must preserve.
+    */
+  def q109Containment(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = t.documents.filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val excerpts = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("lang"),
+      col("text").substr(lit(1),
+        floor(length(col("text")) / 2).cast("int")).as("text"))
+    val postings = base.unionByName(excerpts)
+      .select(col("doc_id"), col("lang"),
+        wordShingles(col("text"), 3).as("s"))
+      .select(col("doc_id"), col("lang"), size(col("s")).as("n_sh"),
+        explode(col("s")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val a = postings.select(col("doc_id").as("a_id"), col("lang"),
+      col("n_sh").as("a_n"), col("g"))
+    val b = postings.select(col("doc_id").as("b_id"), col("lang"), col("g"))
+    a.join(b, Seq("lang", "g"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id", "a_n")
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("a_n").cast("double"))
+      .filter(col("containment") >= 0.9d)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
+  val q109Sql: String = {
+    val toks = OracleSql.tokens("text")
+    val sh = OracleSql.wordShingles(toks, 3)
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, text FROM documents WHERE doc_id < 200),
+       |corpus AS (
+       |  SELECT doc_id, lang, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, lang,
+       |    substr(text, 1, (length(text) // 2)::INT) AS text FROM base),
+       |shd AS (SELECT doc_id, lang, $sh AS s FROM corpus)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE
+       |    AS containment
+       |FROM shd a JOIN shd b ON a.lang = b.lang AND a.doc_id != b.doc_id
+       |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE >= 0.9
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_containment" -> (q109Containment _),
     "q80_jaccard_prefix" -> (q80JaccardPrefix _),
     "q76_span_dedup" -> (q76SpanDedup _),
     "q35_neardup_embedding_lsh" -> (q35NearDupEmbeddingLsh _),
@@ -684,6 +760,7 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q109_containment" -> q109Sql,
     "q80_jaccard_prefix" -> q80Sql,
     "q76_span_dedup" -> q76Sql,
     "q35_neardup_embedding_lsh" -> q35Sql,
