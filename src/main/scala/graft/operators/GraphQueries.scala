@@ -62,13 +62,26 @@ object GraphQueries {
     * saving the extra full shuffle. ONE definition shared by q100 and
     * q101 so the Spark side cannot diverge between them (the SQL twin
     * prefix is shared the same way — `graphCtes`).
+    *
+    * MEMOIZED per scale dir (the QualityQueries.cache pattern): five
+    * queries (q100/q101/q102/q103/q106) consume this identical
+    * orders⋈lineitem derivation, and each kernel's first action would
+    * otherwise re-run the join — localCheckpoint materializes it once
+    * per dir and truncates the lineage, so every kernel's edge-RDD
+    * read starts from the checkpointed rows (~0.3-0.5s saved per
+    * query after the first).
     */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   private def tradePairs(t: Tables): DataFrame =
-    t.orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
+    pairsCache.getOrElseUpdate(t.dir,
+      t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .localCheckpoint())
 
   private def rankOutput(ranks: DataFrame, rankCol: String): DataFrame =
     ranks.select(col("node_id"),
