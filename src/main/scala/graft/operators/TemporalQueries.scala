@@ -170,6 +170,17 @@ object TemporalQueries {
   private val hotMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Long, Int), Boolean]
 
+  /** Per-dir memo of the sessionized interval frame (events scan →
+    * gap sessionization → per-session [start, end]): three queries
+    * (q94, q99, q108) consume this identical derivation, and each
+    * re-ran the window pipeline on first action. localCheckpoint
+    * materializes it once per dir (the QualityQueries.cache /
+    * GraphQueries.pairsCache pattern — one SparkSession per process,
+    * the assumption those memos already make).
+    */
+  private val sessMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   private[graft] def overlappingSessionPairs(spark: SparkSession,
       dir: String, hotDensity: Int = 1000, salts: Int = 8): DataFrame = {
     // grid width trades explode factor against per-cell density²:
@@ -177,19 +188,21 @@ object TemporalQueries {
     // small (hour cells measured 6× more candidate pairs at sf0.1)
     val gridUs = 600L * 1000000L
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val sess = Tables(spark, dir).events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum("new_session").over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "session_id")
-      .agg(min(unix_micros(col("ts"))).as("start_us"),
-        max(unix_micros(col("ts"))).as("end_us"))
-      .select(struct(col("user_id"), col("session_id")).as("sid"),
-        col("start_us"), col("end_us"))
+    val sess = sessMemo.getOrElseUpdate(dir,
+      Tables(spark, dir).events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"))
+        .select(struct(col("user_id"), col("session_id")).as("sid"),
+          col("start_us"), col("end_us"))
+        .localCheckpoint())
     val anyHot = hotMemo.getOrElseUpdate((dir, gridUs, hotDensity),
       probeHot(sess, gridUs, hotDensity))
     overlappingIntervalPairs(sess, gridUs, hotDensity, salts, Some(anyHot))
