@@ -219,4 +219,36 @@ object GraphProperties extends Properties("Graph") {
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap ==
         refHits(pairs, prIters, GraphQueries.HitsScale)
     }
+
+  /** Sequential label propagation: weighted votes over the undirected
+    * multi-edge list, max weight then smallest label, seeds clamped,
+    * non-sticky (mirrors GraphQueriesSpec.referenceLp).
+    */
+  private def refLp(pairs: Seq[(Long, Long)], seeds: Map[Long, Long],
+      iters: Int): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    var labels = seeds
+    for (_ <- 1 to iters) {
+      val best = edges
+        .flatMap { case (src, dst) => labels.get(src).map(l => (dst, l)) }
+        .groupBy(identity).map { case ((dst, l), occ) => (dst, l, occ.size.toLong) }
+        .groupBy(_._1).map { case (dst, vs) =>
+          dst -> vs.map(v => (v._3, v._2)).reduce((a, b) =>
+            if (a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)) a else b)._2 }
+      labels = best ++ seeds
+    }
+    labels
+  }
+
+  property("label propagation equals the sequential reference, forced partitions") =
+    forAll(pairsGen, Gen.someOf(0L to 14L), Gen.choose(1, 5)) {
+      (pairs, seedSel, parts) =>
+        import spark.implicits._
+        val seeds = seedSel.map(id => id -> (id % 31L)).toMap
+        GraphQueries.labelPropagate(pairs.toDF("c", "s"),
+            seeds.toSeq.toDF("id", "lab"), GraphQueries.LpIterations,
+            Some(parts))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+          refLp(pairs, seeds, GraphQueries.LpIterations)
+    }
 }
