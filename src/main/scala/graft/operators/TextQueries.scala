@@ -587,7 +587,83 @@ object TextQueries {
        |  MAX(surp_sum)::BIGINT AS max_surp
        |FROM scored GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  /** Token co-occurrence PMI — THE statistic embedding pretraining is
+    * built on (word2vec negative sampling and GloVe both factorize
+    * exactly this matrix): unordered token pairs co-occurring within
+    * a ±2 sliding window, scored by pointwise mutual information
+    * PMI(a,b) = log( N·c(a,b) / (c(a)·c(b)) ), here in INTEGER
+    * frequency classes — `bitlen(N·c_ab) − bitlen(c_a·c_b)` ≈ ⌈PMI⌉₂
+    * — so the cross-engine hash is exact (q89's discipline). Output:
+    * top-100 pairs by (pmi_class, count, pair), the corpus's most
+    * over-associated collocations; rare tight pairs outrank frequent
+    * loose ones, which raw co-occurrence counts cannot do.
+    *
+    * Shape: window pairs derive ROW-LOCALLY (flatten over offsets
+    * d ∈ {1,2} of the materialized token array — no self-join of an
+    * exploded table), then one explode feeds the pair count; the PMI
+    * join sides (pair table, two unigram lookups, the scalar N) are
+    * all Zipf-compressed and broadcastable at corpus scale. The
+    * final top-100 is a TakeOrderedAndProject.
+    */
+  def q110CoocPmi(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tokenized = t.documents
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val tk = col("tk")
+    val prsCol = when(size(tk) < 2, array().cast("array<string>"))
+      .otherwise(flatten(transform(sequence(lit(1), size(tk) - 1), i =>
+        filter(transform(array(lit(1), lit(2)), d =>
+          when(i + d <= size(tk),
+            concat_ws(" ",
+              least(element_at(tk, i), element_at(tk, i + d)),
+              greatest(element_at(tk, i), element_at(tk, i + d))))),
+          x => x.isNotNull))))
+    val pairRows = tokenized.select(explode(prsCol).as("pr"))
+    val pc = pairRows.groupBy("pr").agg(count(lit(1)).as("c_ab"))
+    val tc = tokenized.select(explode(tk).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    // N from the pair aggregate, NOT a second pass over pairRows: a
+    // second reference to the un-shuffled pairRows would re-run the
+    // scan + flatten, while the aggregate's exchange is reusable
+    val tot = pc.agg(sum("c_ab").as("n"))
+    pc.filter(col("c_ab") >= 5)
+      .withColumn("w1", substring_index(col("pr"), " ", 1))
+      .withColumn("w2", substring_index(col("pr"), " ", -1))
+      .join(tc.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
+      .join(tc.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_class",
+        (length(bin(col("n") * col("c_ab"))) -
+          length(bin(col("c_a") * col("c_b")))).cast("long"))
+      .select("w1", "w2", "c_ab", "pmi_class")
+      .orderBy(desc("pmi_class"), desc("c_ab"), asc("w1"), asc("w2"))
+      .limit(100)
+  }
+
+  val q110Sql: String =
+    s"""WITH tk AS (SELECT doc_id, ${OracleSql.tokens("text")} AS t
+       |            FROM documents),
+       |prs AS (
+       |  SELECT least(t[i], t[i+d]) || ' ' || greatest(t[i], t[i+d]) AS pr
+       |  FROM tk, UNNEST(generate_series(1, len(t) - 1)) AS u(i),
+       |        UNNEST([1, 2]) AS v(d)
+       |  WHERE i + d <= len(t)),
+       |pc AS (SELECT pr, COUNT(*) AS c_ab FROM prs GROUP BY pr),
+       |tc AS (SELECT un.t AS w, COUNT(*) AS c_w
+       |       FROM tk, UNNEST(tk.t) AS un(t) GROUP BY un.t),
+       |tot AS (SELECT COUNT(*) AS n FROM prs)
+       |SELECT split_part(pr, ' ', 1) AS w1, split_part(pr, ' ', 2) AS w2,
+       |  c_ab,
+       |  (len(bin(tot.n * c_ab)) - len(bin(a.c_w * b.c_w)))::BIGINT
+       |    AS pmi_class
+       |FROM pc, tot
+       |JOIN tc a ON split_part(pc.pr, ' ', 1) = a.w
+       |JOIN tc b ON split_part(pc.pr, ' ', 2) = b.w
+       |WHERE c_ab >= 5
+       |ORDER BY pmi_class DESC, c_ab DESC, w1, w2 LIMIT 100""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_cooc_pmi" -> (q110CoocPmi _),
     "q107_bigram_score" -> (q107BigramScore _),
     "q105_repetition" -> (q105Repetition _),
     "q89_unigram_score" -> (q89UnigramScore _),
@@ -603,6 +679,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q110_cooc_pmi" -> q110Sql,
     "q107_bigram_score" -> q107Sql,
     "q105_repetition" -> q105Sql,
     "q89_unigram_score" -> q89Sql,
