@@ -289,9 +289,72 @@ object SamplingQueries {
        |FROM documents ORDER BY smp_rank, doc_id LIMIT 200""".stripMargin
   }
 
+  /** q111: PARTIAL decontamination via word 8-gram overlap — the
+    * n-gram collision check (GPT-3 appendix C / PaLM style) that
+    * catches a training document QUOTING an eval item, which q39's
+    * whole-document hash structurally misses (any one-character edit
+    * defeats an exact hash; an 8-gram overlap survives it). Split is
+    * q38's stable hash bucket; "benchmark" = the test split. Per
+    * train document: distinct 8-grams, how many also occur anywhere
+    * in the eval set, and the overlap per-mille; the 50 most
+    * contaminated come back (ties fully ordered by doc_id).
+    *
+    * Scale shape: gram derivation is ROW-LOCAL (the codegen'd
+    * graft_word_shingles — no self-join); the eval gram set is tiny
+    * relative to the corpus (benchmarks are KBs next to a 100 TB
+    * crawl) so the membership probe is a BROADCAST semi-join — the
+    * train side never shuffles for it; the only exchange is the
+    * per-doc rollup on doc_id, and the top-50 is a
+    * TakeOrderedAndProject heap. At real scale the eval grams would
+    * be distributed as a bloom filter first, with this exact join as
+    * the confirm pass on the survivors.
+    */
+  def q111NgramDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bucket = pmod(md5Long60(col("doc_id").cast("string")), lit(100L))
+    val tagged = t.documents
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 8).as("grams"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+    val evalGrams = tagged.filter(col("split") === "test")
+      .select(explode(col("grams")).as("gram")).distinct()
+    tagged.filter(col("split") === "train")
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("permille", expr("(1000 * n_hits) div n_grams"))
+      .select("doc_id", "n_grams", "n_hits", "permille")
+      .orderBy(desc("permille"), desc("n_hits"), asc("doc_id"))
+      .limit(50)
+  }
+
+  val q111Sql: String = {
+    val bucket = s"(${OracleSql.md5Long60("doc_id::VARCHAR")} % 100)"
+    val grams = OracleSql.wordShingles(OracleSql.tokens("text"), 8)
+    s"""WITH tagged AS (
+       |  SELECT doc_id, $grams AS grams,
+       |    CASE WHEN $bucket < 80 THEN 'train'
+       |         WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents),
+       |eval_grams AS (
+       |  SELECT DISTINCT unnest(grams) AS gram FROM tagged WHERE split = 'test'),
+       |train AS (
+       |  SELECT doc_id, len(grams)::BIGINT AS n_grams, unnest(grams) AS gram
+       |  FROM tagged WHERE split = 'train')
+       |SELECT t.doc_id, t.n_grams, COUNT(*)::BIGINT AS n_hits,
+       |  ((1000 * COUNT(*)) // t.n_grams)::BIGINT AS permille
+       |FROM train t JOIN eval_grams e USING (gram)
+       |GROUP BY t.doc_id, t.n_grams
+       |ORDER BY permille DESC, n_hits DESC, doc_id LIMIT 50""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_split_assignment" -> (q38SplitAssignment _),
     "q39_decontaminate" -> (q39Decontaminate _),
+    "q111_ngram_decontaminate" -> (q111NgramDecontaminate _),
     "q47_sequence_packing" -> (q47SequencePacking _),
     "q55_training_mix" -> (q55TrainingMix _),
     "q84_temperature_sample" -> (q84TemperatureSample _),
@@ -301,6 +364,7 @@ object SamplingQueries {
   val oracle: Map[String, String] = Map(
     "q38_split_assignment" -> q38Sql,
     "q39_decontaminate" -> q39Sql,
+    "q111_ngram_decontaminate" -> q111Sql,
     "q47_sequence_packing" -> q47Sql,
     "q55_training_mix" -> q55Sql,
     "q84_temperature_sample" -> q84Sql,

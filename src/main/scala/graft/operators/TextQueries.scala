@@ -662,7 +662,84 @@ object TextQueries {
        |WHERE c_ab >= 5
        |ORDER BY pmi_class DESC, c_ab DESC, w1, w2 LIMIT 100""".stripMargin
 
+  /** q116: quality-filter CASCADE with first-fail attribution — the
+    * C4/Gopher/FineWeb-style rule funnel every curation pipeline
+    * publishes next to its corpus: ordered rules, each document
+    * charged to the FIRST rule it fails (so the per-rule counts sum
+    * to n_docs and the funnel is auditable — "how many documents did
+    * rule 3 uniquely remove" is unanswerable from independent rule
+    * counts). Rules, in order, all integer-exact: token count < 20
+    * (too short), chars > 480 (too long), mean word length in tenths
+    * outside [41, 48] (Gopher §A1.1's 3-10 char window, scaled to
+    * this corpus), fewer than 2 stopword hits (Gopher's "at least 2
+    * of a stop set" rule). Output: per-language funnel + survivors.
+    *
+    * Scale shape: every metric is ROW-LOCAL over the materialized
+    * token array (one scan, no explode, no join — the q107 lesson:
+    * tokens materialize in their own projection so lambda
+    * element_at/size references don't re-tokenize); the only exchange
+    * is the 5-row-per-language rollup with map-side partial combine.
+    * At 100 TB this is a pure map stage — the funnel aggregate is
+    * bytes per executor.
+    */
+  def q116FilterCascade(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val allStop = stopwords.flatMap(_._2).distinct.sorted
+    val base = t.documents.select(col("lang"), col("n_chars"),
+      tokens(col("text")).as("tk"), tokens(lower(col("text"))).as("ltk"))
+    val scored = base.select(col("lang"), col("n_chars"),
+        size(col("tk")).cast("long").as("ntok"),
+        aggregate(col("tk"), lit(0L), (acc, s) => acc + length(s)).as("sumlen"),
+        size(filter(col("ltk"), s => s.isin(allStop.map(lit): _*)))
+          .cast("long").as("stophits"))
+      .withColumn("mwl10", expr("(10 * sumlen) div greatest(ntok, 1)"))
+      .withColumn("verdict",
+        when(col("ntok") < 20, "too_short")
+          .when(col("n_chars") > 480, "too_long")
+          .when(col("mwl10") < 41 || col("mwl10") > 48, "word_length")
+          .when(col("stophits") < 2, "few_stopwords")
+          .otherwise(lit("kept")))
+    scored.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("verdict") === "too_short", 1)).as("n_too_short"),
+        count(when(col("verdict") === "too_long", 1)).as("n_too_long"),
+        count(when(col("verdict") === "word_length", 1)).as("n_word_length"),
+        count(when(col("verdict") === "few_stopwords", 1)).as("n_few_stopwords"),
+        count(when(col("verdict") === "kept", 1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val q116Sql: String = {
+    val allStop = stopwords.flatMap(_._2).distinct.sorted
+    s"""WITH base AS (
+       |  SELECT lang, n_chars, ${OracleSql.tokens("text")} AS tk,
+       |    ${OracleSql.tokens("lower(text)")} AS ltk
+       |  FROM documents),
+       |m AS (
+       |  SELECT lang, n_chars, len(tk)::BIGINT AS ntok,
+       |    list_aggregate(list_transform(tk, s -> len(s)), 'sum')::BIGINT AS sumlen,
+       |    ${OracleSql.stopHits("ltk", allStop)}::BIGINT AS stophits
+       |  FROM base),
+       |v AS (
+       |  SELECT lang,
+       |    CASE WHEN ntok < 20 THEN 'too_short'
+       |         WHEN n_chars > 480 THEN 'too_long'
+       |         WHEN (10 * sumlen) // greatest(ntok, 1) < 41
+       |           OR (10 * sumlen) // greatest(ntok, 1) > 48 THEN 'word_length'
+       |         WHEN stophits < 2 THEN 'few_stopwords'
+       |         ELSE 'kept' END AS verdict
+       |  FROM m)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  COUNT(*) FILTER (WHERE verdict = 'too_short') AS n_too_short,
+       |  COUNT(*) FILTER (WHERE verdict = 'too_long') AS n_too_long,
+       |  COUNT(*) FILTER (WHERE verdict = 'word_length') AS n_word_length,
+       |  COUNT(*) FILTER (WHERE verdict = 'few_stopwords') AS n_few_stopwords,
+       |  COUNT(*) FILTER (WHERE verdict = 'kept') AS n_kept
+       |FROM v GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_filter_cascade" -> (q116FilterCascade _),
     "q110_cooc_pmi" -> (q110CoocPmi _),
     "q107_bigram_score" -> (q107BigramScore _),
     "q105_repetition" -> (q105Repetition _),
@@ -680,6 +757,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q110_cooc_pmi" -> q110Sql,
+    "q116_filter_cascade" -> q116Sql,
     "q107_bigram_score" -> q107Sql,
     "q105_repetition" -> q105Sql,
     "q89_unigram_score" -> q89Sql,
