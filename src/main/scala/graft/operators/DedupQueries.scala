@@ -746,7 +746,158 @@ object DedupQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** q112: SemDeDup — SEMANTIC deduplication (Abbas et al. 2023): the
+    * corpus k-means-clusters in embedding space and only WITHIN-cluster
+    * pairs are cosine-compared; of each near-duplicate pair the higher
+    * vec_id drops. This removes paraphrases and re-encodings that
+    * share no n-grams (invisible to q30/q32/q80) while never scoring a
+    * cross-cluster pair — the trick that makes semantic dedup
+    * affordable: with k ∝ √n clusters the pair count is Σ(n/k)² ≈ n,
+    * not n². Centroids here are q81's deterministic seeds (vec_id < 8
+    * — q81's Lloyd step is the refinement that would polish them), and
+    * the q34 threshold (cosine ≥ 0.4) keeps the dup semantics
+    * consistent across the dedup family. Output: the per-cluster dedup
+    * ledger (members, dup pairs, dropped, kept).
+    *
+    * Scale shape: seeds broadcast (KBs); assignment is one map-side-
+    * combined argmax aggregate (ONE row per vector crosses the
+    * shuffle); members rejoin their vectors on the unique vec_id key;
+    * pair scoring is an equi-join ON cluster_id — shuffle ∝ corpus,
+    * compare cost ∝ Σ cluster², bounded by the k ∝ √n sizing rule. A
+    * skewed giant cluster is the known failure mode; the mitigation
+    * (recursively re-cluster oversize cells) composes from this same
+    * operator.
+    */
+  def q112Semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val vecs = t.embeddings.select(col("vec_id"), col("embedding"))
+    val seeds = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("seed"))
+    val assign = vecs.crossJoin(broadcast(seeds))
+      .withColumn("dot", dotFold(col("embedding"), col("seed")))
+      .groupBy("vec_id")
+      .agg(min(struct((col("dot") * lit(-1.0d)).as("ndot"),
+        col("seed_id").as("seed_id"))).as("b"))
+      .select(col("vec_id"), col("b.seed_id").as("cluster_id"))
+    val memb = assign.join(vecs, Seq("vec_id"))
+    val a = memb.select(col("cluster_id"), col("vec_id").as("a_id"),
+      col("embedding").as("a_e"))
+    val b = memb.select(col("cluster_id"), col("vec_id").as("b_id"),
+      col("embedding").as("b_e"))
+    val pairs = a.join(b, Seq("cluster_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(dotFold(col("a_e"), col("b_e")) >= 0.4d)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        countDistinct("b_id").as("n_dropped"))
+    assign.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      .join(pairs, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("cluster_id")
+  }
+
+  val q112Sql: String = {
+    val dot = OracleSql.dotFold("v.embedding", "s.seed")
+    val pdot = OracleSql.dotFold("a.embedding", "b.embedding")
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS seed
+       |  FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT v.vec_id, s.seed_id, $dot AS dot
+       |  FROM embeddings v CROSS JOIN seeds s),
+       |assign AS (
+       |  SELECT vec_id, seed_id AS cluster_id FROM (
+       |    SELECT vec_id, seed_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                         ORDER BY dot DESC, seed_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |memb AS (
+       |  SELECT a.vec_id, a.cluster_id, e.embedding
+       |  FROM assign a JOIN embeddings e USING (vec_id)),
+       |pairs AS (
+       |  SELECT a.cluster_id, COUNT(*) AS n_dup_pairs,
+       |    COUNT(DISTINCT b.vec_id) AS n_dropped
+       |  FROM memb a JOIN memb b
+       |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       |  WHERE $pdot >= 0.4
+       |  GROUP BY a.cluster_id),
+       |members AS (
+       |  SELECT cluster_id, COUNT(*) AS n_members FROM assign GROUP BY 1)
+       |SELECT m.cluster_id, m.n_members,
+       |  COALESCE(p.n_dup_pairs, 0)::BIGINT AS n_dup_pairs,
+       |  COALESCE(p.n_dropped, 0)::BIGINT AS n_dropped,
+       |  (m.n_members - COALESCE(p.n_dropped, 0))::BIGINT AS n_kept
+       |FROM members m LEFT JOIN pairs p USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
+  }
+
+  /** q114: RECORD LINKAGE (entity resolution) — blocked fuzzy matching
+    * of a dirty feed against a canonical registry, the classic
+    * Fellegi–Sunter pipeline shape: BLOCK (cheap equi-key cuts the
+    * candidate space from n·m to per-block products) → SCORE (edit
+    * distance on the candidate pairs only) → RESOLVE (best match per
+    * dirty record, deterministic tie-break). The corpus has no dirty
+    * twin, so the query constructs one (the q30/q31 pattern): each
+    * part's name loses its first character — a typo the registry's
+    * exact key misses but edit distance ≤ 2 recovers. Blocking key =
+    * the last name token (the type word the perturbation preserves);
+    * a production blocker adds a second pass on a different key to
+    * catch block-split pairs.
+    *
+    * Scale shape: the canonical registry (distinct names) is DICTIONARY
+    * sized → BROADCAST; the dirty side never shuffles. Scoring cost is
+    * per-block products against a tiny dictionary, never n·m;
+    * `levenshtein` is codegen'd in Spark. Resolution is one
+    * map-side-combined min(struct) aggregate (one row per dirty record
+    * crosses the shuffle), and the result page is a
+    * TakeOrderedAndProject.
+    */
+  def q114RecordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val canon = t.part.select(col("p_name").as("canon_name")).distinct()
+      .withColumn("blk", substring_index(col("canon_name"), " ", -1))
+    val dirty = t.part.select(col("p_partkey"),
+        expr("substr(p_name, 2)").as("dirty_name"))
+      .withColumn("blk", substring_index(col("dirty_name"), " ", -1))
+    dirty.join(broadcast(canon), Seq("blk"))
+      .withColumn("dist", levenshtein(col("dirty_name"), col("canon_name")))
+      .filter(col("dist") <= 2)
+      .groupBy("p_partkey", "dirty_name")
+      .agg(min(struct(col("dist"), col("canon_name"))).as("b"))
+      .select(col("p_partkey"), col("dirty_name"),
+        col("b.canon_name").as("best_name"),
+        col("b.dist").cast("long").as("dist"))
+      .orderBy(asc("p_partkey"))
+      .limit(200)
+  }
+
+  val q114Sql: String =
+    s"""WITH canon AS (
+       |  SELECT DISTINCT p_name AS canon_name,
+       |    string_split(p_name, ' ')[-1] AS blk FROM part),
+       |dirty AS (
+       |  SELECT p_partkey, substr(p_name, 2) AS dirty_name,
+       |    string_split(substr(p_name, 2), ' ')[-1] AS blk FROM part),
+       |scored AS (
+       |  SELECT d.p_partkey, d.dirty_name, c.canon_name,
+       |    levenshtein(d.dirty_name, c.canon_name) AS dist
+       |  FROM dirty d JOIN canon c USING (blk)
+       |  WHERE levenshtein(d.dirty_name, c.canon_name) <= 2),
+       |best AS (
+       |  SELECT p_partkey, dirty_name, canon_name AS best_name, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY p_partkey, dirty_name
+       |                       ORDER BY dist, canon_name) AS rn
+       |  FROM scored)
+       |SELECT p_partkey, dirty_name, best_name, dist::BIGINT AS dist
+       |FROM best WHERE rn = 1
+       |ORDER BY p_partkey LIMIT 200""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_record_linkage" -> (q114RecordLinkage _),
+    "q112_semdedup" -> (q112Semdedup _),
     "q109_containment" -> (q109Containment _),
     "q80_jaccard_prefix" -> (q80JaccardPrefix _),
     "q76_span_dedup" -> (q76SpanDedup _),
@@ -760,6 +911,8 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q114_record_linkage" -> q114Sql,
+    "q112_semdedup" -> q112Sql,
     "q109_containment" -> q109Sql,
     "q80_jaccard_prefix" -> q80Sql,
     "q76_span_dedup" -> q76Sql,
