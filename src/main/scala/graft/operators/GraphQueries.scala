@@ -808,7 +808,93 @@ object GraphQueries {
        |FROM l${LpIterations} GROUP BY 1, 2 ORDER BY kind, label""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q113: TextRank keyword extraction
+  // ------------------------------------------------------------------
+
+  /** q113: TextRank (Mihalcea & Tarau 2004) — keyword extraction as
+    * PageRank over the word CO-OCCURRENCE graph, the composition of
+    * q110's pair derivation with q103's weighted kernel: content
+    * words (length ≥ 4, the cheap stopword surrogate) co-occurring
+    * within a ±2 window are edges, multiplicity IS the edge weight,
+    * and five damped fixed-point rounds rank every vocabulary word by
+    * how central it is to the corpus's co-occurrence structure. The
+    * top-30 are the corpus keywords — the keyphrase signal a curation
+    * pipeline extracts per document/domain for topic balancing and
+    * indexing. Node ids are md5Long60(word) in BOTH engines, so the
+    * oracle (the same derivation + q103's unrolled weighted rounds)
+    * matches bit-for-bit.
+    *
+    * Scale shape: pair derivation is ROW-LOCAL (flatten over the
+    * materialized token array — no exploded self-join); the kernel's
+    * adjacency build groups occurrences into multi-edge slots with
+    * one partitionBy, and each round shuffles only pre-combined
+    * contributions (|vocab| rows — vocabulary grows by Heaps' law,
+    * ~√corpus, so the loop state at 100 TB input is GBs, not TBs).
+    * The rank→word resolution joins on the unique node id; the
+    * top-30 is a TakeOrderedAndProject.
+    */
+  def q113Textrank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{md5Long60, tokens}
+    val t = Tables(spark, dir)
+    val toks = t.documents.select(tokens(col("text")).as("tk0"))
+      .select(filter(col("tk0"), w => length(w) >= 4).as("tk"))
+    val tk = col("tk")
+    val prsCol = when(size(tk) < 2, array().cast("array<string>"))
+      .otherwise(flatten(transform(sequence(lit(1), size(tk) - 1), i =>
+        filter(transform(array(lit(1), lit(2)), d =>
+          when((i + d <= size(tk)) &&
+            (element_at(tk, i) =!= element_at(tk, i + d)),
+            concat_ws(" ", element_at(tk, i), element_at(tk, i + d)))),
+          x => x.isNotNull))))
+    val pairs = toks.select(explode(prsCol).as("pr"))
+      .select(md5Long60(substring_index(col("pr"), " ", 1)).as("a"),
+        md5Long60(substring_index(col("pr"), " ", -1)).as("b"))
+    val ranks = weightedPageRank(pairs, Iterations, Scale)
+    val vocab = toks.select(explode(tk).as("word")).distinct()
+      .withColumn("node_id", md5Long60(col("word")))
+    ranks.join(vocab, Seq("node_id"))
+      .select(col("word"), col("pr_rank").as("tr_rank"))
+      .orderBy(desc("tr_rank"), asc("word"))
+      .limit(30)
+  }
+
+  /** DuckDB twin of q113: q110's pair CTE (length-filtered,
+    * self-loops dropped) feeding q103's grouped-weight edge table and
+    * unrolled weighted rounds, resolved back to words at the end.
+    */
+  val q113Sql: String = {
+    val teleport = (15L * Scale) / 100L
+    val h1 = OracleSql.md5Long60("split_part(pr, ' ', 1)")
+    val h2 = OracleSql.md5Long60("split_part(pr, ' ', 2)")
+    val hw = OracleSql.md5Long60("un.t")
+    s"""WITH toks AS (
+       |  SELECT list_filter(${OracleSql.tokens("text")}, w -> len(w) >= 4) AS t
+       |  FROM documents),
+       |occ AS (
+       |  SELECT t[i] || ' ' || t[i+d] AS pr
+       |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i),
+       |        UNNEST([1, 2]) AS v(d)
+       |  WHERE i + d <= len(t) AND t[i] != t[i+d]),
+       |wpairs AS (
+       |  SELECT $h1 AS c, $h2 AS s, COUNT(*)::BIGINT AS w
+       |  FROM occ GROUP BY 1, 2),
+       |edges AS (SELECT c AS src, s AS dst, w FROM wpairs
+       |          UNION ALL SELECT s AS src, c AS dst, w FROM wpairs),
+       |deg AS (SELECT src AS id, SUM(w)::BIGINT AS d FROM edges GROUP BY 1),
+       |r0 AS (SELECT id, ${Scale}::BIGINT AS r FROM deg),
+       |${roundCtes(teleport.toString, seedJoin = false,
+              contribSql = "e.w * (p.r // d.d)")},
+       |vocab AS (
+       |  SELECT DISTINCT un.t AS word, $hw AS id
+       |  FROM toks, UNNEST(toks.t) AS un(t))
+       |SELECT v.word, r.r AS tr_rank
+       |FROM r${Iterations} r JOIN vocab v USING (id)
+       |ORDER BY tr_rank DESC, word LIMIT 30""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_textrank" -> (q113Textrank _),
     "q100_pagerank" -> (q100PageRank _),
     "q101_ppr_segment" -> (q101SegmentPpr _),
     "q102_hits" -> (q102Hits _),
@@ -817,6 +903,7 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q113_textrank" -> q113Sql,
     "q100_pagerank" -> q100Sql,
     "q101_ppr_segment" -> q101Sql,
     "q102_hits" -> q102Sql,
