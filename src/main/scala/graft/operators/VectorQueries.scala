@@ -364,7 +364,111 @@ object VectorQueries {
        |ORDER BY approx_dist, c.vec_id LIMIT 10""".stripMargin
   }
 
+  /** q115: deterministic k-means++ seeding (farthest-point / k-center
+    * greedy — the D² rule with argmax in place of the D²-weighted coin
+    * flip, so it is reproducible and oracle-checkable): seed 0 is
+    * vec_id 0; each of the next 7 seeds is the vector FARTHEST (max
+    * min-L2² over chosen seeds, ties to the lowest vec_id) from the
+    * current seed set. This is the init step that feeds q81's Lloyd
+    * iteration / the IVF coarse quantizer (rag/AnnIndex) — a bad seed
+    * set is what produces the giant skewed cells q112's cluster-join
+    * cost model fears.
+    *
+    * Scale shape: the loop state is ONE persisted corpus frame
+    * carrying (embedding, ssq, running min-distance); each round is a
+    * MAP pass (update mind against the one new broadcast-literal
+    * seed — the incremental form; recomputing min over all seeds
+    * would be O(k²·n) dots instead of O(k·n)) plus a 1-row
+    * TakeOrderedAndProject argmax, and the new seed rides to the
+    * driver as one bounded row (the BPE driver-boundary pattern —
+    * k seeds are KBs at any corpus size). localCheckpoint per round
+    * bounds lineage (the q36 lesson). L2² expands to
+    * ssq(v) + ssq(s) − 2·dot(v,s) so every term is the codegen'd
+    * graft_dot with the oracle's exact fold order.
+    */
+  def q115KmeansppSeed(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val t = Tables(spark, dir)
+    val base = t.embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("ssq", dotFold(col("embedding"), col("embedding")))
+    val s0 = base.filter(col("vec_id") === 0)
+      .select(col("embedding"), col("ssq")).collect()(0)
+    var seedEmb: Seq[Float] = s0.getSeq[Float](0)
+    var seedSsq: Double = s0.getDouble(1)
+    def d2(emb: Seq[Float], ssq: Double): Column =
+      col("ssq") + lit(ssq) - lit(2.0d) * dotFold(col("embedding"),
+        typedlit(emb))
+    val chosen = collection.mutable.ArrayBuffer[(Long, Long, Double)](
+      (0L, 0L, 0.0d))
+    var m = base.withColumn("mind", d2(seedEmb, seedSsq)).localCheckpoint()
+    var r = 1
+    while (r < k) {
+      val win = m.orderBy(desc("mind"), asc("vec_id")).limit(1)
+        .select("vec_id", "mind", "embedding", "ssq").collect()(0)
+      chosen += ((r.toLong, win.getLong(0), win.getDouble(1)))
+      if (r < k - 1) {
+        seedEmb = win.getSeq[Float](2)
+        seedSsq = win.getDouble(3)
+        m = m.withColumn("mind", least(col("mind"), d2(seedEmb, seedSsq)))
+          .localCheckpoint()
+      }
+      r += 1
+    }
+    import spark.implicits._
+    chosen.toSeq.toDF("seed_rank", "vec_id", "d2")
+      .orderBy("seed_rank")
+  }
+
+  /** DuckDB twin of q115: the same incremental recurrence unrolled —
+    * each round's argmax rides a FIRST_VALUE window over the previous
+    * round (every CTE referenced exactly ONCE; a scalar-subquery
+    * formulation would double-reference each round and an inlining
+    * engine re-evaluates the chain exponentially — the q102 lesson),
+    * and the per-round choices carry forward as constant columns,
+    * unpivoted by parallel UNNESTs at the end.
+    */
+  val q115Sql: String = {
+    val k = 8
+    def dot(a: String, b: String) = OracleSql.dotFold(a, b)
+    val rounds = (1 until k).map { r =>
+      val keep = (1 until r).flatMap(i => Seq(s"ch${i}_id", s"ch${i}_d"))
+        .map(c => s"$c,").mkString(" ")
+      val upd =
+        if (r < k - 1)
+          s"least(mind, ssq + ch${r}_ssq - 2 * ${dot("embedding", s"ch${r}_emb")})"
+        else "mind" // the last chosen seed needs no further update pass
+      s"""m$r AS (
+         |  SELECT vec_id, embedding, ssq, $keep
+         |    ch${r}_id, ch${r}_d, $upd AS mind
+         |  FROM (
+         |    SELECT *,
+         |      FIRST_VALUE(vec_id) OVER w AS ch${r}_id,
+         |      FIRST_VALUE(mind) OVER w AS ch${r}_d,
+         |      FIRST_VALUE(embedding) OVER w AS ch${r}_emb,
+         |      FIRST_VALUE(ssq) OVER w AS ch${r}_ssq
+         |    FROM m${r - 1}
+         |    WINDOW w AS (ORDER BY mind DESC, vec_id)))""".stripMargin
+    }.mkString(",\n")
+    val ranks = (0 until k).mkString("[", ", ", "]")
+    val ids = ("0::BIGINT" +: (1 until k).map(r => s"ch${r}_id")).mkString("[", ", ", "]")
+    val ds = ("0.0::DOUBLE" +: (1 until k).map(r => s"ch${r}_d")).mkString("[", ", ", "]")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS ssq
+       |  FROM embeddings),
+       |m0 AS (
+       |  SELECT b.vec_id, b.embedding, b.ssq,
+       |    b.ssq + s.ssq - 2 * ${dot("b.embedding", "s.embedding")} AS mind
+       |  FROM b, (SELECT embedding, ssq FROM b WHERE vec_id = 0) s),
+       |$rounds
+       |SELECT UNNEST($ranks)::BIGINT AS seed_rank,
+       |  UNNEST($ids)::BIGINT AS vec_id,
+       |  UNNEST($ds) AS d2
+       |FROM (SELECT * FROM m${k - 1} LIMIT 1)
+       |ORDER BY seed_rank""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_kmeanspp_seed" -> (q115KmeansppSeed _),
     "q81_kmeans_assign" -> (q81KmeansAssign _),
     "q86_ann_ivfpq" -> (q86AnnIvfPq _),
     "q40_ann_brute_force" -> (q40AnnBruteForce _),
@@ -375,6 +479,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q115_kmeanspp_seed" -> q115Sql,
     "q81_kmeans_assign" -> q81Sql,
     "q86_ann_ivfpq" -> q86Sql,
     "q40_ann_brute_force" -> q40Sql,
