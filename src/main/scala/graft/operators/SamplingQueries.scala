@@ -351,8 +351,95 @@ object SamplingQueries {
        |ORDER BY permille DESC, n_hits DESC, doc_id LIMIT 50""".stripMargin
   }
 
+  /** q117: DSIR-style importance weighting (Xie et al. 2023 — Data
+    * Selection via Importance Resampling): score every document by
+    * log p_target(x) − log p_raw(x) under two hashed bag-of-ngram
+    * models, where the TARGET model is fit on the trusted slice (here:
+    * the English documents, standing in for "looks like Wikipedia")
+    * and the RAW model on the whole corpus. High scorers are the raw
+    * documents that look most like the target — the principled
+    * replacement for a binary quality classifier when composing a
+    * training mix. Features are word unigrams + bigrams hashed into
+    * 1024 buckets (occurrences, not distinct — DSIR is a
+    * multinomial); per-feature log-ratio uses add-one smoothing and
+    * the integer frequency-class proxy
+    * `bitlen((c_t+1)·(R+B)) − bitlen((c_r+1)·(T+B))` ≈
+    * ⌈log2 ratio⌉ (the q89/q107/q110 trick — libm drifts across
+    * engines, bit length is exact), summed per document. Top-100 by
+    * score = the resampled selection.
+    *
+    * Scale shape: feature derivation is ROW-LOCAL (tokens + one
+    * transform for bigrams, hash after one explode); BOTH models are
+    * ≤1024 rows no matter the corpus size → BROADCAST joins (the
+    * whole point of hashed DSIR: the model is O(B), not O(vocab));
+    * per-doc scores ride one groupBy(doc_id) exchange with map-side
+    * combine, and the top-100 is a TakeOrderedAndProject.
+    */
+  def q117DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val bkts = 1024L
+    val t = Tables(spark, dir)
+    val tokenized = t.documents.select(col("doc_id"), col("lang"),
+      graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+    val tk = col("tk")
+    val bigrams: Column = when(size(tk) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - 1), i =>
+        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+    val feats = tokenized
+      .select(col("doc_id"), col("lang"),
+        explode(concat(tk, bigrams)).as("f"))
+      .select(col("doc_id"), col("lang"),
+        pmod(md5Long60(col("f")), lit(bkts)).as("b"))
+    val rawCnt = feats.groupBy("b").agg(count(lit(1)).as("c_r"))
+    val tgtCnt = feats.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("c_t"))
+    val totals = rawCnt.agg(sum("c_r").as("r_tot"))
+      .crossJoin(tgtCnt.agg(sum("c_t").as("t_tot")))
+    val model = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .select(col("b"), col("c_r"), coalesce(col("c_t"), lit(0L)).as("c_t"))
+    feats.join(broadcast(model), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("cls",
+        (length(bin((col("c_t") + 1) * (col("r_tot") + bkts))) -
+          length(bin((col("c_r") + 1) * (col("t_tot") + bkts)))).cast("long"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_feats"), sum("cls").as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(100)
+  }
+
+  val q117Sql: String = {
+    val bkts = 1024
+    val h = OracleSql.md5Long60("f")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, ${OracleSql.tokens("text")} AS tk FROM documents),
+       |feats AS (
+       |  SELECT doc_id, lang, ($h % $bkts) AS b
+       |  FROM (
+       |    SELECT doc_id, lang, UNNEST(list_concat(tk,
+       |      list_transform(generate_series(1, len(tk) - 1),
+       |        i -> tk[i] || ' ' || tk[i + 1]))) AS f
+       |    FROM toks)),
+       |raw_cnt AS (SELECT b, COUNT(*)::BIGINT AS c_r FROM feats GROUP BY b),
+       |tgt_cnt AS (SELECT b, COUNT(*)::BIGINT AS c_t FROM feats
+       |            WHERE lang = 'en' GROUP BY b),
+       |totals AS (
+       |  SELECT (SELECT SUM(c_r) FROM raw_cnt)::BIGINT AS r_tot,
+       |         (SELECT SUM(c_t) FROM tgt_cnt)::BIGINT AS t_tot),
+       |model AS (
+       |  SELECT r.b, r.c_r, COALESCE(t.c_t, 0) AS c_t
+       |  FROM raw_cnt r LEFT JOIN tgt_cnt t USING (b))
+       |SELECT f.doc_id, f.lang, COUNT(*)::BIGINT AS n_feats,
+       |  SUM(len(bin((m.c_t + 1) * (x.r_tot + $bkts))) -
+       |      len(bin((m.c_r + 1) * (x.t_tot + $bkts))))::BIGINT AS score
+       |FROM feats f JOIN model m USING (b), totals x
+       |GROUP BY f.doc_id, f.lang
+       |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_split_assignment" -> (q38SplitAssignment _),
+    "q117_dsir_weights" -> (q117DsirWeights _),
     "q39_decontaminate" -> (q39Decontaminate _),
     "q111_ngram_decontaminate" -> (q111NgramDecontaminate _),
     "q47_sequence_packing" -> (q47SequencePacking _),
@@ -365,6 +452,7 @@ object SamplingQueries {
     "q38_split_assignment" -> q38Sql,
     "q39_decontaminate" -> q39Sql,
     "q111_ngram_decontaminate" -> q111Sql,
+    "q117_dsir_weights" -> q117Sql,
     "q47_sequence_packing" -> q47Sql,
     "q55_training_mix" -> q55Sql,
     "q84_temperature_sample" -> q84Sql,
