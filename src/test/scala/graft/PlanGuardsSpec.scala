@@ -186,4 +186,32 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(shuffles.size <= 2,
       s"q105 grew a shuffle (${shuffles.size}):\n${df.queryExecution.executedPlan}")
   }
+
+  test("q111: eval-gram probe is a broadcast semi-join; train side shuffles once") {
+    val df = operators.SamplingQueries.q111NgramDecontaminate(spark, dir)
+    val bhj = collectNodes(df) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.exists(_.joinType.sql == "LEFT SEMI"),
+      s"eval grams must broadcast (the benchmark is KBs at any corpus " +
+        s"size):\n${df.queryExecution.executedPlan}")
+    val shuffles = collectNodes(df) { case s: ShuffleExchangeLike => s }
+    // eval-gram distinct + per-doc rollup; the top-50 is a heap, not a sort
+    assert(shuffles.size <= 2,
+      s"q111 grew a shuffle (${shuffles.size}):\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q117: both DSIR model joins broadcast (models are O(buckets), not O(vocab))") {
+    val df = operators.SamplingQueries.q117DsirWeights(spark, dir)
+    val bhj = collectNodes(df) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 1,
+      s"the bucket-model join must broadcast:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q112: within-cluster pair discovery is an equi-join, never cartesian") {
+    val df = operators.DedupQueries.q112Semdedup(spark, dir)
+    val cart = collectNodes(df) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cart.isEmpty,
+      s"q112 must join on cluster_id:\n${df.queryExecution.executedPlan}")
+  }
 }
