@@ -768,10 +768,21 @@ object DedupQueries {
     * (recursively re-cluster oversize cells) composes from this same
     * operator.
     */
-  def q112Semdedup(spark: SparkSession, dir: String): DataFrame = {
+  def q112Semdedup(spark: SparkSession, dir: String): DataFrame =
+    semdedupLedger(spark, dir, 8)
+
+  /** q112's core with the centroid count as a parameter — the knob the
+    * 100 TB sizing rule turns: total dot products are n·k (assignment)
+    * + n²/k (within-cluster pairs), balanced at k ∝ √n where both
+    * terms are n^1.5 (ScaleBench's q112 entry measures exactly that
+    * rule over a vector decade). Past n^1.5, swap the flat quantizer
+    * for the LSH-cell bucketing (q35 — measured linear) or an IVF
+    * assignment; the ledger semantics stay identical.
+    */
+  def semdedupLedger(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val t = Tables(spark, dir)
     val vecs = t.embeddings.select(col("vec_id"), col("embedding"))
-    val seeds = vecs.filter(col("vec_id") < 8)
+    val seeds = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").as("seed_id"), col("embedding").as("seed"))
     val assign = vecs.crossJoin(broadcast(seeds))
       .withColumn("dot", dotFold(col("embedding"), col("seed")))

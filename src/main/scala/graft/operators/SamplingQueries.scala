@@ -385,18 +385,27 @@ object SamplingQueries {
     val bigrams: Column = when(size(tk) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(tk) - 1), i =>
         concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+    // ONE materialization of the hashed features: md5 over every
+    // occurrence is the dominant cost, and both the model pass and the
+    // scoring pass consume the identical rows — the lazy localCheckpoint
+    // computes them once (the q93 one-union-job pattern). Both model
+    // counts ride a single aggregate (a conditional count, not a second
+    // pass), and the totals reduce the 1024-row model, never the corpus.
+    // the feature ARRAY materializes in its own projection before the
+    // explode (same wall either way — measured at 50k docs — but it
+    // keeps the Generate input a bare column, immune to the q107
+    // lambda-inlining trap if the derivation ever grows)
     val feats = tokenized
-      .select(col("doc_id"), col("lang"),
-        explode(concat(tk, bigrams)).as("f"))
+      .select(col("doc_id"), col("lang"), concat(tk, bigrams).as("fs"))
+      .select(col("doc_id"), col("lang"), explode(col("fs")).as("f"))
       .select(col("doc_id"), col("lang"),
         pmod(md5Long60(col("f")), lit(bkts)).as("b"))
-    val rawCnt = feats.groupBy("b").agg(count(lit(1)).as("c_r"))
-    val tgtCnt = feats.filter(col("lang") === "en")
-      .groupBy("b").agg(count(lit(1)).as("c_t"))
-    val totals = rawCnt.agg(sum("c_r").as("r_tot"))
-      .crossJoin(tgtCnt.agg(sum("c_t").as("t_tot")))
-    val model = rawCnt.join(tgtCnt, Seq("b"), "left")
-      .select(col("b"), col("c_r"), coalesce(col("c_t"), lit(0L)).as("c_t"))
+      .localCheckpoint(false)
+    val model = feats.groupBy("b")
+      .agg(count(lit(1)).as("c_r"),
+        count(when(col("lang") === "en", 1)).as("c_t"))
+      .localCheckpoint(false)
+    val totals = model.agg(sum("c_r").as("r_tot"), sum("c_t").as("t_tot"))
     feats.join(broadcast(model), Seq("b"))
       .crossJoin(broadcast(totals))
       .withColumn("cls",

@@ -170,6 +170,25 @@ object ScaleBench {
     "q108_kcore" -> ((s, d) =>
       graft.operators.TemporalQueries.q108KCore(s, d).count()),
     // ANN family: exact scan vs cell probe vs compressed-codes scan
+    // round-7 curation operators. q111/q117 are map-stage + broadcast
+    // shapes that should measure linear; q113 composes the row-local
+    // pair derivation with the weighted kernel (slots ∝ co-occurrence
+    // count, loop state ∝ Heaps vocabulary).
+    "q111_ngram_decon" -> ((s, d) =>
+      graft.operators.SamplingQueries.q111NgramDecontaminate(s, d).count()),
+    "q113_textrank" -> ((s, d) =>
+      graft.operators.GraphQueries.q113Textrank(s, d).count()),
+    "q117_dsir" -> ((s, d) =>
+      graft.operators.SamplingQueries.q117DsirWeights(s, d).count()),
+    // SemDeDup at the balanced sizing rule k = ⌈√n⌉ (assignment n·k +
+    // pairs n²/k are both n^1.5 there): the measured exponent should
+    // land near 1.5 on a --vecs decade, the documented cost of the
+    // flat quantizer before the LSH-cell path (q35, linear) takes over
+    "q112_semdedup_sqrtk" -> ((s, d) => {
+      val n = graft.Tables(s, d).embeddings.count()
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      DedupQueries.semdedupLedger(s, d, k).count()
+    }),
     "q40_ann_brute" -> ((s, d) =>
       graft.operators.VectorQueries.q40AnnBruteForce(s, d).count()),
     "q41_ann_cell" -> ((s, d) =>
