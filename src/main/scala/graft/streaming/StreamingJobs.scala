@@ -192,6 +192,74 @@ object StreamingNearDup {
   }
 }
 
+/** Continuous eval-set decontamination — the streaming face of q111:
+  * each micro-batch's documents are word-8-gram'd ROW-LOCALLY and
+  * probed against the (static, broadcast) benchmark gram set; a
+  * document whose overlap exceeds `maxPermille` is diverted to
+  * `contaminated`, the rest land in `clean`. The benchmark side never
+  * grows with the stream (eval sets are KBs next to a crawl), so
+  * per-batch cost is one map stage + one broadcast semi-join + one
+  * per-doc rollup — the exact q111 shape, applied incrementally.
+  * Idempotent on batchId via the same ledger-as-commit-log protocol
+  * as StreamingIngest/StreamingNearDup.
+  */
+object StreamingDecontaminate {
+  import graft.functions.TextFunctions._
+
+  /** One micro-batch. `evalGrams` must have a `gram` string column
+    * (typically precomputed once from the benchmark and stored).
+    */
+  def processBatch(store: SnapshotStore, evalGrams: DataFrame,
+      batch: DataFrame, batchId: Long, maxPermille: Long = 100L): Unit = {
+    val alreadyDone = store.read("decon_batches").exists(
+      _.filter(col("batch_id") === batchId).limit(1).count() > 0)
+    if (alreadyDone) return
+    val spark = batch.sparkSession
+    val grams = batch
+      .select(col("doc_id"), col("text"),
+        wordShingles(col("text"), 8).as("grams"))
+      .localCheckpoint(true) // tiny; read by both routing joins below
+    val dirtyIds = grams
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams.select("gram").distinct()),
+        Seq("gram"), "left_semi")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(expr("(1000 * n_hits) div n_grams") > maxPermille)
+      .select("doc_id")
+    val clean = grams.join(dirtyIds, Seq("doc_id"), "left_anti")
+    val dirty = grams.join(dirtyIds, Seq("doc_id"), "left_semi")
+    store.append("clean", clean.select("doc_id", "text"))
+    if (!dirty.isEmpty)
+      store.append("contaminated", dirty.select("doc_id", "text"))
+    // commit marker LAST (see StreamingIngest.processBatch)
+    store.append("decon_batches", {
+      import spark.implicits._
+      Seq(batchId).toDF("batch_id")
+    })
+    ()
+  }
+
+  /** Watch `inputDir` for JSON files of `{doc_id, text}` documents. */
+  def start(spark: SparkSession, inputDir: String, checkpointDir: String,
+      store: SnapshotStore, evalGrams: DataFrame,
+      maxPermille: Long = 100L): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).option("multiLine", true).json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(store, evalGrams, batch, batchId, maxPermille)
+      }
+      .start()
+  }
+}
+
 /** Event-stream analytics: watermarked tumbling-window aggregation and
   * an arbitrary-stateful running counter.
   */

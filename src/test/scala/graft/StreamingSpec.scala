@@ -185,6 +185,48 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq == Seq(3L, 6L))
   }
 
+  test("streaming decontamination diverts 8-gram overlap and is replay-proof") {
+    import spark.implicits._
+    val storeDir = Files.createTempDirectory("graft-decon-store")
+    val store = new SnapshotStore(spark, storeDir.toString)
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    // the "benchmark": one eval item; its distinct word 8-grams are the
+    // static probe side (precomputed once, as a pipeline would)
+    val evalDocs = docs(900L ->
+      "the quick brown fox jumps over the lazy dog tonight")
+    val evalGrams = evalDocs.select(explode(
+      graft.functions.TextFunctions.wordShingles(col("text"), 8)).as("gram"))
+
+    // batch 0: doc 1 QUOTES an 8-word eval span inside fresh text
+    // (exact-hash decontamination would miss it); doc 2 is clean
+    graft.streaming.StreamingDecontaminate.processBatch(store, evalGrams,
+      docs(1L -> ("intro words then quick brown fox jumps over the lazy " +
+             "dog and trailing content"),
+           2L -> "completely unrelated material about spark shuffles"),
+      batchId = 0L)
+    assert(store.read("clean").get.select("doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    assert(store.read("contaminated").get.select("doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+
+    // crash-recovery replay of batch 0 must change nothing
+    graft.streaming.StreamingDecontaminate.processBatch(store, evalGrams,
+      docs(1L -> "x", 2L -> "y"), batchId = 0L)
+    assert(store.read("clean").get.count() == 1)
+    assert(store.read("contaminated").get.count() == 1)
+
+    // batch 1: a short sub-threshold brush (one shared gram in a long
+    // doc stays under the permille gate at the default 100)
+    val longClean = (1 to 100).map(i => s"tok$i").mkString(" ") +
+      " quick brown fox jumps over the lazy dog " +
+      (101 to 200).map(i => s"tok$i").mkString(" ")
+    graft.streaming.StreamingDecontaminate.processBatch(store, evalGrams,
+      docs(3L -> longClean), batchId = 1L)
+    assert(store.read("clean").get.select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(store.read("contaminated").get.count() == 1)
+  }
+
   test("windowed counts with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
