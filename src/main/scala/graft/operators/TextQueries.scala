@@ -738,7 +738,97 @@ object TextQueries {
        |FROM v GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** q118: corpus DRIFT monitor — the distribution-shift check a
+    * continuously-ingesting pipeline runs between a reference corpus
+    * snapshot and the current one (vocabulary drift is the early
+    * signal of a scraper change, a spam influx, or an upstream format
+    * break — you want it before the tokenizer/filter stack silently
+    * degrades). Documents split into REF (even doc_id) and CUR (odd
+    * doc_id) standing in for two snapshots; token occurrences hash
+    * into 512 buckets (the same O(buckets) model trick as q117 — the
+    * monitor's state is fixed-size no matter the corpus); each
+    * bucket's drift class is the symmetric integer log-ratio
+    * `|bitlen(c_ref·N_cur) − bitlen(c_cur·N_ref)|` (cross-multiplied
+    * so no division truncates the signal; bitlen is hash-exact where
+    * a float KL would drift between engines). The 20 most-drifted
+    * buckets come back with each side's most frequent token as the
+    * human-readable "what changed" witness (argmax by count, ties to
+    * the lexicographically greatest token — max(struct) in Spark, a
+    * (count DESC, word DESC) window in the oracle: deterministic in
+    * both engines).
+    *
+    * Scale shape: one scan, row-local tokens, one explode; bucket
+    * counts are a 512-row aggregate with map-side combine; the
+    * per-(bucket, token) witness aggregate is the only corpus-sized
+    * exchange and is itself Zipf-compressed (distinct tokens, not
+    * occurrences, cross it pre-combined); totals reduce 512 rows; the
+    * top-20 is a TakeOrderedAndProject.
+    */
+  def q118DriftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val bkts = 512L
+    val t = Tables(spark, dir)
+    val tok = t.documents
+      .select((pmod(col("doc_id"), lit(2L)) === 0).as("is_ref"),
+        explode(tokens(col("text"))).as("w"))
+      .select(col("is_ref"), col("w"),
+        pmod(md5Long60(col("w")), lit(bkts)).as("b"))
+    // one pass: per (bucket, token) split counts, then bucket rollup +
+    // per-side witness ride the same grouped frame
+    val byTok = tok.groupBy("b", "w")
+      .agg(count(when(col("is_ref"), 1)).as("cr"),
+        count(when(!col("is_ref"), 1)).as("cc"))
+      .localCheckpoint(false)
+    val byBucket = byTok.groupBy("b")
+      .agg(sum("cr").as("c_ref"), sum("cc").as("c_cur"),
+        max(struct(col("cr").as("c"), col("w").as("w"))).as("wr"),
+        max(struct(col("cc").as("c"), col("w").as("w"))).as("wc"))
+      .select(col("b"), col("c_ref"), col("c_cur"),
+        col("wr.w").as("top_ref_word"),
+        col("wc.w").as("top_cur_word"))
+    val totals = byBucket.agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+    byBucket.crossJoin(broadcast(totals))
+      .withColumn("drift_class",
+        abs(length(bin((col("c_ref") + 1) * (col("n_cur") + lit(bkts)))) -
+          length(bin((col("c_cur") + 1) * (col("n_ref") + lit(bkts)))))
+          .cast("long"))
+      .select("b", "c_ref", "c_cur", "top_ref_word", "top_cur_word",
+        "drift_class")
+      .orderBy(desc("drift_class"), desc("c_cur"), asc("b"))
+      .limit(20)
+  }
+
+  val q118Sql: String = {
+    val h = OracleSql.md5Long60("w")
+    s"""WITH tok AS (
+       |  SELECT doc_id % 2 = 0 AS is_ref, unnest(${OracleSql.tokens("text")}) AS w
+       |  FROM documents),
+       |by_tok AS (
+       |  SELECT ($h % 512) AS b, w,
+       |    COUNT(*) FILTER (WHERE is_ref) AS cr,
+       |    COUNT(*) FILTER (WHERE NOT is_ref) AS cc
+       |  FROM tok GROUP BY 1, 2),
+       |by_bucket AS (
+       |  SELECT b, SUM(cr)::BIGINT AS c_ref, SUM(cc)::BIGINT AS c_cur,
+       |    MAX(CASE WHEN rr = 1 THEN w END) AS top_ref_word,
+       |    MAX(CASE WHEN rc = 1 THEN w END) AS top_cur_word
+       |  FROM (
+       |    SELECT *,
+       |      ROW_NUMBER() OVER (PARTITION BY b ORDER BY cr DESC, w DESC) AS rr,
+       |      ROW_NUMBER() OVER (PARTITION BY b ORDER BY cc DESC, w DESC) AS rc
+       |    FROM by_tok)
+       |  GROUP BY b),
+       |totals AS (
+       |  SELECT SUM(c_ref)::BIGINT AS n_ref, SUM(c_cur)::BIGINT AS n_cur
+       |  FROM by_bucket)
+       |SELECT b, c_ref, c_cur, top_ref_word, top_cur_word,
+       |  abs(len(bin((c_ref + 1) * (n_cur + 512))) -
+       |      len(bin((c_cur + 1) * (n_ref + 512))))::BIGINT AS drift_class
+       |FROM by_bucket, totals
+       |ORDER BY drift_class DESC, c_cur DESC, b LIMIT 20""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_drift_monitor" -> (q118DriftMonitor _),
     "q116_filter_cascade" -> (q116FilterCascade _),
     "q110_cooc_pmi" -> (q110CoocPmi _),
     "q107_bigram_score" -> (q107BigramScore _),
@@ -758,6 +848,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "q110_cooc_pmi" -> q110Sql,
     "q116_filter_cascade" -> q116Sql,
+    "q118_drift_monitor" -> q118Sql,
     "q107_bigram_score" -> q107Sql,
     "q105_repetition" -> q105Sql,
     "q89_unigram_score" -> q89Sql,

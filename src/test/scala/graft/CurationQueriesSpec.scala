@@ -202,6 +202,38 @@ class CurationQueriesSpec extends AnyFunSuite {
     got.foreach { case (_, n, a, b, c, dd, k) => assert(a + b + c + dd + k == n) }
   }
 
+  // --- q118 ----------------------------------------------------------
+
+  test("q118 matches a sequential drift re-derivation") {
+    val bkts = 512L
+    val d = docs()
+    val tok = d.flatMap { case (id, text, _, _) =>
+      toks(text).map(w => (id % 2 == 0, w, md5Long60Local(w) % bkts))
+    }
+    val byTok = tok.groupBy(x => (x._3, x._2)).map { case ((b, w), xs) =>
+      (b, w, xs.count(_._1).toLong, xs.count(!_._1).toLong)
+    }
+    val byBucket = byTok.groupBy(_._1).map { case (b, xs) =>
+      val cRef = xs.map(_._3).sum
+      val cCur = xs.map(_._4).sum
+      val topRef = xs.maxBy(x => (x._3, x._2))._2
+      val topCur = xs.maxBy(x => (x._4, x._2))._2
+      (b, cRef, cCur, topRef, topCur)
+    }.toSeq
+    val nRef = byBucket.map(_._2).sum
+    val nCur = byBucket.map(_._3).sum
+    def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val expected = byBucket.map { case (b, cr, cc, tr, tc) =>
+      (b, cr, cc, tr, tc,
+        math.abs(bitlen((cr + 1) * (nCur + bkts)) -
+          bitlen((cc + 1) * (nRef + bkts))))
+    }.sortBy { case (b, _, cc, _, _, dc) => (-dc, -cc, b) }.take(20)
+    val got = operators.TextQueries.q118DriftMonitor(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getLong(5))).toSeq
+    assert(got == expected)
+  }
+
   // --- q117 ----------------------------------------------------------
 
   test("q117 matches a sequential DSIR re-derivation") {
