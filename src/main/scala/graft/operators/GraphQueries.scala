@@ -907,7 +907,77 @@ object GraphQueries {
        |ORDER BY tr_rank DESC, word LIMIT 30""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q120: market-basket co-occurrence (association mining)
+  // ------------------------------------------------------------------
+
+  /** q120: market-basket association mining over the trade
+    * transactions — "suppliers that serve the same customers more
+    * than their popularity predicts", the support+lift shape of
+    * Apriori's first pass and of item-item collaborative filtering
+    * (and q110's transactional sibling: same integer PMI classes,
+    * baskets instead of token windows). Basket = a customer's distinct
+    * supplier set (reuses the memoized tradePairs derivation); pairs
+    * with support ≥ 5 score `bitlen(n_ab·N) − bitlen(n_a·n_b)` ≈
+    * ⌈log2 lift⌉, top-50.
+    *
+    * Scale shape: the self-join is an equi-join ON the basket key,
+    * co-partitioned after the distinct — cost ∝ Σ basket², which the
+    * k ≤ 100 basket cap bounds (the standard market-basket guard: a
+    * degenerate "customer" touching everything would otherwise emit
+    * C(k,2) pairs; capped baskets make the pair stage ≤ 50·k rows per
+    * basket). Supplier totals and the scalar N broadcast; the top-50
+    * is a TakeOrderedAndProject.
+    */
+  def q120Copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = tradePairs(Tables(spark, dir))
+      .select(shiftright(col("c"), 1).as("cust"),
+        shiftright(col("s"), 1).as("supp"))
+      .distinct()
+    val sizes = baskets.groupBy("cust").agg(count(lit(1)).as("k"))
+    val capped = baskets.join(
+      sizes.filter(col("k") <= 100).select("cust"), Seq("cust"), "left_semi")
+    val totals = capped.groupBy("supp").agg(count(lit(1)).as("n_s"))
+    val nCust = capped.select("cust").distinct().agg(count(lit(1)).as("n"))
+    capped.select(col("cust"), col("supp").as("s1"))
+      .join(capped.select(col("cust"), col("supp").as("s2")), Seq("cust"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+      .join(broadcast(totals.select(col("supp").as("s1"), col("n_s").as("n_a"))),
+        Seq("s1"))
+      .join(broadcast(totals.select(col("supp").as("s2"), col("n_s").as("n_b"))),
+        Seq("s2"))
+      .crossJoin(broadcast(nCust))
+      .withColumn("lift_class",
+        (length(bin(col("n_ab") * col("n"))) -
+          length(bin(col("n_a") * col("n_b")))).cast("long"))
+      .select("s1", "s2", "n_ab", "lift_class")
+      .orderBy(desc("lift_class"), desc("n_ab"), asc("s1"), asc("s2"))
+      .limit(50)
+  }
+
+  val q120Sql: String =
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |capped AS (
+       |  SELECT * FROM baskets WHERE cust IN (
+       |    SELECT cust FROM baskets GROUP BY cust HAVING COUNT(*) <= 100)),
+       |totals AS (SELECT supp, COUNT(*)::BIGINT AS n_s FROM capped GROUP BY supp),
+       |nc AS (SELECT COUNT(DISTINCT cust)::BIGINT AS n FROM capped),
+       |co AS (
+       |  SELECT a.supp AS s1, b.supp AS s2, COUNT(*)::BIGINT AS n_ab
+       |  FROM capped a JOIN capped b ON a.cust = b.cust AND a.supp < b.supp
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+       |SELECT s1, s2, n_ab,
+       |  (len(bin(n_ab * nc.n)) - len(bin(ta.n_s * tb.n_s)))::BIGINT AS lift_class
+       |FROM co JOIN totals ta ON co.s1 = ta.supp
+       |        JOIN totals tb ON co.s2 = tb.supp, nc
+       |ORDER BY lift_class DESC, n_ab DESC, s1, s2 LIMIT 50""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_copurchase" -> (q120Copurchase _),
     "q113_textrank" -> (q113Textrank _),
     "q100_pagerank" -> (q100PageRank _),
     "q101_ppr_segment" -> (q101SegmentPpr _),
@@ -917,6 +987,7 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q120_copurchase" -> q120Sql,
     "q113_textrank" -> q113Sql,
     "q100_pagerank" -> q100Sql,
     "q101_ppr_segment" -> q101Sql,

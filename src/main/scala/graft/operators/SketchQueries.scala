@@ -111,7 +111,72 @@ object SketchQueries {
       |    AS n_intersect_exact,
       |  TRUE AS inclusion_exclusion_ok""".stripMargin
 
+  /** q119: Count-Min Sketch frequency estimation (Cormode &
+    * Muthukrishnan 2005) — the OTHER mergeable frequency sketch next
+    * to q74's Misra–Gries: MG answers "which items are heavy", CMS
+    * answers "how often is THIS item, approximately, with a one-sided
+    * ε·N error bound" for any item, in d·w integers of state no
+    * matter the stream. Here d=4 rows × w=256 buckets build from the
+    * token stream in ONE aggregate (the sketch is additive, so the
+    * map-side partial combine IS the per-partition sketch and the
+    * shuffle moves ≤ d·w rows per partition — the mergeability that
+    * lets 100 TB of shards union their sketches in kilobytes). The
+    * exact top-20 tokens ride along and each gets its CMS estimate =
+    * min over rows of its bucket count; `overestimate = estimate −
+    * exact` is ≥ 0 BY THE CMS GUARANTEE (one-sided error), which the
+    * oracle re-derives and CurationQueriesSpec asserts.
+    *
+    * Row hashes are md5Long60("i:token") mod w — independent per row
+    * and identical in both engines, no shipped constants.
+    */
+  def q119CmsEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{md5Long60, tokens}
+    val d = 4
+    val w = 256L
+    val t = Tables(spark, dir)
+    def buckets(tok: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(d - 1)), i =>
+        struct(i.as("i"),
+          pmod(md5Long60(concat(i.cast("string"), lit(":"), tok)), lit(w))
+            .as("b")))
+    val tok = t.documents.select(explode(tokens(col("text"))).as("tk"))
+      .localCheckpoint(false) // read by the exact counts AND the sketch
+    val exact = tok.groupBy("tk").agg(count(lit(1)).as("exact"))
+    val top = exact.orderBy(desc("exact"), asc("tk")).limit(20)
+    val cms = tok.select(explode(buckets(col("tk"))).as("ib"))
+      .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    top.select(col("tk"), col("exact"), explode(buckets(col("tk"))).as("ib"))
+      .select(col("tk"), col("exact"), col("ib.i").as("i"), col("ib.b").as("b"))
+      .join(broadcast(cms), Seq("i", "b"))
+      .groupBy("tk", "exact")
+      .agg(min("c").as("estimate"))
+      .withColumn("overestimate", col("estimate") - col("exact"))
+      .orderBy(desc("exact"), asc("tk"))
+  }
+
+  val q119Sql: String = {
+    val h = (tok: String) => OracleSql.md5Long60(s"i::VARCHAR || ':' || $tok")
+    s"""WITH tok AS (
+       |  SELECT unnest(${OracleSql.tokens("text")}) AS tk FROM documents),
+       |exact AS (SELECT tk, COUNT(*)::BIGINT AS exact FROM tok GROUP BY tk),
+       |top AS (SELECT tk, exact FROM exact ORDER BY exact DESC, tk LIMIT 20),
+       |cms AS (
+       |  SELECT i, (${h("tk")} % 256) AS b, COUNT(*)::BIGINT AS c
+       |  FROM tok, UNNEST(generate_series(0, 3)) AS u(i)
+       |  GROUP BY 1, 2),
+       |probe AS (
+       |  SELECT t.tk, t.exact, u.i AS i, (${h("t.tk")} % 256) AS b
+       |  FROM top t, UNNEST(generate_series(0, 3)) AS u(i))
+       |SELECT p.tk, p.exact, MIN(c.c)::BIGINT AS estimate,
+       |  (MIN(c.c) - p.exact)::BIGINT AS overestimate
+       |FROM probe p JOIN cms c USING (i, b)
+       |GROUP BY p.tk, p.exact
+       |ORDER BY exact DESC, tk""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_cms_estimate" -> (q119CmsEstimate _),
     "q77_hll_rollup" -> (q77HllRollup _),
     "q91_sketch_intersect" -> (q91SketchIntersect _),
   )
@@ -119,5 +184,6 @@ object SketchQueries {
   val oracle: Map[String, String] = Map(
     "q77_hll_rollup" -> q77Sql,
     "q91_sketch_intersect" -> q91Sql,
+    "q119_cms_estimate" -> q119Sql,
   )
 }

@@ -234,6 +234,60 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  // --- q119 ----------------------------------------------------------
+
+  test("q119 matches a sequential CMS and never underestimates") {
+    val w = 256L
+    val d = docs()
+    val stream = d.flatMap(x => toks(x._2))
+    val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val top = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    def bucket(i: Int, t: String): Long = md5Long60Local(s"$i:$t") % w
+    val cms = stream.flatMap(t => (0 until 4).map(i => (i, bucket(i, t))))
+      .groupBy(identity).map { case (ib, xs) => ib -> xs.length.toLong }
+    val expected = top.map { case (t, c) =>
+      val est = (0 until 4).map(i => cms((i, bucket(i, t)))).min
+      (t, c, est, est - c)
+    }
+    val got = operators.SketchQueries.q119CmsEstimate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    got.foreach { case (_, _, _, over) =>
+      assert(over >= 0, "CMS one-sided error violated")
+    }
+  }
+
+  // --- q120 ----------------------------------------------------------
+
+  test("q120 matches a sequential market-basket re-derivation") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val baskets = li.flatMap { case (ok, sk) => ord.get(ok).map(c => (c, sk)) }
+      .distinct
+    val sizes = baskets.groupBy(_._1).map { case (c, xs) => c -> xs.length }
+    val capped = baskets.filter { case (c, _) => sizes(c) <= 100 }
+    val totals = capped.groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }
+    val n = capped.map(_._1).distinct.length.toLong
+    def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val co = capped.groupBy(_._1).values.flatMap { xs =>
+      val ss = xs.map(_._2).sorted
+      for (i <- ss.indices; j <- (i + 1) until ss.length) yield (ss(i), ss(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= 5)
+    val expected = co.toSeq.map { case ((a, b), nab) =>
+      (a, b, nab, bitlen(nab * n) - bitlen(totals(a) * totals(b)))
+    }.sortBy { case (a, b, nab, lc) => (-lc, -nab, a, b) }.take(50)
+    val got = operators.GraphQueries.q120Copurchase(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
   // --- q117 ----------------------------------------------------------
 
   test("q117 matches a sequential DSIR re-derivation") {
