@@ -391,13 +391,9 @@ object SamplingQueries {
     // computes them once (the q93 one-union-job pattern). Both model
     // counts ride a single aggregate (a conditional count, not a second
     // pass), and the totals reduce the 1024-row model, never the corpus.
-    // the feature ARRAY materializes in its own projection before the
-    // explode (same wall either way — measured at 50k docs — but it
-    // keeps the Generate input a bare column, immune to the q107
-    // lambda-inlining trap if the derivation ever grows)
     val feats = tokenized
-      .select(col("doc_id"), col("lang"), concat(tk, bigrams).as("fs"))
-      .select(col("doc_id"), col("lang"), explode(col("fs")).as("f"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(tk, bigrams)).as("f"))
       .select(col("doc_id"), col("lang"),
         pmod(md5Long60(col("f")), lit(bkts)).as("b"))
       .localCheckpoint(false)

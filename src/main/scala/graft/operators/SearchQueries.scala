@@ -269,7 +269,59 @@ object SearchQueries {
       |  ON value >= lo AND value < hi
       |GROUP BY tier ORDER BY tier""".stripMargin
 
+  /** q121: first-order Markov transition model over the event stream
+    * — the behavioral complement of q107's token bigram model: which
+    * event TYPE follows which, conditioned within a session (the
+    * transition only counts when the gap to the previous event is
+    * ≤ 30 min — q37's session boundary applied to the lag itself, no
+    * separate session-id pass). Output: the full transition matrix
+    * with conditional per-mille P(to|from) — the model behind funnel
+    * plausibility checks, bot detection (impossible transition
+    * loops), and simulated-user generation.
+    *
+    * Scale shape: ONE exchange on user_id for the lag window (shared
+    * with everything the session family computes), then the matrix
+    * aggregate with map-side combine — the matrix is |types|² rows,
+    * so the conditional normalization is a WINDOW over ≤25 rows, not
+    * a second pass over the corpus.
+    */
+  def q121MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = t.events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull &&
+        col("ts").cast("long") - col("prev_ts").cast("long") <= 1800)
+      .select(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+    val wf = Window.partitionBy("from_type")
+    trans.groupBy("from_type", "to_type").agg(count(lit(1)).as("c_ab"))
+      .withColumn("c_from", sum("c_ab").over(wf))
+      .withColumn("permille", expr("(1000 * c_ab) div c_from"))
+      .select("from_type", "to_type", "c_ab", "permille")
+      .orderBy("from_type", "to_type")
+  }
+
+  val q121Sql: String =
+    """WITH tr AS (
+      |  SELECT lag(event_type) OVER w AS from_type, event_type AS to_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN NULL
+      |         ELSE floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT
+      |    END AS gap
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |m AS (
+      |  SELECT from_type, to_type, COUNT(*)::BIGINT AS c_ab
+      |  FROM tr WHERE from_type IS NOT NULL AND gap <= 1800
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, c_ab,
+      |  ((1000 * c_ab) // SUM(c_ab) OVER (PARTITION BY from_type))::BIGINT
+      |    AS permille
+      |FROM m ORDER BY from_type, to_type""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_markov_transitions" -> (q121MarkovTransitions _),
     "q37_sessionize" -> (q37Sessionize _),
     "q44_keyword_search" -> (q44KeywordSearch _),
     "q48_asof_join" -> (q48AsofJoin _),
@@ -278,6 +330,7 @@ object SearchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q121_markov_transitions" -> q121Sql,
     "q37_sessionize" -> q37Sql,
     "q44_keyword_search" -> q44Sql,
     "q48_asof_join" -> q48Sql,

@@ -575,7 +575,71 @@ object TemporalQueries {
        |FROM e${KCoreRounds}""".stripMargin
   }
 
+  /** q122: robust volume-anomaly detection — the pipeline-health
+    * monitor every continuously-ingesting system runs over its own
+    * throughput: daily event volumes per type, scored by the
+    * median/MAD robust z-score (mean/stddev would let the outlier
+    * poison its own threshold — the reason ops anomaly detection is
+    * median-based), flagging days where |n − median| > 3·MAD. Both
+    * medians are the LOWER median (rank (cnt+1) div 2 under a fully
+    * deterministic order) so every intermediate stays an integer and
+    * the oracle hashes bit-for-bit — quantile interpolation would put
+    * a float between the engines.
+    *
+    * Scale shape: the corpus-sized work is ONE aggregate to the
+    * (type, day) matrix — thousands of rows per year no matter how
+    * many trillions of events — so all four windows (rank, count,
+    * median pick, MAD pick) ride one tiny exchange on event_type.
+    * The same shape monitors any grain: swap `day` for (source, hour)
+    * and nothing else changes.
+    */
+  def q122VolumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val wOrd = Window.partitionBy("event_type").orderBy("n", "day")
+    val wAll = Window.partitionBy("event_type")
+    val wDev = Window.partitionBy("event_type").orderBy("adev", "day")
+    t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("med",
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("n"))).over(wAll))
+      .withColumn("adev", abs(col("n") - col("med")))
+      .withColumn("rn2", row_number().over(wDev))
+      .withColumn("mad",
+        max(when(col("rn2") === expr("(cnt + 1) div 2"), col("adev"))).over(wAll))
+      .filter(col("adev") > lit(3L) * col("mad"))
+      .select("event_type", "day", "n", "med", "mad")
+      .orderBy("event_type", "day")
+  }
+
+  val q122Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, ts::DATE AS day, COUNT(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |r1 AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, day) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM daily),
+      |m1 AS (
+      |  SELECT *, MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n END)
+      |    OVER (PARTITION BY event_type) AS med
+      |  FROM r1),
+      |r2 AS (SELECT *, abs(n - med) AS adev FROM m1),
+      |r3 AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, day) AS rn2
+      |  FROM r2),
+      |m2 AS (
+      |  SELECT *, MAX(CASE WHEN rn2 = (cnt + 1) // 2 THEN adev END)
+      |    OVER (PARTITION BY event_type) AS mad
+      |  FROM r3)
+      |SELECT event_type, day, n, med::BIGINT AS med, mad::BIGINT AS mad
+      |FROM m2 WHERE adev > 3 * mad
+      |ORDER BY event_type, day""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_volume_anomaly" -> (q122VolumeAnomaly _),
     "q75_asof_join" -> (q75AsofJoin _),
     "q82_scd2_history" -> (q82Scd2History _),
     "q94_interval_join" -> (q94IntervalJoin _),
@@ -584,6 +648,7 @@ object TemporalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q122_volume_anomaly" -> q122Sql,
     "q75_asof_join" -> q75Sql,
     "q82_scd2_history" -> q82Sql,
     "q94_interval_join" -> q94Sql,

@@ -288,6 +288,60 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  // --- q121 ----------------------------------------------------------
+
+  test("q121 matches a sequential transition-model re-derivation") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).values.toSeq.flatMap { xs =>
+      val s = xs.sortBy(x => (x._3, x._2)).toSeq
+      s.sliding(2).collect {
+        case Seq(a, b)
+          if b._3 / 1000000L - a._3 / 1000000L <= 1800L => (a._4, b._4)
+      }
+    }
+    val m = trans.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val fromTot = m.groupBy(_._1._1).map { case (f, xs) => f -> xs.values.sum }
+    val expected = m.toSeq.map { case ((f, t), c) =>
+      (f, t, c, 1000L * c / fromTot(f))
+    }.sortBy(x => (x._1, x._2))
+    val got = operators.SearchQueries.q121MarkovTransitions(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // conditional distributions sum to ≤ 1000 (truncating division)
+    got.groupBy(_._1).values.foreach(rs => assert(rs.map(_._4).sum <= 1000))
+  }
+
+  // --- q122 ----------------------------------------------------------
+
+  test("q122 matches a sequential robust-anomaly re-derivation") {
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString))
+      .groupBy(identity).map { case (k, xs) => (k._1, k._2, xs.size.toLong) }
+      .toSeq
+    def lowerMedian(xs: Seq[(Long, String)]): Long = {
+      // rank by (value, day); lower median at rank (n+1)/2
+      val s = xs.sortBy(identity)
+      s((s.length + 1) / 2 - 1)._1
+    }
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (et, xs) =>
+      val med = lowerMedian(xs.map(x => (x._3, x._2)))
+      val mad = lowerMedian(xs.map(x => (math.abs(x._3 - med), x._2)))
+      xs.filter(x => math.abs(x._3 - med) > 3 * mad)
+        .map(x => (et, x._2, x._3, med, mad))
+    }.sortBy(x => (x._1, x._2))
+    val got = operators.TemporalQueries.q122VolumeAnomaly(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
   // --- q117 ----------------------------------------------------------
 
   test("q117 matches a sequential DSIR re-derivation") {
