@@ -189,6 +189,14 @@ object ScaleBench {
       val k = math.ceil(math.sqrt(n.toDouble)).toInt
       DedupQueries.semdedupLedger(s, d, k).count()
     }),
+    // session-bounded transition matrix + robust volume anomalies:
+    // both reduce the event stream to a tiny matrix (|types|² /
+    // (type, day)) in one pass — the decade should be wall-flat
+    // work-linear
+    "q121_markov" -> ((s, d) =>
+      graft.operators.SearchQueries.q121MarkovTransitions(s, d).count()),
+    "q122_anomaly" -> ((s, d) =>
+      graft.operators.TemporalQueries.q122VolumeAnomaly(s, d).count()),
     "q40_ann_brute" -> ((s, d) =>
       graft.operators.VectorQueries.q40AnnBruteForce(s, d).count()),
     "q41_ann_cell" -> ((s, d) =>
