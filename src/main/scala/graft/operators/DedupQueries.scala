@@ -906,7 +906,113 @@ object DedupQueries {
        |FROM best WHERE rn = 1
        |ORDER BY p_partkey LIMIT 200""".stripMargin
 
+  /** q124: LSH recall AUDIT — the measurement that justifies the whole
+    * approximate-dedup family: on a bounded slice (doc_id < 300, the
+    * q31 oracle-baseline convention) compute the EXACT truth set (all
+    * pairs with bigram-shingle Jaccard ≥ 0.05) and q32's band-collision
+    * candidate set (same k=16 / 8 bands / r=2 MinHash, same minimal-
+    * band emission, NO verify step — the audit measures the banding
+    * stage alone), then report recall per Jaccard decile. The output
+    * is the empirical LSH S-curve: low deciles are missed by design
+    * (collision probability 1−(1−s²)^8 ≈ 2% at s=0.05), high deciles
+    * approach 1000‰ — the quantified trade a 100 TB dedup pipeline
+    * signs up for when it replaces the O(n²) exact join with banding,
+    * and the number to re-check whenever k/bands/r change.
+    *
+    * Scale shape: the truth side is the deliberately bounded oracle
+    * baseline (all-pairs on a fixed slice); the candidate side is
+    * q32's linear band equi-join. The audit itself is how you verify
+    * recall at scale too: SAMPLE a slice, join against the banded
+    * candidates, read the curve.
+    */
+  def q124LshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val k = 16; val bands = 8; val r = 2
+    val t = Tables(spark, dir)
+    val docs = t.documents.filter(col("doc_id") < 300)
+    val sh = docs.select(col("doc_id"), wordShingles(col("text"), 2).as("s"))
+    val truth = sh.select(col("doc_id").as("a_id"), col("s").as("a_s"))
+      .crossJoin(sh.select(col("doc_id").as("b_id"), col("s").as("b_s")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("n_inter", size(array_intersect(col("a_s"), col("b_s"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("a_s")) + size(col("b_s")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= 0.05d)
+      .select(col("a_id"), col("b_id"),
+        floor(col("jaccard") * 10).cast("long").as("bucket"))
+      .localCheckpoint(false) // consumed by the per-bucket totals AND the semi-join
+    val postings = docs
+      .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("g"))
+      .withColumn("h", pmod(md5Long60(col("g")), lit(P)))
+    val minCols = (0 until k).map(i =>
+      min(pmod(col("h") * seedA(i) + seedB(i), lit(P))).as(s"_m$i"))
+    val sigs = postings.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val minsArr = array((0 until k).map(i => col(s"_m$i")): _*)
+    val banded = sigs.select(col("doc_id"), minsArr.as("mins"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        concat_ws("_", (0 until r).map(j =>
+          element_at(col("mins"), col("band") * r + j + 1).cast("string")): _*)
+          .as("key"))
+    val cand = banded.select(col("doc_id").as("a_id"), col("band"), col("key"))
+      .join(banded.select(col("doc_id").as("b_id"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val caught = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+      .groupBy("bucket").agg(count(lit(1)).as("n_caught"))
+    truth.groupBy("bucket").agg(count(lit(1)).as("n_truth"))
+      .join(caught, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_truth"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"))
+      .withColumn("recall_permille", expr("(1000 * n_caught) div n_truth"))
+      .orderBy("bucket")
+  }
+
+  val q124Sql: String = {
+    val k = 16; val bands = 8; val r = 2
+    val toks = OracleSql.tokens("text")
+    val bandRows = (0 until bands).map { b =>
+      val key = (0 until r).map(j => s"sig[${b * r + j + 1}]::VARCHAR")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sliced AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 300),
+       |sh AS (
+       |  SELECT doc_id, ${OracleSql.wordShingles(toks, 2)} AS s FROM sliced),
+       |truth AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    floor((len(list_intersect(a.s, b.s))::DOUBLE /
+       |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE)
+       |      * 10)::BIGINT AS bucket
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+       |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.05),
+       |mh AS (
+       |  SELECT doc_id,
+       |    ${OracleSql.minHashSignature(
+             OracleSql.baseHashes(OracleSql.wordShingles(toks, 2)), k)} AS sig
+       |  FROM sliced),
+       |banded AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |caught AS (
+       |  SELECT t.bucket, COUNT(*)::BIGINT AS n_caught
+       |  FROM truth t JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id
+       |  GROUP BY t.bucket),
+       |totals AS (
+       |  SELECT bucket, COUNT(*)::BIGINT AS n_truth FROM truth GROUP BY bucket)
+       |SELECT t.bucket, t.n_truth, COALESCE(c.n_caught, 0)::BIGINT AS n_caught,
+       |  ((1000 * COALESCE(c.n_caught, 0)) // t.n_truth)::BIGINT AS recall_permille
+       |FROM totals t LEFT JOIN caught c USING (bucket)
+       |ORDER BY bucket""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_lsh_recall" -> (q124LshRecall _),
     "q114_record_linkage" -> (q114RecordLinkage _),
     "q112_semdedup" -> (q112Semdedup _),
     "q109_containment" -> (q109Containment _),
@@ -922,6 +1028,7 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q124_lsh_recall" -> q124Sql,
     "q114_record_linkage" -> q114Sql,
     "q112_semdedup" -> q112Sql,
     "q109_containment" -> q109Sql,

@@ -467,7 +467,65 @@ object VectorQueries {
        |ORDER BY seed_rank""".stripMargin
   }
 
+  /** q123: int8 scalar quantization of the embedding corpus — the
+    * serving/storage compression every vector store applies before
+    * ANN (4 bytes → 1 byte per dimension; q86's PQ is the coarser
+    * 64×; this is the lossless-er 4× used for reranking): per-DIMENSION
+    * min/max calibration over the corpus, affine 0..255 codes,
+    * reconstruction-error report per label. All arithmetic is
+    * fixed-point (floats scale by 2^20 then floor — float→double,
+    * multiply-by-power-of-two, and floor are all exact, so calibration,
+    * codes, and errors are INTEGERS and the oracle hashes bit-for-bit;
+    * a float `(x−min)/(max−min)·255` would make every code a rounding
+    * bet between engines).
+    *
+    * Scale shape: calibration is one aggregate to 64 rows (map-side
+    * combined) → BROADCAST back; encode + error is a map stage; the
+    * per-label rollup rides one exchange. The exploded fixed-point
+    * frame materializes once (lazy localCheckpoint) because
+    * calibration and encoding both consume it.
+    */
+  def q123Int8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val scaleBits = 1L << 20
+    val t = Tables(spark, dir)
+    val fx = t.embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        floor(col("x").cast("double") * scaleBits).cast("long").as("xi"))
+      .localCheckpoint(false)
+    val calib = fx.groupBy("pos").agg(min("xi").as("lo"), max("xi").as("hi"))
+    fx.join(broadcast(calib), Seq("pos"))
+      .withColumn("rng", greatest(col("hi") - col("lo"), lit(1L)))
+      .withColumn("code", expr("((xi - lo) * 255) div rng"))
+      .withColumn("recon", expr("lo + (code * rng) div 255"))
+      .withColumn("err", abs(col("xi") - col("recon")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_values"), sum("err").as("sum_err"),
+        max("err").as("max_err"))
+      .orderBy("label")
+  }
+
+  val q123Sql: String =
+    s"""WITH fx AS (
+       |  SELECT vec_id, label, u.i AS pos,
+       |    floor(embedding[u.i]::DOUBLE * 1048576)::BIGINT AS xi
+       |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+       |calib AS (
+       |  SELECT pos, MIN(xi) AS lo, MAX(xi) AS hi FROM fx GROUP BY pos),
+       |enc AS (
+       |  SELECT f.label, f.xi, c.lo, greatest(c.hi - c.lo, 1) AS rng
+       |  FROM fx f JOIN calib c USING (pos)),
+       |err AS (
+       |  SELECT label,
+       |    abs(xi - (lo + ((((xi - lo) * 255) // rng) * rng) // 255)) AS err
+       |  FROM enc)
+       |SELECT label, COUNT(*)::BIGINT AS n_values, SUM(err)::BIGINT AS sum_err,
+       |  MAX(err)::BIGINT AS max_err
+       |FROM err GROUP BY label ORDER BY label""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_int8_quantize" -> (q123Int8Quantize _),
     "q115_kmeanspp_seed" -> (q115KmeansppSeed _),
     "q81_kmeans_assign" -> (q81KmeansAssign _),
     "q86_ann_ivfpq" -> (q86AnnIvfPq _),
@@ -479,6 +537,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q123_int8_quantize" -> q123Sql,
     "q115_kmeanspp_seed" -> q115Sql,
     "q81_kmeans_assign" -> q81Sql,
     "q86_ann_ivfpq" -> q86Sql,

@@ -288,6 +288,69 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  // --- q123 ----------------------------------------------------------
+
+  test("q123 matches a sequential fixed-point quantization") {
+    val data = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val fx = data.flatMap { case (lab, emb) =>
+      emb.zipWithIndex.map { case (x, pos) =>
+        (lab, pos, math.floor(x.toDouble * 1048576.0d).toLong)
+      }
+    }
+    val calib = fx.groupBy(_._2).map { case (pos, xs) =>
+      pos -> (xs.map(_._3).min, xs.map(_._3).max)
+    }
+    val expected = fx.map { case (lab, pos, xi) =>
+      val (lo, hi) = calib(pos)
+      val rng = math.max(hi - lo, 1L)
+      val code = ((xi - lo) * 255) / rng
+      val recon = lo + (code * rng) / 255
+      (lab, math.abs(xi - recon))
+    }.groupBy(_._1).toSeq.map { case (lab, xs) =>
+      (lab, xs.length.toLong, xs.map(_._2).sum, xs.map(_._2).max)
+    }.sortBy(_._1)
+    val got = operators.VectorQueries.q123Int8Quantize(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  // --- q124 ----------------------------------------------------------
+
+  test("q124 matches a sequential MinHash-band recall audit") {
+    import functions.TextFunctions.{P, seedA, seedB}
+    val d = docs().filter(_._1 < 300)
+    def shingles(text: String): Seq[String] = wordShingles(text, 2)
+    val sh = d.map(x => x._1 -> shingles(x._2).toSet).toMap
+    val ids = d.map(_._1).sorted
+    val truth = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = sh(ids(i)); b = sh(ids(j))
+      inter = (a & b).size
+      jac = inter.toDouble / (a.size + b.size - inter).toDouble
+      if jac >= 0.05d
+    } yield (ids(i), ids(j), math.floor(jac * 10).toLong)
+    def sig(s: Set[String]): IndexedSeq[Long] = {
+      val hs = s.map(g => math.floorMod(md5Long60Local(g), P))
+      (0 until 16).map(i => hs.map(h =>
+        math.floorMod(h * seedA(i) + seedB(i), P)).min)
+    }
+    val sigs = d.map(x => x._1 -> sig(sh(x._1))).toMap
+    def collide(a: Long, b: Long): Boolean =
+      (0 until 8).exists(band => (0 until 2).forall(j =>
+        sigs(a)(band * 2 + j) == sigs(b)(band * 2 + j)))
+    val buckets = truth.groupBy(_._3)
+    val expected = buckets.toSeq.map { case (bk, xs) =>
+      val caught = xs.count(x => collide(x._1, x._2)).toLong
+      (bk, xs.length.toLong, caught, 1000L * caught / xs.length)
+    }.sortBy(_._1)
+    val got = operators.DedupQueries.q124LshRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    got.foreach { case (_, nt, nc, rp) => assert(nc <= nt && rp <= 1000) }
+  }
+
   // --- q121 ----------------------------------------------------------
 
   test("q121 matches a sequential transition-model re-derivation") {
