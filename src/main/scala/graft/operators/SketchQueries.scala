@@ -139,13 +139,19 @@ object SketchQueries {
         struct(i.as("i"),
           pmod(md5Long60(concat(i.cast("string"), lit(":"), tok)), lit(w))
             .as("b")))
-    val tok = t.documents.select(explode(tokens(col("text"))).as("tk"))
-      .localCheckpoint(false) // read by the exact counts AND the sketch
-    val exact = tok.groupBy("tk").agg(count(lit(1)).as("exact"))
+    // hash the VOCABULARY, not the stream (the q113 lesson): the CMS
+    // is additive, so bucket counts are sums of per-token counts —
+    // build the sketch from the Zipf-compressed exact-count table
+    // (4·|vocab| digests) instead of 4 md5s per occurrence. The
+    // grouped table is consumed by the sketch, the top-20, and the
+    // probe — one lazy checkpoint.
+    val exact = t.documents.select(explode(tokens(col("text"))).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("exact"))
+      .localCheckpoint(false)
     val top = exact.orderBy(desc("exact"), asc("tk")).limit(20)
-    val cms = tok.select(explode(buckets(col("tk"))).as("ib"))
+    val cms = exact.select(col("exact"), explode(buckets(col("tk"))).as("ib"))
       .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum("exact").as("c"))
     top.select(col("tk"), col("exact"), explode(buckets(col("tk"))).as("ib"))
       .select(col("tk"), col("exact"), col("ib.i").as("i"), col("ib.b").as("b"))
       .join(broadcast(cms), Seq("i", "b"))
