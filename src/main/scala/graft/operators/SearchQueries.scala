@@ -320,7 +320,74 @@ object SearchQueries {
       |    AS permille
       |FROM m ORDER BY from_type, to_type""".stripMargin
 
+  /** q125: frequent session PATHS — clickstream sequence mining, the
+    * order-sensitive step up from q121's one-step transitions: each
+    * gap-session's ordered event-type sequence yields its 3-step
+    * paths ("view>click>purchase"), counted corpus-wide, top-20. The
+    * output is the navigation-pattern table behind funnel design and
+    * bot-path detection (a 3-path with near-deterministic repetition
+    * is an automation signature q121's pairwise matrix can blur).
+    *
+    * Scale shape: one exchange on user_id for the session windows;
+    * the per-session sequence materializes via
+    * sort_array(collect_list(struct)) — deterministic where a bare
+    * collect_list is partition-order-dependent — and sessions are
+    * gap-bounded so no single group grows with the corpus; path
+    * derivation is ROW-LOCAL over the sequence array; the path count
+    * is a map-side-combined aggregate over paths drawn from a tiny
+    * alphabet (|types|³ distinct), and the top-20 is a heap.
+    */
+  def q125FrequentPaths(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = t.events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val seqs = sessions.groupBy("user_id", "session_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(transform(col("evs"), e => e.getField("event_type")).as("types"))
+    val ts2 = col("types")
+    val paths = when(size(ts2) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ts2) - 2), i =>
+        concat_ws(">", element_at(ts2, i), element_at(ts2, i + 1),
+          element_at(ts2, i + 2))))
+    seqs.select(explode(paths).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path"))
+      .limit(20)
+  }
+
+  val q125Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |seqs AS (
+      |  SELECT user_id, session_id,
+      |    list(event_type ORDER BY ts, event_id) AS types
+      |  FROM sessions GROUP BY user_id, session_id),
+      |paths AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(types) - 2),
+      |    i -> types[i] || '>' || types[i+1] || '>' || types[i+2])) AS path
+      |  FROM seqs WHERE len(types) >= 3)
+      |SELECT path, COUNT(*)::BIGINT AS n FROM paths
+      |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_frequent_paths" -> (q125FrequentPaths _),
     "q121_markov_transitions" -> (q121MarkovTransitions _),
     "q37_sessionize" -> (q37Sessionize _),
     "q44_keyword_search" -> (q44KeywordSearch _),
@@ -330,6 +397,7 @@ object SearchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q125_frequent_paths" -> q125Sql,
     "q121_markov_transitions" -> q121Sql,
     "q37_sessionize" -> q37Sql,
     "q44_keyword_search" -> q44Sql,

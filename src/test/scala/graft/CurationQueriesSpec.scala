@@ -379,6 +379,36 @@ class CurationQueriesSpec extends AnyFunSuite {
     got.groupBy(_._1).values.foreach(rs => assert(rs.map(_._4).sum <= 1000))
   }
 
+  // --- q125 ----------------------------------------------------------
+
+  test("q125 matches a sequential frequent-path re-derivation") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).values.toSeq.flatMap { xs =>
+      val s = xs.sortBy(x => (x._3, x._2)).toSeq
+      // split into gap sessions, then 3-grams per session
+      val sessions = s.foldLeft(List.empty[List[(Long, Long, Long, String)]]) {
+        case (acc, e) =>
+          acc match {
+            case cur :: rest
+              if e._3 / 1000000L - cur.head._3 / 1000000L <= 1800L =>
+              (e :: cur) :: rest // cur is reversed; head = previous event
+            case _ => List(e) :: acc
+          }
+      }.map(_.reverse.map(_._4))
+      sessions.flatMap(types =>
+        types.sliding(3).filter(_.size == 3).map(_.mkString(">")))
+    }
+    val expected = paths.groupBy(identity)
+      .map { case (p, xs) => (p, xs.size.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = operators.SearchQueries.q125FrequentPaths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   // --- q122 ----------------------------------------------------------
 
   test("q122 matches a sequential robust-anomaly re-derivation") {
