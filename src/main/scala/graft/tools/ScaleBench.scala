@@ -189,6 +189,31 @@ object ScaleBench {
       val k = math.ceil(math.sqrt(n.toDouble)).toInt
       DedupQueries.semdedupLedger(s, d, k).count()
     }),
+    // the documented linear continuation: the SAME dedup ledger over
+    // hyperplane-LSH cells (q35's quantizer — assignment is one
+    // row-local signature, O(n·planes), vs the flat quantizer's O(n·k)
+    // dots), 256 cells. Measures the claim that swapping the coarse
+    // quantizer removes the n^1.5 term.
+    "q112_semdedup_cells" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.VectorFunctions._
+      val vecs = graft.Tables(s, d).embeddings
+        .select(col("vec_id"), col("embedding"),
+          hyperplaneSignature(col("embedding"), 8).as("cluster_id"))
+      val a = vecs.select(col("cluster_id"), col("vec_id").as("a_id"),
+        col("embedding").as("a_e"))
+      val b = vecs.select(col("cluster_id"), col("vec_id").as("b_id"),
+        col("embedding").as("b_e"))
+      val pairs = a.join(b, Seq("cluster_id"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(dotFold(col("a_e"), col("b_e")) >= 0.4d)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_dup_pairs"),
+          countDistinct("b_id").as("n_dropped"))
+      vecs.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .join(pairs, Seq("cluster_id"), "left")
+        .count()
+    }),
     // session-bounded transition matrix + robust volume anomalies:
     // both reduce the event stream to a tiny matrix (|types|² /
     // (type, day)) in one pass — the decade should be wall-flat
