@@ -524,7 +524,110 @@ object VectorQueries {
        |  MAX(err)::BIGINT AS max_err
        |FROM err GROUP BY label ORDER BY label""".stripMargin
 
+  /** q126: ANN recall AUDIT — q124's sibling for the vector side:
+    * for a batch of 8 query vectors, the EXACT cosine top-10 (q42's
+    * brute-force batch) is compared against the single-cell
+    * hyperplane-LSH probe (q41's shape), reporting per-query overlap
+    * and recall. This is the number that licenses replacing the
+    * corpus scan with a cell probe at 100 TB — and the one to
+    * re-measure whenever the plane count changes (more planes = finer
+    * cells = cheaper probes AND lower single-probe recall, which is
+    * why q69 multi-probes). Candidate shortfalls count against
+    * recall: a query whose cell holds fewer than 10 vectors CANNOT
+    * reach 1000‰ by construction, and the n_cell column makes that
+    * visible instead of silently flattering the probe.
+    *
+    * The measured number on THIS corpus is deliberately sobering
+    * (0-100‰ at sf0.01): the synthetic embeddings are near-uniform
+    * random, the single-probe worst case — neighbors of an
+    * unclustered point rarely share all 6 hyperplane signs. That IS
+    * the audit's value: it catches the corpus where the cheap probe
+    * is wrong, which is when you reach for q69's multi-probe, q86's
+    * IVF-PQ (recall pinned in AnnIndexSpec), or more planes. q124 is
+    * the same audit showing the opposite verdict on structured data
+    * (1000‰ on true near-dups).
+    *
+    * Scale shape: the truth side is the deliberately bounded baseline
+    * (8 queries × corpus scan, a TakeOrdered-per-query window); the
+    * probe side is the q41 cell equi-join; the audit join is
+    * 80 rows × 80 rows.
+    */
+  def q126AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val planes = 6
+    val kTop = 10
+    val t = Tables(spark, dir)
+    val cells = t.embeddings
+      .select(col("vec_id"), col("embedding"),
+        hyperplaneSignature(col("embedding"), planes).as("cell"))
+    val queries = cells.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell").as("q_cell"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    val truth = t.embeddings.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dotFold(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("vec_id"))
+    val approx = cells
+      .join(broadcast(queries), col("cell") === col("q_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dotFold(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kTop)
+      .select(col("query_id"), col("vec_id"))
+    val cellSizes = approx.groupBy("query_id")
+      .agg(count(lit(1)).as("n_cell"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_caught"))
+      .join(cellSizes, Seq("query_id"), "right")
+      .join(broadcast(queries.select("query_id")), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_cell"), lit(0L)).as("n_probe"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        expr(s"(1000 * coalesce(n_caught, 0)) div $kTop").as("recall_permille"))
+      .orderBy("query_id")
+  }
+
+  val q126Sql: String = {
+    val sig = OracleSql.hyperplaneSignature("embedding", 6)
+    val dotT = OracleSql.dotFold("e.embedding", "q.q_emb")
+    val dotA = OracleSql.dotFold("c.embedding", "q.q_emb")
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding, $sig AS cell FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, cell AS q_cell
+       |  FROM cells WHERE vec_id < 8),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY $dotT DESC, e.vec_id) AS rank
+       |    FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+       |  WHERE rank <= 10),
+       |approx AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY $dotA DESC, c.vec_id) AS rank
+       |    FROM cells c JOIN q ON c.cell = q.q_cell
+       |    WHERE c.vec_id <> q.query_id)
+       |  WHERE rank <= 10),
+       |sizes AS (SELECT query_id, COUNT(*)::BIGINT AS n_probe FROM approx GROUP BY 1),
+       |caught AS (
+       |  SELECT t.query_id, COUNT(*)::BIGINT AS n_caught
+       |  FROM truth t JOIN approx a USING (query_id, vec_id)
+       |  GROUP BY t.query_id)
+       |SELECT q.query_id, COALESCE(s.n_probe, 0)::BIGINT AS n_probe,
+       |  COALESCE(c.n_caught, 0)::BIGINT AS n_caught,
+       |  ((1000 * COALESCE(c.n_caught, 0)) // 10)::BIGINT AS recall_permille
+       |FROM q LEFT JOIN sizes s USING (query_id)
+       |       LEFT JOIN caught c USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_ann_recall" -> (q126AnnRecall _),
     "q123_int8_quantize" -> (q123Int8Quantize _),
     "q115_kmeanspp_seed" -> (q115KmeansppSeed _),
     "q81_kmeans_assign" -> (q81KmeansAssign _),
@@ -537,6 +640,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q126_ann_recall" -> q126Sql,
     "q123_int8_quantize" -> q123Sql,
     "q115_kmeanspp_seed" -> q115Sql,
     "q81_kmeans_assign" -> q81Sql,

@@ -351,6 +351,32 @@ class CurationQueriesSpec extends AnyFunSuite {
     got.foreach { case (_, nt, nc, rp) => assert(nc <= nt && rp <= 1000) }
   }
 
+  // --- q126 ----------------------------------------------------------
+
+  test("q126 matches a sequential ANN-recall audit") {
+    import functions.VectorFunctions.hyperplaneSignatureLocal
+    val v = vecs()
+    val cells = v.map { case (id, x) => id -> hyperplaneSignatureLocal(x, 6) }
+      .toMap
+    val emb = v.toMap
+    val expected = (0L until 8L).map { q =>
+      val qe = emb(q)
+      def top10(pool: Seq[Long]): Seq[Long] =
+        pool.filter(_ != q)
+          .map(id => (id, dot(emb(id), qe)))
+          .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1)
+      val truth = top10(v.map(_._1).toSeq)
+      val inCell = v.map(_._1).filter(id => cells(id) == cells(q)).toSeq
+      val approx = top10(inCell)
+      val caught = truth.toSet.intersect(approx.toSet).size.toLong
+      (q, approx.size.toLong, caught, 1000L * caught / 10L)
+    }
+    val got = operators.VectorQueries.q126AnnRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
   // --- q121 ----------------------------------------------------------
 
   test("q121 matches a sequential transition-model re-derivation") {
