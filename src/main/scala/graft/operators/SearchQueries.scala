@@ -70,6 +70,76 @@ object SearchQueries {
       |GROUP BY p.doc_id
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** q127: TF-IDF discriminative terms per source — the classic IR
+    * term weighting (Spärck Jones' inverse document frequency) that
+    * answers "which terms characterize THIS corpus slice against the
+    * rest", the per-domain fingerprint used for corpus exploration
+    * and mixture design. q44 scores ad-hoc queries and q110/q113
+    * find corpus-global collocations; this is the per-slice view.
+    * Log-tf × idf in hash-exact integer form: idf_class =
+    * bitlen(N div df) ≈ floor(log2(N/df))+1 and tf_class = bitlen(tf)
+    * (the q89/q107 bit-length trick — no libm log to drift between
+    * engines); weight = tf_class · idf_class, top-10 per source by
+    * (weight DESC, term ASC).
+    *
+    * Scale shape: one explode → (doc, source, term) tf aggregate with
+    * map-side combine; the (source, term) rollup rides the same frame,
+    * and because a doc has exactly one source, df = Σ_sources n_docs —
+    * a window over term partitions of the Zipf-compressed (source,
+    * term) frame, no second corpus scan; N joins in as a broadcast
+    * scalar; the per-source top-10 is a rank window over
+    * ≤ |sources|·|vocab| rows.
+    */
+  def q127TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val nTotal = t.documents.agg(count(lit(1)).as("n_total"))
+    val bySrcTerm = t.documents
+      .select(col("doc_id"), col("source"),
+        explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "source", "term")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("source", "term")
+      .agg(sum("tf").as("tf"), count(lit(1)).as("n_docs"))
+    bySrcTerm
+      .withColumn("df", sum("n_docs").over(Window.partitionBy("term")))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("idf_class", length(bin(expr("n_total div df"))).cast("long"))
+      .withColumn("weight", length(bin(col("tf"))).cast("long") * col("idf_class"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("weight"), asc("term"))))
+      .filter(col("rk") <= 10)
+      .select(col("source"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf"), col("df"), col("idf_class"), col("weight"))
+      .orderBy("source", "rk")
+  }
+
+  val q127Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, unnest(${OracleSql.tokens("lower(text)")}) AS term
+       |  FROM documents),
+       |by_doc AS (
+       |  SELECT doc_id, source, term, COUNT(*)::BIGINT AS tf
+       |  FROM tok GROUP BY 1, 2, 3),
+       |by_src AS (
+       |  SELECT source, term, SUM(tf)::BIGINT AS tf, COUNT(*)::BIGINT AS n_docs
+       |  FROM by_doc GROUP BY 1, 2),
+       |n AS (SELECT COUNT(*)::BIGINT AS n_total FROM documents),
+       |w AS (
+       |  SELECT source, term, tf,
+       |    SUM(n_docs) OVER (PARTITION BY term)::BIGINT AS df
+       |  FROM by_src),
+       |scored AS (
+       |  SELECT source, term, tf, df,
+       |    len(bin(n_total // df))::BIGINT AS idf_class,
+       |    (len(bin(tf)) * len(bin(n_total // df)))::BIGINT AS weight
+       |  FROM w, n),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY source ORDER BY weight DESC, term) AS rk
+       |  FROM scored)
+       |SELECT source, rk::BIGINT AS rk, term, tf, df, idf_class, weight
+       |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
   /** Gap-based sessionization (30-minute inactivity closes a session):
     * lag + cumulative-sum window assigns session ids, then per-user
     * session stats. One shuffle on user_id; both windows share the
@@ -387,6 +457,7 @@ object SearchQueries {
       |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_tfidf_terms" -> (q127TfIdf _),
     "q125_frequent_paths" -> (q125FrequentPaths _),
     "q121_markov_transitions" -> (q121MarkovTransitions _),
     "q37_sessionize" -> (q37Sessionize _),
@@ -397,6 +468,7 @@ object SearchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q127_tfidf_terms" -> q127Sql,
     "q125_frequent_paths" -> q125Sql,
     "q121_markov_transitions" -> q121Sql,
     "q37_sessionize" -> q37Sql,

@@ -492,4 +492,39 @@ class CurationQueriesSpec extends AnyFunSuite {
       .toSeq
     assert(got == expected)
   }
+
+  // --- q127 ----------------------------------------------------------
+
+  test("q127 matches a sequential tf-idf re-derivation") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val n = rows.length.toLong
+    def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    // (source, term) -> (tf total, docs-in-source containing term)
+    val bySrcTerm: Map[(String, String), (Long, Long)] = rows
+      .flatMap { case (id, src, text) =>
+        toks(text.toLowerCase).groupBy(identity)
+          .map { case (w, g) => ((id, src, w), g.length.toLong) }
+      }
+      .groupBy { case ((_, s, w), _) => (s, w) }
+      .map { case (k, g) => k -> (g.map(_._2).sum, g.size.toLong) }
+    val df: Map[String, Long] = bySrcTerm.groupBy(_._1._2)
+      .map { case (w, g) => w -> g.map(_._2._2).sum }
+    val expected = bySrcTerm.toSeq
+      .map { case ((s, w), (tf, _)) =>
+        val idf = bitlen(n / df(w))
+        (s, w, tf, df(w), idf, bitlen(tf) * idf)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, terms) =>
+        terms.sortBy { case (_, w, _, _, _, wt) => (-wt, w) }.take(10)
+          .zipWithIndex.map { case ((s, w, tf, dfw, idf, wt), i) =>
+            (s, (i + 1).toLong, w, tf, dfw, idf, wt)
+          }
+      }.sortBy(x => (x._1, x._2))
+    val got = operators.SearchQueries.q127TfIdf(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+  }
 }
