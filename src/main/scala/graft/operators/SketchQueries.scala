@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -181,13 +182,67 @@ object SketchQueries {
        |ORDER BY exact DESC, tk""".stripMargin
   }
 
+  /** q128: mergeable equi-width histogram quantiles — the one-pass
+    * percentile sketch next to q77's HLL (distincts), q119's CMS
+    * (frequencies) and q74's Misra–Gries (heavy hitters): per-group
+    * value distributions reduce to 64 fixed-width bins (width 8 over
+    * [0, 512), tail clamped into the last bin), and any per-mille
+    * quantile is answered from the cumulative bin counts with error
+    * bounded by the bin width. q27 computes the same percentiles
+    * EXACTLY via a full sort; this is the 100 TB path — O(langs·64)
+    * state crosses the shuffle with map-side combine, no global sort,
+    * and bins from different partitions/days/corpora merge by plain
+    * addition (the same merge algebra the other sketches pin).
+    * est_bin is provably the bin CONTAINING the exact disc-quantile
+    * (cum(bin(v)−1) < target ≤ cum(bin(v))) — the spec asserts that
+    * sandwich against a sequential exact reference.
+    */
+  def q128HistogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val binW = 8L
+    val t = Tables(spark, dir)
+    val bins = t.documents
+      .select(col("lang"), least(expr(s"n_chars div $binW"), lit(63L)).as("bin"))
+      .groupBy("lang", "bin").agg(count(lit(1)).as("c"))
+    val cum = bins
+      .withColumn("cum", sum("c").over(Window.partitionBy("lang").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_total", sum("c").over(Window.partitionBy("lang")))
+    val targets = Seq(500L, 900L, 990L).toDF("pm")
+    cum.crossJoin(broadcast(targets))
+      .filter(col("cum") * 1000 >= col("pm") * col("n_total"))
+      .groupBy("lang", "pm")
+      .agg(min("bin").as("est_bin"), max("n_total").as("n_total"))
+      .withColumn("est_upper", (col("est_bin") + 1) * binW)
+      .select("lang", "pm", "est_bin", "est_upper", "n_total")
+      .orderBy("lang", "pm")
+  }
+
+  val q128Sql: String =
+    """WITH bins AS (
+      |  SELECT lang, least(n_chars // 8, 63)::BIGINT AS bin, COUNT(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT lang, bin, c,
+      |    SUM(c) OVER (PARTITION BY lang ORDER BY bin)::BIGINT AS cum,
+      |    SUM(c) OVER (PARTITION BY lang)::BIGINT AS n_total
+      |  FROM bins),
+      |t AS (SELECT unnest([500, 900, 990]) AS pm)
+      |SELECT lang, pm::BIGINT AS pm, MIN(bin)::BIGINT AS est_bin,
+      |  ((MIN(bin) + 1) * 8)::BIGINT AS est_upper,
+      |  MAX(n_total)::BIGINT AS n_total
+      |FROM cum, t WHERE cum * 1000 >= pm * n_total
+      |GROUP BY lang, pm ORDER BY lang, pm""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_histogram_quantiles" -> (q128HistogramQuantiles _),
     "q119_cms_estimate" -> (q119CmsEstimate _),
     "q77_hll_rollup" -> (q77HllRollup _),
     "q91_sketch_intersect" -> (q91SketchIntersect _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q128_histogram_quantiles" -> q128Sql,
     "q77_hll_rollup" -> q77Sql,
     "q91_sketch_intersect" -> q91Sql,
     "q119_cms_estimate" -> q119Sql,

@@ -527,4 +527,33 @@ class CurationQueriesSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
     assert(got == expected)
   }
+
+  // --- q128 ----------------------------------------------------------
+
+  test("q128 histogram quantiles land in the exact disc-quantile's bin") {
+    val d = docs()
+    val byLang = d.groupBy(_._3).map { case (l, xs) => l -> xs.map(_._4).sorted }
+    // sequential re-derivation of the sketch itself
+    val expected = byLang.toSeq.flatMap { case (lang, vals) =>
+      val bins = vals.map(v => math.min(v / 8, 63L))
+      Seq(500L, 900L, 990L).map { pm =>
+        val est = bins.distinct.sorted
+          .find(b => 1000L * bins.count(_ <= b) >= pm * vals.length).get
+        (lang, pm, est, (est + 1) * 8, vals.length.toLong)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = operators.SketchQueries.q128HistogramQuantiles(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // the bounded-error contract: est_bin IS the bin holding the exact
+    // disc-quantile (min value whose rank crosses the target)
+    got.foreach { case (lang, pm, estBin, _, n) =>
+      val vals = byLang(lang)
+      val exact = vals.find(v => 1000L * (vals.count(_ <= v)) >= pm * n).get
+      assert(estBin == math.min(exact / 8, 63L),
+        s"$lang p$pm: est_bin=$estBin exact=$exact")
+    }
+  }
 }
