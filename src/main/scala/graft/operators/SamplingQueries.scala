@@ -351,6 +351,117 @@ object SamplingQueries {
        |ORDER BY permille DESC, n_hits DESC, doc_id LIMIT 50""".stripMargin
   }
 
+  /** q129: BLOOM-prefiltered decontamination — q111's 100 TB scale
+    * path. q111 probes every corpus gram against a broadcast of the
+    * raw benchmark gram set; at production benchmark sizes the thing
+    * you broadcast instead is a Bloom bitmap (fixed m bits no matter
+    * how the benchmark grows), and the exact verify join runs ONLY
+    * over the grams the bloom flags. Deterministic k=3 bloom:
+    * bit_i(g) = md5Long60("i_" || g) mod 65536, candidate ⟺ all
+    * three bits set. The oracle computes exact hits over ALL grams
+    * while the engine exact-verifies only candidates — their equality
+    * IS the bloom's no-false-negative guarantee, gated per round.
+    * False positives are first-class output (per-source FP-gram
+    * counts), so the m-vs-benchmark-size trade is measured, not
+    * assumed: the report tells you when the bitmap saturates and m
+    * must grow.
+    *
+    * Scale shape: benchmark side reduces to ≤ m distinct set-bit rows
+    * (broadcast); corpus side is one scan + one explode; the bloom
+    * probe is a broadcast join grouped back per gram; the exact
+    * verify touches candidates only.
+    */
+  def q129BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val m = 65536L
+    val t = Tables(spark, dir)
+    val bucket = pmod(md5Long60(col("doc_id").cast("string")), lit(100L))
+    val tagged = t.documents
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 8).as("grams"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+    val evalGrams = tagged.filter(col("split") === "test")
+      .select(explode(col("grams")).as("gram")).distinct()
+    def bits(g: org.apache.spark.sql.Column) = array((0 to 2).map(i =>
+      pmod(md5Long60(concat(lit(s"${i}_"), g)), lit(m))): _*)
+    val setBits = evalGrams.select(explode(bits(col("gram"))).as("p")).distinct()
+    val corpus = tagged.filter(col("split") === "train")
+      .select(col("doc_id"), col("source"),
+        size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("gram"))
+    // phase 1 — bloom probe: each of the 3 positions matches setBits at
+    // most once (setBits is distinct), so count == 3 ⟺ all bits set
+    val candidates = corpus
+      .select(col("doc_id"), col("gram"), explode(bits(col("gram"))).as("pp"))
+      .join(broadcast(setBits), col("pp") === col("p"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("n_set"))
+      .filter(col("n_set") === 3)
+    // phase 2 — exact verify, candidates only
+    val exact = candidates.join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+    val cand = candidates.groupBy("doc_id").agg(count(lit(1)).as("n_cand"))
+    tagged.filter(col("split") === "train")
+      .select(col("doc_id"), col("source"),
+        size(col("grams")).cast("long").as("n_grams"))
+      .join(cand, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_cand", "n_exact"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_grams").as("n_grams"),
+        sum("n_cand").as("n_candidate_grams"),
+        sum("n_exact").as("n_exact_grams"),
+        (sum("n_cand") - sum("n_exact")).as("n_false_positive_grams"),
+        count(when(col("n_cand") > 0, 1)).as("n_flagged_docs"),
+        count(when(col("n_exact") > 0, 1)).as("n_contaminated_docs"))
+      .orderBy("source")
+  }
+
+  val q129Sql: String = {
+    val bucket = s"(${OracleSql.md5Long60("doc_id::VARCHAR")} % 100)"
+    val grams = OracleSql.wordShingles(OracleSql.tokens("text"), 8)
+    def h(i: Int, g: String) =
+      s"(${OracleSql.md5Long60(s"'${i}_' || $g")} % 65536)"
+    s"""WITH tagged AS (
+       |  SELECT doc_id, source, $grams AS grams,
+       |    CASE WHEN $bucket < 80 THEN 'train'
+       |         WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents),
+       |eval_grams AS (
+       |  SELECT DISTINCT unnest(grams) AS gram FROM tagged WHERE split = 'test'),
+       |set_bits AS (
+       |  SELECT DISTINCT unnest([${h(0, "gram")}, ${h(1, "gram")}, ${h(2, "gram")}]) AS p
+       |  FROM eval_grams),
+       |corpus AS (
+       |  SELECT doc_id, source, len(grams)::BIGINT AS n_grams, unnest(grams) AS gram
+       |  FROM tagged WHERE split = 'train'),
+       |cand AS (
+       |  SELECT doc_id, gram FROM (
+       |    SELECT c.doc_id, c.gram, COUNT(*) AS n_set
+       |    FROM (SELECT doc_id, gram,
+       |            unnest([${h(0, "gram")}, ${h(1, "gram")}, ${h(2, "gram")}]) AS pp
+       |          FROM corpus) c
+       |    JOIN set_bits s ON c.pp = s.p
+       |    GROUP BY 1, 2)
+       |  WHERE n_set = 3),
+       |exact AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_exact
+       |  FROM corpus c JOIN eval_grams e USING (gram) GROUP BY 1),
+       |cd AS (SELECT doc_id, COUNT(*) AS n_cand FROM cand GROUP BY 1),
+       |per_doc AS (
+       |  SELECT doc_id, source, MAX(n_grams) AS n_grams FROM corpus GROUP BY 1, 2)
+       |SELECT p.source, COUNT(*)::BIGINT AS n_docs, SUM(p.n_grams)::BIGINT AS n_grams,
+       |  SUM(COALESCE(c.n_cand, 0))::BIGINT AS n_candidate_grams,
+       |  SUM(COALESCE(e.n_exact, 0))::BIGINT AS n_exact_grams,
+       |  (SUM(COALESCE(c.n_cand, 0)) - SUM(COALESCE(e.n_exact, 0)))::BIGINT
+       |    AS n_false_positive_grams,
+       |  COUNT(*) FILTER (WHERE COALESCE(c.n_cand, 0) > 0)::BIGINT AS n_flagged_docs,
+       |  COUNT(*) FILTER (WHERE COALESCE(e.n_exact, 0) > 0)::BIGINT AS n_contaminated_docs
+       |FROM per_doc p LEFT JOIN cd c USING (doc_id) LEFT JOIN exact e USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q117: DSIR-style importance weighting (Xie et al. 2023 — Data
     * Selection via Importance Resampling): score every document by
     * log p_target(x) − log p_raw(x) under two hashed bag-of-ngram
@@ -447,6 +558,7 @@ object SamplingQueries {
     "q117_dsir_weights" -> (q117DsirWeights _),
     "q39_decontaminate" -> (q39Decontaminate _),
     "q111_ngram_decontaminate" -> (q111NgramDecontaminate _),
+    "q129_bloom_decontaminate" -> (q129BloomDecontaminate _),
     "q47_sequence_packing" -> (q47SequencePacking _),
     "q55_training_mix" -> (q55TrainingMix _),
     "q84_temperature_sample" -> (q84TemperatureSample _),
@@ -457,6 +569,7 @@ object SamplingQueries {
     "q38_split_assignment" -> q38Sql,
     "q39_decontaminate" -> q39Sql,
     "q111_ngram_decontaminate" -> q111Sql,
+    "q129_bloom_decontaminate" -> q129Sql,
     "q117_dsir_weights" -> q117Sql,
     "q47_sequence_packing" -> q47Sql,
     "q55_training_mix" -> q55Sql,

@@ -556,4 +556,39 @@ class CurationQueriesSpec extends AnyFunSuite {
         s"$lang p$pm: est_bin=$estBin exact=$exact")
     }
   }
+
+  // --- q129 ----------------------------------------------------------
+
+  test("q129 matches a sequential bloom re-derivation, zero false negatives") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bloomBits(g: String): Seq[Long] =
+      (0 to 2).map(i => md5Long60Local(s"${i}_$g") % 65536L)
+    val tagged = rows.map { case (id, src, text) =>
+      (id, src, wordShingles(text, 8), split(id))
+    }
+    val evalGrams = tagged.filter(_._4 == "test").flatMap(_._3).toSet
+    val setBits = evalGrams.flatMap(bloomBits)
+    val perDoc = tagged.filter(_._4 == "train").map { case (id, src, grams, _) =>
+      val cand = grams.filter(g => bloomBits(g).forall(setBits))
+      val exact = cand.count(evalGrams) // verify candidates only
+      (id, src, grams.size.toLong, cand.size.toLong, exact.toLong,
+        // independent full-exact count: bloom must not have missed any
+        grams.count(evalGrams).toLong)
+    }
+    perDoc.foreach { case (id, _, _, _, exactOfCand, exactFull) =>
+      assert(exactOfCand == exactFull, s"doc $id: bloom dropped a true hit")
+    }
+    val expected = perDoc.groupBy(_._2).toSeq.map { case (src, ds) =>
+      (src, ds.length.toLong, ds.map(_._3).sum, ds.map(_._4).sum,
+        ds.map(_._5).sum, ds.map(_._4).sum - ds.map(_._5).sum,
+        ds.count(_._4 > 0).toLong, ds.count(_._5 > 0).toLong)
+    }.sortBy(_._1)
+    val got = operators.SamplingQueries.q129BloomDecontaminate(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected)
+  }
 }
