@@ -132,13 +132,61 @@ object ProfileQueries {
        |FROM events""".stripMargin
   }
 
+  /** q130: k-anonymity audit — the privacy profile a curation
+    * pipeline runs before releasing a dataset: group records by their
+    * quasi-identifier tuple (here nation × market segment × account-
+    * balance band) and report the equivalence-class size distribution.
+    * Every record in a k=1 class is uniquely re-identifiable from the
+    * quasi-identifiers alone (Sweeney's k-anonymity); the histogram
+    * tells you the release's k and how many rows must be generalized
+    * or suppressed to raise it. The balance band is floor(bal/1000) —
+    * one IEEE double divide + floor, bit-identical across engines.
+    *
+    * Scale shape: one map-side-combined aggregate on the QI tuple
+    * (output bounded by QI-space cardinality, not row count), then a
+    * 5-row bucket rollup.
+    */
+  def q130KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("bucket",
+        when(col("k") === 1, "k=1")
+          .when(col("k") === 2, "k=2")
+          .when(col("k") <= 5, "k=3-5")
+          .when(col("k") <= 10, "k=6-10")
+          .otherwise("k>10"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_classes"), sum("k").as("n_rows"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("min_k")
+  }
+
+  val q130Sql: String =
+    """WITH classes AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    floor(c_acctbal / 1000)::BIGINT AS bal_band, COUNT(*)::BIGINT AS k
+      |  FROM customer GROUP BY 1, 2, 3),
+      |bucketed AS (
+      |  SELECT k, CASE WHEN k = 1 THEN 'k=1' WHEN k = 2 THEN 'k=2'
+      |    WHEN k <= 5 THEN 'k=3-5' WHEN k <= 10 THEN 'k=6-10'
+      |    ELSE 'k>10' END AS bucket
+      |  FROM classes)
+      |SELECT bucket, COUNT(*)::BIGINT AS n_classes, SUM(k)::BIGINT AS n_rows,
+      |  MIN(k)::BIGINT AS min_k, MAX(k)::BIGINT AS max_k
+      |FROM bucketed GROUP BY bucket ORDER BY min_k""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_profile" -> (q85Profile _),
     "q93_format_roundtrip" -> (q93FormatRoundtrip _),
+    "q130_k_anonymity" -> (q130KAnonymity _),
   )
 
   val oracle: Map[String, String] = Map(
     "q85_profile" -> q85Sql,
     "q93_format_roundtrip" -> q93Sql,
+    "q130_k_anonymity" -> q130Sql,
   )
 }

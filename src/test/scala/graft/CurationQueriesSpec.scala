@@ -591,4 +591,25 @@ class CurationQueriesSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
     assert(got == expected)
   }
+
+  // --- q130 ----------------------------------------------------------
+
+  test("q130 matches a sequential k-anonymity re-derivation") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    val classes = cust
+      .groupBy { case (n, s, b) => (n, s, math.floor(b / 1000).toLong) }
+      .map(_._2.length.toLong)
+    def bucket(k: Long) =
+      if (k == 1) "k=1" else if (k == 2) "k=2"
+      else if (k <= 5) "k=3-5" else if (k <= 10) "k=6-10" else "k>10"
+    val expected = classes.groupBy(bucket).toSeq.map { case (b, ks) =>
+      (b, ks.size.toLong, ks.sum, ks.min, ks.max)
+    }.sortBy(_._4)
+    val got = operators.ProfileQueries.q130KAnonymity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+  }
 }
