@@ -207,6 +207,109 @@ object DedupQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** q131: INCREMENTAL MinHash dedup — the production shape of q32.
+    * A live pipeline never re-pairs the whole corpus: today's batch
+    * (odd doc_ids) probes the stored signature index of everything
+    * already ingested (even doc_ids). The band join is ASYMMETRIC —
+    * batch×history only; no history×history (already deduped when it
+    * was the batch) and no batch×batch (runs separately) — so the
+    * incremental cost is batch size × collision rate, independent of
+    * corpus size. Same k=16 / 8×2 banding and minimal-band emission
+    * as q32; candidates exact-verified (Jaccard ≥ 0.05) and resolved
+    * to each batch doc's best historical match (max-struct argmax,
+    * ties → lowest history id). At 100 TB the `sigs` frame is the
+    * materialized index table (SnapshotStore) and only the batch side
+    * is computed per run.
+    */
+  def q131IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = 16; val bands = 8; val r = 2
+    val t = Tables(spark, dir)
+    val postings = t.documents
+      .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("g"))
+      .withColumn("h", pmod(md5Long60(col("g")), lit(P)))
+    val minCols = (0 until k).map(i =>
+      min(pmod(col("h") * seedA(i) + seedB(i), lit(P))).as(s"_m$i"))
+    val sigs = postings.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val minsArr = array((0 until k).map(i => col(s"_m$i")): _*)
+    val banded = sigs.select(col("doc_id"), minsArr.as("mins"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("mins"), col("band"),
+        concat_ws("_", (0 until r).map(j =>
+          element_at(col("mins"), col("band") * r + j + 1).cast("string")): _*)
+          .as("key"))
+    val histB = banded.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      .select(col("doc_id").as("hist_id"), col("mins").as("a_mins"),
+        col("band"), col("key"))
+    val batchB = banded.filter(pmod(col("doc_id"), lit(2L)) === 1)
+      .select(col("doc_id").as("batch_id"), col("mins").as("b_mins"),
+        col("band"), col("key"))
+    val minimalBand = (0 until bands).map { j =>
+      when(col("band") > j,
+        (0 until r).map(i =>
+          element_at(col("a_mins"), j * r + i + 1) =!=
+            element_at(col("b_mins"), j * r + i + 1)).reduce(_ || _))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    val cand = batchB.join(histB, Seq("band", "key"))
+      .filter(minimalBand)
+      .select("batch_id", "hist_id")
+    val shingles = t.documents
+      .select(col("doc_id"), wordShingles(col("text"), 2).as("s"))
+    cand
+      .join(shingles.select(col("doc_id").as("batch_id"), col("s").as("b_s")),
+        Seq("batch_id"))
+      .join(shingles.select(col("doc_id").as("hist_id"), col("s").as("h_s")),
+        Seq("hist_id"))
+      .withColumn("n_inter", size(array_intersect(col("b_s"), col("h_s"))))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("b_s")) + size(col("h_s")) - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= 0.05d)
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("jaccard").as("j"), (-col("hist_id")).as("nh"))).as("best"))
+      .select(col("batch_id"), col("n_matches"),
+        (-col("best.nh")).as("best_hist_id"), col("best.j").as("best_jaccard"))
+      .orderBy("batch_id")
+  }
+
+  val q131Sql: String = {
+    val k = 16; val bands = 8; val r = 2
+    val toks = OracleSql.tokens("text")
+    val bandRows = (0 until bands).map { b =>
+      val key = (0 until r).map(j => s"sig[${b * r + j + 1}]::VARCHAR")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, s, $b AS band, $key AS key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${OracleSql.wordShingles(toks, 2)} AS s FROM documents),
+       |mh AS (
+       |  SELECT doc_id, s,
+       |    ${OracleSql.minHashSignature(OracleSql.baseHashes("s"), k)} AS sig
+       |  FROM sh),
+       |banded AS (
+       |  ${bandRows}),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS hist_id,
+       |    b.s AS b_s, a.s AS h_s
+       |  FROM banded b JOIN banded a ON b.band = a.band AND b.key = a.key
+       |  WHERE b.doc_id % 2 = 1 AND a.doc_id % 2 = 0),
+       |ver AS (
+       |  SELECT batch_id, hist_id, ${OracleSql.jaccard("b_s", "h_s")} AS jaccard
+       |  FROM cand WHERE ${OracleSql.jaccard("b_s", "h_s")} >= 0.05),
+       |best AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY batch_id ORDER BY jaccard DESC, hist_id) AS rn
+       |  FROM ver)
+       |SELECT b.batch_id, c.n_matches, b.hist_id AS best_hist_id,
+       |  b.jaccard AS best_jaccard
+       |FROM (SELECT * FROM best WHERE rn = 1) b
+       |JOIN (SELECT batch_id, COUNT(*)::BIGINT AS n_matches
+       |      FROM ver GROUP BY 1) c USING (batch_id)
+       |ORDER BY batch_id""".stripMargin
+  }
+
   /** SimHash near-dup: 32-bit simhash over tokens, 4 bands of 8 bits
     * for candidate generation, verified at Hamming distance ≤ 6.
     * Same band-join scale shape as q32 with a constant-size signature.
@@ -1022,6 +1125,7 @@ object DedupQueries {
     "q30_dedup_exact" -> (q30DedupExact _),
     "q31_dedup_ngram" -> (q31DedupNgram _),
     "q32_dedup_minhash_lsh" -> (q32DedupMinhashLsh _),
+    "q131_incremental_dedup" -> (q131IncrementalDedup _),
     "q33_dedup_simhash" -> (q33DedupSimhash _),
     "q34_neardup_embedding" -> (q34NearDupEmbedding _),
     "q36_dedup_cluster" -> (q36DedupCluster _),
@@ -1038,6 +1142,7 @@ object DedupQueries {
     "q30_dedup_exact" -> q30Sql,
     "q31_dedup_ngram" -> q31Sql,
     "q32_dedup_minhash_lsh" -> q32Sql,
+    "q131_incremental_dedup" -> q131Sql,
     "q33_dedup_simhash" -> q33Sql,
     "q34_neardup_embedding" -> q34Sql,
     "q36_dedup_cluster" -> q36Sql,

@@ -612,4 +612,43 @@ class CurationQueriesSpec extends AnyFunSuite {
         r.getLong(4))).toSeq
     assert(got == expected)
   }
+
+  // --- q131 ----------------------------------------------------------
+
+  test("q131 matches a sequential incremental-probe re-derivation") {
+    import functions.TextFunctions.{P, seedA, seedB}
+    val d = docs()
+    val sh = d.map(x => x._1 -> wordShingles(x._2, 2).toSet).toMap
+    def sig(s: Set[String]): IndexedSeq[Long] = {
+      val hs = s.map(g => math.floorMod(md5Long60Local(g), P))
+      (0 until 16).map(i => hs.map(h =>
+        math.floorMod(h * seedA(i) + seedB(i), P)).min)
+    }
+    val sigs = d.map(x => x._1 -> sig(sh(x._1))).toMap
+    def collide(b: Long, h: Long): Boolean =
+      (0 until 8).exists(band => (0 until 2).forall(j =>
+        sigs(b)(band * 2 + j) == sigs(h)(band * 2 + j)))
+    val hist = d.map(_._1).filter(_ % 2 == 0)
+    val batch = d.map(_._1).filter(_ % 2 == 1)
+    val expected = batch.flatMap { b =>
+      val matches = hist.filter(h => collide(b, h)).flatMap { h =>
+        val (bs, hs) = (sh(b), sh(h))
+        val inter = (bs & hs).size
+        val jac = inter.toDouble / (bs.size + hs.size - inter).toDouble
+        if (jac >= 0.05d) Some((h, jac)) else None
+      }
+      if (matches.isEmpty) None
+      else {
+        val best = matches.minBy { case (h, j) => (-j, h) }
+        Some((b, matches.length.toLong, best._1, best._2))
+      }
+    }.sortBy(_._1).toSeq
+    val got = operators.DedupQueries.q131IncrementalDedup(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    // asymmetry contract: every reported pair is batch(odd) vs hist(even)
+    got.foreach { case (b, _, h, _) => assert(b % 2 == 1 && h % 2 == 0) }
+  }
 }
