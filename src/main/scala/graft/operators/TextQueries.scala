@@ -827,7 +827,78 @@ object TextQueries {
        |ORDER BY drift_class DESC, c_cur DESC, b LIMIT 20""".stripMargin
   }
 
+  /** q132: encoding-quality audit — the mojibake/control-character
+    * screen a web-scale curation pipeline runs on every drop (CCNet
+    * drops double-encoded pages; bad decode chains leave 'Ã?'
+    * digraphs, lost bytes leave control characters). The corpus here
+    * is clean ASCII by construction, so — same convention as q114's
+    * dirty feed — the auditor's detection power is proven on a
+    * deterministic injected corruption: docs with doc_id % 11 = 0 get
+    * the classic UTF-8-as-Latin-1 mojibake ('a' → 'Ã¡'), the % 22 = 0
+    * subset additionally gains BEL control chars. The operator itself
+    * is the metric implementation: per-doc corruption counts as
+    * length deltas under char removal (codepoint-exact in both
+    * engines, no regex engine variance), verdict classification, and
+    * the per-source corruption ledger.
+    *
+    * Scale shape: pure row-local map stage + one source×verdict
+    * aggregate — the cheapest possible screen, which is the point:
+    * it runs on EVERYTHING before the expensive stages.
+    */
+  def q132EncodingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(22L)) === 0,
+          expr("replace(replace(text, 'a', 'Ã¡'), 'e', concat('e', chr(7)))"))
+          .when(pmod(col("doc_id"), lit(11L)) === 0,
+            expr("replace(text, 'a', 'Ã¡')"))
+          .otherwise(col("text")).as("feed"))
+      .select(col("source"),
+        (length(col("feed")) - length(expr("replace(feed, 'Ã', '')")))
+          .cast("long").as("moji"),
+        (length(col("feed")) - length(expr("replace(feed, chr(7), '')")))
+          .cast("long").as("ctrl"),
+        length(col("feed")).cast("long").as("n"))
+      .withColumn("verdict",
+        when(col("moji") > 0 && col("ctrl") > 0, "both")
+          .when(col("moji") > 0, "mojibake")
+          .when(col("ctrl") > 0, "control")
+          .otherwise("clean"))
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("moji").as("n_moji_chars"),
+        sum("ctrl").as("n_ctrl_chars"),
+        expr("(1000 * sum(moji + ctrl)) div sum(n)").as("bad_permille"))
+      .orderBy("source", "verdict")
+  }
+
+  val q132Sql: String =
+    """WITH feed AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 22 = 0
+      |           THEN replace(replace(text, 'a', 'Ã¡'), 'e', 'e' || chr(7))
+      |         WHEN doc_id % 11 = 0 THEN replace(text, 'a', 'Ã¡')
+      |         ELSE text END AS feed
+      |  FROM documents),
+      |scored AS (
+      |  SELECT source,
+      |    (length(feed) - length(replace(feed, 'Ã', '')))::BIGINT AS moji,
+      |    (length(feed) - length(replace(feed, chr(7), '')))::BIGINT AS ctrl,
+      |    length(feed)::BIGINT AS n
+      |  FROM feed),
+      |v AS (
+      |  SELECT *, CASE WHEN moji > 0 AND ctrl > 0 THEN 'both'
+      |    WHEN moji > 0 THEN 'mojibake' WHEN ctrl > 0 THEN 'control'
+      |    ELSE 'clean' END AS verdict
+      |  FROM scored)
+      |SELECT source, verdict, COUNT(*)::BIGINT AS n_docs,
+      |  SUM(moji)::BIGINT AS n_moji_chars, SUM(ctrl)::BIGINT AS n_ctrl_chars,
+      |  ((1000 * SUM(moji + ctrl)) // SUM(n))::BIGINT AS bad_permille
+      |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_encoding_audit" -> (q132EncodingAudit _),
     "q118_drift_monitor" -> (q118DriftMonitor _),
     "q116_filter_cascade" -> (q116FilterCascade _),
     "q110_cooc_pmi" -> (q110CoocPmi _),
@@ -846,6 +917,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q132_encoding_audit" -> q132Sql,
     "q110_cooc_pmi" -> q110Sql,
     "q116_filter_cascade" -> q116Sql,
     "q118_drift_monitor" -> q118Sql,

@@ -651,4 +651,40 @@ class CurationQueriesSpec extends AnyFunSuite {
     // asymmetry contract: every reported pair is batch(odd) vs hist(even)
     got.foreach { case (b, _, h, _) => assert(b % 2 == 1 && h % 2 == 0) }
   }
+
+  // --- q132 ----------------------------------------------------------
+
+  test("q132 matches a sequential encoding audit, recovers the injection") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val scored = rows.map { case (id, src, text) =>
+      val feed =
+        if (id % 22 == 0)
+          text.replace("a", "Ã¡").replace("e", "e\u0007")
+        else if (id % 11 == 0) text.replace("a", "Ã¡")
+        else text
+      val moji = feed.count(_ == 'Ã').toLong
+      val ctrl = feed.count(_ == '\u0007').toLong
+      val verdict =
+        if (moji > 0 && ctrl > 0) "both" else if (moji > 0) "mojibake"
+        else if (ctrl > 0) "control" else "clean"
+      (id, src, moji, ctrl, feed.length.toLong, verdict)
+    }
+    // detection exactly recovers the injected pattern (every doc has
+    // at least one 'a' and one 'e' in this corpus, so no miss either)
+    scored.foreach { case (id, _, moji, ctrl, _, _) =>
+      assert((moji > 0) == (id % 11 == 0 && rows.find(_._1 == id).get._3.contains("a")))
+      assert((ctrl > 0) == (id % 22 == 0 && rows.find(_._1 == id).get._3.contains("e")))
+    }
+    val expected = scored.groupBy(x => (x._2, x._6)).toSeq
+      .map { case ((src, v), xs) =>
+        (src, v, xs.length.toLong, xs.map(_._3).sum, xs.map(_._4).sum,
+          1000L * (xs.map(_._3).sum + xs.map(_._4).sum) / xs.map(_._5).sum)
+      }.sortBy(x => (x._1, x._2))
+    val got = operators.TextQueries.q132EncodingAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+  }
 }
