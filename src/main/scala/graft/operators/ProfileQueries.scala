@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -178,15 +179,55 @@ object ProfileQueries {
       |  MIN(k)::BIGINT AS min_k, MAX(k)::BIGINT AS max_k
       |FROM bucketed GROUP BY bucket ORDER BY min_k""".stripMargin
 
+  /** q133: equi-DEPTH histogram — the cost-based-optimizer statistic
+    * (equal ROW counts per bucket, variable width) that q128's
+    * equi-width sketch complements: depth histograms answer
+    * selectivity ("what fraction of rows is < x") with uniform
+    * resolution in rank space, which is what join/filter cardinality
+    * estimation wants. ntile(8) over a fully-deterministic order
+    * (value, then doc_id as the tie-break) so both engines cut the
+    * ties identically.
+    *
+    * Scale shape: one shuffle on the group key + per-group sort —
+    * the honest cost of exact depth buckets; at 100 TB the standard
+    * move is the same ntile over a fixed-fraction sample (ANALYZE's
+    * approach), or q128's no-sort sketch when bounded value error is
+    * acceptable.
+    */
+  def q133EquiDepth(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("bucket", ntile(8).over(
+        Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .select(col("lang"), col("bucket").cast("long").as("bucket"),
+        col("n_rows"), col("lo"), col("hi"))
+      .orderBy("lang", "bucket")
+  }
+
+  val q133Sql: String =
+    """WITH b AS (
+      |  SELECT lang, n_chars,
+      |    NTILE(8) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bucket
+      |  FROM documents)
+      |SELECT lang, bucket::BIGINT AS bucket, COUNT(*)::BIGINT AS n_rows,
+      |  MIN(n_chars)::BIGINT AS lo, MAX(n_chars)::BIGINT AS hi
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_profile" -> (q85Profile _),
     "q93_format_roundtrip" -> (q93FormatRoundtrip _),
     "q130_k_anonymity" -> (q130KAnonymity _),
+    "q133_equidepth_histogram" -> (q133EquiDepth _),
   )
 
   val oracle: Map[String, String] = Map(
     "q85_profile" -> q85Sql,
     "q93_format_roundtrip" -> q93Sql,
     "q130_k_anonymity" -> q130Sql,
+    "q133_equidepth_histogram" -> q133Sql,
   )
 }

@@ -687,4 +687,32 @@ class CurationQueriesSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == expected)
   }
+
+  // --- q133 ----------------------------------------------------------
+
+  test("q133 matches a sequential equi-depth re-derivation") {
+    val d = docs()
+    // independent ntile: first (n mod k) buckets take ceil(n/k) rows
+    val expected = d.groupBy(_._3).toSeq.flatMap { case (lang, xs) =>
+      val sorted = xs.sortBy(x => (x._4, x._1)).map(_._4)
+      val n = sorted.length; val k = 8
+      val cuts = (0 until k).scanLeft(0) { (acc, b) =>
+        acc + n / k + (if (b < n % k) 1 else 0)
+      }
+      (0 until k).flatMap { b =>
+        val slice = sorted.slice(cuts(b), cuts(b + 1))
+        if (slice.isEmpty) None
+        else Some((lang, (b + 1).toLong, slice.length.toLong,
+          slice.min, slice.max))
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = operators.ProfileQueries.q133EquiDepth(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // depth contract: bucket sizes within a lang differ by at most 1
+    got.groupBy(_._1).foreach { case (_, bs) =>
+      assert(bs.map(_._3).max - bs.map(_._3).min <= 1)
+    }
+  }
 }
