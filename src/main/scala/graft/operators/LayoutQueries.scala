@@ -74,11 +74,73 @@ object LayoutQueries {
        |FROM zvals GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  /** Rendezvous (highest-random-weight) shard of `key` among shards
+    * 0..n-1: argmax over md5-derived weights, ties (cryptographically
+    * negligible, but defined) to the highest shard id in BOTH engines.
+    */
+  def hrwShard(key: Column, n: Int): Column =
+    array_max(array((0 until n).map(s => struct(
+      graft.functions.TextFunctions
+        .md5Long60(concat(lit(s"${s}_"), key.cast("string"))).as("h"),
+      lit(s.toLong).as("s"))): _*)).getField("s")
+
+  /** q134: rendezvous-sharding elasticity audit — the shard-assignment
+    * layout for a serving tier (embedding index shards, cache nodes):
+    * each doc goes to argmax_s md5(s || doc_id) (Thaler–Ravishankar
+    * HRW). The audit reports per-shard balance AND what happens when
+    * one shard is ADDED (8 → 9): with HRW, a doc either stays put or
+    * moves to the NEW shard — never between old shards — so scaling
+    * out reshuffles only ~1/(n+1) of the corpus. n_moved_elsewhere is
+    * first-class output and must be 0: the invariant is visible in
+    * the report, re-derived by the oracle, and asserted in the spec.
+    * (Plain `hash mod n` moves (n-1)/n of all keys on the same event
+    * — this operator is why you don't shard that way.)
+    *
+    * Scale shape: pure row-local projection (2·n md5s per row) + one
+    * n-row aggregate; no shuffle beyond the rollup.
+    */
+  def q134RendezvousShards(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), col("n_chars"),
+        hrwShard(col("doc_id"), 8).as("shard"),
+        hrwShard(col("doc_id"), 9).as("shard_after"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars_total"),
+        count(when(col("shard_after") === 8, 1)).as("n_moved_to_new"),
+        count(when(col("shard_after") =!= col("shard") &&
+          col("shard_after") =!= 8, 1)).as("n_moved_elsewhere"))
+      .orderBy("shard")
+  }
+
+  val q134Sql: String = {
+    def h(s: Int) = OracleSql.md5Long60(s"'${s}_' || doc_id::VARCHAR")
+    def shard(n: Int): String = {
+      val g = (0 until n).map(h).mkString("greatest(", ", ", ")")
+      val whens = (n - 1).to(1, -1)
+        .map(s => s"WHEN ${h(s)} = $g THEN $s").mkString(" ")
+      s"(CASE $whens ELSE 0 END)"
+    }
+    s"""WITH assigned AS (
+       |  SELECT doc_id, n_chars, ${shard(8)}::BIGINT AS shard,
+       |    ${shard(9)}::BIGINT AS shard_after
+       |  FROM documents)
+       |SELECT shard, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(n_chars)::BIGINT AS n_chars_total,
+       |  COUNT(*) FILTER (WHERE shard_after = 8)::BIGINT AS n_moved_to_new,
+       |  COUNT(*) FILTER (WHERE shard_after <> shard AND shard_after <> 8)::BIGINT
+       |    AS n_moved_elsewhere
+       |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_zorder_cluster" -> (q90ZorderCluster _),
+    "q134_rendezvous_shards" -> (q134RendezvousShards _),
   )
 
   val oracle: Map[String, String] = Map(
     "q90_zorder_cluster" -> q90Sql,
+    "q134_rendezvous_shards" -> q134Sql,
   )
 }

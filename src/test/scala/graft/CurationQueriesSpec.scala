@@ -715,4 +715,28 @@ class CurationQueriesSpec extends AnyFunSuite {
       assert(bs.map(_._3).max - bs.map(_._3).min <= 1)
     }
   }
+
+  // --- q134 ----------------------------------------------------------
+
+  test("q134 matches a sequential HRW re-derivation, minimal movement") {
+    val d = docs()
+    def shard(id: Long, n: Int): Long =
+      (0 until n).map(s => (md5Long60Local(s"${s}_$id"), s.toLong))
+        .max._2
+    val perDoc = d.map(x => (shard(x._1, 8), shard(x._1, 9), x._4))
+    // HRW invariant: adding a shard never moves a doc between OLD shards
+    perDoc.foreach { case (s8, s9, _) => assert(s9 == s8 || s9 == 8) }
+    val expected = perDoc.groupBy(_._1).toSeq.map { case (s, xs) =>
+      (s, xs.length.toLong, xs.map(_._3).sum,
+        xs.count(_._2 == 8).toLong, 0L)
+    }.sortBy(_._1)
+    val got = operators.LayoutQueries.q134RendezvousShards(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // movement is ~1/9 of the corpus, not ~8/9 (the mod-n failure mode)
+    val moved = got.map(_._4).sum
+    assert(moved.toDouble / d.length < 0.3)
+  }
 }
