@@ -111,7 +111,14 @@ object DedupQueries {
     * collisions, not n². Signature computation is one projection —
     * this is the canonical 100 TB dedup plan.
     */
-  def q32DedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def q32DedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashVerifiedPairs(spark, dir).orderBy("a_id", "b_id")
+
+  /** The q32 pipeline up to its verified pair set (a_id, b_id,
+    * jaccard ≥ 0.05), unsorted — shared by q32 and the q135 split-
+    * leakage audit so the machinery exists once.
+    */
+  private def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val k = 16; val bands = 8; val r = 2
     val t = Tables(spark, dir)
     // Postings-first shape: shingles explode ONCE, the md5 runs as a
@@ -178,7 +185,52 @@ object DedupQueries {
         (size(col("a_s")) + size(col("b_s")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= 0.05d)
       .select("a_id", "b_id", "jaccard")
-      .orderBy("a_id", "b_id")
+  }
+
+  /** q135: near-dup SPLIT-LEAKAGE audit — Lee et al.'s finding that
+    * eval contamination survives exact-hash decontamination through
+    * near-duplicates: q39 removes exact matches and q111 counts
+    * shared n-grams, but a train doc that is a 0.9-Jaccard near-dup
+    * of a test doc still leaks the answer. This runs q32's verified
+    * near-dup pair set, classifies each pair by its endpoints' q38
+    * split assignment (derived directly from the id hash — no join),
+    * and reports the pair census per unordered split class: any
+    * (test, train) row with n_pairs > 0 is an eval-integrity defect
+    * the exact-hash pipeline missed.
+    *
+    * Scale shape: q32's band equi-join (linear in true collisions) +
+    * a 6-row rollup; the split tags are pure expressions on ids.
+    */
+  def q135SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val b = pmod(md5Long60(c.cast("string")), lit(100L))
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    minhashVerifiedPairs(spark, dir)
+      .withColumn("sa", splitOf(col("a_id")))
+      .withColumn("sb", splitOf(col("b_id")))
+      .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max("jaccard").as("max_jaccard"),
+        count(when(col("jaccard") >= 0.5d, 1)).as("n_strong_pairs"))
+      .orderBy("split_lo", "split_hi")
+  }
+
+  // lazy: embeds q32Sql, which is initialized later in this object
+  lazy val q135Sql: String = {
+    val split = (id: String) =>
+      s"""(CASE WHEN (${OracleSql.md5Long60(s"$id::VARCHAR")} % 100) < 80 THEN 'train'
+         |      WHEN (${OracleSql.md5Long60(s"$id::VARCHAR")} % 100) < 90 THEN 'val'
+         |      ELSE 'test' END)""".stripMargin
+    s"""WITH ver AS (${q32Sql}),
+       |cls AS (
+       |  SELECT ${split("a_id")} AS sa, ${split("b_id")} AS sb, jaccard
+       |  FROM ver)
+       |SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+       |  COUNT(*)::BIGINT AS n_pairs, MAX(jaccard) AS max_jaccard,
+       |  COUNT(*) FILTER (WHERE jaccard >= 0.5)::BIGINT AS n_strong_pairs
+       |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   val q32Sql: String = {
@@ -1126,6 +1178,7 @@ object DedupQueries {
     "q31_dedup_ngram" -> (q31DedupNgram _),
     "q32_dedup_minhash_lsh" -> (q32DedupMinhashLsh _),
     "q131_incremental_dedup" -> (q131IncrementalDedup _),
+    "q135_split_leakage" -> (q135SplitLeakage _),
     "q33_dedup_simhash" -> (q33DedupSimhash _),
     "q34_neardup_embedding" -> (q34NearDupEmbedding _),
     "q36_dedup_cluster" -> (q36DedupCluster _),
@@ -1143,6 +1196,7 @@ object DedupQueries {
     "q31_dedup_ngram" -> q31Sql,
     "q32_dedup_minhash_lsh" -> q32Sql,
     "q131_incremental_dedup" -> q131Sql,
+    "q135_split_leakage" -> q135Sql,
     "q33_dedup_simhash" -> q33Sql,
     "q34_neardup_embedding" -> q34Sql,
     "q36_dedup_cluster" -> q36Sql,

@@ -739,4 +739,44 @@ class CurationQueriesSpec extends AnyFunSuite {
     val moved = got.map(_._4).sum
     assert(moved.toDouble / d.length < 0.3)
   }
+
+  // --- q135 ----------------------------------------------------------
+
+  test("q135 matches a sequential split-leakage re-derivation") {
+    import functions.TextFunctions.{P, seedA, seedB}
+    val d = docs()
+    val sh = d.map(x => x._1 -> wordShingles(x._2, 2).toSet).toMap
+    def sig(s: Set[String]): IndexedSeq[Long] = {
+      val hs = s.map(g => math.floorMod(md5Long60Local(g), P))
+      (0 until 16).map(i => hs.map(h =>
+        math.floorMod(h * seedA(i) + seedB(i), P)).min)
+    }
+    val sigs = d.map(x => x._1 -> sig(sh(x._1))).toMap
+    def collide(a: Long, b: Long): Boolean =
+      (0 until 8).exists(band => (0 until 2).forall(j =>
+        sigs(a)(band * 2 + j) == sigs(b)(band * 2 + j)))
+    val ids = d.map(_._1).sorted
+    val pairs = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if collide(ids(i), ids(j))
+      a = sh(ids(i)); b = sh(ids(j))
+      inter = (a & b).size
+      jac = inter.toDouble / (a.size + b.size - inter).toDouble
+      if jac >= 0.05d
+    } yield (ids(i), ids(j), jac)
+    val expected = pairs
+      .map { case (a, b, j) =>
+        val (sa, sb) = (split(a), split(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa, j)
+      }
+      .groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((lo, hi), xs) =>
+        (lo, hi, xs.length.toLong, xs.map(_._3).max,
+          xs.count(_._3 >= 0.5d).toLong)
+      }.sortBy(x => (x._1, x._2))
+    val got = operators.DedupQueries.q135SplitLeakage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+  }
 }
