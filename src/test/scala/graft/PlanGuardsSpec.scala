@@ -214,4 +214,30 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(cart.isEmpty,
       s"q112 must join on cluster_id:\n${df.queryExecution.executedPlan}")
   }
+
+  test("q129: bloom bit probe AND exact verify both broadcast (the corpus " +
+    "side never shuffles for membership)") {
+    val df = operators.SamplingQueries.q129BloomDecontaminate(spark, dir)
+    val bhj = collectNodes(df) { case b: BroadcastHashJoinExec => b }
+    // set-bit inner join + eval-gram LEFT SEMI verify; both sides are
+    // bounded (<= m bits / benchmark KBs) no matter the corpus size
+    assert(bhj.size >= 2,
+      s"expected broadcast probe + verify:\n${df.queryExecution.executedPlan}")
+    assert(bhj.exists(_.joinType.sql == "LEFT SEMI"),
+      s"exact verify must stay a broadcast semi-join:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q134: HRW shard assignment is a pure projection — only the rollup " +
+    "and its 8-row sort shuffle") {
+    val df = operators.LayoutQueries.q134RendezvousShards(spark, dir)
+    val shuffles = collectNodes(df) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2,
+      s"q134 grew a shuffle (${shuffles.size}):\n${df.queryExecution.executedPlan}")
+    // both assignments come from ONE scan — no self-join, no second pass
+    val scans = collectNodes(df) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"expected a single documents scan:\n${df.queryExecution.executedPlan}")
+  }
 }
