@@ -81,6 +81,10 @@ object ScaleBench {
 
   private val queries: Seq[(String, (SparkSession, String) => Long)] = Seq(
     "q32_minhash_lsh" -> ((s, d) => DedupQueries.q32DedupMinhashLsh(s, d).count()),
+    "q131_incr_dedup" -> ((s, d) => DedupQueries.q131IncrementalDedup(s, d).count()),
+    "q135_split_leak" -> ((s, d) => DedupQueries.q135SplitLeakage(s, d).count()),
+    "q129_bloom_decon" -> ((s, d) =>
+      graft.operators.SamplingQueries.q129BloomDecontaminate(s, d).count()),
     "q36_simhash_cc" -> ((s, d) => DedupQueries.q36DedupCluster(s, d).count()),
     "q80_ppjoin" -> ((s, d) => {
       val q = ppjoin(s, d)
