@@ -897,7 +897,68 @@ object TextQueries {
       |  ((1000 * SUM(moji + ctrl)) // SUM(n))::BIGINT AS bad_permille
       |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q136: vocabulary-growth curve (Heaps' law measurement) — the
+    * corpus statistic that sizes tokenizers and vocabulary budgets:
+    * how many NEW types (and hapax legomena) appear as the corpus
+    * grows quartile by quartile along the doc-id axis. A healthy
+    * natural corpus keeps discovering types (V ∝ N^β, β≈0.4-0.6);
+    * a flat curve means template/synthetic text, a hapax explosion
+    * means OCR noise or encoding damage — both are drop signals
+    * before tokenizer training.
+    *
+    * Single-pass design: the growth curve needs no per-prefix rescan —
+    * each type's FIRST document id assigns it to the quartile where it
+    * entered the vocabulary (min-aggregate), so one explode feeds (a)
+    * the 4-row occurrence rollup and (b) the Zipf-compressed per-type
+    * (first_doc, count) aggregate; cumulative vocab is a window over
+    * 4 rows. Corpus-sized data crosses the shuffle once, pre-combined.
+    */
+  def q136VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val n = t.documents.agg((max("doc_id") + 1).as("n_ids"))
+    val tok = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val occ = tok.crossJoin(broadcast(n))
+      .withColumn("q", least(expr("(4 * doc_id) div n_ids"), lit(3L)))
+      .groupBy("q").agg(count(lit(1)).as("n_occurrences"))
+    val types = tok.groupBy("w")
+      .agg(min("doc_id").as("first_doc"), count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .withColumn("q", least(expr("(4 * first_doc) div n_ids"), lit(3L)))
+      .groupBy("q").agg(count(lit(1)).as("n_new_types"),
+        count(when(col("cnt") === 1, 1)).as("n_hapax"))
+    occ.join(types, Seq("q"), "left")
+      .na.fill(0L, Seq("n_new_types", "n_hapax"))
+      .withColumn("cum_types", sum("n_new_types").over(Window.orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("q", "n_occurrences", "n_new_types", "cum_types", "n_hapax")
+      .orderBy("q")
+  }
+
+  val q136Sql: String = {
+    val toks = OracleSql.tokens("text")
+    s"""WITH n AS (SELECT (MAX(doc_id) + 1)::BIGINT AS n_ids FROM documents),
+       |tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+       |occ AS (
+       |  SELECT least((4 * doc_id) // n_ids, 3)::BIGINT AS q,
+       |    COUNT(*)::BIGINT AS n_occurrences
+       |  FROM tok, n GROUP BY 1),
+       |types AS (
+       |  SELECT least((4 * first_doc) // n_ids, 3)::BIGINT AS q,
+       |    COUNT(*)::BIGINT AS n_new_types,
+       |    COUNT(*) FILTER (WHERE cnt = 1)::BIGINT AS n_hapax
+       |  FROM (SELECT w, MIN(doc_id) AS first_doc, COUNT(*) AS cnt
+       |        FROM tok GROUP BY w), n
+       |  GROUP BY 1)
+       |SELECT o.q, o.n_occurrences,
+       |  COALESCE(t.n_new_types, 0)::BIGINT AS n_new_types,
+       |  SUM(COALESCE(t.n_new_types, 0)) OVER (ORDER BY o.q)::BIGINT AS cum_types,
+       |  COALESCE(t.n_hapax, 0)::BIGINT AS n_hapax
+       |FROM occ o LEFT JOIN types t USING (q) ORDER BY o.q""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_vocab_growth" -> (q136VocabGrowth _),
     "q132_encoding_audit" -> (q132EncodingAudit _),
     "q118_drift_monitor" -> (q118DriftMonitor _),
     "q116_filter_cascade" -> (q116FilterCascade _),
@@ -917,6 +978,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q136_vocab_growth" -> q136Sql,
     "q132_encoding_audit" -> q132Sql,
     "q110_cooc_pmi" -> q110Sql,
     "q116_filter_cascade" -> q116Sql,

@@ -779,4 +779,34 @@ class CurationQueriesSpec extends AnyFunSuite {
         r.getLong(4))).toSeq
     assert(got == expected)
   }
+
+  // --- q136 ----------------------------------------------------------
+
+  test("q136 matches a sequential vocabulary-growth re-derivation") {
+    val d = docs()
+    val nIds = d.map(_._1).max + 1
+    def quart(id: Long): Long = math.min(4 * id / nIds, 3L)
+    val occs = d.flatMap(x => toks(x._2).map(w => (x._1, w)))
+    val occExp = occs.groupBy(x => quart(x._1)).map { case (q, xs) =>
+      q -> xs.length.toLong
+    }
+    val byType = occs.groupBy(_._2).toSeq.map { case (_, xs) =>
+      (xs.map(_._1).min, xs.length.toLong)
+    }
+    val typExp = byType.groupBy(x => quart(x._1)).map { case (q, xs) =>
+      q -> (xs.size.toLong, xs.count(_._2 == 1L).toLong)
+    }
+    var cum = 0L
+    val expected = occExp.keys.toSeq.sorted.map { q =>
+      val (nt, hx) = typExp.getOrElse(q, (0L, 0L))
+      cum += nt
+      (q, occExp(q), nt, cum, hx)
+    }
+    val got = operators.TextQueries.q136VocabGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // growth-ledger invariant: final cumulative vocab = distinct types
+    assert(got.last._4 == occs.map(_._2).distinct.length.toLong)
+  }
 }
