@@ -351,6 +351,55 @@ object SamplingQueries {
        |ORDER BY permille DESC, n_hits DESC, doc_id LIMIT 50""".stripMargin
   }
 
+  /** q137: cross-source score CALIBRATION — scores from different
+    * scorers/corpora are not comparable (a 0.6 from a clean-web
+    * scraper ≠ a 0.6 from OCR'd scans), so a single global threshold
+    * silently skews the training mix toward whichever source's score
+    * distribution sits higher. The standard fix is rank normalization
+    * within source before thresholding. Both selections are reported
+    * side by side: `n_raw_selected` (absolute score ≥ 0.55 — varies
+    * wildly per source) vs `n_cal_selected` (within-source per-mille
+    * rank ≥ 500 — half of every source by construction). The per-mille
+    * rank is pure integer arithmetic ((rk−1)·1000 div (n−1)), never a
+    * float percent_rank, so the cut is hash-exact.
+    *
+    * Scale shape: one scan + one window partitioned by source (both
+    * window functions share the exchange) + a per-source rollup.
+    */
+  def q137ScoreCalibrate(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("score", "doc_id")
+    t.documents
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("score"))
+      .withColumn("rk", rank().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .withColumn("pm", expr("((rk - 1) * 1000) div greatest(cnt - 1, 1)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("score") >= 0.55d, 1)).as("n_raw_selected"),
+        count(when(col("pm") >= 500, 1)).as("n_cal_selected"))
+      .orderBy("source")
+  }
+
+  val q137Sql: String = {
+    val score = OracleSql.qualityScore("text")
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, $score AS score FROM documents),
+       |rk AS (
+       |  SELECT source, score,
+       |    RANK() OVER (PARTITION BY source ORDER BY score, doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS cnt
+       |  FROM scored)
+       |SELECT source, COUNT(*)::BIGINT AS n_docs,
+       |  COUNT(*) FILTER (WHERE score >= 0.55)::BIGINT AS n_raw_selected,
+       |  COUNT(*) FILTER (WHERE ((rk - 1) * 1000) // greatest(cnt - 1, 1) >= 500)::BIGINT
+       |    AS n_cal_selected
+       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q129: BLOOM-prefiltered decontamination — q111's 100 TB scale
     * path. q111 probes every corpus gram against a broadcast of the
     * raw benchmark gram set; at production benchmark sizes the thing
@@ -559,6 +608,7 @@ object SamplingQueries {
     "q39_decontaminate" -> (q39Decontaminate _),
     "q111_ngram_decontaminate" -> (q111NgramDecontaminate _),
     "q129_bloom_decontaminate" -> (q129BloomDecontaminate _),
+    "q137_score_calibrate" -> (q137ScoreCalibrate _),
     "q47_sequence_packing" -> (q47SequencePacking _),
     "q55_training_mix" -> (q55TrainingMix _),
     "q84_temperature_sample" -> (q84TemperatureSample _),
@@ -570,6 +620,7 @@ object SamplingQueries {
     "q39_decontaminate" -> q39Sql,
     "q111_ngram_decontaminate" -> q111Sql,
     "q129_bloom_decontaminate" -> q129Sql,
+    "q137_score_calibrate" -> q137Sql,
     "q117_dsir_weights" -> q117Sql,
     "q47_sequence_packing" -> q47Sql,
     "q55_training_mix" -> q55Sql,

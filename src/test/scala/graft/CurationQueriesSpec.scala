@@ -809,4 +809,44 @@ class CurationQueriesSpec extends AnyFunSuite {
     // growth-ledger invariant: final cumulative vocab = distinct types
     assert(got.last._4 == occs.map(_._2).distinct.length.toLong)
   }
+
+  // --- q137 ----------------------------------------------------------
+
+  test("q137 matches a sequential calibration re-derivation") {
+    val allStop = functions.TextFunctions.stopwords
+      .flatMap(_._2).distinct.toSet
+    def quality(text: String): Double = {
+      val nChars = text.length.toDouble
+      val t = toks(text)
+      val nToks = t.length.toDouble
+      val alpha = text.count(_.isLetter).toDouble
+      val stopHits = toks(text.toLowerCase).count(allStop).toDouble
+      val lenScore = math.min(nChars / 500.0, 1.0)
+      val alphaScore = if (nChars > 0) alpha / nChars else 0.0
+      val stopScore = if (nToks > 0) math.min(stopHits * 5.0 / nToks, 1.0) else 0.0
+      val wordScore = math.min((if (nToks > 0) alpha / nToks else 0.0) / 8.0, 1.0)
+      (lenScore + alphaScore + stopScore + wordScore) / 4.0
+    }
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = rows.map { case (id, src, text) => (id, src, quality(text)) }
+      .groupBy(_._2).toSeq.map { case (src, xs) =>
+        val sorted = xs.sortBy(x => (x._3, x._1))
+        val n = sorted.length.toLong
+        val cal = sorted.zipWithIndex.count { case (_, i) =>
+          i.toLong * 1000 / math.max(n - 1, 1L) >= 500
+        }
+        (src, n, xs.count(_._3 >= 0.55d).toLong, cal.toLong)
+      }.sortBy(_._1)
+    val got = operators.SamplingQueries.q137ScoreCalibrate(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // the calibration property: every source passes ~half its docs
+    got.foreach { case (_, n, _, cal) =>
+      assert(math.abs(cal - n / 2) <= 1 + n / 10)
+    }
+  }
 }
