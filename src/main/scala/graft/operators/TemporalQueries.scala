@@ -117,6 +117,76 @@ object TemporalQueries {
       "user_id", "ts", "event_id", "attr")
       .orderBy("user_id", "valid_from_us")
 
+  /** q138: POINT-IN-TIME feature join + lookahead-bias audit — the
+    * feature-store correctness operator: training examples must join
+    * the dimension version that was valid AT the example's timestamp,
+    * not the latest one; joining "current" features leaks the future
+    * into training (lookahead bias), the classic silent model-quality
+    * bug. Each event joins q82's SCD2 history on the entity key with
+    * the half-open validity residual ([from, to) intervals partition
+    * the timeline per user, so every event matches exactly one
+    * version — the spec pins that count preservation). The output is
+    * the (pit_attr × current_attr) confusion matrix: every off-
+    * diagonal row (`is_biased`) counts training rows the naive
+    * "join latest" approach would silently corrupt.
+    *
+    * Scale shape: one window exchange builds the dimension
+    * (localCheckpoint'd — two consumers); the PIT join is an
+    * EQUI-join on the entity key with a range residual over short
+    * per-entity version lists — the standard feature-store shape, no
+    * nested-loop; both sides hash-partition on user_id once.
+    */
+  def q138PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val hist = scd2History(
+      t.events.select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("attr")),
+      "user_id", "ts", "event_id", "attr")
+      .localCheckpoint(false)
+    val ev = t.events.select(col("user_id").as("e_uid"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    val pit = ev.join(hist,
+        col("e_uid") === col("user_id") &&
+          col("valid_from_us") <= col("ts_us") &&
+          (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")))
+      .select(col("e_uid"), col("attr").as("pit_attr"))
+    val cur = hist.filter(col("is_current"))
+      .select(col("user_id").as("c_uid"), col("attr").as("current_attr"))
+    pit.join(cur, col("e_uid") === col("c_uid"))
+      .groupBy("pit_attr", "current_attr")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("is_biased", col("pit_attr") =!= col("current_attr"))
+      .select("pit_attr", "current_attr", "n_events", "is_biased")
+      .orderBy("pit_attr", "current_attr")
+  }
+
+  val q138Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, event_type AS attr,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_attr
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_id, ts, attr FROM ordered
+      |  WHERE prev_attr IS NULL OR attr <> prev_attr),
+      |hist AS (
+      |  SELECT user_id, attr, epoch_us(ts)::BIGINT AS valid_from_us,
+      |    lead(epoch_us(ts)::BIGINT)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+      |  FROM changes),
+      |ev AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts_us FROM events),
+      |pit AS (
+      |  SELECT e.user_id, h.attr AS pit_attr
+      |  FROM ev e JOIN hist h ON e.user_id = h.user_id
+      |    AND h.valid_from_us <= e.ts_us
+      |    AND (h.valid_to_us IS NULL OR e.ts_us < h.valid_to_us)),
+      |cur AS (SELECT user_id, attr AS current_attr FROM hist
+      |        WHERE valid_to_us IS NULL)
+      |SELECT p.pit_attr, c.current_attr, COUNT(*)::BIGINT AS n_events,
+      |  (p.pit_attr <> c.current_attr) AS is_biased
+      |FROM pit p JOIN cur c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val q82Sql: String =
     """WITH ordered AS (
       |  SELECT user_id, event_id, ts, event_type AS attr,
@@ -642,6 +712,7 @@ object TemporalQueries {
     "q122_volume_anomaly" -> (q122VolumeAnomaly _),
     "q75_asof_join" -> (q75AsofJoin _),
     "q82_scd2_history" -> (q82Scd2History _),
+    "q138_pit_join" -> (q138PitJoin _),
     "q94_interval_join" -> (q94IntervalJoin _),
     "q99_triangle_count" -> (q99TriangleCount _),
     "q108_kcore" -> (q108KCore _),
@@ -651,6 +722,7 @@ object TemporalQueries {
     "q122_volume_anomaly" -> q122Sql,
     "q75_asof_join" -> q75Sql,
     "q82_scd2_history" -> q82Sql,
+    "q138_pit_join" -> q138Sql,
     "q94_interval_join" -> q94Sql,
     "q99_triangle_count" -> q99Sql,
     "q108_kcore" -> q108Sql,

@@ -849,4 +849,44 @@ class CurationQueriesSpec extends AnyFunSuite {
       assert(math.abs(cal - n / 2) <= 1 + n / 10)
     }
   }
+
+  // --- q138 ----------------------------------------------------------
+
+  test("q138 matches a sequential point-in-time re-derivation") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    // SCD2 versions per user: collapse runs, half-open intervals
+    val hist = byUser.map { case (uid, xs) =>
+      val s = xs.sortBy(x => (x._3, x._2)).toSeq
+      val changes = s.head +: s.sliding(2).collect {
+        case Seq(a, b) if a._4 != b._4 => b
+      }.toSeq
+      val versions = changes.zipWithIndex.map { case (c, i) =>
+        val to = if (i + 1 < changes.length) Some(changes(i + 1)._3) else None
+        (c._4, c._3, to)
+      }
+      uid -> versions
+    }
+    val pitRows = ev.map { case (uid, _, us, _) =>
+      val vs = hist(uid)
+      val pit = vs.find(v => v._2 <= us && v._3.forall(us < _))
+      assert(pit.isDefined, s"event at $us found no version") // exactly-one
+      (uid, pit.get._1)
+    }
+    // count preservation: every event got exactly one PIT row
+    assert(pitRows.length == ev.length)
+    val cur = hist.map { case (uid, vs) => uid -> vs.last._1 }
+    val expected = pitRows.map { case (uid, pa) => (pa, cur(uid)) }
+      .groupBy(identity).toSeq
+      .map { case ((pa, ca), xs) => (pa, ca, xs.length.toLong, pa != ca) }
+      .sortBy(x => (x._1, x._2))
+    val got = operators.TemporalQueries.q138PitJoin(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == ev.length.toLong)
+  }
 }
