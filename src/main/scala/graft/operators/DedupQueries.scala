@@ -565,6 +565,70 @@ object DedupQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** q139: cross-lingual alignment mining — the BITEXT-mining shape
+    * (Artetxe–Schwenk margin mining over LASER/LaBSE embeddings) that
+    * builds parallel corpora for translation training: candidate
+    * pairs meet through q35's hyperplane-cell equi-join, are scored
+    * by the codegen'd dot product, and — unlike the dedup family,
+    * which KEEPS one of a same-language pair — only CROSS-language
+    * pairs survive, because those are the ones worth keeping as
+    * aligned training data. Output is the per-language-pair census
+    * (unordered lang pair, pair count, best score). With multilingual
+    * encoders this finds translations; the mechanics gated here —
+    * cell join, fold-exact scoring, cross-attribute filter, census —
+    * are encoder-independent.
+    *
+    * Scale shape: identical to q35 (cell equi-join, cost tracks true
+    * cell collisions) + two id-equi-joins to attach lang and a
+    * ≤ |langs|² rollup.
+    */
+  def q139CrossLingualPairs(spark: SparkSession, dir: String): DataFrame = {
+    val planes = 8
+    val t = Tables(spark, dir)
+    val langs = t.documents.select(col("doc_id"), col("lang"))
+    val cells = t.embeddings
+      .select(col("vec_id"), col("embedding"),
+        hyperplaneSignature(col("embedding"), planes).as("cell"))
+    val a = cells.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
+      col("cell"))
+    val b = cells.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+      col("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", dotFold(col("a_e"), col("b_e")))
+      .filter(col("cosine") >= 0.3d)
+      .join(langs.select(col("doc_id").as("a_id"), col("lang").as("lang_a")),
+        Seq("a_id"))
+      .join(langs.select(col("doc_id").as("b_id"), col("lang").as("lang_b")),
+        Seq("b_id"))
+      .filter(col("lang_a") =!= col("lang_b"))
+      .groupBy(least(col("lang_a"), col("lang_b")).as("lang_lo"),
+        greatest(col("lang_a"), col("lang_b")).as("lang_hi"))
+      .agg(count(lit(1)).as("n_pairs"), max("cosine").as("max_cosine"))
+      .orderBy("lang_lo", "lang_hi")
+  }
+
+  val q139Sql: String = {
+    val sig = OracleSql.hyperplaneSignature("embedding", 8)
+    val dot = OracleSql.dotFold("a.embedding", "b.embedding")
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding, $sig AS cell FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $dot AS cosine
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE $dot >= 0.3),
+       |tagged AS (
+       |  SELECT p.cosine, da.lang AS lang_a, db.lang AS lang_b
+       |  FROM pairs p
+       |  JOIN documents da ON p.a_id = da.doc_id
+       |  JOIN documents db ON p.b_id = db.doc_id
+       |  WHERE da.lang <> db.lang)
+       |SELECT least(lang_a, lang_b) AS lang_lo,
+       |  greatest(lang_a, lang_b) AS lang_hi,
+       |  COUNT(*)::BIGINT AS n_pairs, MAX(cosine) AS max_cosine
+       |FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** C4/RefinedWeb-style span dedup: split each document into
     * pseudo-lines of 10 tokens (the corpus has no newlines — at
     * production scale the splitter is `split(text, '\n')` and the rest
@@ -1179,6 +1243,7 @@ object DedupQueries {
     "q32_dedup_minhash_lsh" -> (q32DedupMinhashLsh _),
     "q131_incremental_dedup" -> (q131IncrementalDedup _),
     "q135_split_leakage" -> (q135SplitLeakage _),
+    "q139_crosslingual_pairs" -> (q139CrossLingualPairs _),
     "q33_dedup_simhash" -> (q33DedupSimhash _),
     "q34_neardup_embedding" -> (q34NearDupEmbedding _),
     "q36_dedup_cluster" -> (q36DedupCluster _),
@@ -1197,6 +1262,7 @@ object DedupQueries {
     "q32_dedup_minhash_lsh" -> q32Sql,
     "q131_incremental_dedup" -> q131Sql,
     "q135_split_leakage" -> q135Sql,
+    "q139_crosslingual_pairs" -> q139Sql,
     "q33_dedup_simhash" -> q33Sql,
     "q34_neardup_embedding" -> q34Sql,
     "q36_dedup_cluster" -> q36Sql,

@@ -889,4 +889,39 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.map(_._3).sum == ev.length.toLong)
   }
+
+  // --- q139 ----------------------------------------------------------
+
+  test("q139 matches a sequential cross-lingual mining re-derivation") {
+    import functions.VectorFunctions.planeComponentLocal
+    val v = vecs()
+    val langOf = docs().map(x => x._1 -> x._3).toMap
+    def cell(x: Array[Float]): Long =
+      (0 until 8).map { p =>
+        val proj = x.indices.foldLeft(0.0d)((acc, i) =>
+          acc + x(i).toDouble * planeComponentLocal(p, i))
+        if (proj > 0) 1L << p else 0L
+      }.sum
+    val cells = v.map { case (id, x) => (id, x, cell(x)) }
+    val pairs = for {
+      i <- cells.indices; j <- (i + 1) until cells.length
+      (a, ae, ca) = cells(i); (b, be, cb) = cells(j)
+      if ca == cb
+      cos = dot(ae, be)
+      if cos >= 0.3d
+      if langOf(a) != langOf(b)
+    } yield (langOf(a), langOf(b), cos)
+    val expected = pairs
+      .map { case (la, lb, c) =>
+        (if (la <= lb) la else lb, if (la <= lb) lb else la, c)
+      }
+      .groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((lo, hi), xs) => (lo, hi, xs.length.toLong, xs.map(_._3).max) }
+      .sortBy(x => (x._1, x._2))
+    val got = operators.DedupQueries.q139CrossLingualPairs(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+  }
 }
