@@ -145,6 +145,79 @@ object VectorQueries {
        |ORDER BY cosine DESC, c.vec_id LIMIT 10""".stripMargin
   }
 
+  /** q140: contrastive NEGATIVE mining — the training-pair builder
+    * for retrieval/embedding models (DPR/SimCSE recipe): each anchor
+    * needs negatives that are (a) HARD — semantically close but below
+    * the positive band, cosine ∈ [0.2, 0.4), where the gradient
+    * signal lives — and (b) EASY — clearly unrelated (cosine < 0),
+    * picked hash-pseudo-randomly so the easy tier doesn't collapse
+    * onto the same few vectors every epoch. Anything ≥ 0.4 is
+    * excluded as a potential positive/near-dup (q34's band): mining
+    * a near-dup as a "negative" poisons the loss, which is why the
+    * dedup threshold and the mining band must agree — this query pins
+    * that agreement.
+    *
+    * Scale shape: query batch broadcast, corpus scanned once, the
+    * scored frame localCheckpoint'd (two tier consumers), one window
+    * exchange per tier over candidate rows only.
+    */
+  def q140NegativeMining(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val queries = t.embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = t.embeddings
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dotFold(col("embedding"), col("q_emb")))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .localCheckpoint(false)
+    val wHard = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    val hard = scored
+      .filter(col("cosine") >= 0.2d && col("cosine") < 0.4d)
+      .withColumn("rank", row_number().over(wHard))
+      .filter(col("rank") <= 3)
+      .withColumn("tier", lit("hard"))
+    val coin = pmod(graft.functions.TextFunctions.md5Long60(
+      concat(col("query_id").cast("string"), lit("_"), col("vec_id").cast("string"))),
+      lit(1000000L))
+    val wEasy = Window.partitionBy("query_id").orderBy(asc("coin"), asc("vec_id"))
+    val easy = scored
+      .filter(col("cosine") < 0.0d)
+      .withColumn("coin", coin)
+      .withColumn("rank", row_number().over(wEasy))
+      .filter(col("rank") <= 3)
+      .withColumn("tier", lit("easy"))
+      .drop("coin")
+    hard.unionByName(easy)
+      .select(col("query_id"), col("tier"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neg_id"), col("cosine"))
+      .orderBy("query_id", "tier", "rank")
+  }
+
+  val q140Sql: String = {
+    val dot = OracleSql.dotFold("e.embedding", "q.q_emb")
+    val coin = OracleSql.md5Long60("query_id::VARCHAR || '_' || vec_id::VARCHAR")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id, $dot AS cosine
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.query_id),
+       |hard AS (
+       |  SELECT query_id, 'hard' AS tier, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored WHERE cosine >= 0.2 AND cosine < 0.4),
+       |easy AS (
+       |  SELECT query_id, 'easy' AS tier, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ($coin % 1000000), vec_id) AS rank
+       |  FROM scored WHERE cosine < 0.0)
+       |SELECT query_id, tier, rank::BIGINT AS rank, vec_id AS neg_id, cosine
+       |FROM (SELECT * FROM hard UNION ALL SELECT * FROM easy)
+       |WHERE rank <= 3 ORDER BY query_id, tier, rank""".stripMargin
+  }
+
   /** Batched kNN: top-5 neighbors for each of 8 query vectors in one
     * job — broadcast the query batch, window-rank per query. This is
     * the shape a training pipeline uses for retrieval/labeling sweeps:
@@ -636,6 +709,7 @@ object VectorQueries {
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q69_ann_multiprobe" -> (q69AnnMultiprobe _),
     "q42_knn_batch" -> (q42KnnBatch _),
+    "q140_negative_mining" -> (q140NegativeMining _),
     "q43_search_topk" -> (q43SearchTopk _),
   )
 
@@ -649,6 +723,7 @@ object VectorQueries {
     "q41_ann_lsh" -> q41Sql,
     "q69_ann_multiprobe" -> q69Sql,
     "q42_knn_batch" -> q42Sql,
+    "q140_negative_mining" -> q140Sql,
     "q43_search_topk" -> q43Sql,
   )
 }

@@ -924,4 +924,33 @@ class CurationQueriesSpec extends AnyFunSuite {
       .toSeq
     assert(got == expected)
   }
+
+  // --- q140 ----------------------------------------------------------
+
+  test("q140 matches a sequential negative-mining re-derivation") {
+    val v = vecs()
+    val emb = v.toMap
+    val expected = v.filter(_._1 < 8).map(_._1).sorted.flatMap { qid =>
+      val scored = v.filter(_._1 != qid)
+        .map { case (id, x) => (id, dot(x, emb(qid))) }
+      val hard = scored.filter(x => x._2 >= 0.2d && x._2 < 0.4d)
+        .sortBy { case (id, c) => (-c, id) }.take(3).zipWithIndex
+        .map { case ((id, c), i) => (qid, "hard", (i + 1).toLong, id, c) }
+      val easy = scored.filter(_._2 < 0.0d)
+        .sortBy { case (id, _) =>
+          (md5Long60Local(s"${qid}_$id") % 1000000L, id)
+        }.take(3).zipWithIndex
+        .map { case ((id, c), i) => (qid, "easy", (i + 1).toLong, id, c) }
+      (hard ++ easy).sortBy(x => (x._2, x._3))
+    }.toSeq
+    val got = operators.VectorQueries.q140NegativeMining(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    // the mining band contract: no negative is a potential positive
+    got.foreach { case (_, tier, _, _, c) =>
+      assert(c < 0.4d)
+      if (tier == "easy") assert(c < 0.0d)
+    }
+  }
 }
