@@ -205,6 +205,46 @@ object TemporalQueries {
       |FROM changes
       |ORDER BY user_id, valid_from_us""".stripMargin
 
+  /** q141: time-decayed counters — the trending/popularity feature
+    * (exponentially decayed counts, half-life 7 days) in INTEGER
+    * fixed-point: each event contributes 10^6 >> (age div halflife),
+    * so the mass is hash-exact where a float exp(-λ·age) would drift
+    * between engines. The decayed mass is additive (mergeable across
+    * partitions/shards like the sketch family) and re-bases to a new
+    * "now" by a power-of-two multiply per bucket — the classic
+    * decayed-counter maintenance trick. `freshness_permille` =
+    * decayed/raw mass ratio: 1000 means all volume is recent, low
+    * values flag a type whose traffic died.
+    *
+    * Scale shape: one scan, the corpus reduces in a single map-side-
+    * combined aggregate; "now" joins in as a broadcast scalar.
+    */
+  def q141DecayedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val mx = t.events.agg(max(unix_micros(col("ts"))).as("max_us"))
+    t.events.select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .crossJoin(broadcast(mx))
+      .withColumn("w", expr(
+        "shiftright(1000000L, cast(least((max_us - ts_us) div 604800000000, 30) as int))"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("w").as("decayed_mass"))
+      .withColumn("freshness_permille",
+        expr("(1000 * decayed_mass) div (n_events * 1000000)"))
+      .orderBy("event_type")
+  }
+
+  val q141Sql: String =
+    """WITH mx AS (SELECT MAX(epoch_us(ts))::BIGINT AS max_us FROM events),
+      |w AS (
+      |  SELECT event_type,
+      |    (1000000::BIGINT >> least((max_us - epoch_us(ts)::BIGINT) // 604800000000,
+      |      30)::INT) AS w
+      |  FROM events, mx)
+      |SELECT event_type, COUNT(*)::BIGINT AS n_events,
+      |  SUM(w)::BIGINT AS decayed_mass,
+      |  ((1000 * SUM(w)) // (COUNT(*) * 1000000))::BIGINT AS freshness_permille
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q94: interval-overlap self-join — "which session pairs were
     * concurrently active" — via GRID BINNING, the composition that
     * makes interval×interval joins survive scale. Spark plans a raw
@@ -713,6 +753,7 @@ object TemporalQueries {
     "q75_asof_join" -> (q75AsofJoin _),
     "q82_scd2_history" -> (q82Scd2History _),
     "q138_pit_join" -> (q138PitJoin _),
+    "q141_decayed_counts" -> (q141DecayedCounts _),
     "q94_interval_join" -> (q94IntervalJoin _),
     "q99_triangle_count" -> (q99TriangleCount _),
     "q108_kcore" -> (q108KCore _),
@@ -723,6 +764,7 @@ object TemporalQueries {
     "q75_asof_join" -> q75Sql,
     "q82_scd2_history" -> q82Sql,
     "q138_pit_join" -> q138Sql,
+    "q141_decayed_counts" -> q141Sql,
     "q94_interval_join" -> q94Sql,
     "q99_triangle_count" -> q99Sql,
     "q108_kcore" -> q108Sql,

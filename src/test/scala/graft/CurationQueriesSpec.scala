@@ -953,4 +953,28 @@ class CurationQueriesSpec extends AnyFunSuite {
       if (tier == "easy") assert(c < 0.0d)
     }
   }
+
+  // --- q141 ----------------------------------------------------------
+
+  test("q141 matches a sequential decayed-counter re-derivation") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val maxUs = ev.map(_._2).max
+    def w(us: Long): Long =
+      1000000L >> math.min((maxUs - us) / 604800000000L, 30L).toInt
+    val expected = ev.groupBy(_._1).toSeq.map { case (et, xs) =>
+      val mass = xs.map(x => w(x._2)).sum
+      (et, xs.length.toLong, mass, 1000L * mass / (xs.length.toLong * 1000000L))
+    }.sortBy(_._1)
+    val got = operators.TemporalQueries.q141DecayedCounts(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // decay contract: mass never exceeds raw count at full weight
+    got.foreach { case (_, n, mass, fp) =>
+      assert(mass <= n * 1000000L); assert(fp <= 1000L)
+    }
+  }
 }
