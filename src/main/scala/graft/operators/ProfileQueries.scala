@@ -53,7 +53,7 @@ object ProfileQueries {
 
   /** q93: interchange-format fidelity audit — the "did the export
     * lose anything?" check run before handing a corpus drop to
-    * another system: events round-trip through CSV and JSONL (written
+    * another system: events round-trip through CSV, JSONL, and ORC (written
     * with explicit schemas/formats, read back with explicit schemas —
     * never inference) and each read-back must reproduce the parquet
     * truth EXACTLY, compared by an order-independent integer
@@ -107,8 +107,9 @@ object ProfileQueries {
       base.write.option("header", "true").option("timestampFormat", tsFmt)
         .csv(s"$out/csv")
       base.write.option("timestampFormat", tsFmt).json(s"$out/json")
+      base.write.orc(s"$out/orc")
       val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
-      // ONE action for all three fingerprints: the union's branches
+      // ONE action for all four fingerprints: the union's branches
       // run as parallel stages of a single job
       val fps = fingerprint(base, "p")
         .unionAll(fingerprint(spark.read.schema(schema)
@@ -116,12 +117,14 @@ object ProfileQueries {
           .csv(s"$out/csv"), "c"))
         .unionAll(fingerprint(spark.read.schema(schema)
           .option("timestampFormat", tsFmt).json(s"$out/json"), "j"))
+        .unionAll(fingerprint(spark.read.schema(schema).orc(s"$out/orc"), "o"))
         .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
         .toMap
-      val (p, c, j) = (fps("p"), fps("c"), fps("j"))
+      val (p, c, j, o) = (fps("p"), fps("c"), fps("j"), fps("o"))
       import spark.implicits._
-      Seq((p._1, p._2, c == p, j == p))
-        .toDF("n_rows", "fingerprint", "csv_roundtrip_ok", "json_roundtrip_ok")
+      Seq((p._1, p._2, c == p, j == p, o == p))
+        .toDF("n_rows", "fingerprint", "csv_roundtrip_ok", "json_roundtrip_ok",
+          "orc_roundtrip_ok")
     } finally fs.delete(out, true)
   }
 
@@ -129,7 +132,8 @@ object ProfileQueries {
     val rh = OracleSql.md5Long60(
       "event_id::VARCHAR || ':' || event_type || ':' || epoch_us(ts)::BIGINT::VARCHAR")
     s"""SELECT COUNT(*) AS n_rows, bit_xor($rh) AS fingerprint,
-       |  TRUE AS csv_roundtrip_ok, TRUE AS json_roundtrip_ok
+       |  TRUE AS csv_roundtrip_ok, TRUE AS json_roundtrip_ok,
+       |  TRUE AS orc_roundtrip_ok
        |FROM events""".stripMargin
   }
 

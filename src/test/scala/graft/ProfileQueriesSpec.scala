@@ -23,6 +23,7 @@ class ProfileQueriesSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_rows") > 0)
     assert(row.getAs[Boolean]("csv_roundtrip_ok"))
     assert(row.getAs[Boolean]("json_roundtrip_ok"))
+    assert(row.getAs[Boolean]("orc_roundtrip_ok"))
     val leftover = java.nio.file.Files.list(root)
     try assert(!leftover.iterator().hasNext,
       "scratch subdirectory survived the audit")
