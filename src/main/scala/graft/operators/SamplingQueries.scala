@@ -351,6 +351,79 @@ object SamplingQueries {
        |ORDER BY permille DESC, n_hits DESC, doc_id LIMIT 50""".stripMargin
   }
 
+  /** q142: UniMax-style budget allocation (water-filling) — the
+    * multilingual mixing rule (Chung et al. 2023): given a total
+    * document budget, give every language an equal share EXCEPT that
+    * no language is asked for more than it has; the surplus of small
+    * languages redistributes to the rest. Mathematically: the water
+    * level L* with Σ min(n_i, L*) = B. Computed in closed form over
+    * the sorted per-language counts: ascending by n, the breakpoint
+    * is the FIRST language whose count exceeds its candidate level
+    * (B − prefix) div (langs remaining); everything below it is taken
+    * whole, everything above is capped at the breakpoint's level. All
+    * integer divisions — the allocation is hash-exact and reproducible.
+    *
+    * Scale shape: the corpus reduces to one |langs|-row aggregate;
+    * the waterfall itself is two windows + a broadcast scalar over
+    * those few rows. (This is the answer to "how do I pick per-domain
+    * caps" that q55's fixed stratified cap hard-codes.)
+    */
+  def q142UnimaxAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val counts = t.documents.groupBy("lang").agg(count(lit(1)).as("n"))
+    val budget = t.documents.agg(expr("(count(1) * 2) div 5").as("budget"),
+      count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n"), col("lang"))
+    val leveled = counts.crossJoin(broadcast(budget))
+      .withColumn("j", row_number().over(w).cast("long"))
+      .withColumn("k", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("prefix",
+        coalesce(sum("n").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("candidate", expr("(budget - prefix) div (k - j + 1)"))
+      .withColumn("exceeds", col("n") > col("candidate"))
+    // the level is the candidate at the FIRST breakpoint in ascending
+    // order (later rows' candidates are meaningless — their prefixes
+    // assume smaller langs were taken whole, which stops at j*)
+    val level = leveled.filter(col("exceeds"))
+      .agg(min(struct(col("j"), col("candidate"))).getField("candidate")
+        .as("water_level"))
+    leveled.crossJoin(broadcast(level))
+      .withColumn("alloc", when(col("water_level").isNull, col("n"))
+        .otherwise(least(col("n"), col("water_level"))))
+      .withColumn("share_before", expr("(1000 * n) div n_total"))
+      .withColumn("share_after", expr("(1000 * alloc) div budget"))
+      .select("lang", "n", "alloc", "share_before", "share_after")
+      .orderBy("lang")
+  }
+
+  val q142Sql: String =
+    """WITH counts AS (SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY 1),
+      |b AS (SELECT (COUNT(*) * 2 // 5)::BIGINT AS budget,
+      |        COUNT(*)::BIGINT AS n_total FROM documents),
+      |lv AS (
+      |  SELECT lang, n, budget, n_total,
+      |    ROW_NUMBER() OVER (ORDER BY n, lang) AS j,
+      |    COUNT(*) OVER () AS k,
+      |    COALESCE(SUM(n) OVER (ORDER BY n, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      |  FROM counts, b),
+      |cand AS (
+      |  SELECT *, (budget - prefix) // (k - j + 1) AS candidate FROM lv),
+      |level AS (
+      |  SELECT MAX(CASE WHEN rn = 1 THEN candidate END) AS water_level
+      |  FROM (SELECT candidate, ROW_NUMBER() OVER (ORDER BY j) AS rn
+      |        FROM cand WHERE n > candidate))
+      |SELECT lang, n,
+      |  CASE WHEN water_level IS NULL THEN n
+      |       ELSE least(n, water_level) END::BIGINT AS alloc,
+      |  ((1000 * n) // n_total)::BIGINT AS share_before,
+      |  ((1000 * (CASE WHEN water_level IS NULL THEN n
+      |                 ELSE least(n, water_level) END)) // budget)::BIGINT
+      |    AS share_after
+      |FROM cand, level ORDER BY lang""".stripMargin
+
   /** q137: cross-source score CALIBRATION — scores from different
     * scorers/corpora are not comparable (a 0.6 from a clean-web
     * scraper ≠ a 0.6 from OCR'd scans), so a single global threshold
@@ -609,6 +682,7 @@ object SamplingQueries {
     "q111_ngram_decontaminate" -> (q111NgramDecontaminate _),
     "q129_bloom_decontaminate" -> (q129BloomDecontaminate _),
     "q137_score_calibrate" -> (q137ScoreCalibrate _),
+    "q142_unimax_allocation" -> (q142UnimaxAllocation _),
     "q47_sequence_packing" -> (q47SequencePacking _),
     "q55_training_mix" -> (q55TrainingMix _),
     "q84_temperature_sample" -> (q84TemperatureSample _),
@@ -621,6 +695,7 @@ object SamplingQueries {
     "q111_ngram_decontaminate" -> q111Sql,
     "q129_bloom_decontaminate" -> q129Sql,
     "q137_score_calibrate" -> q137Sql,
+    "q142_unimax_allocation" -> q142Sql,
     "q117_dsir_weights" -> q117Sql,
     "q47_sequence_packing" -> q47Sql,
     "q55_training_mix" -> q55Sql,

@@ -977,4 +977,55 @@ class CurationQueriesSpec extends AnyFunSuite {
       assert(mass <= n * 1000000L); assert(fp <= 1000L)
     }
   }
+
+  // --- q142 ----------------------------------------------------------
+
+  /** Independent ITERATIVE water-filling (the engine uses the closed
+    * form): absorb every language at or below the current equal-share
+    * level, recompute, repeat. Floors match the closed form's
+    * integer-division semantics.
+    */
+  private def waterfill(ns: Seq[(String, Long)], b: Long): Map[String, Long] = {
+    val alloc = collection.mutable.Map[String, Long]()
+    var remaining = b
+    var langs = ns.sortBy(x => (x._2, x._1))
+    var done = false
+    while (langs.nonEmpty && !done) {
+      val level = remaining / langs.length
+      val (below, above) = langs.partition(_._2 <= level)
+      if (below.isEmpty) {
+        above.foreach { case (l, _) => alloc(l) = level }
+        done = true
+      } else {
+        below.foreach { case (l, n) => alloc(l) = n; remaining -= n }
+        langs = above
+      }
+    }
+    alloc.toMap
+  }
+
+  test("q142 matches an independent iterative waterfall") {
+    val d = docs()
+    val counts = d.groupBy(_._3).toSeq.map { case (l, xs) => (l, xs.length.toLong) }
+    val nTotal = d.length.toLong
+    val budget = nTotal * 2 / 5
+    val ref = waterfill(counts, budget)
+    val expected = counts.map { case (l, n) =>
+      (l, n, ref(l), 1000L * n / nTotal, 1000L * ref(l) / budget)
+    }.sortBy(_._1)
+    val got = operators.SamplingQueries.q142UnimaxAllocation(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // budget invariants: never over budget; under by less than the
+    // number of capped languages (integer-floor remainder)
+    val total = got.map(_._3).sum
+    val capped = got.count(x => x._3 < x._2)
+    assert(total <= budget)
+    assert(capped == 0 || budget - total < capped)
+    // a skewed synthetic case exercises partial absorption
+    val skew = waterfill(Seq(("a", 2L), ("b", 3L), ("c", 100L), ("d", 95L)), 60L)
+    assert(skew == Map("a" -> 2L, "b" -> 3L, "c" -> 27L, "d" -> 27L))
+  }
 }
