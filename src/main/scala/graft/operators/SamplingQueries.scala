@@ -351,6 +351,66 @@ object SamplingQueries {
        |ORDER BY permille DESC, n_hits DESC, doc_id LIMIT 50""".stripMargin
   }
 
+  /** q143: one-pass Poisson BOOTSTRAP — the industrial way to put a
+    * confidence interval on a corpus statistic without resampling
+    * passes (Chamandy et al., Google): each row joins every replica
+    * with a deterministic Poisson(1)-approximate weight (md5 coin
+    * against the cumulative pmf thresholds 368/736/920 per mille →
+    * w ∈ {0,1,2,3}), so all 32 resampled means fall out of ONE
+    * map-side-combined aggregate. Here the statistic is per-language
+    * mean document length; the replica min/max spread is the
+    * uncertainty band that tells you whether two languages' means
+    * actually differ or you just don't have enough documents.
+    * Integer weighted means (div) keep every replica hash-exact.
+    *
+    * Scale shape: a 32× row explode that collapses immediately into
+    * the partial aggregate — (langs × 32) rows cross the shuffle, not
+    * the corpus; no second pass, no driver-side resampling.
+    */
+  def q143BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perReplica = t.documents
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("u", pmod(md5Long60(concat(col("b").cast("string"),
+        lit("_"), col("doc_id").cast("string"))), lit(1000L)))
+      .withColumn("w", when(col("u") < 368, 0L).when(col("u") < 736, 1L)
+        .when(col("u") < 920, 2L).otherwise(3L))
+      .groupBy("lang", "b")
+      .agg(expr("sum(w * n_chars) div greatest(sum(w), 1)").as("rep_mean"))
+    val boot = perReplica.groupBy("lang")
+      .agg(min("rep_mean").as("boot_lo"), max("rep_mean").as("boot_hi"))
+    t.documents.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(n_chars) div count(1)").as("mean_chars"))
+      .join(boot, Seq("lang"))
+      .withColumn("spread", col("boot_hi") - col("boot_lo"))
+      .orderBy("lang")
+  }
+
+  val q143Sql: String = {
+    val u = s"(${OracleSql.md5Long60("b::VARCHAR || '_' || doc_id::VARCHAR")} % 1000)"
+    s"""WITH reps AS (
+       |  SELECT lang, n_chars, b,
+       |    CASE WHEN $u < 368 THEN 0 WHEN $u < 736 THEN 1
+       |         WHEN $u < 920 THEN 2 ELSE 3 END AS w
+       |  FROM documents, (SELECT unnest(generate_series(0, 31)) AS b)),
+       |per_rep AS (
+       |  SELECT lang, b,
+       |    (SUM(w * n_chars) // greatest(SUM(w), 1))::BIGINT AS rep_mean
+       |  FROM reps GROUP BY 1, 2),
+       |boot AS (
+       |  SELECT lang, MIN(rep_mean) AS boot_lo, MAX(rep_mean) AS boot_hi
+       |  FROM per_rep GROUP BY 1),
+       |point AS (
+       |  SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       |    (SUM(n_chars) // COUNT(*))::BIGINT AS mean_chars
+       |  FROM documents GROUP BY 1)
+       |SELECT p.lang, p.n_docs, p.mean_chars, b.boot_lo, b.boot_hi,
+       |  (b.boot_hi - b.boot_lo)::BIGINT AS spread
+       |FROM point p JOIN boot b USING (lang) ORDER BY p.lang""".stripMargin
+  }
+
   /** q142: UniMax-style budget allocation (water-filling) — the
     * multilingual mixing rule (Chung et al. 2023): given a total
     * document budget, give every language an equal share EXCEPT that
@@ -683,6 +743,7 @@ object SamplingQueries {
     "q129_bloom_decontaminate" -> (q129BloomDecontaminate _),
     "q137_score_calibrate" -> (q137ScoreCalibrate _),
     "q142_unimax_allocation" -> (q142UnimaxAllocation _),
+    "q143_bootstrap_ci" -> (q143BootstrapCi _),
     "q47_sequence_packing" -> (q47SequencePacking _),
     "q55_training_mix" -> (q55TrainingMix _),
     "q84_temperature_sample" -> (q84TemperatureSample _),
@@ -696,6 +757,7 @@ object SamplingQueries {
     "q129_bloom_decontaminate" -> q129Sql,
     "q137_score_calibrate" -> q137Sql,
     "q142_unimax_allocation" -> q142Sql,
+    "q143_bootstrap_ci" -> q143Sql,
     "q117_dsir_weights" -> q117Sql,
     "q47_sequence_packing" -> q47Sql,
     "q55_training_mix" -> q55Sql,

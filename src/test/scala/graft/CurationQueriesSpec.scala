@@ -1028,4 +1028,31 @@ class CurationQueriesSpec extends AnyFunSuite {
     val skew = waterfill(Seq(("a", 2L), ("b", 3L), ("c", 100L), ("d", 95L)), 60L)
     assert(skew == Map("a" -> 2L, "b" -> 3L, "c" -> 27L, "d" -> 27L))
   }
+
+  // --- q143 ----------------------------------------------------------
+
+  test("q143 matches a sequential Poisson-bootstrap re-derivation") {
+    val d = docs()
+    def w(b: Int, id: Long): Long = {
+      val u = md5Long60Local(s"${b}_$id") % 1000L
+      if (u < 368) 0L else if (u < 736) 1L else if (u < 920) 2L else 3L
+    }
+    val expected = d.groupBy(_._3).toSeq.map { case (lang, xs) =>
+      val means = (0 until 32).map { b =>
+        val ws = xs.map(x => (w(b, x._1), x._4))
+        val tw = ws.map(_._1).sum
+        ws.map(x => x._1 * x._2).sum / math.max(tw, 1L)
+      }
+      (lang, xs.length.toLong, xs.map(_._4).sum / xs.length,
+        means.min, means.max, means.max - means.min)
+    }.sortBy(_._1)
+    val got = operators.SamplingQueries.q143BootstrapCi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // the band brackets the point estimate (up to integer-floor slack)
+    got.foreach { case (_, _, mean, lo, hi, _) =>
+      assert(lo <= mean + 1 && mean <= hi + 1)
+    }
+  }
 }
