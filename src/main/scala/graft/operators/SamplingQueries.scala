@@ -351,6 +351,72 @@ object SamplingQueries {
        |ORDER BY permille DESC, n_hits DESC, doc_id LIMIT 50""".stripMargin
   }
 
+  /** q144: A/B experiment readout with A/A CALIBRATION — the
+    * experimentation surface over event data: deterministic hash
+    * assignment of users to arms (md5 % 2 — the same property that
+    * makes q38's splits reproducible makes exposure assignment
+    * consistent across sessions), per-arm engagement metrics, and a
+    * q143-style Poisson-bootstrap band on the per-user mean. Because
+    * the arms here differ ONLY by the hash (an A/A experiment), the
+    * two bands MUST overlap — the spec asserts it — which calibrates
+    * the readout machinery itself: a pipeline whose A/A shows
+    * "significance" has a bug, and this query is the standing check.
+    *
+    * Scale shape: per-user rollup (one shuffle), then the 32× replica
+    * explode collapses into an (arm × 32) aggregate; nothing
+    * corpus-sized crosses twice.
+    */
+  def q144AbReadout(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perUser = t.events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"))
+      .withColumn("arm", pmod(md5Long60(col("user_id").cast("string")), lit(2L)))
+      .localCheckpoint(false)
+    val boot = perUser
+      .select(col("user_id"), col("arm"), col("n_ev"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("u", pmod(md5Long60(concat(col("b").cast("string"),
+        lit("_"), col("user_id").cast("string"))), lit(1000L)))
+      .withColumn("w", when(col("u") < 368, 0L).when(col("u") < 736, 1L)
+        .when(col("u") < 920, 2L).otherwise(3L))
+      .groupBy("arm", "b")
+      .agg(expr("(1000 * sum(w * n_ev)) div greatest(sum(w), 1)").as("rep_mean"))
+      .groupBy("arm")
+      .agg(min("rep_mean").as("boot_lo"), max("rep_mean").as("boot_hi"))
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum("n_ev").as("n_events"),
+        expr("(1000 * sum(n_ev)) div count(1)").as("mean_events_milli"))
+      .join(boot, Seq("arm"))
+      .orderBy("arm")
+  }
+
+  val q144Sql: String = {
+    val arm = s"(${OracleSql.md5Long60("user_id::VARCHAR")} % 2)"
+    val u = s"(${OracleSql.md5Long60("b::VARCHAR || '_' || user_id::VARCHAR")} % 1000)"
+    s"""WITH per_user AS (
+       |  SELECT user_id, $arm AS arm, COUNT(*)::BIGINT AS n_ev
+       |  FROM events GROUP BY 1, 2),
+       |reps AS (
+       |  SELECT arm, b,
+       |    CASE WHEN $u < 368 THEN 0 WHEN $u < 736 THEN 1
+       |         WHEN $u < 920 THEN 2 ELSE 3 END AS w, n_ev
+       |  FROM per_user, (SELECT unnest(generate_series(0, 31)) AS b)),
+       |per_rep AS (
+       |  SELECT arm, b,
+       |    ((1000 * SUM(w * n_ev)) // greatest(SUM(w), 1))::BIGINT AS rep_mean
+       |  FROM reps GROUP BY 1, 2),
+       |boot AS (
+       |  SELECT arm, MIN(rep_mean) AS boot_lo, MAX(rep_mean) AS boot_hi
+       |  FROM per_rep GROUP BY 1),
+       |point AS (
+       |  SELECT arm, COUNT(*)::BIGINT AS n_users, SUM(n_ev)::BIGINT AS n_events,
+       |    ((1000 * SUM(n_ev)) // COUNT(*))::BIGINT AS mean_events_milli
+       |  FROM per_user GROUP BY 1)
+       |SELECT p.arm, p.n_users, p.n_events, p.mean_events_milli,
+       |  b.boot_lo, b.boot_hi
+       |FROM point p JOIN boot b USING (arm) ORDER BY p.arm""".stripMargin
+  }
+
   /** q143: one-pass Poisson BOOTSTRAP — the industrial way to put a
     * confidence interval on a corpus statistic without resampling
     * passes (Chamandy et al., Google): each row joins every replica
@@ -744,6 +810,7 @@ object SamplingQueries {
     "q137_score_calibrate" -> (q137ScoreCalibrate _),
     "q142_unimax_allocation" -> (q142UnimaxAllocation _),
     "q143_bootstrap_ci" -> (q143BootstrapCi _),
+    "q144_ab_readout" -> (q144AbReadout _),
     "q47_sequence_packing" -> (q47SequencePacking _),
     "q55_training_mix" -> (q55TrainingMix _),
     "q84_temperature_sample" -> (q84TemperatureSample _),
@@ -758,6 +825,7 @@ object SamplingQueries {
     "q137_score_calibrate" -> q137Sql,
     "q142_unimax_allocation" -> q142Sql,
     "q143_bootstrap_ci" -> q143Sql,
+    "q144_ab_readout" -> q144Sql,
     "q117_dsir_weights" -> q117Sql,
     "q47_sequence_packing" -> q47Sql,
     "q55_training_mix" -> q55Sql,

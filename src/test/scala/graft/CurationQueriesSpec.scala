@@ -1055,4 +1055,39 @@ class CurationQueriesSpec extends AnyFunSuite {
       assert(lo <= mean + 1 && mean <= hi + 1)
     }
   }
+
+  // --- q144 ----------------------------------------------------------
+
+  test("q144 matches a sequential A/B re-derivation; A/A bands overlap") {
+    // sf0.01, not the suite's sf0.001: the overlap property needs a
+    // readable population (150 users vs 15 — at n≈15 even an honest
+    // A/A false-positives, which is the point the operator makes)
+    val abDir = "/root/testdata/sf0.01"
+    val ev = spark.read.parquet(s"$abDir/events.parquet")
+      .select("user_id").collect().map(_.getLong(0))
+    val perUser = ev.groupBy(identity).toSeq
+      .map { case (uid, xs) => (uid, xs.length.toLong) }
+    def arm(uid: Long): Long = md5Long60Local(uid.toString) % 2L
+    def w(b: Int, uid: Long): Long = {
+      val u = md5Long60Local(s"${b}_$uid") % 1000L
+      if (u < 368) 0L else if (u < 736) 1L else if (u < 920) 2L else 3L
+    }
+    val expected = perUser.groupBy(x => arm(x._1)).toSeq.map { case (a, xs) =>
+      val means = (0 until 32).map { b =>
+        val ws = xs.map(x => (w(b, x._1), x._2))
+        1000L * ws.map(x => x._1 * x._2).sum / math.max(ws.map(_._1).sum, 1L)
+      }
+      (a, xs.length.toLong, xs.map(_._2).sum,
+        1000L * xs.map(_._2).sum / xs.length, means.min, means.max)
+    }.sortBy(_._1)
+    val got = operators.SamplingQueries.q144AbReadout(spark, abDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // A/A calibration: the arms differ only by the hash, so the
+    // uncertainty bands MUST overlap — a "significant" A/A is a bug
+    val Seq(a0, a1) = got.map(x => (x._5, x._6))
+    assert(a0._1 <= a1._2 && a1._1 <= a0._2,
+      s"A/A bands disjoint: $a0 vs $a1")
+  }
 }
