@@ -222,6 +222,10 @@ object ScaleBench {
     // both reduce the event stream to a tiny matrix (|types|² /
     // (type, day)) in one pass — the decade should be wall-flat
     // work-linear
+    "q138_pit" -> ((s, d) =>
+      TemporalQueries.q138PitJoin(s, d).collect().map(_.getLong(2)).sum),
+    "q143_bootstrap" -> ((s, d) =>
+      graft.operators.SamplingQueries.q143BootstrapCi(s, d).count()),
     "q121_markov" -> ((s, d) =>
       graft.operators.SearchQueries.q121MarkovTransitions(s, d).count()),
     "q122_anomaly" -> ((s, d) =>

@@ -227,6 +227,21 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"exact verify must stay a broadcast semi-join:\n${df.queryExecution.executedPlan}")
   }
 
+  test("q131: the incremental probe meets history via an EQUI-join on " +
+    "(band, key) — never a cartesian, never a broadcast of either corpus side") {
+    val df = operators.DedupQueries.q131IncrementalDedup(spark, dir)
+    val cart = collectNodes(df) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cart.isEmpty,
+      s"band probe must stay an equi-join:\n${df.queryExecution.executedPlan}")
+    val bnl = collectNodes(df) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.isEmpty,
+      s"no nested-loop anywhere in the probe:\n${df.queryExecution.executedPlan}")
+  }
+
   test("q134: HRW shard assignment is a pure projection — only the rollup " +
     "and its 8-row sort shuffle") {
     val df = operators.LayoutQueries.q134RendezvousShards(spark, dir)
