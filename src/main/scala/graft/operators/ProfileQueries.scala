@@ -221,7 +221,54 @@ object ProfileQueries {
       |  MIN(n_chars)::BIGINT AS lo, MAX(n_chars)::BIGINT AS hi
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q146: corpus CONCENTRATION audit — the data-governance number
+    * behind "80% of our tokens come from three domains": the Gini
+    * coefficient of per-source volume (0 = perfectly even, →1000‰ =
+    * one source is the corpus) plus top-1/top-3 shares. A training
+    * mix that looks diverse by source COUNT can be wildly concentrated
+    * by VOLUME; this is the one-row report that says so. Gini from
+    * the ascending-rank identity G = (2Σi·xᵢ − (n+1)S)/(nS), all
+    * integer arithmetic with one final floor division — hash-exact.
+    *
+    * Scale shape: corpus → |sources| rows in one aggregate; the rank
+    * window and the final fold run over those few rows.
+    */
+  def q146Concentration(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.groupBy("source").agg(sum("n_chars").as("chars"))
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("chars"), col("source"))).cast("long"))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("s", sum("chars").over(Window.partitionBy()))
+      .agg(max("k").as("n_sources"),
+        max("s").as("total_chars"),
+        expr("(1000 * (2 * sum(i * chars) - (max(k) + 1) * max(s)))" +
+          " div (max(k) * max(s))").as("gini_permille"),
+        expr("(1000 * max(case when i = k then chars end)) div max(s)")
+          .as("top1_share_permille"),
+        expr("(1000 * sum(case when i > k - 3 then chars end)) div max(s)")
+          .as("top3_share_permille"))
+  }
+
+  val q146Sql: String =
+    """WITH per AS (
+      |  SELECT source, SUM(n_chars)::BIGINT AS chars
+      |  FROM documents GROUP BY 1),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY chars, source) AS i,
+      |    COUNT(*) OVER () AS k, SUM(chars) OVER ()::BIGINT AS s
+      |  FROM per)
+      |SELECT MAX(k)::BIGINT AS n_sources, MAX(s)::BIGINT AS total_chars,
+      |  ((1000 * (2 * SUM(i * chars) - (MAX(k) + 1) * MAX(s)))
+      |    // (MAX(k) * MAX(s)))::BIGINT AS gini_permille,
+      |  ((1000 * MAX(CASE WHEN i = k THEN chars END)) // MAX(s))::BIGINT
+      |    AS top1_share_permille,
+      |  ((1000 * SUM(CASE WHEN i > k - 3 THEN chars END)) // MAX(s))::BIGINT
+      |    AS top3_share_permille
+      |FROM rk""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_concentration" -> (q146Concentration _),
     "q85_profile" -> (q85Profile _),
     "q93_format_roundtrip" -> (q93FormatRoundtrip _),
     "q130_k_anonymity" -> (q130KAnonymity _),
@@ -233,5 +280,6 @@ object ProfileQueries {
     "q93_format_roundtrip" -> q93Sql,
     "q130_k_anonymity" -> q130Sql,
     "q133_equidepth_histogram" -> q133Sql,
+    "q146_concentration" -> q146Sql,
   )
 }

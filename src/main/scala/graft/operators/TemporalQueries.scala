@@ -205,6 +205,60 @@ object TemporalQueries {
       |FROM changes
       |ORDER BY user_id, valid_from_us""".stripMargin
 
+  /** q145: retention COHORTS — the product-analytics matrix every
+    * event warehouse serves: users grouped by first-seen week, and
+    * for each cohort the fraction still active k weeks later. The
+    * diagonal read ("week-4 retention by cohort") is how engagement
+    * changes get attributed to product changes. Weeks are integer
+    * offsets from the corpus minimum timestamp, so every cell is
+    * hash-exact.
+    *
+    * Scale shape: one per-user aggregate for the cohort week, one
+    * distinct over (user, week) — both shuffle on user_id and AQE
+    * shares the partitioning; the matrix itself is ≤ weeks² rows.
+    */
+  def q145RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val mn = t.events.agg(min(unix_micros(col("ts"))).as("min_us"))
+    val ev = t.events.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .crossJoin(broadcast(mn))
+      .withColumn("wk", expr("(us - min_us) div 604800000000"))
+      .select("user_id", "wk")
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    val size = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    ev.distinct()
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("age_week"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(size), Seq("cohort_week"))
+      .withColumn("retention_permille",
+        expr("(1000 * n_active) div cohort_size"))
+      .select("cohort_week", "age_week", "n_active", "cohort_size",
+        "retention_permille")
+      .orderBy("cohort_week", "age_week")
+  }
+
+  val q145Sql: String =
+    """WITH mn AS (SELECT MIN(epoch_us(ts))::BIGINT AS min_us FROM events),
+      |ev AS (
+      |  SELECT DISTINCT user_id,
+      |    (epoch_us(ts)::BIGINT - min_us) // 604800000000 AS wk
+      |  FROM events, mn),
+      |cohort AS (
+      |  SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY 1),
+      |sz AS (
+      |  SELECT cohort_week, COUNT(*)::BIGINT AS cohort_size
+      |  FROM cohort GROUP BY 1),
+      |m AS (
+      |  SELECT c.cohort_week, e.wk - c.cohort_week AS age_week,
+      |    COUNT(*)::BIGINT AS n_active
+      |  FROM ev e JOIN cohort c USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT m.cohort_week, m.age_week, m.n_active, s.cohort_size,
+      |  ((1000 * m.n_active) // s.cohort_size)::BIGINT AS retention_permille
+      |FROM m JOIN sz s USING (cohort_week)
+      |ORDER BY m.cohort_week, m.age_week""".stripMargin
+
   /** q141: time-decayed counters — the trending/popularity feature
     * (exponentially decayed counts, half-life 7 days) in INTEGER
     * fixed-point: each event contributes 10^6 >> (age div halflife),
@@ -754,6 +808,7 @@ object TemporalQueries {
     "q82_scd2_history" -> (q82Scd2History _),
     "q138_pit_join" -> (q138PitJoin _),
     "q141_decayed_counts" -> (q141DecayedCounts _),
+    "q145_retention_cohorts" -> (q145RetentionCohorts _),
     "q94_interval_join" -> (q94IntervalJoin _),
     "q99_triangle_count" -> (q99TriangleCount _),
     "q108_kcore" -> (q108KCore _),
@@ -765,6 +820,7 @@ object TemporalQueries {
     "q82_scd2_history" -> q82Sql,
     "q138_pit_join" -> q138Sql,
     "q141_decayed_counts" -> q141Sql,
+    "q145_retention_cohorts" -> q145Sql,
     "q94_interval_join" -> q94Sql,
     "q99_triangle_count" -> q99Sql,
     "q108_kcore" -> q108Sql,

@@ -1090,4 +1090,61 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(a0._1 <= a1._2 && a1._1 <= a0._2,
       s"A/A bands disjoint: $a0 vs $a1")
   }
+
+  // --- q145 ----------------------------------------------------------
+
+  test("q145 matches a sequential cohort re-derivation") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val minUs = ev.map(_._2).min
+    val userWeeks = ev.map { case (u, us) =>
+      (u, (us - minUs) / 604800000000L)
+    }.distinct
+    val cohort = userWeeks.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).min
+    }
+    val sizes = cohort.values.groupBy(identity).map { case (c, xs) =>
+      c -> xs.size.toLong
+    }
+    val expected = userWeeks
+      .map { case (u, wk) => (cohort(u), wk - cohort(u)) }
+      .groupBy(identity).toSeq
+      .map { case ((c, age), xs) =>
+        (c, age, xs.length.toLong, sizes(c),
+          1000L * xs.length / sizes(c))
+      }.sortBy(x => (x._1, x._2))
+    val got = operators.TemporalQueries.q145RetentionCohorts(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // age 0 is full by construction: every user is active in their
+    // cohort week
+    got.filter(_._2 == 0L).foreach { case (_, _, a, s, rp) =>
+      assert(a == s && rp == 1000L)
+    }
+  }
+
+  // --- q146 ----------------------------------------------------------
+
+  test("q146 matches a sequential Gini re-derivation") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val per = rows.groupBy(_._1).toSeq
+      .map { case (s, xs) => (s, xs.map(_._2).sum) }
+      .sortBy(x => (x._2, x._1))
+    val k = per.length.toLong
+    val s = per.map(_._2).sum
+    val wsum = per.zipWithIndex.map { case ((_, c), i) => (i + 1) * c }.sum
+    val gini = 1000L * (2 * wsum - (k + 1) * s) / (k * s)
+    val top1 = 1000L * per.last._2 / s
+    val top3 = 1000L * per.takeRight(3).map(_._2).sum / s
+    val got = operators.ProfileQueries.q146Concentration(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    assert(got == ((k, s, gini, top1, top3)))
+    assert(got._3 >= 0 && got._3 < 1000)
+  }
 }
