@@ -267,8 +267,125 @@ object ProfileQueries {
       |    AS top3_share_permille
       |FROM rk""".stripMargin
 
+  /** q147: functional-dependency audit — profiling's rule-discovery
+    * step (Metanome-style): does column A determine column B? An FD
+    * A→B holds iff |distinct A| = |distinct (A, B)|; the violation
+    * count is their difference (extra (A, B) combinations beyond one
+    * per A). Checked here over customer⋈nation for a mix of FDs that
+    * hold structurally (nationkey → nation name, nationkey →
+    * regionkey), hold incidentally, or fail (mktsegment → nationkey)
+    * — the audit distinguishes schema facts from coincidences, which
+    * is what makes discovered FDs trustworthy inputs to normalization
+    * or error detection.
+    *
+    * Scale shape: each FD is two distinct-counts; all FDs compute in
+    * ONE aggregate pass each over the (broadcast-joined) frame, and
+    * the report is |FDs| rows.
+    */
+  def q147FdAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val f = t.customer.join(broadcast(t.nation),
+      col("c_nationkey") === col("n_nationkey"))
+    val fds = Seq(
+      ("c_nationkey -> n_name", col("c_nationkey"), col("n_name")),
+      ("c_nationkey -> n_regionkey", col("c_nationkey"), col("n_regionkey")),
+      ("c_mktsegment -> c_nationkey", col("c_mktsegment"), col("c_nationkey")),
+      ("c_custkey -> c_mktsegment", col("c_custkey"), col("c_mktsegment")))
+    fds.map { case (name, lhs, rhs) =>
+      f.agg(countDistinct(lhs).as("n_lhs"),
+          countDistinct(lhs, rhs).as("n_pairs"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_pairs"),
+          (col("n_pairs") === col("n_lhs")).as("holds"),
+          (col("n_pairs") - col("n_lhs")).as("n_violating_combos"))
+    }.reduce(_ unionByName _).orderBy("fd")
+  }
+
+  val q147Sql: String = {
+    def fd(name: String, lhs: String, rhs: String) =
+      s"""SELECT '$name' AS fd, COUNT(DISTINCT $lhs)::BIGINT AS n_lhs,
+         |  COUNT(DISTINCT ($lhs, $rhs))::BIGINT AS n_pairs,
+         |  COUNT(DISTINCT ($lhs, $rhs)) = COUNT(DISTINCT $lhs) AS holds,
+         |  (COUNT(DISTINCT ($lhs, $rhs)) - COUNT(DISTINCT $lhs))::BIGINT
+         |    AS n_violating_combos
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+    Seq(fd("c_nationkey -> n_name", "c_nationkey", "n_name"),
+      fd("c_nationkey -> n_regionkey", "c_nationkey", "n_regionkey"),
+      fd("c_mktsegment -> c_nationkey", "c_mktsegment", "c_nationkey"),
+      fd("c_custkey -> c_mktsegment", "c_custkey", "c_mktsegment"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
+  /** q148: referential-integrity audit — the orphan-key sweep run on
+    * every warehouse load: for each declared FK, how many child rows
+    * (and distinct keys) point at nothing. The three TPC-H edges hold
+    * (zero rows — the audit proves the LOAD is clean, which is the
+    * normal, boring, essential answer); a fourth, deliberately dirty
+    * edge (events with every 101st event's user shifted out of key
+    * range — q114's injected-defect convention) pins the detection
+    * power: the spec asserts the orphan set is exactly the injection.
+    *
+    * Scale shape: each edge is a LEFT ANTI join from the child onto
+    * the parent's distinct keys (broadcast where the parent is a dim)
+    * + one count aggregate; edges are independent jobs unioned into
+    * the |FKs|-row report.
+    */
+  def q148RiAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def audit(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
+      val pk = parent.select(col(pkey).as("__pk")).distinct()
+      val orphans = child.select(col(key).as("__k"))
+        .join(if (bcast) broadcast(pk) else pk,
+          col("__k") === col("__pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_rows"),
+          countDistinct("__k").as("n_orphan_keys"))
+      child.agg(count(lit(1)).as("n_child_rows"))
+        .crossJoin(orphans)
+        .select(lit(name).as("fk"), col("n_child_rows"),
+          col("n_orphan_rows"), col("n_orphan_keys"))
+    }
+    val dirtyEvents = t.events.select(
+      (col("user_id") + when(pmod(col("event_id"), lit(101L)) === 0, 1000000L)
+        .otherwise(0L)).as("user_id"))
+    Seq(
+      audit("customer.c_nationkey -> nation", t.customer, "c_nationkey",
+        t.nation, "n_nationkey", bcast = true),
+      audit("events_dirty.user_id -> customer", dirtyEvents, "user_id",
+        t.customer, "c_custkey", bcast = true),
+      audit("lineitem.l_orderkey -> orders", t.lineitem, "l_orderkey",
+        t.orders, "o_orderkey", bcast = false),
+      audit("orders.o_custkey -> customer", t.orders, "o_custkey",
+        t.customer, "c_custkey", bcast = true))
+      .reduce(_ unionByName _).orderBy("fk")
+  }
+
+  val q148Sql: String = {
+    def fk(name: String, childSql: String, key: String, parent: String,
+        pkey: String) =
+      s"""SELECT '$name' AS fk,
+         |  (SELECT COUNT(*) FROM $childSql) AS n_child_rows,
+         |  COUNT(*)::BIGINT AS n_orphan_rows,
+         |  COUNT(DISTINCT $key)::BIGINT AS n_orphan_keys
+         |FROM $childSql c WHERE NOT EXISTS
+         |  (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key)""".stripMargin
+    val dirty = "(SELECT user_id + CASE WHEN event_id % 101 = 0" +
+      " THEN 1000000 ELSE 0 END AS user_id FROM events)"
+    Seq(
+      fk("customer.c_nationkey -> nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      fk("events_dirty.user_id -> customer", dirty, "user_id",
+        "customer", "c_custkey"),
+      fk("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      fk("orders.o_custkey -> customer", "orders", "o_custkey",
+        "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_concentration" -> (q146Concentration _),
+    "q147_fd_audit" -> (q147FdAudit _),
+    "q148_ri_audit" -> (q148RiAudit _),
     "q85_profile" -> (q85Profile _),
     "q93_format_roundtrip" -> (q93FormatRoundtrip _),
     "q130_k_anonymity" -> (q130KAnonymity _),
@@ -281,5 +398,7 @@ object ProfileQueries {
     "q130_k_anonymity" -> q130Sql,
     "q133_equidepth_histogram" -> q133Sql,
     "q146_concentration" -> q146Sql,
+    "q147_fd_audit" -> q147Sql,
+    "q148_ri_audit" -> q148Sql,
   )
 }

@@ -1147,4 +1147,63 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(got == ((k, s, gini, top1, top3)))
     assert(got._3 >= 0 && got._3 < 1000)
   }
+
+  // --- q147 / q148 ---------------------------------------------------
+
+  test("q147 matches a sequential FD re-derivation") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_nationkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val nat = spark.read.parquet(s"$dir/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    val f = cust.toSeq.map { case (ck, nk, seg) =>
+      (ck, nk, seg, nat(nk)._1, nat(nk)._2)
+    }
+    def check[A, B](name: String, lhs: ((Long, Int, String, String, Int)) => A,
+        rhs: ((Long, Int, String, String, Int)) => B) = {
+      val nl = f.map(lhs).distinct.length.toLong
+      val np = f.map(x => (lhs(x), rhs(x))).distinct.length.toLong
+      (name, nl, np, np == nl, np - nl)
+    }
+    val expected = Seq(
+      check("c_custkey -> c_mktsegment", _._1, _._3),
+      check("c_mktsegment -> c_nationkey", _._3, _._2),
+      check("c_nationkey -> n_name", _._2, _._4),
+      check("c_nationkey -> n_regionkey", _._2, _._5)).sortBy(_._1)
+    val got = operators.ProfileQueries.q147FdAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // schema facts must hold; the key FD is trivially true
+    val holds = got.map(x => x._1 -> x._4).toMap
+    assert(holds("c_nationkey -> n_name") && holds("c_nationkey -> n_regionkey"))
+    assert(holds("c_custkey -> c_mktsegment"))
+  }
+
+  test("q148 orphan set is exactly the injected dirty keys") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val custKeys = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val injected = ev.filter(_._1 % 101 == 0)
+    val got = operators.ProfileQueries.q148RiAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val byFk = got.map(x => x._1 -> x).toMap
+    // clean edges: zero orphans
+    Seq("customer.c_nationkey -> nation", "lineitem.l_orderkey -> orders",
+      "orders.o_custkey -> customer").foreach { fk =>
+      assert(byFk(fk)._3 == 0L && byFk(fk)._4 == 0L, fk)
+    }
+    // dirty edge: exactly the injected rows (every shifted key is out
+    // of range by construction; unshifted rows all resolve)
+    val dirty = byFk("events_dirty.user_id -> customer")
+    assert(dirty._2 == ev.length.toLong)
+    assert(dirty._3 == injected.length.toLong)
+    assert(dirty._4 == injected.map(x => x._2 + 1000000L).distinct.length.toLong)
+    assert(ev.filter(_._1 % 101 != 0).forall(x => custKeys(x._2)))
+  }
 }
