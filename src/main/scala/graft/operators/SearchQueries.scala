@@ -140,6 +140,142 @@ object SearchQueries {
        |SELECT source, rk::BIGINT AS rk, term, tf, df, idf_class, weight
        |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin
 
+  /** q150: HYBRID retrieval via reciprocal-rank fusion — the modern
+    * RAG retrieval pattern: run the lexical ranker (q44's integer
+    * BM25 shape) and the dense ranker (cosine against a query
+    * embedding) independently, keep each top-50, and fuse by RRF
+    * (Cormack et al.): score(d) = Σ_lists 10^6 div (60 + rank_d) —
+    * rank-based, so the two engines' incomparable score scales never
+    * touch, and integer, so the fusion is hash-exact. Docs found by
+    * only one leg still fuse (full outer join); the winners are docs
+    * both legs agree on.
+    *
+    * Scale shape: each leg is its existing top-k heap
+    * (TakeOrderedAndProject — k rows per partition cross the wire);
+    * the rank windows and the fusion join run over ≤50-row frames.
+    */
+  def q150HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val queryTerms = Seq("vector", "merge", "batch")
+    val nTotal = t.documents.agg(count(lit(1)).as("n_total"))
+    val postings = t.documents
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term").isin(queryTerms.map(lit): _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val weights = postings.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("w", expr("((n_total - df) * 1000000L) div df"))
+    val kw = postings
+      .join(broadcast(weights.select("term", "w")), Seq("term"))
+      .groupBy("doc_id").agg(sum(col("tf") * col("w")).as("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(50)
+      .withColumn("rank_kw", row_number().over(
+        Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+      .select("doc_id", "rank_kw")
+    val qEmb = t.embeddings.filter(col("vec_id") === 7)
+      .select(col("embedding").as("q_emb"))
+    val vec = t.embeddings.filter(col("vec_id") =!= 7)
+      .crossJoin(broadcast(qEmb))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.dotFold(col("embedding"), col("q_emb")))
+      .orderBy(desc("cos"), asc("vec_id")).limit(50)
+      .withColumn("rank_vec", row_number().over(
+        Window.orderBy(desc("cos"), asc("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank_vec"))
+    kw.join(vec, Seq("doc_id"), "full_outer")
+      .na.fill(0L, Seq("rank_kw", "rank_vec"))
+      .withColumn("rrf_micro",
+        expr("(case when rank_kw > 0 then 1000000 div (60 + rank_kw) else 0 end)" +
+          " + (case when rank_vec > 0 then 1000000 div (60 + rank_vec) else 0 end)"))
+      .orderBy(desc("rrf_micro"), asc("doc_id")).limit(10)
+      .select("doc_id", "rank_kw", "rank_vec", "rrf_micro")
+  }
+
+  val q150Sql: String = {
+    val dot = OracleSql.dotFold("e.embedding", "q.q_emb")
+    s"""WITH postings AS (
+       |  SELECT doc_id, t.term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${OracleSql.tokens("lower(text)")}) AS term
+       |        FROM documents) t
+       |  WHERE t.term IN ('vector', 'merge', 'batch')
+       |  GROUP BY doc_id, t.term),
+       |weights AS (
+       |  SELECT term,
+       |    (((SELECT COUNT(*) FROM documents) - COUNT(DISTINCT doc_id)) * 1000000)
+       |      // COUNT(DISTINCT doc_id) AS w
+       |  FROM postings GROUP BY term),
+       |kw AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY SUM(tf * w) DESC, doc_id) AS rank_kw
+       |  FROM postings p JOIN weights USING (term)
+       |  GROUP BY doc_id
+       |  ORDER BY SUM(tf * w) DESC, doc_id LIMIT 50),
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 7),
+       |vec AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY $dot DESC, e.vec_id) AS rank_vec
+       |  FROM embeddings e, q WHERE e.vec_id <> 7
+       |  ORDER BY $dot DESC, e.vec_id LIMIT 50),
+       |fused AS (
+       |  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+       |    COALESCE(k.rank_kw, 0)::BIGINT AS rank_kw,
+       |    COALESCE(v.rank_vec, 0)::BIGINT AS rank_vec
+       |  FROM kw k FULL OUTER JOIN vec v ON k.doc_id = v.doc_id)
+       |SELECT doc_id, rank_kw, rank_vec,
+       |  ((CASE WHEN rank_kw > 0 THEN 1000000 // (60 + rank_kw) ELSE 0 END) +
+       |   (CASE WHEN rank_vec > 0 THEN 1000000 // (60 + rank_vec) ELSE 0 END))::BIGINT
+       |    AS rrf_micro
+       |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** q149: incremental inverted-index MAINTENANCE — the search-side
+    * member of the incremental family (q83 maintains aggregates, q131
+    * the dedup index; this maintains q44's postings): the stored
+    * index (even docs) merges with the new batch's postings (odd
+    * docs) by PLAIN ADDITION — df adds because the doc sets are
+    * disjoint, tf adds because counts are counts — and the merged
+    * index must equal a full recompute, row for row. The
+    * `matches_recompute` column rides every output row as a TRUE
+    * contract: a wrong merge algebra flips booleans and fails the
+    * hash. At 100 TB this is why you never rescan the corpus to
+    * refresh a search index: the delta's postings are the only new
+    * work, and the merge is one co-partitioned join.
+    */
+  def q149IndexMerge(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def postings(df: DataFrame) = df
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("term")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"))
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val stored = postings(docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+      .select(col("term"), col("df").as("df_a"), col("tf").as("tf_a"))
+    val delta = postings(docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
+      .select(col("term"), col("df").as("df_b"), col("tf").as("tf_b"))
+    val merged = stored.join(delta, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("df_a", "tf_a", "df_b", "tf_b"))
+      .select(col("term"), (col("df_a") + col("df_b")).as("df"),
+        (col("tf_a") + col("tf_b")).as("tf"))
+    val recomputed = postings(docs)
+      .select(col("term"), col("df").as("df_r"), col("tf").as("tf_r"))
+    merged.join(recomputed, Seq("term"), "full_outer")
+      .select(col("term"), col("df"), col("tf"),
+        (col("df") === col("df_r") && col("tf") === col("tf_r"))
+          .as("matches_recompute"))
+      .orderBy(desc("tf"), asc("term"))
+      .limit(20)
+  }
+
+  val q149Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${OracleSql.tokens("lower(text)")}) AS term
+       |  FROM documents)
+       |SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       |  COUNT(*)::BIGINT AS tf, TRUE AS matches_recompute
+       |FROM tok GROUP BY term
+       |ORDER BY tf DESC, term LIMIT 20""".stripMargin
+
   /** Gap-based sessionization (30-minute inactivity closes a session):
     * lag + cumulative-sum window assigns session ids, then per-user
     * session stats. One shuffle on user_id; both windows share the
@@ -458,6 +594,8 @@ object SearchQueries {
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_tfidf_terms" -> (q127TfIdf _),
+    "q149_index_merge" -> (q149IndexMerge _),
+    "q150_hybrid_rrf" -> (q150HybridRrf _),
     "q125_frequent_paths" -> (q125FrequentPaths _),
     "q121_markov_transitions" -> (q121MarkovTransitions _),
     "q37_sessionize" -> (q37Sessionize _),
@@ -469,6 +607,8 @@ object SearchQueries {
 
   val oracle: Map[String, String] = Map(
     "q127_tfidf_terms" -> q127Sql,
+    "q149_index_merge" -> q149Sql,
+    "q150_hybrid_rrf" -> q150Sql,
     "q125_frequent_paths" -> q125Sql,
     "q121_markov_transitions" -> q121Sql,
     "q37_sessionize" -> q37Sql,

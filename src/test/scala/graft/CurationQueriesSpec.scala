@@ -1206,4 +1206,67 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(dirty._4 == injected.map(x => x._2 + 1000000L).distinct.length.toLong)
     assert(ev.filter(_._1 % 101 != 0).forall(x => custKeys(x._2)))
   }
+
+  // --- q149 ----------------------------------------------------------
+
+  test("q149 merge equals recompute on a sequential reference") {
+    val d = docs()
+    def postings(xs: Seq[(Long, String)]): Map[String, (Long, Long)] =
+      xs.flatMap { case (id, text) => toks(text.toLowerCase).map(w => (w, id)) }
+        .groupBy(_._1).map { case (w, g) =>
+          w -> (g.map(_._2).distinct.length.toLong, g.length.toLong)
+        }
+    val all = d.toSeq.map(x => (x._1, x._2))
+    val stored = postings(all.filter(_._1 % 2 == 0))
+    val delta = postings(all.filter(_._1 % 2 == 1))
+    val merged = (stored.keySet ++ delta.keySet).map { w =>
+      val (da, ta) = stored.getOrElse(w, (0L, 0L))
+      val (db, tb) = delta.getOrElse(w, (0L, 0L))
+      w -> (da + db, ta + tb)
+    }.toMap
+    assert(merged == postings(all)) // the merge algebra itself
+    val expected = merged.toSeq
+      .map { case (w, (df, tf)) => (w, df, tf, true) }
+      .sortBy { case (w, _, tf, _) => (-tf, w) }.take(20)
+    val got = operators.SearchQueries.q149IndexMerge(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  // --- q150 ----------------------------------------------------------
+
+  test("q150 matches a sequential RRF re-derivation") {
+    val d = docs()
+    val v = vecs()
+    val emb = v.toMap
+    val terms = Set("vector", "merge", "batch")
+    val n = d.length.toLong
+    val perDocTf = d.toSeq.map { case (id, text, _, _) =>
+      id -> toks(text.toLowerCase).filter(terms).groupBy(identity)
+        .map { case (t, g) => t -> g.length.toLong }
+    }.filter(_._2.nonEmpty)
+    val df = terms.map(t =>
+      t -> perDocTf.count(_._2.contains(t)).toLong).toMap
+    val w = df.map { case (t, f) => t -> ((n - f) * 1000000L / f) }
+    val kw = perDocTf.map { case (id, tfs) =>
+      (id, tfs.map { case (t, tf) => tf * w(t) }.sum)
+    }.sortBy { case (id, s) => (-s, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val vec = v.filter(_._1 != 7)
+      .map { case (id, x) => (id, dot(x, emb(7L))) }
+      .sortBy { case (id, c) => (-c, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val expected = (kw.keySet ++ vec.keySet).toSeq.map { id =>
+      val rk = kw.getOrElse(id, 0L)
+      val rv = vec.getOrElse(id, 0L)
+      val rrf = (if (rk > 0) 1000000L / (60 + rk) else 0L) +
+        (if (rv > 0) 1000000L / (60 + rv) else 0L)
+      (id, rk, rv, rrf)
+    }.sortBy(x => (-x._4, x._1)).take(10)
+    val got = operators.SearchQueries.q150HybridRrf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
 }
