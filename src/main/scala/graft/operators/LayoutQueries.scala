@@ -134,13 +134,65 @@ object LayoutQueries {
        |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** q151: COMPACTION planner — the OPTIMIZE/bin-packing pass every
+    * lakehouse table needs once small files accumulate: group the
+    * per-(source, lang) partition sizes (the "files"), order
+    * descending, and assign files to target-size output bins by
+    * next-fit — bin b = exclusive-running-total div target, a pure
+    * window expression, so the whole plan is computed declaratively
+    * (no driver-side loop over file lists) and deterministically.
+    * Greedy next-fit-decreasing overshoots a bin by less than one
+    * file, which the fill report makes visible (fill_permille can
+    * exceed 1000 by design — that's the documented semantics, not a
+    * bug; bins also never underfill below target except the last).
+    *
+    * Scale shape: the corpus reduces to the |files| manifest in one
+    * aggregate; planning is one window over the manifest — the same
+    * shape at 100 TB, where the manifest is the table's file listing.
+    */
+  def q151CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val target = 8192L
+    val t = Tables(spark, dir)
+    val files = t.documents.groupBy("source", "lang")
+      .agg(sum("n_chars").as("sz"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sz").desc, col("source"), col("lang"))
+    files
+      .withColumn("prev", coalesce(sum("sz").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("bin", expr(s"prev div $target"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_files"), sum("sz").as("total_chars"),
+        max("sz").as("largest_file"),
+        expr(s"(1000 * sum(sz)) div $target").as("fill_permille"))
+      .orderBy("bin")
+  }
+
+  val q151Sql: String =
+    """WITH files AS (
+      |  SELECT source, lang, SUM(n_chars)::BIGINT AS sz
+      |  FROM documents GROUP BY 1, 2),
+      |planned AS (
+      |  SELECT sz,
+      |    COALESCE(SUM(sz) OVER (ORDER BY sz DESC, source, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      // 8192 AS bin
+      |  FROM files)
+      |SELECT bin::BIGINT AS bin, COUNT(*)::BIGINT AS n_files,
+      |  SUM(sz)::BIGINT AS total_chars, MAX(sz)::BIGINT AS largest_file,
+      |  ((1000 * SUM(sz)) // 8192)::BIGINT AS fill_permille
+      |FROM planned GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_zorder_cluster" -> (q90ZorderCluster _),
     "q134_rendezvous_shards" -> (q134RendezvousShards _),
+    "q151_compaction_plan" -> (q151CompactionPlan _),
   )
 
   val oracle: Map[String, String] = Map(
     "q90_zorder_cluster" -> q90Sql,
     "q134_rendezvous_shards" -> q134Sql,
+    "q151_compaction_plan" -> q151Sql,
   )
 }

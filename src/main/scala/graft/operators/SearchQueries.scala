@@ -229,6 +229,82 @@ object SearchQueries {
        |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** q152: conversion-LATENCY distribution — the follow-up question
+    * to q88's funnel ("DID sessions convert"): how LONG from first
+    * view to first purchase within a session, as a 10-minute-bucket
+    * histogram with cumulative per-mille — the readout behind "half
+    * our conversions happen within N minutes", which sets session
+    * timeout and attribution-window policy. Latency is integer
+    * seconds (micros floor-divided), buckets integer — hash-exact.
+    *
+    * Scale shape: q37's session windows (one user_id exchange shared
+    * by all three windows), a per-session aggregate, and a tiny
+    * bucket rollup with a cumulative window over ≤ buckets rows.
+    */
+  def q152ConversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = t.events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("us", unix_micros(col("ts")))
+    val wSess = Window.partitionBy("user_id", "sid")
+    val lat = sessions
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("us"))).over(wSess))
+      .filter(col("event_type") === "purchase" &&
+        col("first_view").isNotNull && col("us") >= col("first_view"))
+      .groupBy("user_id", "sid", "first_view")
+      .agg(min("us").as("first_purch"))
+      .withColumn("latency_s", expr("(first_purch - first_view) div 1000000"))
+    lat.groupBy(expr("latency_s div 600").as("bucket_10min"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .withColumn("cum", sum("n_conversions").over(
+        Window.orderBy("bucket_10min").rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("n_conversions").over(Window.partitionBy()))
+      .withColumn("cum_permille", expr("(1000 * cum) div total"))
+      .select("bucket_10min", "n_conversions", "cum_permille")
+      .orderBy("bucket_10min")
+  }
+
+  val q152Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR epoch_us(ts) // 1000000 - epoch_us(prev_ts) // 1000000 > 1800
+      |    THEN 1 ELSE 0 END AS ns
+      |  FROM ordered),
+      |sess AS (
+      |  SELECT user_id, event_type, epoch_us(ts)::BIGINT AS us,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      |  FROM flagged),
+      |fv AS (
+      |  SELECT user_id, sid,
+      |    MIN(CASE WHEN event_type = 'view' THEN us END) AS first_view
+      |  FROM sess GROUP BY 1, 2),
+      |lat AS (
+      |  SELECT (MIN(s.us) - f.first_view) // 1000000 AS latency_s
+      |  FROM sess s JOIN fv f ON s.user_id = f.user_id AND s.sid = f.sid
+      |  WHERE s.event_type = 'purchase' AND f.first_view IS NOT NULL
+      |    AND s.us >= f.first_view
+      |  GROUP BY s.user_id, s.sid, f.first_view),
+      |buckets AS (
+      |  SELECT latency_s // 600 AS bucket_10min, COUNT(*)::BIGINT AS n_conversions
+      |  FROM lat GROUP BY 1)
+      |SELECT bucket_10min::BIGINT AS bucket_10min, n_conversions,
+      |  ((1000 * SUM(n_conversions) OVER (ORDER BY bucket_10min))
+      |    // SUM(n_conversions) OVER ())::BIGINT AS cum_permille
+      |FROM buckets ORDER BY bucket_10min""".stripMargin
+
   /** q149: incremental inverted-index MAINTENANCE — the search-side
     * member of the incremental family (q83 maintains aggregates, q131
     * the dedup index; this maintains q44's postings): the stored
@@ -596,6 +672,7 @@ object SearchQueries {
     "q127_tfidf_terms" -> (q127TfIdf _),
     "q149_index_merge" -> (q149IndexMerge _),
     "q150_hybrid_rrf" -> (q150HybridRrf _),
+    "q152_conversion_latency" -> (q152ConversionLatency _),
     "q125_frequent_paths" -> (q125FrequentPaths _),
     "q121_markov_transitions" -> (q121MarkovTransitions _),
     "q37_sessionize" -> (q37Sessionize _),
@@ -609,6 +686,7 @@ object SearchQueries {
     "q127_tfidf_terms" -> q127Sql,
     "q149_index_merge" -> q149Sql,
     "q150_hybrid_rrf" -> q150Sql,
+    "q152_conversion_latency" -> q152Sql,
     "q125_frequent_paths" -> q125Sql,
     "q121_markov_transitions" -> q121Sql,
     "q37_sessionize" -> q37Sql,

@@ -1269,4 +1269,70 @@ class CurationQueriesSpec extends AnyFunSuite {
       .toSeq
     assert(got == expected)
   }
+
+  // --- q151 ----------------------------------------------------------
+
+  test("q151 matches a sequential next-fit plan; overshoot bounded") {
+    val target = 8192L
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val files = rows.groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((s, l), xs) => (s, l, xs.map(_._3).sum) }
+      .sortBy { case (s, l, sz) => (-sz, s, l) }
+    val bins = files.scanLeft(0L)(_ + _._3).init // exclusive cumsum
+      .map(_ / target).zip(files)
+    val expected = bins.groupBy(_._1).toSeq.map { case (b, xs) =>
+      val tot = xs.map(_._2._3).sum
+      (b, xs.length.toLong, tot, xs.map(_._2._3).max, 1000L * tot / target)
+    }.sortBy(_._1)
+    val got = operators.LayoutQueries.q151CompactionPlan(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // next-fit bound: a bin overshoots the target by less than its
+    // largest file
+    got.foreach { case (_, _, tot, largest, _) =>
+      assert(tot < target + largest)
+    }
+  }
+
+  // --- q152 ----------------------------------------------------------
+
+  test("q152 matches a sequential latency re-derivation") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val lats = ev.groupBy(_._1).values.toSeq.flatMap { xs =>
+      val s = xs.sortBy(x => (x._3, x._2)).toSeq
+      // gap sessionization on floor-second timestamps (ts cast to long)
+      val sids = s.zip(s.scanLeft(Option.empty[Long])((_, e) => Some(e._3)).init)
+        .scanLeft(0L) { case (sid, (e, prev)) =>
+          if (prev.isEmpty || e._3 / 1000000L - prev.get / 1000000L > 1800L)
+            sid + 1 else sid
+        }.tail
+      s.zip(sids).groupBy(_._2).values.flatMap { sess =>
+        val es = sess.map(_._1)
+        val fv = es.filter(_._4 == "view").map(_._3).minOption
+        fv.flatMap { v =>
+          es.filter(e => e._4 == "purchase" && e._3 >= v)
+            .map(_._3).minOption.map(p => (p - v) / 1000000L)
+        }
+      }
+    }
+    val buckets = lats.map(_ / 600L).groupBy(identity).toSeq
+      .map { case (b, xs) => (b, xs.length.toLong) }.sortBy(_._1)
+    val total = buckets.map(_._2).sum
+    var cum = 0L
+    val expected = buckets.map { case (b, n) =>
+      cum += n; (b, n, 1000L * cum / total)
+    }
+    val got = operators.SearchQueries.q152ConversionLatency(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.last._3 == 1000L) // the cumulative curve closes
+  }
 }
