@@ -205,6 +205,49 @@ object TemporalQueries {
       |FROM changes
       |ORDER BY user_id, valid_from_us""".stripMargin
 
+  /** q153: sliding-window RATE-LIMIT audit — the abuse/bot screen
+    * over event streams: for every event, how many events the same
+    * user produced in the trailing 10 minutes, via a RANGE window
+    * frame (value-based on epoch seconds). The range frame is the
+    * CORRECT semantics here and the reason this operator exists
+    * distinctly from the rows-frame family: ties on the timestamp all
+    * see the same window regardless of their arbitrary intra-second
+    * order, so the result is deterministic where a ROWS frame would
+    * depend on the tie-break. Report: per-user peak rate, burst-event
+    * count (trailing count ≥ 3), top-20 offenders.
+    *
+    * Scale shape: one user_id exchange; the range frame evaluates in
+    * the same per-partition sort; the report is a top-k heap.
+    */
+  def q153RateLimitAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("s").rangeBetween(-600L, 0L)
+    t.events
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("s"))
+      .withColumn("win_count", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max("win_count").as("max_rate_10min"),
+        count(when(col("win_count") >= 3, 1)).as("n_burst_events"))
+      .orderBy(desc("max_rate_10min"), desc("n_burst_events"),
+        desc("n_events"), asc("user_id"))
+      .limit(20)
+  }
+
+  val q153Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts)::BIGINT // 1000000 AS s FROM events),
+      |w AS (
+      |  SELECT user_id, COUNT(*) OVER (PARTITION BY user_id ORDER BY s
+      |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS win_count
+      |  FROM e)
+      |SELECT user_id, COUNT(*)::BIGINT AS n_events,
+      |  MAX(win_count)::BIGINT AS max_rate_10min,
+      |  COUNT(*) FILTER (WHERE win_count >= 3)::BIGINT AS n_burst_events
+      |FROM w GROUP BY 1
+      |ORDER BY max_rate_10min DESC, n_burst_events DESC, n_events DESC, user_id
+      |LIMIT 20""".stripMargin
+
   /** q145: retention COHORTS — the product-analytics matrix every
     * event warehouse serves: users grouped by first-seen week, and
     * for each cohort the fraction still active k weeks later. The
@@ -809,6 +852,7 @@ object TemporalQueries {
     "q138_pit_join" -> (q138PitJoin _),
     "q141_decayed_counts" -> (q141DecayedCounts _),
     "q145_retention_cohorts" -> (q145RetentionCohorts _),
+    "q153_rate_limit_audit" -> (q153RateLimitAudit _),
     "q94_interval_join" -> (q94IntervalJoin _),
     "q99_triangle_count" -> (q99TriangleCount _),
     "q108_kcore" -> (q108KCore _),
@@ -821,6 +865,7 @@ object TemporalQueries {
     "q138_pit_join" -> q138Sql,
     "q141_decayed_counts" -> q141Sql,
     "q145_retention_cohorts" -> q145Sql,
+    "q153_rate_limit_audit" -> q153Sql,
     "q94_interval_join" -> q94Sql,
     "q99_triangle_count" -> q99Sql,
     "q108_kcore" -> q108Sql,

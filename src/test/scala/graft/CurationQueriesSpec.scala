@@ -1335,4 +1335,24 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.last._3 == 1000L) // the cumulative curve closes
   }
+
+  // --- q153 ----------------------------------------------------------
+
+  test("q153 matches a sequential range-frame re-derivation") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).toSeq.map { case (uid, xs) =>
+      val ss = xs.map(_._2).sorted
+      // range frame: for each event, count events in [s-600, s] —
+      // tie-insensitive by construction (value-based window)
+      val counts = ss.map(s => ss.count(t => t >= s - 600 && t <= s).toLong)
+      (uid, ss.length.toLong, counts.max, counts.count(_ >= 3).toLong)
+    }.sortBy { case (uid, n, mx, nb) => (-mx, -nb, -n, uid) }.take(20)
+    val got = operators.TemporalQueries.q153RateLimitAudit(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
 }
