@@ -897,6 +897,84 @@ object TextQueries {
       |  ((1000 * SUM(moji + ctrl)) // SUM(n))::BIGINT AS bad_permille
       |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q154: classifier-AGREEMENT audit — the eval-ops statistic for
+    * any labeling stage: how well does the q20 language-ID classifier
+    * agree with the corpus's declared labels, per class (recall) and
+    * chance-corrected overall (Cohen's kappa — plain accuracy looks
+    * great on any skewed corpus; kappa subtracts what a
+    * label-marginals-only classifier would score). Kappa in pure
+    * integer cross-multiplied form: κ‰ = 1000·(n·diag − Σ row·col)
+    * div (n² − Σ row·col) — hash-exact, no float probabilities. The
+    * per-lang rows carry recall; the ALL row carries accuracy and
+    * kappa (per-lang kappa slots are −1, the same mixed-grain
+    * convention as q77's ALL row).
+    *
+    * Scale shape: one scan with the row-local classifier, a
+    * |langs|²-bounded confusion aggregate, then driver-free scalar
+    * rollups over those few rows.
+    */
+  def q154LangIdAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val conf = t.documents
+      .select(col("lang").as("declared"), langId(col("text")).as("predicted"))
+      .groupBy("declared", "predicted").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val perLang = conf.groupBy("declared")
+      .agg(sum("n").as("n_docs"),
+        sum(when(col("declared") === col("predicted"), col("n"))
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("grp", col("declared"))
+      .withColumn("rate_permille", expr("(1000 * n_correct) div n_docs"))
+      .withColumn("kappa_permille", lit(-1L))
+      .select("grp", "n_docs", "n_correct", "rate_permille", "kappa_permille")
+    val rows = conf.groupBy("declared").agg(sum("n").as("rt"))
+    val cols = conf.groupBy("predicted").agg(sum("n").as("ct"))
+    val peNum = rows.join(cols, col("declared") === col("predicted"), "inner")
+      .agg(coalesce(sum(col("rt") * col("ct")), lit(0L)).as("pe_num"))
+    val all = conf.agg(sum("n").as("n_docs"),
+        sum(when(col("declared") === col("predicted"), col("n"))
+          .otherwise(0L)).as("n_correct"))
+      .crossJoin(broadcast(peNum))
+      .select(lit("ALL").as("grp"), col("n_docs"), col("n_correct"),
+        expr("(1000 * n_correct) div n_docs").as("rate_permille"),
+        expr("(1000 * (n_docs * n_correct - pe_num))" +
+          " div (n_docs * n_docs - pe_num)").as("kappa_permille"))
+    perLang.unionByName(all).orderBy("grp")
+  }
+
+  val q154Sql: String = {
+    val pred = OracleSql.langId("text")
+    s"""WITH conf AS (
+       |  SELECT lang AS declared, $pred AS predicted, COUNT(*)::BIGINT AS n
+       |  FROM documents GROUP BY 1, 2),
+       |per_lang AS (
+       |  SELECT declared AS grp, SUM(n)::BIGINT AS n_docs,
+       |    SUM(CASE WHEN declared = predicted THEN n ELSE 0 END)::BIGINT
+       |      AS n_correct
+       |  FROM conf GROUP BY 1),
+       |pe AS (
+       |  SELECT COALESCE(SUM(r.rt * c.ct), 0)::BIGINT AS pe_num
+       |  FROM (SELECT declared, SUM(n) AS rt FROM conf GROUP BY 1) r
+       |  JOIN (SELECT predicted, SUM(n) AS ct FROM conf GROUP BY 1) c
+       |    ON r.declared = c.predicted),
+       |allr AS (
+       |  SELECT SUM(n)::BIGINT AS n_docs,
+       |    SUM(CASE WHEN declared = predicted THEN n ELSE 0 END)::BIGINT
+       |      AS n_correct
+       |  FROM conf)
+       |SELECT grp, n_docs, n_correct,
+       |  ((1000 * n_correct) // n_docs)::BIGINT AS rate_permille,
+       |  (-1)::BIGINT AS kappa_permille
+       |FROM per_lang
+       |UNION ALL
+       |SELECT 'ALL', a.n_docs, a.n_correct,
+       |  ((1000 * a.n_correct) // a.n_docs)::BIGINT,
+       |  ((1000 * (a.n_docs * a.n_correct - p.pe_num))
+       |    // (a.n_docs * a.n_docs - p.pe_num))::BIGINT
+       |FROM allr a, pe p
+       |ORDER BY grp""".stripMargin
+  }
+
   /** q136: vocabulary-growth curve (Heaps' law measurement) — the
     * corpus statistic that sizes tokenizers and vocabulary budgets:
     * how many NEW types (and hapax legomena) appear as the corpus
@@ -959,6 +1037,7 @@ object TextQueries {
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_vocab_growth" -> (q136VocabGrowth _),
+    "q154_langid_agreement" -> (q154LangIdAgreement _),
     "q132_encoding_audit" -> (q132EncodingAudit _),
     "q118_drift_monitor" -> (q118DriftMonitor _),
     "q116_filter_cascade" -> (q116FilterCascade _),
@@ -979,6 +1058,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q136_vocab_growth" -> q136Sql,
+    "q154_langid_agreement" -> q154Sql,
     "q132_encoding_audit" -> q132Sql,
     "q110_cooc_pmi" -> q110Sql,
     "q116_filter_cascade" -> q116Sql,

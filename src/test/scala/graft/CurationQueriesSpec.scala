@@ -1355,4 +1355,41 @@ class CurationQueriesSpec extends AnyFunSuite {
       .toSeq
     assert(got == expected)
   }
+
+  // --- q154 ----------------------------------------------------------
+
+  test("q154 matches a sequential kappa re-derivation") {
+    val stop = functions.TextFunctions.stopwords
+    def predict(text: String): String = {
+      val ts = toks(text.toLowerCase)
+      val hits = stop.map { case (l, ws) =>
+        l -> ts.count(ws.toSet).toLong
+      }
+      val mx = hits.map(_._2).max
+      if (mx <= 0) "und" else hits.find(_._2 == mx).get._1
+    }
+    val d = docs()
+    val pairs = d.toSeq.map(x => (x._3, predict(x._2)))
+    val n = pairs.length.toLong
+    val diag = pairs.count(p => p._1 == p._2).toLong
+    val rt = pairs.groupBy(_._1).map { case (l, xs) => l -> xs.length.toLong }
+    val ct = pairs.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val peNum = rt.keys.map(l => rt(l) * ct.getOrElse(l, 0L)).sum
+    val perLang = rt.keys.toSeq.map { l =>
+      val nc = pairs.count(p => p._1 == l && p._2 == l).toLong
+      (l, rt(l), nc, 1000L * nc / rt(l), -1L)
+    }
+    val all = ("ALL", n, diag, 1000L * diag / n,
+      1000L * (n * diag - peNum) / (n * n - peNum))
+    val expected = (perLang :+ all).sortBy(_._1)
+    val got = operators.TextQueries.q154LangIdAgreement(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // the audit's verdict on this corpus is itself a pinned fact:
+    // declared labels are decorative (all text is English-like), so
+    // chance-corrected agreement sits at chance level
+    val kappa = got.find(_._1 == "ALL").get._5
+    assert(kappa > -100 && kappa < 100, s"kappa=$kappa")
+  }
 }
