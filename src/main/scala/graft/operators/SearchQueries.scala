@@ -229,6 +229,78 @@ object SearchQueries {
        |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** q155: source-SIMILARITY matrix — "which scrapes are the same
+    * mixture": cosine similarity between per-source unigram count
+    * vectors, the domain-similarity statistic mixture-design work
+    * (DoReMi-adjacent) uses to decide which sources are redundant
+    * with each other BEFORE any per-document dedup. Vectors are
+    * per-MILLE term shares, not raw counts — that makes the
+    * comparison scale-invariant (distribution, not volume) AND
+    * overflow-proof BY CONSTRUCTION at any corpus size: shares sum to
+    * ≤1000, so dot ≤ 10⁶, dot² ≤ 10¹², and 1000·dot² ≤ 10¹⁵ — no
+    * decimal widening needed ever (the raw-count formulation
+    * overflowed int64 at the 10× gate; this one cannot). Squared
+    * cosine keeps everything integer (no sqrt): sim²‰ = 1000·dot² div
+    * (‖a‖²·‖b‖²). Terms under 1‰ of a source floor to zero — a
+    * principled sparsification, documented, identical in both
+    * engines.
+    *
+    * Scale shape: the corpus Zipf-compresses to the (source, term)
+    * frame once (localCheckpoint'd, three consumers); pair dots are a
+    * self-equi-join ON TERM (cost ∝ Σ_term sources²_present, never
+    * docs²); norms broadcast; top-10 is a heap.
+    */
+  def q155SourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val counts = t.documents
+      .select(col("source"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    val vecs = counts
+      .withColumn("tot", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .withColumn("c", expr("(1000 * cnt) div tot"))
+      .filter(col("c") > 0)
+      .select("source", "term", "c")
+      .localCheckpoint(false)
+    val norms = vecs.groupBy("source").agg(sum(col("c") * col("c")).as("nsq"))
+    vecs.select(col("source").as("sa"), col("term"), col("c").as("ca"))
+      .join(vecs.select(col("source").as("sb"), col("term"), col("c").as("cb")),
+        Seq("term"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(sum(col("ca") * col("cb")).as("dot"))
+      .join(broadcast(norms.select(col("source").as("sa"), col("nsq").as("na"))),
+        Seq("sa"))
+      .join(broadcast(norms.select(col("source").as("sb"), col("nsq").as("nb"))),
+        Seq("sb"))
+      .withColumn("sim2_permille", expr("(1000 * dot * dot) div (na * nb)"))
+      .orderBy(desc("sim2_permille"), asc("sa"), asc("sb"))
+      .limit(10)
+      .select("sa", "sb", "dot", "sim2_permille")
+  }
+
+  val q155Sql: String =
+    s"""WITH counts AS (
+       |  SELECT source, term, COUNT(*)::BIGINT AS cnt
+       |  FROM (SELECT source, unnest(${OracleSql.tokens("lower(text)")}) AS term
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |vecs AS (
+       |  SELECT source, term,
+       |    (1000 * cnt) // SUM(cnt) OVER (PARTITION BY source) AS c
+       |  FROM counts
+       |  QUALIFY c > 0),
+       |norms AS (SELECT source, SUM(c * c)::BIGINT AS nsq FROM vecs GROUP BY 1),
+       |dots AS (
+       |  SELECT a.source AS sa, b.source AS sb, SUM(a.c * b.c)::BIGINT AS dot
+       |  FROM vecs a JOIN vecs b ON a.term = b.term AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT sa, sb, dot,
+       |  ((1000 * dot * dot) // (na.nsq * nb.nsq))::BIGINT AS sim2_permille
+       |FROM dots
+       |JOIN norms na ON na.source = sa
+       |JOIN norms nb ON nb.source = sb
+       |ORDER BY sim2_permille DESC, sa, sb LIMIT 10""".stripMargin
+
   /** q152: conversion-LATENCY distribution — the follow-up question
     * to q88's funnel ("DID sessions convert"): how LONG from first
     * view to first purchase within a session, as a 10-minute-bucket
@@ -673,6 +745,7 @@ object SearchQueries {
     "q149_index_merge" -> (q149IndexMerge _),
     "q150_hybrid_rrf" -> (q150HybridRrf _),
     "q152_conversion_latency" -> (q152ConversionLatency _),
+    "q155_source_similarity" -> (q155SourceSimilarity _),
     "q125_frequent_paths" -> (q125FrequentPaths _),
     "q121_markov_transitions" -> (q121MarkovTransitions _),
     "q37_sessionize" -> (q37Sessionize _),
@@ -687,6 +760,7 @@ object SearchQueries {
     "q149_index_merge" -> q149Sql,
     "q150_hybrid_rrf" -> q150Sql,
     "q152_conversion_latency" -> q152Sql,
+    "q155_source_similarity" -> q155Sql,
     "q125_frequent_paths" -> q125Sql,
     "q121_markov_transitions" -> q121Sql,
     "q37_sessionize" -> q37Sql,

@@ -1392,4 +1392,35 @@ class CurationQueriesSpec extends AnyFunSuite {
     val kappa = got.find(_._1 == "ALL").get._5
     assert(kappa > -100 && kappa < 100, s"kappa=$kappa")
   }
+
+  // --- q155 ----------------------------------------------------------
+
+  test("q155 matches a sequential source-cosine re-derivation") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vecs: Map[String, Map[String, Long]] = rows.groupBy(_._1)
+      .map { case (s, xs) =>
+        val cnt = xs.flatMap(x => toks(x._2.toLowerCase)).groupBy(identity)
+          .map { case (t, g) => t -> g.length.toLong }
+        val tot = cnt.values.sum
+        s -> cnt.map { case (t, c) => t -> 1000L * c / tot }
+          .filter(_._2 > 0)
+      }
+    val norms = vecs.map { case (s, v) => s -> v.values.map(c => c * c).sum }
+    val srcs = vecs.keys.toSeq.sorted
+    val expected = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      (a, b) = (srcs(i), srcs(j))
+      dot = vecs(a).map { case (t, c) => c * vecs(b).getOrElse(t, 0L) }.sum
+    } yield (a, b, dot, 1000L * dot * dot / (norms(a) * norms(b))))
+      .sortBy { case (a, b, _, s2) => (-s2, a, b) }.take(10)
+    val got = operators.SearchQueries.q155SourceSimilarity(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // Cauchy–Schwarz: squared cosine never exceeds 1
+    got.foreach { case (_, _, _, s2) => assert(s2 <= 1000L) }
+  }
 }
