@@ -205,6 +205,64 @@ object TemporalQueries {
       |FROM changes
       |ORDER BY user_id, valid_from_us""".stripMargin
 
+  /** q156: inter-arrival BURSTINESS profile — traffic
+    * characterization per event type: the squared coefficient of
+    * variation of consecutive-event gaps (CV² = 1 for a Poisson
+    * process, > 1 bursty, < 1 regular/scheduled) — the statistic that
+    * tells a capacity planner whether mean-based sizing is safe and a
+    * bot-hunter whether traffic is machine-regular. Pure integer:
+    * CV²‰ = (1000·n·Σd²) div (Σd)² − 1000, gaps in whole seconds.
+    *
+    * Scale shape: one window per event type for the gaps (|types|
+    * partitions — at real scale the same statistic computes from
+    * per-shard moment triples (n, Σd, Σd²), the q95 merge algebra),
+    * then a |types|-row aggregate.
+    */
+  def q156Burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("event_type").orderBy("s", "event_id")
+    t.events
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("s"))
+      .withColumn("d", col("s") - lag("s", 1).over(w))
+      .filter(col("d").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("d").as("sum_d"), sum(col("d") * col("d")).as("sum_d2"))
+      .withColumn("mean_gap_s", expr("sum_d div n_gaps"))
+      .withColumn("cv2_permille",
+        expr("(1000 * n_gaps * sum_d2) div (sum_d * sum_d) - 1000"))
+      .withColumn("verdict",
+        when(col("cv2_permille") > 1200, "bursty")
+          .when(col("cv2_permille") < 800, "regular")
+          .otherwise(lit("poisson-like")))
+      .select("event_type", "n_gaps", "mean_gap_s", "cv2_permille", "verdict")
+      .orderBy("event_type")
+  }
+
+  val q156Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id, epoch_us(ts)::BIGINT // 1000000 AS s
+      |  FROM events),
+      |gaps AS (
+      |  SELECT event_type,
+      |    s - lag(s) OVER (PARTITION BY event_type ORDER BY s, event_id) AS d
+      |  FROM e),
+      |m AS (
+      |  SELECT event_type, COUNT(*)::BIGINT AS n_gaps,
+      |    SUM(d)::BIGINT AS sum_d, SUM(d * d)::BIGINT AS sum_d2
+      |  FROM gaps WHERE d IS NOT NULL GROUP BY 1),
+      |c AS (
+      |  SELECT *, (sum_d // n_gaps)::BIGINT AS mean_gap_s,
+      |    ((1000 * n_gaps * sum_d2) // (sum_d * sum_d) - 1000)::BIGINT
+      |      AS cv2_permille
+      |  FROM m)
+      |SELECT event_type, n_gaps, mean_gap_s, cv2_permille,
+      |  CASE WHEN cv2_permille > 1200 THEN 'bursty'
+      |       WHEN cv2_permille < 800 THEN 'regular'
+      |       ELSE 'poisson-like' END AS verdict
+      |FROM c ORDER BY event_type""".stripMargin
+
   /** q153: sliding-window RATE-LIMIT audit — the abuse/bot screen
     * over event streams: for every event, how many events the same
     * user produced in the trailing 10 minutes, via a RANGE window
@@ -853,6 +911,7 @@ object TemporalQueries {
     "q141_decayed_counts" -> (q141DecayedCounts _),
     "q145_retention_cohorts" -> (q145RetentionCohorts _),
     "q153_rate_limit_audit" -> (q153RateLimitAudit _),
+    "q156_burstiness" -> (q156Burstiness _),
     "q94_interval_join" -> (q94IntervalJoin _),
     "q99_triangle_count" -> (q99TriangleCount _),
     "q108_kcore" -> (q108KCore _),
@@ -866,6 +925,7 @@ object TemporalQueries {
     "q141_decayed_counts" -> q141Sql,
     "q145_retention_cohorts" -> q145Sql,
     "q153_rate_limit_audit" -> q153Sql,
+    "q156_burstiness" -> q156Sql,
     "q94_interval_join" -> q94Sql,
     "q99_triangle_count" -> q99Sql,
     "q108_kcore" -> q108Sql,

@@ -1423,4 +1423,27 @@ class CurationQueriesSpec extends AnyFunSuite {
     // Cauchy–Schwarz: squared cosine never exceeds 1
     got.foreach { case (_, _, _, s2) => assert(s2 <= 1000L) }
   }
+
+  // --- q156 ----------------------------------------------------------
+
+  test("q156 matches a sequential burstiness re-derivation") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("s")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).toSeq.map { case (et, xs) =>
+      val ss = xs.sortBy(x => (x._3, x._2)).map(_._3)
+      val d = ss.sliding(2).map(p => p(1) - p(0)).toSeq
+      val (n, sd, sd2) = (d.length.toLong, d.sum, d.map(x => x * x).sum)
+      val cv2 = 1000L * n * sd2 / (sd * sd) - 1000L
+      val verdict =
+        if (cv2 > 1200) "bursty" else if (cv2 < 800) "regular"
+        else "poisson-like"
+      (et, n, sd / n, cv2, verdict)
+    }.sortBy(_._1)
+    val got = operators.TemporalQueries.q156Burstiness(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got == expected)
+  }
 }
