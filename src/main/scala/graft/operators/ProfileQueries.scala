@@ -382,10 +382,73 @@ object ProfileQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
   }
 
+  /** q157: join-SKEW advisor — the pre-flight diagnostic for
+    * `SkewTools.saltedJoin`: profile a join key's frequency
+    * distribution (max key share, max/median ratio) and emit a
+    * salt/ok verdict BEFORE the join runs, instead of discovering the
+    * straggler in the stage timeline. Two keys profiled side by side:
+    * the natural events.user_id (near-uniform — verdict `ok`, the
+    * honest common case) and a constructed hot key (every 5th event
+    * collapsed onto user 0 — the q114/q132/q148 injected-defect
+    * convention) that the advisor MUST flag (`salt`, spec-pinned).
+    * Median key frequency via the lower-median rank (q122's integer
+    * trick).
+    *
+    * Scale shape: one aggregate per key to the distinct-key frame,
+    * windows over that (key-cardinality-sized) frame only.
+    */
+  def q157SkewAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def profile(name: String, keyed: DataFrame): DataFrame = {
+      val counts = keyed.groupBy("k").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("c"), col("k"))))
+        .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
+      counts.agg(sum("c").as("n_rows"), max("nk").as("n_keys"),
+          max("c").as("max_key_rows"),
+          max(when(col("rn") === expr("(nk + 1) div 2"), col("c")))
+            .as("p50_key_rows"))
+        .select(lit(name).as("join_key"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"), col("p50_key_rows"),
+          expr("(1000 * max_key_rows) div n_rows").as("max_share_permille"),
+          expr("max_key_rows div p50_key_rows").as("skew_ratio"))
+        .withColumn("verdict",
+          when(col("skew_ratio") >= 10, "salt").otherwise(lit("ok")))
+    }
+    val natural = t.events.select(col("user_id").as("k"))
+    val hot = t.events.select(
+      when(pmod(col("event_id"), lit(5L)) === 0, 0L)
+        .otherwise(col("user_id")).as("k"))
+    profile("events.user_id", natural)
+      .unionByName(profile("events.user_id_hot", hot))
+      .orderBy("join_key")
+  }
+
+  val q157Sql: String = {
+    def profile(name: String, keyExpr: String) =
+      s"""SELECT '$name' AS join_key, SUM(c)::BIGINT AS n_rows,
+         |  COUNT(*)::BIGINT AS n_keys, MAX(c)::BIGINT AS max_key_rows,
+         |  MAX(CASE WHEN rn = (nk + 1) // 2 THEN c END)::BIGINT AS p50_key_rows,
+         |  ((1000 * MAX(c)) // SUM(c))::BIGINT AS max_share_permille,
+         |  (MAX(c) // MAX(CASE WHEN rn = (nk + 1) // 2 THEN c END))::BIGINT
+         |    AS skew_ratio,
+         |  CASE WHEN MAX(c) // MAX(CASE WHEN rn = (nk + 1) // 2 THEN c END) >= 10
+         |    THEN 'salt' ELSE 'ok' END AS verdict
+         |FROM (
+         |  SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS rn,
+         |    COUNT(*) OVER () AS nk
+         |  FROM (SELECT $keyExpr AS k, COUNT(*)::BIGINT AS c
+         |        FROM events GROUP BY 1))""".stripMargin
+    profile("events.user_id", "user_id") + "\nUNION ALL\n" +
+      profile("events.user_id_hot",
+        "CASE WHEN event_id % 5 = 0 THEN 0 ELSE user_id END") +
+      "\nORDER BY join_key"
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_concentration" -> (q146Concentration _),
     "q147_fd_audit" -> (q147FdAudit _),
     "q148_ri_audit" -> (q148RiAudit _),
+    "q157_skew_advisor" -> (q157SkewAdvisor _),
     "q85_profile" -> (q85Profile _),
     "q93_format_roundtrip" -> (q93FormatRoundtrip _),
     "q130_k_anonymity" -> (q130KAnonymity _),
@@ -400,5 +463,6 @@ object ProfileQueries {
     "q146_concentration" -> q146Sql,
     "q147_fd_audit" -> q147Sql,
     "q148_ri_audit" -> q148Sql,
+    "q157_skew_advisor" -> q157Sql,
   )
 }

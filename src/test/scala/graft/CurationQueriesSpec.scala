@@ -1446,4 +1446,37 @@ class CurationQueriesSpec extends AnyFunSuite {
         r.getString(4))).toSeq
     assert(got == expected)
   }
+
+  // --- q157 ----------------------------------------------------------
+
+  test("q157 matches a sequential skew-profile re-derivation") {
+    // sf0.01: at the suite's sf0.001 (15 users) even the injected hot
+    // key only reaches ratio ~5 — below the salting bar, honestly
+    val skewDir = "/root/testdata/sf0.01"
+    val ev = spark.read.parquet(s"$skewDir/events.parquet")
+      .select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def profile(name: String, keys: Seq[Long]) = {
+      val cs = keys.groupBy(identity).toSeq
+        .map { case (k, xs) => (k, xs.length.toLong) }
+        .sortBy(x => (x._2, x._1)).map(_._2)
+      val p50 = cs((cs.length + 1) / 2 - 1)
+      val mx = cs.max
+      (name, keys.length.toLong, cs.length.toLong, mx, p50,
+        1000L * mx / keys.length, mx / p50,
+        if (mx / p50 >= 10) "salt" else "ok")
+    }
+    val expected = Seq(
+      profile("events.user_id", ev.map(_._2).toSeq),
+      profile("events.user_id_hot",
+        ev.map(x => if (x._1 % 5 == 0) 0L else x._2).toSeq)).sortBy(_._1)
+    val got = operators.ProfileQueries.q157SkewAdvisor(spark, skewDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toSeq
+    assert(got == expected)
+    // the advisor's verdicts are themselves the contract
+    assert(got.find(_._1 == "events.user_id").get._8 == "ok")
+    assert(got.find(_._1 == "events.user_id_hot").get._8 == "salt")
+  }
 }
