@@ -674,6 +674,87 @@ object SearchQueries {
       |    AS permille
       |FROM m ORDER BY from_type, to_type""".stripMargin
 
+  /** q158: session SURPRISAL scoring — q121's transition model turned
+    * into a detector (the behavioral twin of q107's text fluency
+    * score): every session is scored by the summed surprisal of its
+    * transitions, surprisal(t1→t2) = 10 − bitlen(p‰(t2|t1)) ≈
+    * −log₂ p (integer-exact, the q89/q107 bit-length trick). High
+    * total surprisal = a session walking improbable paths (probe/
+    * fraud); LOW average surprisal on a long session = machine-regular
+    * navigation — both tails matter, so the report carries the
+    * per-transition average alongside the sum, top-20 by total.
+    *
+    * Scale shape: one user_id exchange shared by the lag windows; the
+    * model is a |types|²-row broadcast; per-session rollup + heap.
+    */
+  def q158SessionSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = t.events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("in_session", col("prev_type").isNotNull &&
+        col("ts").cast("long") - col("prev_ts").cast("long") <= 1800)
+      .withColumn("sid", sum(when(col("prev_ts").isNull ||
+        col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+        .otherwise(0L)).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(false)
+    val model = flagged.filter(col("in_session"))
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("c_ab"))
+      .withColumn("permille", expr(
+        "(1000 * c_ab) div sum(c_ab) over (partition by from_type)"))
+      .withColumn("surprisal",
+        lit(10L) - length(bin(greatest(col("permille"), lit(1L)))).cast("long"))
+      .select("from_type", "to_type", "surprisal")
+    flagged.filter(col("in_session"))
+      .join(broadcast(model),
+        col("prev_type") === col("from_type") &&
+          col("event_type") === col("to_type"))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_trans"), sum("surprisal").as("total_surprisal"))
+      .withColumn("avg_class", expr("total_surprisal div n_trans"))
+      .orderBy(desc("total_surprisal"), desc("n_trans"), asc("user_id"),
+        asc("sid"))
+      .limit(20)
+  }
+
+  val q158Sql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    lag(event_type) OVER w AS prev_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN NULL
+      |         ELSE floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT
+      |    END AS gap
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |flagged AS (
+      |  SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      |  FROM lagged),
+      |tr AS (
+      |  SELECT * FROM flagged WHERE prev_type IS NOT NULL AND gap <= 1800),
+      |model AS (
+      |  SELECT from_type, to_type,
+      |    (10 - len(bin(greatest((1000 * c_ab)
+      |      // SUM(c_ab) OVER (PARTITION BY from_type), 1))))::BIGINT AS surprisal
+      |  FROM (SELECT prev_type AS from_type, event_type AS to_type,
+      |          COUNT(*)::BIGINT AS c_ab
+      |        FROM tr GROUP BY 1, 2)),
+      |scored AS (
+      |  SELECT t.user_id, t.sid, COUNT(*)::BIGINT AS n_trans,
+      |    SUM(m.surprisal)::BIGINT AS total_surprisal
+      |  FROM tr t JOIN model m
+      |    ON t.prev_type = m.from_type AND t.event_type = m.to_type
+      |  GROUP BY 1, 2)
+      |SELECT user_id, sid, n_trans, total_surprisal,
+      |  (total_surprisal // n_trans)::BIGINT AS avg_class
+      |FROM scored
+      |ORDER BY total_surprisal DESC, n_trans DESC, user_id, sid
+      |LIMIT 20""".stripMargin
+
   /** q125: frequent session PATHS — clickstream sequence mining, the
     * order-sensitive step up from q121's one-step transitions: each
     * gap-session's ordered event-type sequence yields its 3-step
@@ -746,6 +827,7 @@ object SearchQueries {
     "q150_hybrid_rrf" -> (q150HybridRrf _),
     "q152_conversion_latency" -> (q152ConversionLatency _),
     "q155_source_similarity" -> (q155SourceSimilarity _),
+    "q158_session_surprisal" -> (q158SessionSurprisal _),
     "q125_frequent_paths" -> (q125FrequentPaths _),
     "q121_markov_transitions" -> (q121MarkovTransitions _),
     "q37_sessionize" -> (q37Sessionize _),
@@ -761,6 +843,7 @@ object SearchQueries {
     "q150_hybrid_rrf" -> q150Sql,
     "q152_conversion_latency" -> q152Sql,
     "q155_source_similarity" -> q155Sql,
+    "q158_session_surprisal" -> q158Sql,
     "q125_frequent_paths" -> q125Sql,
     "q121_markov_transitions" -> q121Sql,
     "q37_sessionize" -> q37Sql,

@@ -1479,4 +1479,43 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(got.find(_._1 == "events.user_id").get._8 == "ok")
     assert(got.find(_._1 == "events.user_id_hot").get._8 == "salt")
   }
+
+  // --- q158 ----------------------------------------------------------
+
+  test("q158 matches a sequential surprisal re-derivation") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("s"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    // in-session transitions tagged with (user, sid)
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (uid, xs) =>
+      val s = xs.sortBy(x => (x._3, x._2)).toSeq
+      var sid = 0L
+      s.zip(Option.empty[(Long, String)] +: s.map(e => Some((e._3, e._4))).init)
+        .flatMap { case (e, prev) =>
+          val newSess = prev.isEmpty || e._3 - prev.get._1 > 1800L
+          if (newSess) sid += 1
+          if (!newSess && prev.nonEmpty)
+            Some(((uid, sid), (prev.get._2, e._4)))
+          else None
+        }
+    }
+    val counts = trans.map(_._2).groupBy(identity)
+      .map { case (p, g) => p -> g.size.toLong }
+    val fromTot = counts.groupBy(_._1._1).map { case (f, g) => f -> g.values.sum }
+    val surprisal = counts.map { case ((f, t), c) =>
+      (f, t) -> (10L - bitlen(math.max(1000L * c / fromTot(f), 1L)))
+    }
+    val expected = trans.groupBy(_._1).toSeq.map { case ((uid, sid), ts) =>
+      val tot = ts.map(x => surprisal(x._2)).sum
+      (uid, sid, ts.length.toLong, tot, tot / ts.length)
+    }.sortBy { case (u, sd, n, tot, _) => (-tot, -n, u, sd) }.take(20)
+    val got = operators.SearchQueries.q158SessionSurprisal(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+  }
 }
