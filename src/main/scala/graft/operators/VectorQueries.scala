@@ -218,6 +218,63 @@ object VectorQueries {
        |WHERE rank <= 3 ORDER BY query_id, tier, rank""".stripMargin
   }
 
+  /** q159: embedding-centroid DRIFT monitor — q118's vocabulary-drift
+    * sibling for the vector side: when the embedder, the upstream
+    * corpus, or a preprocessing step silently changes, the embedding
+    * distribution's centroid moves; this compares the per-dimension
+    * means of two snapshots (even/odd vec_ids standing in) and
+    * reports the squared L2 distance between centroids. All
+    * arithmetic fixed-point: components floor-scale by 2^20 (a power
+    * of two — float→double is exact, ×2^20 is exact, floor is exact,
+    * so both engines agree bit-for-bit), per-dim means are integer
+    * divisions, and the distance is a sum of integer squares —
+    * hash-exact where a float mean would drift with partition order.
+    *
+    * Scale shape: one posexplode → a (2 × dims)-row map-side-combined
+    * aggregate; the distance folds over dims rows. Fixed-size monitor
+    * state at any corpus, like q118.
+    */
+  def q159CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val fp = t.embeddings
+      .select(pmod(col("vec_id"), lit(2L)).as("half"),
+        posexplode(col("embedding")))
+      .select(col("half"), col("pos").as("d"),
+        floor(col("col").cast("double") * 1048576d).cast("long").as("v"))
+    val means = fp.groupBy("half", "d")
+      .agg(expr("sum(v) div count(1)").as("m"),
+        count(lit(1)).as("n"))
+    val a = means.filter(col("half") === 0)
+      .select(col("d"), col("m").as("ma"), col("n").as("n_ref"))
+    val b = means.filter(col("half") === 1)
+      .select(col("d"), col("m").as("mb"), col("n").as("n_cur"))
+    a.join(b, Seq("d"))
+      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        count(lit(1)).as("dims"),
+        sum(expr("(ma - mb) * (ma - mb)")).as("dist2_fp"))
+      .withColumn("drift_class",
+        length(bin(greatest(col("dist2_fp"), lit(1L)))).cast("long"))
+  }
+
+  val q159Sql: String =
+    """WITH fp AS (
+      |  SELECT vec_id % 2 AS half,
+      |    unnest(generate_series(0, len(embedding) - 1)) AS d,
+      |    floor(unnest(embedding)::DOUBLE * 1048576)::BIGINT AS v
+      |  FROM embeddings),
+      |means AS (
+      |  SELECT half, d, (SUM(v) // COUNT(*))::BIGINT AS m,
+      |    COUNT(*)::BIGINT AS n
+      |  FROM fp GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.d, a.m AS ma, b.m AS mb, a.n AS n_ref, b.n AS n_cur
+      |  FROM means a JOIN means b ON a.d = b.d AND a.half = 0 AND b.half = 1)
+      |SELECT MAX(n_ref)::BIGINT AS n_ref, MAX(n_cur)::BIGINT AS n_cur,
+      |  COUNT(*)::BIGINT AS dims,
+      |  SUM((ma - mb) * (ma - mb))::BIGINT AS dist2_fp,
+      |  len(bin(greatest(SUM((ma - mb) * (ma - mb)), 1)))::BIGINT AS drift_class
+      |FROM j""".stripMargin
+
   /** Batched kNN: top-5 neighbors for each of 8 query vectors in one
     * job — broadcast the query batch, window-rank per query. This is
     * the shape a training pipeline uses for retrieval/labeling sweeps:
@@ -710,6 +767,7 @@ object VectorQueries {
     "q69_ann_multiprobe" -> (q69AnnMultiprobe _),
     "q42_knn_batch" -> (q42KnnBatch _),
     "q140_negative_mining" -> (q140NegativeMining _),
+    "q159_centroid_drift" -> (q159CentroidDrift _),
     "q43_search_topk" -> (q43SearchTopk _),
   )
 
@@ -724,6 +782,7 @@ object VectorQueries {
     "q69_ann_multiprobe" -> q69Sql,
     "q42_knn_batch" -> q42Sql,
     "q140_negative_mining" -> q140Sql,
+    "q159_centroid_drift" -> q159Sql,
     "q43_search_topk" -> q43Sql,
   )
 }

@@ -1518,4 +1518,31 @@ class CurationQueriesSpec extends AnyFunSuite {
         r.getLong(4))).toSeq
     assert(got == expected)
   }
+
+  // --- q159 ----------------------------------------------------------
+
+  test("q159 matches a sequential fixed-point centroid re-derivation") {
+    val v = vecs()
+    def fpMeans(xs: Seq[(Long, Array[Float])]): (Long, Array[Long]) = {
+      val dims = xs.head._2.length
+      val sums = Array.fill(dims)(0L)
+      xs.foreach { case (_, x) =>
+        var i = 0
+        while (i < dims) {
+          sums(i) += math.floor(x(i).toDouble * 1048576d).toLong; i += 1
+        }
+      }
+      // both engines' integer division TRUNCATES toward zero (Spark
+      // `div`, DuckDB `//`) — matters here because fp sums go negative
+      (xs.length.toLong, sums.map(s => s / xs.length.toLong))
+    }
+    val (nr, ma) = fpMeans(v.filter(_._1 % 2 == 0).toSeq)
+    val (nc, mb) = fpMeans(v.filter(_._1 % 2 == 1).toSeq)
+    val dist2 = ma.zip(mb).map { case (a, b) => (a - b) * (a - b) }.sum
+    val cls = java.lang.Long.toBinaryString(math.max(dist2, 1L)).length.toLong
+    val got = operators.VectorQueries.q159CentroidDrift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).head
+    assert(got == ((nr, nc, ma.length.toLong, dist2, cls)))
+  }
 }
