@@ -976,7 +976,65 @@ object GraphQueries {
        |        JOIN totals tb ON co.s2 = tb.supp, nc
        |ORDER BY lift_class DESC, n_ab DESC, s1, s2 LIMIT 50""".stripMargin
 
+  /** q161: graph COARSENING — the multilevel trick behind every
+    * scalable graph-partitioning/community pipeline (METIS, Louvain):
+    * collapse the customer↔supplier trade graph onto its nation
+    * labels and work on the |nations|² super-graph, which stays
+    * 25×25 no matter how many billions of fine edges exist. The
+    * coarse edge weight is the fine-edge multiplicity (so total mass
+    * is CONSERVED — the spec sums the full coarse matrix against the
+    * fine pair count), and each super-edge carries its distinct
+    * endpoint counts — the "how concentrated is this trade corridor"
+    * signal.
+    *
+    * Scale shape: the fine edges reduce in ONE aggregate after two
+    * broadcast dim joins; everything after runs on ≤625 rows.
+    */
+  def q161GraphCoarsen(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+    val cn = t.customer.select(col("c_custkey").as("ck"),
+      col("c_nationkey").as("cnk"))
+    val sn = t.supplier.select(col("s_suppkey").as("sk"),
+      col("s_nationkey").as("snk"))
+    pairs.join(broadcast(cn), Seq("ck")).join(broadcast(sn), Seq("sk"))
+      .groupBy("cnk", "snk")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("ck").as("n_cust"), countDistinct("sk").as("n_supp"))
+      .join(broadcast(t.nation.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), Seq("cnk"))
+      .join(broadcast(t.nation.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), Seq("snk"))
+      .select("cust_nation", "supp_nation", "n_pairs", "n_cust", "n_supp")
+      .orderBy(desc("n_pairs"), asc("cust_nation"), asc("supp_nation"))
+      .limit(50)
+  }
+
+  val q161Sql: String =
+    """WITH fine AS (
+      |  SELECT o_custkey AS ck, l_suppkey AS sk
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |coarse AS (
+      |  SELECT c.c_nationkey AS cnk, s.s_nationkey AS snk,
+      |    COUNT(*)::BIGINT AS n_pairs,
+      |    COUNT(DISTINCT f.ck)::BIGINT AS n_cust,
+      |    COUNT(DISTINCT f.sk)::BIGINT AS n_supp
+      |  FROM fine f
+      |  JOIN customer c ON f.ck = c.c_custkey
+      |  JOIN supplier s ON f.sk = s.s_suppkey
+      |  GROUP BY 1, 2)
+      |SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation,
+      |  n_pairs, n_cust, n_supp
+      |FROM coarse
+      |JOIN nation nc ON cnk = nc.n_nationkey
+      |JOIN nation ns ON snk = ns.n_nationkey
+      |ORDER BY n_pairs DESC, cust_nation, supp_nation LIMIT 50""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_graph_coarsen" -> (q161GraphCoarsen _),
     "q120_copurchase" -> (q120Copurchase _),
     "q113_textrank" -> (q113Textrank _),
     "q100_pagerank" -> (q100PageRank _),
@@ -987,6 +1045,7 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q161_graph_coarsen" -> q161Sql,
     "q120_copurchase" -> q120Sql,
     "q113_textrank" -> q113Sql,
     "q100_pagerank" -> q100Sql,

@@ -444,11 +444,72 @@ object ProfileQueries {
       "\nORDER BY join_key"
   }
 
+  /** q160: WINSORIZED means — the robust location estimate for
+    * metric reporting (a handful of outliers should not move a
+    * dashboard): clamp each value into [p5, p95] (exact
+    * disc-quantiles via the rank window) before averaging. Reported
+    * beside the raw mean with the clip count, so the outlier
+    * influence is visible, not hidden; q122's median/MAD flags
+    * anomalous GROUPS, this stabilizes the per-group NUMBER. All
+    * integer: quantiles are rank-selected values, the winsorized mean
+    * is an integer division.
+    *
+    * Scale shape: one rank window per group (the same exchange the
+    * exact-percentile family pays; at 100 TB swap in q128's sketch
+    * bounds), then one rollup.
+    */
+  def q160WinsorizedMeans(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    t.documents
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("p5", max(when(
+        expr("1000 * rn >= 50 * n") &&
+          expr("1000 * (rn - 1) < 50 * n"), col("n_chars"))).over(
+        Window.partitionBy("lang")))
+      .withColumn("p95", max(when(
+        expr("1000 * rn >= 950 * n") &&
+          expr("1000 * (rn - 1) < 950 * n"), col("n_chars"))).over(
+        Window.partitionBy("lang")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(n_chars) div count(1)").as("raw_mean"),
+        expr("sum(greatest(least(n_chars, p95), p5)) div count(1)")
+          .as("winsor_mean"),
+        count(when(col("n_chars") < col("p5") ||
+          col("n_chars") > col("p95"), 1)).as("n_clipped"))
+      .orderBy("lang")
+  }
+
+  val q160Sql: String =
+    """WITH rk AS (
+      |  SELECT lang, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |cuts AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN 1000 * rn >= 50 * n AND 1000 * (rn - 1) < 50 * n
+      |        THEN n_chars END) OVER (PARTITION BY lang) AS p5,
+      |    MAX(CASE WHEN 1000 * rn >= 950 * n AND 1000 * (rn - 1) < 950 * n
+      |        THEN n_chars END) OVER (PARTITION BY lang) AS p95
+      |  FROM rk)
+      |SELECT lang, COUNT(*)::BIGINT AS n_docs,
+      |  (SUM(n_chars) // COUNT(*))::BIGINT AS raw_mean,
+      |  (SUM(greatest(least(n_chars, p95), p5)) // COUNT(*))::BIGINT
+      |    AS winsor_mean,
+      |  COUNT(*) FILTER (WHERE n_chars < p5 OR n_chars > p95)::BIGINT
+      |    AS n_clipped
+      |FROM cuts GROUP BY lang ORDER BY lang""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_concentration" -> (q146Concentration _),
     "q147_fd_audit" -> (q147FdAudit _),
     "q148_ri_audit" -> (q148RiAudit _),
     "q157_skew_advisor" -> (q157SkewAdvisor _),
+    "q160_winsorized_means" -> (q160WinsorizedMeans _),
     "q85_profile" -> (q85Profile _),
     "q93_format_roundtrip" -> (q93FormatRoundtrip _),
     "q130_k_anonymity" -> (q130KAnonymity _),
@@ -464,5 +525,6 @@ object ProfileQueries {
     "q147_fd_audit" -> q147Sql,
     "q148_ri_audit" -> q148Sql,
     "q157_skew_advisor" -> q157Sql,
+    "q160_winsorized_means" -> q160Sql,
   )
 }

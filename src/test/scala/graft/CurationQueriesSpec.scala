@@ -1545,4 +1545,61 @@ class CurationQueriesSpec extends AnyFunSuite {
         r.getLong(4))).head
     assert(got == ((nr, nc, ma.length.toLong, dist2, cls)))
   }
+
+  // --- q160 ----------------------------------------------------------
+
+  test("q160 matches a sequential winsorized re-derivation") {
+    val d = docs()
+    val expected = d.groupBy(_._3).toSeq.map { case (lang, xs) =>
+      val vals = xs.map(_._4).sorted
+      val n = vals.length.toLong
+      def q(pm: Long): Long = vals(((pm * n + 999) / 1000 - 1).toInt)
+      val (p5, p95) = (q(50), q(950))
+      val wvals = vals.map(v => math.max(math.min(v, p95), p5))
+      (lang, n, vals.sum / n, wvals.sum / n,
+        vals.count(v => v < p5 || v > p95).toLong)
+    }.sortBy(_._1)
+    val got = operators.ProfileQueries.q160WinsorizedMeans(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // winsorizing pulls toward the center and clips ≤ 10% of rows
+    got.foreach { case (_, n, _, _, clipped) =>
+      assert(clipped <= n / 10 + 2)
+    }
+  }
+
+  // --- q161 ----------------------------------------------------------
+
+  test("q161 matches a sequential coarsening; mass conserved") {
+    def tbl(name: String, cols: String*) =
+      spark.read.parquet(s"$dir/$name.parquet").select(cols.head, cols.tail: _*)
+    val orders = tbl("orders", "o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val items = tbl("lineitem", "l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val custN = tbl("customer", "c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val suppN = tbl("supplier", "s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val names = tbl("nation", "n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val byOrder = orders.toMap
+    val fine = items.map { case (ok, sk) => (byOrder(ok), sk) }
+    val coarse = fine.groupBy { case (ck, sk) => (custN(ck), suppN(sk)) }
+      .toSeq.map { case ((cn, sn), xs) =>
+        (names(cn), names(sn), xs.length.toLong,
+          xs.map(_._1).distinct.length.toLong,
+          xs.map(_._2).distinct.length.toLong)
+      }
+    // conservation over the FULL coarse matrix (before the top-50 cut)
+    assert(coarse.map(_._3).sum == fine.length.toLong)
+    val expected = coarse
+      .sortBy { case (c, s, n, _, _) => (-n, c, s) }.take(50)
+    val got = operators.GraphQueries.q161GraphCoarsen(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+  }
 }
