@@ -504,12 +504,52 @@ object ProfileQueries {
       |    AS n_clipped
       |FROM cuts GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q162: l-DIVERSITY audit — k-anonymity's necessary companion
+    * (Machanavajjhala et al.): a QI class can satisfy k ≥ 5 and still
+    * leak, if all its members share the same SENSITIVE value
+    * (attribute disclosure — "I don't know which row you are, but
+    * everyone in your class has X"). Per q130's QI classes (nation ×
+    * balance band), count distinct sensitive values (market segment
+    * standing in); the histogram of l values and the count of
+    * k-anonymous-but-l=1 classes is the residual-risk report q130
+    * alone cannot see.
+    *
+    * Scale shape: one QI-bounded aggregate with a distinct count,
+    * then a tiny l-histogram rollup.
+    */
+  def q162LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("k"), countDistinct("c_mktsegment").as("l"))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_classes"), sum("k").as("n_rows"),
+        count(when(col("k") >= 5, 1)).as("n_k_anonymous"),
+        count(when(col("k") >= 5 && col("l") === 1, 1))
+          .as("n_k_anon_but_exposed"))
+      .orderBy("l")
+  }
+
+  val q162Sql: String =
+    """WITH classes AS (
+      |  SELECT c_nationkey, floor(c_acctbal / 1000)::BIGINT AS bal_band,
+      |    COUNT(*)::BIGINT AS k,
+      |    COUNT(DISTINCT c_mktsegment)::BIGINT AS l
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT l, COUNT(*)::BIGINT AS n_classes, SUM(k)::BIGINT AS n_rows,
+      |  COUNT(*) FILTER (WHERE k >= 5)::BIGINT AS n_k_anonymous,
+      |  COUNT(*) FILTER (WHERE k >= 5 AND l = 1)::BIGINT
+      |    AS n_k_anon_but_exposed
+      |FROM classes GROUP BY l ORDER BY l""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_concentration" -> (q146Concentration _),
     "q147_fd_audit" -> (q147FdAudit _),
     "q148_ri_audit" -> (q148RiAudit _),
     "q157_skew_advisor" -> (q157SkewAdvisor _),
     "q160_winsorized_means" -> (q160WinsorizedMeans _),
+    "q162_l_diversity" -> (q162LDiversity _),
     "q85_profile" -> (q85Profile _),
     "q93_format_roundtrip" -> (q93FormatRoundtrip _),
     "q130_k_anonymity" -> (q130KAnonymity _),
@@ -526,5 +566,6 @@ object ProfileQueries {
     "q148_ri_audit" -> q148Sql,
     "q157_skew_advisor" -> q157Sql,
     "q160_winsorized_means" -> q160Sql,
+    "q162_l_diversity" -> q162Sql,
   )
 }

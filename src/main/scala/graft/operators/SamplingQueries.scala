@@ -351,6 +351,53 @@ object SamplingQueries {
        |ORDER BY permille DESC, n_hits DESC, doc_id LIMIT 50""".stripMargin
   }
 
+  /** q163: GROUP-leakage split audit — the GroupKFold motivation
+    * measured: splitting event-level data by ROW hash puts almost
+    * every active user on both sides of the train/test boundary, so
+    * any model with user-level memory evaluates on users it trained
+    * on. The audit runs both strategies side by side — event-hash
+    * (the wrong granularity, deliberately) vs user-hash (the group
+    * split) — and reports how many users straddle under each. The
+    * user-hash row's zero is BY CONSTRUCTION and the spec pins it;
+    * the event-hash row's near-1000‰ is the number that justifies
+    * group-aware splitting in every pipeline design review.
+    *
+    * Scale shape: per-strategy, one per-user aggregate (distinct
+    * splits per user) + a 1-row rollup.
+    */
+  def q163GroupLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def audit(name: String, split: org.apache.spark.sql.Column): DataFrame =
+      t.events.select(col("user_id"), split.as("split"))
+        .groupBy("user_id")
+        .agg(countDistinct("split").as("nsp"))
+        .agg(count(lit(1)).as("n_users"),
+          count(when(col("nsp") > 1, 1)).as("n_straddling"))
+        .select(lit(name).as("strategy"), col("n_users"), col("n_straddling"),
+          expr("(1000 * n_straddling) div n_users").as("straddle_permille"))
+    def bucket(c: org.apache.spark.sql.Column) =
+      pmod(md5Long60(c.cast("string")), lit(100L))
+    val byEvent = when(bucket(col("event_id")) < 80, "train").otherwise("test")
+    val byUser = when(bucket(col("user_id")) < 80, "train").otherwise("test")
+    audit("event_hash", byEvent).unionByName(audit("user_hash", byUser))
+      .orderBy("strategy")
+  }
+
+  val q163Sql: String = {
+    def audit(name: String, expr: String) =
+      s"""SELECT '$name' AS strategy, COUNT(*)::BIGINT AS n_users,
+         |  COUNT(*) FILTER (WHERE nsp > 1)::BIGINT AS n_straddling,
+         |  ((1000 * COUNT(*) FILTER (WHERE nsp > 1)) // COUNT(*))::BIGINT
+         |    AS straddle_permille
+         |FROM (
+         |  SELECT user_id, COUNT(DISTINCT CASE
+         |      WHEN (${OracleSql.md5Long60(expr)} % 100) < 80
+         |      THEN 'train' ELSE 'test' END) AS nsp
+         |  FROM events GROUP BY 1)""".stripMargin
+    audit("event_hash", "event_id::VARCHAR") + "\nUNION ALL\n" +
+      audit("user_hash", "user_id::VARCHAR") + "\nORDER BY strategy"
+  }
+
   /** q144: A/B experiment readout with A/A CALIBRATION — the
     * experimentation surface over event data: deterministic hash
     * assignment of users to arms (md5 % 2 — the same property that
@@ -811,6 +858,7 @@ object SamplingQueries {
     "q142_unimax_allocation" -> (q142UnimaxAllocation _),
     "q143_bootstrap_ci" -> (q143BootstrapCi _),
     "q144_ab_readout" -> (q144AbReadout _),
+    "q163_group_leakage" -> (q163GroupLeakage _),
     "q47_sequence_packing" -> (q47SequencePacking _),
     "q55_training_mix" -> (q55TrainingMix _),
     "q84_temperature_sample" -> (q84TemperatureSample _),
@@ -826,6 +874,7 @@ object SamplingQueries {
     "q142_unimax_allocation" -> q142Sql,
     "q143_bootstrap_ci" -> q143Sql,
     "q144_ab_readout" -> q144Sql,
+    "q163_group_leakage" -> q163Sql,
     "q117_dsir_weights" -> q117Sql,
     "q47_sequence_packing" -> q47Sql,
     "q55_training_mix" -> q55Sql,

@@ -1602,4 +1602,55 @@ class CurationQueriesSpec extends AnyFunSuite {
         r.getLong(4))).toSeq
     assert(got == expected)
   }
+
+  // --- q162 ----------------------------------------------------------
+
+  test("q162 matches a sequential l-diversity re-derivation") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_nationkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getString(2)))
+    val classes = cust
+      .groupBy(x => (x._1, math.floor(x._2 / 1000).toLong)).toSeq
+      .map { case (_, xs) =>
+        (xs.length.toLong, xs.map(_._3).distinct.length.toLong)
+      }
+    val expected = classes.groupBy(_._2).toSeq.map { case (l, xs) =>
+      (l, xs.length.toLong, xs.map(_._1).sum,
+        xs.count(_._1 >= 5).toLong,
+        (if (l == 1) xs.count(_._1 >= 5).toLong else 0L))
+    }.sortBy(_._1)
+    val got = operators.ProfileQueries.q162LDiversity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // l never exceeds k
+    classes.foreach { case (k, l) => assert(l <= k) }
+  }
+
+  // --- q163 ----------------------------------------------------------
+
+  test("q163 matches a sequential leakage re-derivation; group split clean") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def split(x: Long): String =
+      if (md5Long60Local(x.toString) % 100 < 80) "train" else "test"
+    def audit(name: String, f: ((Long, Long)) => String) = {
+      val perUser = ev.groupBy(_._2).toSeq
+        .map { case (_, xs) => xs.map(f).distinct.length }
+      val straddle = perUser.count(_ > 1).toLong
+      (name, perUser.length.toLong, straddle,
+        1000L * straddle / perUser.length)
+    }
+    val expected = Seq(
+      audit("event_hash", x => split(x._1)),
+      audit("user_hash", x => split(x._2))).sortBy(_._1)
+    val got = operators.SamplingQueries.q163GroupLeakage(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // group split is leak-free BY CONSTRUCTION
+    assert(got.find(_._1 == "user_hash").get._3 == 0L)
+  }
 }
