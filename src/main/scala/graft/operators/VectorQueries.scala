@@ -218,6 +218,57 @@ object VectorQueries {
        |WHERE rank <= 3 ORDER BY query_id, tier, rank""".stripMargin
   }
 
+  /** q164: ANN index OCCUPANCY audit — the index-health check behind
+    * q41/q69's cell probes: a coarse quantizer only helps if its
+    * cells are balanced — empty cells waste the codebook, giant cells
+    * make every probe that lands there a brute-force scan. Reports
+    * the cell-population histogram (bucketed by bit-length class),
+    * occupancy rate over the 2^8 possible cells, and the
+    * max/mean imbalance per-mille — the numbers that decide whether
+    * to re-train the quantizer (q81/q115) or change plane count.
+    *
+    * Scale shape: one signature projection (codegen'd) + a ≤2^planes
+    * aggregate + tiny rollups.
+    */
+  def q164CellOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    val planes = 8
+    val t = Tables(spark, dir)
+    val cells = t.embeddings
+      .select(hyperplaneSignature(col("embedding"), planes).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("c"))
+    val totals = cells.agg(count(lit(1)).as("n_cells"), sum("c").as("n_vecs"),
+      max("c").as("max_cell"))
+    cells
+      .groupBy(length(bin(col("c"))).cast("long").as("size_class"))
+      .agg(count(lit(1)).as("n_cells_in_class"), sum("c").as("n_vecs_in_class"))
+      .crossJoin(broadcast(totals))
+      .withColumn("occupancy_permille",
+        expr(s"(1000 * n_cells) div ${1 << planes}"))
+      .withColumn("imbalance_permille",
+        expr("(1000 * max_cell * n_cells) div n_vecs"))
+      .select("size_class", "n_cells_in_class", "n_vecs_in_class",
+        "occupancy_permille", "imbalance_permille")
+      .orderBy("size_class")
+  }
+
+  val q164Sql: String = {
+    val sig = OracleSql.hyperplaneSignature("embedding", 8)
+    s"""WITH cells AS (
+       |  SELECT $sig AS cell, COUNT(*)::BIGINT AS c
+       |  FROM embeddings GROUP BY 1),
+       |totals AS (
+       |  SELECT COUNT(*)::BIGINT AS n_cells, SUM(c)::BIGINT AS n_vecs,
+       |    MAX(c)::BIGINT AS max_cell
+       |  FROM cells)
+       |SELECT len(bin(c))::BIGINT AS size_class,
+       |  COUNT(*)::BIGINT AS n_cells_in_class,
+       |  SUM(c)::BIGINT AS n_vecs_in_class,
+       |  ((1000 * n_cells) // 256)::BIGINT AS occupancy_permille,
+       |  ((1000 * max_cell * n_cells) // n_vecs)::BIGINT AS imbalance_permille
+       |FROM cells, totals
+       |GROUP BY 1, n_cells, max_cell, n_vecs ORDER BY 1""".stripMargin
+  }
+
   /** q159: embedding-centroid DRIFT monitor — q118's vocabulary-drift
     * sibling for the vector side: when the embedder, the upstream
     * corpus, or a preprocessing step silently changes, the embedding
@@ -768,6 +819,7 @@ object VectorQueries {
     "q42_knn_batch" -> (q42KnnBatch _),
     "q140_negative_mining" -> (q140NegativeMining _),
     "q159_centroid_drift" -> (q159CentroidDrift _),
+    "q164_cell_occupancy" -> (q164CellOccupancy _),
     "q43_search_topk" -> (q43SearchTopk _),
   )
 
@@ -783,6 +835,7 @@ object VectorQueries {
     "q42_knn_batch" -> q42Sql,
     "q140_negative_mining" -> q140Sql,
     "q159_centroid_drift" -> q159Sql,
+    "q164_cell_occupancy" -> q164Sql,
     "q43_search_topk" -> q43Sql,
   )
 }

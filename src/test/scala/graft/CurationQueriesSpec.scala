@@ -1653,4 +1653,32 @@ class CurationQueriesSpec extends AnyFunSuite {
     // group split is leak-free BY CONSTRUCTION
     assert(got.find(_._1 == "user_hash").get._3 == 0L)
   }
+
+  // --- q164 ----------------------------------------------------------
+
+  test("q164 matches a sequential occupancy re-derivation") {
+    import functions.VectorFunctions.planeComponentLocal
+    val v = vecs()
+    def cell(x: Array[Float]): Long =
+      (0 until 8).map { p =>
+        val proj = x.indices.foldLeft(0.0d)((acc, i) =>
+          acc + x(i).toDouble * planeComponentLocal(p, i))
+        if (proj > 0) 1L << p else 0L
+      }.sum
+    val counts = v.map(x => cell(x._2)).groupBy(identity).toSeq
+      .map(_._2.length.toLong)
+    val (nCells, nVecs, mx) = (counts.length.toLong, counts.sum, counts.max)
+    def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val expected = counts.groupBy(bitlen).toSeq.map { case (cls, xs) =>
+      (cls, xs.length.toLong, xs.sum, 1000L * nCells / 256L,
+        1000L * mx * nCells / nVecs)
+    }.sortBy(_._1)
+    val got = operators.VectorQueries.q164CellOccupancy(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // population conservation across size classes
+    assert(got.map(_._3).sum == v.length.toLong)
+  }
 }
