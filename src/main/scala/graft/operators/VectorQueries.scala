@@ -218,6 +218,98 @@ object VectorQueries {
        |WHERE rank <= 3 ORDER BY query_id, tier, rank""".stripMargin
   }
 
+  /** q165: MMR diverse re-ranking — Carbonell–Goldstein Maximal
+    * Marginal Relevance, the standard answer to "my top-k is five
+    * copies of the same document": greedily pick the candidate
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked
+    * (λ=0.7, k=5 over the exact top-20). The greedy loop runs on the
+    * DRIVER over the collected candidate set — which is the honest
+    * production shape: rerankers operate on a bounded candidate list
+    * by construction (that's what stage one is for), so the
+    * distributed work is exactly the top-20 heap scan and nothing
+    * after it. All scores are dotFold doubles and fixed-order IEEE
+    * arithmetic, so the DuckDB oracle — the same greedy UNROLLED as
+    * five chained CTEs, the q115 convention — reproduces every score
+    * bit-for-bit.
+    */
+  def q165MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val q = t.embeddings.filter(col("vec_id") === 7)
+      .select(col("embedding").as("qe"))
+    val cands = t.embeddings.filter(col("vec_id") =!= 7)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", dotFold(col("embedding"), col("qe")))
+      .orderBy(desc("rel"), asc("vec_id")).limit(20)
+      .select("vec_id", "embedding", "rel")
+      .collect()
+    val ids = cands.map(_.getLong(0))
+    val embs = cands.map(_.getSeq[Float](1).toArray)
+    val rels = cands.map(_.getDouble(2))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0d; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1
+      }
+      acc
+    }
+    val sel = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+    val picked = scala.collection.mutable.ArrayBuffer[Int]()
+    for (_ <- 0 until 5) {
+      val best = ids.indices.filterNot(picked.contains).maxBy { i =>
+        val maxSim =
+          if (picked.isEmpty) 0.0d
+          else picked.map(j => dot(embs(i), embs(j))).max
+        (0.7d * rels(i) - 0.3d * maxSim, -ids(i))
+      }
+      val maxSim =
+        if (picked.isEmpty) 0.0d
+        else picked.map(j => dot(embs(best), embs(j))).max
+      sel += ((ids(best), rels(best), 0.7d * rels(best) - 0.3d * maxSim))
+      picked += best
+    }
+    import spark.implicits._
+    sel.toSeq.zipWithIndex
+      .map { case ((id, rel, mmr), i) => ((i + 1).toLong, id, rel, mmr) }
+      .toDF("rank", "vec_id", "rel", "mmr_score")
+  }
+
+  val q165Sql: String = {
+    val dq = OracleSql.dotFold("e.embedding", "q.qe")
+    val dp = OracleSql.dotFold("a.embedding", "b.embedding")
+    // five unrolled greedy steps (q115's chained-CTE convention):
+    // each s_k picks the argmax of 0.7*rel - 0.3*max(sim to s_1..k-1)
+    def step(k: Int): String = {
+      val prev = (1 until k).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+      val sim =
+        if (k == 1) "0.0"
+        else s"(SELECT MAX(sim) FROM sims WHERE sims.a_id = c.vec_id " +
+          s"AND sims.b_id IN ($prev))"
+      val excl = if (k == 1) "" else s"WHERE c.vec_id NOT IN ($prev)"
+      s"""s$k AS (
+         |  SELECT c.vec_id, c.rel, 0.7 * c.rel - 0.3 * $sim AS mmr_score
+         |  FROM c $excl
+         |  ORDER BY 0.7 * c.rel - 0.3 * $sim DESC, c.vec_id LIMIT 1)"""
+        .stripMargin
+    }
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+       |c AS (
+       |  SELECT e.vec_id, e.embedding, $dq AS rel
+       |  FROM embeddings e, q WHERE e.vec_id <> 7
+       |  ORDER BY rel DESC, e.vec_id LIMIT 20),
+       |sims AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $dp AS sim
+       |  FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+       |${(1 to 5).map(step).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT 1::BIGINT AS rank, vec_id, rel, mmr_score FROM s1
+       |  UNION ALL SELECT 2, vec_id, rel, mmr_score FROM s2
+       |  UNION ALL SELECT 3, vec_id, rel, mmr_score FROM s3
+       |  UNION ALL SELECT 4, vec_id, rel, mmr_score FROM s4
+       |  UNION ALL SELECT 5, vec_id, rel, mmr_score FROM s5)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** q164: ANN index OCCUPANCY audit — the index-health check behind
     * q41/q69's cell probes: a coarse quantizer only helps if its
     * cells are balanced — empty cells waste the codebook, giant cells
@@ -820,6 +912,7 @@ object VectorQueries {
     "q140_negative_mining" -> (q140NegativeMining _),
     "q159_centroid_drift" -> (q159CentroidDrift _),
     "q164_cell_occupancy" -> (q164CellOccupancy _),
+    "q165_mmr_rerank" -> (q165MmrRerank _),
     "q43_search_topk" -> (q43SearchTopk _),
   )
 
@@ -836,6 +929,7 @@ object VectorQueries {
     "q140_negative_mining" -> q140Sql,
     "q159_centroid_drift" -> q159Sql,
     "q164_cell_occupancy" -> q164Sql,
+    "q165_mmr_rerank" -> q165Sql,
     "q43_search_topk" -> q43Sql,
   )
 }

@@ -1681,4 +1681,42 @@ class CurationQueriesSpec extends AnyFunSuite {
     // population conservation across size classes
     assert(got.map(_._3).sum == v.length.toLong)
   }
+
+  // --- q165 ----------------------------------------------------------
+
+  test("q165 MMR selects the relevance argmax first and diversifies") {
+    val v = vecs()
+    val emb = v.toMap
+    val rels = v.filter(_._1 != 7)
+      .map { case (id, x) => (id, dot(x, emb(7L))) }
+    val top20 = rels.sortBy { case (id, r) => (-r, id) }.take(20)
+    val got = operators.VectorQueries.q165MmrRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got.map(_._2).distinct.length == 5)
+    // rank 1 is the unpenalized relevance argmax; its score is λ·rel
+    // (the penalty term is zero, not the λ weighting)
+    assert(got.head._2 == top20.head._1)
+    assert(got.head._4 == 0.7d * got.head._3)
+    // every selection comes from the candidate pool with its true rel
+    val relOf = top20.toMap
+    got.foreach { case (_, id, rel, mmr) =>
+      assert(relOf(id) == rel)
+      // maxSim ∈ [-1, 1] (unit vectors), so the penalty term is
+      // bounded — and can be a BONUS for anti-correlated candidates
+      assert(math.abs(mmr - 0.7d * rel) <= 0.3d + 1e-12)
+    }
+    // the point of MMR: the selected set is more diverse than the
+    // naive top-5 (strictly lower mean pairwise similarity here)
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+      } yield dot(emb(ids(i)), emb(ids(j)))
+      ps.sum / ps.length
+    }
+    val naive = top20.take(5).map(_._1)
+    assert(meanPairSim(got.map(_._2)) < meanPairSim(naive) + 1e-12,
+      "MMR set should not be less diverse than naive top-5")
+  }
 }
