@@ -1035,7 +1035,136 @@ object TextQueries {
        |FROM occ o LEFT JOIN types t USING (q) ORDER BY o.q""".stripMargin
   }
 
+  /** q166: OOV-rate curve vs vocabulary size — the tokenizer-design
+    * companion to q136's Heaps curve: q136 says how fast NEW types
+    * appear; this says what fraction of RUNNING TOKENS a top-V
+    * vocabulary fails to cover, for V ∈ {1k..32k} doublings. The knee
+    * of this curve is where a vocabulary budget stops paying — the
+    * number a BPE/unigram tokenizer sizing decision actually needs
+    * (coverage, not type counts). All integer: covered/oov token
+    * sums and a truncating per-mille.
+    *
+    * Scale shape: the corpus crosses the shuffle once, pre-combined,
+    * as (type, count) pairs (Zipf-compressed — vocabulary, not corpus,
+    * cardinality); the rank window sorts only that vocabulary frame,
+    * and the six thresholds fold into ONE conditional aggregate (no
+    * per-threshold rescan). 1000×sum(cnt) bounds the corpus at ~9e15
+    * tokens before int64 overflow — per-shard curves long before that.
+    */
+  def q166OovCurve(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sizes = Seq(1000L, 2000L, 4000L, 8000L, 16000L, 32000L)
+    val vocab = t.documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(desc("cnt"), asc("w"))).cast("long"))
+    val aggs =
+      count(lit(1)).cast("long").as("n_types") +:
+        sum("cnt").as("total_tokens") +:
+        sizes.map(v => sum(when(col("rnk") <= v, col("cnt"))).as(s"c$v"))
+    val one = vocab.agg(aggs.head, aggs.tail: _*)
+    one.select(
+      col("n_types"), col("total_tokens"),
+      expr("stack(" + sizes.length + ", " +
+        sizes.map(v => s"${v}L, c$v").mkString(", ") +
+        ") as (vocab_size, covered_tokens)"))
+      .select(
+        col("vocab_size"),
+        least(col("vocab_size"), col("n_types")).as("n_types_used"),
+        col("covered_tokens"),
+        (col("total_tokens") - col("covered_tokens")).as("oov_tokens"),
+        expr("(1000 * (total_tokens - covered_tokens)) div total_tokens")
+          .as("oov_permille"))
+      .orderBy("vocab_size")
+  }
+
+  val q166Sql: String = {
+    val toks = OracleSql.tokens("text")
+    val sizes = Seq(1000L, 2000L, 4000L, 8000L, 16000L, 32000L)
+    val filters = sizes.map(v =>
+      s"SUM(cnt) FILTER (WHERE rnk <= $v)::BIGINT AS c$v").mkString(",\n       |    ")
+    val caseCov = "CASE vocab_size " +
+      sizes.map(v => s"WHEN $v THEN c$v").mkString(" ") + " END"
+    s"""WITH vocab AS (
+       |  SELECT w, COUNT(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+       |ranked AS (
+       |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rnk
+       |  FROM vocab),
+       |agg AS (
+       |  SELECT COUNT(*)::BIGINT AS n_types, SUM(cnt)::BIGINT AS total_tokens,
+       |    $filters
+       |  FROM ranked),
+       |sizes(vocab_size) AS (VALUES ${sizes.map(v => s"($v::BIGINT)").mkString(", ")}),
+       |cov AS (
+       |  SELECT vocab_size, n_types, total_tokens,
+       |    $caseCov AS covered_tokens
+       |  FROM sizes, agg)
+       |SELECT vocab_size, least(vocab_size, n_types)::BIGINT AS n_types_used,
+       |  covered_tokens,
+       |  (total_tokens - covered_tokens)::BIGINT AS oov_tokens,
+       |  ((1000 * (total_tokens - covered_tokens)) // total_tokens)::BIGINT
+       |    AS oov_permille
+       |FROM cov ORDER BY vocab_size""".stripMargin
+  }
+
+  /** q167: tokenizer FERTILITY audit — subword tokens per whitespace
+    * word, per (lang, source): the standard multilingual-tokenizer
+    * health metric (a language whose fertility is 2-3× the corpus
+    * median is being over-segmented — its effective context window
+    * and its training-compute share are silently worse). Reports the
+    * corpus ratio, the worst single document, and how many documents
+    * exceed 2000‰ (two subwords per word) — the actionable tail, not
+    * just the mean. q22 reports raw totals; this is the RATIO audit
+    * with per-document tails. All integer (truncating per-mille).
+    *
+    * Scale shape: embarrassingly parallel per-document map, one
+    * pre-combined aggregate over (lang, source) — group cardinality,
+    * not corpus cardinality, crosses the exchange.
+    */
+  def q167TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perDoc = t.documents.select(
+      col("lang"), col("source"),
+      size(tokens(col("text"))).cast("long").as("ws"),
+      bpeTokenCount(col("text")).cast("long").as("bpe"))
+      .withColumn("f_pm", when(col("ws") > 0, expr("(1000 * bpe) div ws")))
+    perDoc.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("n_words"),
+        sum("bpe").as("n_tokens"),
+        when(sum("ws") > 0, expr("(1000 * sum(bpe)) div sum(ws)"))
+          .as("fertility_permille"),
+        max("f_pm").as("max_doc_permille"),
+        count(when(col("f_pm") >= 2000, 1)).as("n_high_fertility"))
+      .orderBy("lang", "source")
+  }
+
+  val q167Sql: String = {
+    val toks = OracleSql.tokens("text")
+    val bpe = OracleSql.bpeTokenCount("text")
+    s"""WITH per_doc AS (
+       |  SELECT lang, source,
+       |    len($toks)::BIGINT AS ws,
+       |    $bpe::BIGINT AS bpe
+       |  FROM documents),
+       |scored AS (
+       |  SELECT *, CASE WHEN ws > 0 THEN (1000 * bpe) // ws END AS f_pm
+       |  FROM per_doc)
+       |SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(ws)::BIGINT AS n_words, SUM(bpe)::BIGINT AS n_tokens,
+       |  CASE WHEN SUM(ws) > 0
+       |    THEN ((1000 * SUM(bpe)) // SUM(ws))::BIGINT END
+       |    AS fertility_permille,
+       |  MAX(f_pm)::BIGINT AS max_doc_permille,
+       |  COUNT(*) FILTER (WHERE f_pm >= 2000)::BIGINT AS n_high_fertility
+       |FROM scored GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_oov_curve" -> (q166OovCurve _),
+    "q167_tokenizer_fertility" -> (q167TokenizerFertility _),
     "q136_vocab_growth" -> (q136VocabGrowth _),
     "q154_langid_agreement" -> (q154LangIdAgreement _),
     "q132_encoding_audit" -> (q132EncodingAudit _),
@@ -1057,6 +1186,8 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q166_oov_curve" -> q166Sql,
+    "q167_tokenizer_fertility" -> q167Sql,
     "q136_vocab_growth" -> q136Sql,
     "q154_langid_agreement" -> q154Sql,
     "q132_encoding_audit" -> q132Sql,

@@ -1719,4 +1719,55 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(meanPairSim(got.map(_._2)) < meanPairSim(naive) + 1e-12,
       "MMR set should not be less diverse than naive top-5")
   }
+
+  // --- q166 ----------------------------------------------------------
+
+  test("q166 matches a sequential OOV-curve re-derivation") {
+    val d = docs()
+    val counts = d.flatMap(x => toks(x._2)).groupBy(identity)
+      .map { case (w, xs) => (w, xs.length.toLong) }.toSeq
+    val ranked = counts.sortBy { case (w, c) => (-c, w) }
+    val total = counts.map(_._2).sum
+    val nTypes = counts.length.toLong
+    val expected = Seq(1000L, 2000L, 4000L, 8000L, 16000L, 32000L).map { v =>
+      val covered = ranked.take(v.toInt).map(_._2).sum
+      (v, math.min(v, nTypes), covered, total - covered,
+        1000L * (total - covered) / total)
+    }
+    val got = operators.TextQueries.q166OovCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // coverage is monotone in vocab size; oov share lands in [0, 1000]
+    assert(got.map(_._3) == got.map(_._3).sorted)
+    got.foreach { case (_, _, _, _, pm) => assert(pm >= 0 && pm <= 1000) }
+  }
+
+  // --- q167 ----------------------------------------------------------
+
+  test("q167 matches a sequential fertility re-derivation") {
+    val bpeRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val expected = d.groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((lang, source), xs) =>
+        val per = xs.map { case (_, _, text) =>
+          (toks(text).length.toLong, bpeRe.findAllIn(text).length.toLong)
+        }
+        val (ws, bpe) = (per.map(_._1).sum, per.map(_._2).sum)
+        val fpms = per.collect { case (w, b) if w > 0 => 1000L * b / w }
+        (lang, source, xs.length.toLong, ws, bpe,
+          if (ws > 0) 1000L * bpe / ws else -1L,
+          fpms.max, fpms.count(_ >= 2000L).toLong)
+      }.sortBy(x => (x._1, x._2))
+    val got = operators.TextQueries.q167TokenizerFertility(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5),
+        r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected)
+    // fertility is ≥ 1000‰: a whitespace word is at least one subword
+    got.foreach { case (_, _, _, _, _, f, _, _) => assert(f >= 1000L) }
+  }
 }
