@@ -903,7 +903,93 @@ object TemporalQueries {
       |FROM m2 WHERE adev > 3 * mad
       |ORDER BY event_type, day""".stripMargin
 
+  /** q169: Kaplan–Meier SURVIVAL curve over user lifetimes — the
+    * censoring-aware retention statistic q145's cohort matrix cannot
+    * give: a user still active at the observation boundary has NOT
+    * churned, and counting them as churned (the naive ratio) biases
+    * lifetime estimates down. Lifetime = days between first and last
+    * event; a user whose last event falls within 3 days of the corpus
+    * end is CENSORED (still alive as far as the data can say). The KM
+    * estimator S(t) = ∏_{s≤t} (1 − d_s/n_s) multiplies over the
+    * at-risk ladder, carried here in integer parts-per-million with a
+    * truncating division per step — a sequential recurrence, so both
+    * engines evaluate it in the same canonical duration order and the
+    * result is hash-exact (no float product drift).
+    *
+    * Scale shape: one per-user aggregate (shuffle on user_id), then a
+    * ladder of ≤ observation-days rows: the descending-cumulative
+    * at-risk window and the per-step product fold run on that
+    * driver-sized frame (the corpus never re-scans). The recurrence
+    * is a one-row array fold — O(T²) on T ≈ dozens of duration
+    * buckets, constant at any corpus size.
+    */
+  def q169KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val mx = t.events.agg(max(unix_micros(col("ts"))).as("end_us"))
+    val users = t.events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(min("us").as("first_us"), max("us").as("last_us"))
+      .crossJoin(broadcast(mx))
+      .select(
+        expr("(last_us - first_us) div 86400000000").as("t"),
+        when(col("last_us") < col("end_us") - lit(259200000000L), 1L)
+          .otherwise(0L).as("churn"))
+    val ladder = users.groupBy("t")
+      .agg(sum("churn").as("d"), count(lit(1)).as("n_users"))
+      .withColumn("c", col("n_users") - col("d"))
+      .withColumn("n_risk",
+        sum("n_users").over(Window.orderBy("t")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    ladder
+      .agg(sort_array(collect_list(struct(
+        col("t").as("t"), col("d").as("d"), col("c").as("c"),
+        col("n_risk").as("n_risk")))).as("xs"))
+      .select(col("xs"), posexplode(col("xs")).as(Seq("i", "x")))
+      .select(col("x.t").as("duration_days"),
+        col("x.n_risk").as("n_at_risk"),
+        col("x.d").as("n_churned"),
+        col("x.c").as("n_censored"),
+        expr("aggregate(slice(xs, 1, i + 1), 1000000L, " +
+          "(acc, e) -> (acc * (e.n_risk - e.d)) div e.n_risk)")
+          .as("survival_ppm"))
+      .orderBy("duration_days")
+  }
+
+  val q169Sql: String =
+    """WITH RECURSIVE mx AS (
+      |  SELECT MAX(epoch_us(ts))::BIGINT AS end_us FROM events),
+      |users AS (
+      |  SELECT
+      |    (MAX(epoch_us(ts)::BIGINT) - MIN(epoch_us(ts)::BIGINT))
+      |      // 86400000000 AS t,
+      |    CASE WHEN MAX(epoch_us(ts)::BIGINT) < end_us - 259200000000
+      |      THEN 1 ELSE 0 END AS churn
+      |  FROM events, mx GROUP BY user_id, end_us),
+      |ladder AS (
+      |  SELECT t, SUM(churn)::BIGINT AS d, COUNT(*)::BIGINT AS n_users
+      |  FROM users GROUP BY t),
+      |risk AS (
+      |  SELECT t, d, n_users - d AS c,
+      |    SUM(n_users) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+      |      AS n_risk,
+      |    ROW_NUMBER() OVER (ORDER BY t) AS rn
+      |  FROM ladder),
+      |km AS (
+      |  SELECT rn, t, d, c, n_risk,
+      |    (1000000 * (n_risk - d)) // n_risk AS s
+      |  FROM risk WHERE rn = 1
+      |  UNION ALL
+      |  SELECT l.rn, l.t, l.d, l.c, l.n_risk,
+      |    (km.s * (l.n_risk - l.d)) // l.n_risk
+      |  FROM km JOIN risk l ON l.rn = km.rn + 1)
+      |SELECT t AS duration_days, n_risk AS n_at_risk, d AS n_churned,
+      |  c AS n_censored, s AS survival_ppm
+      |FROM km ORDER BY duration_days""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_kaplan_meier" -> (q169KaplanMeier _),
     "q122_volume_anomaly" -> (q122VolumeAnomaly _),
     "q75_asof_join" -> (q75AsofJoin _),
     "q82_scd2_history" -> (q82Scd2History _),
@@ -918,6 +1004,7 @@ object TemporalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q169_kaplan_meier" -> q169Sql,
     "q122_volume_anomaly" -> q122Sql,
     "q75_asof_join" -> q75Sql,
     "q82_scd2_history" -> q82Sql,

@@ -899,7 +899,93 @@ object VectorQueries {
        |ORDER BY query_id""".stripMargin
   }
 
+  /** q168: simplified SILHOUETTE for the coarse quantizer — the
+    * cluster-quality score (Rousseeuw's silhouette with the standard
+    * centroid simplification: a = L2² to the own centroid, b = L2² to
+    * the nearest OTHER centroid, s = (b−a)/max(a,b)) over q81's seed
+    * centroids. q164 sees population imbalance; this sees geometric
+    * confusion — a cluster whose members sit nearly as close to a
+    * neighbor centroid (mean s → 0, misplaced rows s < 0) tells the
+    * ANN index its nprobe must rise or the quantizer must retrain,
+    * BEFORE recall degrades in production. Per-row s quantized to a
+    * truncated per-mille so every aggregate is integer-exact.
+    *
+    * Scale shape: the k=8 seed centroids collect to the driver
+    * (bounded — KBs at any corpus size, q115's driver-boundary
+    * pattern) and return as literals, so scoring is ONE map-only
+    * projection (k codegen'd graft_dot evals per row, no explode, no
+    * per-row shuffle fan-out); the only exchange is the k-row cluster
+    * rollup. L2² expands to ssq(v) + ssq(s) − 2·dot(v,s) with the
+    * oracle's exact fold order.
+    */
+  def q168Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = t.embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("ssq", dotFold(col("embedding"), col("embedding")))
+    val seeds = base.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"), col("ssq")).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    val d2s = seeds.map { case (sid, emb, sq) =>
+      struct(
+        (col("ssq") + lit(sq) - lit(2.0d) * dotFold(col("embedding"),
+          typedlit(emb))).as("d2"),
+        lit(sid).as("sid"))
+    }
+    base
+      .withColumn("srt", array_sort(array(d2s.toSeq: _*)))
+      .select(col("vec_id"),
+        col("srt").getItem(0).getField("sid").as("cluster_id"),
+        col("srt").getItem(0).getField("d2").as("a"),
+        col("srt").getItem(1).getField("d2").as("b"))
+      .withColumn("s_pm", when(greatest(col("a"), col("b")) > 0.0d,
+        floor(lit(1000.0d) * (col("b") - col("a")) /
+          greatest(col("a"), col("b"))).cast("long")).otherwise(lit(0L)))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_assigned"),
+        expr("sum(s_pm) div count(1)").as("mean_sil_permille"),
+        min("s_pm").as("min_sil_permille"),
+        count(when(col("s_pm") < 0, 1)).as("n_misplaced"))
+      .orderBy("cluster_id")
+  }
+
+  val q168Sql: String = {
+    def dot(a: String, b: String) = OracleSql.dotFold(a, b)
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, ${dot("embedding", "embedding")} AS ssq
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS sid, embedding AS semb, ssq AS sssq
+       |  FROM base WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT v.vec_id, s.sid,
+       |    v.ssq + s.sssq - 2.0 * ${dot("v.embedding", "s.semb")} AS d2
+       |  FROM base v CROSS JOIN seeds s),
+       |ranked AS (
+       |  SELECT vec_id, sid, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, sid) AS rn
+       |  FROM scored),
+       |per_vec AS (
+       |  SELECT vec_id,
+       |    MAX(CASE WHEN rn = 1 THEN sid END) AS cluster_id,
+       |    MAX(CASE WHEN rn = 1 THEN d2 END) AS a,
+       |    MAX(CASE WHEN rn = 2 THEN d2 END) AS b
+       |  FROM ranked WHERE rn <= 2 GROUP BY vec_id),
+       |sil AS (
+       |  SELECT cluster_id,
+       |    CASE WHEN greatest(a, b) > 0.0
+       |      THEN floor(1000.0 * (b - a) / greatest(a, b))::BIGINT
+       |      ELSE 0 END AS s_pm
+       |  FROM per_vec)
+       |SELECT cluster_id, COUNT(*)::BIGINT AS n_assigned,
+       |  (SUM(s_pm) // COUNT(*))::BIGINT AS mean_sil_permille,
+       |  MIN(s_pm)::BIGINT AS min_sil_permille,
+       |  COUNT(*) FILTER (WHERE s_pm < 0)::BIGINT AS n_misplaced
+       |FROM sil GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_silhouette" -> (q168Silhouette _),
     "q126_ann_recall" -> (q126AnnRecall _),
     "q123_int8_quantize" -> (q123Int8Quantize _),
     "q115_kmeanspp_seed" -> (q115KmeansppSeed _),
@@ -917,6 +1003,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q168_silhouette" -> q168Sql,
     "q126_ann_recall" -> q126Sql,
     "q123_int8_quantize" -> q123Sql,
     "q115_kmeanspp_seed" -> q115Sql,

@@ -1770,4 +1770,75 @@ class CurationQueriesSpec extends AnyFunSuite {
     // fertility is ≥ 1000‰: a whitespace word is at least one subword
     got.foreach { case (_, _, _, _, _, f, _, _) => assert(f >= 1000L) }
   }
+
+  // --- q168 ----------------------------------------------------------
+
+  test("q168 matches a sequential silhouette re-derivation") {
+    val v = vecs()
+    val seeds = v.filter(_._1 < 8).sortBy(_._1)
+    def ssq(x: Array[Float]): Double = dot(x, x)
+    val perVec = v.map { case (_, x) =>
+      val ds = seeds.map { case (sid, s) =>
+        (ssq(x) + ssq(s) - 2.0d * dot(x, s), sid)
+      }.sortBy(identity)
+      val (a, own) = ds(0)
+      val b = ds(1)._1
+      val spm =
+        if (math.max(a, b) > 0.0d)
+          math.floor(1000.0d * (b - a) / math.max(a, b)).toLong
+        else 0L
+      (own, spm)
+    }
+    val expected = perVec.groupBy(_._1).toSeq.map { case (cid, xs) =>
+      val s = xs.map(_._2)
+      (cid, xs.length.toLong, s.sum / xs.length, s.min,
+        s.count(_ < 0).toLong)
+    }.sortBy(_._1)
+    val got = operators.VectorQueries.q168Silhouette(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // per-mille silhouettes live in [-1000, 1000]; population conserved
+    assert(got.map(_._2).sum == v.length.toLong)
+    got.foreach { case (_, _, mean, mn, _) =>
+      assert(mean >= -1000L && mean <= 1000L && mn >= -1000L)
+    }
+  }
+
+  // --- q169 ----------------------------------------------------------
+
+  test("q169 matches a sequential Kaplan-Meier re-derivation") {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val end = ev.map(_._2).max
+    val users = ev.groupBy(_._1).toSeq.map { case (_, xs) =>
+      val (mn, mx) = (xs.map(_._2).min, xs.map(_._2).max)
+      ((mx - mn) / 86400000000L,
+        if (mx < end - 259200000000L) 1L else 0L)
+    }
+    val ladder = users.groupBy(_._1).toSeq.map { case (t, xs) =>
+      (t, xs.map(_._2).sum, xs.length.toLong)
+    }.sortBy(_._1)
+    var atRisk = ladder.map(_._3).sum
+    var s = 1000000L
+    val expected = ladder.map { case (t, d, n) =>
+      val row = {
+        s = s * (atRisk - d) / atRisk
+        (t, atRisk, d, n - d, s)
+      }
+      atRisk -= n
+      row
+    }
+    val got = operators.TemporalQueries.q169KaplanMeier(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // the survival curve is monotone non-increasing from ≤ 1.0
+    assert(got.map(_._5) == got.map(_._5).sorted.reverse)
+    got.foreach { case (_, _, _, _, ppm) =>
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+  }
 }
