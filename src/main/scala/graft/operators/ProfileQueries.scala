@@ -543,7 +543,163 @@ object ProfileQueries {
       |    AS n_k_anon_but_exposed
       |FROM classes GROUP BY l ORDER BY l""".stripMargin
 
+  /** q170: BENFORD first-digit audit — the synthetic/fabricated-data
+    * detector: organically-grown monetary amounts follow Benford's law
+    * (P(first digit d) = log₁₀(1+1/d)); uniform generators, copy-paste
+    * duplication, and fabricated records do not. Per monetary column,
+    * the observed first-significant-digit histogram sits beside the
+    * Benford expectation and a χ²-style integer distance — a distance
+    * far above its siblings flags the column (or the source that fed
+    * it) for provenance review before it trains anything. First digit
+    * comes from integer cents (floor(|x|·100) — floor is IEEE-exact,
+    * no rounding-mode divergence between engines); all shares are
+    * truncating per-mille.
+    *
+    * Scale shape: three independent narrow scans, each reducing
+    * map-side to a ≤9-row digit histogram; the χ² window runs over 27
+    * rows. Embarrassingly parallel at any corpus size.
+    */
+  def q170BenfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val exp = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+    def digits(df: DataFrame, name: String, c: String): DataFrame =
+      df.select(floor(abs(col(c)) * 100.0d).cast("long").as("cents"))
+        .filter(col("cents") > 0L)
+        .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .select(lit(name).as("column_name"), col("digit"), col("n"))
+    val obs =
+      digits(t.orders, "o_totalprice", "o_totalprice")
+        .unionByName(digits(t.lineitem, "l_extendedprice", "l_extendedprice"))
+        .unionByName(digits(t.customer, "c_acctbal", "c_acctbal"))
+    val expDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(exp.zipWithIndex.map {
+        case (pm, i) => org.apache.spark.sql.Row((i + 1).toLong, pm)
+      }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("digit",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("exp_permille",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val wCol = Window.partitionBy("column_name")
+    obs
+      .withColumn("total", sum("n").over(wCol))
+      .withColumn("obs_permille", expr("(1000 * n) div total"))
+      .join(broadcast(expDf), Seq("digit"))
+      .withColumn("chi2_x1000", sum(
+        expr("((obs_permille - exp_permille) * (obs_permille - exp_permille)) " +
+          "div exp_permille")).over(wCol))
+      .select("column_name", "digit", "n", "obs_permille", "exp_permille",
+        "chi2_x1000")
+      .orderBy("column_name", "digit")
+  }
+
+  val q170Sql: String = {
+    val exp = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+    val expRows = exp.zipWithIndex
+      .map { case (pm, i) => s"(${i + 1}::BIGINT, $pm::BIGINT)" }.mkString(", ")
+    def digits(table: String, c: String) =
+      s"""SELECT '$c' AS column_name,
+         |    substr(cents::VARCHAR, 1, 1)::BIGINT AS digit,
+         |    COUNT(*)::BIGINT AS n
+         |  FROM (SELECT floor(abs($c) * 100.0)::BIGINT AS cents FROM $table)
+         |  WHERE cents > 0 GROUP BY 1, 2"""
+    s"""WITH obs AS (
+       |${digits("orders", "o_totalprice")}
+       |  UNION ALL
+       |${digits("lineitem", "l_extendedprice")}
+       |  UNION ALL
+       |${digits("customer", "c_acctbal")}),
+       |expected(digit, exp_permille) AS (VALUES $expRows),
+       |shares AS (
+       |  SELECT column_name, digit, n,
+       |    ((1000 * n) // SUM(n) OVER (PARTITION BY column_name))::BIGINT
+       |      AS obs_permille
+       |  FROM obs)
+       |SELECT s.column_name, s.digit, s.n, s.obs_permille, e.exp_permille,
+       |  SUM(((s.obs_permille - e.exp_permille)
+       |       * (s.obs_permille - e.exp_permille)) // e.exp_permille)
+       |    OVER (PARTITION BY s.column_name)::BIGINT AS chi2_x1000
+       |FROM shares s JOIN expected e USING (digit)
+       |ORDER BY s.column_name, s.digit""".stripMargin
+  }
+
+  /** q171: join-CARDINALITY estimator audit — the CBO sanity check:
+    * the textbook uniform-containment estimate |A ⋈ B| ≈
+    * |A|·|B| / max(ndv(A.k), ndv(B.k)) is what cost-based optimizers
+    * (and this engine's own broadcast/salting decisions — q157) plan
+    * with; this measures it against the TRUE join cardinality for the
+    * star-schema's four FK edges. err_permille far from 1000 marks a
+    * key where uniformity is violated (skew, orphans) and any plan
+    * built on the estimate — join order, broadcast threshold, shuffle
+    * partition count — inherits the error. All integer arithmetic.
+    *
+    * Scale shape: per edge, two 1-row aggregates (exact ndv — swap in
+    * q19's HLL contract at 100 TB) and the actual equi-join count
+    * (one shuffle each, AQE-planned); the audit output is 4 rows.
+    * n_left·n_right overflows int64 only past ~3e9 rows per side —
+    * per-shard audits long before that (documented bound).
+    */
+  def q171JoinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def audit(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      val ls = left.agg(count(lit(1)).as("n_left"),
+        countDistinct(col(lk)).as("ndv_left"))
+      val rs = right.agg(count(lit(1)).as("n_right"),
+        countDistinct(col(rk)).as("ndv_right"))
+      val ac = left.select(col(lk).as("__lk"))
+        .join(right.select(col(rk).as("__rk")), col("__lk") === col("__rk"))
+        .agg(count(lit(1)).as("actual_rows"))
+      ls.crossJoin(rs).crossJoin(ac)
+        .select(lit(name).as("join_name"),
+          col("n_left"), col("ndv_left"), col("n_right"), col("ndv_right"),
+          expr("(n_left * n_right) div greatest(ndv_left, ndv_right)")
+            .as("est_rows"),
+          col("actual_rows"))
+        .withColumn("err_permille",
+          expr("(1000 * est_rows) div greatest(actual_rows, 1)"))
+    }
+    audit("customer_orders", t.orders, "o_custkey", t.customer, "c_custkey")
+      .unionByName(audit("lineitem_orders",
+        t.lineitem, "l_orderkey", t.orders, "o_orderkey"))
+      .unionByName(audit("lineitem_part",
+        t.lineitem, "l_partkey", t.part, "p_partkey"))
+      .unionByName(audit("lineitem_supplier",
+        t.lineitem, "l_suppkey", t.supplier, "s_suppkey"))
+      .orderBy("join_name")
+  }
+
+  val q171Sql: String = {
+    def audit(name: String, lt: String, lk: String, rt: String, rk: String) =
+      s"""SELECT '$name' AS join_name, ls.n_left, ls.ndv_left,
+         |    rs.n_right, rs.ndv_right,
+         |    ((ls.n_left * rs.n_right)
+         |      // greatest(ls.ndv_left, rs.ndv_right))::BIGINT AS est_rows,
+         |    ac.actual_rows,
+         |    ((1000 * ((ls.n_left * rs.n_right)
+         |        // greatest(ls.ndv_left, rs.ndv_right)))
+         |      // greatest(ac.actual_rows, 1))::BIGINT AS err_permille
+         |  FROM
+         |    (SELECT COUNT(*)::BIGINT AS n_left,
+         |       COUNT(DISTINCT $lk)::BIGINT AS ndv_left FROM $lt) ls,
+         |    (SELECT COUNT(*)::BIGINT AS n_right,
+         |       COUNT(DISTINCT $rk)::BIGINT AS ndv_right FROM $rt) rs,
+         |    (SELECT COUNT(*)::BIGINT AS actual_rows
+         |       FROM $lt l JOIN $rt r ON l.$lk = r.$rk) ac"""
+    Seq(
+      audit("customer_orders", "orders", "o_custkey", "customer", "c_custkey"),
+      audit("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      audit("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      audit("lineitem_supplier",
+        "lineitem", "l_suppkey", "supplier", "s_suppkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY join_name").stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_benford_audit" -> (q170BenfordAudit _),
+    "q171_join_cardinality" -> (q171JoinCardinality _),
     "q146_concentration" -> (q146Concentration _),
     "q147_fd_audit" -> (q147FdAudit _),
     "q148_ri_audit" -> (q148RiAudit _),
@@ -557,6 +713,8 @@ object ProfileQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q170_benford_audit" -> q170Sql,
+    "q171_join_cardinality" -> q171Sql,
     "q85_profile" -> q85Sql,
     "q93_format_roundtrip" -> q93Sql,
     "q130_k_anonymity" -> q130Sql,

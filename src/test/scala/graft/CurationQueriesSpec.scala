@@ -1841,4 +1841,79 @@ class CurationQueriesSpec extends AnyFunSuite {
       assert(ppm >= 0L && ppm <= 1000000L)
     }
   }
+
+  // --- q170 ----------------------------------------------------------
+
+  test("q170 matches a sequential Benford re-derivation") {
+    val exp = Map(1L -> 301L, 2L -> 176L, 3L -> 125L, 4L -> 97L, 5L -> 79L,
+      6L -> 67L, 7L -> 58L, 8L -> 51L, 9L -> 46L)
+    def column(table: String, c: String): Seq[(String, Long, Long)] = {
+      val vals = spark.read.parquet(s"$dir/$table.parquet")
+        .select(c).collect().map(_.getDouble(0))
+      val cents = vals.map(v => math.floor(math.abs(v) * 100.0d).toLong)
+        .filter(_ > 0L)
+      cents.groupBy(x => x.toString.head.asDigit.toLong).toSeq
+        .map { case (d, xs) => (c, d, xs.length.toLong) }
+    }
+    val obs = column("orders", "o_totalprice") ++
+      column("lineitem", "l_extendedprice") ++
+      column("customer", "c_acctbal")
+    val expected = obs.groupBy(_._1).toSeq.flatMap { case (cn, xs) =>
+      val total = xs.map(_._3).sum
+      val rows = xs.map { case (_, d, n) =>
+        (cn, d, n, 1000L * n / total, exp(d))
+      }
+      val chi2 = rows.map { case (_, _, _, opm, epm) =>
+        (opm - epm) * (opm - epm) / epm
+      }.sum
+      rows.map { case (c, d, n, opm, epm) => (c, d, n, opm, epm, chi2) }
+    }.sortBy(x => (x._1, x._2))
+    val got = operators.ProfileQueries.q170BenfordAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // per-column observed shares sum to ~1000‰ (truncation loses ≤ 9)
+    got.groupBy(_._1).foreach { case (_, xs) =>
+      val s = xs.map(_._4).sum
+      assert(s >= 991L && s <= 1000L)
+    }
+  }
+
+  // --- q171 ----------------------------------------------------------
+
+  test("q171 matches a sequential cardinality-estimate re-derivation") {
+    def keys(table: String, c: String): Array[Long] =
+      spark.read.parquet(s"$dir/$table.parquet").select(col(c).cast("long"))
+        .collect().map(_.getLong(0))
+    val edges = Seq(
+      ("customer_orders", keys("orders", "o_custkey"),
+        keys("customer", "c_custkey")),
+      ("lineitem_orders", keys("lineitem", "l_orderkey"),
+        keys("orders", "o_orderkey")),
+      ("lineitem_part", keys("lineitem", "l_partkey"),
+        keys("part", "p_partkey")),
+      ("lineitem_supplier", keys("lineitem", "l_suppkey"),
+        keys("supplier", "s_suppkey")))
+    val expected = edges.map { case (name, l, r) =>
+      val (nl, ndl) = (l.length.toLong, l.distinct.length.toLong)
+      val (nr, ndr) = (r.length.toLong, r.distinct.length.toLong)
+      val rCounts = r.groupBy(identity).map { case (k, xs) =>
+        k -> xs.length.toLong
+      }
+      val actual = l.map(k => rCounts.getOrElse(k, 0L)).sum
+      val est = nl * nr / math.max(ndl, ndr)
+      (name, nl, ndl, nr, ndr, est, actual,
+        1000L * est / math.max(actual, 1L))
+    }.sortBy(_._1)
+    val got = operators.ProfileQueries.q171JoinCardinality(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected)
+    // FK edges with no orphans and uniform fan-out estimate well:
+    // every err_permille within 2x either way
+    got.foreach { case (_, _, _, _, _, _, _, err) =>
+      assert(err >= 500L && err <= 2000L)
+    }
+  }
 }
