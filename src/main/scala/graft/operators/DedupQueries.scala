@@ -1230,7 +1230,87 @@ object DedupQueries {
        |ORDER BY bucket""".stripMargin
   }
 
+  /** q172: CANONICAL SELECTION within dup clusters — the keep-policy
+    * step that turns q36's cluster STRUCTURE into a curation decision:
+    * production dedup keeps the BEST document of each near-dup cluster
+    * (here: longest text, doc_id tie-break — the integer-exact stand-in
+    * for a q21-style quality score), not an arbitrary id. The output
+    * is the per-source savings ledger — how many documents and
+    * characters dedup removes from each source, and the drop share —
+    * which is the number that goes in the datasheet and decides
+    * whether a source is worth re-crawling.
+    *
+    * Scale shape: q36's edge + connected-components machinery (band
+    * equi-join, O(log n) min-label rounds — decade-measured in
+    * SCALING.md), then ONE argmax window per component (components are
+    * near-dup clusters — tiny partitions by construction) and a
+    * source-cardinality rollup.
+    */
+  def q172CanonicalSelect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val edges = simhashPairs(t, maxHamming = 1, bands = 2)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val nodes = t.documents.select(col("doc_id").as("id"))
+    val comp = GraphOps.connectedComponents(nodes, edges)
+      .select(col("id").as("doc_id"), col("comp"))
+    val w = Window.partitionBy("comp")
+      .orderBy(desc("n_chars"), asc("doc_id"))
+    t.documents.select("doc_id", "source", "n_chars")
+      .join(comp, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        count(when(col("rn") =!= 1, 1)).as("n_dropped"),
+        expr("(1000 * count(case when rn != 1 then 1 end)) div count(1)")
+          .as("drop_permille"),
+        sum(when(col("rn") =!= 1, col("n_chars")).otherwise(0L))
+          .as("chars_dropped"))
+      .orderBy("source")
+  }
+
+  val q172Sql: String = {
+    val bandRows = (0 until 2).map { b =>
+      s"SELECT doc_id, sh, $b AS band, (sh >> ${b * 16}) & 65535 AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE sig AS (
+       |  SELECT doc_id, ${OracleSql.simHash32(OracleSql.tokens("text"))} AS sh
+       |  FROM documents),
+       |banded AS (
+       |  ${bandRows}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.sh AS a_sh, b.sh AS b_sh
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT a_id, b_id FROM cand WHERE bit_count(xor(a_sh, b_sh)) <= 1),
+       |e2 AS (
+       |  SELECT a_id AS src, b_id AS dst FROM edges
+       |  UNION ALL SELECT b_id, a_id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM sig
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
+       |ranked AS (
+       |  SELECT d.source, d.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY c.comp
+       |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+       |  FROM documents d JOIN comp c USING (doc_id))
+       |SELECT source, COUNT(*)::BIGINT AS n_docs,
+       |  COUNT(*) FILTER (WHERE rn = 1)::BIGINT AS n_kept,
+       |  COUNT(*) FILTER (WHERE rn != 1)::BIGINT AS n_dropped,
+       |  ((1000 * COUNT(*) FILTER (WHERE rn != 1)) // COUNT(*))::BIGINT
+       |    AS drop_permille,
+       |  COALESCE(SUM(n_chars) FILTER (WHERE rn != 1), 0)::BIGINT
+       |    AS chars_dropped
+       |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_canonical_select" -> (q172CanonicalSelect _),
     "q124_lsh_recall" -> (q124LshRecall _),
     "q114_record_linkage" -> (q114RecordLinkage _),
     "q112_semdedup" -> (q112Semdedup _),
@@ -1250,6 +1330,7 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q172_canonical_select" -> q172Sql,
     "q124_lsh_recall" -> q124Sql,
     "q114_record_linkage" -> q114Sql,
     "q112_semdedup" -> q112Sql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions.md5Long60
@@ -848,7 +849,63 @@ object SamplingQueries {
        |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
   }
 
+  /** q173: CURRICULUM interleaving schedule — the deterministic
+    * epoch-ordering operator for difficulty-staged training: documents
+    * split into 4 difficulty tiers (n_chars as the integer-exact
+    * difficulty proxy; a q89 perplexity score is the production
+    * drop-in), shuffled WITHIN each tier by a hash coin (reproducible,
+    * seed = the id itself), then round-robin interleaved so every
+    * training window sees all tiers at the tier's global mix rate —
+    * the anti-pattern this kills is a length-sorted epoch where the
+    * model sees only short docs for hours. position ≡ tier (mod 4) by
+    * construction, so the schedule is collision-free without any
+    * coordination. Output = the first 48 schedule slots.
+    *
+    * Scale shape: the tier cut is ONE global rank window (the exact-
+    * quantile exchange — q128's histogram cuts replace it at 100 TB);
+    * the within-tier shuffle windows partition by tier. Nothing else
+    * touches the corpus; the slice is a TakeOrdered.
+    */
+  def q173CurriculumSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val n = t.documents.agg(count(lit(1)).as("n_total"))
+    val tiered = t.documents.select("doc_id", "n_chars")
+      .withColumn("rn0",
+        row_number().over(Window.orderBy("n_chars", "doc_id")).cast("long")
+          - 1L)
+      .crossJoin(broadcast(n))
+      .withColumn("tier", expr("(4 * rn0) div n_total"))
+      .withColumn("coin", md5Long60(col("doc_id").cast("string")))
+    tiered
+      .withColumn("rt",
+        row_number().over(Window.partitionBy("tier")
+          .orderBy("coin", "doc_id")).cast("long"))
+      .withColumn("pos", (col("rt") - 1L) * 4L + col("tier"))
+      .filter(col("pos") < 48L)
+      .select("pos", "tier", "doc_id", "n_chars")
+      .orderBy("pos")
+  }
+
+  val q173Sql: String = {
+    val coin = OracleSql.md5Long60("doc_id::VARCHAR")
+    s"""WITH n AS (SELECT COUNT(*)::BIGINT AS n_total FROM documents),
+       |tiered AS (
+       |  SELECT doc_id, n_chars,
+       |    (4 * (ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1))
+       |      // n_total AS tier,
+       |    $coin AS coin
+       |  FROM documents, n),
+       |sched AS (
+       |  SELECT doc_id, n_chars, tier,
+       |    (ROW_NUMBER() OVER (PARTITION BY tier ORDER BY coin, doc_id) - 1)
+       |      * 4 + tier AS pos
+       |  FROM tiered)
+       |SELECT pos::BIGINT AS pos, tier::BIGINT AS tier, doc_id, n_chars
+       |FROM sched WHERE pos < 48 ORDER BY pos""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_curriculum_schedule" -> (q173CurriculumSchedule _),
     "q38_split_assignment" -> (q38SplitAssignment _),
     "q117_dsir_weights" -> (q117DsirWeights _),
     "q39_decontaminate" -> (q39Decontaminate _),
@@ -866,6 +923,7 @@ object SamplingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q173_curriculum_schedule" -> q173Sql,
     "q38_split_assignment" -> q38Sql,
     "q39_decontaminate" -> q39Sql,
     "q111_ngram_decontaminate" -> q111Sql,

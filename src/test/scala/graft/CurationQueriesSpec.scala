@@ -1916,4 +1916,60 @@ class CurationQueriesSpec extends AnyFunSuite {
       assert(err >= 500L && err <= 2000L)
     }
   }
+
+  // --- q172 ----------------------------------------------------------
+
+  test("q172 matches the keep-policy re-derived from q36's clusters") {
+    // clustering is pinned by q36's own oracle + graph tests; this pins
+    // the SELECTION policy (longest text wins, doc_id tie-break) and
+    // the per-source ledger independently of the window formulation.
+    val comp = operators.DedupQueries.q36DedupCluster(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val keptIds = d.groupBy(x => comp(x._1)).values.map { xs =>
+      xs.minBy { case (id, _, nc) => (-nc, id) }._1
+    }.toSet
+    val expected = d.groupBy(_._2).toSeq.map { case (source, xs) =>
+      val dropped = xs.filterNot(x => keptIds(x._1))
+      (source, xs.length.toLong, (xs.length - dropped.length).toLong,
+        dropped.length.toLong, 1000L * dropped.length / xs.length,
+        dropped.map(_._3).sum)
+    }.sortBy(_._1)
+    val got = operators.DedupQueries.q172CanonicalSelect(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // exactly one keeper per cluster, population conserved
+    assert(got.map(_._3).sum == comp.values.toSet.size.toLong)
+    assert(got.map(_._2).sum == d.length.toLong)
+  }
+
+  // --- q173 ----------------------------------------------------------
+
+  test("q173 matches a sequential interleaving re-derivation") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = d.length.toLong
+    val tiers = d.sortBy { case (id, nc) => (nc, id) }.zipWithIndex
+      .map { case ((id, nc), i) => (id, nc, 4L * i / n) }
+    val expected = tiers.groupBy(_._3).toSeq.flatMap { case (tier, xs) =>
+      xs.sortBy { case (id, _, _) => (md5Long60Local(id.toString), id) }
+        .zipWithIndex.map { case ((id, nc, _), rt) =>
+          (rt.toLong * 4L + tier, tier, id, nc)
+        }
+    }.filter(_._1 < 48L).sortBy(_._1)
+    val got = operators.SamplingQueries.q173CurriculumSchedule(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // every 4-slot window carries one document from each tier
+    got.grouped(4).foreach { w =>
+      if (w.length == 4) assert(w.map(_._2).toSet == Set(0L, 1L, 2L, 3L))
+    }
+  }
 }
