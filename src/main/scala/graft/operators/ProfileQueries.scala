@@ -697,7 +697,155 @@ object ProfileQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY join_name").stripMargin
   }
 
+  /** q174: χ² INDEPENDENCE audit (source × lang) — the
+    * mix-composition test behind "is language balance a property of
+    * the corpus or of specific sources?": under independence every
+    * source would carry every language at the corpus rate; the χ²
+    * statistic (Σ (O−E)²/E over the contingency table) measures how
+    * far reality deviates, and the per-cell contributions RANK the
+    * (source, language) pairs that drive the skew — the cells a
+    * rebalancing pass (q142 UniMax) must touch first. All integer:
+    * E scaled ×1000 with truncating division, so both engines hash
+    * the same cells (a float χ² would drift).
+    *
+    * Scale shape: one pre-combined aggregate to the contingency table
+    * (cells = |sources|×|langs|, not corpus rows), then window sums
+    * over that tiny frame. 1000·O must fit int64 — fine to ~9e15 rows
+    * per cell (decimal swap documented past that).
+    */
+  def q174ChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cells = t.documents.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy()
+    cells
+      .withColumn("row_total", sum("n").over(Window.partitionBy("source")))
+      .withColumn("col_total", sum("n").over(Window.partitionBy("lang")))
+      .withColumn("grand", sum("n").over(all))
+      .withColumn("e_x1000",
+        expr("(1000 * row_total * col_total) div grand"))
+      .withColumn("contrib_x1000", expr(
+        "((1000 * n - e_x1000) * (1000 * n - e_x1000)) div (1000 * e_x1000)"))
+      .withColumn("chi2_x1000", sum("contrib_x1000").over(all))
+      .withColumn("dof",
+        (size(collect_set("source").over(all)) - 1).cast("long") *
+          (size(collect_set("lang").over(all)) - 1).cast("long"))
+      .select("source", "lang", "n", "e_x1000", "contrib_x1000",
+        "chi2_x1000", "dof")
+      .orderBy("source", "lang")
+  }
+
+  val q174Sql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, COUNT(*)::BIGINT AS n
+      |  FROM documents GROUP BY source, lang),
+      |ext AS (
+      |  SELECT source, lang, n,
+      |    SUM(n) OVER (PARTITION BY source) AS row_total,
+      |    SUM(n) OVER (PARTITION BY lang) AS col_total,
+      |    SUM(n) OVER () AS grand
+      |  FROM cells),
+      |scored AS (
+      |  SELECT source, lang, n,
+      |    ((1000 * row_total * col_total) // grand)::BIGINT AS e_x1000
+      |  FROM ext),
+      |contrib AS (
+      |  SELECT *,
+      |    (((1000 * n - e_x1000) * (1000 * n - e_x1000))
+      |      // (1000 * e_x1000))::BIGINT AS contrib_x1000
+      |  FROM scored)
+      |SELECT source, lang, n, e_x1000, contrib_x1000,
+      |  SUM(contrib_x1000) OVER ()::BIGINT AS chi2_x1000,
+      |  ((COUNT(DISTINCT source) OVER () - 1)
+      |    * (COUNT(DISTINCT lang) OVER () - 1))::BIGINT AS dof
+      |FROM contrib ORDER BY source, lang""".stripMargin
+
+  /** q175: per-source DATA CARD — the one-query datasheet a corpus
+    * release ships with (Gebru et al.'s "Datasheets for Datasets",
+    * operationalized): per source, the volume numbers (docs, chars,
+    * mean length), the language profile (distinct langs, dominant
+    * lang + its share), the redundancy number (exact-duplicate share
+    * by content hash), and the split exposure (q38's deterministic
+    * hash-split shares — proof the source leaks nowhere). One row per
+    * source; every other audit in this file is the drill-down behind
+    * one of these columns. All integer per-milles.
+    *
+    * Scale shape: two pre-combined aggregates over (source[, lang])
+    * plus one distinct-count of content hashes per source (q19's HLL
+    * contract replaces exact distincts at 100 TB); the argmax-lang
+    * window runs on the source×lang frame, not the corpus.
+    */
+  def q175DataCard(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bucket = pmod(graft.functions.TextFunctions.md5Long60(
+      col("doc_id").cast("string")), lit(100L))
+    val base = t.documents.select(col("source"), col("lang"),
+      col("n_chars"), md5(col("text")).as("h"), bucket.as("b"))
+    val stats = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars_total"),
+        expr("sum(n_chars) div count(1)").as("mean_chars"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("h").as("n_distinct"),
+        count(when(col("b") < 80, 1)).as("n_train"),
+        count(when(col("b") >= 80 && col("b") < 90, 1)).as("n_val"),
+        count(when(col("b") >= 90, 1)).as("n_test"))
+    val topLang = base.groupBy("source", "lang")
+      .agg(count(lit(1)).as("ln"))
+      .withColumn("rn", row_number().over(Window.partitionBy("source")
+        .orderBy(desc("ln"), asc("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("ln").as("top_lang_n"))
+    stats.join(topLang, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_chars_total"),
+        col("mean_chars"), col("n_langs"), col("top_lang"),
+        expr("(1000 * top_lang_n) div n_docs").as("top_lang_permille"),
+        expr("(1000 * (n_docs - n_distinct)) div n_docs")
+          .as("exactdup_permille"),
+        expr("(1000 * n_train) div n_docs").as("train_permille"),
+        expr("(1000 * n_val) div n_docs").as("val_permille"),
+        expr("(1000 * n_test) div n_docs").as("test_permille"))
+      .orderBy("source")
+  }
+
+  val q175Sql: String = {
+    val bucket = s"(${OracleSql.md5Long60("doc_id::VARCHAR")} % 100)"
+    s"""WITH base AS (
+       |  SELECT source, lang, n_chars, md5(text) AS h, $bucket AS b
+       |  FROM documents),
+       |stats AS (
+       |  SELECT source, COUNT(*)::BIGINT AS n_docs,
+       |    SUM(n_chars)::BIGINT AS n_chars_total,
+       |    (SUM(n_chars) // COUNT(*))::BIGINT AS mean_chars,
+       |    COUNT(DISTINCT lang)::BIGINT AS n_langs,
+       |    COUNT(DISTINCT h)::BIGINT AS n_distinct,
+       |    COUNT(*) FILTER (WHERE b < 80)::BIGINT AS n_train,
+       |    COUNT(*) FILTER (WHERE b >= 80 AND b < 90)::BIGINT AS n_val,
+       |    COUNT(*) FILTER (WHERE b >= 90)::BIGINT AS n_test
+       |  FROM base GROUP BY source),
+       |top_lang AS (
+       |  SELECT source, lang AS top_lang, ln AS top_lang_n FROM (
+       |    SELECT source, lang, COUNT(*)::BIGINT AS ln,
+       |      ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY COUNT(*) DESC, lang) AS rn
+       |    FROM base GROUP BY source, lang)
+       |  WHERE rn = 1)
+       |SELECT s.source, s.n_docs, s.n_chars_total, s.mean_chars, s.n_langs,
+       |  t.top_lang,
+       |  ((1000 * t.top_lang_n) // s.n_docs)::BIGINT AS top_lang_permille,
+       |  ((1000 * (s.n_docs - s.n_distinct)) // s.n_docs)::BIGINT
+       |    AS exactdup_permille,
+       |  ((1000 * s.n_train) // s.n_docs)::BIGINT AS train_permille,
+       |  ((1000 * s.n_val) // s.n_docs)::BIGINT AS val_permille,
+       |  ((1000 * s.n_test) // s.n_docs)::BIGINT AS test_permille
+       |FROM stats s JOIN top_lang t USING (source)
+       |ORDER BY s.source""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_chi_square" -> (q174ChiSquare _),
+    "q175_data_card" -> (q175DataCard _),
     "q170_benford_audit" -> (q170BenfordAudit _),
     "q171_join_cardinality" -> (q171JoinCardinality _),
     "q146_concentration" -> (q146Concentration _),
@@ -713,6 +861,8 @@ object ProfileQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q174_chi_square" -> q174Sql,
+    "q175_data_card" -> q175Sql,
     "q170_benford_audit" -> q170Sql,
     "q171_join_cardinality" -> q171Sql,
     "q85_profile" -> q85Sql,

@@ -1972,4 +1972,72 @@ class CurationQueriesSpec extends AnyFunSuite {
       if (w.length == 4) assert(w.map(_._2).toSet == Set(0L, 1L, 2L, 3L))
     }
   }
+
+  // --- q174 ----------------------------------------------------------
+
+  test("q174 matches a sequential chi-square re-derivation") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = d.groupBy(identity).map { case ((s, l), xs) =>
+      (s, l, xs.length.toLong)
+    }.toSeq
+    val rowT = cells.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._3).sum
+    }
+    val colT = cells.groupBy(_._2).map { case (l, xs) =>
+      l -> xs.map(_._3).sum
+    }
+    val grand = d.length.toLong
+    val scored = cells.map { case (s, l, n) =>
+      val e = 1000L * rowT(s) * colT(l) / grand
+      val c = (1000L * n - e) * (1000L * n - e) / (1000L * e)
+      (s, l, n, e, c)
+    }
+    val chi2 = scored.map(_._5).sum
+    val dof = (rowT.size - 1).toLong * (colT.size - 1).toLong
+    val expected = scored.map { case (s, l, n, e, c) =>
+      (s, l, n, e, c, chi2, dof)
+    }.sortBy(x => (x._1, x._2))
+    val got = operators.ProfileQueries.q174ChiSquare(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+    // expected masses reconstruct the grand total within truncation
+    val eSum = got.map(_._4).sum / 1000L
+    assert(math.abs(eSum - grand) <= got.length.toLong)
+  }
+
+  // --- q175 ----------------------------------------------------------
+
+  test("q175 matches a sequential data-card re-derivation") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "lang", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4)))
+    val expected = d.groupBy(_._2).toSeq.map { case (source, xs) =>
+      val n = xs.length.toLong
+      val chars = xs.map(_._4).sum
+      val langs = xs.map(_._3).distinct.length.toLong
+      val (topLang, topN) = xs.groupBy(_._3).toSeq
+        .map { case (l, ys) => (l, ys.length.toLong) }
+        .minBy { case (l, c) => (-c, l) }
+      val distinctTexts = xs.map(_._5).distinct.length.toLong
+      val buckets = xs.map(x => md5Long60Local(x._1.toString) % 100L)
+      (source, n, chars, chars / n, langs, topLang, 1000L * topN / n,
+        1000L * (n - distinctTexts) / n,
+        1000L * buckets.count(_ < 80L) / n,
+        1000L * buckets.count(b => b >= 80L && b < 90L) / n,
+        1000L * buckets.count(_ >= 90L) / n)
+    }.sortBy(_._1)
+    val got = operators.ProfileQueries.q175DataCard(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10))).toSeq
+    assert(got == expected)
+    // split shares cover the corpus (truncation loses < 3‰ per source)
+    got.foreach { case (_, _, _, _, _, _, _, _, tr, va, te) =>
+      assert(tr + va + te >= 997L && tr + va + te <= 1000L)
+    }
+  }
 }
