@@ -2040,4 +2040,57 @@ class CurationQueriesSpec extends AnyFunSuite {
       assert(tr + va + te >= 997L && tr + va + te <= 1000L)
     }
   }
+
+  // --- q176 / q177 ----------------------------------------------------
+
+  private def dailyByType(): Map[String, Seq[(Long, Long)]] = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val mn = ev.map(_._2).min
+    ev.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.groupBy(x => (x._2 - mn) / 86400000000L).toSeq
+        .map { case (d, ys) => (d, ys.length.toLong) }.sortBy(_._1)
+    }
+  }
+
+  test("q176 matches a sequential Theil-Sen re-derivation") {
+    val expected = dailyByType().toSeq.map { case (t, days) =>
+      val slopes = (for {
+        i <- days.indices; j <- (i + 1) until days.length
+      } yield 1000L * (days(j)._2 - days(i)._2) / (days(j)._1 - days(i)._1))
+        .sorted
+      val med = slopes((slopes.length + 1) / 2 - 1)
+      (t, med, slopes.length.toLong, slopes.min, slopes.max)
+    }.sortBy(_._1)
+    val got = operators.TemporalQueries.q176TheilSen(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // the median trend always lies within the slope envelope
+    got.foreach { case (_, med, _, mn, mx) =>
+      assert(med >= mn && med <= mx)
+    }
+  }
+
+  test("q177 matches a sequential CUSUM re-derivation") {
+    val expected = dailyByType().toSeq.map { case (t, days) =>
+      val nDays = days.length.toLong
+      val total = days.map(_._2).sum
+      var acc = 0L
+      val cs = days.map { case (d, n) =>
+        acc += nDays * n - total
+        (d, acc)
+      }
+      val (cpDay, peak) = cs.minBy { case (d, c) => (-math.abs(c), d) }
+      (t, nDays, total, cpDay, math.abs(peak))
+    }.sortBy(_._1)
+    val got = operators.TemporalQueries.q177CusumChangepoint(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // CUSUM telescopes to zero: the peak is a genuine interior extreme
+    expected.foreach { case (_, n, _, cp, _) => assert(cp < n) }
+  }
 }
