@@ -843,7 +843,79 @@ object ProfileQueries {
        |ORDER BY s.source""".stripMargin
   }
 
+  /** q179: DELETION-CASCADE audit — the right-to-be-forgotten dry
+    * run: given a tombstone set of entities (here a deterministic
+    * ~5% hash slice of customers — the stand-in for a GDPR/CCPA
+    * request batch), measure the blast radius BEFORE mutating
+    * anything: rows to delete per table along the FK cascade
+    * (customer → orders → lineitem), as counts and per-milles. The
+    * audit is what sizes the compaction the deletion will trigger
+    * (q151) and proves the cascade reaches everything q148's RI
+    * audit says is connected.
+    *
+    * Scale shape: the tombstone set derives from a hash predicate
+    * (no materialized list to distribute); each hop is a SEMI join
+    * on the FK — orders filters against tombstoned customers,
+    * lineitem against the affected orders — the same partitioning
+    * AQE plans for the RI audit. Output: 3 ledger rows.
+    */
+  def q179DeletionCascade(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long60
+    val t = Tables(spark, dir)
+    val tomb = t.customer
+      .filter(pmod(md5Long60(col("c_custkey").cast("string")),
+        lit(100L)) < 5L)
+      .select(col("c_custkey").as("k"))
+    val ordersHit = t.orders
+      .join(tomb, col("o_custkey") === col("k"), "left_semi")
+      .select(col("o_orderkey"))
+    val itemsHit = t.lineitem
+      .join(ordersHit, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    def ledger(name: String, total: DataFrame, hit: DataFrame): DataFrame = {
+      val tc = total.agg(count(lit(1)).as("n_rows"))
+      val hc = hit.agg(count(lit(1)).as("n_to_delete"))
+      tc.crossJoin(hc).select(lit(name).as("table_name"), col("n_rows"),
+        col("n_to_delete"),
+        expr("(1000 * n_to_delete) div n_rows").as("delete_permille"))
+    }
+    ledger("customer", t.customer, tomb)
+      .unionByName(ledger("orders", t.orders, ordersHit))
+      .unionByName(ledger("lineitem", t.lineitem, itemsHit))
+      .orderBy("table_name")
+  }
+
+  val q179Sql: String = {
+    val bucket = s"(${OracleSql.md5Long60("c_custkey::VARCHAR")} % 100)"
+    s"""WITH tomb AS (
+       |  SELECT c_custkey AS k FROM customer WHERE $bucket < 5),
+       |o_hit AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_custkey IN (SELECT k FROM tomb)),
+       |l_hit AS (
+       |  SELECT 1 AS x FROM lineitem
+       |  WHERE l_orderkey IN (SELECT o_orderkey FROM o_hit))
+       |SELECT 'customer' AS table_name,
+       |  (SELECT COUNT(*) FROM customer)::BIGINT AS n_rows,
+       |  (SELECT COUNT(*) FROM tomb)::BIGINT AS n_to_delete,
+       |  ((1000 * (SELECT COUNT(*) FROM tomb))
+       |    // (SELECT COUNT(*) FROM customer))::BIGINT AS delete_permille
+       |UNION ALL
+       |SELECT 'lineitem',
+       |  (SELECT COUNT(*) FROM lineitem)::BIGINT,
+       |  (SELECT COUNT(*) FROM l_hit)::BIGINT,
+       |  ((1000 * (SELECT COUNT(*) FROM l_hit))
+       |    // (SELECT COUNT(*) FROM lineitem))::BIGINT
+       |UNION ALL
+       |SELECT 'orders',
+       |  (SELECT COUNT(*) FROM orders)::BIGINT,
+       |  (SELECT COUNT(*) FROM o_hit)::BIGINT,
+       |  ((1000 * (SELECT COUNT(*) FROM o_hit))
+       |    // (SELECT COUNT(*) FROM orders))::BIGINT
+       |ORDER BY table_name""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_deletion_cascade" -> (q179DeletionCascade _),
     "q174_chi_square" -> (q174ChiSquare _),
     "q175_data_card" -> (q175DataCard _),
     "q170_benford_audit" -> (q170BenfordAudit _),
@@ -861,6 +933,7 @@ object ProfileQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q179_deletion_cascade" -> q179Sql,
     "q174_chi_square" -> q174Sql,
     "q175_data_card" -> q175Sql,
     "q170_benford_audit" -> q170Sql,

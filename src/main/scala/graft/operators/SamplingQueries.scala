@@ -904,7 +904,68 @@ object SamplingQueries {
        |FROM sched WHERE pos < 48 ORDER BY pos""".stripMargin
   }
 
+  /** q178: NEYMAN optimal allocation — how a 10k-document eval/audit
+    * budget should split across language strata: proportional
+    * allocation (∝ N_h) oversamples homogeneous strata; Neyman
+    * (∝ N_h·S_h) puts samples where the VARIANCE is, minimizing the
+    * estimator variance at fixed budget — the survey-sampling design
+    * rule behind every stratified eval set. Variance is the exact
+    * integer population formula ((n·Σx² − (Σx)²) div n²) and the
+    * standard deviation its floor-sqrt — IEEE sqrt is correctly
+    * rounded, so both engines floor the same double and every
+    * allocation is hash-exact. Both allocations reported side by
+    * side; the divergence column ranks strata where the naive design
+    * is most wrong.
+    *
+    * Scale shape: one pre-combined aggregate to |strata| rows of
+    * (n, Σx, Σx²) mergeable moments (q95's algebra); everything after
+    * runs on that tiny frame. n·Σx² must fit int64 — ~10⁹ docs of
+    * 10⁴ chars per stratum (decimal swap documented past that).
+    */
+  def q178NeymanAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 10000L
+    val t = Tables(spark, dir)
+    val strata = t.documents.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sx"),
+        sum(expr("n_chars * n_chars")).as("sxx"))
+      .withColumn("sd_chars",
+        floor(sqrt(expr("(n * sxx - sx * sx) div (n * n)").cast("double")))
+          .cast("long"))
+      .withColumn("weight", expr("n * sd_chars"))
+    strata
+      .withColumn("tot_w", sum("weight").over(Window.partitionBy()))
+      .withColumn("tot_n", sum("n").over(Window.partitionBy()))
+      .select(col("lang"), col("n").as("n_docs"), col("sd_chars"),
+        expr(s"($budget * weight) div tot_w").as("neyman_n"),
+        expr(s"($budget * n) div tot_n").as("proportional_n"))
+      .withColumn("divergence_x1000", expr(
+        "(1000 * neyman_n) div greatest(proportional_n, 1)"))
+      .orderBy("lang")
+  }
+
+  val q178Sql: String =
+    """WITH strata AS (
+      |  SELECT lang, COUNT(*)::BIGINT AS n, SUM(n_chars)::BIGINT AS sx,
+      |    SUM(n_chars * n_chars)::BIGINT AS sxx
+      |  FROM documents GROUP BY lang),
+      |sd AS (
+      |  SELECT lang, n,
+      |    floor(sqrt(((n * sxx - sx * sx) // (n * n))::DOUBLE))::BIGINT
+      |      AS sd_chars
+      |  FROM strata),
+      |w AS (
+      |  SELECT *, n * sd_chars AS weight,
+      |    SUM(n * sd_chars) OVER () AS tot_w, SUM(n) OVER () AS tot_n
+      |  FROM sd)
+      |SELECT lang, n AS n_docs, sd_chars,
+      |  ((10000 * weight) // tot_w)::BIGINT AS neyman_n,
+      |  ((10000 * n) // tot_n)::BIGINT AS proportional_n,
+      |  ((1000 * ((10000 * weight) // tot_w))
+      |    // greatest((10000 * n) // tot_n, 1))::BIGINT AS divergence_x1000
+      |FROM w ORDER BY lang""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_neyman_allocation" -> (q178NeymanAllocation _),
     "q173_curriculum_schedule" -> (q173CurriculumSchedule _),
     "q38_split_assignment" -> (q38SplitAssignment _),
     "q117_dsir_weights" -> (q117DsirWeights _),
@@ -923,6 +984,7 @@ object SamplingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q178_neyman_allocation" -> q178Sql,
     "q173_curriculum_schedule" -> q173Sql,
     "q38_split_assignment" -> q38Sql,
     "q39_decontaminate" -> q39Sql,

@@ -1162,8 +1162,47 @@ object TextQueries {
        |FROM scored GROUP BY lang, source ORDER BY lang, source""".stripMargin
   }
 
+  /** q180: length-distribution DECAY profile — the tail-shape check
+    * behind truncation and packing decisions: bucket documents by the
+    * bit length of n_chars (⌊log₂⌋+1 — octave buckets) and report
+    * each bucket's count and its ratio to the previous octave. A
+    * power-law tail (web text) holds a near-constant ratio 2^(1−α);
+    * a lognormal body (curated books) rises then collapses; a hard
+    * cliff at one octave exposes a silent truncation upstream — each
+    * shape demands a different max-sequence-length policy. All
+    * integer (bit-length bucket, truncating per-milles).
+    *
+    * Scale shape: one pre-combined aggregate to ≤ 64 octave rows;
+    * the lag window rides that frame. Embarrassingly parallel.
+    */
+  def q180LengthDecay(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byBucket = t.documents
+      .filter(col("n_chars") > 0L)
+      .groupBy(length(bin(col("n_chars"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    byBucket
+      .withColumn("share_permille",
+        expr("(1000 * n_docs) div sum(n_docs) over ()"))
+      .withColumn("ratio_x1000",
+        expr("(1000 * n_docs) div lag(n_docs, 1) over (order by bucket)"))
+      .select("bucket", "n_docs", "share_permille", "ratio_x1000")
+      .orderBy("bucket")
+  }
+
+  val q180Sql: String =
+    """SELECT bucket, n_docs,
+      |  ((1000 * n_docs) // SUM(n_docs) OVER ())::BIGINT AS share_permille,
+      |  ((1000 * n_docs) // LAG(n_docs, 1) OVER (ORDER BY bucket))::BIGINT
+      |    AS ratio_x1000
+      |FROM (
+      |  SELECT length(bin(n_chars)) AS bucket, COUNT(*)::BIGINT AS n_docs
+      |  FROM documents WHERE n_chars > 0 GROUP BY 1)
+      |ORDER BY bucket""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_oov_curve" -> (q166OovCurve _),
+    "q180_length_decay" -> (q180LengthDecay _),
     "q167_tokenizer_fertility" -> (q167TokenizerFertility _),
     "q136_vocab_growth" -> (q136VocabGrowth _),
     "q154_langid_agreement" -> (q154LangIdAgreement _),
@@ -1187,6 +1226,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q166_oov_curve" -> q166Sql,
+    "q180_length_decay" -> q180Sql,
     "q167_tokenizer_fertility" -> q167Sql,
     "q136_vocab_growth" -> q136Sql,
     "q154_langid_agreement" -> q154Sql,

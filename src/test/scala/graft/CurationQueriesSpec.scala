@@ -2093,4 +2093,84 @@ class CurationQueriesSpec extends AnyFunSuite {
     // CUSUM telescopes to zero: the peak is a genuine interior extreme
     expected.foreach { case (_, n, _, cp, _) => assert(cp < n) }
   }
+
+  // --- q178 ----------------------------------------------------------
+
+  test("q178 matches a sequential Neyman-allocation re-derivation") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val strata = d.groupBy(_._1).toSeq.map { case (lang, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum
+      val sxx = xs.map(x => x._2 * x._2).sum
+      val sd = math.floor(math.sqrt(
+        ((n * sxx - sx * sx) / (n * n)).toDouble)).toLong
+      (lang, n, sd)
+    }.sortBy(_._1)
+    val totW = strata.map(x => x._2 * x._3).sum
+    val totN = strata.map(_._2).sum
+    val expected = strata.map { case (lang, n, sd) =>
+      val ney = 10000L * n * sd / totW
+      val prop = 10000L * n / totN
+      (lang, n, sd, ney, prop, 1000L * ney / math.max(prop, 1L))
+    }
+    val got = operators.SamplingQueries.q178NeymanAllocation(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // both designs spend at most the budget (truncation undershoots)
+    assert(got.map(_._4).sum <= 10000L && got.map(_._5).sum <= 10000L)
+  }
+
+  // --- q179 ----------------------------------------------------------
+
+  test("q179 matches a sequential cascade re-derivation") {
+    def col2(t: String, a: String, b: String): Array[(Long, Long)] =
+      spark.read.parquet(s"$dir/$t.parquet")
+        .select(col(a).cast("long"), col(b).cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").cast("long")).collect().map(_.getLong(0))
+    val orders = col2("orders", "o_orderkey", "o_custkey")
+    val items = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").cast("long")).collect().map(_.getLong(0))
+    val tomb = cust.filter(k => md5Long60Local(k.toString) % 100L < 5L).toSet
+    val oHit = orders.filter(o => tomb(o._2)).map(_._1).toSet
+    val lHit = items.count(oHit)
+    val expected = Seq(
+      ("customer", cust.length.toLong, tomb.size.toLong),
+      ("lineitem", items.length.toLong, lHit.toLong),
+      ("orders", orders.length.toLong, oHit.size.toLong))
+      .map { case (t, n, del) => (t, n, del, 1000L * del / n) }
+    val got = operators.ProfileQueries.q179DeletionCascade(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // the hash slice lands near its 5% design point at this sf
+    val custRow = got.find(_._1 == "customer").get
+    assert(custRow._4 >= 10L && custRow._4 <= 120L)
+  }
+
+  // --- q180 ----------------------------------------------------------
+
+  test("q180 matches a sequential decay-profile re-derivation") {
+    val d = docs().map(_._4).filter(_ > 0L)
+    val buckets = d.groupBy(x =>
+      java.lang.Long.toBinaryString(x).length.toLong).toSeq
+      .map { case (b, xs) => (b, xs.length.toLong) }.sortBy(_._1)
+    val total = d.length.toLong
+    val expected = buckets.zipWithIndex.map { case ((b, n), i) =>
+      val ratio = if (i == 0) -1L else 1000L * n / buckets(i - 1)._2
+      (b, n, 1000L * n / total, ratio)
+    }
+    val got = operators.TextQueries.q180LengthDecay(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == expected)
+    // octaves are contiguous-ish and shares cover the corpus
+    assert(got.map(_._3).sum >= 1000L - got.length && got.map(_._3).sum <= 1000L)
+  }
 }
