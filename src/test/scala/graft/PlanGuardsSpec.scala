@@ -255,4 +255,44 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(scans.size == 1,
       s"expected a single documents scan:\n${df.queryExecution.executedPlan}")
   }
+
+  test("q168 silhouette: seeds are literals — scoring is map-only, " +
+    "only the 8-row rollup and its sort shuffle") {
+    val df = operators.VectorQueries.q168Silhouette(spark, dir)
+    val shuffles = collectNodes(df) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size <= 2,
+      s"q168 grew a shuffle (${shuffles.size}):\n${df.queryExecution.executedPlan}")
+    // one embeddings scan in the returned plan: no per-row seed join
+    val scans = collectNodes(df) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"expected a single embeddings scan:\n${df.queryExecution.executedPlan}")
+    val joins = collectNodes(df) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+      s"q168 scoring must not join:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q179 deletion cascade: every hop is a semi/equi join — no " +
+    "nested-loop, no cartesian") {
+    val df = operators.ProfileQueries.q179DeletionCascade(spark, dir)
+    val bnl = collectNodes(df) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        // the 1-row × 1-row ledger assembly is the only allowed NL shape
+        if !j.left.toString.contains("count") => j
+    }
+    val cart = collectNodes(df) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cart.isEmpty,
+      s"q179 grew a cartesian:\n${df.queryExecution.executedPlan}")
+    val semis = collectNodes(df) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType.toString == "LeftSemi" => j
+    }
+    assert(semis.size >= 2,
+      s"expected the two semi-join hops:\n${df.queryExecution.executedPlan}")
+  }
 }
