@@ -230,6 +230,16 @@ object ScaleBench {
       graft.operators.SearchQueries.q121MarkovTransitions(s, d).count()),
     "q122_anomaly" -> ((s, d) =>
       graft.operators.TemporalQueries.q122VolumeAnomaly(s, d).count()),
+    // OOV curve: the corpus crosses once as (type, count); the rank
+    // window sorts only the Heaps-law vocabulary — the decade should
+    // show sub-linear wall (vocab ∝ n^0.5-ish), linear shuffle
+    "q166_oov" -> ((s, d) =>
+      graft.operators.TextQueries.q166OovCurve(s, d).count()),
+    // canonical selection = q36's CC machinery + one argmax window
+    // over near-dup-sized partitions — the decade should track q36's
+    // measured exponents, the window adding only the rollup
+    "q172_canonical" -> ((s, d) =>
+      DedupQueries.q172CanonicalSelect(s, d).count()),
     "q40_ann_brute" -> ((s, d) =>
       graft.operators.VectorQueries.q40AnnBruteForce(s, d).count()),
     "q41_ann_cell" -> ((s, d) =>
