@@ -984,7 +984,183 @@ object VectorQueries {
        |FROM sil GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
   }
 
+  /** 1/log2(i+1) ×10⁶, floored, ranks 1..10 — the nDCG discount table
+    * as shared integer literals (both engines read the same constants,
+    * so no cross-engine log drift can exist by construction).
+    */
+  private val ndcgDiscounts = Seq(1000000L, 630929L, 500000L, 430676L,
+    386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** q181: retrieval-quality eval (MRR + nDCG@10) — the eval-ops layer
+    * over the ANN stack: ground truth = the exact cosine top-10 (q40's
+    * brute force), system = the single-cell hyperplane probe (q41's
+    * index read), judged per query by Mean-Reciprocal-Rank and
+    * nDCG@10. q126 reports set recall; these are the ORDER-aware
+    * metrics a ranking dashboard actually tracks (a system that finds
+    * all 10 but inverts them keeps recall 1000‰ and loses nDCG). All
+    * integer: the log2 discounts are shared ×10⁶ literals, rr is a
+    * truncating division, IDCG is a constant.
+    *
+    * Scale shape: truth is the one broadcast-queries corpus sweep (8
+    * codegen'd dots per row, a TakeOrdered per query); the system side
+    * reads only the query's cell. The eval join is top-10 × top-10
+    * per query — constant. At 100 TB the truth sweep is the expensive
+    * leg BY DESIGN: an eval set is a bounded sample, not the corpus.
+    */
+  def q181RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val planes = 6
+    val idcg = ndcgDiscounts.sum
+    val t = Tables(spark, dir)
+    val cells = t.embeddings
+      .withColumn("cell", hyperplaneSignature(col("embedding"), planes))
+    val q = cells.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell").as("q_cell"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("dot"), asc("vec_id"))
+    val truth = t.embeddings.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot", dotFold(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"), lit(true).as("is_rel"))
+    val system = cells.join(broadcast(q), col("cell") === col("q_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot", dotFold(col("embedding"), col("q_emb")))
+      .withColumn("sys_rank", row_number().over(wq).cast("long"))
+      .filter(col("sys_rank") <= 10)
+      .select("query_id", "vec_id", "sys_rank")
+    val disc = array(ndcgDiscounts.map(lit): _*)
+    val scored = system.join(truth, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_probe"),
+        count(when(col("is_rel"), 1)).as("n_hits"),
+        coalesce(sum(when(col("is_rel"),
+          element_at(disc, col("sys_rank").cast("int")))), lit(0L))
+          .as("dcg_x1e6"),
+        min(when(col("is_rel"), col("sys_rank"))).as("first_hit"))
+    q.select("query_id").join(scored, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_probe", "n_hits", "dcg_x1e6"))
+      .select(col("query_id"), col("n_probe"), col("n_hits"),
+        coalesce(expr("1000000 div first_hit"), lit(0L)).as("rr_x1e6"),
+        col("dcg_x1e6"),
+        expr(s"(1000 * dcg_x1e6) div $idcg").as("ndcg_x1000"))
+      .orderBy("query_id")
+  }
+
+  val q181Sql: String = {
+    val sig = OracleSql.hyperplaneSignature("embedding", 6)
+    val dot = OracleSql.dotFold("e.embedding", "q.q_emb")
+    val idcg = ndcgDiscounts.sum
+    val discList = ndcgDiscounts.mkString("[", ", ", "]")
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding, $sig AS cell FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, cell AS q_cell
+       |  FROM cells WHERE vec_id < 8),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY $dot DESC, e.vec_id) AS rank
+       |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+       |  WHERE rank <= 10),
+       |sys AS (
+       |  SELECT query_id, vec_id, sys_rank FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY $dot DESC, e.vec_id) AS sys_rank
+       |    FROM cells e JOIN q ON e.cell = q.q_cell
+       |    WHERE e.vec_id <> q.query_id)
+       |  WHERE sys_rank <= 10),
+       |scored AS (
+       |  SELECT s.query_id, COUNT(*)::BIGINT AS n_probe,
+       |    COUNT(t.vec_id)::BIGINT AS n_hits,
+       |    COALESCE(SUM(CASE WHEN t.vec_id IS NOT NULL
+       |      THEN ($discList)[s.sys_rank] END), 0)::BIGINT AS dcg_x1e6,
+       |    MIN(CASE WHEN t.vec_id IS NOT NULL THEN s.sys_rank END)
+       |      AS first_hit
+       |  FROM sys s LEFT JOIN truth t USING (query_id, vec_id)
+       |  GROUP BY s.query_id)
+       |SELECT q.query_id,
+       |  COALESCE(sc.n_probe, 0)::BIGINT AS n_probe,
+       |  COALESCE(sc.n_hits, 0)::BIGINT AS n_hits,
+       |  COALESCE(1000000 // sc.first_hit, 0)::BIGINT AS rr_x1e6,
+       |  COALESCE(sc.dcg_x1e6, 0)::BIGINT AS dcg_x1e6,
+       |  ((1000 * COALESCE(sc.dcg_x1e6, 0)) // $idcg)::BIGINT AS ndcg_x1000
+       |FROM q LEFT JOIN scored sc USING (query_id)
+       |ORDER BY q.query_id""".stripMargin
+  }
+
+  /** q182: kNN label-consistency eval — the embedding-quality probe
+    * that needs no model: if the space is any good, a vector's label
+    * is recoverable from its 5 nearest neighbors' majority vote
+    * (ties → smallest label — deterministic in both engines). Per-
+    * label accuracy against the stored labels is the go/no-go number
+    * for an embedder change (q159 detects THAT the space moved; this
+    * says whether it still separates classes). Integer counts and
+    * truncating per-milles throughout.
+    *
+    * Scale shape: one broadcast-queries corpus sweep (32 codegen'd
+    * dots per row — the bounded eval-sample pattern), a per-query
+    * top-5 window, and two tiny vote/rollup aggregates.
+    */
+  def q182KnnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val q = t.embeddings.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").cast("long").as("true_label"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("dot"), asc("vec_id"))
+    val nbrs = t.embeddings.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot", dotFold(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("true_label"),
+        col("label").cast("long").as("nb_label"))
+    val votes = nbrs.groupBy("query_id", "true_label", "nb_label")
+      .agg(count(lit(1)).as("v"))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(desc("v"), asc("nb_label"))))
+      .filter(col("rn") === 1)
+    votes.groupBy("true_label")
+      .agg(count(lit(1)).as("n_queries"),
+        count(when(col("nb_label") === col("true_label"), 1))
+          .as("n_correct"))
+      .withColumn("acc_permille",
+        expr("(1000 * n_correct) div n_queries"))
+      .orderBy("true_label")
+  }
+
+  val q182Sql: String = {
+    val dot = OracleSql.dotFold("e.embedding", "q.q_emb")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb,
+       |    label::BIGINT AS true_label
+       |  FROM embeddings WHERE vec_id < 32),
+       |nbrs AS (
+       |  SELECT query_id, true_label, nb_label FROM (
+       |    SELECT q.query_id, q.true_label, e.label::BIGINT AS nb_label,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY $dot DESC, e.vec_id) AS rank
+       |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+       |  WHERE rank <= 5),
+       |votes AS (
+       |  SELECT query_id, true_label, nb_label FROM (
+       |    SELECT query_id, true_label, nb_label,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY COUNT(*) DESC, nb_label) AS rn
+       |    FROM nbrs GROUP BY query_id, true_label, nb_label)
+       |  WHERE rn = 1)
+       |SELECT true_label, COUNT(*)::BIGINT AS n_queries,
+       |  COUNT(*) FILTER (WHERE nb_label = true_label)::BIGINT AS n_correct,
+       |  ((1000 * COUNT(*) FILTER (WHERE nb_label = true_label))
+       |    // COUNT(*))::BIGINT AS acc_permille
+       |FROM votes GROUP BY true_label ORDER BY true_label""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_retrieval_eval" -> (q181RetrievalEval _),
+    "q182_knn_label_eval" -> (q182KnnLabelEval _),
     "q168_silhouette" -> (q168Silhouette _),
     "q126_ann_recall" -> (q126AnnRecall _),
     "q123_int8_quantize" -> (q123Int8Quantize _),
@@ -1003,6 +1179,8 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q181_retrieval_eval" -> q181Sql,
+    "q182_knn_label_eval" -> q182Sql,
     "q168_silhouette" -> q168Sql,
     "q126_ann_recall" -> q126Sql,
     "q123_int8_quantize" -> q123Sql,

@@ -2173,4 +2173,78 @@ class CurationQueriesSpec extends AnyFunSuite {
     // octaves are contiguous-ish and shares cover the corpus
     assert(got.map(_._3).sum >= 1000L - got.length && got.map(_._3).sum <= 1000L)
   }
+
+  // --- q181 ----------------------------------------------------------
+
+  test("q181 matches a sequential MRR/nDCG re-derivation") {
+    import functions.VectorFunctions.planeComponentLocal
+    val v = vecs()
+    val emb = v.toMap
+    def cell(x: Array[Float]): Long =
+      (0 until 6).map { p =>
+        val proj = x.indices.foldLeft(0.0d)((acc, i) =>
+          acc + x(i).toDouble * planeComponentLocal(p, i))
+        if (proj > 0) 1L << p else 0L
+      }.sum
+    val disc = Seq(1000000L, 630929L, 500000L, 430676L, 386852L, 356207L,
+      333333L, 315464L, 301029L, 289064L)
+    val idcg = disc.sum
+    val expected = (0L until 8L).map { qid =>
+      val qe = emb(qid)
+      def ranked(pool: Seq[(Long, Array[Float])]) =
+        pool.filter(_._1 != qid)
+          .map { case (id, x) => (id, dot(x, qe)) }
+          .sortBy { case (id, s) => (-s, id) }
+      val truth = ranked(v.toSeq).take(10).map(_._1).toSet
+      val qCell = cell(qe)
+      val sys = ranked(v.toSeq.filter(x => cell(x._2) == qCell)).take(10)
+        .map(_._1)
+      val hits = sys.zipWithIndex.filter { case (id, _) => truth(id) }
+      val dcg = hits.map { case (_, i) => disc(i) }.sum
+      val rr = hits.headOption.map(h => 1000000L / (h._2 + 1)).getOrElse(0L)
+      (qid, sys.length.toLong, hits.length.toLong, rr, dcg,
+        1000L * dcg / idcg)
+    }
+    val got = operators.VectorQueries.q181RetrievalEval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // nDCG is bounded and zero exactly when nothing relevant surfaced
+    got.foreach { case (_, _, h, rr, _, nd) =>
+      assert(nd >= 0L && nd <= 1000L)
+      assert((h == 0L) == (rr == 0L))
+    }
+  }
+
+  // --- q182 ----------------------------------------------------------
+
+  test("q182 matches a sequential kNN-vote re-derivation") {
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getInt(2).toLong))
+    val emb = rows.map(x => x._1 -> x._2).toMap
+    val lbl = rows.map(x => x._1 -> x._3).toMap
+    val preds = (0L until 32L).map { qid =>
+      val qe = emb(qid)
+      val top5 = rows.filter(_._1 != qid)
+        .map { case (id, x, _) => (id, dot(x, qe)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+        .map { case (id, _) => lbl(id) }
+      val pred = top5.groupBy(identity).toSeq
+        .map { case (l, xs) => (l, xs.length) }
+        .minBy { case (l, c) => (-c, l) }._1
+      (lbl(qid), pred)
+    }
+    val expected = preds.groupBy(_._1).toSeq.map { case (t, xs) =>
+      val correct = xs.count(x => x._2 == x._1).toLong
+      (t, xs.length.toLong, correct, 1000L * correct / xs.length)
+    }.sortBy(_._1)
+    val got = operators.VectorQueries.q182KnnLabelEval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // the eval covers all 32 queries exactly once
+    assert(got.map(_._2).sum == 32L)
+  }
 }
