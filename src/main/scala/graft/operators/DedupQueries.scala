@@ -1309,7 +1309,44 @@ object DedupQueries {
        |FROM ranked GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q183: exact-dup GROUP-SIZE spectrum — the copy-family census
+    * behind dedup policy: group documents by content hash and
+    * histogram the group sizes. A heavy tail here (hundreds-deep copy
+    * families) means boilerplate/mirrors and argues for aggressive
+    * dedup; an all-singletons spectrum says exact dedup is already
+    * done and only the near-dup family (q32-q36, spectrum via q36's
+    * components) has work left. The ledger rows are (group size s →
+    * how many families, how many documents, doc share ‰).
+    *
+    * Scale shape: one hash aggregate (content hash → size — the same
+    * single shuffle as q30), then a size-cardinality rollup. The
+    * spectrum frame is ≤ max-family-size rows.
+    */
+  def q183DupSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val groups = t.documents
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("s"))
+    groups.groupBy("s")
+      .agg(count(lit(1)).as("n_groups"),
+        sum("s").as("n_docs"))
+      .withColumn("doc_share_permille",
+        expr("(1000 * n_docs) div sum(n_docs) over ()"))
+      .select("s", "n_groups", "n_docs", "doc_share_permille")
+      .orderBy("s")
+  }
+
+  val q183Sql: String =
+    """WITH groups AS (
+      |  SELECT md5(text) AS h, COUNT(*)::BIGINT AS s
+      |  FROM documents GROUP BY 1)
+      |SELECT s, COUNT(*)::BIGINT AS n_groups, SUM(s)::BIGINT AS n_docs,
+      |  ((1000 * SUM(s)) // SUM(SUM(s)) OVER ())::BIGINT
+      |    AS doc_share_permille
+      |FROM groups GROUP BY s ORDER BY s""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_dup_spectrum" -> (q183DupSpectrum _),
     "q172_canonical_select" -> (q172CanonicalSelect _),
     "q124_lsh_recall" -> (q124LshRecall _),
     "q114_record_linkage" -> (q114RecordLinkage _),
@@ -1330,6 +1367,7 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q183_dup_spectrum" -> q183Sql,
     "q172_canonical_select" -> q172Sql,
     "q124_lsh_recall" -> q124Sql,
     "q114_record_linkage" -> q114Sql,

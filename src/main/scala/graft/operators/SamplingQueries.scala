@@ -964,7 +964,59 @@ object SamplingQueries {
       |    // greatest((10000 * n) // tot_n, 1))::BIGINT AS divergence_x1000
       |FROM w ORDER BY lang""".stripMargin
 
+  /** q185: quota-sample EXECUTION — q178's allocation turned into an
+    * actual deterministic sample: within each language stratum, take
+    * the Neyman quota's top-n_h documents by hash coin (seed = the id
+    * itself — the same reproducible-shuffle rule as q38/q173). The
+    * output ledger proves the draw: per stratum, the target, the
+    * achieved count (≡ target unless the stratum is exhausted) and an
+    * order-independent XOR fingerprint of the sampled ids (q93's
+    * reconciliation trick), so two runs — or two engines — can attest
+    * they drew the SAME sample without shipping id lists.
+    *
+    * Scale shape: q178's tiny allocation frame broadcast onto one
+    * rank window per stratum; the fingerprint aggregates map-side.
+    * As a composition it runs q178 as a subquery — operators are
+    * DataFrames, so reuse is free.
+    */
+  def q185QuotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val quota = q178NeymanAllocation(spark, dir)
+      .select(col("lang"), col("neyman_n"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("coin"), col("doc_id"))
+    t.documents.select(col("lang"), col("doc_id"))
+      .withColumn("coin", md5Long60(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(quota), Seq("lang"))
+      .filter(col("rn") <= col("neyman_n"))
+      .groupBy("lang")
+      .agg(max("neyman_n").as("n_target"),
+        count(lit(1)).as("n_sampled"),
+        expr("bit_xor(coin)").as("sample_fingerprint"))
+      .orderBy("lang")
+  }
+
+  val q185Sql: String = {
+    val coin = OracleSql.md5Long60("doc_id::VARCHAR")
+    val quota = q178Sql.replace("ORDER BY lang", "")
+    s"""WITH quota AS (
+       |  SELECT lang, neyman_n FROM ($quota)),
+       |ranked AS (
+       |  SELECT lang, doc_id, $coin AS coin,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY $coin, doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.lang, MAX(q.neyman_n)::BIGINT AS n_target,
+       |  COUNT(*)::BIGINT AS n_sampled,
+       |  bit_xor(r.coin)::BIGINT AS sample_fingerprint
+       |FROM ranked r JOIN quota q ON r.lang = q.lang
+       |WHERE r.rn <= q.neyman_n
+       |GROUP BY r.lang ORDER BY r.lang""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_quota_sample" -> (q185QuotaSample _),
     "q178_neyman_allocation" -> (q178NeymanAllocation _),
     "q173_curriculum_schedule" -> (q173CurriculumSchedule _),
     "q38_split_assignment" -> (q38SplitAssignment _),
@@ -984,6 +1036,7 @@ object SamplingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q185_quota_sample" -> q185Sql,
     "q178_neyman_allocation" -> q178Sql,
     "q173_curriculum_schedule" -> q173Sql,
     "q38_split_assignment" -> q38Sql,

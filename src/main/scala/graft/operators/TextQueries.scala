@@ -1200,9 +1200,62 @@ object TextQueries {
       |  FROM documents WHERE n_chars > 0 GROUP BY 1)
       |ORDER BY bucket""".stripMargin
 
+  /** q184: READABILITY profile (Flesch reading-ease shape) — the
+    * audience/register audit per (lang, source): words-per-sentence
+    * and syllables-per-word (vowel-run heuristic — the standard
+    * dictionary-free approximation) feed the Flesch formula
+    * 206.835 − 1.015·wps − 84.6·spw, carried ×1000 in integers end
+    * to end. A source whose score collapses (legalese, OCR junk) or
+    * saturates (template boilerplate) gets flagged before it skews a
+    * training mix that targeted a reading level.
+    *
+    * Scale shape: three regexp counts per document (one scan, no
+    * explode), one pre-combined (lang, source) aggregate.
+    */
+  def q184Readability(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perDoc = t.documents.select(col("lang"), col("source"),
+      size(tokens(col("text"))).cast("long").as("words"),
+      greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+        lit(1)).cast("long").as("sents"),
+      size(regexp_extract_all(col("text"), lit("[aeiouyAEIOUY]+"), lit(0)))
+        .cast("long").as("sylls"))
+    perDoc.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("(1000 * sum(words)) div sum(sents)").as("wps_x1000"),
+        expr("(1000 * sum(sylls)) div greatest(sum(words), 1)")
+          .as("spw_x1000"))
+      .withColumn("flesch_x1000", expr(
+        "206835 - (1015 * wps_x1000) div 1000 - (84600 * spw_x1000) div 1000"))
+      .orderBy("lang", "source")
+  }
+
+  val q184Sql: String = {
+    val toks = OracleSql.tokens("text")
+    s"""WITH per_doc AS (
+       |  SELECT lang, source,
+       |    len($toks)::BIGINT AS words,
+       |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+       |      AS sents,
+       |    len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT
+       |      AS sylls
+       |  FROM documents),
+       |agg AS (
+       |  SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
+       |    ((1000 * SUM(words)) // SUM(sents))::BIGINT AS wps_x1000,
+       |    ((1000 * SUM(sylls)) // greatest(SUM(words), 1))::BIGINT
+       |      AS spw_x1000
+       |  FROM per_doc GROUP BY lang, source)
+       |SELECT lang, source, n_docs, wps_x1000, spw_x1000,
+       |  (206835 - (1015 * wps_x1000) // 1000
+       |    - (84600 * spw_x1000) // 1000)::BIGINT AS flesch_x1000
+       |FROM agg ORDER BY lang, source""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_oov_curve" -> (q166OovCurve _),
     "q180_length_decay" -> (q180LengthDecay _),
+    "q184_readability" -> (q184Readability _),
     "q167_tokenizer_fertility" -> (q167TokenizerFertility _),
     "q136_vocab_growth" -> (q136VocabGrowth _),
     "q154_langid_agreement" -> (q154LangIdAgreement _),
@@ -1227,6 +1280,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "q166_oov_curve" -> q166Sql,
     "q180_length_decay" -> q180Sql,
+    "q184_readability" -> q184Sql,
     "q167_tokenizer_fertility" -> q167Sql,
     "q136_vocab_growth" -> q136Sql,
     "q154_langid_agreement" -> q154Sql,

@@ -1158,7 +1158,59 @@ object VectorQueries {
        |FROM votes GROUP BY true_label ORDER BY true_label""".stripMargin
   }
 
+  /** q186: per-dimension ANISOTROPY audit — the whitening decision:
+    * embedding spaces drift toward a few dominant directions
+    * (anisotropy), which silently degrades cosine retrieval (every
+    * query leans into the same rogue dimensions). Per-dimension
+    * fixed-point means and variances (floor(x·2¹⁰) — power-of-two
+    * scale, exact in both engines; variance via the exact integer
+    * population formula) and the max/min variance ratio — the
+    * number that decides whether a whitening/centering transform
+    * goes in front of the index. q159 detects drift BETWEEN
+    * snapshots; this audits the shape of ONE snapshot.
+    *
+    * Scale shape: one explode to (dim, value) — pre-combined, so
+    * |dims| rows per partition cross the exchange, not corpus×dims;
+    * windows ride the 64-row dim frame. n·Σv² bounds the corpus at
+    * ~2M vectors in int64 at this scale (per-shard audits past it,
+    * documented — same bound family as q178).
+    */
+  def q186Anisotropy(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dims = t.embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * lit(1024.0d)).cast("long").as("fx"))
+    val all = Window.partitionBy()
+    dims.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("fx").as("sx"),
+        sum(expr("fx * fx")).as("sxx"))
+      .withColumn("mean_fp", expr("sx div n"))
+      .withColumn("var_fp", expr("(n * sxx - sx * sx) div (n * n)"))
+      .withColumn("aniso_x1000", expr(
+        "(1000 * max(var_fp) over ()) div greatest(min(var_fp) over (), 1)"))
+      .select("dim", "n", "mean_fp", "var_fp", "aniso_x1000")
+      .orderBy("dim")
+  }
+
+  val q186Sql: String =
+    """WITH fp AS (
+      |  SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+      |    floor(unnest(embedding)::DOUBLE * 1024)::BIGINT AS fx
+      |  FROM embeddings),
+      |stats AS (
+      |  SELECT dim, COUNT(*)::BIGINT AS n, SUM(fx)::BIGINT AS sx,
+      |    SUM(fx * fx)::BIGINT AS sxx
+      |  FROM fp GROUP BY dim)
+      |SELECT dim, n, (sx // n)::BIGINT AS mean_fp,
+      |  ((n * sxx - sx * sx) // (n * n))::BIGINT AS var_fp,
+      |  ((1000 * MAX((n * sxx - sx * sx) // (n * n)) OVER ())
+      |    // greatest(MIN((n * sxx - sx * sx) // (n * n)) OVER (), 1))::BIGINT
+      |    AS aniso_x1000
+      |FROM stats ORDER BY dim""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_anisotropy" -> (q186Anisotropy _),
     "q181_retrieval_eval" -> (q181RetrievalEval _),
     "q182_knn_label_eval" -> (q182KnnLabelEval _),
     "q168_silhouette" -> (q168Silhouette _),
@@ -1179,6 +1231,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q186_anisotropy" -> q186Sql,
     "q181_retrieval_eval" -> q181Sql,
     "q182_knn_label_eval" -> q182Sql,
     "q168_silhouette" -> q168Sql,

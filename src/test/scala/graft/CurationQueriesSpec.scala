@@ -2247,4 +2247,91 @@ class CurationQueriesSpec extends AnyFunSuite {
     // the eval covers all 32 queries exactly once
     assert(got.map(_._2).sum == 32L)
   }
+
+  // --- q183 ----------------------------------------------------------
+
+  test("q183 matches a sequential dup-spectrum re-derivation") {
+    val texts = docs().map(_._2)
+    val sizes = texts.groupBy(identity).values.map(_.length.toLong).toSeq
+    val total = texts.length.toLong
+    val expected = sizes.groupBy(identity).toSeq.map { case (s, xs) =>
+      (s, xs.length.toLong, s * xs.length, 1000L * s * xs.length / total)
+    }.sortBy(_._1)
+    val got = operators.DedupQueries.q183DupSpectrum(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // the spectrum partitions the corpus
+    assert(got.map(_._3).sum == total)
+  }
+
+  // --- q184 ----------------------------------------------------------
+
+  test("q184 matches a sequential readability re-derivation") {
+    val sentRe = "[.!?]+".r
+    val syllRe = "[aeiouyAEIOUY]+".r
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val expected = d.groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((lang, source), xs) =>
+        val words = xs.map(x => toks(x._3).length.toLong).sum
+        val sents = xs.map(x =>
+          math.max(sentRe.findAllIn(x._3).length, 1).toLong).sum
+        val sylls = xs.map(x => syllRe.findAllIn(x._3).length.toLong).sum
+        val wps = 1000L * words / sents
+        val spw = 1000L * sylls / math.max(words, 1L)
+        (lang, source, xs.length.toLong, wps, spw,
+          206835L - 1015L * wps / 1000L - 84600L * spw / 1000L)
+      }.sortBy(x => (x._1, x._2))
+    val got = operators.TextQueries.q184Readability(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+  }
+
+  // --- q185 ----------------------------------------------------------
+
+  test("q185 executes exactly the q178 quotas with a reproducible draw") {
+    val quotas = operators.SamplingQueries.q178NeymanAllocation(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = d.groupBy(_._1).toSeq.map { case (lang, xs) =>
+      val coins = xs.map(x => md5Long60Local(x._2.toString) -> x._2)
+        .sortBy { case (c, id) => (c, id) }
+      val take = coins.take(math.min(quotas(lang), xs.length.toLong).toInt)
+      (lang, quotas(lang), take.length.toLong,
+        take.map(_._1).foldLeft(0L)(_ ^ _))
+    }.sortBy(_._1)
+    val got = operators.SamplingQueries.q185QuotaSample(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  // --- q186 ----------------------------------------------------------
+
+  test("q186 matches a sequential anisotropy re-derivation") {
+    val v = vecs()
+    val dims = v.head._2.length
+    val stats = (0 until dims).map { d =>
+      val fx = v.map(x => math.floor(x._2(d).toDouble * 1024.0d).toLong)
+      val n = fx.length.toLong
+      val sx = fx.sum
+      val sxx = fx.map(x => x * x).sum
+      (d.toLong, n, sx / n, (n * sxx - sx * sx) / (n * n))
+    }
+    val aniso = 1000L * stats.map(_._4).max /
+      math.max(stats.map(_._4).min, 1L)
+    val expected = stats.map { case (d, n, m, vv) => (d, n, m, vv, aniso) }
+    val got = operators.VectorQueries.q186Anisotropy(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // variances are nonnegative by Cauchy-Schwarz
+    got.foreach { case (_, _, _, vv, _) => assert(vv >= 0L) }
+  }
 }
