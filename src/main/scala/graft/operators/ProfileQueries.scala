@@ -862,25 +862,31 @@ object ProfileQueries {
   def q179DeletionCascade(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.md5Long60
     val t = Tables(spark, dir)
-    val tomb = t.customer
-      .filter(pmod(md5Long60(col("c_custkey").cast("string")),
-        lit(100L)) < 5L)
-      .select(col("c_custkey").as("k"))
+    val tombPred =
+      pmod(md5Long60(col("c_custkey").cast("string")), lit(100L)) < 5L
+    // each table's (total, to-delete) pair comes out of ONE pass: the
+    // tombstone/hit side joins LEFT on a unique key (PK — no fan-out),
+    // so count(*) is the table and count(key) is the blast radius —
+    // no separate total-count scan of the two big tables.
+    def shape(name: String, d: DataFrame): DataFrame =
+      d.select(lit(name).as("table_name"), col("n_rows"),
+        col("n_to_delete"),
+        expr("(1000 * n_to_delete) div n_rows").as("delete_permille"))
+    val custLedger = shape("customer", t.customer
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(tombPred, 1)).as("n_to_delete")))
+    val tomb = t.customer.filter(tombPred).select(col("c_custkey").as("k"))
+    val ordLedger = shape("orders", t.orders
+      .join(tomb, col("o_custkey") === col("k"), "left")
+      .agg(count(lit(1)).as("n_rows"), count(col("k")).as("n_to_delete")))
     val ordersHit = t.orders
       .join(tomb, col("o_custkey") === col("k"), "left_semi")
       .select(col("o_orderkey"))
-    val itemsHit = t.lineitem
-      .join(ordersHit, col("l_orderkey") === col("o_orderkey"), "left_semi")
-    def ledger(name: String, total: DataFrame, hit: DataFrame): DataFrame = {
-      val tc = total.agg(count(lit(1)).as("n_rows"))
-      val hc = hit.agg(count(lit(1)).as("n_to_delete"))
-      tc.crossJoin(hc).select(lit(name).as("table_name"), col("n_rows"),
-        col("n_to_delete"),
-        expr("(1000 * n_to_delete) div n_rows").as("delete_permille"))
-    }
-    ledger("customer", t.customer, tomb)
-      .unionByName(ledger("orders", t.orders, ordersHit))
-      .unionByName(ledger("lineitem", t.lineitem, itemsHit))
+    val itemLedger = shape("lineitem", t.lineitem
+      .join(ordersHit, col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_to_delete")))
+    custLedger.unionByName(ordLedger).unionByName(itemLedger)
       .orderBy("table_name")
   }
 

@@ -288,11 +288,12 @@ class PlanGuardsSpec extends AnyFunSuite {
     }
     assert(cart.isEmpty,
       s"q179 grew a cartesian:\n${df.queryExecution.executedPlan}")
-    val semis = collectNodes(df) {
+    val hops = collectNodes(df) {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec
-        if j.joinType.toString == "LeftSemi" => j
+        if j.joinType.toString == "LeftSemi" ||
+          j.joinType.toString == "LeftOuter" => j
     }
-    assert(semis.size >= 2,
-      s"expected the two semi-join hops:\n${df.queryExecution.executedPlan}")
+    assert(hops.size >= 3,
+      s"expected the three equi-join hops:\n${df.queryExecution.executedPlan}")
   }
 }
