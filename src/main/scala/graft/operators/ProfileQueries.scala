@@ -920,7 +920,59 @@ object ProfileQueries {
        |ORDER BY table_name""".stripMargin
   }
 
+  /** q187: WEIGHTED percentiles — the answer to "what document length
+    * does the median TOKEN live in?" (every unweighted length
+    * percentile — q27/q133 — answers about the median DOCUMENT, a
+    * different and usually less useful number when sizing context
+    * windows: half the tokens can live above the doc-median). Weight
+    * = n_chars; the weighted p50/p90/p99 per source is the first
+    * value whose cumulative weight crosses the cut (type-7 weighted
+    * quantile, deterministic ties by (value, doc_id)). All integer:
+    * cumulative weights vs 1000·cut per-milles.
+    *
+    * Scale shape: one rank window per source over (value, weight) —
+    * the same exchange the exact-percentile family pays (q128's
+    * sketch replaces it at 100 TB), then a 3-cut conditional
+    * aggregate riding the same sort.
+    */
+  def q187WeightedPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("source")
+    t.documents.select("source", "doc_id", "n_chars")
+      .withColumn("cw", sum("n_chars").over(w))
+      .withColumn("tw", sum("n_chars").over(tot))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), max("tw").as("total_weight"),
+        min(when(expr("1000 * cw >= 500 * tw"), col("n_chars")))
+          .as("w_p50"),
+        min(when(expr("1000 * cw >= 900 * tw"), col("n_chars")))
+          .as("w_p90"),
+        min(when(expr("1000 * cw >= 990 * tw"), col("n_chars")))
+          .as("w_p99"))
+      .orderBy("source")
+  }
+
+  val q187Sql: String =
+    """WITH cum AS (
+      |  SELECT source, n_chars,
+      |    SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(n_chars) OVER (PARTITION BY source) AS tw
+      |  FROM documents)
+      |SELECT source, COUNT(*)::BIGINT AS n_docs,
+      |  MAX(tw)::BIGINT AS total_weight,
+      |  MIN(CASE WHEN 1000 * cw >= 500 * tw THEN n_chars END)::BIGINT
+      |    AS w_p50,
+      |  MIN(CASE WHEN 1000 * cw >= 900 * tw THEN n_chars END)::BIGINT
+      |    AS w_p90,
+      |  MIN(CASE WHEN 1000 * cw >= 990 * tw THEN n_chars END)::BIGINT
+      |    AS w_p99
+      |FROM cum GROUP BY source ORDER BY source""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_weighted_percentiles" -> (q187WeightedPercentiles _),
     "q179_deletion_cascade" -> (q179DeletionCascade _),
     "q174_chi_square" -> (q174ChiSquare _),
     "q175_data_card" -> (q175DataCard _),
@@ -939,6 +991,7 @@ object ProfileQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q187_weighted_percentiles" -> q187Sql,
     "q179_deletion_cascade" -> q179Sql,
     "q174_chi_square" -> q174Sql,
     "q175_data_card" -> q175Sql,

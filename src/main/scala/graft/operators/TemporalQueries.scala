@@ -1125,10 +1125,79 @@ object TemporalQueries {
       |  day AS cp_day, abs(cusum)::BIGINT AS max_abs_cusum
       |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** q188: lag-k AUTOCORRELATION of daily volumes — the seasonality
+    * detector: r₁ (day-over-day persistence), r₂, and r₇ (weekly
+    * rhythm — the signature of human traffic; its absence on a
+    * "user-generated" source is a bot tell, its presence sizes
+    * day-of-week capacity). Exactly integer end-to-end: deviations
+    * scale ×n_days (q177's trick — Σdev = 0, no float mean), lag
+    * pairs align on REAL day offsets (lead(day,k) = day+k guards
+    * against gap misalignment), and r_k ships as a ×1000 truncating
+    * ratio of the exact Σdev·dev₊ₖ / Σdev² integers.
+    *
+    * Scale shape: one pre-combined aggregate to the (type, day)
+    * matrix; the lead windows ride that tiny frame. dev² bounds the
+    * per-day volume at ~3e9·√days in int64 (per-shard past that,
+    * documented).
+    */
+  def q188Autocorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byType = Window.partitionBy("event_type")
+    val ordered = byType.orderBy("day")
+    val lags = Seq(1, 2, 7)
+    val withDev = dailyCounts(t)
+      .withColumn("n_days", count(lit(1)).over(byType))
+      .withColumn("total", sum("n").over(byType))
+      .withColumn("dev", expr("n_days * n - total"))
+    val withLeads = lags.foldLeft(withDev) { (d, k) =>
+      d.withColumn(s"num$k",
+        when(lead(col("day"), k).over(ordered) === col("day") + k,
+          col("dev") * lead(col("dev"), k).over(ordered)))
+    }
+    val aggs = max("n_days").as("n_days") +:
+      lags.map(k => expr(s"(1000 * sum(num$k)) div sum(dev * dev)")
+        .as(s"r${k}_x1000"))
+    withLeads.groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("event_type")
+  }
+
+  val q188Sql: String = {
+    val lags = Seq(1, 2, 7)
+    val numCols = lags.map { k =>
+      s"""CASE WHEN LEAD(day, $k) OVER w = day + $k
+         |      THEN dev * LEAD(dev, $k) OVER w END AS num$k""".stripMargin
+    }.mkString(",\n    ")
+    val rCols = lags.map(k =>
+      s"((1000 * SUM(num$k)) // SUM(dev * dev))::BIGINT AS r${k}_x1000")
+      .mkString(",\n  ")
+    s"""WITH mn AS (SELECT MIN(epoch_us(ts))::BIGINT AS min_us FROM events),
+       |daily AS (
+       |  SELECT event_type,
+       |    (epoch_us(ts)::BIGINT - min_us) // 86400000000 AS day,
+       |    COUNT(*)::BIGINT AS n
+       |  FROM events, mn GROUP BY 1, 2),
+       |ext AS (
+       |  SELECT event_type, day,
+       |    COUNT(*) OVER (PARTITION BY event_type) * n
+       |      - SUM(n) OVER (PARTITION BY event_type) AS dev,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n_days
+       |  FROM daily),
+       |leads AS (
+       |  SELECT event_type, n_days, dev,
+       |    $numCols
+       |  FROM ext
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+       |SELECT event_type, MAX(n_days)::BIGINT AS n_days,
+       |  $rCols
+       |FROM leads GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_kaplan_meier" -> (q169KaplanMeier _),
     "q176_theil_sen" -> (q176TheilSen _),
     "q177_cusum_changepoint" -> (q177CusumChangepoint _),
+    "q188_autocorrelation" -> (q188Autocorrelation _),
     "q122_volume_anomaly" -> (q122VolumeAnomaly _),
     "q75_asof_join" -> (q75AsofJoin _),
     "q82_scd2_history" -> (q82Scd2History _),
@@ -1146,6 +1215,7 @@ object TemporalQueries {
     "q169_kaplan_meier" -> q169Sql,
     "q176_theil_sen" -> q176Sql,
     "q177_cusum_changepoint" -> q177Sql,
+    "q188_autocorrelation" -> q188Sql,
     "q122_volume_anomaly" -> q122Sql,
     "q75_asof_join" -> q75Sql,
     "q82_scd2_history" -> q82Sql,

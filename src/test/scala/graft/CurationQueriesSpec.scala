@@ -2334,4 +2334,57 @@ class CurationQueriesSpec extends AnyFunSuite {
     // variances are nonnegative by Cauchy-Schwarz
     got.foreach { case (_, _, _, vv, _) => assert(vv >= 0L) }
   }
+
+  // --- q187 ----------------------------------------------------------
+
+  test("q187 matches a sequential weighted-percentile re-derivation") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = d.groupBy(_._1).toSeq.map { case (source, xs) =>
+      val sorted = xs.sortBy { case (_, id, nc) => (nc, id) }
+      val tw = sorted.map(_._3).sum
+      val cum = sorted.scanLeft(0L)(_ + _._3).tail
+      def q(pm: Long): Long =
+        sorted(cum.indexWhere(c => 1000L * c >= pm * tw))._3
+      (source, xs.length.toLong, tw, q(500), q(900), q(990))
+    }.sortBy(_._1)
+    val got = operators.ProfileQueries.q187WeightedPercentiles(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // weighted percentiles are monotone and ≥ the unweighted median
+    got.foreach { case (_, _, _, p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
+  // --- q188 ----------------------------------------------------------
+
+  test("q188 matches a sequential autocorrelation re-derivation") {
+    val expected = dailyByType().toSeq.map { case (t, days) =>
+      val nDays = days.length.toLong
+      val total = days.map(_._2).sum
+      val dev = days.map { case (d, n) => (d, nDays * n - total) }
+      val den = dev.map(x => x._2 * x._2).sum
+      def r(k: Int): Long = {
+        val byDay = dev.toMap
+        val num = dev.flatMap { case (d, v) =>
+          byDay.get(d + k).map(v2 => v * v2)
+        }.sum
+        1000L * num / den
+      }
+      (t, nDays, r(1), r(2), r(7))
+    }.sortBy(_._1)
+    val got = operators.TemporalQueries.q188Autocorrelation(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // autocorrelations live in [-1000, 1000]
+    got.foreach { case (_, _, r1, r2, r7) =>
+      Seq(r1, r2, r7).foreach(r => assert(r >= -1000L && r <= 1000L))
+    }
+  }
 }
