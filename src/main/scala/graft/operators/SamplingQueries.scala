@@ -1015,7 +1015,66 @@ object SamplingQueries {
        |GROUP BY r.lang ORDER BY r.lang""".stripMargin
   }
 
+  /** q189: group-aware K-FOLD assignment + balance audit — q163
+    * measured WHY event-level splits leak (users straddle); this is
+    * the fix executed and then audited: 5 folds by user hash (every
+    * user's events land in exactly one fold — GroupKFold), with the
+    * balance ledger hash splitting actually needs reviewed: user and
+    * event shares per fold and the worst deviation from the 200‰
+    * design point (hash imbalance at small group counts is real, and
+    * a fold that drifted heavy silently skews every CV estimate).
+    *
+    * Scale shape: one per-user aggregate (shuffle on user_id), one
+    * 5-row fold rollup; windows ride the fold frame.
+    */
+  def q189KfoldAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perUser = t.events.select(col("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .withColumn("fold",
+        pmod(md5Long60(col("user_id").cast("string")), lit(5L)))
+    perUser.groupBy("fold")
+      .agg(count(lit(1)).as("n_users"), sum("n_events").as("n_events"))
+      .withColumn("user_share_permille",
+        expr("(1000 * n_users) div sum(n_users) over ()"))
+      .withColumn("event_share_permille",
+        expr("(1000 * n_events) div sum(n_events) over ()"))
+      .withColumn("worst_deviation_permille", max(greatest(
+        abs(col("user_share_permille") - 200L),
+        abs(col("event_share_permille") - 200L)))
+        .over(Window.partitionBy()))
+      .select("fold", "n_users", "n_events", "user_share_permille",
+        "event_share_permille", "worst_deviation_permille")
+      .orderBy("fold")
+  }
+
+  val q189Sql: String = {
+    val coin = OracleSql.md5Long60("user_id::VARCHAR")
+    s"""WITH per_user AS (
+       |  SELECT user_id, COUNT(*)::BIGINT AS n_events,
+       |    ($coin % 5) AS fold
+       |  FROM events GROUP BY user_id),
+       |folds AS (
+       |  SELECT fold, COUNT(*)::BIGINT AS n_users,
+       |    SUM(n_events)::BIGINT AS n_events
+       |  FROM per_user GROUP BY fold),
+       |shares AS (
+       |  SELECT fold, n_users, n_events,
+       |    ((1000 * n_users) // SUM(n_users) OVER ())::BIGINT
+       |      AS user_share_permille,
+       |    ((1000 * n_events) // SUM(n_events) OVER ())::BIGINT
+       |      AS event_share_permille
+       |  FROM folds)
+       |SELECT fold, n_users, n_events, user_share_permille,
+       |  event_share_permille,
+       |  MAX(greatest(abs(user_share_permille - 200),
+       |    abs(event_share_permille - 200))) OVER ()::BIGINT
+       |    AS worst_deviation_permille
+       |FROM shares ORDER BY fold""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_kfold_audit" -> (q189KfoldAudit _),
     "q185_quota_sample" -> (q185QuotaSample _),
     "q178_neyman_allocation" -> (q178NeymanAllocation _),
     "q173_curriculum_schedule" -> (q173CurriculumSchedule _),
@@ -1036,6 +1095,7 @@ object SamplingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q189_kfold_audit" -> q189Sql,
     "q185_quota_sample" -> q185Sql,
     "q178_neyman_allocation" -> q178Sql,
     "q173_curriculum_schedule" -> q173Sql,

@@ -1193,11 +1193,98 @@ object TemporalQueries {
        |FROM leads GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** q190: BOT-FLAG composite census — the abuse/synthetic-traffic
+    * triage that q153 (rate), q156 (burstiness), and q158 (surprisal)
+    * each see one face of, composed into one per-user bitmask:
+    * bit 1 = BURST (≥3 events in a trailing 10-min window),
+    * bit 2 = MACHINE-REGULAR (CV² of inter-arrival gaps < 100‰ — a
+    * cron job, not a human; q156's integer formula per user),
+    * bit 4 = HEAVY (volume > 4× the median user). The census (mask →
+    * user count, volume) is the triage dashboard; mask 7 is the page-
+    * worthy cell. Gaps are in seconds so every square stays in int64
+    * over multi-year windows.
+    *
+    * Scale shape: one user-partitioned window pass (gap lag + trailing
+    * RANGE count ride the same sort), one per-user aggregate, the
+    * median-volume cut over the per-user frame (q128 swap at scale),
+    * and a ≤8-row mask rollup.
+    */
+  def q190BotScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val wU = Window.partitionBy("user_id").orderBy("s")
+    val wRate = Window.partitionBy("user_id").orderBy(col("s"))
+      .rangeBetween(-600L, 0L)
+    val perUser = t.events
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("s"))
+      .withColumn("gap", col("s") - lag("s", 1).over(wU))
+      .withColumn("win_count", count(lit(1)).over(wRate))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max("win_count").as("max_rate_10min"),
+        count(col("gap")).as("n_gaps"),
+        sum("gap").as("sd"), sum(expr("gap * gap")).as("sdd"))
+      .withColumn("cv2_pm", when(col("n_gaps") >= 2L && col("sd") > 0L,
+        expr("(1000 * (n_gaps * sdd - sd * sd)) div (sd * sd)")))
+    val med = perUser.select(col("n_events").as("v"))
+      .withColumn("rn", row_number().over(Window.orderBy("v")).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .filter(expr("rn = (cnt + 1) div 2"))
+      .select(col("v").as("median_volume"))
+    perUser.crossJoin(broadcast(med))
+      .withColumn("mask",
+        when(col("max_rate_10min") >= 3L, 1L).otherwise(0L) +
+          when(col("cv2_pm") < 100L, 2L).otherwise(0L) +
+          when(col("n_events") > col("median_volume") * 4L, 4L)
+            .otherwise(0L))
+      .groupBy("mask")
+      .agg(count(lit(1)).as("n_users"), sum("n_events").as("n_events"),
+        max("max_rate_10min").as("peak_rate"))
+      .orderBy("mask")
+  }
+
+  val q190Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts)::BIGINT // 1000000 AS s FROM events),
+      |scored AS (
+      |  SELECT user_id, s,
+      |    s - LAG(s, 1) OVER (PARTITION BY user_id ORDER BY s) AS gap,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY s
+      |      RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS win_count
+      |  FROM e),
+      |per_user AS (
+      |  SELECT user_id, COUNT(*)::BIGINT AS n_events,
+      |    MAX(win_count)::BIGINT AS max_rate_10min,
+      |    COUNT(gap)::BIGINT AS n_gaps,
+      |    SUM(gap)::BIGINT AS sd, SUM(gap * gap)::BIGINT AS sdd
+      |  FROM scored GROUP BY user_id),
+      |cv AS (
+      |  SELECT *, CASE WHEN n_gaps >= 2 AND sd > 0
+      |    THEN (1000 * (n_gaps * sdd - sd * sd)) // (sd * sd) END AS cv2_pm
+      |  FROM per_user),
+      |med AS (
+      |  SELECT v AS median_volume FROM (
+      |    SELECT n_events AS v, ROW_NUMBER() OVER (ORDER BY n_events) AS rn,
+      |      COUNT(*) OVER () AS cnt
+      |    FROM per_user)
+      |  WHERE rn = (cnt + 1) // 2),
+      |masked AS (
+      |  SELECT c.n_events, c.max_rate_10min,
+      |    (CASE WHEN c.max_rate_10min >= 3 THEN 1 ELSE 0 END
+      |      + CASE WHEN c.cv2_pm < 100 THEN 2 ELSE 0 END
+      |      + CASE WHEN c.n_events > m.median_volume * 4 THEN 4 ELSE 0 END)
+      |      ::BIGINT AS mask
+      |  FROM cv c, med m)
+      |SELECT mask, COUNT(*)::BIGINT AS n_users,
+      |  SUM(n_events)::BIGINT AS n_events,
+      |  MAX(max_rate_10min)::BIGINT AS peak_rate
+      |FROM masked GROUP BY mask ORDER BY mask""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_kaplan_meier" -> (q169KaplanMeier _),
     "q176_theil_sen" -> (q176TheilSen _),
     "q177_cusum_changepoint" -> (q177CusumChangepoint _),
     "q188_autocorrelation" -> (q188Autocorrelation _),
+    "q190_bot_score" -> (q190BotScore _),
     "q122_volume_anomaly" -> (q122VolumeAnomaly _),
     "q75_asof_join" -> (q75AsofJoin _),
     "q82_scd2_history" -> (q82Scd2History _),
@@ -1216,6 +1303,7 @@ object TemporalQueries {
     "q176_theil_sen" -> q176Sql,
     "q177_cusum_changepoint" -> q177Sql,
     "q188_autocorrelation" -> q188Sql,
+    "q190_bot_score" -> q190Sql,
     "q122_volume_anomaly" -> q122Sql,
     "q75_asof_join" -> q75Sql,
     "q82_scd2_history" -> q82Sql,

@@ -2387,4 +2387,68 @@ class CurationQueriesSpec extends AnyFunSuite {
       Seq(r1, r2, r7).foreach(r => assert(r >= -1000L && r <= 1000L))
     }
   }
+
+  // --- q189 ----------------------------------------------------------
+
+  test("q189 matches a sequential k-fold re-derivation") {
+    val ev = Tables(spark, dir).events.select("user_id").collect()
+      .map(_.getLong(0))
+    val perUser = ev.groupBy(identity).toSeq.map { case (u, xs) =>
+      (md5Long60Local(u.toString) % 5L, xs.length.toLong)
+    }
+    val folds = perUser.groupBy(_._1).toSeq.map { case (f, xs) =>
+      (f, xs.length.toLong, xs.map(_._2).sum)
+    }.sortBy(_._1)
+    val (totU, totE) = (folds.map(_._2).sum, folds.map(_._3).sum)
+    val shares = folds.map { case (f, nu, ne) =>
+      (f, nu, ne, 1000L * nu / totU, 1000L * ne / totE)
+    }
+    val worst = shares.map { case (_, _, _, us, es) =>
+      math.max(math.abs(us - 200L), math.abs(es - 200L))
+    }.max
+    val expected = shares.map { case (f, nu, ne, us, es) =>
+      (f, nu, ne, us, es, worst)
+    }
+    val got = operators.SamplingQueries.q189KfoldAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // every user lands in exactly one fold: totals conserved
+    assert(got.map(_._3).sum == ev.length.toLong)
+  }
+
+  // --- q190 ----------------------------------------------------------
+
+  test("q190 matches a sequential bot-score re-derivation") {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perUser = ev.groupBy(_._1).toSeq.map { case (u, xs) =>
+      val ss = xs.map(_._2).sorted
+      val gaps = ss.zip(ss.drop(1)).map { case (a, b) => b - a }
+      val maxRate = ss.map(s => ss.count(t => t >= s - 600 && t <= s)).max
+      val (n, sd, sdd) =
+        (gaps.length.toLong, gaps.sum, gaps.map(g => g * g).sum)
+      val cv2 = if (n >= 2 && sd > 0)
+        Some(1000L * (n * sdd - sd * sd) / (sd * sd)) else None
+      (u, ss.length.toLong, maxRate.toLong, cv2)
+    }
+    val vols = perUser.map(_._2).sorted
+    val median = vols((vols.length + 1) / 2 - 1)
+    val masks = perUser.map { case (_, nEv, rate, cv2) =>
+      val m = (if (rate >= 3L) 1L else 0L) +
+        (if (cv2.exists(_ < 100L)) 2L else 0L) +
+        (if (nEv > 4L * median) 4L else 0L)
+      (m, nEv, rate)
+    }
+    val expected = masks.groupBy(_._1).toSeq.map { case (m, xs) =>
+      (m, xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).max)
+    }.sortBy(_._1)
+    val got = operators.TemporalQueries.q190BotScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // the census covers every user exactly once
+    assert(got.map(_._2).sum == perUser.length.toLong)
+  }
 }
