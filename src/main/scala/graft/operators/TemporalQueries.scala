@@ -923,6 +923,34 @@ object TemporalQueries {
     * is a one-row array fold — O(T²) on T ≈ dozens of duration
     * buckets, constant at any corpus size.
     */
+  /** Generic Kaplan–Meier estimator over per-subject observations:
+    * input columns `t` (integer duration bucket) and `churn` (1 =
+    * event observed, 0 = censored); output the at-risk ladder with
+    * the integer-ppm survival recurrence (truncating per step — a
+    * canonical-order fold, hash-exact across engines).
+    */
+  def kaplanMeier(perSubject: DataFrame): DataFrame = {
+    val ladder = perSubject.groupBy("t")
+      .agg(sum("churn").as("d"), count(lit(1)).as("n_subjects"))
+      .withColumn("c", col("n_subjects") - col("d"))
+      .withColumn("n_risk",
+        sum("n_subjects").over(Window.orderBy("t")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    ladder
+      .agg(sort_array(collect_list(struct(
+        col("t").as("t"), col("d").as("d"), col("c").as("c"),
+        col("n_risk").as("n_risk")))).as("xs"))
+      .select(col("xs"), posexplode(col("xs")).as(Seq("i", "x")))
+      .select(col("x.t").as("t"),
+        col("x.n_risk").as("n_at_risk"),
+        col("x.d").as("n_churned"),
+        col("x.c").as("n_censored"),
+        expr("aggregate(slice(xs, 1, i + 1), 1000000L, " +
+          "(acc, e) -> (acc * (e.n_risk - e.d)) div e.n_risk)")
+          .as("survival_ppm"))
+      .orderBy("t")
+  }
+
   def q169KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val mx = t.events.agg(max(unix_micros(col("ts"))).as("end_us"))
@@ -935,25 +963,8 @@ object TemporalQueries {
         expr("(last_us - first_us) div 86400000000").as("t"),
         when(col("last_us") < col("end_us") - lit(259200000000L), 1L)
           .otherwise(0L).as("churn"))
-    val ladder = users.groupBy("t")
-      .agg(sum("churn").as("d"), count(lit(1)).as("n_users"))
-      .withColumn("c", col("n_users") - col("d"))
-      .withColumn("n_risk",
-        sum("n_users").over(Window.orderBy("t")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-    ladder
-      .agg(sort_array(collect_list(struct(
-        col("t").as("t"), col("d").as("d"), col("c").as("c"),
-        col("n_risk").as("n_risk")))).as("xs"))
-      .select(col("xs"), posexplode(col("xs")).as(Seq("i", "x")))
-      .select(col("x.t").as("duration_days"),
-        col("x.n_risk").as("n_at_risk"),
-        col("x.d").as("n_churned"),
-        col("x.c").as("n_censored"),
-        expr("aggregate(slice(xs, 1, i + 1), 1000000L, " +
-          "(acc, e) -> (acc * (e.n_risk - e.d)) div e.n_risk)")
-          .as("survival_ppm"))
-      .orderBy("duration_days")
+    kaplanMeier(users)
+      .withColumnRenamed("t", "duration_days")
   }
 
   val q169Sql: String =
@@ -1016,25 +1027,35 @@ object TemporalQueries {
     * type on a 3-year corpus) and never touches raw events. The
     * median rank-window runs over that pair frame only.
     */
-  def q176TheilSen(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val d = dailyCounts(t).localCheckpoint(false)
-    val a = d.select(col("event_type"), col("day").as("i"), col("n").as("ni"))
-    val b = d.select(col("event_type"), col("day").as("j"), col("n").as("nj"))
-    val slopes = a.join(b, Seq("event_type")).filter(col("i") < col("j"))
-      .select(col("event_type"),
-        expr("(1000 * (nj - ni)) div (j - i)").as("slope_x1000"))
-    val w = Window.partitionBy("event_type").orderBy("slope_x1000")
+  /** Generic Theil–Sen estimator over keyed integer series: input
+    * columns `key` (series id), `i` (integer position), `y` (value);
+    * output the exact lower-median of all pairwise ×1000 slopes per
+    * key with the pair count and slope envelope.
+    */
+  def theilSen(series: DataFrame): DataFrame = {
+    val a = series.select(col("key"), col("i"), col("y").as("yi"))
+    val b = series.select(col("key"), col("i").as("j"), col("y").as("yj"))
+    val slopes = a.join(b, Seq("key")).filter(col("i") < col("j"))
+      .select(col("key"),
+        expr("(1000 * (yj - yi)) div (j - i)").as("slope_x1000"))
+    val w = Window.partitionBy("key").orderBy("slope_x1000")
     slopes
       .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy("event_type")))
-      .groupBy("event_type")
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("key")))
+      .groupBy("key")
       .agg(max(when(expr("rn = (cnt + 1) div 2"), col("slope_x1000")))
           .as("trend_x1000"),
         count(lit(1)).as("n_pairs"),
         min("slope_x1000").as("min_slope_x1000"),
         max("slope_x1000").as("max_slope_x1000"))
+  }
+
+  def q176TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val d = dailyCounts(t).localCheckpoint(false)
+    theilSen(d.select(col("event_type").as("key"), col("day").as("i"),
+      col("n").as("y")))
+      .withColumnRenamed("key", "event_type")
       .orderBy("event_type")
   }
 
@@ -1079,23 +1100,34 @@ object TemporalQueries {
     * rides that tiny frame. n_days·x_d bounds the corpus at ~10¹⁵
     * events/day on a 3-year window before int64 overflow.
     */
+  /** Generic CUSUM changepoint over keyed integer series: input
+    * columns `key`, `i` (integer position), `y` (value); output per
+    * key the |CUSUM| argmax position (earliest on ties) with the
+    * ×n-scaled integer deviations (Σdev = 0 — no float mean).
+    */
+  def cusum(series: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy("key")
+    val run = byKey.orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .withColumn("n_points", count(lit(1)).over(byKey))
+      .withColumn("total", sum("y").over(byKey))
+      .withColumn("cusum", sum(expr("n_points * y - total")).over(run))
+      .withColumn("best", max(struct(abs(col("cusum")).as("a"),
+        (-col("i")).as("nd"))).over(byKey))
+      .filter(abs(col("cusum")) === col("best.a") &&
+        col("i") === -col("best.nd"))
+      .select(col("key"), col("n_points"), col("total"),
+        col("i").as("cp_i"), abs(col("cusum")).as("max_abs_cusum"))
+  }
+
   def q177CusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val byType = Window.partitionBy("event_type")
-    val ordered = byType.orderBy("day")
-    val run = ordered.rowsBetween(Window.unboundedPreceding,
-      Window.currentRow)
-    dailyCounts(t)
-      .withColumn("n_days", count(lit(1)).over(byType))
-      .withColumn("total", sum("n").over(byType))
-      .withColumn("cusum", sum(expr("n_days * n - total")).over(run))
-      .withColumn("best", max(struct(abs(col("cusum")).as("a"),
-        (-col("day")).as("nd"))).over(byType))
-      .filter(abs(col("cusum")) === col("best.a") &&
-        col("day") === -col("best.nd"))
-      .select(col("event_type"), col("n_days"), col("total"),
-        col("day").as("cp_day"),
-        abs(col("cusum")).as("max_abs_cusum"))
+    cusum(dailyCounts(t).select(col("event_type").as("key"),
+      col("day").as("i"), col("n").as("y")))
+      .select(col("key").as("event_type"),
+        col("n_points").as("n_days"), col("total"),
+        col("cp_i").as("cp_day"), col("max_abs_cusum"))
       .orderBy("event_type")
   }
 

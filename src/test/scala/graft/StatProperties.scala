@@ -1,0 +1,120 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.TemporalQueries
+
+/** Random-data pins for the generic statistical operators factored out
+  * of q169/q176/q177: each distributed result must equal a driver-side
+  * sequential reference on arbitrary inputs (not just the corpus), and
+  * the estimators must satisfy their defining invariances — the
+  * properties that made them worth implementing (Theil–Sen ignores a
+  * level shift; CUSUM's statistic is translation-invariant; KM's curve
+  * is a monotone non-increasing product).
+  */
+object StatProperties extends Properties("StatOps") {
+  private lazy val spark = TestSpark.spark
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  // --- Kaplan–Meier ---------------------------------------------------
+
+  private val kmGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(1, 60)
+    subs <- Gen.listOfN(n, for {
+      t <- Gen.choose(0L, 12L)
+      churn <- Gen.oneOf(0L, 1L)
+    } yield (t, churn))
+  } yield subs
+
+  private def kmSequential(subs: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long, Long)] = {
+    val ladder = subs.groupBy(_._1).toSeq.map { case (t, xs) =>
+      (t, xs.map(_._2).sum, xs.length.toLong)
+    }.sortBy(_._1)
+    var atRisk = ladder.map(_._3).sum
+    var s = 1000000L
+    ladder.map { case (t, d, n) =>
+      val row = { s = s * (atRisk - d) / atRisk; (t, atRisk, d, n - d, s) }
+      atRisk -= n
+      row
+    }
+  }
+
+  property("kaplanMeier equals the sequential recurrence") =
+    forAll(kmGen) { subs =>
+      import spark.implicits._
+      val got = TemporalQueries
+        .kaplanMeier(subs.toDF("t", "churn"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      got == kmSequential(subs)
+    }
+
+  property("kaplanMeier survival is monotone non-increasing in [0, 1e6]") =
+    forAll(kmGen) { subs =>
+      val s = kmSequential(subs).map(_._5)
+      s == s.sorted.reverse && s.forall(x => x >= 0L && x <= 1000000L)
+    }
+
+  // --- Theil–Sen ------------------------------------------------------
+
+  private val seriesGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(2, 20)
+    is <- Gen.pick(n, 0L until 40L)
+    ys <- Gen.listOfN(n, Gen.choose(0L, 1000L))
+  } yield is.toSeq.sorted.zip(ys)
+
+  private def theilSenSequential(pts: Seq[(Long, Long)]): Long = {
+    val slopes = (for {
+      a <- pts.indices; b <- (a + 1) until pts.length
+    } yield 1000L * (pts(b)._2 - pts(a)._2) / (pts(b)._1 - pts(a)._1))
+      .sorted
+    slopes((slopes.length + 1) / 2 - 1)
+  }
+
+  property("theilSen equals the sequential pairwise median") =
+    forAll(seriesGen) { pts =>
+      import spark.implicits._
+      val df = pts.map { case (i, y) => ("k", i, y) }.toDF("key", "i", "y")
+      val (trend, nPairsGot) = TemporalQueries.theilSen(df).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).head
+      val nPairs = pts.length.toLong * (pts.length - 1) / 2
+      nPairsGot == nPairs && trend == theilSenSequential(pts)
+    }
+
+  property("theilSen is invariant under a level shift") =
+    forAll(seriesGen, Gen.choose(-500L, 500L)) { (pts, c) =>
+      theilSenSequential(pts) ==
+        theilSenSequential(pts.map { case (i, y) => (i, y + c) })
+    }
+
+  // --- CUSUM ----------------------------------------------------------
+
+  private def cusumSequential(pts: Seq[(Long, Long)]): (Long, Long) = {
+    val n = pts.length.toLong
+    val total = pts.map(_._2).sum
+    var acc = 0L
+    val cs = pts.map { case (i, y) => acc += n * y - total; (i, acc) }
+    val (cp, peak) = cs.minBy { case (i, c) => (-math.abs(c), i) }
+    (cp, math.abs(peak))
+  }
+
+  property("cusum equals the sequential argmax") =
+    forAll(seriesGen) { pts =>
+      import spark.implicits._
+      val df = pts.map { case (i, y) => ("k", i, y) }.toDF("key", "i", "y")
+      val got = TemporalQueries.cusum(df).collect()
+        .map(r => (r.getLong(3), r.getLong(4))).head
+      got == cusumSequential(pts)
+    }
+
+  property("cusum statistic is invariant under a level shift") =
+    forAll(seriesGen, Gen.choose(-500L, 500L)) { (pts, c) =>
+      // dev = n·y − Σy absorbs any constant added to every y
+      cusumSequential(pts) ==
+        cusumSequential(pts.map { case (i, y) => (i, y + c) })
+    }
+}
