@@ -1209,7 +1209,144 @@ object VectorQueries {
       |    AS aniso_x1000
       |FROM stats ORDER BY dim""".stripMargin
 
+  /** q191: nprobe RECALL/COST curve — the knob curve the index tuner
+    * actually reads: for nprobe ∈ {1,2,4,8}, the mean recall@10 of
+    * multi-probe LSH (q69's lowest-|margin| mask order) against the
+    * exact top-10, NEXT TO the mean probe-pool size (the cost axis —
+    * recall without its scan cost is not a tuning signal). The curve
+    * answers "what nprobe buys the recall target at the least read
+    * amplification" — q126 measures one point; this draws the line.
+    *
+    * Scale shape: truth = one broadcast-queries corpus sweep; probe
+    * cells per (query, rank≤8) are a 64-row driver-sized frame
+    * broadcast into ONE candidates join (a vector lives in exactly
+    * one cell, so nprobe tiers need no dedup — `rn` IS the tier);
+    * the per-nprobe re-ranking explodes candidates ×4 (bounded by
+    * pool size, not corpus). All metrics integer per-milles.
+    */
+  def q191NprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val planes = 6
+    val nprobes = Seq(1L, 2L, 4L, 8L)
+    val t = Tables(spark, dir)
+    val cells = t.embeddings
+      .withColumn("cell", hyperplaneSignature(col("embedding"), planes))
+    val q0 = cells.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell").as("q_cell"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("dot"), asc("vec_id"))
+    val truth = t.embeddings.crossJoin(broadcast(q0))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot", dotFold(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"), lit(true).as("is_rel"))
+    val margins = (0 until planes).foldLeft(q0) { (df, p) =>
+      val plane = typedlit((0 until 64).map(i => planeComponentLocal(p, i)))
+      df.withColumn(s"m$p", dotFold(col("q_emb"), plane))
+    }
+    val cost = (0 until planes).map { p =>
+      when(shiftright(col("mask"), p).bitwiseAND(lit(1L)) === 1,
+        abs(col(s"m$p"))).otherwise(lit(0.0d))
+    }.reduce(_ + _)
+    val probes = spark.range(1L << planes).select(col("id").as("mask"))
+      .crossJoin(broadcast(margins))
+      .withColumn("cost", cost)
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(asc("cost"), asc("mask"))).cast("long"))
+      .filter(col("rn") <= nprobes.max)
+      .select(col("query_id"),
+        col("q_cell").bitwiseXOR(col("mask")).as("cell"), col("rn"))
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(q0.select(col("query_id"), col("q_emb"))),
+        Seq("query_id"))
+      .withColumn("cosine", dotFold(col("embedding"), col("q_emb")))
+      .select("query_id", "vec_id", "rn", "cosine")
+    val byNp = cand
+      .withColumn("np", explode(typedlit(nprobes)))
+      .filter(col("rn") <= col("np"))
+      .withColumn("srank", row_number().over(
+        Window.partitionBy("query_id", "np")
+          .orderBy(desc("cosine"), asc("vec_id"))))
+    val perQ = byNp
+      .join(truth, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id", "np")
+      .agg(count(lit(1)).as("n_pool"),
+        count(when(col("srank") <= 10 && col("is_rel"), 1)).as("n_hits"))
+    import spark.implicits._
+    val universe = q0.select("query_id")
+      .crossJoin(nprobes.toDF("np"))
+    universe.join(perQ, Seq("query_id", "np"), "left")
+      .na.fill(0L, Seq("n_pool", "n_hits"))
+      .groupBy("np")
+      .agg(count(lit(1)).as("n_queries"),
+        expr("sum((1000 * n_hits) div 10) div count(1)")
+          .as("mean_recall_permille"),
+        expr("sum(n_pool) div count(1)").as("mean_pool"))
+      .orderBy("np")
+  }
+
+  val q191Sql: String = {
+    val sig = OracleSql.hyperplaneSignature("embedding", 6)
+    val dot = OracleSql.dotFold("e.embedding", "q.q_emb")
+    val margins = (0 until 6)
+      .map(p => s"${OracleSql.hyperplaneProjection("q_emb", p)} AS m$p")
+      .mkString(", ")
+    val cost = (0 until 6)
+      .map(p => s"CASE WHEN (r.range >> $p) & 1 = 1 THEN abs(m$p) ELSE 0.0 END")
+      .mkString(" + ")
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding, $sig AS cell FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, cell AS q_cell
+       |  FROM cells WHERE vec_id < 8),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY $dot DESC, e.vec_id) AS rank
+       |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+       |  WHERE rank <= 10),
+       |margins AS (SELECT query_id, q_cell, q_emb, $margins FROM q),
+       |probes AS (
+       |  SELECT query_id, xor(q_cell, mask) AS cell, rn FROM (
+       |    SELECT query_id, q_cell, r.range AS mask,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ($cost), r.range) AS rn
+       |    FROM margins, range(64) r)
+       |  WHERE rn <= 8),
+       |cand AS (
+       |  SELECT p.query_id, e.vec_id, p.rn, $dot AS cosine
+       |  FROM cells e JOIN probes p ON e.cell = p.cell
+       |  JOIN q ON q.query_id = p.query_id
+       |  WHERE e.vec_id <> p.query_id),
+       |by_np AS (
+       |  SELECT c.query_id, c.vec_id, np.np, c.cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY c.query_id, np.np
+       |      ORDER BY c.cosine DESC, c.vec_id) AS srank
+       |  FROM cand c, (VALUES (1), (2), (4), (8)) np(np)
+       |  WHERE c.rn <= np.np),
+       |per_q AS (
+       |  SELECT b.query_id, b.np, COUNT(*)::BIGINT AS n_pool,
+       |    COUNT(*) FILTER (WHERE b.srank <= 10 AND t.vec_id IS NOT NULL)
+       |      ::BIGINT AS n_hits
+       |  FROM by_np b LEFT JOIN truth t
+       |    ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+       |  GROUP BY b.query_id, b.np),
+       |universe AS (
+       |  SELECT q.query_id, np.np
+       |  FROM q, (VALUES (1), (2), (4), (8)) np(np))
+       |SELECT u.np::BIGINT AS np, COUNT(*)::BIGINT AS n_queries,
+       |  (SUM((1000 * COALESCE(p.n_hits, 0)) // 10) // COUNT(*))::BIGINT
+       |    AS mean_recall_permille,
+       |  (SUM(COALESCE(p.n_pool, 0)) // COUNT(*))::BIGINT AS mean_pool
+       |FROM universe u LEFT JOIN per_q p
+       |  ON u.query_id = p.query_id AND u.np = p.np
+       |GROUP BY u.np ORDER BY np""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_nprobe_curve" -> (q191NprobeCurve _),
     "q186_anisotropy" -> (q186Anisotropy _),
     "q181_retrieval_eval" -> (q181RetrievalEval _),
     "q182_knn_label_eval" -> (q182KnnLabelEval _),
@@ -1231,6 +1368,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q191_nprobe_curve" -> q191Sql,
     "q186_anisotropy" -> q186Sql,
     "q181_retrieval_eval" -> q181Sql,
     "q182_knn_label_eval" -> q182Sql,

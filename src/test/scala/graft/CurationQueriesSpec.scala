@@ -2451,4 +2451,48 @@ class CurationQueriesSpec extends AnyFunSuite {
     // the census covers every user exactly once
     assert(got.map(_._2).sum == perUser.length.toLong)
   }
+
+  // --- q191 ----------------------------------------------------------
+
+  test("q191 matches a sequential nprobe-curve re-derivation") {
+    import functions.VectorFunctions.planeComponentLocal
+    val v = vecs()
+    val emb = v.toMap
+    def proj(x: Array[Float], p: Int): Double =
+      x.indices.foldLeft(0.0d)((acc, i) =>
+        acc + x(i).toDouble * planeComponentLocal(p, i))
+    def cell(x: Array[Float]): Long =
+      (0 until 6).map(p => if (proj(x, p) > 0) 1L << p else 0L).sum
+    val cellOf = v.map(x => x._1 -> cell(x._2)).toMap
+    val nprobes = Seq(1L, 2L, 4L, 8L)
+    val perQ = for (qid <- 0L until 8L; np <- nprobes) yield {
+      val qe = emb(qid)
+      val truth = v.filter(_._1 != qid)
+        .map { case (id, x) => (id, dot(x, qe)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      val ms = (0 until 6).map(p => proj(qe, p))
+      val masks = (0L until 64L).map { m =>
+        val c = (0 until 6).map(p =>
+          if (((m >> p) & 1L) == 1L) math.abs(ms(p)) else 0.0d).sum
+        (c, m)
+      }.sortBy(identity).take(np.toInt)
+        .map { case (_, m) => cellOf(qid) ^ m }.toSet
+      val pool = v.filter(x => x._1 != qid && masks(cellOf(x._1)))
+      val sys = pool.map { case (id, x) => (id, dot(x, qe)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+      val hits = sys.count(truth).toLong
+      (np, pool.length.toLong, 1000L * hits / 10L)
+    }
+    val expected = perQ.groupBy(_._1).toSeq.map { case (np, xs) =>
+      (np, xs.length.toLong, xs.map(_._3).sum / xs.length,
+        xs.map(_._2).sum / xs.length)
+    }.sortBy(_._1)
+    val got = operators.VectorQueries.q191NprobeCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // recall and pool are monotone non-decreasing in nprobe
+    assert(got.map(_._3) == got.map(_._3).sorted)
+    assert(got.map(_._4) == got.map(_._4).sorted)
+  }
 }
