@@ -1252,10 +1252,71 @@ object TextQueries {
        |FROM agg ORDER BY lang, source""".stripMargin
   }
 
+  /** q192: incremental OOV DRIFT monitor — the deployed-tokenizer
+    * health check on every new drop: the serving vocabulary is frozen
+    * (here: top-4k types over the 90% history slice — the stand-in
+    * for "the vocab the tokenizer shipped with"), and each incoming
+    * batch (the 10% hash slice) is scored against it per source:
+    * token OOV share and the count of never-seen types. A batch whose
+    * OOV jumps over the q166-curve baseline is the retrain trigger —
+    * caught at INGEST, before the model sees garbage segmentations.
+    *
+    * Scale shape: the history crosses once as Zipf-compressed (type,
+    * count) pairs and the frozen vocab is a 4k-row BROADCAST; the
+    * batch side joins it map-side — the batch never shuffles for the
+    * probe (q111's decontamination shape, applied to vocabulary).
+    */
+  def q192OovDrift(spark: SparkSession, dir: String): DataFrame = {
+    val vocabSize = 4000L
+    val t = Tables(spark, dir)
+    val tok = t.documents.select(col("doc_id"), col("source"),
+      explode(tokens(col("text"))).as("w"))
+    val isBatch = pmod(col("doc_id"), lit(10L)) === 0L
+    val vocab = tok.filter(!isBatch)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(desc("cnt"), asc("w"))).cast("long"))
+      .filter(col("rnk") <= vocabSize)
+      .select(col("w"), lit(true).as("in_vocab"))
+    tok.filter(isBatch)
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov_tokens"),
+        expr("(1000 * count(case when in_vocab is null then 1 end)) " +
+          "div count(1)").as("oov_permille"),
+        countDistinct(when(col("in_vocab").isNull, col("w")))
+          .as("n_new_types"))
+      .orderBy("source")
+  }
+
+  val q192Sql: String = {
+    val toks = OracleSql.tokens("text")
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, unnest($toks) AS w FROM documents),
+       |vocab AS (
+       |  SELECT w FROM (
+       |    SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rnk
+       |    FROM tok WHERE doc_id % 10 <> 0 GROUP BY w)
+       |  WHERE rnk <= 4000),
+       |scored AS (
+       |  SELECT t.source, t.w, v.w IS NOT NULL AS in_vocab
+       |  FROM (SELECT * FROM tok WHERE doc_id % 10 = 0) t
+       |  LEFT JOIN vocab v ON t.w = v.w)
+       |SELECT source, COUNT(*)::BIGINT AS n_tokens,
+       |  COUNT(*) FILTER (WHERE NOT in_vocab)::BIGINT AS n_oov_tokens,
+       |  ((1000 * COUNT(*) FILTER (WHERE NOT in_vocab)) // COUNT(*))::BIGINT
+       |    AS oov_permille,
+       |  COUNT(DISTINCT w) FILTER (WHERE NOT in_vocab)::BIGINT
+       |    AS n_new_types
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_oov_curve" -> (q166OovCurve _),
     "q180_length_decay" -> (q180LengthDecay _),
     "q184_readability" -> (q184Readability _),
+    "q192_oov_drift" -> (q192OovDrift _),
     "q167_tokenizer_fertility" -> (q167TokenizerFertility _),
     "q136_vocab_growth" -> (q136VocabGrowth _),
     "q154_langid_agreement" -> (q154LangIdAgreement _),
@@ -1281,6 +1342,7 @@ object TextQueries {
     "q166_oov_curve" -> q166Sql,
     "q180_length_decay" -> q180Sql,
     "q184_readability" -> q184Sql,
+    "q192_oov_drift" -> q192Sql,
     "q167_tokenizer_fertility" -> q167Sql,
     "q136_vocab_growth" -> q136Sql,
     "q154_langid_agreement" -> q154Sql,

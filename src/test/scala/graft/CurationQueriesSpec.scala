@@ -2495,4 +2495,33 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(got.map(_._3) == got.map(_._3).sorted)
     assert(got.map(_._4) == got.map(_._4).sorted)
   }
+
+  // --- q192 ----------------------------------------------------------
+
+  test("q192 matches a sequential OOV-drift re-derivation") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val histCounts = d.filter(_._1 % 10L != 0L)
+      .flatMap(x => toks(x._3)).groupBy(identity).toSeq
+      .map { case (w, xs) => (w, xs.length.toLong) }
+    val vocab = histCounts.sortBy { case (w, c) => (-c, w) }
+      .take(4000).map(_._1).toSet
+    val expected = d.filter(_._1 % 10L == 0L)
+      .flatMap(x => toks(x._3).map(w => (x._2, w)))
+      .groupBy(_._1).toSeq.map { case (source, xs) =>
+        val oov = xs.filterNot(x => vocab(x._2))
+        (source, xs.length.toLong, oov.length.toLong,
+          1000L * oov.length / xs.length,
+          oov.map(_._2).distinct.length.toLong)
+      }.sortBy(_._1)
+    val got = operators.TextQueries.q192OovDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // OOV share stays a per-mille; new types never exceed OOV tokens
+    got.foreach { case (_, _, oovT, pm, newT) =>
+      assert(pm >= 0L && pm <= 1000L && newT <= oovT)
+    }
+  }
 }
