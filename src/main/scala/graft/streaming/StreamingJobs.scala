@@ -545,6 +545,48 @@ object EventStreams {
       }
   }
 
+  final case class TypedEvent(event_type: String, us: Long)
+  final case class DecayedOut(event_type: String, anchor_week: Long,
+      n_events: Long, decayed_mass: Long)
+
+  /** Continuous decayed counters — q141's trending/popularity mass
+    * maintained as streaming state: per event type, integer
+    * power-of-two half-life decay over ABSOLUTE week buckets (anchor
+    * = the max week seen so far; q141's batch form anchors on the
+    * exact max timestamp, so the two are siblings with a documented
+    * anchor convention, pinned equal to a same-convention sequential
+    * reference in StreamingSpec). State is the per-week count map,
+    * pruned past 30 half-lives (those buckets shift to zero mass
+    * anyway), so state size is bounded by the decay horizon — the
+    * re-base on anchor advance is exact because (x >> a) >> d
+    * ≡ x >> (a + d) for power-of-two decay.
+    */
+  def decayedCountsStream(ds: Dataset[TypedEvent]): Dataset[DecayedOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long, Map[Long, Long]), DecayedOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (tpe, rows, state: GroupState[(Long, Long, Map[Long, Long])]) =>
+          val (n0, anchor0, buckets0) = state.getOption
+            .getOrElse((0L, Long.MinValue, Map.empty[Long, Long]))
+          var n = n0
+          var anchor = anchor0
+          var buckets = buckets0
+          rows.foreach { e =>
+            val w = Math.floorDiv(e.us, 604800000000L)
+            buckets = buckets.updated(w, buckets.getOrElse(w, 0L) + 1L)
+            n += 1L
+            if (w > anchor) anchor = w
+          }
+          buckets = buckets.filter { case (w, _) => anchor - w <= 30L }
+          state.update((n, anchor, buckets))
+          val mass = buckets.map { case (w, c) =>
+            c * (1000000L >> math.min(anchor - w, 30L).toInt)
+          }.sum
+          Iterator(DecayedOut(tpe, anchor, n, mass))
+      }
+  }
+
   final case class Seen(key: String, raw: String)
   final case class SeenCount(key: String, raw: String, seenCount: Long)
 

@@ -354,6 +354,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decayed counters equal the sequential reference " +
+    "across replayed batches") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{TypedEvent, DecayedOut}
+    implicit val sqlCtx = spark.sqlContext
+    val W = 604800000000L
+    // three weeks of traffic for two types, delivered out of order and
+    // split across micro-batches: the anchor advances mid-stream and
+    // the older buckets must re-base exactly
+    val all = Seq(
+      TypedEvent("view", 0L * W + 5L), TypedEvent("view", 0L * W + 9L),
+      TypedEvent("click", 0L * W + 1L),
+      TypedEvent("view", 1L * W + 3L), TypedEvent("click", 2L * W + 2L),
+      TypedEvent("view", 2L * W + 7L), TypedEvent("view", 2L * W + 8L))
+    val mem = MemoryStream[TypedEvent]
+    val q = graft.streaming.EventStreams.decayedCountsStream(mem.toDS())
+      .writeStream.format("memory").queryName("decayed")
+      .outputMode("update").start()
+    try {
+      mem.addData(all.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      val last = spark.table("decayed").as[DecayedOut].collect()
+        .groupBy(_.event_type).map { case (t, xs) =>
+          t -> xs.maxBy(_.anchor_week)
+        }
+      // sequential reference with the same absolute-week convention
+      val want = all.groupBy(_.event_type).map { case (t, xs) =>
+        val anchor = xs.map(e => e.us / W).max
+        val mass = xs.map(e =>
+          1000000L >> math.min(anchor - e.us / W, 30L).toInt).sum
+        t -> ((anchor, xs.length.toLong, mass))
+      }
+      want.foreach { case (t, (anchor, n, mass)) =>
+        val got = last(t)
+        assert((got.anchor_week, got.n_events, got.decayed_mass) ==
+          ((anchor, n, mass)), s"type $t")
+      }
+      // decay really happened: week-0 mass counts at 1/4 weight
+      assert(last("view").decayed_mass ==
+        2L * 250000L + 500000L + 2L * 1000000L)
+    } finally q.stop()
+  }
+
   test("running seen counts accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
