@@ -1345,7 +1345,101 @@ object DedupQueries {
       |    AS doc_share_permille
       |FROM groups GROUP BY s ORDER BY s""".stripMargin
 
+  /** q193: EXACT SUBSTRING-SPAN dedup detection — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) signal their suffix-array ExactSubstr finds:
+    * the LONGEST token span shared verbatim between two documents,
+    * which exact-hash dedup (q30) misses entirely and shingle Jaccard
+    * (q31/q32) only scores in aggregate. Distributed seed-and-chain
+    * re-formulation of the suffix-array scan: every 8-token gram
+    * (POSITIONAL, not distinct — position is the whole point) is a
+    * seed; a shared span of L ≥ 8 tokens appears as L−7 consecutive
+    * seed matches on one (a, b, i−j) DIAGONAL, so chaining is the
+    * classic gaps-and-islands group (pos − row_number) and the span
+    * length is run + 7, exactly — no extension probes, no text
+    * re-reads. Reports pairs whose longest shared span ≥ 12 tokens
+    * with the best span's start offsets (ties → smallest starts).
+    *
+    * Scale shape: grams are one generate-and-explode projection; the
+    * only corpus-sized shuffle is the seed equi-join on the 60-bit
+    * gram hash (collision-proof at corpus scale in the same sense as
+    * q32's signatures), then the diagonal window and its groupBy share
+    * ONE (a,b,d) exchange (hash partitioning on the window keys also
+    * satisfies the superset groupBy), the pair rollup rides the same
+    * clustering, and the report is a TakeOrderedAndProject. Hot grams
+    * (ubiquitous boilerplate) are the q76 span-dedup REMOVAL target;
+    * a production pass caps seed document-frequency first, which turns
+    * this detector into a certified lower bound on span length while
+    * bounding the join's per-key density — same df-gate machinery as
+    * prefixJaccardPairs' hot-postings salt.
+    */
+  def q193SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val grams = t.documents
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, size(ts) - 8), i -> array_join(slice(ts, i + 1, 8), ' '))"))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5Long60(col("gram")).as("h"))
+    val seeds = grams.as("a")
+      .join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.pos").as("i"), (col("a.pos") - col("b.pos")).as("d"))
+    val diag = Window.partitionBy("a_id", "b_id", "d").orderBy("i")
+    val runs = seeds
+      .withColumn("grp", col("i") - row_number().over(diag))
+      .groupBy("a_id", "b_id", "d", "grp")
+      .agg((count(lit(1)) + 7L).as("span"), min("i").as("sa"))
+    runs
+      .groupBy("a_id", "b_id")
+      .agg(max(struct(col("span"), (-col("sa")).as("nsa"),
+          (col("d") - col("sa")).as("nsb"))).as("best"),
+        sum(when(col("span") >= 12L, 1L).otherwise(0L)).as("n_long_spans"))
+      .select(col("a_id"), col("b_id"),
+        col("best.span").as("max_span_tokens"),
+        col("n_long_spans"),
+        (-col("best.nsa")).as("start_a"),
+        (-col("best.nsb")).as("start_b"))
+      .filter(col("max_span_tokens") >= 12L)
+      .orderBy(desc("max_span_tokens"), col("a_id"), col("b_id"))
+      .limit(50)
+  }
+
+  val q193Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${OracleSql.tokens("text")} AS ts
+       |  FROM documents WHERE len(${OracleSql.tokens("text")}) >= 8),
+       |grams AS (
+       |  SELECT doc_id, i AS pos,
+       |    ${OracleSql.md5Long60("array_to_string(ts[i+1:i+8], ' ')")} AS h
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 8)) AS i
+       |        FROM toks)),
+       |seeds AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS i,
+       |    a.pos - b.pos AS d
+       |  FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT a_id, b_id, d, i,
+       |    i - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, d ORDER BY i) AS grp
+       |  FROM seeds),
+       |runs AS (
+       |  SELECT a_id, b_id, d, grp, COUNT(*) + 7 AS span, MIN(i) AS sa
+       |  FROM isl GROUP BY 1, 2, 3, 4),
+       |bests AS (
+       |  SELECT a_id, b_id,
+       |    MAX(struct_pack(span := span, nsa := -sa, nsb := d - sa)) AS bst,
+       |    SUM(CASE WHEN span >= 12 THEN 1 ELSE 0 END)::BIGINT AS n_long_spans
+       |  FROM runs GROUP BY 1, 2)
+       |SELECT a_id, b_id, bst.span::BIGINT AS max_span_tokens, n_long_spans,
+       |  (-bst.nsa)::INT AS start_a, (-bst.nsb)::INT AS start_b
+       |FROM bests WHERE bst.span >= 12
+       |ORDER BY max_span_tokens DESC, a_id, b_id LIMIT 50""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_substring_dedup" -> (q193SubstringDedup _),
     "q183_dup_spectrum" -> (q183DupSpectrum _),
     "q172_canonical_select" -> (q172CanonicalSelect _),
     "q124_lsh_recall" -> (q124LshRecall _),
@@ -1367,6 +1461,7 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q193_substring_dedup" -> q193Sql,
     "q183_dup_spectrum" -> q183Sql,
     "q172_canonical_select" -> q172Sql,
     "q124_lsh_recall" -> q124Sql,

@@ -2524,4 +2524,49 @@ class CurationQueriesSpec extends AnyFunSuite {
       assert(pm >= 0L && pm <= 1000L && newT <= oovT)
     }
   }
+
+  // --- q193 ----------------------------------------------------------
+
+  test("q193 matches a sequential seed-and-chain re-derivation") {
+    val d = docs()
+    val grams = d.flatMap { case (id, text, _, _) =>
+      val t = toks(text)
+      if (t.length < 8) Nil
+      else (0 to t.length - 8).map(i => (t.slice(i, i + 8).mkString(" "), id, i))
+    }
+    val seeds = grams.groupBy(_._1).valuesIterator.flatMap { arr =>
+      val xs = arr.toSeq
+      for (a <- xs; b <- xs; if a._2 < b._2)
+        yield (a._2, b._2, a._3, a._3 - b._3)
+    }.toSeq
+    val runs = seeds.groupBy(x => (x._1, x._2, x._4)).toSeq
+      .flatMap { case ((a, b, dg), xs) =>
+        val is = xs.map(_._3).sorted
+        val islands = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var start = is.head
+        var prev = is.head
+        for (i <- is.tail) {
+          if (i != prev + 1) { islands += ((start, prev - start + 1)); start = i }
+          prev = i
+        }
+        islands += ((start, prev - start + 1))
+        islands.map { case (sa, len) => (a, b, len + 7, sa, sa - dg) }
+      }
+    val expected = runs.groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((a, b), xs) =>
+        val best = xs.maxBy(x => (x._3, -x._4, -x._5))
+        (a, b, best._3.toLong, xs.count(_._3 >= 12).toLong, best._4, best._5)
+      }
+      .filter(_._3 >= 12L).sortBy(x => (-x._3, x._1, x._2)).take(50)
+    val got = operators.DedupQueries.q193SubstringDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5))).toSeq
+    assert(got == expected)
+    // a chained span is at least the seed length and fits both docs
+    val nTok = d.map(x => (x._1, toks(x._2).length)).toMap
+    got.foreach { case (a, b, span, nLong, sa, sb) =>
+      assert(span >= 12L && nLong >= 1L)
+      assert(sa + span <= nTok(a) && sb + span <= nTok(b))
+    }
+  }
 }
