@@ -1438,7 +1438,82 @@ object DedupQueries {
        |FROM bests WHERE bst.span >= 12
        |ORDER BY max_span_tokens DESC, a_id, b_id LIMIT 50""".stripMargin
 
+  /** q194: EDIT-DISTANCE similarity self-join — PassJoin (Li, Deng,
+    * Feng 2011: partition-based method for string similarity joins)
+    * over 40-char document prefixes (the title/URL-key fuzzy-dedup
+    * shape), threshold d = 2. The pigeonhole that kills the O(n²)
+    * levenshtein join: split the SHORTER string of any pair into
+    * d + 1 = 3 canonical segments; ed ≤ d forces at least one segment
+    * to survive the edit script UNTOUCHED, i.e. appear verbatim in the
+    * longer string shifted by at most d. So candidates are an
+    * EQUI-join — segment index side (3 rows/string) against a probe
+    * side of admissible substrings (≤ 3 lengths × 3 segments × 5
+    * starts per string), and exact levenshtein runs ONLY on verified
+    * candidates. Each unordered pair is generated from exactly one
+    * direction ((len, id)-lexicographic: probe = longer, index =
+    * shorter; id order breaks equal-length ties).
+    *
+    * q114 is the asymmetric cousin (dirty feed × broadcast registry);
+    * this is the SYMMETRIC shape where no side is dictionary-sized —
+    * at 100 TB both sides shuffle once on the (segment, length, piece)
+    * key, candidate volume tracks true near-matches (not n²), and the
+    * codegen'd levenshtein touches candidates only. The oracle is the
+    * naive theta join (exact, unbounded — feasible at oracle scale);
+    * cross-formulation exactness is additionally pinned sequentially
+    * (CurationQueriesSpec).
+    */
+  def q194EditDistanceJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val strs = t.documents
+      .select(col("doc_id").as("id"), substring(col("text"), 1, 40).as("str"))
+      .withColumn("l", length(col("str")))
+      .filter(col("l") >= 1)
+    val segs = strs
+      .withColumn("seg", explode(expr("sequence(0, 2)")))
+      .withColumn("plen", expr("((seg + 1) * l) div 3 - (seg * l) div 3"))
+      .filter(col("plen") > 0)
+      .select(col("id").as("s_id"), col("str").as("s_str"),
+        col("l").as("s_l"), col("seg"),
+        expr("substring(str, (seg * l) div 3 + 1, plen)").as("piece"))
+    val probes = strs
+      .select(col("id").as("t_id"), col("str").as("t_str"), col("l").as("m"))
+      .withColumn("ls", explode(expr("sequence(greatest(m - 2, 1), m)")))
+      .withColumn("seg", explode(expr("sequence(0, 2)")))
+      .withColumn("plen", expr("((seg + 1) * ls) div 3 - (seg * ls) div 3"))
+      .filter(col("plen") > 0)
+      .withColumn("p", explode(expr(
+        "sequence(greatest((seg * ls) div 3 - 2, 0), " +
+          "least((seg * ls) div 3 + 2, m - plen))")))
+      .select(col("t_id"), col("t_str"), col("m"), col("ls"), col("seg"),
+        expr("substring(t_str, p + 1, plen)").as("piece"))
+    segs.join(probes,
+        segs("seg") === probes("seg") && segs("piece") === probes("piece") &&
+          segs("s_l") === probes("ls") &&
+          (segs("s_l") < probes("m") ||
+            (segs("s_l") === probes("m") && segs("s_id") < probes("t_id"))))
+      .select("s_id", "t_id", "s_str", "t_str")
+      .dropDuplicates("s_id", "t_id")
+      .withColumn("dist", levenshtein(col("s_str"), col("t_str")))
+      .filter(col("dist") <= 2)
+      .select(least(col("s_id"), col("t_id")).as("a_id"),
+        greatest(col("s_id"), col("t_id")).as("b_id"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("dist", "a_id", "b_id")
+  }
+
+  val q194Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS str
+      |  FROM documents WHERE len(substr(text, 1, 40)) >= 1)
+      |SELECT least(a.doc_id, b.doc_id) AS a_id,
+      |  greatest(a.doc_id, b.doc_id) AS b_id,
+      |  levenshtein(a.str, b.str)::BIGINT AS dist
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.str, b.str) <= 2
+      |ORDER BY dist, a_id, b_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_editdist_join" -> (q194EditDistanceJoin _),
     "q193_substring_dedup" -> (q193SubstringDedup _),
     "q183_dup_spectrum" -> (q183DupSpectrum _),
     "q172_canonical_select" -> (q172CanonicalSelect _),
@@ -1461,6 +1536,7 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q194_editdist_join" -> q194Sql,
     "q193_substring_dedup" -> q193Sql,
     "q183_dup_spectrum" -> q183Sql,
     "q172_canonical_select" -> q172Sql,

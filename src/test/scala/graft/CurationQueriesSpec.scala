@@ -2569,4 +2569,37 @@ class CurationQueriesSpec extends AnyFunSuite {
       assert(sa + span <= nTok(a) && sb + span <= nTok(b))
     }
   }
+
+  // --- q194 ----------------------------------------------------------
+
+  /** Classic full-matrix edit distance — the naive reference the
+    * PassJoin pigeonhole must reproduce exactly.
+    */
+  private def editDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var diag = dp(0)
+      dp(0) = i
+      for (j <- 1 to b.length) {
+        val tmp = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        diag = tmp
+      }
+    }
+    dp(b.length)
+  }
+
+  test("q194 matches a sequential naive edit-distance join") {
+    val strs = docs().map(x => (x._1, x._2.take(40))).filter(_._2.nonEmpty)
+    val expected = (for {
+      a <- strs; b <- strs; if a._1 < b._1
+      dist = editDist(a._2, b._2); if dist <= 2
+    } yield (a._1, b._1, dist.toLong))
+      .sortBy(x => (x._3, x._1, x._2)).toSeq
+    val got = operators.DedupQueries.q194EditDistanceJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    got.foreach { case (a, b, dist) => assert(a < b && dist >= 0L) }
+  }
 }
