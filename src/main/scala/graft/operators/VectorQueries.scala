@@ -1345,7 +1345,114 @@ object VectorQueries {
        |GROUP BY u.np ORDER BY np""".stripMargin
   }
 
+  /** q195: KNN-SHAPLEY data valuation — Jia et al. 2019 ("Efficient
+    * Task-Specific Data Valuation for Nearest Neighbor Algorithms",
+    * VLDB): the exact Shapley value of every TRAINING vector for a
+    * K-NN classifier is computable in closed form from one
+    * distance-sorted pass per test point — s_αN = 1[y_αN=y]/N, then
+    * s_αi = s_αi+1 + (1[y_αi=y] − 1[y_αi+1=y])·min(K,i)/(K·i) walking
+    * ranks inward. This is THE principled curation signal the
+    * heuristic filters approximate: points that consistently push
+    * neighbors toward wrong answers get NEGATIVE value (mislabeled /
+    * poisoned candidates for removal), high-value points anchor their
+    * class. All arithmetic in ×10⁹ scaled integers: each rank's
+    * contribution magnitude is divided FIRST (always-positive
+    * operands, so DuckDB floor-// and Spark truncating-div agree) and
+    * signed after; a suffix-sum window materializes every rank's
+    * Shapley value exactly, and per-train totals are exact integer
+    * sums. Reports the 20 most valuable + 20 most harmful vectors.
+    *
+    * Scale shape: the test slice (4%) broadcasts; the corpus sweep is
+    * map-only codegen'd dots; per-test ranking is one window exchange
+    * keyed by query (the bounded-eval-sample pattern of q182); the
+    * per-train rollup is one aggregate whose output is |train| rows;
+    * the report is two rank windows over that aggregate. At 100 TB the
+    * train sweep stays one scan — the valuation is literally one
+    * sorted pass per test point, which is the paper's point.
+    */
+  def q195KnnShapley(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tests = t.embeddings.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").cast("long").as("q_label"))
+    val train = t.embeddings.filter(col("vec_id") % 25 =!= 0)
+      .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+    val wRank = Window.partitionBy("query_id").orderBy(desc("dot"), asc("vec_id"))
+    val wSuffix = Window.partitionBy("query_id").orderBy("rank")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ranked = train.crossJoin(broadcast(tests))
+      .withColumn("dot", dotFold(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("query_id")))
+      .withColumn("ind", when(col("label") === col("q_label"), 1L).otherwise(0L))
+      .withColumn("ind_next", lead(col("ind"), 1).over(
+        Window.partitionBy("query_id").orderBy("rank")))
+      // 1000000000L: the magnitude product must be BIGINT — an int
+      // literal would wrap at 2^31 in non-ANSI Spark while DuckDB
+      // promotes, silently diverging the engines.
+      .withColumn("contrib", when(col("rank") === col("n"),
+          col("ind") * expr("1000000000L div n"))
+        .otherwise((col("ind") - col("ind_next")) *
+          expr("(1000000000L * least(5, rank)) div (5 * rank)")))
+      .withColumn("shap_nano", sum("contrib").over(wSuffix))
+    val totals = ranked.groupBy("vec_id", "label")
+      .agg(sum("shap_nano").as("shap_nano"), count(lit(1)).as("n_tests"))
+    totals
+      .withColumn("rk_top", row_number().over(
+        Window.orderBy(desc("shap_nano"), asc("vec_id"))))
+      .withColumn("rk_bot", row_number().over(
+        Window.orderBy(asc("shap_nano"), asc("vec_id"))))
+      .filter(col("rk_top") <= 20 || col("rk_bot") <= 20)
+      .withColumn("bucket",
+        when(col("rk_top") <= 20, lit("valuable")).otherwise(lit("harmful")))
+      .select("vec_id", "label", "shap_nano", "n_tests", "bucket")
+      .orderBy(desc("shap_nano"), asc("vec_id"))
+  }
+
+  val q195Sql: String = {
+    val dot = OracleSql.dotFold("tr.embedding", "q.q_emb")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb,
+       |    label::BIGINT AS q_label
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |tr AS (
+       |  SELECT vec_id, embedding, label::BIGINT AS label
+       |  FROM embeddings WHERE vec_id % 25 <> 0),
+       |ranked AS (
+       |  SELECT tr.vec_id, tr.label, q.query_id,
+       |    CASE WHEN tr.label = q.q_label THEN 1 ELSE 0 END AS ind,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |      ORDER BY $dot DESC, tr.vec_id) AS rank,
+       |    COUNT(*) OVER (PARTITION BY q.query_id) AS n
+       |  FROM tr CROSS JOIN q),
+       |contribs AS (
+       |  SELECT vec_id, label, query_id, rank,
+       |    CASE WHEN rank = n THEN ind * (1000000000 // n)
+       |      ELSE (ind - LEAD(ind) OVER (PARTITION BY query_id ORDER BY rank))
+       |        * ((1000000000 * least(5, rank)) // (5 * rank)) END AS contrib
+       |  FROM ranked),
+       |shaps AS (
+       |  SELECT vec_id, label, query_id,
+       |    SUM(contrib) OVER (PARTITION BY query_id ORDER BY rank
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS shap_nano
+       |  FROM contribs),
+       |totals AS (
+       |  SELECT vec_id, label, SUM(shap_nano)::BIGINT AS shap_nano,
+       |    COUNT(*)::BIGINT AS n_tests
+       |  FROM shaps GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (ORDER BY shap_nano DESC, vec_id) AS rk_top,
+       |    ROW_NUMBER() OVER (ORDER BY shap_nano, vec_id) AS rk_bot
+       |  FROM totals)
+       |SELECT vec_id, label, shap_nano, n_tests,
+       |  CASE WHEN rk_top <= 20 THEN 'valuable' ELSE 'harmful' END AS bucket
+       |FROM rk WHERE rk_top <= 20 OR rk_bot <= 20
+       |ORDER BY shap_nano DESC, vec_id""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_knn_shapley" -> (q195KnnShapley _),
     "q191_nprobe_curve" -> (q191NprobeCurve _),
     "q186_anisotropy" -> (q186Anisotropy _),
     "q181_retrieval_eval" -> (q181RetrievalEval _),
@@ -1368,6 +1475,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q195_knn_shapley" -> q195Sql,
     "q191_nprobe_curve" -> q191Sql,
     "q186_anisotropy" -> q186Sql,
     "q181_retrieval_eval" -> q181Sql,

@@ -2590,6 +2590,49 @@ class CurationQueriesSpec extends AnyFunSuite {
     dp(b.length)
   }
 
+  // --- q195 ----------------------------------------------------------
+
+  test("q195 matches a sequential KNN-Shapley recurrence") {
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2).toLong))
+    val tests = v.filter(_._1 % 25 == 0)
+    val train = v.filter(_._1 % 25 != 0)
+    val n = train.length
+    val scale = 1000000000L
+    val perTest = tests.map { case (_, qe, ql) =>
+      val ranked = train.map { case (id, e, l) => (id, dot(e, qe), l) }
+        .sortBy { case (id, s, _) => (-s, id) }
+      val ind = ranked.map { case (_, _, l) => if (l == ql) 1L else 0L }
+      val contrib = (1 to n).map { j =>
+        if (j == n) ind(j - 1) * (scale / n)
+        else (ind(j - 1) - ind(j)) * (scale * math.min(5L, j) / (5L * j))
+      }
+      val suffix = contrib.scanRight(0L)(_ + _).init
+      ranked.map(_._1).zip(suffix)
+    }
+    val totals = perTest.flatten.groupBy(_._1).map { case (id, xs) =>
+      (id, xs.map(_._2).sum, xs.length.toLong)
+    }.toSeq
+    val labelOf = train.map(x => (x._1, x._3)).toMap
+    val top = totals.sortBy(x => (-x._2, x._1)).take(20).map(_._1).toSet
+    val bot = totals.sortBy(x => (x._2, x._1)).take(20).map(_._1).toSet
+    val expected = totals
+      .filter(x => top(x._1) || bot(x._1))
+      .map { case (id, s, nt) =>
+        (id, labelOf(id), s, nt, if (top(id)) "valuable" else "harmful")
+      }.sortBy(x => (-x._3, x._1))
+    val got = operators.VectorQueries.q195KnnShapley(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got == expected)
+    // efficiency sanity: every test's values sum to scale·(K-NN class
+    // mass correctness), so any single |total| is bounded by scale·#tests
+    got.foreach { case (_, _, s, nt, _) =>
+      assert(math.abs(s) <= scale * nt)
+    }
+  }
+
   test("q194 matches a sequential naive edit-distance join") {
     val strs = docs().map(x => (x._1, x._2.take(40))).filter(_._2.nonEmpty)
     val expected = (for {
