@@ -1312,6 +1312,113 @@ object TextQueries {
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q196: CONFIDENCE-CALIBRATION audit (reliability table + ECE) —
+    * q154 says how often the q20 language-ID classifier is right;
+    * this says whether its CONFIDENCE means anything, which is what a
+    * threshold-based routing decision ("trust langid above 0.8")
+    * actually consumes. Confidence = the add-one-smoothed posterior
+    * share of the top language, (top1 + 1)/(total + 5) in integer ‰ —
+    * smoothing makes confidence scale with EVIDENCE MASS (1 hit →
+    * 333‰, 20 unanimous hits → 840‰) instead of collapsing to 1000‰
+    * whenever one language takes all hits, and zero-hit docs land
+    * exactly on the uniform 200‰. Binned into deciles; per
+    * bin the empirical accuracy ‰ sits next to the mean claimed
+    * confidence ‰ and their gap. The ALL row (bin −1, the q77/q154
+    * mixed-grain convention) carries the Expected Calibration Error —
+    * the n-weighted mean gap — the single number that says
+    * "overconfident by X‰". All counts/ratios integer + truncating
+    * division: hash-exact.
+    *
+    * Scale shape: token lists and the five hit counters materialize in
+    * ONE projection (CollapseProject keeps the shared alias — the HOF
+    * runs once per row per language, never per reference); the
+    * reliability frame is an ≤ 11-row aggregate, the ALL row a fold
+    * over it.
+    */
+  def q196Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = t.documents
+      .select(col("lang").as("declared"), tokens(lower(col("text"))).as("ts"))
+    val withHits = stopwords.foldLeft(base) { case (df, (lang, ws)) =>
+      df.withColumn(s"h_$lang",
+        size(filter(col("ts"), tk => tk.isin(ws.map(lit): _*))))
+    }
+    val hitCols = stopwords.map { case (lang, _) => col(s"h_$lang") }
+    val maxHits = greatest(hitCols: _*)
+    val predicted = stopwords.foldLeft(when(maxHits <= 0, lit("und"))) {
+      case (acc, (lang, _)) => acc.when(col(s"h_$lang") === maxHits, lit(lang))
+    }.otherwise(lit("und"))
+    val scored = withHits
+      .withColumn("predicted", predicted)
+      .withColumn("top1", maxHits)
+      .withColumn("total", hitCols.reduce(_ + _))
+      .withColumn("conf", expr("(1000L * (top1 + 1)) div (total + 5)"))
+      .withColumn("ok", (col("predicted") === col("declared")).cast("long"))
+    val perBin = scored
+      .groupBy(expr("conf div 100").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("ok").as("nc"), sum("conf").as("sc"))
+      .withColumn("acc_permille", expr("(1000L * nc) div n_docs"))
+      .withColumn("conf_permille", expr("sc div n_docs"))
+      .withColumn("gap_permille", expr("abs(acc_permille - conf_permille)"))
+      .localCheckpoint(false)
+    val allRow = perBin.agg(
+      sum("n_docs").as("n_docs"),
+      expr("(1000L * sum(nc)) div sum(n_docs)").as("acc_permille"),
+      expr("sum(sc) div sum(n_docs)").as("conf_permille"),
+      expr("sum(n_docs * gap_permille) div sum(n_docs)").as("gap_permille"))
+      .withColumn("bin", lit(-1L))
+    perBin
+      .select(col("bin").cast("long"), col("n_docs"), col("acc_permille"),
+        col("conf_permille"), col("gap_permille"))
+      .unionByName(allRow)
+      .orderBy("bin")
+  }
+
+  val q196Sql: String = {
+    val toks = OracleSql.tokens("lower(text)")
+    val hitExprs = stopwords.map { case (lang, ws) =>
+      s"${OracleSql.stopHits("ts", ws)} AS h_$lang"
+    }.mkString(",\n      |    ")
+    val hs = stopwords.map { case (lang, _) => s"h_$lang" }
+    val mx = s"greatest(${hs.mkString(", ")})"
+    val whens = stopwords.map { case (lang, _) =>
+      s"WHEN h_$lang = $mx THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH h AS (
+       |  SELECT lang AS declared, $hitExprs
+       |  FROM (SELECT lang, $toks AS ts FROM documents)),
+       |s AS (
+       |  SELECT declared,
+       |    (CASE WHEN $mx <= 0 THEN 'und' $whens ELSE 'und' END) AS predicted,
+       |    $mx AS top1, (${hs.mkString(" + ")}) AS total
+       |  FROM h),
+       |c AS (
+       |  SELECT (1000 * (top1 + 1)) // (total + 5) AS conf,
+       |    CASE WHEN predicted = declared THEN 1 ELSE 0 END AS ok
+       |  FROM s),
+       |b AS (
+       |  SELECT conf // 100 AS bin, COUNT(*)::BIGINT AS n_docs,
+       |    SUM(ok)::BIGINT AS nc, SUM(conf)::BIGINT AS sc
+       |  FROM c GROUP BY 1),
+       |pb AS (
+       |  SELECT bin, n_docs, nc, sc,
+       |    (1000 * nc) // n_docs AS acc_permille,
+       |    sc // n_docs AS conf_permille,
+       |    abs((1000 * nc) // n_docs - sc // n_docs) AS gap_permille
+       |  FROM b)
+       |SELECT bin::BIGINT AS bin, n_docs, acc_permille::BIGINT AS acc_permille,
+       |  conf_permille::BIGINT AS conf_permille,
+       |  gap_permille::BIGINT AS gap_permille
+       |FROM pb
+       |UNION ALL
+       |SELECT -1, SUM(n_docs)::BIGINT,
+       |  ((1000 * SUM(nc)) // SUM(n_docs))::BIGINT,
+       |  (SUM(sc) // SUM(n_docs))::BIGINT,
+       |  (SUM(n_docs * gap_permille) // SUM(n_docs))::BIGINT
+       |FROM pb
+       |ORDER BY bin""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_oov_curve" -> (q166OovCurve _),
     "q180_length_decay" -> (q180LengthDecay _),
@@ -1320,6 +1427,7 @@ object TextQueries {
     "q167_tokenizer_fertility" -> (q167TokenizerFertility _),
     "q136_vocab_growth" -> (q136VocabGrowth _),
     "q154_langid_agreement" -> (q154LangIdAgreement _),
+    "q196_calibration" -> (q196Calibration _),
     "q132_encoding_audit" -> (q132EncodingAudit _),
     "q118_drift_monitor" -> (q118DriftMonitor _),
     "q116_filter_cascade" -> (q116FilterCascade _),
@@ -1346,6 +1454,7 @@ object TextQueries {
     "q167_tokenizer_fertility" -> q167Sql,
     "q136_vocab_growth" -> q136Sql,
     "q154_langid_agreement" -> q154Sql,
+    "q196_calibration" -> q196Sql,
     "q132_encoding_audit" -> q132Sql,
     "q110_cooc_pmi" -> q110Sql,
     "q116_filter_cascade" -> q116Sql,

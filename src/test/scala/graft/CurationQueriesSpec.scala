@@ -2590,6 +2590,46 @@ class CurationQueriesSpec extends AnyFunSuite {
     dp(b.length)
   }
 
+  // --- q196 ----------------------------------------------------------
+
+  test("q196 matches a sequential calibration re-derivation") {
+    import graft.functions.TextFunctions.stopwords
+    val d = docs()
+    val scored = d.map { case (_, text, declared, _) =>
+      val ts = toks(text.toLowerCase)
+      val hits = stopwords.map { case (lang, ws) =>
+        (lang, ts.count(ws.toSet)) }
+      val mx = hits.map(_._2).max
+      val predicted =
+        if (mx <= 0) "und" else hits.find(_._2 == mx).map(_._1).get
+      val total = hits.map(_._2).sum
+      val conf = 1000L * (mx + 1) / (total + 5)
+      (conf, if (predicted == declared) 1L else 0L)
+    }
+    val bins = scored.groupBy(_._1 / 100).toSeq.map { case (bin, xs) =>
+      val n = xs.length.toLong
+      val nc = xs.map(_._2).sum
+      val sc = xs.map(_._1).sum
+      val acc = 1000L * nc / n
+      val mc = sc / n
+      (bin, n, nc, sc, acc, mc, math.abs(acc - mc))
+    }
+    val nAll = bins.map(_._2).sum
+    val allRow = (-1L, nAll, 1000L * bins.map(_._3).sum / nAll,
+      bins.map(_._4).sum / nAll,
+      bins.map(b => b._2 * b._7).sum / nAll)
+    val expected = (bins.map(b => (b._1, b._2, b._5, b._6, b._7)) :+ allRow)
+      .sortBy(_._1)
+    val got = operators.TextQueries.q196Calibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    got.foreach { case (_, _, acc, conf, gap) =>
+      assert(acc >= 0L && acc <= 1000L && conf >= 0L && conf <= 1000L &&
+        gap <= 1000L)
+    }
+  }
+
   // --- q195 ----------------------------------------------------------
 
   test("q195 matches a sequential KNN-Shapley recurrence") {
