@@ -1073,7 +1073,104 @@ object SamplingQueries {
        |FROM shares ORDER BY fold""".stripMargin
   }
 
+  /** q197: TOKEN-BUDGET selection — "the best docs that fit in a
+    * 10%-of-corpus token budget", the slice-construction step between
+    * scoring (q21/q55) and training. Deliberately formulated as
+    * HISTOGRAM TRUNCATION, not a global quality sort: per-mille
+    * quality classes aggregate once (≤ 1001 rows), the class-level
+    * cumulative-token walk finds the finest class whose whole cohort
+    * still fits, and the corpus-side selection is a map-only filter
+    * `qclass ≥ cutoff` — because at 100 TB a rank-then-prefix
+    * selection needs a corpus-wide total-order window (one partition,
+    * the classic cumsum scale trap) while the histogram pays two scans
+    * and a ≤ 1001-row window for a budget error bounded by one class
+    * cohort. Reports per-source selection shares plus the ALL row with
+    * the cutoff class and budget utilization — under-budget by design,
+    * never over.
+    *
+    * Scale shape: scan 1 = class histogram (map-side combine to
+    * ≤ 1001 rows); the cutoff is a broadcast-scalar crossJoin (no
+    * driver collect); scan 2 = filtered per-source aggregate. Both
+    * scans prune to (source, text) columns.
+    */
+  def q197BudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val scored = t.documents.select(col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
+        floor(graft.functions.TextFunctions.qualityScore(col("text")) * 1000.0d)
+          .cast("long").as("qclass"))
+    val classes = scored.groupBy("qclass").agg(sum("n_tok").as("ctoks"))
+    val wAll = Window.partitionBy(lit(1))
+    val wCum = Window.partitionBy(lit(1)).orderBy(desc("qclass"))
+    val cut = classes
+      .withColumn("budget", expr("(sum(ctoks) over ()) div 10"))
+      .withColumn("cum", sum("ctoks").over(wCum))
+      .filter(col("cum") <= col("budget"))
+      .agg(min("qclass").as("cutoff_class"), max("budget").as("budget_tokens"))
+    val sel = scored.crossJoin(broadcast(cut))
+      .filter(col("qclass") >= col("cutoff_class"))
+      .localCheckpoint(false)
+    val perSource = sel.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sel_tokens"),
+        first("cutoff_class").as("cutoff_class"),
+        first("budget_tokens").as("budget_tokens"))
+      .withColumn("share_permille",
+        expr("(1000L * sel_tokens) div sum(sel_tokens) over ()"))
+    val allRow = sel.groupBy()
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sel_tokens"),
+        first("cutoff_class").as("cutoff_class"),
+        first("budget_tokens").as("budget_tokens"))
+      .withColumn("source", lit("ALL"))
+      .withColumn("share_permille", lit(1000L))
+    perSource
+      .select("source", "n_docs", "sel_tokens", "share_permille",
+        "cutoff_class", "budget_tokens")
+      .unionByName(allRow.select("source", "n_docs", "sel_tokens",
+        "share_permille", "cutoff_class", "budget_tokens"))
+      .orderBy("source")
+  }
+
+  val q197Sql: String = {
+    val score = OracleSql.qualityScore("text")
+    val toks = OracleSql.tokens("text")
+    s"""WITH scored AS (
+       |  SELECT source, len($toks)::BIGINT AS n_tok,
+       |    floor($score * 1000.0)::BIGINT AS qclass
+       |  FROM documents),
+       |classes AS (
+       |  SELECT qclass, SUM(n_tok)::BIGINT AS ctoks
+       |  FROM scored GROUP BY 1),
+       |cum AS (
+       |  SELECT qclass,
+       |    SUM(ctoks) OVER ()::BIGINT // 10 AS budget,
+       |    SUM(ctoks) OVER (ORDER BY qclass DESC)::BIGINT AS cumtoks
+       |  FROM classes),
+       |cut AS (
+       |  SELECT MIN(qclass) AS cutoff_class, MAX(budget) AS budget_tokens
+       |  FROM cum WHERE cumtoks <= budget),
+       |sel AS (
+       |  SELECT s.* , c.cutoff_class, c.budget_tokens
+       |  FROM scored s CROSS JOIN cut c WHERE s.qclass >= c.cutoff_class),
+       |per AS (
+       |  SELECT source, COUNT(*)::BIGINT AS n_docs,
+       |    SUM(n_tok)::BIGINT AS sel_tokens,
+       |    ANY_VALUE(cutoff_class) AS cutoff_class,
+       |    ANY_VALUE(budget_tokens) AS budget_tokens
+       |  FROM sel GROUP BY 1)
+       |SELECT source, n_docs, sel_tokens,
+       |  ((1000 * sel_tokens) // SUM(sel_tokens) OVER ())::BIGINT
+       |    AS share_permille,
+       |  cutoff_class, budget_tokens
+       |FROM per
+       |UNION ALL
+       |SELECT 'ALL', COUNT(*)::BIGINT, SUM(n_tok)::BIGINT, 1000::BIGINT,
+       |  ANY_VALUE(cutoff_class), ANY_VALUE(budget_tokens)
+       |FROM sel
+       |ORDER BY source""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_budget_select" -> (q197BudgetSelect _),
     "q189_kfold_audit" -> (q189KfoldAudit _),
     "q185_quota_sample" -> (q185QuotaSample _),
     "q178_neyman_allocation" -> (q178NeymanAllocation _),
@@ -1095,6 +1192,7 @@ object SamplingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q197_budget_select" -> q197Sql,
     "q189_kfold_audit" -> q189Sql,
     "q185_quota_sample" -> q185Sql,
     "q178_neyman_allocation" -> q178Sql,

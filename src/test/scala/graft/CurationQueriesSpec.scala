@@ -2590,6 +2590,56 @@ class CurationQueriesSpec extends AnyFunSuite {
     dp(b.length)
   }
 
+  // --- q197 ----------------------------------------------------------
+
+  test("q197 matches a sequential histogram-truncation re-derivation") {
+    val allStop = functions.TextFunctions.stopwords
+      .flatMap(_._2).distinct.toSet
+    def quality(text: String): Double = {
+      val nChars = text.length.toDouble
+      val t = toks(text)
+      val nToks = t.length.toDouble
+      val alpha = text.count(_.isLetter).toDouble
+      val stopHits = toks(text.toLowerCase).count(allStop).toDouble
+      val lenScore = math.min(nChars / 500.0, 1.0)
+      val alphaScore = if (nChars > 0) alpha / nChars else 0.0
+      val stopScore = if (nToks > 0) math.min(stopHits * 5.0 / nToks, 1.0) else 0.0
+      val wordScore = math.min((if (nToks > 0) alpha / nToks else 0.0) / 8.0, 1.0)
+      (lenScore + alphaScore + stopScore + wordScore) / 4.0
+    }
+    val rows = docs().map { case (_, text, _, _) => text }
+    val srcs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val scored = srcs.map { case (src, text) =>
+      (src, toks(text).length.toLong, math.floor(quality(text) * 1000.0).toLong)
+    }
+    val budget = scored.map(_._2).sum / 10L
+    val classes = scored.groupBy(_._3).toSeq
+      .map { case (c, xs) => (c, xs.map(_._2).sum) }.sortBy(-_._1)
+    val cums = classes.scanLeft(0L)(_ + _._2).tail
+    val kept = classes.zip(cums).takeWhile(_._2 <= budget).map(_._1._1)
+    assert(kept.nonEmpty && rows.nonEmpty)
+    val cutoff = kept.min
+    val sel = scored.filter(_._3 >= cutoff)
+    val selTok = sel.map(_._2).sum
+    val per = sel.groupBy(_._1).toSeq.map { case (src, xs) =>
+      (src, xs.length.toLong, xs.map(_._2).sum, cutoff, budget)
+    }
+    val expected = (per.map { case (src, n, st, co, b) =>
+      (src, n, st, 1000L * st / selTok, co, b)
+    } :+ ("ALL", sel.length.toLong, selTok, 1000L, cutoff, budget))
+      .sortBy(_._1)
+    val got = operators.SamplingQueries.q197BudgetSelect(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // never over budget; shares sum close to 1000 (truncation slack)
+    assert(selTok <= budget)
+    val shareSum = got.filter(_._1 != "ALL").map(_._4).sum
+    assert(shareSum <= 1000L && shareSum >= 1000L - got.length)
+  }
+
   // --- q196 ----------------------------------------------------------
 
   test("q196 matches a sequential calibration re-derivation") {
