@@ -971,7 +971,102 @@ object ProfileQueries {
       |    AS w_p99
       |FROM cum GROUP BY source ORDER BY source""".stripMargin
 
+  /** q198: two-sample KOLMOGOROV–SMIRNOV drift test, each source vs
+    * the rest of the corpus, over the document-length distribution —
+    * the distribution-shape drift detector the moment statistics
+    * (q122 robust z, q186 variances) cannot be: KS sees a bimodal
+    * split or a truncated tail even when mean and variance barely
+    * move. D = max_x |ecdf_src(x) − ecdf_rest(x)| carried as the exact
+    * integer cross-product |cum_s·n_rest − cum_rest·n_src| (no float
+    * ECDFs), reported in ‰ with the α=0.05 critical value
+    * 1.358·√((n+m)/(n·m)) (one double sqrt of an integer ratio —
+    * IEEE-identical in both engines) and the reject verdict.
+    *
+    * Scale shape: the ECDF grid is (distinct length) × (source) — both
+    * factors BOUNDED (lengths are capped by the ingest policy, sources
+    * by the catalog), so the grid is dictionary-sized regardless of
+    * corpus rows: one (source, x) count aggregate, a broadcast
+    * source-totals crossJoin onto the distinct-x frame, and per-source
+    * cumulative windows over ≤ |x| rows. The corpus-sized work is ONE
+    * groupBy(source, x) reduction.
+    */
+  def q198KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lens = t.documents.select(col("source"), col("n_chars").as("x"))
+    val bySrcX = lens.groupBy("source", "x").agg(count(lit(1)).as("c"))
+    val xs = lens.groupBy("x").agg(count(lit(1)).as("tc"))
+      .localCheckpoint(false)
+    val srcTotals = lens.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("n", sum("n_s").over(Window.partitionBy(lit(1))))
+      .localCheckpoint(false)
+    val wCum = Window.partitionBy("source").orderBy("x")
+    q198Grid(xs, srcTotals, bySrcX)
+      .withColumn("cum_s", sum("c").over(wCum))
+      .withColumn("cum_all", sum("tc").over(wCum))
+      .withColumn("dnum",
+        abs(col("cum_s") * (col("n") - col("n_s")) -
+          (col("cum_all") - col("cum_s")) * col("n_s")))
+      .groupBy("source")
+      .agg(max("n_s").as("n_docs"), max("n").as("n_total"),
+        max("dnum").as("dmax"))
+      .withColumn("ks_permille",
+        expr("(1000L * dmax) div (n_docs * (n_total - n_docs))"))
+      .withColumn("crit_permille", expr(
+        "cast(floor(1358.0d * sqrt(cast(n_total as double) / " +
+          "(cast(n_docs as double) * cast(n_total - n_docs as double)))) as long)"))
+      .withColumn("drifted",
+        (col("ks_permille") > col("crit_permille")).cast("long"))
+      .select("source", "n_docs", "ks_permille", "crit_permille", "drifted")
+      .orderBy("source")
+  }
+
+  /** The (source × distinct-x) evaluation grid with per-cell source
+    * counts (0 where the source has no doc of that length) — split out
+    * so the main query reads as the KS walk itself.
+    */
+  private def q198Grid(xs: DataFrame, srcTotals: DataFrame,
+      bySrcX: DataFrame): DataFrame =
+    xs.crossJoin(broadcast(srcTotals))
+      .join(bySrcX, Seq("source", "x"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+
+  val q198Sql: String =
+    """WITH lens AS (SELECT source, n_chars AS x FROM documents),
+      |bysx AS (
+      |  SELECT source, x, COUNT(*)::BIGINT AS c FROM lens GROUP BY 1, 2),
+      |xs AS (SELECT x, COUNT(*)::BIGINT AS tc FROM lens GROUP BY 1),
+      |st AS (
+      |  SELECT source, COUNT(*)::BIGINT AS n_s,
+      |    SUM(COUNT(*)) OVER ()::BIGINT AS n
+      |  FROM lens GROUP BY 1),
+      |grid AS (
+      |  SELECT st.source, xs.x, xs.tc, st.n_s, st.n,
+      |    COALESCE(b.c, 0) AS c
+      |  FROM xs CROSS JOIN st
+      |  LEFT JOIN bysx b ON b.source = st.source AND b.x = xs.x),
+      |cums AS (
+      |  SELECT source, n_s, n,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY x) AS cum_s,
+      |    SUM(tc) OVER (PARTITION BY source ORDER BY x) AS cum_all
+      |  FROM grid),
+      |d AS (
+      |  SELECT source, MAX(n_s) AS n_docs, MAX(n) AS n_total,
+      |    MAX(abs(cum_s * (n - n_s) - (cum_all - cum_s) * n_s)) AS dmax
+      |  FROM cums GROUP BY 1)
+      |SELECT source, n_docs,
+      |  ((1000 * dmax) // (n_docs * (n_total - n_docs)))::BIGINT
+      |    AS ks_permille,
+      |  floor(1358.0 * sqrt(n_total::DOUBLE /
+      |    (n_docs::DOUBLE * (n_total - n_docs)::DOUBLE)))::BIGINT
+      |    AS crit_permille,
+      |  (CASE WHEN (1000 * dmax) // (n_docs * (n_total - n_docs)) >
+      |    floor(1358.0 * sqrt(n_total::DOUBLE /
+      |      (n_docs::DOUBLE * (n_total - n_docs)::DOUBLE)))
+      |    THEN 1 ELSE 0 END)::BIGINT AS drifted
+      |FROM d ORDER BY source""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_ks_drift" -> (q198KsDrift _),
     "q187_weighted_percentiles" -> (q187WeightedPercentiles _),
     "q179_deletion_cascade" -> (q179DeletionCascade _),
     "q174_chi_square" -> (q174ChiSquare _),
@@ -991,6 +1086,7 @@ object ProfileQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q198_ks_drift" -> q198Sql,
     "q187_weighted_percentiles" -> q187Sql,
     "q179_deletion_cascade" -> q179Sql,
     "q174_chi_square" -> q174Sql,

@@ -2590,6 +2590,36 @@ class CurationQueriesSpec extends AnyFunSuite {
     dp(b.length)
   }
 
+  // --- q198 ----------------------------------------------------------
+
+  test("q198 matches a sequential KS re-derivation") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.length.toLong
+    val xs = rows.map(_._2).distinct.sorted
+    val expected = rows.groupBy(_._1).toSeq.map { case (src, docs) =>
+      val ns = docs.length.toLong
+      val nr = n - ns
+      val dmax = xs.map { x =>
+        val cs = docs.count(_._2 <= x).toLong
+        val ca = rows.count(_._2 <= x).toLong
+        math.abs(cs * nr - (ca - cs) * ns)
+      }.max
+      val ks = 1000L * dmax / (ns * nr)
+      val crit = math.floor(1358.0 *
+        math.sqrt(n.toDouble / (ns.toDouble * nr.toDouble))).toLong
+      (src, ns, ks, crit, if (ks > crit) 1L else 0L)
+    }.sortBy(_._1)
+    val got = operators.ProfileQueries.q198KsDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    got.foreach { case (_, _, ks, crit, _) =>
+      assert(ks >= 0L && ks <= 1000L && crit > 0L)
+    }
+  }
+
   // --- q197 ----------------------------------------------------------
 
   test("q197 matches a sequential histogram-truncation re-derivation") {
