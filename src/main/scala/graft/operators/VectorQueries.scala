@@ -1451,7 +1451,132 @@ object VectorQueries {
        |ORDER BY shap_nano DESC, vec_id""".stripMargin
   }
 
+  /** q199: TOP PRINCIPAL DIRECTION by power iteration — the dominant
+    * eigenvector of the uncentered second-moment matrix A = Σ v·vᵀ,
+    * i.e. the actual ROGUE DIRECTION q186's per-dim variances can
+    * only hint at (anisotropy that lives on a diagonal q186 sees;
+    * anisotropy on an oblique axis needs the eigenvector), and the
+    * direction a whitening/ABTT correction would remove first. Three
+    * unrolled iterations x ← A·x / ‖A·x‖∞ from the all-ones start.
+    * The matvec never materializes A (d² for d=64 is trivial, but the
+    * PATTERN is what scales): per row ONE codegen dot s = v·x, then
+    * per-dim contributions v_j·s reduced in a 64-row aggregate. The
+    * cross-row sum — the one order-nondeterministic float hazard — is
+    * floored to ×10¹² integers per row first, so the reduction is an
+    * exact integer sum (the q186 fixed-point trick applied to a
+    * matvec); the ∞-normalization divides two exact longs. Result:
+    * the unit-∞ direction per dim, plus an ALL row (dim −1) carrying
+    * the Rayleigh-quotient eigenvalue estimate and the exact scaled
+    * trace (top-direction energy share = λ·10¹² / trace downstream).
+    *
+    * Scale shape per iteration: broadcast 1-row x → map-only dots →
+    * explode(d) → 64-row map-side-combined aggregate. Three
+    * iterations = three corpus scans, zero corpus-sized shuffles;
+    * loop state rides lazy localCheckpoints.
+    */
+  def q199PowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val emb = t.embeddings.select("embedding")
+    def matvec(sCol: Column): DataFrame =
+      emb.transform(df => df)
+        .select(col("embedding"), sCol.as("s"))
+        .select(posexplode(col("embedding")).as(Seq("dim", "vj")), col("s"))
+        .groupBy("dim")
+        .agg(sum(expr("floor(cast(vj as double) * s * 1e12)")).as("y"))
+    def toX(y: DataFrame): DataFrame = y
+      .withColumn("m", max(abs(col("y"))).over(Window.partitionBy(lit(1))))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(dim, y, m))), " +
+          "p -> cast(p.y as double) / cast(p.m as double))").as("x"))
+      .localCheckpoint(false)
+    // iteration 1: x0 = all-ones, so v·x0 is the element-sum fold
+    val sumFold = expr(
+      "aggregate(embedding, cast(0.0 as double), (acc, v) -> acc + cast(v as double))")
+    val x1 = toX(matvec(sumFold))
+    def dotX(xdf: DataFrame): Column = dotFold(col("embedding"), col("x"))
+    val y2 = emb.crossJoin(broadcast(x1))
+      .select(col("embedding"), dotFold(col("embedding"), col("x")).as("s"))
+      .select(posexplode(col("embedding")).as(Seq("dim", "vj")), col("s"))
+      .groupBy("dim")
+      .agg(sum(expr("floor(cast(vj as double) * s * 1e12)")).as("y"))
+    val x2 = toX(y2)
+    val y3 = emb.crossJoin(broadcast(x2))
+      .select(col("embedding"), dotFold(col("embedding"), col("x")).as("s"))
+      .select(posexplode(col("embedding")).as(Seq("dim", "vj")), col("s"))
+      .groupBy("dim")
+      .agg(sum(expr("floor(cast(vj as double) * s * 1e12)")).as("y"))
+      .localCheckpoint(false)
+    val y3arr = y3.agg(expr(
+      "transform(array_sort(collect_list(struct(dim, y))), p -> p.y)").as("y3"))
+    val x3 = toX(y3)
+    val perDim = y3.crossJoin(broadcast(x3))
+      .select(col("dim").cast("long").as("dim"),
+        expr("x[dim]").as("comp"), col("y").as("y_scaled"))
+    val trace = emb
+      .agg(sum(expr(
+        "floor(aggregate(zip_with(embedding, embedding, (a, b) -> " +
+          "cast(a as double) * cast(b as double)), cast(0.0 as double), " +
+          "(acc, v) -> acc + v) * 1e12)")).as("trace_scaled"))
+    val allRow = x2.crossJoin(y3arr).crossJoin(trace)
+      .select(lit(-1L).as("dim"),
+        (expr("aggregate(zip_with(x, y3, (a, b) -> a * (cast(b as double) / 1e12)), " +
+          "cast(0.0 as double), (acc, v) -> acc + v)") /
+          expr("aggregate(x, cast(0.0 as double), (acc, v) -> acc + v * v)"))
+          .as("comp"),
+        col("trace_scaled").as("y_scaled"))
+    perDim.unionByName(allRow).orderBy("dim")
+  }
+
+  val q199Sql: String = {
+    def dotX(e: String): String = OracleSql.dotFold(e, "x")
+    val sumFold = "list_reduce(list_prepend(0.0::DOUBLE, " +
+      "list_transform(embedding, v -> v::DOUBLE)), (acc, v) -> acc + v)"
+    def mv(sExpr: String, from: String): String =
+      s"""SELECT dim, SUM(floor(vj * s * 1e12)::BIGINT)::BIGINT AS y FROM (
+         |    SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         |      unnest(embedding)::DOUBLE AS vj, s
+         |    FROM (SELECT embedding, $sExpr AS s FROM $from))
+         |  GROUP BY dim""".stripMargin
+    def xOf(yCte: String): String =
+      s"""SELECT list(y::DOUBLE / m ORDER BY dim) AS x FROM (
+         |    SELECT dim, y, MAX(abs(y)) OVER () AS m FROM $yCte)""".stripMargin
+    s"""WITH y1 AS (
+       |  ${mv(sumFold, "embeddings")}),
+       |x1 AS (
+       |  ${xOf("y1")}),
+       |y2 AS (
+       |  ${mv(dotX("embedding"), "embeddings CROSS JOIN x1")}),
+       |x2 AS (
+       |  ${xOf("y2")}),
+       |y3 AS (
+       |  ${mv(dotX("embedding"), "embeddings CROSS JOIN x2")}),
+       |x3 AS (
+       |  ${xOf("y3")}),
+       |y3arr AS (SELECT list(y ORDER BY dim) AS y3 FROM y3),
+       |tr AS (
+       |  SELECT SUM(floor(list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(embedding, v -> v::DOUBLE * v::DOUBLE)),
+       |      (acc, v) -> acc + v) * 1e12)::BIGINT)::BIGINT AS trace_scaled
+       |  FROM embeddings),
+       |per AS (
+       |  SELECT y3.dim::BIGINT AS dim, x3.x[y3.dim + 1] AS comp,
+       |    y3.y AS y_scaled
+       |  FROM y3 CROSS JOIN x3),
+       |allr AS (
+       |  SELECT -1::BIGINT AS dim,
+       |    (list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(list_zip(x2.x, y3arr.y3),
+       |          p -> p[1] * (p[2]::DOUBLE / 1e12))), (acc, v) -> acc + v) /
+       |     list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(x2.x, v -> v * v)), (acc, v) -> acc + v))
+       |      AS comp,
+       |    tr.trace_scaled AS y_scaled
+       |  FROM x2 CROSS JOIN y3arr CROSS JOIN tr)
+       |SELECT * FROM per UNION ALL SELECT * FROM allr ORDER BY dim""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_power_iteration" -> (q199PowerIteration _),
     "q195_knn_shapley" -> (q195KnnShapley _),
     "q191_nprobe_curve" -> (q191NprobeCurve _),
     "q186_anisotropy" -> (q186Anisotropy _),
@@ -1475,6 +1600,7 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q199_power_iteration" -> q199Sql,
     "q195_knn_shapley" -> q195Sql,
     "q191_nprobe_curve" -> q191Sql,
     "q186_anisotropy" -> q186Sql,

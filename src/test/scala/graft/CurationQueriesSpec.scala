@@ -2590,6 +2590,52 @@ class CurationQueriesSpec extends AnyFunSuite {
     dp(b.length)
   }
 
+  // --- q199 ----------------------------------------------------------
+
+  test("q199 matches a sequential power-iteration re-derivation") {
+    val v = vecs().map(_._2)
+    val d = v.head.length
+    def matvec(x: Array[Double]): Array[Long] = {
+      val y = new Array[Long](d)
+      v.foreach { e =>
+        var s = 0.0
+        var i = 0
+        while (i < d) { s += e(i).toDouble * x(i); i += 1 }
+        var j = 0
+        while (j < d) {
+          y(j) += math.floor(e(j).toDouble * s * 1e12).toLong; j += 1
+        }
+      }
+      y
+    }
+    def toX(y: Array[Long]): Array[Double] = {
+      val m = y.map(math.abs).max
+      y.map(_.toDouble / m.toDouble)
+    }
+    val y1 = matvec(Array.fill(d)(1.0))
+    val x1 = toX(y1)
+    val y2 = matvec(x1)
+    val x2 = toX(y2)
+    val y3 = matvec(x2)
+    val x3 = toX(y3)
+    val trace = v.map { e =>
+      var s = 0.0
+      e.foreach(f => s += f.toDouble * f.toDouble)
+      math.floor(s * 1e12).toLong
+    }.sum
+    val num = x2.indices.foldLeft(0.0)((acc, j) =>
+      acc + x2(j) * (y3(j).toDouble / 1e12))
+    val den = x2.foldLeft(0.0)((acc, xj) => acc + xj * xj)
+    val expected = (0 until d).map(j => (j.toLong, x3(j), y3(j))) :+
+      (-1L, num / den, trace)
+    val got = operators.VectorQueries.q199PowerIteration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == expected.sortBy(_._1))
+    // the eigenvalue estimate is positive and bounded by the trace
+    val ray = got.head._2
+    assert(ray > 0.0 && ray * 1e12 <= trace.toDouble)
+  }
+
   // --- q198 ----------------------------------------------------------
 
   test("q198 matches a sequential KS re-derivation") {
