@@ -240,6 +240,17 @@ object ScaleBench {
     // measured exponents, the window adding only the rollup
     "q172_canonical" -> ((s, d) =>
       DedupQueries.q172CanonicalSelect(s, d).count()),
+    // substring-span seed-and-chain: the quadratic risk is the seed
+    // equi-join on the 8-gram hash (per-gram density² output). The
+    // generator's near-dups are edit-style, so seeds stay sparse and
+    // the decade should be scan/shuffle-linear with tiny join output
+    "q193_substr" -> ((s, d) =>
+      DedupQueries.q193SubstringDedup(s, d).count()),
+    // PassJoin: candidates are the (seg, len, piece) equi-join —
+    // quadratic only where many prefixes share a verbatim 13-char
+    // segment; the probe explode is a constant ≤45× row factor
+    "q194_editdist" -> ((s, d) =>
+      DedupQueries.q194EditDistanceJoin(s, d).count()),
     "q40_ann_brute" -> ((s, d) =>
       graft.operators.VectorQueries.q40AnnBruteForce(s, d).count()),
     "q41_ann_cell" -> ((s, d) =>
