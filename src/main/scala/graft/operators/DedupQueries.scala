@@ -1368,21 +1368,25 @@ object DedupQueries {
     * satisfies the superset groupBy), the pair rollup rides the same
     * clustering, and the report is a TakeOrderedAndProject. Hot grams
     * (ubiquitous boilerplate) are the q76 span-dedup REMOVAL target;
-    * a production pass caps seed document-frequency first, which turns
-    * this detector into a certified lower bound on span length while
-    * bounding the join's per-key density — same df-gate machinery as
-    * prefixJaccardPairs' hot-postings salt.
+    * the seed DF-GATE below drops any gram whose posting count exceeds
+    * [[Q193MaxSeedDf]] BEFORE the self-join, which (a) bounds the
+    * join's per-key density at cap² — a boilerplate 8-gram shared by
+    * millions of docs otherwise puts O(d²) rows on one key — and
+    * (b) turns the detector into a certified LOWER BOUND on span
+    * length: a reported span is always real (every surviving seed is
+    * an exact match), and only spans whose every covering gram is
+    * ubiquitous can shorten or vanish. The gate is a window count on
+    * the SAME key the self-join shuffles on, so both gate and join
+    * ride one exchange (ReusedExchange on the two sides). Inert on
+    * non-boilerplate corpora: natural max df here is 4 at sf0.1
+    * (cap 64); the boilerplate path is measured in ScaleBench's
+    * q193 density row.
     */
+  private[graft] val Q193MaxSeedDf = 64
+
   def q193SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val grams = t.documents
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= 8)
-      .select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(0, size(ts) - 8), i -> array_join(slice(ts, i + 1, 8), ' '))"))
-          .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"), md5Long60(col("gram")).as("h"))
+    val grams = q193Grams(t.documents, Q193MaxSeedDf)
     val seeds = grams.as("a")
       .join(grams.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -1408,15 +1412,42 @@ object DedupQueries {
       .limit(50)
   }
 
+  /** Positional 8-gram seeds with the hot-gram df-gate applied — the
+    * candidate side of [[q193SubstringDedup]], split out so the scale
+    * harness can measure gated vs ungated seed density on a
+    * boilerplate-heavy corpus. `maxSeedDf <= 0` disables the gate
+    * (the quadratic baseline).
+    */
+  private[graft] def q193Grams(documents: DataFrame, maxSeedDf: Int): DataFrame = {
+    val raw = documents
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, size(ts) - 8), i -> array_join(slice(ts, i + 1, 8), ' '))"))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5Long60(col("gram")).as("h"))
+    if (maxSeedDf <= 0) raw
+    else raw
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxSeedDf)
+      .drop("df")
+  }
+
   val q193Sql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, ${OracleSql.tokens("text")} AS ts
        |  FROM documents WHERE len(${OracleSql.tokens("text")}) >= 8),
-       |grams AS (
+       |grams_all AS (
        |  SELECT doc_id, i AS pos,
        |    ${OracleSql.md5Long60("array_to_string(ts[i+1:i+8], ' ')")} AS h
        |  FROM (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 8)) AS i
        |        FROM toks)),
+       |grams AS (
+       |  SELECT doc_id, pos, h FROM (
+       |    SELECT doc_id, pos, h, COUNT(*) OVER (PARTITION BY h) AS df
+       |    FROM grams_all)
+       |  WHERE df <= $Q193MaxSeedDf),
        |seeds AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS i,
        |    a.pos - b.pos AS d

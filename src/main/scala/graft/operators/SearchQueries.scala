@@ -731,8 +731,8 @@ object SearchQueries {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |flagged AS (
-      |  SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
-      |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      |  SELECT *, (SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT AS sid
       |  FROM lagged),
       |tr AS (
       |  SELECT * FROM flagged WHERE prev_type IS NOT NULL AND gap <= 1800),

@@ -1237,9 +1237,9 @@ object TemporalQueries {
     * over multi-year windows.
     *
     * Scale shape: one user-partitioned window pass (gap lag + trailing
-    * RANGE count ride the same sort), one per-user aggregate, the
-    * median-volume cut over the per-user frame (q128 swap at scale),
-    * and a ≤8-row mask rollup.
+    * RANGE count ride the same sort), one per-user aggregate, an exact
+    * median off the per-volume histogram (value-domain-sized, never
+    * |users|-sized), and a ≤8-row mask rollup.
     */
   def q190BotScore(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -1257,11 +1257,23 @@ object TemporalQueries {
         sum("gap").as("sd"), sum(expr("gap * gap")).as("sdd"))
       .withColumn("cv2_pm", when(col("n_gaps") >= 2L && col("sd") > 0L,
         expr("(1000 * (n_gaps * sdd - sd * sd)) div (sd * sd)")))
-    val med = perUser.select(col("n_events").as("v"))
-      .withColumn("rn", row_number().over(Window.orderBy("v")).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
-      .filter(expr("rn = (cnt + 1) div 2"))
-      .select(col("v").as("median_volume"))
+    // Exact lower median via the VALUE HISTOGRAM, not a row_number over
+    // all |users| rows on one partition: the per-volume counts collapse
+    // into ONE aggregate row as a sorted (v, c) array (value-domain-
+    // sized — bounded by max volume, Heaps-small vs |users|), and a
+    // single fold walks it to the smallest value whose cumulative count
+    // reaches (n+1) div 2 — cell-identical to the sorted-frame
+    // rn = (cnt+1) div 2 selection it replaces, with zero unpartitioned
+    // window exchanges.
+    val med = perUser.groupBy(col("n_events").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sort_array(collect_list(struct(col("v"), col("c")))).as("hv"))
+      .withColumn("tgt", expr("(aggregate(hv, 0L, (a, x) -> a + x.c) + 1) div 2"))
+      .select(expr(
+        "aggregate(hv, named_struct('cum', 0L, 'm', -1L), (acc, x) -> " +
+          "IF(acc.m >= 0L, acc, named_struct('cum', acc.cum + x.c, " +
+          "'m', IF(acc.cum + x.c >= tgt, x.v, -1L))), " +
+          "acc -> acc.m) AS median_volume"))
     perUser.crossJoin(broadcast(med))
       .withColumn("mask",
         when(col("max_rate_10min") >= 3L, 1L).otherwise(0L) +

@@ -1046,29 +1046,34 @@ object TextQueries {
     *
     * Scale shape: the corpus crosses the shuffle once, pre-combined,
     * as (type, count) pairs (Zipf-compressed — vocabulary, not corpus,
-    * cardinality); the rank window sorts only that vocabulary frame,
-    * and the six thresholds fold into ONE conditional aggregate (no
-    * per-threshold rescan). 1000×sum(cnt) bounds the corpus at ~9e15
+    * cardinality); ranks come from a top-32k TakeOrderedAndProject (no
+    * full-vocabulary sort), and the six thresholds fold into ONE
+    * conditional aggregate (no per-threshold rescan). 1000×sum(cnt)
+    * bounds the corpus at ~9e15
     * tokens before int64 overflow — per-shard curves long before that.
     */
   def q166OovCurve(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val sizes = Seq(1000L, 2000L, 4000L, 8000L, 16000L, 32000L)
-    val vocab = t.documents
+    // (type, count) pairs cross the shuffle once; totals and the top-32k
+    // slice both read the materialized frame
+    val counts = t.documents
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(desc("cnt"), asc("w"))).cast("long"))
-    val aggs =
-      count(lit(1)).cast("long").as("n_types") +:
-        sum("cnt").as("total_tokens") +:
-        sizes.map(v => sum(when(col("rnk") <= v, col("cnt"))).as(s"c$v"))
-    val one = vocab.agg(aggs.head, aggs.tail: _*)
-    one.select(
-      col("n_types"), col("total_tokens"),
-      expr("stack(" + sizes.length + ", " +
-        sizes.map(v => s"${v}L, c$v").mkString(", ") +
-        ") as (vocab_size, covered_tokens)"))
+      .localCheckpoint(false)
+    // "Tokens covered by the top-v types" is a TakeOrderedAndProject
+    // (bounded per-task heaps, driver-side 1-row sum) per threshold over
+    // the checkpointed vocabulary frame — the full-vocabulary global
+    // rank window (one-partition sort) this replaces bought nothing the
+    // six ordered limits don't.
+    val totals = counts.agg(
+      count(lit(1)).cast("long").as("n_types"),
+      sum("cnt").as("total_tokens"))
+    val covered = sizes.map { v =>
+      counts.orderBy(desc("cnt"), asc("w")).limit(v.toInt)
+        .agg(lit(v).as("vocab_size"), sum("cnt").as("covered_tokens"))
+    }.reduce(_ unionByName _)
+    covered.crossJoin(totals)
       .select(
         col("vocab_size"),
         least(col("vocab_size"), col("n_types")).as("n_types_used"),
@@ -1267,16 +1272,18 @@ object TextQueries {
     * probe (q111's decontamination shape, applied to vocabulary).
     */
   def q192OovDrift(spark: SparkSession, dir: String): DataFrame = {
-    val vocabSize = 4000L
+    val vocabSize = 4000
     val t = Tables(spark, dir)
     val tok = t.documents.select(col("doc_id"), col("source"),
       explode(tokens(col("text"))).as("w"))
     val isBatch = pmod(col("doc_id"), lit(10L)) === 0L
+    // top-4k selection as TakeOrderedAndProject (per-task 4k-row heaps,
+    // driver-side merge), not a rank window that would sort the whole
+    // vocabulary on one partition — output identical since only
+    // rnk <= 4000 rows were ever kept.
     val vocab = tok.filter(!isBatch)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(desc("cnt"), asc("w"))).cast("long"))
-      .filter(col("rnk") <= vocabSize)
+      .orderBy(desc("cnt"), asc("w")).limit(vocabSize)
       .select(col("w"), lit(true).as("in_vocab"))
     tok.filter(isBatch)
       .join(broadcast(vocab), Seq("w"), "left")

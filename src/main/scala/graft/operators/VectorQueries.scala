@@ -1366,7 +1366,8 @@ object VectorQueries {
     * map-only codegen'd dots; per-test ranking is one window exchange
     * keyed by query (the bounded-eval-sample pattern of q182); the
     * per-train rollup is one aggregate whose output is |train| rows;
-    * the report is two rank windows over that aggregate. At 100 TB the
+    * the report is two TakeOrderedAndProject passes (top/bottom 20)
+    * over that aggregate — never a global sort. At 100 TB the
     * train sweep stays one scan — the valuation is literally one
     * sorted pass per test point, which is the paper's point.
     */
@@ -1397,14 +1398,21 @@ object VectorQueries {
       .withColumn("shap_nano", sum("contrib").over(wSuffix))
     val totals = ranked.groupBy("vec_id", "label")
       .agg(sum("shap_nano").as("shap_nano"), count(lit(1)).as("n_tests"))
-    totals
-      .withColumn("rk_top", row_number().over(
-        Window.orderBy(desc("shap_nano"), asc("vec_id"))))
-      .withColumn("rk_bot", row_number().over(
-        Window.orderBy(asc("shap_nano"), asc("vec_id"))))
-      .filter(col("rk_top") <= 20 || col("rk_bot") <= 20)
-      .withColumn("bucket",
-        when(col("rk_top") <= 20, lit("valuable")).otherwise(lit("harmful")))
+      // both report branches read it; |train| rows, one aggregate's output
+      .localCheckpoint(false)
+    // Top/bottom-20 as two TakeOrderedAndProject passes (each executor
+    // keeps a 20-row heap; the driver merges 20·|tasks| rows) instead of
+    // rank windows over an unpartitioned Window.orderBy, which would
+    // funnel the corpus-sized per-train totals frame through ONE
+    // partition. The 20-row anti join reproduces the old tie rule: a
+    // vector in both tails (possible only when |train| < 40) reports
+    // once, as "valuable".
+    val top = totals.orderBy(desc("shap_nano"), asc("vec_id")).limit(20)
+      .withColumn("bucket", lit("valuable"))
+    val bot = totals.orderBy(asc("shap_nano"), asc("vec_id")).limit(20)
+      .join(broadcast(top.select("vec_id")), Seq("vec_id"), "left_anti")
+      .withColumn("bucket", lit("harmful"))
+    top.unionByName(bot)
       .select("vec_id", "label", "shap_nano", "n_tests", "bucket")
       .orderBy(desc("shap_nano"), asc("vec_id"))
   }

@@ -246,6 +246,16 @@ object ScaleBench {
     // the decade should be scan/shuffle-linear with tiny join output
     "q193_substr" -> ((s, d) =>
       DedupQueries.q193SubstringDedup(s, d).count()),
+    // the df-gate's reason to exist, measured: the same corpus with a
+    // 50-token boilerplate span injected into every 10th document. The
+    // span's 43 positional grams each reach df = |docs|/10, so the
+    // UNGATED seed join pays 43 · d²/200 rows on hot keys (quadratic
+    // in the corpus) while the gated run drops them up front and stays
+    // output-linear — the certified-lower-bound trade documented on
+    // q193SubstringDedup.
+    "q193_boiler_gated" -> ((s, d) =>
+      q193BoilerSeeds(s, d, DedupQueries.Q193MaxSeedDf)),
+    "q193_boiler_ungated" -> ((s, d) => q193BoilerSeeds(s, d, 0)),
     // PassJoin: candidates are the (seg, len, piece) equi-join —
     // quadratic only where many prefixes share a verbatim 13-char
     // segment; the probe explode is a constant ≤45× row factor
@@ -258,6 +268,24 @@ object ScaleBench {
     "q86_ann_ivfpq" -> ((s, d) =>
       graft.operators.VectorQueries.q86AnnIvfPq(s, d).count()),
   )
+
+  /** Seed-join row count for [[DedupQueries.q193Grams]] over a
+    * boilerplate-heavy twist of the corpus: every 10th document gains
+    * one shared 50-token span. Measures the seed equi-join's output —
+    * the quantity the df-gate exists to bound.
+    */
+  private def q193BoilerSeeds(spark: SparkSession, dir: String,
+      maxSeedDf: Int): Long = {
+    val boiler = (1 to 50).map(i => s"boilertok$i").mkString(" ")
+    val docs = Tables(spark, dir).documents.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10L)) === 0L,
+        concat(col("text"), lit(" " + boiler)))
+        .otherwise(col("text")).as("text"))
+    val g = DedupQueries.q193Grams(docs, maxSeedDf)
+    g.as("a").join(g.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()

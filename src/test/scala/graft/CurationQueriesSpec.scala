@@ -2570,6 +2570,65 @@ class CurationQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q193 df-gate: hot grams dropped before the self-join, cold spans " +
+    "survive exactly (certified lower bound)") {
+    import spark.implicits._
+    // 80 docs share one 50-token boilerplate span (each of its 43
+    // positional 8-grams has df = 80 > cap 64); docs 0 and 1 ALSO share
+    // a 20-token rare span. The gate must kill every boilerplate seed
+    // and keep every rare seed.
+    val boiler = (1 to 50).map(i => s"bp$i").mkString(" ")
+    val rare = (1 to 20).map(i => s"rare$i").mkString(" ")
+    val rows = (0L until 80L).map { id =>
+      val pad = (1 to 10).map(i => s"u${id}x$i").mkString(" ")
+      val text = if (id <= 1) s"$pad $boiler $rare" else s"$pad $boiler"
+      (id, text)
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val cap = operators.DedupQueries.Q193MaxSeedDf
+    val ungated = operators.DedupQueries.q193Grams(docs, 0)
+    val gated = operators.DedupQueries.q193Grams(docs, cap)
+    val dfByHash = ungated.groupBy("h").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dfByHash.values.max >= 80L, "boilerplate grams must be hot")
+    // the gate keeps exactly the df <= cap postings
+    val keptHashes = gated.select("h").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(keptHashes == dfByHash.filter(_._2 <= cap).keySet)
+    // per-key join density is bounded at cap² after the gate...
+    def seeds(g: org.apache.spark.sql.DataFrame) = g.as("a")
+      .join(g.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    val hotPairs = 43L * 80L * 79L / 2L // 43 boilerplate grams × C(80,2)
+    assert(seeds(ungated) >= hotPairs, "ungated join is quadratic in df")
+    assert(seeds(gated) < 43L * cap.toLong * cap.toLong,
+      "gated join must stay under cap² per hot gram")
+    // ...and the rare span still chains to its full length: the capped
+    // pipeline is a LOWER BOUND that loses only ubiquitous-gram spans
+    val g = gated
+    val diag = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id", "b_id", "d").orderBy("i")
+    val best = g.as("a").join(g.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.pos").as("i"), (col("a.pos") - col("b.pos")).as("d"))
+      .withColumn("grp", col("i") - row_number().over(diag))
+      .groupBy("a_id", "b_id", "d", "grp")
+      .agg((count(lit(1)) + 7L).as("span"))
+      .groupBy("a_id", "b_id").agg(max("span").as("max_span"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // docs 0-1: the rare 20-token span survives whole; the boilerplate
+    // tail extends it only through grams that straddle into rare/pad
+    // territory (df <= 2), so the reported span covers at least it
+    assert(best.getOrElse((0L, 1L), 0L) >= 20L,
+      s"rare span lost by the gate: $best")
+    // no pair among boilerplate-only docs reports a span: every seed
+    // covering the shared region is hot
+    assert(!best.keySet.exists { case (a, b) => a > 1L && b > 1L },
+      "boilerplate-only pairs must produce no seeds after the gate")
+  }
+
   // --- q194 ----------------------------------------------------------
 
   /** Classic full-matrix edit distance — the naive reference the

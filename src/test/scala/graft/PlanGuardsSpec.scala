@@ -275,6 +275,33 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"q168 scoring must not join:\n${df.queryExecution.executedPlan}")
   }
 
+  test("q195/q166/q192/q190 report stages: no unpartitioned WindowExec " +
+    "(corpus-sized frames must never sort on one partition)") {
+    // q195's top/bottom-20, q166/q192's vocab tops and q190's median all
+    // moved off global rank windows (r8); a reintroduced unpartitioned
+    // window would silently funnel a corpus-sized frame through a single
+    // task at 100 TB — fail HERE instead.
+    val dfs = Seq(
+      "q195" -> operators.VectorQueries.q195KnnShapley(spark, dir),
+      "q166" -> operators.TextQueries.q166OovCurve(spark, dir),
+      "q192" -> operators.TextQueries.q192OovDrift(spark, dir),
+      "q190" -> operators.TemporalQueries.q190BotScore(spark, dir))
+    dfs.foreach { case (name, df) =>
+      val global = collectNodes(df) {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"$name grew an unpartitioned window:\n${df.queryExecution.executedPlan}")
+    }
+    val topk = collectNodes(dfs.head._2) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(topk.size >= 2,
+      s"q195's report must be two TakeOrderedAndProject branches:\n" +
+        s"${dfs.head._2.queryExecution.executedPlan}")
+  }
+
   test("q179 deletion cascade: every hop is a semi/equi join — no " +
     "nested-loop, no cartesian") {
     val df = operators.ProfileQueries.q179DeletionCascade(spark, dir)
