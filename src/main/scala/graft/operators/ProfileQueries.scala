@@ -391,22 +391,36 @@ object ProfileQueries {
     * honest common case) and a constructed hot key (every 5th event
     * collapsed onto user 0 — the q114/q132/q148 injected-defect
     * convention) that the advisor MUST flag (`salt`, spec-pinned).
-    * Median key frequency via the lower-median rank (q122's integer
-    * trick).
+    * Median key frequency via the frequency-histogram fold (exact —
+    * the q190 pattern), never a rank over the distinct-key frame.
     *
     * Scale shape: one aggregate per key to the distinct-key frame,
-    * windows over that (key-cardinality-sized) frame only.
+    * then a second aggregate to the FREQUENCY histogram (domain-sized,
+    * ~50 rows) whose sorted fold yields the exact median — the
+    * distinct-key frame (billions of keys at 100 TB) never sorts.
     */
   def q157SkewAdvisor(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     def profile(name: String, keyed: DataFrame): DataFrame = {
+      // Lower-median key frequency off the FREQUENCY HISTOGRAM (the
+      // q190 fold): the per-key counts frame is key-cardinality-sized
+      // (billions of keys at 100 TB), so never rank it on one
+      // partition — group it by count value (~50 distinct frequencies
+      // here; bounded by the frequency domain), fold the sorted
+      // histogram to the (n_keys+1) div 2 cut. Value-identical to the
+      // rn = (nk+1) div 2 rank selection it replaces.
       val counts = keyed.groupBy("k").agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(Window.orderBy(col("c"), col("k"))))
-        .withColumn("nk", count(lit(1)).over(Window.partitionBy()))
-      counts.agg(sum("c").as("n_rows"), max("nk").as("n_keys"),
-          max("c").as("max_key_rows"),
-          max(when(col("rn") === expr("(nk + 1) div 2"), col("c")))
-            .as("p50_key_rows"))
+      counts.groupBy("c").agg(count(lit(1)).as("kc"))
+        .agg(sort_array(collect_list(struct(col("c"), col("kc")))).as("hv"),
+          sum(expr("c * kc")).as("n_rows"),
+          sum("kc").as("n_keys"),
+          max("c").as("max_key_rows"))
+        .withColumn("tgt", expr("(n_keys + 1) div 2"))
+        .withColumn("p50_key_rows", expr(
+          "aggregate(hv, named_struct('cum', 0L, 'm', -1L), (acc, x) -> " +
+            "IF(acc.m >= 0L, acc, named_struct('cum', acc.cum + x.kc, " +
+            "'m', IF(acc.cum + x.kc >= tgt, x.c, -1L))), " +
+            "acc -> acc.m)"))
         .select(lit(name).as("join_key"), col("n_rows"), col("n_keys"),
           col("max_key_rows"), col("p50_key_rows"),
           expr("(1000 * max_key_rows) div n_rows").as("max_share_permille"),

@@ -861,25 +861,40 @@ object SamplingQueries {
     * construction, so the schedule is collision-free without any
     * coordination. Output = the first 48 schedule slots.
     *
-    * Scale shape: the tier cut is ONE global rank window (the exact-
-    * quantile exchange — q128's histogram cuts replace it at 100 TB);
-    * the within-tier shuffle windows partition by tier. Nothing else
-    * touches the corpus; the slice is a TakeOrdered.
+    * Scale shape (r8, de-globalized): the exact global rank is TWO-
+    * LEVEL — a per-length base off the length HISTOGRAM (value-domain-
+    * sized: ~523 distinct lengths at sf0.1; the only unpartitioned
+    * window sorts that bounded frame) plus a within-length rank
+    * (partitioned by n_chars), summing to the identical rn0 the old
+    * corpus-wide rank window produced by sorting every row on one
+    * task. The within-tier shuffle only ever NEEDS the first 12 rows
+    * per tier (pos < 48 ⟺ rank ≤ 12 for 4 tiers), so it runs on the
+    * TopKPerKey operator (per-task 12-row heaps, partial → final) —
+    * the old tier-partitioned window pushed corpus/4 rows through
+    * each of 4 tasks. Nothing corpus-sized crosses a single partition
+    * at any step.
     */
   def q173CurriculumSchedule(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val n = t.documents.agg(count(lit(1)).as("n_total"))
-    val tiered = t.documents.select("doc_id", "n_chars")
-      .withColumn("rn0",
-        row_number().over(Window.orderBy("n_chars", "doc_id")).cast("long")
-          - 1L)
+    val docs = t.documents.select("doc_id", "n_chars")
+    val base = docs.groupBy("n_chars").agg(count(lit(1)).as("bc"))
+      .withColumn("base", sum("bc").over(
+        Window.orderBy("n_chars").rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)) - col("bc"))
+      .select("n_chars", "base")
+    val tiered = docs
+      .withColumn("rin", row_number().over(
+        Window.partitionBy("n_chars").orderBy("doc_id")).cast("long"))
+      .join(broadcast(base), Seq("n_chars"))
       .crossJoin(broadcast(n))
+      .withColumn("rn0", col("base") + col("rin") - 1L)
       .withColumn("tier", expr("(4 * rn0) div n_total"))
       .withColumn("coin", md5Long60(col("doc_id").cast("string")))
-    tiered
-      .withColumn("rt",
-        row_number().over(Window.partitionBy("tier")
-          .orderBy("coin", "doc_id")).cast("long"))
+      .select("tier", "coin", "doc_id", "n_chars")
+    graft.plans.TopKPerKey(tiered, Seq("tier"),
+        Seq(asc("coin"), asc("doc_id")), 12)
+      .withColumn("rt", col("rank").cast("long"))
       .withColumn("pos", (col("rt") - 1L) * 4L + col("tier"))
       .filter(col("pos") < 48L)
       .select("pos", "tier", "doc_id", "n_chars")

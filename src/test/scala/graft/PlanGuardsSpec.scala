@@ -300,6 +300,37 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(topk.size >= 2,
       s"q195's report must be two TakeOrderedAndProject branches:\n" +
         s"${dfs.head._2.queryExecution.executedPlan}")
+    // q157: the key-frequency profile folds a histogram — the
+    // distinct-key frame must never rank on one partition
+    val q157 = operators.ProfileQueries.q157SkewAdvisor(spark, dir)
+    val g157 = collectNodes(q157) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(g157.isEmpty,
+      s"q157 grew an unpartitioned window:\n${q157.queryExecution.executedPlan}")
+    // q173: the within-tier shuffle is a 12-row TopKPerKey heap, and
+    // the only unpartitioned window rides the LENGTH HISTOGRAM (an
+    // aggregate output, value-domain-sized) — never raw corpus rows
+    val q173 = operators.SamplingQueries.q173CurriculumSchedule(spark, dir)
+    val heap = collectNodes(q173) {
+      case t: graft.plans.TopKPerKeyExec => t
+    }
+    assert(heap.nonEmpty,
+      s"q173 lost its TopKPerKey heap:\n${q173.queryExecution.executedPlan}")
+    def hasAggBelow(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case a: AdaptiveSparkPlanExec => hasAggBelow(a.executedPlan)
+      case q: QueryStageExec => hasAggBelow(q.plan)
+      case other => other.children.exists(hasAggBelow)
+    }
+    val corpusWin = collectNodes(q173) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty && !hasAggBelow(w.child) => w
+    }
+    assert(corpusWin.isEmpty,
+      s"q173's unpartitioned window must ride the length histogram " +
+        s"(an aggregate), not the corpus:\n${q173.queryExecution.executedPlan}")
   }
 
   test("q179 deletion cascade: every hop is a semi/equi join — no " +
