@@ -256,6 +256,19 @@ object ScaleBench {
     "q193_boiler_gated" -> ((s, d) =>
       q193BoilerSeeds(s, d, DedupQueries.Q193MaxSeedDf)),
     "q193_boiler_ungated" -> ((s, d) => q193BoilerSeeds(s, d, 0)),
+    // r8 de-globalizations, measured across the decade: q173's
+    // two-level rank + TopKPerKey heap (was: corpus rank window +
+    // corpus/4-per-task tier windows), q157's frequency-histogram
+    // median (was: distinct-key rank window), q190's value-histogram
+    // median fold (was: |users| rank window). All three should be
+    // wall-flat-ish with scan/shuffle-linear work and NO single task
+    // carrying the corpus.
+    "q173_curriculum" -> ((s, d) =>
+      graft.operators.SamplingQueries.q173CurriculumSchedule(s, d).count()),
+    "q157_skew" -> ((s, d) =>
+      graft.operators.ProfileQueries.q157SkewAdvisor(s, d).count()),
+    "q190_bot" -> ((s, d) =>
+      TemporalQueries.q190BotScore(s, d).count()),
     // PassJoin: candidates are the (seg, len, piece) equi-join —
     // quadratic only where many prefixes share a verbatim 13-char
     // segment; the probe explode is a constant ≤45× row factor
