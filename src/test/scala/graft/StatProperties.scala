@@ -117,4 +117,52 @@ object StatProperties extends Properties("StatOps") {
       cusumSequential(pts) ==
         cusumSequential(pts.map { case (i, y) => (i, y + c) })
     }
+
+  // --- r8 de-globalization equivalences -------------------------------
+
+  /** The q190/q157 histogram-median fold, verbatim: exact lower median
+    * from a sorted (value, count) array in one aggregate expression.
+    */
+  property("histogram-median fold == lower median of the expanded multiset") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(1L, 40L))) { vals =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val got = vals.toDF("v").groupBy("v").agg(count(lit(1)).as("c"))
+        .agg(sort_array(collect_list(struct(col("v"), col("c")))).as("hv"))
+        .withColumn("tgt",
+          expr("(aggregate(hv, 0L, (a, x) -> a + x.c) + 1) div 2"))
+        .select(expr(
+          "aggregate(hv, named_struct('cum', 0L, 'm', -1L), (acc, x) -> " +
+            "IF(acc.m >= 0L, acc, named_struct('cum', acc.cum + x.c, " +
+            "'m', IF(acc.cum + x.c >= tgt, x.v, -1L))), " +
+            "acc -> acc.m)").as("m"))
+        .collect()(0).getLong(0)
+      got == vals.sorted.apply((vals.size + 1) / 2 - 1)
+    }
+
+  /** The q173 two-level rank: per-value base off the value histogram
+    * plus a within-value rank must equal the global (value, id) rank.
+    */
+  property("two-level rank == global (value, id) rank") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(1L, 25L))) { lens =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val rows = lens.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("id", "v")
+      val base = df.groupBy("v").agg(count(lit(1)).as("bc"))
+        .withColumn("base", sum("bc").over(
+          Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)) - col("bc"))
+        .select("v", "base")
+      val got = df
+        .withColumn("rin", row_number().over(
+          Window.partitionBy("v").orderBy("id")).cast("long"))
+        .join(broadcast(base), Seq("v"))
+        .select(col("id"), (col("base") + col("rin")).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = rows.sortBy(x => (x._2, x._1)).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      got == want
+    }
 }
