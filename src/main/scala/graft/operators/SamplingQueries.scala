@@ -1184,7 +1184,71 @@ object SamplingQueries {
        |ORDER BY source""".stripMargin
   }
 
+  /** q200: quality-rank SELECTION CURVE — the exact "how many tokens
+    * do I keep at every quality cutoff" curve that data-mix design
+    * reads before committing a threshold: documents ranked by quality
+    * class (desc, doc_id tiebreak) with the EXACT cumulative token
+    * count at every rank, sampled at the 10 decile ranks. q197 is the
+    * cheap single-cutoff cousin that deliberately avoids the global
+    * cumsum by histogram truncation (budget error bounded by one
+    * class cohort); THIS query is the exact curve — the shape q197's
+    * docstring calls the classic cumsum scale trap — made scale-safe
+    * by [[ScanOps.runningSums]]: range-partition the order, scan each
+    * partition locally, stitch with a partition-count-sized offset
+    * frame. No corpus-sized single-partition sort anywhere; the curve
+    * is exact at EVERY rank, not class-truncated.
+    *
+    * Scale shape: one scoring scan; two corpus exchanges (range + pid
+    * window — the honest price of exact global order); the decile
+    * probe is a 10-row broadcast join. Output: 10 rows.
+    */
+  def q200SelectionCurve(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val scored = t.documents.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+        .as("n_tok"),
+      floor(graft.functions.TextFunctions.qualityScore(col("text")) * 1000.0d)
+        .cast("long").as("qclass"))
+    val ranked = ScanOps.runningSums(scored,
+      Seq(col("qclass").desc, col("doc_id").asc),
+      Seq((lit(1L), "rn"), (col("n_tok"), "cum_tokens")))
+    val cuts = scored.agg(count(lit(1)).as("n_total"), sum("n_tok").as("t_tok"))
+      .select(explode(sequence(lit(1L), lit(10L))).as("decile"),
+        col("n_total"), col("t_tok"))
+      .withColumn("rank_cut", expr("(decile * n_total) div 10"))
+    ranked.join(broadcast(cuts), col("rn") === col("rank_cut"))
+      .select(col("decile"), col("rank_cut"),
+        col("qclass").as("qclass_at_cut"), col("cum_tokens"),
+        expr("(1000 * cum_tokens) div t_tok").as("token_share_permille"))
+      .orderBy("decile")
+  }
+
+  val q200Sql: String = {
+    val score = OracleSql.qualityScore("text")
+    val toks = OracleSql.tokens("text")
+    s"""WITH scored AS (
+       |  SELECT doc_id, len($toks)::BIGINT AS n_tok,
+       |    floor($score * 1000.0)::BIGINT AS qclass
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT qclass,
+       |    ROW_NUMBER() OVER (ORDER BY qclass DESC, doc_id) AS rn,
+       |    (SUM(n_tok) OVER (ORDER BY qclass DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+       |      AS cum_tokens
+       |  FROM scored),
+       |tot AS (SELECT COUNT(*)::BIGINT AS n_total, SUM(n_tok)::BIGINT AS t_tok
+       |        FROM scored)
+       |SELECT d.d::BIGINT AS decile, ((d.d * n_total) // 10)::BIGINT AS rank_cut,
+       |  r.qclass AS qclass_at_cut, r.cum_tokens,
+       |  ((1000 * r.cum_tokens) // t_tok)::BIGINT AS token_share_permille
+       |FROM generate_series(1, 10) d(d), tot, ranked r
+       |WHERE r.rn = (d.d * n_total) // 10
+       |ORDER BY decile""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_selection_curve" -> (q200SelectionCurve _),
     "q197_budget_select" -> (q197BudgetSelect _),
     "q189_kfold_audit" -> (q189KfoldAudit _),
     "q185_quota_sample" -> (q185QuotaSample _),
@@ -1207,6 +1271,7 @@ object SamplingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q200_selection_curve" -> q200Sql,
     "q197_budget_select" -> q197Sql,
     "q189_kfold_audit" -> q189Sql,
     "q185_quota_sample" -> q185Sql,

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact DISTRIBUTED PREFIX SCAN — global running aggregates over a
+  * total order with NO corpus-sized single-partition sort anywhere.
+  *
+  * The missing primitive behind every "cumulative X by global rank"
+  * query this engine has so far deliberately dodged (q197 chose
+  * histogram truncation, q173 a two-level rank, q190/q157 histogram
+  * medians — all exact only because their value domains are bounded).
+  * When the ORDER key is high-cardinality and the running value must
+  * be exact at EVERY rank, the classic two-phase scan is the answer,
+  * and it is three bounded stages:
+  *
+  *   1. `repartitionByRange(sortCols)` — the distributed sort's
+  *      partitioning step (sampled boundaries; correctness never
+  *      depends on where they land, only on each partition holding a
+  *      contiguous key range). A lazy localCheckpoint pins the
+  *      partition assignment so both downstream consumers read the
+  *      SAME physical split.
+  *   2. per-partition running sums — `Window.partitionBy(__pid)`,
+  *      so every window task sorts one range partition, never the
+  *      corpus. Partition sizes are balanced by the range sampler.
+  *   3. per-partition totals (≤ |partitions| rows) cumsum'd in one
+  *      bounded unpartitioned window and broadcast back as offsets.
+  *
+  * Rows shuffle exactly twice (range exchange + pid window exchange);
+  * the offset frame is partition-count-sized. Output values are
+  * independent of the sampled boundaries, so results are
+  * deterministic given a TOTAL order (include a unique tiebreak in
+  * `sortCols` — a partial order makes per-partition sorts
+  * tie-ambiguous in any engine).
+  */
+object ScanOps {
+
+  /** Appends one exact running-SUM column per `(value, outName)` pair,
+    * computed over the total order `sortCols`. Values must be
+    * non-null integral columns (the engine's exact-arithmetic
+    * convention); pass `lit(1L) -> "rn"` to get the global rank.
+    */
+  def runningSums(df: DataFrame, sortCols: Seq[Column],
+      sums: Seq[(Column, String)]): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val vals = sums.zipWithIndex.map { case ((v, _), i) => v.as(s"__v$i") }
+    val ranged = df
+      .select(col("*") +: vals: _*)
+      .repartitionByRange(p, sortCols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(false)
+    val wLocal = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totAggs = sums.indices.map(i => sum(col(s"__v$i")).as(s"__t$i"))
+    val offCols = sums.indices.map(i =>
+      coalesce(sum(col(s"__t$i")).over(
+        Window.orderBy("__pid").rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)).as(s"__o$i"))
+    val offsets = ranged.groupBy("__pid")
+      .agg(totAggs.head, totAggs.tail: _*)
+      .select(col("__pid") +: offCols: _*)
+    val withRuns = sums.indices.foldLeft(ranged) { (acc, i) =>
+      acc.withColumn(s"__r$i", sum(col(s"__v$i")).over(wLocal))
+    }
+    val out = sums.zipWithIndex.foldLeft(
+      withRuns.join(broadcast(offsets), Seq("__pid"))) {
+      case (acc, ((_, name), i)) =>
+        acc.withColumn(name, col(s"__r$i") + col(s"__o$i"))
+    }
+    out.drop("__pid" +: sums.indices.flatMap(i =>
+      Seq(s"__v$i", s"__t$i", s"__r$i", s"__o$i")): _*)
+  }
+}

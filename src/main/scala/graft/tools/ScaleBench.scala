@@ -269,6 +269,12 @@ object ScaleBench {
       graft.operators.ProfileQueries.q157SkewAdvisor(s, d).count()),
     "q190_bot" -> ((s, d) =>
       TemporalQueries.q190BotScore(s, d).count()),
+    // the distributed prefix scan (q200): exact global cumsum via
+    // range exchange + pid-local windows + a partition-count-sized
+    // offset stitch — wall/shuffle should be scan-linear, max task
+    // bounded by one range partition, never the corpus
+    "q200_scan_curve" -> ((s, d) =>
+      graft.operators.SamplingQueries.q200SelectionCurve(s, d).count()),
     // PassJoin: candidates are the (seg, len, piece) equi-join —
     // quadratic only where many prefixes share a verbatim 13-char
     // segment; the probe explode is a constant ≤45× row factor

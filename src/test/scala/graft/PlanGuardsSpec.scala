@@ -331,6 +331,17 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(corpusWin.isEmpty,
       s"q173's unpartitioned window must ride the length histogram " +
         s"(an aggregate), not the corpus:\n${q173.queryExecution.executedPlan}")
+    // q200: the distributed scan's only unpartitioned window is the
+    // partition-count-sized offset cumsum (an aggregate output); the
+    // per-rank running sums must ride the __pid-partitioned window
+    val q200 = operators.SamplingQueries.q200SelectionCurve(spark, dir)
+    val scanWin = collectNodes(q200) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty && !hasAggBelow(w.child) => w
+    }
+    assert(scanWin.isEmpty,
+      s"q200's scan grew a corpus-sized unpartitioned window:\n" +
+        s"${q200.queryExecution.executedPlan}")
   }
 
   test("q179 deletion cascade: every hop is a semi/equi join — no " +

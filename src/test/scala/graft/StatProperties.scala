@@ -140,6 +140,31 @@ object StatProperties extends Properties("StatOps") {
       got == vals.sorted.apply((vals.size + 1) / 2 - 1)
     }
 
+  /** ScanOps.runningSums (q200's engine): the range-partitioned
+    * two-phase scan must equal the sequential prefix sums over the
+    * same total order on arbitrary inputs — including the partition-
+    * boundary stitching, which 32 shuffle partitions over ~100-row
+    * inputs exercises hard (most partitions hold 0-5 rows).
+    */
+  property("distributed runningSums == sequential prefix sums") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L))) { vs =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val got = graft.operators.ScanOps.runningSums(
+          rows.toDF("id", "v"),
+          Seq(col("v").desc, col("id").asc),
+          Seq((lit(1L), "rn"), (col("v"), "cum")))
+        .select("id", "rn", "cum")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._2)
+      val want = rows.sortBy { case (id, v) => (-v, id) }
+        .scanLeft((0L, 0L, 0L)) { case ((_, rn, cum), (id, v)) =>
+          (id, rn + 1, cum + v)
+        }.tail
+      got.toSeq == want.map { case (id, rn, cum) => (id, rn, cum) }
+    }
+
   /** The q173 two-level rank: per-value base off the value histogram
     * plus a within-value rank must equal the global (value, id) rank.
     */
