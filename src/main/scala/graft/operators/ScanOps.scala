@@ -42,29 +42,47 @@ object ScanOps {
     * convention); pass `lit(1L) -> "rn"` to get the global rank.
     */
   def runningSums(df: DataFrame, sortCols: Seq[Column],
-      sums: Seq[(Column, String)]): DataFrame = {
+      sums: Seq[(Column, String)]): DataFrame =
+    runningSums(df, Nil, sortCols, sums)
+
+  /** Grouped form: exact running sums over `sortCols` WITHIN each
+    * `groupCols` group — per-group windows without ever putting one
+    * group's rows through one partition (the q195 hazard: Spark's
+    * `Window.partitionBy(group)` materializes every group in a single
+    * task, corpus-sized when groups are few and large). Range
+    * partitioning on (group, order) keeps each group's rows
+    * CONTIGUOUS across partitions, so the per-(group, pid) cell scans
+    * stitch with a |groups|·|partitions|-row offset frame whose
+    * cumsum windows are ≤ |partitions| rows per group.
+    */
+  def runningSums(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], sums: Seq[(Column, String)]): DataFrame = {
     val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val vals = sums.zipWithIndex.map { case ((v, _), i) => v.as(s"__v$i") }
     val ranged = df
       .select(col("*") +: vals: _*)
-      .repartitionByRange(p, sortCols: _*)
+      .repartitionByRange(p, groupCols.map(col) ++ sortCols: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
       .localCheckpoint(false)
-    val wLocal = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    val cellKeys = groupCols :+ "__pid"
+    val wLocal = Window.partitionBy(cellKeys.map(col): _*)
+      .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = (if (groupCols.isEmpty) Window.partitionBy()
+                else Window.partitionBy(groupCols.map(col): _*))
+      .orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     val totAggs = sums.indices.map(i => sum(col(s"__v$i")).as(s"__t$i"))
     val offCols = sums.indices.map(i =>
-      coalesce(sum(col(s"__t$i")).over(
-        Window.orderBy("__pid").rowsBetween(
-          Window.unboundedPreceding, -1)), lit(0L)).as(s"__o$i"))
-    val offsets = ranged.groupBy("__pid")
+      coalesce(sum(col(s"__t$i")).over(wOff), lit(0L)).as(s"__o$i"))
+    val offsets = ranged
+      .groupBy(cellKeys.head, cellKeys.tail: _*)
       .agg(totAggs.head, totAggs.tail: _*)
-      .select(col("__pid") +: offCols: _*)
+      .select(cellKeys.map(col) ++ offCols: _*)
     val withRuns = sums.indices.foldLeft(ranged) { (acc, i) =>
       acc.withColumn(s"__r$i", sum(col(s"__v$i")).over(wLocal))
     }
     val out = sums.zipWithIndex.foldLeft(
-      withRuns.join(broadcast(offsets), Seq("__pid"))) {
+      withRuns.join(broadcast(offsets), cellKeys)) {
       case (acc, ((_, name), i)) =>
         acc.withColumn(name, col(s"__r$i") + col(s"__o$i"))
     }

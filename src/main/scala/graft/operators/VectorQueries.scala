@@ -1363,8 +1363,11 @@ object VectorQueries {
     * sums. Reports the 20 most valuable + 20 most harmful vectors.
     *
     * Scale shape: the test slice (4%) broadcasts; the corpus sweep is
-    * map-only codegen'd dots; per-test ranking is one window exchange
-    * keyed by query (the bounded-eval-sample pattern of q182); the
+    * map-only codegen'd dots; per-test ranking and the suffix sums run
+    * on the GROUPED DISTRIBUTED SCAN (r8 — see the Abel-summation note
+    * in the body): range-partitioned on (query, order), so no task
+    * ever holds one query's full train set (the old per-query window
+    * put |train| rows in one partition per test point); the
     * per-train rollup is one aggregate whose output is |train| rows;
     * the report is two TakeOrderedAndProject passes (top/bottom 20)
     * over that aggregate — never a global sort. At 100 TB the
@@ -1378,25 +1381,52 @@ object VectorQueries {
         col("label").cast("long").as("q_label"))
     val train = t.embeddings.filter(col("vec_id") % 25 =!= 0)
       .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
-    val wRank = Window.partitionBy("query_id").orderBy(desc("dot"), asc("vec_id"))
-    val wSuffix = Window.partitionBy("query_id").orderBy("rank")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val ranked = train.crossJoin(broadcast(tests))
+    // Per-query ranking and suffix sums WITHOUT Window.partitionBy
+    // (query_id): that shape materializes every query's FULL train set
+    // in one task — |train| rows per partition at any |tests|, the
+    // corpus-through-one-task hazard everywhere else in this engine is
+    // banned. Abel summation turns the suffix-sum recurrence into
+    // prefix sums of per-row terms, which the grouped distributed scan
+    // (ScanOps) computes with bounded partitions:
+    //   shap_i = own_i + (T − H_i), where
+    //   own_i  = ind_i·w(i)            (i < n),  ind_n·(10⁹ div n)  (i = n)
+    //   h_j    = ind_j·(w(j) − w(j−1)) (1 < j < n),
+    //            ind_n·((10⁹ div n) − w(n−1)) (j = n), 0 (j = 1 — the
+    //            j=1 term appears in both T and every H_i, so it cancels)
+    //   H_i = Σ_{j≤i} h_j (the scan), T = Σ_j h_j (a |tests|-row agg)
+    // with the SAME floored w(r) = (10⁹·min(5,r)) div (5r) the direct
+    // recurrence uses — exact integer algebra, so the DuckDB oracle
+    // (which keeps the lead()-based form) must and does hash-match.
+    // 1000000000L: the magnitude product must be BIGINT — an int
+    // literal would wrap at 2^31 in non-ANSI Spark while DuckDB
+    // promotes, silently diverging the engines.
+    val pairs = train.crossJoin(broadcast(tests))
       .withColumn("dot", dotFold(col("embedding"), col("q_emb")))
-      .withColumn("rank", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("query_id")))
       .withColumn("ind", when(col("label") === col("q_label"), 1L).otherwise(0L))
-      .withColumn("ind_next", lead(col("ind"), 1).over(
-        Window.partitionBy("query_id").orderBy("rank")))
-      // 1000000000L: the magnitude product must be BIGINT — an int
-      // literal would wrap at 2^31 in non-ANSI Spark while DuckDB
-      // promotes, silently diverging the engines.
-      .withColumn("contrib", when(col("rank") === col("n"),
+      .select("query_id", "vec_id", "label", "ind", "dot")
+    val sortCols = Seq(col("dot").desc, col("vec_id").asc)
+    val sizes = pairs.groupBy("query_id").agg(count(lit(1)).as("n"))
+    val ranked = ScanOps
+      .runningSums(pairs, Seq("query_id"), sortCols, Seq((lit(1L), "rank")))
+      .join(broadcast(sizes), Seq("query_id"))
+      .withColumn("w", expr("(1000000000L * least(5, rank)) div (5 * rank)"))
+      .withColumn("w_prev", expr(
+        "(1000000000L * least(5, rank - 1)) div (5 * (rank - 1))"))
+      .withColumn("own", when(col("rank") === col("n"),
           col("ind") * expr("1000000000L div n"))
-        .otherwise((col("ind") - col("ind_next")) *
-          expr("(1000000000L * least(5, rank)) div (5 * rank)")))
-      .withColumn("shap_nano", sum("contrib").over(wSuffix))
-    val totals = ranked.groupBy("vec_id", "label")
+        .otherwise(col("ind") * col("w")))
+      .withColumn("h", when(col("rank") === 1L, lit(0L))
+        .when(col("rank") === col("n"),
+          col("ind") * (expr("1000000000L div n") - col("w_prev")))
+        .otherwise(col("ind") * (col("w") - col("w_prev"))))
+      // the h-totals aggregate and the second scan both read it
+      .localCheckpoint(false)
+    val hTotals = ranked.groupBy("query_id").agg(sum("h").as("ht"))
+    val scored = ScanOps
+      .runningSums(ranked, Seq("query_id"), sortCols, Seq((col("h"), "hcum")))
+      .join(broadcast(hTotals), Seq("query_id"))
+      .withColumn("shap_nano", col("own") + col("ht") - col("hcum"))
+    val totals = scored.groupBy("vec_id", "label")
       .agg(sum("shap_nano").as("shap_nano"), count(lit(1)).as("n_tests"))
       // both report branches read it; |train| rows, one aggregate's output
       .localCheckpoint(false)

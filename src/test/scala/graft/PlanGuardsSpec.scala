@@ -300,6 +300,23 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(topk.size >= 2,
       s"q195's report must be two TakeOrderedAndProject branches:\n" +
         s"${dfs.head._2.queryExecution.executedPlan}")
+    // q195 (r8b): NO window partitioned by query_id alone — that shape
+    // holds one query's whole train set in a single task. Every window
+    // must either span (group, pid) cells (partitionSpec >= 2 exprs)
+    // or ride a bounded aggregate (the scan's offset frames).
+    def hasAggBelow195(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case a: AdaptiveSparkPlanExec => hasAggBelow195(a.executedPlan)
+      case q: QueryStageExec => hasAggBelow195(q.plan)
+      case other => other.children.exists(hasAggBelow195)
+    }
+    val fatWin = collectNodes(dfs.head._2) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.size < 2 && !hasAggBelow195(w.child) => w
+    }
+    assert(fatWin.isEmpty,
+      s"q195 grew a per-query (train-sized) window partition:\n" +
+        s"${dfs.head._2.queryExecution.executedPlan}")
     // q157: the key-frequency profile folds a histogram — the
     // distinct-key frame must never rank on one partition
     val q157 = operators.ProfileQueries.q157SkewAdvisor(spark, dir)

@@ -165,6 +165,33 @@ object StatProperties extends Properties("StatOps") {
       got.toSeq == want.map { case (id, rn, cum) => (id, rn, cum) }
     }
 
+  /** Grouped form (q195's engine): per-group running sums must equal
+    * per-group sequential prefix sums — groups deliberately FEW and
+    * LARGE relative to the 32 range partitions, so most groups span
+    * many partitions and the per-(group, pid) stitching is exercised.
+    */
+  property("grouped runningSums == per-group sequential prefix sums") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 2L),
+        Gen.chooseNum(-50L, 50L)))) { gvs =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val rows = gvs.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+      val got = graft.operators.ScanOps.runningSums(
+          rows.toDF("g", "id", "v"), Seq("g"),
+          Seq(col("v").desc, col("id").asc),
+          Seq((lit(1L), "rn"), (col("v"), "cum")))
+        .select("g", "id", "rn", "cum")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val want = rows.groupBy(_._1).flatMap { case (g, xs) =>
+        xs.sortBy { case (_, id, v) => (-v, id) }
+          .scanLeft((0L, 0L, 0L)) { case ((_, rn, cum), (_, id, v)) =>
+            (id, rn + 1, cum + v)
+          }.tail.map { case (id, rn, cum) => (g, id) -> (rn, cum) }
+      }
+      got == want
+    }
+
   /** The q173 two-level rank: per-value base off the value histogram
     * plus a within-value rank must equal the global (value, id) rank.
     */
