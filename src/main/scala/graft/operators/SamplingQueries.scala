@@ -1099,7 +1099,10 @@ object SamplingQueries {
     * selection needs a corpus-wide total-order window (one partition,
     * the classic cumsum scale trap) while the histogram pays two scans
     * and a ≤ 1001-row window for a budget error bounded by one class
-    * cohort. Reports per-source selection shares plus the ALL row with
+    * cohort. When the curve must be EXACT at every rank, q200 pays the
+    * honest price via the distributed scan ([[ScanOps.runningSums]]) —
+    * the trap done without the trap; THIS query remains the cheap
+    * single-cutoff form. Reports per-source selection shares plus the ALL row with
     * the cutoff class and budget utilization — under-budget by design,
     * never over.
     *
