@@ -63,7 +63,7 @@ object Bench {
     * with tight spreads. Parsed with a two-regex scan (the record is
     * machine-written single-line JSON; no JSON lib on the classpath).
     */
-  private def priorMins(path: String): Map[String, Double] =
+  private[graft] def priorMins(path: String): Map[String, Double] =
     try {
       val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
       val qIdx = s.indexOf("\"queries\":{")
