@@ -300,6 +300,10 @@ object ScaleBench {
       when(pmod(col("doc_id"), lit(10L)) === 0L,
         concat(col("text"), lit(" " + boiler)))
         .otherwise(col("text")).as("text"))
+    // The UNGATED run exists to MEASURE the quadratic at scales where
+    // it is merely expensive; past ~100k docs it is 43·C(n/10, 2) seed
+    // rows (5.4e13 at sf10) — refuse rather than hang the harness.
+    if (maxSeedDf <= 0 && docs.count() > 100000L) return -1L
     val g = DedupQueries.q193Grams(docs, maxSeedDf)
     g.as("a").join(g.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
