@@ -81,8 +81,13 @@ object ScanOps {
     val withRuns = sums.indices.foldLeft(ranged) { (acc, i) =>
       acc.withColumn(s"__r$i", sum(col(s"__v$i")).over(wLocal))
     }
+    // no broadcast HINT on the offsets side: it is |groups|·|partitions|
+    // rows — tiny for bounded groups (AQE broadcasts it at runtime from
+    // its actual size), but a forced broadcast would OOM the driver
+    // when groups are unbounded, where a shuffle join on (group, pid)
+    // aligns with the window partitioning instead.
     val out = sums.zipWithIndex.foldLeft(
-      withRuns.join(broadcast(offsets), cellKeys)) {
+      withRuns.join(offsets, cellKeys)) {
       case (acc, ((_, name), i)) =>
         acc.withColumn(name, col(s"__r$i") + col(s"__o$i"))
     }
