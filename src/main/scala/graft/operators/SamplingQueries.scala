@@ -1250,7 +1250,79 @@ object SamplingQueries {
        |ORDER BY decile""".stripMargin
   }
 
+  /** q201: VERBATIM-NOVELTY curve — the memorization-risk diagnostic
+    * (Lee et al. 2021; Carlini et al. 2022 measure memorization
+    * exactly this way): for n ∈ {4, 8, 13}, the share of the eval
+    * slice's POSITIONAL n-grams that appear verbatim anywhere in
+    * train. q111/q129 LIST contaminated documents at one fixed n;
+    * this is the aggregate curve those thresholds are read off — low
+    * novelty at large n means the eval set cannot measure
+    * generalization, falling novelty release-over-release means the
+    * crawl is eating its own tail. Positional (not distinct) on the
+    * eval side: the metric is "how much of the eval TEXT is covered",
+    * so repeated grams count each occurrence; train side dedups to
+    * one (n, hash) row per distinct gram.
+    *
+    * Scale shape: one generate-and-explode per side (the 3 n-values
+    * ride one explode — a single pass over each corpus slice), one
+    * (n, hash) equi-join; the train side's distinct and the join share
+    * the same key. At 100 TB the production swap is q129's bloom
+    * filter per n (drop the exact join, keep the curve within the
+    * bloom's false-positive bound) — this exact form pins the
+    * semantics the bloom approximates. Output: 3 rows.
+    */
+  def q201NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val isEval = pmod(col("doc_id"), lit(10L)) === 0L
+    def grams(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        expr("explode(array(4, 8, 13))").as("n"))
+      .filter(size(col("ts")) >= col("n"))
+      .select(col("n").cast("long").as("n"),
+        explode(expr("transform(sequence(0, size(ts) - n), " +
+          "i -> array_join(slice(ts, i + 1, n), ' '))")).as("gram"))
+      .select(col("n"),
+        graft.functions.TextFunctions.md5Long60(col("gram")).as("h"))
+    val train = grams(t.documents.filter(!isEval))
+      .distinct().withColumn("seen", lit(true))
+    grams(t.documents.filter(isEval))
+      .join(train, Seq("n", "h"), "left")
+      .groupBy("n")
+      .agg(count(lit(1)).as("n_eval_grams"),
+        count(when(col("seen"), 1)).as("n_seen_grams"))
+      .withColumn("seen_permille",
+        expr("(1000 * n_seen_grams) div n_eval_grams"))
+      .withColumn("novel_permille", lit(1000L) - col("seen_permille"))
+      .orderBy("n")
+  }
+
+  val q201Sql: String = {
+    val toks = OracleSql.tokens("text")
+    val h = OracleSql.md5Long60("array_to_string(ts[i+1:i+n], ' ')")
+    s"""WITH toksrc AS (SELECT doc_id, $toks AS ts FROM documents),
+       |expl AS (
+       |  SELECT doc_id, n, ts, unnest(generate_series(0, len(ts) - n)) AS i
+       |  FROM (SELECT doc_id, ts, unnest([4, 8, 13]) AS n FROM toksrc)
+       |  WHERE len(ts) >= n),
+       |g AS (SELECT doc_id, n::BIGINT AS n, $h AS h FROM expl),
+       |train AS (SELECT DISTINCT n, h FROM g WHERE doc_id % 10 <> 0),
+       |ev AS (
+       |  SELECT e.n, t.h IS NOT NULL AS seen
+       |  FROM (SELECT * FROM g WHERE doc_id % 10 = 0) e
+       |  LEFT JOIN train t ON e.n = t.n AND e.h = t.h)
+       |SELECT n, COUNT(*)::BIGINT AS n_eval_grams,
+       |  COUNT(*) FILTER (WHERE seen)::BIGINT AS n_seen_grams,
+       |  ((1000 * COUNT(*) FILTER (WHERE seen)) // COUNT(*))::BIGINT
+       |    AS seen_permille,
+       |  (1000 - (1000 * COUNT(*) FILTER (WHERE seen)) // COUNT(*))::BIGINT
+       |    AS novel_permille
+       |FROM ev GROUP BY n ORDER BY n""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_novelty_curve" -> (q201NoveltyCurve _),
     "q200_selection_curve" -> (q200SelectionCurve _),
     "q197_budget_select" -> (q197BudgetSelect _),
     "q189_kfold_audit" -> (q189KfoldAudit _),
@@ -1274,6 +1346,7 @@ object SamplingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q201_novelty_curve" -> q201Sql,
     "q200_selection_curve" -> q200Sql,
     "q197_budget_select" -> q197Sql,
     "q189_kfold_audit" -> q189Sql,
