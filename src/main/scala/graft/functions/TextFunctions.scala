@@ -67,6 +67,13 @@ object TextFunctions {
   def wordShingles(c: Column, w: Int): Column =
     call_function("graft_word_shingles", c, lit(w))
 
+  /** Positional n-gram 60-bit hashes (native expression — see
+    * plans.PosGramHashesExpr): element i = md5Long60 of the
+    * space-joined tokens i..i+n-1; empty array below n tokens.
+    */
+  def posGramHashes(c: Column, n: Int): Column =
+    call_function("graft_posgrams", c, lit(n))
+
   /** Declarative form of [[wordShingles]] — the semantics the oracle
     * mirrors; value-identical (SketchExprSpec), slower.
     */

@@ -1419,14 +1419,14 @@ object DedupQueries {
     * (the quadratic baseline).
     */
   private[graft] def q193Grams(documents: DataFrame, maxSeedDf: Int): DataFrame = {
+    // graft_posgrams (one native eval/row, md5 streamed per gram)
+    // replaces the transform+slice+array_join HOF chain — value-pinned
+    // in SketchExprSpec; short docs yield an empty array, so the old
+    // size >= 8 pre-filter is the posexplode dropping zero rows
     val raw = documents
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= 8)
       .select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(0, size(ts) - 8), i -> array_join(slice(ts, i + 1, 8), ' '))"))
-          .as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"), md5Long60(col("gram")).as("h"))
+        posexplode(graft.functions.TextFunctions.posGramHashes(col("text"), 8))
+          .as(Seq("pos", "h")))
     if (maxSeedDf <= 0) raw
     else raw
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))

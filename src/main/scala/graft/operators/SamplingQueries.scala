@@ -1274,17 +1274,14 @@ object SamplingQueries {
   def q201NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val isEval = pmod(col("doc_id"), lit(10L)) === 0L
-    def grams(docs: DataFrame): DataFrame = docs
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.tokens(col("text")).as("ts"))
-      .select(col("doc_id"), col("ts"),
-        expr("explode(array(4, 8, 13))").as("n"))
-      .filter(size(col("ts")) >= col("n"))
-      .select(col("n").cast("long").as("n"),
-        explode(expr("transform(sequence(0, size(ts) - n), " +
-          "i -> array_join(slice(ts, i + 1, n), ' '))")).as("gram"))
-      .select(col("n"),
-        graft.functions.TextFunctions.md5Long60(col("gram")).as("h"))
+    // graft_posgrams (native, md5 streamed per gram) per n — a short
+    // doc yields an empty array, so explode dropping zero rows IS the
+    // size >= n filter; value-pinned against the HOF form
+    def grams(docs: DataFrame): DataFrame = Seq(4, 8, 13).map { n =>
+      docs.select(lit(n.toLong).as("n"),
+        explode(graft.functions.TextFunctions.posGramHashes(col("text"), n))
+          .as("h"))
+    }.reduce(_ unionByName _)
     val train = grams(t.documents.filter(!isEval))
       .distinct().withColumn("seen", lit(true))
     grams(t.documents.filter(isEval))

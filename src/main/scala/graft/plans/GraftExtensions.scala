@@ -51,6 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CharShinglesExpr(children(0), intLit(children(1), "n"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_posgrams"),
+      new ExpressionInfo(classOf[PosGramHashesExpr].getName, "graft_posgrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_posgrams(text, n)")
+        PosGramHashesExpr(children(0), intLit(children(1), "n"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHitterAgg].getName, "graft_heavy_hitters"),
       (children: Seq[Expression]) => {

@@ -84,3 +84,60 @@ case class CharShinglesExpr(child: Expression, n: Int) extends ShinglesExprBase 
   override protected def withNewChildInternal(newChild: Expression): CharShinglesExpr =
     copy(child = newChild)
 }
+
+/** POSITIONAL n-gram 60-bit hashes — the seed generator for
+  * substring-span dedup (q193) and the novelty curve (q201):
+  * element i = md5Long60 of tokens i..i+n-1 joined by single spaces,
+  * one entry per position (NOT distinct — position is the point),
+  * empty array when the text has fewer than n whitespace tokens.
+  *
+  * Value-identical to the declarative form
+  * `transform(sequence(0, size(ts)-n), i -> md5Long60(array_join(
+  * slice(ts, i+1, n), ' ')))` (pinned in SketchExprSpec), but one
+  * eval per row: token bytes are encoded once and each gram's md5 is
+  * STREAMED through one digest (update per token + separator), so no
+  * per-gram string, no per-element lambda frames — the ~1 ms/row
+  * interpreted-HOF tax q193 paid at every scale disappears. The
+  * 60-bit fold mirrors `('0x' || substr(md5(x),1,15))::UBIGINT`:
+  * 7 full digest bytes then the high nibble of byte 7.
+  */
+case class PosGramHashesExpr(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"graft_posgrams needs n >= 1, got $n")
+  override def prettyName: String = "graft_posgrams"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_posgrams requires a string column, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split("\\s+").filter(_.nonEmpty)
+    val count = toks.length - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val bytes = toks.map(_.getBytes("UTF-8"))
+    val space = ' '.toByte
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(space)
+        md.update(bytes(i + j))
+        j += 1
+      }
+      val d = md.digest() // returns AND resets
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      out(i) = (v << 4) | ((d(7) >> 4) & 0xfL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PosGramHashesExpr =
+    copy(child = newChild)
+}

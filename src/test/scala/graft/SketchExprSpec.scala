@@ -73,6 +73,31 @@ class SketchExprSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("graft_posgrams == declarative positional-gram md5 hashes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus + edge shapes: short of n, exactly n, whitespace runs
+    val texts = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("text"))
+      .unionByName(Seq("", "a", "a b c", "one two three four",
+        "  padded   runs\tof \n ws  ", "x y x y x y x y x y")
+        .toDF("text"))
+    for (n <- Seq(2, 4, 8)) {
+      val declarative = expr(
+        s"""transform(sequence(0, size(ts) - $n),
+           |  i -> cast(conv(substring(md5(array_join(slice(ts, i + 1, $n), ' ')),
+           |    1, 15), 16, 10) as long))""".stripMargin)
+      val diff = texts
+        .withColumn("ts", TextFunctions.tokens(col("text")))
+        .withColumn("fast", TextFunctions.posGramHashes(col("text"), n))
+        .withColumn("slow",
+          when(size(col("ts")) >= n, declarative)
+            .otherwise(expr("cast(array() as array<bigint>)")))
+        .filter(col("fast") =!= col("slow"))
+      assert(diff.count() == 0, s"graft_posgrams diverged at n=$n")
+    }
+  }
+
   test("graft_minhash on empty shingle arrays mirrors array_min nulls") {
     import spark.implicits._
     val empty = Seq((1L, Seq.empty[Long])).toDF("id", "base")
