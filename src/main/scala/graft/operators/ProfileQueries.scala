@@ -416,11 +416,15 @@ object ProfileQueries {
           sum("kc").as("n_keys"),
           max("c").as("max_key_rows"))
         .withColumn("tgt", expr("(n_keys + 1) div 2"))
+        // nullif: the fold's -1 "not reached" sentinel surfaces only on
+        // an EMPTY keyed frame, where the oracle's rank form yields
+        // NULL — keep the engines aligned on that edge (it also feeds
+        // skew_ratio, which goes NULL by null-division either way)
         .withColumn("p50_key_rows", expr(
-          "aggregate(hv, named_struct('cum', 0L, 'm', -1L), (acc, x) -> " +
+          "nullif(aggregate(hv, named_struct('cum', 0L, 'm', -1L), (acc, x) -> " +
             "IF(acc.m >= 0L, acc, named_struct('cum', acc.cum + x.kc, " +
             "'m', IF(acc.cum + x.kc >= tgt, x.c, -1L))), " +
-            "acc -> acc.m)"))
+            "acc -> acc.m), -1L)"))
         .select(lit(name).as("join_key"), col("n_rows"), col("n_keys"),
           col("max_key_rows"), col("p50_key_rows"),
           expr("(1000 * max_key_rows) div n_rows").as("max_share_permille"),

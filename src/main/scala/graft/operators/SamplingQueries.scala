@@ -93,17 +93,22 @@ object SamplingQueries {
     * pipeline runs before batching sequences, trading perfect fill for
     * a single window scan. Output: pack counts and fill levels per
     * (lang, bin) — the stats that tell you padding waste.
+    *
+    * Scale shape (r9): the per-lang running sum rides the grouped
+    * distributed scan ([[ScanOps.runningSums]]), NOT a
+    * `Window.partitionBy("lang")` — with ~5 languages that window
+    * funnels corpus/5 rows through each task at 100 TB. The scan
+    * keeps each lang's rows contiguous across range partitions and
+    * stitches with a |langs|·|partitions|-row offset frame.
     */
   def q47SequencePacking(spark: SparkSession, dir: String): DataFrame = {
     val budget = 2048L
     val t = Tables(spark, dir)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    t.documents
+    val scored = t.documents
       .select(col("doc_id"), col("lang"),
         graft.functions.TextFunctions.bpeTokenCount(col("text")).cast("long").as("toks"))
-      .withColumn("cum", sum("toks").over(w))
+    ScanOps.runningSums(scored, Seq("lang"), Seq(col("doc_id").asc),
+        Seq((col("toks"), "cum")))
       .withColumn("bin", floor((col("cum") - col("toks")).cast("double") / budget).cast("long"))
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("pack_tokens"))
@@ -610,19 +615,23 @@ object SamplingQueries {
     * rank is pure integer arithmetic ((rk−1)·1000 div (n−1)), never a
     * float percent_rank, so the cut is hash-exact.
     *
-    * Scale shape: one scan + one window partitioned by source (both
-    * window functions share the exchange) + a per-source rollup.
+    * Scale shape (r9): the within-source rank rides the grouped
+    * distributed scan ([[ScanOps.runningSums]] of `lit(1L)` — rank ==
+    * row number here because (score, doc_id) is a total order), NOT a
+    * `Window.partitionBy("source")`: with a handful of sources that
+    * window funnels corpus/|sources| rows through each task at
+    * 100 TB. Per-source counts come from a |sources|-row aggregate
+    * broadcast back onto the ranked frame.
     */
   def q137ScoreCalibrate(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("score", "doc_id")
-    t.documents
+    val scored = t.documents
       .select(col("doc_id"), col("source"),
         graft.functions.TextFunctions.qualityScore(col("text")).as("score"))
-      .withColumn("rk", rank().over(w))
-      .withColumn("cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+    val ranked = ScanOps.runningSums(scored, Seq("source"),
+      Seq(col("score").asc, col("doc_id").asc), Seq((lit(1L), "rk")))
+    val counts = scored.groupBy("source").agg(count(lit(1)).as("cnt"))
+    ranked.join(broadcast(counts), Seq("source"))
       .withColumn("pm", expr("((rk - 1) * 1000) div greatest(cnt - 1, 1)"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

@@ -36,6 +36,13 @@ import org.apache.spark.sql.functions._
   */
 object ScanOps {
 
+  /** Shuffle width for the range exchange — the session conf already
+    * parsed to Int (a raw `conf.get(...).toInt` would throw on
+    * distros that set symbolic values like "auto").
+    */
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Appends one exact running-SUM column per `(value, outName)` pair,
     * computed over the total order `sortCols`. Values must be
     * non-null integral columns (the engine's exact-arithmetic
@@ -57,7 +64,7 @@ object ScanOps {
     */
   def runningSums(df: DataFrame, groupCols: Seq[String],
       sortCols: Seq[Column], sums: Seq[(Column, String)]): DataFrame = {
-    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = shufflePartitions(df)
     val vals = sums.zipWithIndex.map { case ((v, _), i) => v.as(s"__v$i") }
     val ranged = df
       .select(col("*") +: vals: _*)
@@ -93,5 +100,68 @@ object ScanOps {
     }
     out.drop("__pid" +: sums.indices.flatMap(i =>
       Seq(s"__v$i", s"__t$i", s"__r$i", s"__o$i")): _*)
+  }
+
+  /** Appends one exact LAG(1) column per `(value, outName)` pair over
+    * the total order `sortCols` WITHIN each `groupCols` group —
+    * group-first rows get null, exactly `lag(v, 1) over (partition by
+    * group order by sortCols)`, but with NO per-group single-task
+    * window (the q156 hazard: a handful of group values puts
+    * corpus/|groups| rows through each window sort at scale).
+    *
+    * Same stitch pattern as [[runningSums]]'s offset frame, carrying a
+    * boundary ROW instead of a partial sum:
+    *
+    *   1. range exchange on (group, order) — each group's rows are
+    *      contiguous across partitions (empty partitions simply yield
+    *      no cell and the pid-ordered carry skips over them);
+    *   2. per-(group, pid) cell lags — every window task sorts one
+    *      range partition, never a group;
+    *   3. a |groups|·|partitions|-row TAIL frame (each cell's last
+    *      value in the order, via max_by on the cell row number)
+    *      whose pid-ordered per-group lag hands each cell's tail to
+    *      the NEXT cell of the same group; cell-first rows take the
+    *      carried value, everything else keeps its local lag.
+    *
+    * `sortCols` must be a total order (unique tiebreak) for the same
+    * reason as the scan: per-partition sorts are tie-ambiguous.
+    */
+  def lagged(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], lags: Seq[(Column, String)]): DataFrame = {
+    val p = shufflePartitions(df)
+    val vals = lags.zipWithIndex.map { case ((v, _), i) => v.as(s"__v$i") }
+    val ranged = df
+      .select(col("*") +: vals: _*)
+      .repartitionByRange(p, groupCols.map(col) ++ sortCols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(false)
+    val cellKeys = groupCols :+ "__pid"
+    val wLocal = Window.partitionBy(cellKeys.map(col): _*)
+      .orderBy(sortCols: _*)
+    val withLag = lags.indices.foldLeft(
+      ranged.withColumn("__rn", row_number().over(wLocal))) { (acc, i) =>
+      acc.withColumn(s"__l$i", lag(col(s"__v$i"), 1).over(wLocal))
+    }
+    // tail frame: each cell's LAST value in the order (max_by on the
+    // cell row number) — grouped on the window's own partitioning, so
+    // the aggregate rides the same exchange
+    val tailAggs = lags.indices.map(i =>
+      max_by(col(s"__v$i"), col("__rn")).as(s"__t$i"))
+    val wCarry = (if (groupCols.isEmpty) Window.partitionBy()
+                  else Window.partitionBy(groupCols.map(col): _*))
+      .orderBy("__pid")
+    val carries = lags.indices.foldLeft(
+      withLag.groupBy(cellKeys.head, cellKeys.tail: _*)
+        .agg(tailAggs.head, tailAggs.tail: _*)) { (acc, i) =>
+      acc.withColumn(s"__c$i", lag(col(s"__t$i"), 1).over(wCarry))
+    }.select(cellKeys.map(col) ++ lags.indices.map(i => col(s"__c$i")): _*)
+    // inner join on the cell key: every populated cell has a tail row
+    val out = lags.zipWithIndex.foldLeft(withLag.join(carries, cellKeys)) {
+      case (acc, ((_, name), i)) =>
+        acc.withColumn(name,
+          when(col("__rn") === 1, col(s"__c$i")).otherwise(col(s"__l$i")))
+    }
+    out.drop("__pid" +: "__rn" +: lags.indices.flatMap(i =>
+      Seq(s"__v$i", s"__l$i", s"__t$i", s"__c$i")): _*)
   }
 }

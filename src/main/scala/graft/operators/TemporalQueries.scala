@@ -213,18 +213,22 @@ object TemporalQueries {
     * bot-hunter whether traffic is machine-regular. Pure integer:
     * CV²‰ = (1000·n·Σd²) div (Σd)² − 1000, gaps in whole seconds.
     *
-    * Scale shape: one window per event type for the gaps (|types|
-    * partitions — at real scale the same statistic computes from
-    * per-shard moment triples (n, Σd, Σd²), the q95 merge algebra),
-    * then a |types|-row aggregate.
+    * Scale shape (r9): the per-type consecutive gaps ride the
+    * distributed lag ([[ScanOps.lagged]] — range exchange +
+    * cell-tail handoff between adjacent partitions), NOT a
+    * `Window.partitionBy("event_type")`: with ~8 event types that
+    * window funnels corpus/8 rows through each task at 100 TB. The
+    * moment rollup (n, Σd, Σd²) is then a |types|-row aggregate —
+    * the q95 merge algebra.
     */
   def q156Burstiness(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val w = Window.partitionBy("event_type").orderBy("s", "event_id")
-    t.events
+    val secs = t.events
       .select(col("event_type"), col("event_id"),
         expr("unix_micros(ts) div 1000000").as("s"))
-      .withColumn("d", col("s") - lag("s", 1).over(w))
+    ScanOps.lagged(secs, Seq("event_type"),
+        Seq(col("s").asc, col("event_id").asc), Seq((col("s"), "prev_s")))
+      .withColumn("d", col("s") - col("prev_s"))
       .filter(col("d").isNotNull)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_gaps"),

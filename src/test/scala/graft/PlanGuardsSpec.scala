@@ -361,6 +361,35 @@ class PlanGuardsSpec extends AnyFunSuite {
         s"${q200.queryExecution.executedPlan}")
   }
 
+  test("q47/q137/q156: no corpus-input window partitioned only by a " +
+    "bounded-cardinality key (the low-cardinality window family stays dead)") {
+    // r9: the last corpus-through-few-tasks shapes — partitionBy(lang)/
+    // (source)/(event_type) put corpus/|groups| rows through each window
+    // task at 100×. All three now ride the grouped ScanOps scan/lag,
+    // whose windows either span (group, __pid) cells (partitionSpec >= 2
+    // exprs) or ride a bounded aggregate (offset/carry frames). A
+    // reintroduced single-key window over raw corpus rows fails HERE.
+    def hasAggBelow(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case a: AdaptiveSparkPlanExec => hasAggBelow(a.executedPlan)
+      case q: QueryStageExec => hasAggBelow(q.plan)
+      case other => other.children.exists(hasAggBelow)
+    }
+    val dfs = Seq(
+      "q47" -> operators.SamplingQueries.q47SequencePacking(spark, dir),
+      "q137" -> operators.SamplingQueries.q137ScoreCalibrate(spark, dir),
+      "q156" -> operators.TemporalQueries.q156Burstiness(spark, dir))
+    dfs.foreach { case (name, df) =>
+      val fat = collectNodes(df) {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.size < 2 && !hasAggBelow(w.child) => w
+      }
+      assert(fat.isEmpty,
+        s"$name grew a low-cardinality corpus window:\n" +
+          s"${df.queryExecution.executedPlan}")
+    }
+  }
+
   test("q179 deletion cascade: every hop is a semi/equi join — no " +
     "nested-loop, no cartesian") {
     val df = operators.ProfileQueries.q179DeletionCascade(spark, dir)

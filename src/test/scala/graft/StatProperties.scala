@@ -192,6 +192,36 @@ object StatProperties extends Properties("StatOps") {
       got == want
     }
 
+  /** ScanOps.lagged (q156's engine): the boundary-handoff lag must
+    * equal `lag(v) over (partition by g order by ...)` on arbitrary
+    * inputs — groups FEW and LARGE vs the 32 range partitions so the
+    * cell-tail carry (the new stitch) is what's actually exercised,
+    * including group-first nulls and cells of size 1.
+    */
+  property("distributed lagged == per-group sequential lag") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 2L),
+        Gen.chooseNum(-50L, 50L)))) { gvs =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val rows = gvs.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+      val got = graft.operators.ScanOps.lagged(
+          rows.toDF("g", "id", "v"), Seq("g"),
+          Seq(col("v").desc, col("id").asc),
+          Seq((col("v"), "prev_v"), (col("id"), "prev_id")))
+        .select("g", "id", "prev_v", "prev_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)),
+           if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val want = rows.groupBy(_._1).flatMap { case (g, xs) =>
+        val sorted = xs.sortBy { case (_, id, v) => (-v, id) }
+        sorted.zip(None +: sorted.map(Some(_))).map {
+          case ((_, id, _), prev) =>
+            (g, id) -> (prev.map(_._3), prev.map(_._2))
+        }
+      }
+      got == want
+    }
+
   /** The q173 two-level rank: per-value base off the value histogram
     * plus a within-value rank must equal the global (value, id) rank.
     */
