@@ -1275,10 +1275,10 @@ object SamplingQueries {
     * Scale shape: one generate-and-explode per side (the 3 n-values
     * ride one explode — a single pass over each corpus slice), one
     * (n, hash) equi-join; the train side's distinct and the join share
-    * the same key. At 100 TB the production swap is q129's bloom
-    * filter per n (drop the exact join, keep the curve within the
-    * bloom's false-positive bound) — this exact form pins the
-    * semantics the bloom approximates. Output: 3 rows.
+    * the same key. At 100 TB the production path is [[q202NoveltyBloom]]
+    * — same curve, bloom-prefiltered train probe (this exact form pins
+    * the semantics; q202's seen counts must equal these, which IS the
+    * bloom's no-false-negative contract). Output: 3 rows.
     */
   def q201NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -1327,7 +1327,111 @@ object SamplingQueries {
        |FROM ev GROUP BY n ORDER BY n""".stripMargin
   }
 
+  /** q202: BLOOM-gated verbatim-novelty curve — q201's wired 100 TB
+    * path (the q193 lesson: a scale path that is only documentation
+    * rots; this one is code, oracled, and contract-gated). q201's
+    * exact form shuffles EVERY distinct train gram into the (n, hash)
+    * join; here the bounded side (the eval slice — at production
+    * scale a fixed benchmark, KBs–GBs while train is the 100 TB
+    * crawl) compiles to a per-n Bloom bitmap (k=2, m=2²⁰ bits —
+    * fixed no matter how train grows) whose set-bit rows broadcast,
+    * and the train probe is two broadcast SEMI-joins evaluated
+    * map-side: only grams with both bits set reach the distinct and
+    * the exact verify join. Bloom membership of every eval gram is by
+    * construction, so NO false negative is possible — `n_seen_grams`
+    * is bit-identical to q201's (the contract the oracle re-proves
+    * every round, computing the same md5 bit arithmetic exactly).
+    * False positives are first-class output (`n_fp_train_grams` per
+    * n), q129-style: the report says when m must grow.
+    *
+    * Scale shape: eval side one scan → (n,h,occ) rollup (benchmark-
+    * sized); set-bit frame ≤ 2·|eval grams| rows broadcast twice;
+    * train side one scan, map-side bloom probe, then distinct +
+    * verify join over CANDIDATES only — the train shuffle shrinks
+    * from |train grams| to |matches| + |false positives|.
+    * Output: 3 rows.
+    */
+  def q202NoveltyBloom(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1048576L
+    val t = Tables(spark, dir)
+    val isEval = pmod(col("doc_id"), lit(10L)) === 0L
+    def grams(docs: DataFrame): DataFrame = Seq(4, 8, 13).map { n =>
+      docs.select(lit(n.toLong).as("n"),
+        explode(graft.functions.TextFunctions.posGramHashes(col("text"), n))
+          .as("h"))
+    }.reduce(_ unionByName _)
+    def bit(i: Int) = pmod(md5Long60(concat(lit(s"${i}_"),
+      col("n").cast("string"), lit("_"), col("h").cast("string"))), lit(m))
+    val eval = grams(t.documents.filter(isEval))
+      .groupBy("n", "h").agg(count(lit(1)).as("occ"))
+    val setBits = eval.select(col("n"), explode(array(bit(0), bit(1))).as("p"))
+      .distinct()
+    val cand = grams(t.documents.filter(!isEval))
+      .withColumn("b0", bit(0)).withColumn("b1", bit(1))
+      .join(broadcast(setBits.select(col("n"), col("p").as("b0"))),
+        Seq("n", "b0"), "left_semi")
+      .join(broadcast(setBits.select(col("n"), col("p").as("b1"))),
+        Seq("n", "b1"), "left_semi")
+      .select("n", "h").distinct()
+    val evalRoll = eval
+      .join(cand.withColumn("seen", lit(true)), Seq("n", "h"), "left")
+      .groupBy("n")
+      .agg(sum("occ").as("n_eval_grams"),
+        sum(when(col("seen"), col("occ")).otherwise(0L)).as("n_seen_grams"),
+        count(when(col("seen"), 1)).as("n_matched"))
+    val candRoll = cand.groupBy("n").agg(count(lit(1)).as("n_cand_train_grams"))
+    evalRoll.join(candRoll, Seq("n"), "left")
+      .na.fill(0L, Seq("n_cand_train_grams"))
+      .withColumn("seen_permille",
+        expr("(1000 * n_seen_grams) div n_eval_grams"))
+      .withColumn("novel_permille", lit(1000L) - col("seen_permille"))
+      .withColumn("n_fp_train_grams",
+        col("n_cand_train_grams") - col("n_matched"))
+      .select("n", "n_eval_grams", "n_seen_grams", "seen_permille",
+        "novel_permille", "n_cand_train_grams", "n_fp_train_grams")
+      .orderBy("n")
+  }
+
+  val q202Sql: String = {
+    val toks = OracleSql.tokens("text")
+    val h = OracleSql.md5Long60("array_to_string(ts[i+1:i+n], ' ')")
+    def bit(i: Int) =
+      s"(${OracleSql.md5Long60(s"'${i}_' || n::VARCHAR || '_' || h::VARCHAR")} % 1048576)"
+    s"""WITH toksrc AS (SELECT doc_id, $toks AS ts FROM documents),
+       |expl AS (
+       |  SELECT doc_id, n, ts, unnest(generate_series(0, len(ts) - n)) AS i
+       |  FROM (SELECT doc_id, ts, unnest([4, 8, 13]) AS n FROM toksrc)
+       |  WHERE len(ts) >= n),
+       |g AS (SELECT doc_id, n::BIGINT AS n, $h AS h FROM expl),
+       |ev AS (SELECT n, h, COUNT(*)::BIGINT AS occ FROM g
+       |       WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+       |set_bits AS (
+       |  SELECT DISTINCT n, unnest([${bit(0)}, ${bit(1)}]) AS p FROM ev),
+       |cand AS (
+       |  SELECT DISTINCT n, h FROM (
+       |    SELECT n, h, ${bit(0)} AS b0, ${bit(1)} AS b1
+       |    FROM g WHERE doc_id % 10 <> 0) t
+       |  WHERE EXISTS (SELECT 1 FROM set_bits s WHERE s.n = t.n AND s.p = t.b0)
+       |    AND EXISTS (SELECT 1 FROM set_bits s WHERE s.n = t.n AND s.p = t.b1)),
+       |er AS (
+       |  SELECT e.n, SUM(e.occ)::BIGINT AS n_eval_grams,
+       |    SUM(CASE WHEN c.h IS NOT NULL THEN e.occ ELSE 0 END)::BIGINT
+       |      AS n_seen_grams,
+       |    COUNT(c.h)::BIGINT AS n_matched
+       |  FROM ev e LEFT JOIN cand c ON e.n = c.n AND e.h = c.h
+       |  GROUP BY 1),
+       |cr AS (SELECT n, COUNT(*)::BIGINT AS n_cand FROM cand GROUP BY 1)
+       |SELECT er.n, n_eval_grams, n_seen_grams,
+       |  ((1000 * n_seen_grams) // n_eval_grams)::BIGINT AS seen_permille,
+       |  (1000 - (1000 * n_seen_grams) // n_eval_grams)::BIGINT AS novel_permille,
+       |  COALESCE(cr.n_cand, 0)::BIGINT AS n_cand_train_grams,
+       |  (COALESCE(cr.n_cand, 0) - n_matched)::BIGINT AS n_fp_train_grams
+       |FROM er LEFT JOIN cr ON er.n = cr.n
+       |ORDER BY er.n""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_novelty_bloom" -> (q202NoveltyBloom _),
     "q201_novelty_curve" -> (q201NoveltyCurve _),
     "q200_selection_curve" -> (q200SelectionCurve _),
     "q197_budget_select" -> (q197BudgetSelect _),
@@ -1352,6 +1456,7 @@ object SamplingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q202_novelty_bloom" -> q202Sql,
     "q201_novelty_curve" -> q201Sql,
     "q200_selection_curve" -> q200Sql,
     "q197_budget_select" -> q197Sql,

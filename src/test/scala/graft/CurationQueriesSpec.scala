@@ -2870,4 +2870,27 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(got == expected)
     got.foreach { case (a, b, dist) => assert(a < b && dist >= 0L) }
   }
+
+  // --- q202 ----------------------------------------------------------
+
+  test("q202 bloom gate has NO false negative: seen counts equal q201's " +
+    "exact curve, and candidates bound matches from above") {
+    // the contract that makes the bloom swap safe at 100 TB: every
+    // eval gram is IN the bloom by construction, so a train gram equal
+    // to an eval gram can never be filtered — q202's n_seen_grams must
+    // be bit-identical to the exact join's, with FP >= 0 surfaced
+    val exact = operators.SamplingQueries.q201NoveltyCurve(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bloom = operators.SamplingQueries.q202NoveltyBloom(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6)))).toMap
+    assert(bloom.keySet == exact.keySet)
+    bloom.foreach { case (n, (nEval, nSeen, nCand, nFp)) =>
+      assert((nEval, nSeen) == exact(n),
+        s"n=$n: bloom curve diverged from the exact curve")
+      assert(nFp >= 0L && nCand >= 0L)
+      // matched distinct grams (cand - fp) can never exceed candidates
+      assert(nCand - nFp <= nCand)
+    }
+  }
 }
