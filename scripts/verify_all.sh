@@ -13,6 +13,15 @@
 #      (broadcasts, exchange counts, no unpartitioned windows).
 #
 # Usage: scripts/verify_all.sh [sfDir] [outDir]
+#
+# Cluster-boundary replay (r9): the same gate with REAL executor JVM
+# boundaries — serialization, broadcast identity, and shared-mutable-
+# state bugs that local[32]'s single heap cannot surface —
+#   SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_MASTER='local-cluster[4,8,4096]' \
+#     scripts/verify_all.sh /root/testdata/sf0.01 /tmp/graft_verify_lc
+# (SPARK_SCALA_VERSION is required: the standalone Worker forks executor
+# processes through SPARK_HOME's launcher, which otherwise can't pick a
+# Scala build dir in this distribution.)
 set -euo pipefail
 SF_DIR="${1:-/root/testdata/sf0.01}"
 OUT_DIR="${2:-/tmp/graft_verify_all}"

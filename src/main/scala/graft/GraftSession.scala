@@ -35,7 +35,21 @@ object GraftSession {
 
   def get(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = builder(cpus).getOrCreate()
+    // SPARK_GRAFT_MASTER overrides local[cpus] — the round gate uses it
+    // to replay Verify under local-cluster[w,c,mem]: real executor JVM
+    // boundaries surface serialization, broadcast-identity, and shared-
+    // mutable-state bugs that local[32]'s single heap structurally
+    // cannot. local-cluster forks executor processes (via SPARK_HOME),
+    // so the compiled graft classes must ship on their classpath.
+    val configured = sys.env.get("SPARK_GRAFT_MASTER") match {
+      case Some(m) =>
+        val classes = java.nio.file.Paths
+          .get("target/scala-2.13/classes").toAbsolutePath.toString
+        builder(cpus).master(m)
+          .config("spark.executor.extraClassPath", classes)
+      case None => builder(cpus)
+    }
+    val spark = configured.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

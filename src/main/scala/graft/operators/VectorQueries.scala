@@ -1374,12 +1374,22 @@ object VectorQueries {
     * train sweep stays one scan — the valuation is literally one
     * sorted pass per test point, which is the paper's point.
     */
-  def q195KnnShapley(spark: SparkSession, dir: String): DataFrame = {
+  def q195KnnShapley(spark: SparkSession, dir: String): DataFrame =
+    q195KnnShapley(spark, dir, evalBuckets = 1L)
+
+  /** `evalBuckets` widens the test slice (vec_id % 25 < evalBuckets;
+    * 1 = the oracled 4% default) — the SCALING harness uses 10 to
+    * measure that per-task memory is |tests|-independent: the scan's
+    * range partitions stay one-split-sized no matter how many queries
+    * the pair frame multiplies into.
+    */
+  def q195KnnShapley(spark: SparkSession, dir: String,
+      evalBuckets: Long): DataFrame = {
     val t = Tables(spark, dir)
-    val tests = t.embeddings.filter(col("vec_id") % 25 === 0)
+    val tests = t.embeddings.filter(col("vec_id") % 25 < evalBuckets)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("label").cast("long").as("q_label"))
-    val train = t.embeddings.filter(col("vec_id") % 25 =!= 0)
+    val train = t.embeddings.filter(col("vec_id") % 25 >= evalBuckets)
       .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
     // Per-query ranking and suffix sums WITHOUT Window.partitionBy
     // (query_id): that shape materializes every query's FULL train set
@@ -1615,7 +1625,7 @@ object VectorQueries {
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_power_iteration" -> (q199PowerIteration _),
-    "q195_knn_shapley" -> (q195KnnShapley _),
+    "q195_knn_shapley" -> ((s: SparkSession, d: String) => q195KnnShapley(s, d)),
     "q191_nprobe_curve" -> (q191NprobeCurve _),
     "q186_anisotropy" -> (q186Anisotropy _),
     "q181_retrieval_eval" -> (q181RetrievalEval _),

@@ -282,6 +282,31 @@ object ScaleBench {
       DedupQueries.q194EditDistanceJoin(s, d).count()),
     "q40_ann_brute" -> ((s, d) =>
       graft.operators.VectorQueries.q40AnnBruteForce(s, d).count()),
+    // r9 de-globalizations: the low-cardinality window family moved
+    // onto the grouped scan/lag — wall should track the corpus scan
+    // and MAX TASK must stay one-range-split-sized where the old
+    // partitionBy(lang)/(source)/(event_type) windows grew linearly
+    // (corpus/|groups| rows per task)
+    "q47_packing" -> ((s, d) =>
+      graft.operators.SamplingQueries.q47SequencePacking(s, d).count()),
+    "q137_calibrate" -> ((s, d) =>
+      graft.operators.SamplingQueries.q137ScoreCalibrate(s, d).count()),
+    "q156_burst" -> ((s, d) =>
+      TemporalQueries.q156Burstiness(s, d).count()),
+    // q195 at the default 4% eval slice vs a 10× slice: the grouped
+    // scan's per-task memory must be |tests|-INDEPENDENT (the pair
+    // frame grows 10×, but every partition stays one range split);
+    // the old per-query window would hold 10× the partitions here
+    "q195_shapley" -> ((s, d) =>
+      graft.operators.VectorQueries.q195KnnShapley(s, d).count()),
+    "q195_shapley_10x" -> ((s, d) =>
+      graft.operators.VectorQueries.q195KnnShapley(s, d, 10L).count()),
+    // exact novelty join vs its bloom-gated swap (q202): same curve,
+    // train-side shuffle cut to matches + false positives
+    "q201_novelty" -> ((s, d) =>
+      graft.operators.SamplingQueries.q201NoveltyCurve(s, d).count()),
+    "q202_novelty_bloom" -> ((s, d) =>
+      graft.operators.SamplingQueries.q202NoveltyBloom(s, d).count()),
     "q41_ann_cell" -> ((s, d) =>
       graft.operators.VectorQueries.q41AnnLsh(s, d).count()),
     "q86_ann_ivfpq" -> ((s, d) =>

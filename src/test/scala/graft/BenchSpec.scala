@@ -2,35 +2,73 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins for Bench's cross-record noise check: the prior-record parser
+/** Pins for Bench's cross-record noise check: the prior-record parsers
   * must read the committed BENCH_FULL format exactly — a silent empty
   * parse would disable the >2.5× re-probe without any visible failure
   * (the check degrades to "no priors, nothing suspect").
   */
 class BenchSpec extends AnyFunSuite {
+
+  /** The committed record, resolved by walking up from the working
+    * directory to the repo root (build.sbt marker) — not a bare
+    * CWD-relative path, so the suite doesn't silently depend on sbt
+    * running from the repo root.
+    */
+  private def committedRecord: Option[java.nio.file.Path] = {
+    var d = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+    while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+      d = d.getParent
+    Option(d).map(_.resolve("BENCH_FULL.json"))
+      .filter(java.nio.file.Files.exists(_))
+  }
+
   test("priorMins parses the committed record format") {
     val f = java.nio.file.Files.createTempFile("bench", ".json")
     java.nio.file.Files.writeString(f,
       """{"metric":"total","value":7.5,"unit":"sec","queries":{"q1":0.25,""" +
         """"q2_topk":1.5E-2,"api_get_case":0.031},"sf":"/x",""" +
         """"spread":{"q1":[0.25,0.3]},"loadavg":[1.0,2.0],""" +
-        """"wide_spread_entries":0,"tainted":false}""" + "\n")
+        """"wide_spread_entries":0,"tainted":false,""" +
+        """"calibration":0.42,"load_factor":1.3}""" + "\n")
     val m = Bench.priorMins(f.toString)
     assert(m == Map("q1" -> 0.25, "q2_topk" -> 0.015, "api_get_case" -> 0.031))
+    assert(Bench.priorCalibration(f.toString).contains(0.42))
   }
 
-  test("priorMins parses the CURRENT committed BENCH_FULL.json") {
+  test("priorMins + priorCalibration parse the CURRENT committed BENCH_FULL.json") {
     // the real gate: if the record format drifts, this fails here, not
-    // silently at the next driver bench
-    val m = Bench.priorMins("BENCH_FULL.json")
-    assert(m.size > 150, s"expected a full record, parsed ${m.size} entries")
-    assert(m.values.forall(v => v > 0 && v < 600))
+    // silently at the next driver bench. Magnitude bounds are sanity
+    // only (values positive, under an hour) — a slower machine's
+    // legitimate record must not fail the suite.
+    committedRecord match {
+      case Some(p) =>
+        val m = Bench.priorMins(p.toString)
+        assert(m.size > 150, s"expected a full record, parsed ${m.size} entries")
+        assert(m.values.forall(v => v > 0 && v < 3600))
+        // pre-r9 records carry no calibration field; r9+ records must.
+        // Either way the parse must not throw.
+        Bench.priorCalibration(p.toString).foreach(c => assert(c > 0 && c < 3600))
+      case None => cancel("no committed BENCH_FULL.json in this checkout")
+    }
   }
 
-  test("priorMins is empty (not a crash) on a missing or malformed file") {
+  test("prior parsers are empty (not a crash) on a missing or malformed file") {
     assert(Bench.priorMins("/nonexistent/x.json").isEmpty)
+    assert(Bench.priorCalibration("/nonexistent/x.json").isEmpty)
     val f = java.nio.file.Files.createTempFile("bench", ".json")
     java.nio.file.Files.writeString(f, "not json at all")
     assert(Bench.priorMins(f.toString).isEmpty)
+    assert(Bench.priorCalibration(f.toString).isEmpty)
+  }
+
+  test("calibration spin is stable enough to be a load proxy") {
+    // two back-to-back runs on the same machine should agree within 3×
+    // (the factor clamp bounds anything wilder); also pins that the
+    // spin takes measurable, bounded time
+    val a = Bench.calibrationSecs()
+    val b = Bench.calibrationSecs()
+    assert(a > 0.005 && a < 60.0, s"calibration out of range: $a")
+    assert(math.max(a, b) / math.min(a, b) < 3.0,
+      s"calibration unstable: $a vs $b")
   }
 }
