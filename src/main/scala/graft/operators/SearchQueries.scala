@@ -821,7 +821,71 @@ object SearchQueries {
       |SELECT path, COUNT(*)::BIGINT AS n FROM paths
       |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin
 
+  /** q203: POSITIONAL inverted index + PHRASE query — the FTS
+    * capability behind the reference's unused GIN index
+    * (schema.sql:141; `to_tsvector` keeps lexeme positions for exactly
+    * this). q44 answers bag-of-words queries; phrase search ("table
+    * scan" as ADJACENT tokens, not two ANDed terms) needs the index to
+    * keep positions: postings are (doc, term, sorted position list),
+    * and a phrase hit is pos+1 adjacency between the two terms'
+    * lists — computed row-locally as |(pa+1) ∩ pb| once the per-doc
+    * lists meet (positions are distinct by construction, so the
+    * intersection size IS the occurrence count).
+    *
+    * Shape: one scan → posexplode filtered to the query terms (at
+    * 100 TB the postings table is the materialized index and this is
+    * a term-selective probe, q44's note) → per-(doc, term) position
+    * lists → doc_id equi-join of the two terms' postings (AND
+    * semantics) → row-local adjacency → top-20 heap
+    * (TakeOrderedAndProject, never a global sort).
+    */
+  def q203PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (ta, tb) = ("table", "scan")
+    val t = Tables(spark, dir)
+    val posts = t.documents
+      .select(col("doc_id"), posexplode(tokens(lower(col("text")))))
+      .toDF("doc_id", "pos", "term")
+      .filter(col("term").isin(ta, tb))
+      .groupBy("doc_id", "term")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"),
+        count(lit(1)).as("tf"))
+    val a = posts.filter(col("term") === ta)
+      .select(col("doc_id"), col("positions").as("pa"), col("tf").as("tf_a"))
+    val b = posts.filter(col("term") === tb)
+      .select(col("doc_id"), col("positions").as("pb"), col("tf").as("tf_b"))
+    a.join(b, Seq("doc_id"))
+      .withColumn("n_phrase",
+        size(array_intersect(transform(col("pa"), x => x + 1), col("pb")))
+          .cast("long"))
+      .select("doc_id", "tf_a", "tf_b", "n_phrase")
+      .orderBy(desc("n_phrase"), (col("tf_a") + col("tf_b")).desc,
+        asc("doc_id"))
+      .limit(20)
+  }
+
+  val q203Sql: String = {
+    val toks = OracleSql.tokens("lower(text)")
+    s"""WITH toksrc AS (SELECT doc_id, $toks AS ts FROM documents),
+       |pos AS (
+       |  SELECT doc_id, i AS pos, ts[i+1] AS term
+       |  FROM toksrc, unnest(generate_series(0, len(ts) - 1)) AS u(i)
+       |  WHERE ts[i+1] IN ('table', 'scan')),
+       |g AS (
+       |  SELECT doc_id, term, list_sort(list(pos)) AS positions,
+       |    COUNT(*)::BIGINT AS tf
+       |  FROM pos GROUP BY 1, 2),
+       |a AS (SELECT doc_id, positions AS pa, tf AS tf_a FROM g WHERE term = 'table'),
+       |b AS (SELECT doc_id, positions AS pb, tf AS tf_b FROM g WHERE term = 'scan')
+       |SELECT a.doc_id, tf_a, tf_b,
+       |  len(list_intersect(list_transform(pa, x -> x + 1), pb))::BIGINT
+       |    AS n_phrase
+       |FROM a JOIN b USING (doc_id)
+       |ORDER BY n_phrase DESC, (tf_a + tf_b) DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_phrase_search" -> (q203PhraseSearch _),
     "q127_tfidf_terms" -> (q127TfIdf _),
     "q149_index_merge" -> (q149IndexMerge _),
     "q150_hybrid_rrf" -> (q150HybridRrf _),
@@ -838,6 +902,7 @@ object SearchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q203_phrase_search" -> q203Sql,
     "q127_tfidf_terms" -> q127Sql,
     "q149_index_merge" -> q149Sql,
     "q150_hybrid_rrf" -> q150Sql,

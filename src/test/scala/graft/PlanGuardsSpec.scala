@@ -390,6 +390,27 @@ class PlanGuardsSpec extends AnyFunSuite {
     }
   }
 
+  test("q203 phrase search: term-selective postings meet on an equi-join, " +
+    "report is a top-k heap — no cartesian, no global sort") {
+    val df = operators.SearchQueries.q203PhraseSearch(spark, dir)
+    val bad = collectNodes(df) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty,
+      s"q203 must join postings on doc_id:\n${df.queryExecution.executedPlan}")
+    val topk = collectNodes(df) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(topk.nonEmpty,
+      s"q203's top-20 must be a heap:\n${df.queryExecution.executedPlan}")
+    val sorts = collectNodes(df) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.isEmpty,
+      s"a global sort defeats the top-k heap:\n${df.queryExecution.executedPlan}")
+  }
+
   test("q179 deletion cascade: every hop is a semi/equi join — no " +
     "nested-loop, no cartesian") {
     val df = operators.ProfileQueries.q179DeletionCascade(spark, dir)
