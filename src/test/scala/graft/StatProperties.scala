@@ -222,6 +222,28 @@ object StatProperties extends Properties("StatOps") {
       got == want
     }
 
+  /** Ungrouped lagged: one global total order — the carry frame is
+    * plain |partitions| rows under an empty-partition window (bounded,
+    * like runningSums' ungrouped offset cumsum).
+    */
+  property("ungrouped lagged == sequential lag over the total order") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L))) { vs =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val got = graft.operators.ScanOps.lagged(
+          rows.toDF("id", "v"), Nil,
+          Seq(col("v").asc, col("id").asc), Seq((col("v"), "prev_v")))
+        .select("id", "prev_v")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val sorted = rows.sortBy { case (id, v) => (v, id) }
+      val want = sorted.zip(None +: sorted.map(Some(_))).map {
+        case ((id, _), prev) => id -> prev.map(_._2)
+      }.toMap
+      got == want
+    }
+
   /** The q173 two-level rank: per-value base off the value histogram
     * plus a within-value rank must equal the global (value, id) rank.
     */
