@@ -33,23 +33,27 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
 
+  /** SPARK_GRAFT_MASTER overrides the builder's master — the round
+    * gate uses it to replay Verify (and the test suite, via TestSpark)
+    * under local-cluster[w,c,mem]: real executor JVM boundaries surface
+    * serialization, broadcast-identity, and shared-mutable-state bugs
+    * that local[32]'s single heap structurally cannot. local-cluster
+    * forks executor processes (via SPARK_HOME), so they get the
+    * driver's FULL classpath (compiled graft classes, and under sbt
+    * test also the test classes + scalatest jars that test closures
+    * reference).
+    */
+  def withMasterOverride(b: SparkSession.Builder): SparkSession.Builder =
+    sys.env.get("SPARK_GRAFT_MASTER") match {
+      case Some(m) =>
+        b.master(m)
+          .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      case None => b
+    }
+
   def get(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // SPARK_GRAFT_MASTER overrides local[cpus] — the round gate uses it
-    // to replay Verify under local-cluster[w,c,mem]: real executor JVM
-    // boundaries surface serialization, broadcast-identity, and shared-
-    // mutable-state bugs that local[32]'s single heap structurally
-    // cannot. local-cluster forks executor processes (via SPARK_HOME),
-    // so the compiled graft classes must ship on their classpath.
-    val configured = sys.env.get("SPARK_GRAFT_MASTER") match {
-      case Some(m) =>
-        val classes = java.nio.file.Paths
-          .get("target/scala-2.13/classes").toAbsolutePath.toString
-        builder(cpus).master(m)
-          .config("spark.executor.extraClassPath", classes)
-      case None => builder(cpus)
-    }
-    val spark = configured.getOrCreate()
+    val spark = withMasterOverride(builder(cpus)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

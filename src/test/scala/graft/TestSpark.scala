@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("4").appName("graft-test").getOrCreate()
+    // honors SPARK_GRAFT_MASTER like the mains, so the whole suite can
+    // replay under local-cluster (real executor JVM boundaries)
+    val s = GraftSession
+      .withMasterOverride(GraftSession.builder("4").appName("graft-test"))
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
