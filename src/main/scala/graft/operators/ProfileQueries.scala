@@ -192,25 +192,39 @@ object ProfileQueries {
     * (value, then doc_id as the tie-break) so both engines cut the
     * ties identically.
     *
-    * Scale shape: one shuffle on the group key + per-group sort —
-    * the honest cost of exact depth buckets; at 100 TB the standard
-    * move is the same ntile over a fixed-fraction sample (ANALYZE's
-    * approach), or q128's no-sort sketch when bounded value error is
-    * acceptable.
+    * Scale shape (r9): the per-lang rank rides the grouped distributed
+    * scan ([[ScanOps.runningSums]]) — `ntile(k)` is pure arithmetic on
+    * (rank, group size): the first n%k buckets hold n/k+1 rows, the
+    * rest n/k (the formula is property-pinned against Spark's ntile
+    * window on random inputs). A `Window.partitionBy(lang)` here puts
+    * corpus/|langs| rows through each task at 100 TB; the scan keeps
+    * every sort one range partition. (q128's no-sort sketch remains
+    * the bounded-error alternative when even the scan is too much.)
     */
   def q133EquiDepth(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.documents
-      .select(col("lang"), col("n_chars"), col("doc_id"))
-      .withColumn("bucket", ntile(8).over(
-        Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))))
+    val scored = t.documents.select(col("lang"), col("n_chars"), col("doc_id"))
+    val ranked = ScanOps.runningSums(scored, Seq("lang"),
+      Seq(col("n_chars").asc, col("doc_id").asc), Seq((lit(1L), "rn")))
+    val counts = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), Seq("lang"))
+      .withColumn("bucket", expr(ntileExpr(8)))
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_rows"),
         min("n_chars").as("lo"), max("n_chars").as("hi"))
-      .select(col("lang"), col("bucket").cast("long").as("bucket"),
-        col("n_rows"), col("lo"), col("hi"))
+      .select(col("lang"), col("bucket"), col("n_rows"), col("lo"), col("hi"))
       .orderBy("lang", "bucket")
   }
+
+  /** ntile(k) as arithmetic on (rn, n) — Spark's NTile semantics
+    * verbatim: bucket sizes n/k (+1 for the first n%k buckets). When
+    * n < k the ELSE branch's n/k divisor is 0, but every row satisfies
+    * the THEN condition (rn ≤ n%k = n), so it never evaluates.
+    */
+  private[graft] def ntileExpr(k: Int): String =
+    s"CASE WHEN rn <= (n % $k) * (n div $k + 1)" +
+      s" THEN (rn - 1) div (n div $k + 1) + 1" +
+      s" ELSE (n % $k) + (rn - 1 - (n % $k) * (n div $k + 1)) div (n div $k) + 1 END"
 
   val q133Sql: String =
     """WITH b AS (
@@ -472,25 +486,29 @@ object ProfileQueries {
     * integer: quantiles are rank-selected values, the winsorized mean
     * is an integer division.
     *
-    * Scale shape: one rank window per group (the same exchange the
-    * exact-percentile family pays; at 100 TB swap in q128's sketch
-    * bounds), then one rollup.
+    * Scale shape (r9): the per-lang rank rides the grouped distributed
+    * scan ([[ScanOps.runningSums]] — the old per-lang rank window put
+    * corpus/|langs| rows through each task); the p5/p95 cuts collapse
+    * to a |langs|-row frame in one conditional aggregate and broadcast
+    * back onto a plain second scan for the clamp-and-average rollup.
+    * (At 100 TB swap in q128's sketch bounds when two scans are too
+    * many.)
     */
   def q160WinsorizedMeans(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
-    t.documents
-      .select(col("lang"), col("doc_id"), col("n_chars"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
-      .withColumn("p5", max(when(
-        expr("1000 * rn >= 50 * n") &&
-          expr("1000 * (rn - 1) < 50 * n"), col("n_chars"))).over(
-        Window.partitionBy("lang")))
-      .withColumn("p95", max(when(
-        expr("1000 * rn >= 950 * n") &&
-          expr("1000 * (rn - 1) < 950 * n"), col("n_chars"))).over(
-        Window.partitionBy("lang")))
+    val docs = t.documents.select(col("lang"), col("doc_id"), col("n_chars"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val cuts = ScanOps.runningSums(docs, Seq("lang"),
+        Seq(col("n_chars").asc, col("doc_id").asc), Seq((lit(1L), "rn")))
+      .join(broadcast(counts), Seq("lang"))
+      .groupBy("lang")
+      .agg(max(when(
+          expr("1000 * rn >= 50 * n and 1000 * (rn - 1) < 50 * n"),
+          col("n_chars"))).as("p5"),
+        max(when(
+          expr("1000 * rn >= 950 * n and 1000 * (rn - 1) < 950 * n"),
+          col("n_chars"))).as("p95"))
+    docs.join(broadcast(cuts), Seq("lang"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         expr("sum(n_chars) div count(1)").as("raw_mean"),
@@ -948,19 +966,21 @@ object ProfileQueries {
     * quantile, deterministic ties by (value, doc_id)). All integer:
     * cumulative weights vs 1000·cut per-milles.
     *
-    * Scale shape: one rank window per source over (value, weight) —
-    * the same exchange the exact-percentile family pays (q128's
-    * sketch replaces it at 100 TB), then a 3-cut conditional
-    * aggregate riding the same sort.
+    * Scale shape (r9): the per-source cumulative weight IS the
+    * grouped distributed scan ([[ScanOps.runningSums]] of the weight —
+    * the old per-source window put corpus/|sources| rows through each
+    * task); per-source totals come from a |sources|-row aggregate
+    * broadcast back. The 3-cut conditional aggregate is the rollup.
+    * (q128's sketch replaces the exact pass at 100 TB when needed.)
     */
   def q187WeightedPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy("source")
-    t.documents.select("source", "doc_id", "n_chars")
-      .withColumn("cw", sum("n_chars").over(w))
-      .withColumn("tw", sum("n_chars").over(tot))
+    val docs = t.documents.select("source", "doc_id", "n_chars")
+    val totals = docs.groupBy("source").agg(sum("n_chars").as("tw"))
+    ScanOps.runningSums(docs, Seq("source"),
+        Seq(col("n_chars").asc, col("doc_id").asc),
+        Seq((col("n_chars").cast("long"), "cw")))
+      .join(broadcast(totals), Seq("source"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), max("tw").as("total_weight"),
         min(when(expr("1000 * cw >= 500 * tw"), col("n_chars")))

@@ -293,6 +293,14 @@ object ScaleBench {
       graft.operators.SamplingQueries.q137ScoreCalibrate(s, d).count()),
     "q156_burst" -> ((s, d) =>
       TemporalQueries.q156Burstiness(s, d).count()),
+    // r9b self-audit members of the same family (ProfileQueries):
+    // ntile, winsorize cuts, weighted-percentile cumsum — same bound
+    "q133_equidepth" -> ((s, d) =>
+      graft.operators.ProfileQueries.q133EquiDepth(s, d).count()),
+    "q160_winsorize" -> ((s, d) =>
+      graft.operators.ProfileQueries.q160WinsorizedMeans(s, d).count()),
+    "q187_wpercentiles" -> ((s, d) =>
+      graft.operators.ProfileQueries.q187WeightedPercentiles(s, d).count()),
     // q195 at the default 4% eval slice vs a 10× slice: the grouped
     // scan's per-task memory must be |tests|-INDEPENDENT (the pair
     // frame grows 10×, but every partition stays one range split);

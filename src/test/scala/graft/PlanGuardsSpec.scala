@@ -378,7 +378,12 @@ class PlanGuardsSpec extends AnyFunSuite {
     val dfs = Seq(
       "q47" -> operators.SamplingQueries.q47SequencePacking(spark, dir),
       "q137" -> operators.SamplingQueries.q137ScoreCalibrate(spark, dir),
-      "q156" -> operators.TemporalQueries.q156Burstiness(spark, dir))
+      "q156" -> operators.TemporalQueries.q156Burstiness(spark, dir),
+      // r9b: the ProfileQueries members of the same class (found by
+      // self-audit): ntile, winsorize cuts, weighted-percentile cumsum
+      "q133" -> operators.ProfileQueries.q133EquiDepth(spark, dir),
+      "q160" -> operators.ProfileQueries.q160WinsorizedMeans(spark, dir),
+      "q187" -> operators.ProfileQueries.q187WeightedPercentiles(spark, dir))
     dfs.foreach { case (name, df) =>
       val fat = collectNodes(df) {
         case w: org.apache.spark.sql.execution.window.WindowExec

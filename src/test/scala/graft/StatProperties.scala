@@ -244,6 +244,29 @@ object StatProperties extends Properties("StatOps") {
       got == want
     }
 
+  /** q133's ntile-as-arithmetic (the scan rewrite): the closed-form
+    * bucket from (rn, n) must equal Spark's ntile(8) window on
+    * arbitrary inputs — including n < 8, where the ELSE divisor is 0
+    * but unreachable.
+    */
+  property("ntile formula on (rn, n) == ntile(8) window") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 99L))) { vs =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val w = Window.orderBy(col("v"), col("id"))
+      val got = df
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("want", ntile(8).over(w).cast("long"))
+        .withColumn("gotb", expr(graft.operators.ProfileQueries.ntileExpr(8)))
+        .filter(col("gotb") =!= col("want"))
+        .count()
+      got == 0L
+    }
+
   /** The q173 two-level rank: per-value base off the value histogram
     * plus a within-value rank must equal the global (value, id) rank.
     */
