@@ -1103,7 +1103,62 @@ object ProfileQueries {
       |    THEN 1 ELSE 0 END)::BIGINT AS drifted
       |FROM d ORDER BY source""".stripMargin
 
+  /** q204: K-ANONYMITY census — the re-identification risk audit
+    * (Sweeney 2002) a governance review runs BEFORE releasing a
+    * dataset projection: over the quasi-identifier tuple
+    * (lang, source, length octave — the attributes that survive q54's
+    * redaction), how many equivalence classes fall below k, and what
+    * share of DOCUMENTS they expose, reported at k ∈ {2, 5, 10, 20}
+    * (k<2 = unique rows, fully re-identifiable by the QI alone). The
+    * class-size frame is the same object q157 profiles for skew —
+    * here read for privacy: a class of 1 is a fingerprint. Length
+    * joins the QI as its BIT LENGTH (octave bucket, the q180/q89
+    * integer-⌊log₂⌋ idiom) because releases bucket continuous
+    * attributes exactly this way.
+    *
+    * Scale shape: one map-side-combined aggregate to the QI-class
+    * frame (bounded by the QI domain, |langs|·|sources|·≤64 octaves —
+    * and still aggregate-output-sized for higher-cardinality QIs),
+    * then a 4-threshold explode + rollup over that frame. The corpus
+    * crosses once.
+    */
+  def q204KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val classes = t.documents
+      .groupBy(col("lang"), col("source"),
+        length(bin(col("n_chars"))).cast("long").as("len_octave"))
+      .agg(count(lit(1)).as("k"))
+    classes
+      .select(col("k"),
+        explode(array(Seq(2L, 5L, 10L, 20L).map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_classes"),
+        sum("k").as("n_docs"),
+        count(when(col("k") < col("threshold"), 1)).as("n_small_classes"),
+        sum(when(col("k") < col("threshold"), col("k")).otherwise(0L))
+          .as("n_exposed_docs"))
+      .withColumn("exposed_permille",
+        expr("(1000 * n_exposed_docs) div n_docs"))
+      .orderBy("threshold")
+  }
+
+  val q204Sql: String =
+    """WITH classes AS (
+      |  SELECT lang, source, length(bin(n_chars))::BIGINT AS len_octave,
+      |    COUNT(*)::BIGINT AS k
+      |  FROM documents GROUP BY 1, 2, 3),
+      |expl AS (
+      |  SELECT k, unnest([2, 5, 10, 20])::BIGINT AS threshold FROM classes)
+      |SELECT threshold, COUNT(*)::BIGINT AS n_classes, SUM(k)::BIGINT AS n_docs,
+      |  COUNT(*) FILTER (WHERE k < threshold)::BIGINT AS n_small_classes,
+      |  SUM(CASE WHEN k < threshold THEN k ELSE 0 END)::BIGINT
+      |    AS n_exposed_docs,
+      |  ((1000 * SUM(CASE WHEN k < threshold THEN k ELSE 0 END)) // SUM(k))
+      |    ::BIGINT AS exposed_permille
+      |FROM expl GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_k_anonymity" -> (q204KAnonymity _),
     "q198_ks_drift" -> (q198KsDrift _),
     "q187_weighted_percentiles" -> (q187WeightedPercentiles _),
     "q179_deletion_cascade" -> (q179DeletionCascade _),
@@ -1124,6 +1179,7 @@ object ProfileQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q204_k_anonymity" -> q204Sql,
     "q198_ks_drift" -> q198Sql,
     "q187_weighted_percentiles" -> q187Sql,
     "q179_deletion_cascade" -> q179Sql,
