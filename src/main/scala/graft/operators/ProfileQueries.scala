@@ -207,7 +207,8 @@ object ProfileQueries {
     val ranked = ScanOps.runningSums(scored, Seq("lang"),
       Seq(col("n_chars").asc, col("doc_id").asc), Seq((lit(1L), "rn")))
     val counts = scored.groupBy("lang").agg(count(lit(1)).as("n"))
-    ranked.join(broadcast(counts), Seq("lang"))
+    ScanOps.joinKeysNullSafe(ranked, counts, Seq("lang"),
+        broadcastRight = true)
       .withColumn("bucket", expr(ntileExpr(8)))
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_rows"),
@@ -498,9 +499,10 @@ object ProfileQueries {
     val t = Tables(spark, dir)
     val docs = t.documents.select(col("lang"), col("doc_id"), col("n_chars"))
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
-    val cuts = ScanOps.runningSums(docs, Seq("lang"),
-        Seq(col("n_chars").asc, col("doc_id").asc), Seq((lit(1L), "rn")))
-      .join(broadcast(counts), Seq("lang"))
+    val cuts = ScanOps.joinKeysNullSafe(
+        ScanOps.runningSums(docs, Seq("lang"),
+          Seq(col("n_chars").asc, col("doc_id").asc), Seq((lit(1L), "rn"))),
+        counts, Seq("lang"), broadcastRight = true)
       .groupBy("lang")
       .agg(max(when(
           expr("1000 * rn >= 50 * n and 1000 * (rn - 1) < 50 * n"),
@@ -508,7 +510,7 @@ object ProfileQueries {
         max(when(
           expr("1000 * rn >= 950 * n and 1000 * (rn - 1) < 950 * n"),
           col("n_chars"))).as("p95"))
-    docs.join(broadcast(cuts), Seq("lang"))
+    ScanOps.joinKeysNullSafe(docs, cuts, Seq("lang"), broadcastRight = true)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         expr("sum(n_chars) div count(1)").as("raw_mean"),
@@ -977,10 +979,11 @@ object ProfileQueries {
     val t = Tables(spark, dir)
     val docs = t.documents.select("source", "doc_id", "n_chars")
     val totals = docs.groupBy("source").agg(sum("n_chars").as("tw"))
-    ScanOps.runningSums(docs, Seq("source"),
-        Seq(col("n_chars").asc, col("doc_id").asc),
-        Seq((col("n_chars").cast("long"), "cw")))
-      .join(broadcast(totals), Seq("source"))
+    ScanOps.joinKeysNullSafe(
+        ScanOps.runningSums(docs, Seq("source"),
+          Seq(col("n_chars").asc, col("doc_id").asc),
+          Seq((col("n_chars").cast("long"), "cw"))),
+        totals, Seq("source"), broadcastRight = true)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), max("tw").as("total_weight"),
         min(when(expr("1000 * cw >= 500 * tw"), col("n_chars")))

@@ -631,7 +631,8 @@ object SamplingQueries {
     val ranked = ScanOps.runningSums(scored, Seq("source"),
       Seq(col("score").asc, col("doc_id").asc), Seq((lit(1L), "rk")))
     val counts = scored.groupBy("source").agg(count(lit(1)).as("cnt"))
-    ranked.join(broadcast(counts), Seq("source"))
+    ScanOps.joinKeysNullSafe(ranked, counts, Seq("source"),
+        broadcastRight = true)
       .withColumn("pm", expr("((rk - 1) * 1000) div greatest(cnt - 1, 1)"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -1362,8 +1363,13 @@ object SamplingQueries {
     }.reduce(_ unionByName _)
     def bit(i: Int) = pmod(md5Long60(concat(lit(s"${i}_"),
       col("n").cast("string"), lit("_"), col("h").cast("string"))), lit(m))
+    // both mid-frames feed two consumers (eval → setBits + the verify
+    // join; cand → verify + the per-n candidate rollup): lazy
+    // localCheckpoints so the eval gram scan and — the expensive one —
+    // the full train scan + bloom probe each run ONCE, not per branch
     val eval = grams(t.documents.filter(isEval))
       .groupBy("n", "h").agg(count(lit(1)).as("occ"))
+      .localCheckpoint(false)
     val setBits = eval.select(col("n"), explode(array(bit(0), bit(1))).as("p"))
       .distinct()
     val cand = grams(t.documents.filter(!isEval))
@@ -1373,6 +1379,7 @@ object SamplingQueries {
       .join(broadcast(setBits.select(col("n"), col("p").as("b1"))),
         Seq("n", "b1"), "left_semi")
       .select("n", "h").distinct()
+      .localCheckpoint(false)
     val evalRoll = eval
       .join(cand.withColumn("seen", lit(true)), Seq("n", "h"), "left")
       .groupBy("n")

@@ -43,6 +43,23 @@ object ScanOps {
   private def shufflePartitions(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
+  /** Inner join on `keys` with NULL-SAFE equality (`<=>`) — the
+    * scan/lag stitches (and their query-level per-group count joins)
+    * replace windows whose PARTITION BY treats NULL as a real group;
+    * a plain equi-join would silently DROP every NULL-keyed row
+    * instead, diverging from both the window semantics and the SQL
+    * oracles' GROUP BY. Null-safe keys still hash-join.
+    */
+  private[operators] def joinKeysNullSafe(left: DataFrame,
+      right: DataFrame, keys: Seq[String],
+      broadcastRight: Boolean = false): DataFrame = {
+    val renamed = keys.foldLeft(right)((acc, k) =>
+      acc.withColumnRenamed(k, s"__r_$k"))
+    val r = if (broadcastRight) broadcast(renamed) else renamed
+    val cond = keys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+    left.join(r, cond).drop(keys.map(k => s"__r_$k"): _*)
+  }
+
   /** Appends one exact running-SUM column per `(value, outName)` pair,
     * computed over the total order `sortCols`. Values must be
     * non-null integral columns (the engine's exact-arithmetic
@@ -92,9 +109,10 @@ object ScanOps {
     // rows — tiny for bounded groups (AQE broadcasts it at runtime from
     // its actual size), but a forced broadcast would OOM the driver
     // when groups are unbounded, where a shuffle join on (group, pid)
-    // aligns with the window partitioning instead.
+    // aligns with the window partitioning instead. Null-safe keys: a
+    // NULL group is a real partition, exactly as in the window form.
     val out = sums.zipWithIndex.foldLeft(
-      withRuns.join(offsets, cellKeys)) {
+      joinKeysNullSafe(withRuns, offsets, cellKeys)) {
       case (acc, ((_, name), i)) =>
         acc.withColumn(name, col(s"__r$i") + col(s"__o$i"))
     }
@@ -155,8 +173,10 @@ object ScanOps {
         .agg(tailAggs.head, tailAggs.tail: _*)) { (acc, i) =>
       acc.withColumn(s"__c$i", lag(col(s"__t$i"), 1).over(wCarry))
     }.select(cellKeys.map(col) ++ lags.indices.map(i => col(s"__c$i")): _*)
-    // inner join on the cell key: every populated cell has a tail row
-    val out = lags.zipWithIndex.foldLeft(withLag.join(carries, cellKeys)) {
+    // inner join on the cell key (null-safe: NULL groups are real
+    // partitions): every populated cell has a tail row
+    val out = lags.zipWithIndex.foldLeft(
+      joinKeysNullSafe(withLag, carries, cellKeys)) {
       case (acc, ((_, name), i)) =>
         acc.withColumn(name,
           when(col("__rn") === 1, col(s"__c$i")).otherwise(col(s"__l$i")))

@@ -12,14 +12,18 @@ class BenchSpec extends AnyFunSuite {
   /** The committed record, resolved by walking up from the working
     * directory to the repo root (build.sbt marker) — not a bare
     * CWD-relative path, so the suite doesn't silently depend on sbt
-    * running from the repo root.
+    * running from the repo root. The record's EXISTENCE is asserted by
+    * the format test below (a missing/renamed record must FAIL, not
+    * cancel — an absent record silently disables the cross-record
+    * re-probe, the exact failure mode this spec exists to prevent);
+    * only the repo-root marker itself being absent (not a checkout)
+    * cancels.
     */
   private def committedRecord: Option[java.nio.file.Path] = {
     var d = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
     while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
       d = d.getParent
     Option(d).map(_.resolve("BENCH_FULL.json"))
-      .filter(java.nio.file.Files.exists(_))
   }
 
   test("priorMins parses the committed record format") {
@@ -42,13 +46,17 @@ class BenchSpec extends AnyFunSuite {
     // legitimate record must not fail the suite.
     committedRecord match {
       case Some(p) =>
+        assert(java.nio.file.Files.exists(p),
+          s"committed bench record missing at $p — the cross-record " +
+            "re-probe would silently degrade to 'no priors'")
         val m = Bench.priorMins(p.toString)
         assert(m.size > 150, s"expected a full record, parsed ${m.size} entries")
         assert(m.values.forall(v => v > 0 && v < 3600))
-        // pre-r9 records carry no calibration field; r9+ records must.
-        // Either way the parse must not throw.
-        Bench.priorCalibration(p.toString).foreach(c => assert(c > 0 && c < 3600))
-      case None => cancel("no committed BENCH_FULL.json in this checkout")
+        // r9+ records must carry the calibration stamp
+        val c = Bench.priorCalibration(p.toString)
+        assert(c.exists(v => v > 0 && v < 3600),
+          "committed record lacks a calibration stamp")
+      case None => cancel("no repo root (build.sbt) above the working directory")
     }
   }
 
@@ -61,14 +69,14 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.priorCalibration(f.toString).isEmpty)
   }
 
-  test("calibration spin is stable enough to be a load proxy") {
-    // two back-to-back runs on the same machine should agree within 3×
-    // (the factor clamp bounds anything wilder); also pins that the
-    // spin takes measurable, bounded time
+  test("calibration spin runs and lands in a sane range") {
+    // Deliberately NO stability assertion: this host has documented
+    // 3-4× invisible neighbor-load swings, so asserting two runs agree
+    // would reproduce the exact flakiness the calibration exists to
+    // divide out. The range pin catches a broken spin (0s = dead code
+    // elimination; minutes = a runaway loop); stability is the
+    // record's job (load_factor is clamped to [0.5, 10] in Bench).
     val a = Bench.calibrationSecs()
-    val b = Bench.calibrationSecs()
     assert(a > 0.005 && a < 60.0, s"calibration out of range: $a")
-    assert(math.max(a, b) / math.min(a, b) < 3.0,
-      s"calibration unstable: $a vs $b")
   }
 }

@@ -2889,8 +2889,14 @@ class CurationQueriesSpec extends AnyFunSuite {
       assert((nEval, nSeen) == exact(n),
         s"n=$n: bloom curve diverged from the exact curve")
       assert(nFp >= 0L && nCand >= 0L)
-      // matched distinct grams (cand - fp) can never exceed candidates
-      assert(nCand - nFp <= nCand)
+      // matched DISTINCT candidates (cand − fp) are bounded by the
+      // POSITIONAL seen count (each matched gram occurs ≥ once), and
+      // zero matches ⟺ zero seen occurrences — a non-distinct cand
+      // join double-counting matches fails here
+      assert(nCand - nFp <= nSeen,
+        s"n=$n: more matched candidates than seen occurrences")
+      assert((nCand - nFp == 0L) == (nSeen == 0L),
+        s"n=$n: matched/seen zero-states disagree")
     }
   }
 }

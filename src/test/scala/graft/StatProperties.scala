@@ -244,6 +244,46 @@ object StatProperties extends Properties("StatOps") {
       got == want
     }
 
+  /** NULL group keys are REAL groups (r9 review finding): the windows
+    * the scan/lag replace treat a NULL PARTITION BY key as its own
+    * partition, so the stitch joins must be null-safe — a plain
+    * equi-join silently drops every NULL-keyed row. Pins both
+    * primitives against per-group sequential references where one
+    * "group" is null.
+    */
+  property("scan and lag keep NULL group keys (window PARTITION BY semantics)") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(
+        Gen.oneOf[String]("a", "b", null), Gen.chooseNum(-9L, 9L)))) { gvs =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val rows = gvs.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+      val df = rows.toDF("g", "id", "v")
+      val gotScan = graft.operators.ScanOps.runningSums(
+          df, Seq("g"), Seq(col("id").asc), Seq((col("v"), "cum")))
+        .select("g", "id", "cum").collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val gotLag = graft.operators.ScanOps.lagged(
+          df, Seq("g"), Seq(col("id").asc), Seq((col("v"), "pv")))
+        .select("g", "id", "pv").collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+      val byG = rows.groupBy(r => Option(r._1))
+      val wantScan = byG.flatMap { case (g, xs) =>
+        xs.sortBy(_._2).scanLeft((0L, 0L)) { case ((_, c), (_, id, v)) =>
+          (id, c + v)
+        }.tail.map { case (id, c) => (g, id) -> c }
+      }
+      val wantLag = byG.flatMap { case (g, xs) =>
+        val s = xs.sortBy(_._2)
+        s.zip(None +: s.map(Some(_))).map { case ((_, id, _), prev) =>
+          (g, id) -> prev.map(_._3)
+        }
+      }
+      gotScan == wantScan && gotLag == wantLag
+    }
+
   /** q133's ntile-as-arithmetic (the scan rewrite): the closed-form
     * bucket from (rn, n) must equal Spark's ntile(8) window on
     * arbitrary inputs — including n < 8, where the ELSE divisor is 0
