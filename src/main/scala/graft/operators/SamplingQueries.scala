@@ -1364,12 +1364,15 @@ object SamplingQueries {
     def bit(i: Int) = pmod(md5Long60(concat(lit(s"${i}_"),
       col("n").cast("string"), lit("_"), col("h").cast("string"))), lit(m))
     // both mid-frames feed two consumers (eval → setBits + the verify
-    // join; cand → verify + the per-n candidate rollup): lazy
-    // localCheckpoints so the eval gram scan and — the expensive one —
-    // the full train scan + bloom probe each run ONCE, not per branch
+    // join; cand → verify + the per-n candidate rollup) and are
+    // deliberately NOT checkpointed: their duplicated exchanges dedupe
+    // via AQE runtime stage reuse (same finding as ScanOps.lagged,
+    // PLANS.md r9), while a lazy localCheckpoint materializes through
+    // the STATIC plan — measured at the sf10 ScaleGen dir it put the
+    // full train gram stream on the wire (834 MB, 17× task CPU) where
+    // the AQE-planned form shuffles ~nothing
     val eval = grams(t.documents.filter(isEval))
       .groupBy("n", "h").agg(count(lit(1)).as("occ"))
-      .localCheckpoint(false)
     val setBits = eval.select(col("n"), explode(array(bit(0), bit(1))).as("p"))
       .distinct()
     val cand = grams(t.documents.filter(!isEval))
@@ -1379,7 +1382,6 @@ object SamplingQueries {
       .join(broadcast(setBits.select(col("n"), col("p").as("b1"))),
         Seq("n", "b1"), "left_semi")
       .select("n", "h").distinct()
-      .localCheckpoint(false)
     val evalRoll = eval
       .join(cand.withColumn("seen", lit(true)), Seq("n", "h"), "left")
       .groupBy("n")
