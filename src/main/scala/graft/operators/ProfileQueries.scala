@@ -1127,9 +1127,15 @@ object ProfileQueries {
     */
   def q204KAnonymity(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // greatest(n_chars, 0): Spark's bin() of a negative BIGINT is a
+    // 64-char two's-complement string while DuckDB's width depends on
+    // the column's integer type — clamp (mirrored in the oracle) so a
+    // corrupt/sentinel negative length lands in octave 1, not in an
+    // engine-dependent bucket
     val classes = t.documents
       .groupBy(col("lang"), col("source"),
-        length(bin(col("n_chars"))).cast("long").as("len_octave"))
+        length(bin(greatest(col("n_chars"), lit(0L)))).cast("long")
+          .as("len_octave"))
       .agg(count(lit(1)).as("k"))
     classes
       .select(col("k"),
@@ -1147,7 +1153,8 @@ object ProfileQueries {
 
   val q204Sql: String =
     """WITH classes AS (
-      |  SELECT lang, source, length(bin(n_chars))::BIGINT AS len_octave,
+      |  SELECT lang, source,
+      |    length(bin(greatest(n_chars, 0)::BIGINT))::BIGINT AS len_octave,
       |    COUNT(*)::BIGINT AS k
       |  FROM documents GROUP BY 1, 2, 3),
       |expl AS (

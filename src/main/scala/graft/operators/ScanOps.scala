@@ -43,12 +43,16 @@ object ScanOps {
   private def shufflePartitions(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
-  /** Inner join on `keys` with NULL-SAFE equality (`<=>`) — the
-    * scan/lag stitches (and their query-level per-group count joins)
-    * replace windows whose PARTITION BY treats NULL as a real group;
-    * a plain equi-join would silently DROP every NULL-keyed row
-    * instead, diverging from both the window semantics and the SQL
-    * oracles' GROUP BY. Null-safe keys still hash-join.
+  /** Inner join on `keys` with NULL-SAFE equality (`<=>`) — for the
+    * scan queries' per-group BROADCAST count joins: they replace
+    * windows whose PARTITION BY treats NULL as a real group, and a
+    * plain equi-join would silently DROP every NULL-keyed row,
+    * diverging from both the window semantics and the SQL oracles'
+    * GROUP BY. Broadcast-side only: `<=>` plans its keys as
+    * (coalesce, isnull) pairs, which breaks hash-partition alignment
+    * — the scan primitives' own STITCH joins therefore use
+    * struct-wrapped keys instead (struct equality is null-safe under
+    * plain EqualTo and keeps the window's partitioning reusable).
     */
   private[operators] def joinKeysNullSafe(left: DataFrame,
       right: DataFrame, keys: Seq[String],
@@ -83,17 +87,28 @@ object ScanOps {
       sortCols: Seq[Column], sums: Seq[(Column, String)]): DataFrame = {
     val p = shufflePartitions(df)
     val vals = sums.zipWithIndex.map { case ((v, _), i) => v.as(s"__v$i") }
+    // Group keys materialize STRUCT-wrapped (__g*): struct equality
+    // treats a null field as equal to itself, so the stitch join below
+    // is null-safe under plain EqualTo — a NULL group is a real
+    // partition, exactly as in the window form this scan replaces —
+    // WITHOUT the (coalesce, isnull) key rewrite that `<=>` plans,
+    // which would break the hash-partition ALIGNMENT between the cell
+    // window and the join on the unbounded-groups shuffle fallback.
+    val gKeys = groupCols.indices.map(i => s"__g$i")
+    val gCols = groupCols.zip(gKeys).map { case (g, k) =>
+      struct(col(g)).as(k)
+    }
     val ranged = df
-      .select(col("*") +: vals: _*)
-      .repartitionByRange(p, groupCols.map(col) ++ sortCols: _*)
+      .select(col("*") +: (gCols ++ vals): _*)
+      .repartitionByRange(p, gKeys.map(col) ++ sortCols: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
       .localCheckpoint(false)
-    val cellKeys = groupCols :+ "__pid"
+    val cellKeys = gKeys :+ "__pid"
     val wLocal = Window.partitionBy(cellKeys.map(col): _*)
       .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wOff = (if (groupCols.isEmpty) Window.partitionBy()
-                else Window.partitionBy(groupCols.map(col): _*))
+    val wOff = (if (gKeys.isEmpty) Window.partitionBy()
+                else Window.partitionBy(gKeys.map(col): _*))
       .orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     val totAggs = sums.indices.map(i => sum(col(s"__v$i")).as(s"__t$i"))
     val offCols = sums.indices.map(i =>
@@ -108,16 +123,15 @@ object ScanOps {
     // no broadcast HINT on the offsets side: it is |groups|·|partitions|
     // rows — tiny for bounded groups (AQE broadcasts it at runtime from
     // its actual size), but a forced broadcast would OOM the driver
-    // when groups are unbounded, where a shuffle join on (group, pid)
-    // aligns with the window partitioning instead. Null-safe keys: a
-    // NULL group is a real partition, exactly as in the window form.
+    // when groups are unbounded, where a shuffle join on the struct
+    // (group, pid) keys reuses the cell window's hash partitioning.
     val out = sums.zipWithIndex.foldLeft(
-      joinKeysNullSafe(withRuns, offsets, cellKeys)) {
+      withRuns.join(offsets, cellKeys)) {
       case (acc, ((_, name), i)) =>
         acc.withColumn(name, col(s"__r$i") + col(s"__o$i"))
     }
-    out.drop("__pid" +: sums.indices.flatMap(i =>
-      Seq(s"__v$i", s"__t$i", s"__r$i", s"__o$i")): _*)
+    out.drop("__pid" +: (gKeys ++ sums.indices.flatMap(i =>
+      Seq(s"__v$i", s"__t$i", s"__r$i", s"__o$i"))): _*)
   }
 
   /** Appends one exact LAG(1) column per `(value, outName)` pair over
@@ -148,12 +162,18 @@ object ScanOps {
       sortCols: Seq[Column], lags: Seq[(Column, String)]): DataFrame = {
     val p = shufflePartitions(df)
     val vals = lags.zipWithIndex.map { case ((v, _), i) => v.as(s"__v$i") }
+    // struct-wrapped group keys, same as runningSums: null-safe stitch
+    // join under plain EqualTo, hash-partition alignment preserved
+    val gKeys = groupCols.indices.map(i => s"__g$i")
+    val gCols = groupCols.zip(gKeys).map { case (g, k) =>
+      struct(col(g)).as(k)
+    }
     val ranged = df
-      .select(col("*") +: vals: _*)
-      .repartitionByRange(p, groupCols.map(col) ++ sortCols: _*)
+      .select(col("*") +: (gCols ++ vals): _*)
+      .repartitionByRange(p, gKeys.map(col) ++ sortCols: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
       .localCheckpoint(false)
-    val cellKeys = groupCols :+ "__pid"
+    val cellKeys = gKeys :+ "__pid"
     val wLocal = Window.partitionBy(cellKeys.map(col): _*)
       .orderBy(sortCols: _*)
     val withLag = lags.indices.foldLeft(
@@ -165,23 +185,22 @@ object ScanOps {
     // the aggregate rides the same exchange
     val tailAggs = lags.indices.map(i =>
       max_by(col(s"__v$i"), col("__rn")).as(s"__t$i"))
-    val wCarry = (if (groupCols.isEmpty) Window.partitionBy()
-                  else Window.partitionBy(groupCols.map(col): _*))
+    val wCarry = (if (gKeys.isEmpty) Window.partitionBy()
+                  else Window.partitionBy(gKeys.map(col): _*))
       .orderBy("__pid")
     val carries = lags.indices.foldLeft(
       withLag.groupBy(cellKeys.head, cellKeys.tail: _*)
         .agg(tailAggs.head, tailAggs.tail: _*)) { (acc, i) =>
       acc.withColumn(s"__c$i", lag(col(s"__t$i"), 1).over(wCarry))
     }.select(cellKeys.map(col) ++ lags.indices.map(i => col(s"__c$i")): _*)
-    // inner join on the cell key (null-safe: NULL groups are real
-    // partitions): every populated cell has a tail row
-    val out = lags.zipWithIndex.foldLeft(
-      joinKeysNullSafe(withLag, carries, cellKeys)) {
+    // inner join on the struct cell key (null-safe: NULL groups are
+    // real partitions): every populated cell has a tail row
+    val out = lags.zipWithIndex.foldLeft(withLag.join(carries, cellKeys)) {
       case (acc, ((_, name), i)) =>
         acc.withColumn(name,
           when(col("__rn") === 1, col(s"__c$i")).otherwise(col(s"__l$i")))
     }
-    out.drop("__pid" +: "__rn" +: lags.indices.flatMap(i =>
-      Seq(s"__v$i", s"__l$i", s"__t$i", s"__c$i")): _*)
+    out.drop("__pid" +: "__rn" +: (gKeys ++ lags.indices.flatMap(i =>
+      Seq(s"__v$i", s"__l$i", s"__t$i", s"__c$i"))): _*)
   }
 }

@@ -1416,9 +1416,10 @@ object VectorQueries {
       .select("query_id", "vec_id", "label", "ind", "dot")
     val sortCols = Seq(col("dot").desc, col("vec_id").asc)
     val sizes = pairs.groupBy("query_id").agg(count(lit(1)).as("n"))
-    val ranked = ScanOps
-      .runningSums(pairs, Seq("query_id"), sortCols, Seq((lit(1L), "rank")))
-      .join(broadcast(sizes), Seq("query_id"))
+    val ranked = ScanOps.joinKeysNullSafe(
+      ScanOps.runningSums(pairs, Seq("query_id"), sortCols,
+        Seq((lit(1L), "rank"))),
+      sizes, Seq("query_id"), broadcastRight = true)
       .withColumn("w", expr("(1000000000L * least(5, rank)) div (5 * rank)"))
       .withColumn("w_prev", expr(
         "(1000000000L * least(5, rank - 1)) div (5 * (rank - 1))"))
@@ -1432,9 +1433,10 @@ object VectorQueries {
       // the h-totals aggregate and the second scan both read it
       .localCheckpoint(false)
     val hTotals = ranked.groupBy("query_id").agg(sum("h").as("ht"))
-    val scored = ScanOps
-      .runningSums(ranked, Seq("query_id"), sortCols, Seq((col("h"), "hcum")))
-      .join(broadcast(hTotals), Seq("query_id"))
+    val scored = ScanOps.joinKeysNullSafe(
+      ScanOps.runningSums(ranked, Seq("query_id"), sortCols,
+        Seq((col("h"), "hcum"))),
+      hTotals, Seq("query_id"), broadcastRight = true)
       .withColumn("shap_nano", col("own") + col("ht") - col("hcum"))
     val totals = scored.groupBy("vec_id", "label")
       .agg(sum("shap_nano").as("shap_nano"), count(lit(1)).as("n_tests"))

@@ -395,6 +395,61 @@ class PlanGuardsSpec extends AnyFunSuite {
     }
   }
 
+  test("scan stitch join reuses the cell window's hash partitioning — no " +
+    "corpus re-exchange on the unbounded-groups (no-broadcast) fallback") {
+    // r9c: the stitch keys are STRUCT-wrapped so NULL groups survive a
+    // plain EqualTo (null-safe) AND the shuffle-join fallback can reuse
+    // HashPartitioning(group, __pid) from the cell window — a `<=>`
+    // join would rewrite keys to (coalesce, isnull) and force the
+    // corpus through one more exchange exactly when groups are too
+    // many to broadcast. Asserted by disabling broadcast and checking
+    // no ShuffleExchange sits between the corpus WindowExec and the
+    // stitch join's streamed side.
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val old = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      scala.util.Try(
+        conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")).toOption
+        .filter(_ != null))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = operators.ScanOps.runningSums(
+        Tables(spark, dir).documents
+          .select(col("lang"), col("doc_id"), col("n_chars")),
+        Seq("lang"), Seq(col("doc_id").asc),
+        Seq((col("n_chars").cast("long"), "cum")))
+      // Some(true) = an exchange sits above the first WindowExec on
+      // this path; Some(false) = the window is reached exchange-free
+      def exchangeAboveWindow(p: SparkPlan): Option[Boolean] = p match {
+        case _: ShuffleExchangeLike => Some(true)
+        case _: org.apache.spark.sql.execution.window.WindowExec => Some(false)
+        case a: AdaptiveSparkPlanExec => exchangeAboveWindow(a.executedPlan)
+        case q: QueryStageExec => exchangeAboveWindow(q.plan)
+        case other =>
+          other.children.iterator.flatMap(exchangeAboveWindow).nextOption()
+      }
+      val joins = collectNodes(df) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty,
+        s"expected a shuffled stitch join with broadcast off:\n" +
+          s"${df.queryExecution.executedPlan}")
+      val misaligned = joins.filter(j =>
+        exchangeAboveWindow(j.children.head).contains(true))
+      assert(misaligned.isEmpty,
+        s"stitch join re-exchanges the windowed corpus side:\n" +
+          s"${df.queryExecution.executedPlan}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", old._1)
+      old._2 match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("q203 phrase search: term-selective postings meet on an equi-join, " +
     "report is a top-k heap — no cartesian, no global sort") {
     val df = operators.SearchQueries.q203PhraseSearch(spark, dir)
