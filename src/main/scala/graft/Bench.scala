@@ -86,11 +86,16 @@ object Bench {
     * entire record run under steady neighbor load.
     */
   private val calibSink = new java.util.concurrent.atomic.AtomicLong(0L)
-  private[graft] def calibrationSecs(): Double = {
+  /** `iters` is the per-thread spin length — the bench main uses the
+    * full default; the unit test pins the mechanism with a much
+    * smaller count so the suite doesn't burst all 32 cores for seconds
+    * on every run (and perturb timing-sensitive neighbors).
+    */
+  private[graft] def calibrationSecs(iters: Int = 150000000): Double = {
     def spin(seed: Long): Long = {
       var h = seed | 1L
       var i = 0
-      while (i < 150000000) { h = (h ^ i) * 0x100000001b3L; i += 1 }
+      while (i < iters) { h = (h ^ i) * 0x100000001b3L; i += 1 }
       h
     }
     val samples = (1 to 3).map { _ =>
@@ -111,8 +116,24 @@ object Bench {
   private[graft] def priorCalibration(path: String): Option[Double] =
     try {
       val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-      """"calibration":([0-9.eE+-]+)""".r.findFirstMatchIn(s)
-        .map(_.group(1).toDouble)
+      // LAST match: the top-level stamp sits in the record tail, after
+      // the queries/spread maps — a future query key containing the
+      // substring "calibration" would otherwise mis-parse as the stamp
+      """"calibration":([0-9.eE+-]+)""".r.findAllMatchIn(s)
+        .toSeq.lastOption.map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+
+  /** Hardware fingerprint of the prior record (r10+ records stamp
+    * `"cores"`). calib/priorCalibration only measures AMBIENT LOAD when
+    * both runs saw the same hardware — across a core-count change the
+    * ratio reads as load and silently rescales the re-probe threshold
+    * by up to the 10× clamp, so the load factor falls back to 1.0.
+    */
+  private[graft] def priorCores(path: String): Option[Int] =
+    try {
+      val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      """"cores":(\d+)""".r.findAllMatchIn(s)
+        .toSeq.lastOption.map(_.group(1).toInt)
     } catch { case _: Throwable => None }
 
   /** The three REST-endpoint equivalents (api.py:154-270) timed over a
@@ -197,8 +218,15 @@ object Bench {
     // prior can neither disable the check (huge factor) nor flag
     // everything (tiny factor)
     val calib = calibrationSecs()
-    val loadFactor = priorCalibration(priorPath)
-      .map(p => math.max(0.5, math.min(10.0, calib / p))).getOrElse(1.0)
+    val cores = Runtime.getRuntime.availableProcessors()
+    // calibration ratio is a LOAD signal only on unchanged hardware —
+    // if the prior record ran on a different core count, comparing
+    // spins compares machines, not ambient load (ADVICE r9)
+    val sameHardware = priorCores(priorPath).forall(_ == cores)
+    val loadFactor =
+      if (!sameHardware) 1.0
+      else priorCalibration(priorPath)
+        .map(p => math.max(0.5, math.min(10.0, calib / p))).getOrElse(1.0)
     val results = SparkEntry.queries.map { case (name, fn) =>
       timed(name) { fn(spark, sfDir).count(); () }
     }
@@ -250,7 +278,7 @@ object Bench {
     val wide = all.count { case (_, mn, mx) => mx > 3 * math.max(mn, 0.05) }
     val tainted = wide > all.size / 10
     val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"spread":$spread,"loadavg":[$loadBefore,$loadAfter],"wide_spread_entries":$wide,"tainted":$tainted,"reprobed":$reprobed,"suspect":$suspectJson,"calibration":$calib,"load_factor":$loadFactor}"""
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"spread":$spread,"loadavg":[$loadBefore,$loadAfter],"wide_spread_entries":$wide,"tainted":$tainted,"reprobed":$reprobed,"suspect":$suspectJson,"calibration":$calib,"load_factor":$loadFactor,"cores":$cores}"""
     println(record)
     // The driver keeps only a 2000-char stdout tail when its JSON parse
     // fails, which truncates the per-entry map — persist the FULL record

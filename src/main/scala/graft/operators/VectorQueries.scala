@@ -1386,10 +1386,13 @@ object VectorQueries {
   def q195KnnShapley(spark: SparkSession, dir: String,
       evalBuckets: Long): DataFrame = {
     val t = Tables(spark, dir)
-    val tests = t.embeddings.filter(col("vec_id") % 25 < evalBuckets)
+    // pmod, not %: Spark's sign-preserving % would route every
+    // NEGATIVE vec_id into the test slice (ADVICE r9) — identical on
+    // the non-negative testdata ids, total and stable on any id domain
+    val tests = t.embeddings.filter(pmod(col("vec_id"), lit(25L)) < evalBuckets)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("label").cast("long").as("q_label"))
-    val train = t.embeddings.filter(col("vec_id") % 25 >= evalBuckets)
+    val train = t.embeddings.filter(pmod(col("vec_id"), lit(25L)) >= evalBuckets)
       .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
     // Per-query ranking and suffix sums WITHOUT Window.partitionBy
     // (query_id): that shape materializes every query's FULL train set

@@ -76,7 +76,31 @@ class BenchSpec extends AnyFunSuite {
     // divide out. The range pin catches a broken spin (0s = dead code
     // elimination; minutes = a runaway loop); stability is the
     // record's job (load_factor is clamped to [0.5, 10] in Bench).
-    val a = Bench.calibrationSecs()
-    assert(a > 0.005 && a < 60.0, s"calibration out of range: $a")
+    // SMALL iteration count (ADVICE r9): the full 150M-per-thread spin
+    // is a multi-second 32-core burst that perturbs concurrent
+    // timing-sensitive tests — the unit test pins the MECHANISM, the
+    // bench main keeps the full spin.
+    val a = Bench.calibrationSecs(iters = 5000000)
+    assert(a > 0.0005 && a < 60.0, s"calibration out of range: $a")
+  }
+
+  test("priorCalibration anchors on the LAST stamp; priorCores gates the " +
+    "load factor across hardware changes") {
+    // a query key containing the substring "calibration" must not
+    // mis-parse as the record's top-level stamp (ADVICE r9)
+    val f = java.nio.file.Files.createTempFile("bench", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"metric":"total","value":1.0,"unit":"sec",""" +
+        """"queries":{"q_recalibration_audit":0.25,"q2":0.5},"sf":"/x",""" +
+        """"spread":{"q_recalibration_audit":[0.25,0.3]},""" +
+        """"tainted":false,"calibration":0.42,"load_factor":1.0,"cores":32}""" + "\n")
+    assert(Bench.priorCalibration(f.toString).contains(0.42))
+    assert(Bench.priorCores(f.toString).contains(32))
+    // records before r10 carry no cores stamp → None (factor stays
+    // calibration-based, the pre-fingerprint behavior)
+    val g = java.nio.file.Files.createTempFile("bench", ".json")
+    java.nio.file.Files.writeString(g,
+      """{"queries":{"q1":0.1},"calibration":0.5,"load_factor":1.0}""")
+    assert(Bench.priorCores(g.toString).isEmpty)
   }
 }
