@@ -999,19 +999,28 @@ object SamplingQueries {
     * reconciliation trick), so two runs — or two engines — can attest
     * they drew the SAME sample without shipping id lists.
     *
-    * Scale shape: q178's tiny allocation frame broadcast onto one
-    * rank window per stratum; the fingerprint aggregates map-side.
-    * As a composition it runs q178 as a subquery — operators are
-    * DataFrames, so reuse is free.
+    * Scale shape (r10): the per-stratum draw is a TopKPerKey HEAP with
+    * k = the total budget (every quota ≤ budget by construction —
+    * neyman_n = budget·w div Σw), so only budget-many rows per stratum
+    * ever cross the wire; the rank window rides the heap's bounded
+    * output, never the corpus (the previous form ranked ALL documents
+    * per language — corpus/|langs| rows through one window task, the
+    * exact low-cardinality class the universal plan guard bans; found
+    * by that guard in r10). q178's tiny allocation frame broadcasts on;
+    * the fingerprint aggregates map-side. As a composition it runs
+    * q178 as a subquery — operators are DataFrames, so reuse is free.
     */
   def q185QuotaSample(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 10000 // q178's total allocation budget bounds every quota
     val t = Tables(spark, dir)
     val quota = q178NeymanAllocation(spark, dir)
       .select(col("lang"), col("neyman_n"))
+    val coins = t.documents.select(col("lang"), col("doc_id"))
+      .withColumn("coin", md5Long60(col("doc_id").cast("string")))
     val w = Window.partitionBy("lang")
       .orderBy(col("coin"), col("doc_id"))
-    t.documents.select(col("lang"), col("doc_id"))
-      .withColumn("coin", md5Long60(col("doc_id").cast("string")))
+    graft.plans.TopKPerKey(coins, Seq("lang"),
+      Seq(col("coin").asc, col("doc_id").asc), budget)
       .withColumn("rn", row_number().over(w).cast("long"))
       .join(broadcast(quota), Seq("lang"))
       .filter(col("rn") <= col("neyman_n"))

@@ -22,36 +22,17 @@ object SearchQueries {
     * reduction order; the production variant would swap W for real
     * IDF and tolerate approximate comparison.
     *
-    * Shape: inverted index (doc, term, tf) ⇒ broadcast join against
-    * the query terms ⇒ per-doc sum ⇒ top-k. At 100 TB the inverted
-    * index is the materialized table and this is one bucket-join probe.
+    * Shape (r10): a term-selective PROBE of the MATERIALIZED postings
+    * snapshot (graft.search.PostingsIndex — the stored form of the
+    * reference's GIN index, schema.sql:141): bucket directory pruning
+    * + term row-group pruning reach df(term)-sized postings, never a
+    * corpus tokenize. df per term = the probe's own row count; N reads
+    * from the stored stats row. The DuckDB oracle recomputes from
+    * documents, so every round re-proves stored-index == recompute.
     */
-  def q44KeywordSearch(spark: SparkSession, dir: String): DataFrame = {
-    val queryTerms = Seq("vector", "merge", "batch")
-    val t = Tables(spark, dir)
-    // corpus size joins in as a broadcast scalar — no driver-side
-    // count() job at plan-construction time
-    val nTotal = t.documents.agg(count(lit(1)).as("n_total"))
-    val postings = t.documents
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
-      .filter(col("term").isin(queryTerms.map(lit): _*))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-    // integer (floor) division via `div` — a double Divide would be
-    // correctly-rounded but could still truncate across the floor
-    // boundary in edge cases, breaking oracle parity
-    val df = postings.groupBy("term")
-      .agg(countDistinct("doc_id").as("df"))
-      .crossJoin(broadcast(nTotal))
-      .withColumn("w", expr("((n_total - df) * 1000000L) div df"))
-    postings
-      .join(broadcast(df.select("term", "w")), Seq("term"))
-      .groupBy("doc_id")
-      .agg(sum(col("tf") * col("w")).as("score"),
-        count(lit(1)).as("n_terms_matched"))
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(20)
-  }
+  def q44KeywordSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.search.PostingsIndex.keywordSearch(spark, dir,
+      Seq("vector", "merge", "batch"), topK = 20)
 
   val q44Sql: String =
     """WITH postings AS (
@@ -156,20 +137,11 @@ object SearchQueries {
     */
   def q150HybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val queryTerms = Seq("vector", "merge", "batch")
-    val nTotal = t.documents.agg(count(lit(1)).as("n_total"))
-    val postings = t.documents
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
-      .filter(col("term").isin(queryTerms.map(lit): _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val weights = postings.groupBy("term")
-      .agg(countDistinct("doc_id").as("df"))
-      .crossJoin(broadcast(nTotal))
-      .withColumn("w", expr("((n_total - df) * 1000000L) div df"))
-    val kw = postings
-      .join(broadcast(weights.select("term", "w")), Seq("term"))
-      .groupBy("doc_id").agg(sum(col("tf") * col("w")).as("score"))
-      .orderBy(desc("score"), asc("doc_id")).limit(50)
+    // lexical leg (r10): the same stored-index probe as q44 — the
+    // materialized postings snapshot, never a corpus tokenize; the
+    // rank window rides the 50-row top-k output
+    val kw = graft.search.PostingsIndex.keywordSearch(spark, dir,
+      Seq("vector", "merge", "batch"), topK = 50)
       .withColumn("rank_kw", row_number().over(
         Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
       .select("doc_id", "rank_kw")
@@ -832,23 +804,17 @@ object SearchQueries {
     * lists meet (positions are distinct by construction, so the
     * intersection size IS the occurrence count).
     *
-    * Shape: one scan → posexplode filtered to the query terms (at
-    * 100 TB the postings table is the materialized index and this is
-    * a term-selective probe, q44's note) → per-(doc, term) position
-    * lists → doc_id equi-join of the two terms' postings (AND
-    * semantics) → row-local adjacency → top-20 heap
-    * (TakeOrderedAndProject, never a global sort).
+    * Shape (r10): a term-selective probe of the MATERIALIZED postings
+    * snapshot (graft.search.PostingsIndex — positions are STORED, the
+    * corpus is never re-tokenized) → doc_id equi-join of the two
+    * terms' postings (AND semantics) → row-local adjacency → top-20
+    * heap (TakeOrderedAndProject, never a global sort). The n-term
+    * generalization is PostingsIndex.phraseSearch; this entry keeps
+    * the two-term report shape its oracle pins.
     */
   def q203PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
     val (ta, tb) = ("table", "scan")
-    val t = Tables(spark, dir)
-    val posts = t.documents
-      .select(col("doc_id"), posexplode(tokens(lower(col("text")))))
-      .toDF("doc_id", "pos", "term")
-      .filter(col("term").isin(ta, tb))
-      .groupBy("doc_id", "term")
-      .agg(sort_array(collect_list(col("pos"))).as("positions"),
-        count(lit(1)).as("tf"))
+    val posts = graft.search.PostingsIndex.probe(spark, dir, Seq(ta, tb))
     val a = posts.filter(col("term") === ta)
       .select(col("doc_id"), col("positions").as("pa"), col("tf").as("tf_a"))
     val b = posts.filter(col("term") === tb)
@@ -884,7 +850,41 @@ object SearchQueries {
        |LIMIT 20""".stripMargin
   }
 
+  /** q205: stored-index INTEGRITY audit — the per-round proof that the
+    * MATERIALIZED postings snapshot (PostingsIndex) equals a fresh
+    * recompute from the corpus, hash-exactly: the Spark side aggregates
+    * the STORED index (df = rows per term, tf = Σ tf), the DuckDB
+    * oracle re-derives the same rollup from `documents` — any drift
+    * between the index build/merge path and the corpus (a lost doc, a
+    * double-merged batch, a stale snapshot after regen) flips counts
+    * and fails the hash. This is q149's `matches_recompute` contract
+    * promoted from an in-query boolean to an oracle-gated table, and
+    * the reference capability matched is that schema.sql:141's GIN
+    * index is *stored* — Postgres audits it with amcheck; this engine
+    * audits it with the oracle differential.
+    *
+    * Scale shape: one scan of the index snapshot (vocabulary-sized —
+    * Zipf-compressed, orders below the corpus), one map-side-combined
+    * aggregate, top-20 heap.
+    */
+  def q205StoredIndexAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.search.PostingsIndex.storedPostings(spark, dir)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("tf"))
+      .orderBy(desc("tf"), asc("term"))
+      .limit(20)
+
+  val q205Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${OracleSql.tokens("lower(text)")}) AS term
+       |  FROM documents)
+       |SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df,
+       |  COUNT(*)::BIGINT AS tf
+       |FROM tok GROUP BY term
+       |ORDER BY tf DESC, term LIMIT 20""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_stored_index_audit" -> (q205StoredIndexAudit _),
     "q203_phrase_search" -> (q203PhraseSearch _),
     "q127_tfidf_terms" -> (q127TfIdf _),
     "q149_index_merge" -> (q149IndexMerge _),
@@ -902,6 +902,7 @@ object SearchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q205_stored_index_audit" -> q205Sql,
     "q203_phrase_search" -> q203Sql,
     "q127_tfidf_terms" -> q127Sql,
     "q149_index_merge" -> q149Sql,

@@ -192,6 +192,71 @@ object StreamingNearDup {
   }
 }
 
+/** Continuous inverted-index maintenance — the streaming face of the
+  * MATERIALIZED postings snapshot (graft.search.PostingsIndex, the
+  * engine's stored GIN equivalent): each micro-batch's documents
+  * tokenize ONCE (the delta is the only new work — q149's lesson as a
+  * running service, the corpus is never rescanned) and merge into the
+  * stored index with LAST-WRITE-WINS ON doc_id: a re-ingested doc
+  * replaces ALL its postings rows, including rows for terms it no
+  * longer contains — the correctness case a term-keyed additive merge
+  * would silently corrupt. The stats row (n_docs — every IDF weight's
+  * N) maintains from an insert-if-absent doc registry, so re-ingests
+  * don't double-count the corpus size.
+  *
+  * The whole merge is idempotent BY CONSTRUCTION (LWW + insert-if-
+  * absent + a recomputed scalar), so a crash anywhere inside the batch
+  * replays safely; the ledger marker additionally makes the replay a
+  * no-op (same protocol as StreamingIngest). Probes see either the
+  * old snapshot or the new one — never a half-merged index (the
+  * SnapshotStore pointer swap).
+  */
+object StreamingPostings {
+
+  /** One micro-batch of `{doc_id, text}` documents into the index at
+    * `store`. Partition-scoped: only the term_bucket hive partitions
+    * the batch (or a re-ingested doc's prior rows) touch are
+    * rewritten; untouched buckets re-link.
+    */
+  def processBatch(store: SnapshotStore, batch: DataFrame, batchId: Long): Unit = {
+    val alreadyDone = store.read("postings_batches").exists(
+      _.filter(col("batch_id") === batchId).limit(1).count() > 0)
+    if (alreadyDone) return
+    val spark = batch.sparkSession
+    val posts = graft.search.PostingsIndex
+      .buildPostings(batch.select("doc_id", "text"))
+    store.mergeLastWriteWins("postings", posts, Seq("doc_id"),
+      partitionCols = Seq("term_bucket"))
+    store.mergeInsertIfAbsent("indexed_docs",
+      batch.select("doc_id").distinct(), Seq("doc_id"))
+    store.write("postings_stats",
+      store.read("indexed_docs").get.agg(count(lit(1)).as("n_docs")))
+    // commit marker LAST (see StreamingIngest.processBatch)
+    store.append("postings_batches", {
+      import spark.implicits._
+      Seq(batchId).toDF("batch_id")
+    })
+    ()
+  }
+
+  /** Watch `inputDir` for JSON files of `{doc_id, text}` documents. */
+  def start(spark: SparkSession, inputDir: String, checkpointDir: String,
+      store: SnapshotStore): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).option("multiLine", true).json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(store, batch, batchId)
+      }
+      .start()
+  }
+}
+
 /** Continuous eval-set decontamination — the streaming face of q111:
   * each micro-batch's documents are word-8-gram'd ROW-LOCALLY and
   * probed against the (static, broadcast) benchmark gram set; a

@@ -471,6 +471,138 @@ class PlanGuardsSpec extends AnyFunSuite {
       s"a global sort defeats the top-k heap:\n${df.queryExecution.executedPlan}")
   }
 
+  test("q44/q203/q205/q150 probe the STORED postings index: no documents " +
+    "scan in any probe plan; the postings scans prune term_bucket dirs") {
+    // r10: the materialized-index contract — schema.sql:141's GIN index
+    // is STORED; a probe that re-tokenizes the corpus is the wrong plan
+    // at 100 TB no matter how fast it tests. A documents.parquet scan
+    // reappearing in these plans means someone un-materialized the
+    // index; a postings scan without a partition filter means the
+    // bucket pruning (the directory-level GIN walk) silently died.
+    val dfs = Seq(
+      "q44" -> operators.SearchQueries.q44KeywordSearch(spark, dir),
+      "q203" -> operators.SearchQueries.q203PhraseSearch(spark, dir),
+      "q205" -> operators.SearchQueries.q205StoredIndexAudit(spark, dir),
+      "q150" -> operators.SearchQueries.q150HybridRrf(spark, dir))
+    dfs.foreach { case (name, df) =>
+      val scans = collectNodes(df) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val docScans = scans.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("documents")))
+      assert(docScans.isEmpty,
+        s"$name scans the corpus instead of the stored index:\n" +
+          s"${df.queryExecution.executedPlan}")
+      // q150's embeddings leg legitimately scans embeddings.parquet;
+      // every OTHER scan must be an index-store read
+      val stray = scans.filterNot(f => f.relation.location.rootPaths.exists(
+        p => p.toString.contains("postings") ||
+          p.toString.contains("embeddings")))
+      assert(stray.isEmpty,
+        s"$name reads an unexpected table:\n${stray.map(_.relation.location.rootPaths)}")
+    }
+    // term-selective entries must prune: every postings (non-stats)
+    // scan carries a partition filter on term_bucket
+    dfs.filter(d => d._1 != "q205").foreach { case (name, df) =>
+      val postingsScans = collectNodes(df) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(p =>
+            p.toString.contains("/postings/")) => f
+      }
+      assert(postingsScans.nonEmpty, s"$name lost its postings scan")
+      assert(postingsScans.forall(_.partitionFilters.nonEmpty),
+        s"$name probes without bucket pruning:\n" +
+          s"${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("UNIVERSAL window-class guard: across ALL registry entries, no " +
+    "WindowExec funnels corpus-scaled rows through a bounded partition key") {
+    // r10 (verdict item 2): the r8/r9 guard pinned a NAMED list of
+    // plans; entry #206 could silently reintroduce the shape. This
+    // iterates every SparkEntry.queries plan (AQE off — the property
+    // is static, no execution needed) and asserts the class property:
+    // a WindowExec is an offender when its partitionSpec has <2
+    // exprs, nothing below it bounds the frame (aggregate or limit),
+    // and its single partition key is not one whose cardinality
+    // SCALES WITH the corpus (per-partition rows bounded by design).
+    // Exceptions are explicit and justified below.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{BaseLimitExec, TakeOrderedAndProjectExec}
+    def boundedBelow(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _: BaseLimitExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case t: graft.plans.TopKPerKeyExec => t.k > 0 // grouped heap output
+      case a: AdaptiveSparkPlanExec => boundedBelow(a.executedPlan)
+      case q: QueryStageExec => boundedBelow(q.plan)
+      case other => other.children.exists(boundedBelow)
+    }
+    // single-key partitions whose key count scales with the corpus —
+    // per-key rows are bounded by design (a user's events, a doc's
+    // tokens, a pair's spans), so the window never sees corpus/|groups|
+    val scalingKeys = Set(
+      "user_id", // session family: events per user bounded (q37/q48/...)
+      "doc_id",  // per-document frames: tokens/chunks per doc bounded
+      "vec_id", "query_id", // per-vector / per-eval-query frames
+      "case_id", "case_number", // per-case docket frames
+      "__pid", // ScanOps cell windows: one scan partition per task
+      "comp",  // q172: components scale with corpus; per-comp rows =
+               // dup-cluster size, the bound the CC loop materializes
+      "span",  // q76 C4 dedup: distinct 10-gram spans scale with the
+               // corpus; per-span rows = that span's duplication count
+      "h"      // q193 positional grams: distinct hashes scale with the
+               // corpus; the window computes the df the maxSeedDf gate
+               // caps (sf10-measured, SCALING.md r8)
+    )
+    val exceptions: Map[String, String] = Map(
+      "q46_window_analytics" ->
+        ("input bounded by the pushed o_orderkey < 2000 range predicate " +
+          "— constant rows at any SF, the analytic-sweep fixture"),
+      "q173_curriculum_schedule" ->
+        ("its unpartitioned window rides the LENGTH HISTOGRAM (an " +
+          "aggregate output severed by localCheckpoint); pinned by the " +
+          "dedicated q173 plan test above"),
+      "q176_theil_sen" ->
+        ("the rank window rides the (type, day)-matrix pair frame — an " +
+          "aggregate output severed from the plan by localCheckpoint; " +
+          "days²-bounded per type, never raw events")
+    )
+    val conf = spark.conf
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (!exceptions.contains(name)) {
+          val plan =
+            try fn(spark, dir).queryExecution.executedPlan
+            catch { case e: Throwable =>
+              fail(s"$name failed to plan under the guard: $e") }
+          def scanWindows(p: SparkPlan): Seq[WindowExec] = {
+            val here = p.collect {
+              case a: AdaptiveSparkPlanExec => scanWindows(a.executedPlan)
+              case q: QueryStageExec => scanWindows(q.plan)
+              case w: WindowExec => Seq(w)
+            }
+            here.flatten
+          }
+          scanWindows(plan).foreach { w =>
+            val refs = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+            val scaling = w.partitionSpec.size == 1 &&
+              refs.exists(r => scalingKeys.exists(k =>
+                r == k || r.startsWith(k + "#") || r.stripSuffix("s") == k))
+            if (w.partitionSpec.size < 2 && !boundedBelow(w.child) && !scaling)
+              offenders += s"$name: partitionSpec=${w.partitionSpec.map(_.sql)}"
+          }
+        }
+      }
+    } finally conf.set("spark.sql.adaptive.enabled", oldAqe)
+    assert(offenders.isEmpty,
+      s"corpus-through-bounded-key windows reintroduced:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("q179 deletion cascade: every hop is a semi/equi join — no " +
     "nested-loop, no cartesian") {
     val df = operators.ProfileQueries.q179DeletionCascade(spark, dir)

@@ -1,0 +1,234 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.search.PostingsIndex
+import graft.store.SnapshotStore
+import graft.streaming.StreamingPostings
+
+/** The materialized inverted index: probe semantics against
+  * DRIVER-SIDE Scala references (independent of every Spark operator
+  * under test), the hot-term gate's certified semantics, corpus-change
+  * invalidation, and the incremental merge's equals-a-rebuild +
+  * replay-idempotence contracts.
+  */
+class PostingsIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Independent reference: |∩_i (positions(term_i) − offset_i)| per
+    * doc, computed in plain Scala over the collected corpus — the
+    * exact algebra phraseSearch claims, including the gap convention
+    * (dropped terms leave their offsets behind).
+    */
+  private def refPhrase(pattern: Seq[(String, Int)]): Map[Long, Long] = {
+    val docs = Tables(spark, dir).documents
+      .select("doc_id", "text").collect()
+    docs.flatMap { r =>
+      val toks = r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      val pos: Map[String, Set[Int]] =
+        toks.zipWithIndex.groupBy(_._1).map { case (t, xs) =>
+          t -> xs.map(_._2).toSet }
+      val sets = pattern.map { case (t, o) =>
+        pos.getOrElse(t, Set.empty).map(_ - o) }
+      val n = sets.reduce(_ intersect _).size.toLong
+      if (n > 0) Some(r.getLong(0) -> n) else None
+    }.toMap
+  }
+
+  private def collected(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two-term phrase probe matches the driver-side reference") {
+    val got = collected(PostingsIndex.phraseSearch(spark, dir,
+      Seq("table", "scan"), topK = 1000).select("doc_id", "n_phrase"))
+    assert(got == refPhrase(Seq("table" -> 0, "scan" -> 1)))
+    assert(got.nonEmpty, "fixture lost: no 'table scan' phrase in the corpus")
+  }
+
+  test("n-term adjacency: three-term phrase, iterated pos+k intersect") {
+    // pick a 3-gram that actually occurs: take the first document's
+    // first three tokens (deterministic fixture, robust to regen)
+    val first = Tables(spark, dir).documents
+      .orderBy("doc_id").select("text").limit(1).collect()(0).getString(0)
+    val tri = first.toLowerCase.split("\\s+").filter(_.nonEmpty).take(3).toSeq
+    assume(tri.size == 3, "first doc shorter than 3 tokens")
+    val got = collected(PostingsIndex.phraseSearch(spark, dir, tri,
+      topK = 10000).select("doc_id", "n_phrase"))
+    assert(got == refPhrase(tri.zipWithIndex))
+    assert(got.nonEmpty)
+  }
+
+  test("repeated-term phrase uses the same postings list at each offset") {
+    // synthetic doc set exercises 'a b a': build a tiny throwaway index
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-idx-rep").toString
+    val store = new SnapshotStore(spark, tmp)
+    val docs = Seq(
+      (1L, "a b a b a"), // 'a b a' starts at 0 and 2
+      (2L, "a b b a"),   // never
+      (3L, "b a b a")    // starts at 1
+    ).toDF("doc_id", "text")
+    StreamingPostings.processBatch(store, docs, 0L)
+    val posts = store.read("postings").get
+    val perDoc = posts.filter(col("term").isin("a", "b"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("term"),
+        col("positions")))).as("tm"), count(lit(1)).as("np"))
+      .filter(col("np") === 2)
+    val starts = array_intersect(
+      array_intersect(
+        transform(element_at(col("tm"), lit("a")), x => x - 0),
+        transform(element_at(col("tm"), lit("b")), x => x - 1)),
+      transform(element_at(col("tm"), lit("a")), x => x - 2))
+    val got = perDoc.select(col("doc_id"), size(starts).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("hot-term gate (keyword): over-cap terms drop from scoring with " +
+    "certified lower-bound semantics; the default cap is provably inert") {
+    val terms = Seq("vector", "merge", "batch")
+    // per-term df from the stored index
+    val dfs = PostingsIndex.probe(spark, dir, terms)
+      .groupBy("term").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfs.nonEmpty)
+    // cap below the hottest term's df → gated result must equal the
+    // SAME query asked with only the surviving terms (q193 semantics)
+    val cap = dfs.values.max - 1
+    val survivors = terms.filter(t => dfs.getOrElse(t, 0L) <= cap)
+    assume(survivors.nonEmpty && survivors.size < terms.size)
+    val gated = PostingsIndex.keywordSearch(spark, dir, terms,
+      topK = 1000, maxTermDf = cap).collect().toSeq
+    val direct = PostingsIndex.keywordSearch(spark, dir, survivors,
+      topK = 1000).collect().toSeq
+    assert(gated == direct)
+    // inertness pin: the corpus-wide hottest df sits ORDERS below the
+    // default cap, so the oracled entries (default cap) gate nothing
+    val maxDf = PostingsIndex.storedPostings(spark, dir)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .agg(max("df")).collect()(0).getLong(0)
+    assert(maxDf < PostingsIndex.DefaultMaxTermDf / (1L << 20),
+      s"corpus df $maxDf is approaching the inert cap — re-derive the default")
+  }
+
+  test("hot-term gate (phrase): a dropped term leaves a POSITION GAP — " +
+    "survivors must match at their original offsets") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-idx-gap").toString
+    val store = new SnapshotStore(spark, tmp)
+    // 'the' is the hot term (df 3 > cap 2); pattern 'quick the fox'
+    // must become 'quick _ fox' — quick at s, fox at s+2
+    val docs = Seq(
+      (1L, "quick the fox"),   // gap match AND true match
+      (2L, "quick red fox"),   // gap match only (the dropped slot differs)
+      (3L, "quick fox the"),   // no match at distance 2
+      (4L, "the the quick")    // no fox
+    ).toDF("doc_id", "text")
+    StreamingPostings.processBatch(store, docs, 0L)
+    // route phraseSearch at the throwaway store via a fake corpus dir?
+    // No — drive the same algebra directly against the store (the
+    // sf-corpus gate path is covered by the keyword test; this pins
+    // the GAP CONVENTION itself on a readable fixture)
+    val posts = store.read("postings").get
+    val perDoc = posts.filter(col("term").isin("quick", "fox"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("term"),
+        col("positions")))).as("tm"), count(lit(1)).as("np"))
+      .filter(col("np") === 2)
+    val starts = array_intersect(
+      transform(element_at(col("tm"), lit("quick")), x => x - 0),
+      transform(element_at(col("tm"), lit("fox")), x => x - 2))
+    val got = perDoc.select(col("doc_id"), size(starts).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("phrase gate end-to-end on the sf corpus: gapped result equals the " +
+    "explicit surviving pattern") {
+    val phrase = Seq("table", "scan")
+    val dfs = PostingsIndex.probe(spark, dir, phrase)
+      .groupBy("term").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assume(dfs.size == 2)
+    // cap drops exactly the hotter of the two
+    val (hot, _) = dfs.maxBy(_._2)
+    val cap = dfs.values.max - 1
+    val survivor = phrase.filter(_ != hot)
+    assume(survivor.size == 1 && dfs(survivor.head) <= cap)
+    val off = phrase.indexOf(survivor.head)
+    val got = collected(PostingsIndex.phraseSearch(spark, dir, phrase,
+      topK = 100000, maxTermDf = cap).select("doc_id", "n_phrase"))
+    assert(got == refPhrase(Seq(survivor.head -> off)))
+  }
+
+  test("corpus fingerprint: a changed documents file invalidates the " +
+    "stored index (new snapshot version), an unchanged one reuses it") {
+    // private copy of the corpus so touching mtimes can't perturb the
+    // shared sf dir other suites read
+    val work = Files.createTempDirectory("graft-idx-fp")
+    val src = Paths.get(dir, "documents.parquet")
+    val dst = work.resolve("documents.parquet")
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      Files.list(src).forEach(p =>
+        Files.copy(p, dst.resolve(p.getFileName.toString)))
+    } else Files.copy(src, dst, StandardCopyOption.COPY_ATTRIBUTES)
+    val s1 = PostingsIndex.ensure(spark, work.toString)
+    val v1 = s1.currentVersion("postings").get
+    // unchanged → same version (no rebuild)
+    val s2 = PostingsIndex.ensure(spark, work.toString)
+    assert(s2.currentVersion("postings").contains(v1))
+    // mtime bump = regenerated corpus → rebuild
+    val touch = if (Files.isDirectory(dst))
+      Files.list(dst).findFirst().get() else dst
+    Files.setLastModifiedTime(touch,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(touch).toMillis + 12345))
+    val s3 = PostingsIndex.ensure(spark, work.toString)
+    assert(s3.currentVersion("postings").exists(_ > v1),
+      "stale index survived a corpus change")
+  }
+
+  test("incremental maintenance equals a full rebuild; replay is a no-op " +
+    "(freshness: index version tracks the commit ledger)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-idx-inc").toString
+    val store = new SnapshotStore(spark, tmp)
+    val b0 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma")).toDF("doc_id", "text")
+    // batch 1 RE-INGESTS doc 1 with 'beta' GONE — the LWW-on-doc_id
+    // case a term-keyed additive merge would corrupt
+    val b1 = Seq((1L, "alpha delta"), (3L, "gamma gamma")).toDF("doc_id", "text")
+    StreamingPostings.processBatch(store, b0, 0L)
+    StreamingPostings.processBatch(store, b1, 1L)
+    val finalCorpus = Seq((1L, "alpha delta"), (2L, "beta gamma"),
+      (3L, "gamma gamma")).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("term"), col("doc_id"),
+        col("positions").cast("array<int>"), col("tf"))
+      .collect().map(_.toSeq).toSet
+    assert(norm(store.read("postings").get) ==
+      norm(PostingsIndex.buildPostings(finalCorpus)),
+      "maintained index diverged from a rebuild")
+    // doc 1's stale 'beta' postings must be GONE
+    assert(store.read("postings").get
+      .filter(col("term") === "beta" && col("doc_id") === 1L).isEmpty)
+    assert(store.read("postings_stats").get.collect()(0).getLong(0) == 3L)
+    // replay of batch 1: every version pointer stays put
+    val vPost = store.currentVersion("postings")
+    val vStats = store.currentVersion("postings_stats")
+    val vLedger = store.currentVersion("postings_batches")
+    StreamingPostings.processBatch(store, b1, 1L)
+    assert(store.currentVersion("postings") == vPost &&
+      store.currentVersion("postings_stats") == vStats &&
+      store.currentVersion("postings_batches") == vLedger,
+      "replayed batch mutated the index")
+    assert(store.read("postings_batches").get.count() == 2)
+  }
+}
