@@ -177,6 +177,25 @@ object Bench {
       timed("api_search_dockets") { api.searchDockets("spark group query row data", 5) })
   }
 
+  /** The parameterized search endpoints over the MATERIALIZED postings
+    * index (PostingsIndex) at the scale dir — the index build lands in
+    * the untimed warm run (it is per-corpus one-time cost, amortized
+    * across every query in production); the timed reps measure the
+    * term-selective PROBE, which is the per-query cost at 100 TB.
+    */
+  private def searchBench(spark: SparkSession, sfDir: String): Seq[(String, Double, Double)] = {
+    import graft.search.PostingsIndex
+    Seq(
+      timed("api_keyword_search") {
+        PostingsIndex.keywordSearch(spark, sfDir,
+          Seq("vector", "merge", "batch"), topK = 20).collect(); ()
+      },
+      timed("api_phrase_search") {
+        PostingsIndex.phraseSearch(spark, sfDir,
+          Seq("table", "scan"), topK = 20).collect(); ()
+      })
+  }
+
   /** Head-to-head: the custom TopKPerKey operator vs Spark's
     * sort-everything window plan for the same grouped top-3 — the
     * window variant runs with the TopKRewrite gate OFF so it is the
@@ -231,8 +250,9 @@ object Bench {
       timed(name) { fn(spark, sfDir).count(); () }
     }
     val api = try apiBench(spark, sfDir) catch { case _: Throwable => Seq.empty }
+    val search = try searchBench(spark, sfDir) catch { case _: Throwable => Seq.empty }
     val topk = try topkBench(spark, sfDir) catch { case _: Throwable => Seq.empty }
-    val firstPass = results.toSeq ++ api ++ topk
+    val firstPass = results.toSeq ++ api ++ search ++ topk
     // Cross-record re-probe: an entry whose fresh min is >2.5× its last
     // committed min gets FIVE more reps at the end of the run (transient
     // contention has had time to pass); the best min wins. Entries still

@@ -319,6 +319,41 @@ object ScaleBench {
       graft.operators.VectorQueries.q41AnnLsh(s, d).count()),
     "q86_ann_ivfpq" -> ((s, d) =>
       graft.operators.VectorQueries.q86AnnIvfPq(s, d).count()),
+    // r10 FTS decade: the index BUILD is the corpus-linear one-time
+    // cost (one scan → postings agg → bucketed write), measured
+    // separately from the per-query PROBES, which ride partition
+    // pruning and should be df-bounded, not corpus-bounded. The
+    // build entry forces a fresh build by clearing the memoized
+    // store; the probe entries then reuse it (the production ratio).
+    "q205_index_build" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_INDEX_ROOT",
+          java.nio.file.Paths.get(
+            sys.props("java.io.tmpdir"), "graft-postings").toString),
+        d.replaceAll("[^A-Za-z0-9._-]", "_"))
+      if (java.nio.file.Files.isDirectory(root)) {
+        val w = java.nio.file.Files.walk(root)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally w.close()
+      }
+      graft.search.PostingsIndex.storedPostings(s, d).count()
+    }),
+    "q44_keyword_probe" -> ((s, d) =>
+      graft.operators.SearchQueries.q44KeywordSearch(s, d).count()),
+    "q203_phrase_probe" -> ((s, d) =>
+      graft.operators.SearchQueries.q203PhraseSearch(s, d).count()),
+    // k-anonymity census: one pre-combined aggregate to the
+    // (lang, source, octave) class grid — wall should be scan-linear,
+    // the rollup grid-sized
+    "q204_kanon" -> ((s, d) =>
+      graft.operators.ProfileQueries.q204KAnonymity(s, d).count()),
+    // r10 reshape (found by the universal window guard): the quota
+    // draw rides a budget-bounded TopKPerKey heap — max task must stay
+    // heap-sized where the old per-lang corpus rank window grew
+    // corpus/|langs| per task
+    "q185_quota" -> ((s, d) =>
+      graft.operators.SamplingQueries.q185QuotaSample(s, d).count()),
   )
 
   /** Seed-join row count for [[DedupQueries.q193Grams]] over a

@@ -185,6 +185,37 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq == Seq(3L, 6L))
   }
 
+  test("streaming postings maintenance: index version tracks the commit " +
+    "ledger through a real file stream, and stays probe-consistent") {
+    import org.apache.spark.sql.functions.col
+    val in = Files.createTempDirectory("graft-post-in")
+    val ckpt = Files.createTempDirectory("graft-post-ckpt")
+    val storeDir = Files.createTempDirectory("graft-post-store")
+    val store = new SnapshotStore(spark, storeDir.toString)
+    Files.writeString(in.resolve("b0.json"),
+      """[{"doc_id":1,"text":"spark table scan plan"},
+        |{"doc_id":2,"text":"index table merge"}]""".stripMargin)
+    val q = graft.streaming.StreamingPostings.start(
+      spark, in.toString, ckpt.toString, store)
+    try {
+      q.processAllAvailable()
+      assert(store.read("postings_batches").get.count() == 1)
+      // doc 1 re-ingested with 'scan' GONE; doc 3 arrives
+      Files.writeString(in.resolve("b1.json"),
+        """[{"doc_id":1,"text":"spark table walk plan"},
+          |{"doc_id":3,"text":"table scan table scan"}]""".stripMargin)
+      q.processAllAvailable()
+      // freshness: one snapshot commit per ledger batch — version
+      // pointers advanced with batch 1 and the probe sees ONLY the
+      // latest doc-1 postings (no stale 'scan' row)
+      assert(store.read("postings_batches").get.count() == 2)
+      val posts = store.read("postings").get
+      assert(posts.filter(col("term") === "scan" && col("doc_id") === 1L).isEmpty)
+      assert(posts.filter(col("term") === "scan" && col("doc_id") === 3L).count() == 1)
+      assert(store.read("postings_stats").get.collect()(0).getLong(0) == 3L)
+    } finally q.stop()
+  }
+
   test("streaming decontamination diverts 8-gram overlap and is replay-proof") {
     import spark.implicits._
     val storeDir = Files.createTempDirectory("graft-decon-store")
