@@ -22,6 +22,9 @@
 # (SPARK_SCALA_VERSION is required: the standalone Worker forks executor
 # processes through SPARK_HOME's launcher, which otherwise can't pick a
 # Scala build dir in this distribution.)
+# r10 memory-axis result: all 206 entries hash-match at sf0.1 under
+# local-cluster[4,8,2048] — HALF the r9 executor heap (4096) — so every
+# operator's per-task memory holds a 2 GB executor at 10× the oracle SF.
 set -euo pipefail
 SF_DIR="${1:-/root/testdata/sf0.01}"
 OUT_DIR="${2:-/tmp/graft_verify_all}"

@@ -196,6 +196,22 @@ object Bench {
       })
   }
 
+  /** The r9-reshaped scan/lag six at a SECOND scale factor: their
+    * deliberate small-scale price (two bounded exchanges + a
+    * checkpoint replacing one low-cardinality window — r9 verdict,
+    * accepted as priced) stays visible IN THE RECORD at both SFs
+    * instead of living in SURVEY prose. Keys carry an `@sf0.01`
+    * suffix so they never collide with the sfDir entries.
+    */
+  private def reshapedSixBench(spark: SparkSession): Seq[(String, Double, Double)] = {
+    val dir = "/root/testdata/sf0.01"
+    Seq("q47_sequence_packing", "q137_score_calibrate", "q156_burstiness",
+      "q133_equidepth_histogram", "q160_winsorized_means",
+      "q187_weighted_percentiles")
+      .flatMap(name => SparkEntry.queries.get(name).map(fn =>
+        timed(s"$name@sf0.01") { fn(spark, dir).count(); () }))
+  }
+
   /** Head-to-head: the custom TopKPerKey operator vs Spark's
     * sort-everything window plan for the same grouped top-3 — the
     * window variant runs with the TopKRewrite gate OFF so it is the
@@ -251,8 +267,9 @@ object Bench {
     }
     val api = try apiBench(spark, sfDir) catch { case _: Throwable => Seq.empty }
     val search = try searchBench(spark, sfDir) catch { case _: Throwable => Seq.empty }
+    val six = try reshapedSixBench(spark) catch { case _: Throwable => Seq.empty }
     val topk = try topkBench(spark, sfDir) catch { case _: Throwable => Seq.empty }
-    val firstPass = results.toSeq ++ api ++ search ++ topk
+    val firstPass = results.toSeq ++ api ++ search ++ six ++ topk
     // Cross-record re-probe: an entry whose fresh min is >2.5× its last
     // committed min gets FIVE more reps at the end of the run (transient
     // contention has had time to pass); the best min wins. Entries still

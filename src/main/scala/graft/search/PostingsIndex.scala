@@ -154,6 +154,19 @@ object PostingsIndex {
     store
   }
 
+  /** Drop the memoized index for a corpus dir (next touch rebuilds) —
+    * the scale harness uses this to time a FORCED fresh build.
+    */
+  def invalidate(dir: String): Unit = synchronized {
+    val root = Paths.get(indexRoot(dir))
+    if (Files.isDirectory(root)) {
+      val w = Files.walk(root)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally w.close()
+    }
+  }
+
   /** The full stored postings snapshot (audits, integrity oracles). */
   def storedPostings(spark: SparkSession, dir: String): DataFrame =
     ensure(spark, dir).read("postings").get

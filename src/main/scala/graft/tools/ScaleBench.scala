@@ -326,17 +326,7 @@ object ScaleBench {
     // build entry forces a fresh build by clearing the memoized
     // store; the probe entries then reuse it (the production ratio).
     "q205_index_build" -> ((s, d) => {
-      val root = java.nio.file.Paths.get(
-        sys.env.getOrElse("GRAFT_INDEX_ROOT",
-          java.nio.file.Paths.get(
-            sys.props("java.io.tmpdir"), "graft-postings").toString),
-        d.replaceAll("[^A-Za-z0-9._-]", "_"))
-      if (java.nio.file.Files.isDirectory(root)) {
-        val w = java.nio.file.Files.walk(root)
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.delete(p))
-        finally w.close()
-      }
+      graft.search.PostingsIndex.invalidate(d)
       graft.search.PostingsIndex.storedPostings(s, d).count()
     }),
     "q44_keyword_probe" -> ((s, d) =>
