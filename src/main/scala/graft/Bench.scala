@@ -193,6 +193,10 @@ object Bench {
       timed("api_phrase_search") {
         PostingsIndex.phraseSearch(spark, sfDir,
           Seq("table", "scan"), topK = 20).collect(); ()
+      },
+      timed("api_bm25_search") {
+        PostingsIndex.bm25Search(spark, sfDir,
+          Seq("vector", "merge", "batch"), topK = 20).collect(); ()
       })
   }
 

@@ -883,7 +883,85 @@ object SearchQueries {
        |FROM tok GROUP BY term
        |ORDER BY tf DESC, term LIMIT 20""".stripMargin
 
+  /** q206: Okapi BM25 ranked retrieval over the STORED index — what
+    * q44's rarity-weight shape graduates into once the index carries
+    * doc lengths (PostingsIndex v2 denormalizes dl onto every postings
+    * row — the impact-index trade: no probe-time corpus join for the
+    * length normalization). Same query terms as q44 so the two ranking
+    * functions are directly comparable in the record; exact integer
+    * fixed-point (k1=1.2, b=0.75 ×100; idf as the house bitlen log₂,
+    * Lucene-style floored) so the oracle hashes identically — see
+    * PostingsIndex.bm25Search for the algebra.
+    */
+  def q206Bm25Ranking(spark: SparkSession, dir: String): DataFrame =
+    graft.search.PostingsIndex.bm25Search(spark, dir,
+      Seq("vector", "merge", "batch"), topK = 20)
+
+  val q206Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${OracleSql.tokens("lower(text)")}) AS term
+       |  FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY 1),
+       |st AS (SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+       |              (SELECT COUNT(*) FROM tok)::BIGINT AS t_total),
+       |p AS (
+       |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+       |  FROM tok WHERE term IN ('vector', 'merge', 'batch')
+       |  GROUP BY 1, 2),
+       |w AS (
+       |  SELECT term, COUNT(*)::BIGINT AS df,
+       |    len(bin(greatest((2 * ((SELECT n_docs FROM st) - COUNT(*)) + 1)
+       |      // (2 * COUNT(*) + 1), 1)))::BIGINT AS idf_class
+       |  FROM p GROUP BY term),
+       |scored AS (
+       |  SELECT p.doc_id,
+       |    ((220 * p.tf * 1000000) // (100 * p.tf +
+       |      (120 * (25 * st.t_total + 75 * d.dl * st.n_docs))
+       |        // (100 * st.t_total))) * w.idf_class AS s
+       |  FROM p JOIN w USING (term) JOIN dl d USING (doc_id), st)
+       |SELECT doc_id, SUM(s)::BIGINT AS score_micro,
+       |  COUNT(*)::BIGINT AS n_terms_matched
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
+
+  /** q207: THREE-term phrase search through the parameterized n-term
+    * API (PostingsIndex.phraseSearch — iterated pos+k intersect) so
+    * the generalized adjacency the engine exposes is itself
+    * ORACLE-gated, not just spec-pinned against a driver-side
+    * reference: "merge batch row" occurs at every test SF, and the
+    * DuckDB twin computes |pa ∩ (pb−1) ∩ (pc−2)| from scratch.
+    */
+  def q207PhraseTrigram(spark: SparkSession, dir: String): DataFrame =
+    graft.search.PostingsIndex.phraseSearch(spark, dir,
+      Seq("merge", "batch", "row"), topK = 20)
+
+  val q207Sql: String = {
+    val toks = OracleSql.tokens("lower(text)")
+    s"""WITH toksrc AS (SELECT doc_id, $toks AS ts FROM documents),
+       |pos AS (
+       |  SELECT doc_id, i AS pos, ts[i+1] AS term
+       |  FROM toksrc, unnest(generate_series(0, len(ts) - 1)) AS u(i)
+       |  WHERE ts[i+1] IN ('merge', 'batch', 'row')),
+       |g AS (
+       |  SELECT doc_id, term, list_sort(list(pos)) AS positions
+       |  FROM pos GROUP BY 1, 2),
+       |a AS (SELECT doc_id, positions AS pa FROM g WHERE term = 'merge'),
+       |b AS (SELECT doc_id, positions AS pb FROM g WHERE term = 'batch'),
+       |c AS (SELECT doc_id, positions AS pc FROM g WHERE term = 'row'),
+       |m AS (
+       |  SELECT a.doc_id,
+       |    len(list_intersect(list_intersect(pa,
+       |      list_transform(pb, x -> x - 1)),
+       |      list_transform(pc, x -> x - 2)))::BIGINT AS n_phrase,
+       |    3::BIGINT AS n_terms_used
+       |  FROM a JOIN b USING (doc_id) JOIN c USING (doc_id))
+       |SELECT doc_id, n_phrase, n_terms_used FROM m WHERE n_phrase > 0
+       |ORDER BY n_phrase DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_bm25_ranking" -> (q206Bm25Ranking _),
+    "q207_phrase_trigram" -> (q207PhraseTrigram _),
     "q205_stored_index_audit" -> (q205StoredIndexAudit _),
     "q203_phrase_search" -> (q203PhraseSearch _),
     "q127_tfidf_terms" -> (q127TfIdf _),
@@ -902,6 +980,8 @@ object SearchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q206_bm25_ranking" -> q206Sql,
+    "q207_phrase_trigram" -> q207Sql,
     "q205_stored_index_audit" -> q205Sql,
     "q203_phrase_search" -> q203Sql,
     "q127_tfidf_terms" -> q127Sql,

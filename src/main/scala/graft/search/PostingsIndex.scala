@@ -83,16 +83,23 @@ object PostingsIndex {
 
   /** Positional postings of a documents frame — one row per (term,
     * doc), positions sorted (distinct by construction, so
-    * |intersection| counts phrase occurrences exactly). One corpus
-    * scan, one aggregate with map-side combine.
+    * |intersection| counts phrase occurrences exactly), with the doc
+    * LENGTH denormalized onto every row (`dl` = Σ tf over the doc) —
+    * the impact-index trade: a slightly wider index so BM25's length
+    * normalization needs NO probe-time join against a corpus-sized
+    * doclen table. One corpus scan; the dl join is build-time only.
     */
-  def buildPostings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), posexplode(tokens(lower(col("text")))))
+  def buildPostings(docs: DataFrame): DataFrame = {
+    val perTermDoc = docs
+      .select(col("doc_id"), posexplode(tokens(lower(col("text")))))
       .toDF("doc_id", "pos", "term")
       .groupBy("term", "doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("positions"),
         count(lit(1)).as("tf"))
+    val dl = perTermDoc.groupBy("doc_id").agg(sum("tf").as("dl"))
+    perTermDoc.join(dl, Seq("doc_id"))
       .withColumn("term_bucket", bucketCol(col("term")))
+  }
 
   // ---------------------------------------------------------------
   // per-corpus-dir index store (memoized on disk, fingerprint-guarded)
@@ -131,10 +138,17 @@ object PostingsIndex {
     * scan in this module; every probe afterwards reads the stored
     * snapshot. Synchronized: suites sharing the JVM may race here.
     */
+  /** Index layout version — bumping it forces a rebuild of stores
+    * written by an older code version (the fingerprint file carries
+    * it, so a layout change can never silently probe an old schema).
+    * v2: postings carry `dl`, stats carry `total_tokens` (BM25).
+    */
+  private val Format = "v2"
+
   def ensure(spark: SparkSession, dir: String): SnapshotStore = synchronized {
     val root = indexRoot(dir)
     val store = new SnapshotStore(spark, root)
-    val fp = corpusFingerprint(dir)
+    val fp = s"$Format:${corpusFingerprint(dir)}"
     val fpFile = Paths.get(root, "_corpus_fingerprint")
     val fresh = Files.exists(fpFile) &&
       Files.readString(fpFile).trim == fp &&
@@ -146,8 +160,13 @@ object PostingsIndex {
       store.write("postings",
         buildPostings(docs).repartition(NumBuckets, col("term_bucket")),
         partitionCols = Seq("term_bucket"))
+      // total_tokens = Σ tf over the STORED index (each token counted
+      // once) — no second tokenize pass; n_docs counts every document,
+      // including token-less ones that produce no postings
       store.write("postings_stats",
-        docs.agg(count(lit(1)).as("n_docs")))
+        docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+          store.read("postings").get
+            .agg(coalesce(sum("tf"), lit(0L)).as("total_tokens"))))
       Files.createDirectories(Paths.get(root))
       Files.writeString(fpFile, fp) // LAST: a crashed build rebuilds
     }
@@ -171,8 +190,9 @@ object PostingsIndex {
   def storedPostings(spark: SparkSession, dir: String): DataFrame =
     ensure(spark, dir).read("postings").get
 
-  /** One-row corpus stats (n_docs) — IDF weights read THIS, never a
-    * documents count at probe time.
+  /** One-row corpus stats (n_docs, total_tokens) — IDF weights and
+    * BM25's length normalization read THIS, never a documents count
+    * at probe time.
     */
   def stats(spark: SparkSession, dir: String): DataFrame =
     ensure(spark, dir).read("postings_stats").get
@@ -217,6 +237,50 @@ object PostingsIndex {
       .agg(sum(col("tf") * col("w")).as("score"),
         count(lit(1)).as("n_terms_matched"))
       .orderBy(desc("score"), asc("doc_id"))
+      .limit(topK)
+  }
+
+  /** Okapi BM25 ranked retrieval over the stored index — the scoring
+    * the reference's GIN index would feed (`ts_rank` is Postgres's
+    * analogue), in EXACT integer fixed-point so both engines hash the
+    * same bytes:
+    *
+    *   score(d) = Σ_t idf_class(t) · tfnorm_micro(t, d)
+    *   tfnorm_micro = (220 · tf · 10⁶) div
+    *     (100·tf + (120·(25·T + 75·dl·N)) div (100·T))
+    *     — Okapi's tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    *     k1=1.2, b=0.75 as ×100 fixed-point and avgdl = T/N expanded
+    *     so the only rounding is two truncating divisions, mirrored
+    *     verbatim in the oracle;
+    *   idf_class = bitlen(max((2(N−df)+1) div (2df+1), 1))
+    *     — the house integer log₂ of the Robertson–Sparck Jones idf
+    *     (N−df+0.5)/(df+0.5), floored at one class so a matched term
+    *     never scores negative (Lucene's BM25 floors idf the same
+    *     way).
+    *
+    * dl rides ON the postings row (see [[buildPostings]]) and N/T on
+    * the stats row, so the probe stays df-bounded with zero
+    * corpus-sized joins. Hot-term gate as in [[keywordSearch]].
+    */
+  def bm25Search(spark: SparkSession, dir: String, terms: Seq[String],
+      topK: Int = 20, maxTermDf: Long = DefaultMaxTermDf): DataFrame = {
+    val p = probe(spark, dir, terms)
+    val weights = p.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxTermDf)
+      .crossJoin(broadcast(stats(spark, dir)))
+      .withColumn("idf_class", length(bin(greatest(
+        expr("(2 * (n_docs - df) + 1) div (2 * df + 1)"), lit(1L))))
+        .cast("long"))
+    p.join(broadcast(weights.select("term", "idf_class", "n_docs",
+      "total_tokens")), Seq("term"))
+      .withColumn("tfnorm_micro", expr(
+        "(220 * tf * 1000000) div (100 * tf + " +
+          "(120 * (25 * total_tokens + 75 * dl * n_docs)) div (100 * total_tokens))"))
+      .groupBy("doc_id")
+      .agg(sum(expr("tfnorm_micro * idf_class")).as("score_micro"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(desc("score_micro"), asc("doc_id"))
       .limit(topK)
   }
 

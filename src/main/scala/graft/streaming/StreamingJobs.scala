@@ -200,12 +200,13 @@ object StreamingNearDup {
   * stored index with LAST-WRITE-WINS ON doc_id: a re-ingested doc
   * replaces ALL its postings rows, including rows for terms it no
   * longer contains — the correctness case a term-keyed additive merge
-  * would silently corrupt. The stats row (n_docs — every IDF weight's
-  * N) maintains from an insert-if-absent doc registry, so re-ingests
-  * don't double-count the corpus size.
+  * would silently corrupt. The stats row (n_docs + total_tokens —
+  * IDF's N and BM25's avgdl) maintains from a last-write-wins
+  * (doc_id, dl) registry, so re-ingests neither double-count the
+  * corpus size nor leave a stale length in the normalization.
   *
-  * The whole merge is idempotent BY CONSTRUCTION (LWW + insert-if-
-  * absent + a recomputed scalar), so a crash anywhere inside the batch
+  * The whole merge is idempotent BY CONSTRUCTION (two LWW merges +
+  * a recomputed scalar), so a crash anywhere inside the batch
   * replays safely; the ledger marker additionally makes the replay a
   * no-op (same protocol as StreamingIngest). Probes see either the
   * old snapshot or the new one — never a half-merged index (the
@@ -225,12 +226,19 @@ object StreamingPostings {
     val spark = batch.sparkSession
     val posts = graft.search.PostingsIndex
       .buildPostings(batch.select("doc_id", "text"))
+      .localCheckpoint(true) // small (one batch); read by two merges
     store.mergeLastWriteWins("postings", posts, Seq("doc_id"),
       partitionCols = Seq("term_bucket"))
-    store.mergeInsertIfAbsent("indexed_docs",
-      batch.select("doc_id").distinct(), Seq("doc_id"))
+    // doc registry carries dl so total_tokens stays exact across
+    // re-ingests (LWW, not insert-if-absent: a re-ingested doc's
+    // length changes); token-less docs register with dl = 0
+    val batchDl = batch.select("doc_id").distinct()
+      .join(posts.select("doc_id", "dl").distinct(), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dl"))
+    store.mergeLastWriteWins("indexed_docs", batchDl, Seq("doc_id"))
     store.write("postings_stats",
-      store.read("indexed_docs").get.agg(count(lit(1)).as("n_docs")))
+      store.read("indexed_docs").get.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("total_tokens")))
     // commit marker LAST (see StreamingIngest.processBatch)
     store.append("postings_batches", {
       import spark.implicits._

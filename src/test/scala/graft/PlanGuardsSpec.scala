@@ -483,6 +483,8 @@ class PlanGuardsSpec extends AnyFunSuite {
       "q44" -> operators.SearchQueries.q44KeywordSearch(spark, dir),
       "q203" -> operators.SearchQueries.q203PhraseSearch(spark, dir),
       "q205" -> operators.SearchQueries.q205StoredIndexAudit(spark, dir),
+      "q206" -> operators.SearchQueries.q206Bm25Ranking(spark, dir),
+      "q207" -> operators.SearchQueries.q207PhraseTrigram(spark, dir),
       "q150" -> operators.SearchQueries.q150HybridRrf(spark, dir))
     dfs.foreach { case (name, df) =>
       val scans = collectNodes(df) {

@@ -117,6 +117,22 @@ class PostingsIndexSpec extends AnyFunSuite {
       s"corpus df $maxDf is approaching the inert cap — re-derive the default")
   }
 
+  test("hot-term gate (bm25): over-cap terms drop with certified " +
+    "lower-bound scores, same as the keyword path") {
+    val terms = Seq("vector", "merge", "batch")
+    val dfs = PostingsIndex.probe(spark, dir, terms)
+      .groupBy("term").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cap = dfs.values.max - 1
+    val survivors = terms.filter(t => dfs.getOrElse(t, 0L) <= cap)
+    assume(survivors.nonEmpty && survivors.size < terms.size)
+    val gated = PostingsIndex.bm25Search(spark, dir, terms,
+      topK = 1000, maxTermDf = cap).collect().toSeq
+    val direct = PostingsIndex.bm25Search(spark, dir, survivors,
+      topK = 1000).collect().toSeq
+    assert(gated == direct)
+  }
+
   test("hot-term gate (phrase): a dropped term leaves a POSITION GAP — " +
     "survivors must match at their original offsets") {
     import spark.implicits._
@@ -211,7 +227,7 @@ class PostingsIndexSpec extends AnyFunSuite {
       (3L, "gamma gamma")).toDF("doc_id", "text")
     def norm(df: org.apache.spark.sql.DataFrame) = df
       .select(col("term"), col("doc_id"),
-        col("positions").cast("array<int>"), col("tf"))
+        col("positions").cast("array<int>"), col("tf"), col("dl"))
       .collect().map(_.toSeq).toSet
     assert(norm(store.read("postings").get) ==
       norm(PostingsIndex.buildPostings(finalCorpus)),
@@ -219,7 +235,11 @@ class PostingsIndexSpec extends AnyFunSuite {
     // doc 1's stale 'beta' postings must be GONE
     assert(store.read("postings").get
       .filter(col("term") === "beta" && col("doc_id") === 1L).isEmpty)
-    assert(store.read("postings_stats").get.collect()(0).getLong(0) == 3L)
+    // stats: 3 docs, 6 tokens — doc 1's re-ingest must have REPLACED
+    // its length (3 → 2) in the registry, not added to it
+    val st = store.read("postings_stats").get
+      .select("n_docs", "total_tokens").collect()(0)
+    assert(st.getLong(0) == 3L && st.getLong(1) == 6L)
     // replay of batch 1: every version pointer stays put
     val vPost = store.currentVersion("postings")
     val vStats = store.currentVersion("postings_stats")

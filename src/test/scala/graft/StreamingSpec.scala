@@ -212,7 +212,10 @@ class StreamingSpec extends AnyFunSuite {
       val posts = store.read("postings").get
       assert(posts.filter(col("term") === "scan" && col("doc_id") === 1L).isEmpty)
       assert(posts.filter(col("term") === "scan" && col("doc_id") === 3L).count() == 1)
-      assert(store.read("postings_stats").get.collect()(0).getLong(0) == 3L)
+      // 3 docs, 4+3+4 tokens — doc 1's length REPLACED (4 stays 4)
+      val st = store.read("postings_stats").get
+        .select("n_docs", "total_tokens").collect()(0)
+      assert(st.getLong(0) == 3L && st.getLong(1) == 11L)
     } finally q.stop()
   }
 
