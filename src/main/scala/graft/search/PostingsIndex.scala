@@ -205,10 +205,14 @@ object PostingsIndex {
     */
   def probe(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "probe needs at least one term")
-    val buckets = terms.map(bucketOf).distinct
+    // the index stores lowercase terms (buildPostings lowercases the
+    // corpus) — normalize HERE so a mixed-case query hashes to the
+    // stored bucket instead of silently missing
+    val norm = terms.map(_.toLowerCase).distinct
+    val buckets = norm.map(bucketOf).distinct
     storedPostings(spark, dir)
       .filter(col("term_bucket").isin(buckets: _*) &&
-        col("term").isin(terms.map(lit): _*))
+        col("term").isin(norm.map(lit): _*))
   }
 
   // ---------------------------------------------------------------

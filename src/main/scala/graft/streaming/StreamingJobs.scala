@@ -217,9 +217,13 @@ object StreamingPostings {
   /** One micro-batch of `{doc_id, text}` documents into the index at
     * `store`. Partition-scoped: only the term_bucket hive partitions
     * the batch (or a re-ingested doc's prior rows) touch are
-    * rewritten; untouched buckets re-link.
+    * rewritten; untouched buckets re-link. `compactEvery` > 0 runs the
+    * store's small-file compaction on that batch cadence (every
+    * partition-scoped merge adds a file pile to the touched buckets —
+    * the same OPTIMIZE rhythm StreamingIngest uses for cases).
     */
-  def processBatch(store: SnapshotStore, batch: DataFrame, batchId: Long): Unit = {
+  def processBatch(store: SnapshotStore, batch: DataFrame, batchId: Long,
+      compactEvery: Int = 0): Unit = {
     val alreadyDone = store.read("postings_batches").exists(
       _.filter(col("batch_id") === batchId).limit(1).count() > 0)
     if (alreadyDone) return
@@ -244,12 +248,15 @@ object StreamingPostings {
       import spark.implicits._
       Seq(batchId).toDF("batch_id")
     })
+    // post-commit maintenance, content-neutral (replay-safe)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      store.compact("postings", maxFilesPerPartition = 4)
     ()
   }
 
   /** Watch `inputDir` for JSON files of `{doc_id, text}` documents. */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
-      store: SnapshotStore): StreamingQuery = {
+      store: SnapshotStore, compactEvery: Int = 0): StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -259,7 +266,7 @@ object StreamingPostings {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(store, batch, batchId)
+        processBatch(store, batch, batchId, compactEvery)
       }
       .start()
   }

@@ -331,6 +331,8 @@ object ScaleBench {
     }),
     "q44_keyword_probe" -> ((s, d) =>
       graft.operators.SearchQueries.q44KeywordSearch(s, d).count()),
+    "q206_bm25_probe" -> ((s, d) =>
+      graft.operators.SearchQueries.q206Bm25Ranking(s, d).count()),
     "q203_phrase_probe" -> ((s, d) =>
       graft.operators.SearchQueries.q203PhraseSearch(s, d).count()),
     // k-anonymity census: one pre-combined aggregate to the

@@ -117,6 +117,14 @@ class PostingsIndexSpec extends AnyFunSuite {
       s"corpus df $maxDf is approaching the inert cap — re-derive the default")
   }
 
+  test("mixed-case query terms normalize to the stored lowercase index") {
+    val a = PostingsIndex.keywordSearch(spark, dir,
+      Seq("VECTOR", "Merge", "batch"), topK = 50).collect().toSeq
+    val b = PostingsIndex.keywordSearch(spark, dir,
+      Seq("vector", "merge", "batch"), topK = 50).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("hot-term gate (bm25): over-cap terms drop with certified " +
     "lower-bound scores, same as the keyword path") {
     val terms = Seq("vector", "merge", "batch")
@@ -221,8 +229,11 @@ class PostingsIndexSpec extends AnyFunSuite {
     // batch 1 RE-INGESTS doc 1 with 'beta' GONE — the LWW-on-doc_id
     // case a term-keyed additive merge would corrupt
     val b1 = Seq((1L, "alpha delta"), (3L, "gamma gamma")).toDF("doc_id", "text")
-    StreamingPostings.processBatch(store, b0, 0L)
-    StreamingPostings.processBatch(store, b1, 1L)
+    // compactEvery = 1: the OPTIMIZE pass runs after every commit —
+    // the equality assertions below then also prove compaction is
+    // content-neutral on the index
+    StreamingPostings.processBatch(store, b0, 0L, compactEvery = 1)
+    StreamingPostings.processBatch(store, b1, 1L, compactEvery = 1)
     val finalCorpus = Seq((1L, "alpha delta"), (2L, "beta gamma"),
       (3L, "gamma gamma")).toDF("doc_id", "text")
     def norm(df: org.apache.spark.sql.DataFrame) = df
