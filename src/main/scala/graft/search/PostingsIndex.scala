@@ -169,6 +169,10 @@ object PostingsIndex {
             .agg(coalesce(sum("tf"), lit(0L)).as("total_tokens"))))
       Files.createDirectories(Paths.get(root))
       Files.writeString(fpFile, fp) // LAST: a crashed build rebuilds
+      // a rebuild (corpus regen / format bump) adds a full new version
+      // next to the stale one — reclaim the old copies, keep current
+      store.vacuum("postings", keepLast = 1)
+      store.vacuum("postings_stats", keepLast = 1)
     }
     store
   }
