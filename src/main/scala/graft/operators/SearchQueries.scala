@@ -959,7 +959,88 @@ object SearchQueries {
        |ORDER BY n_phrase DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** q208: hybrid RRF with the BM25 leg — q150's fusion shape with the
+    * lexical ranker upgraded from the TF×rarity weight to the stored-
+    * index Okapi BM25 (q206): the composition a production RAG stack
+    * actually runs (BM25 + dense, rank-fused). Both legs top-50, RRF =
+    * Σ 10⁶ div (60 + rank) — rank-based so the incomparable score
+    * scales never touch, integer so the fusion is hash-exact. The
+    * lexical leg probes the MATERIALIZED index (no documents scan —
+    * same plan guard class as q44/q206).
+    */
+  def q208HybridBm25Rrf(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val kw = graft.search.PostingsIndex.bm25Search(spark, dir,
+      Seq("vector", "merge", "batch"), topK = 50)
+      .withColumn("rank_kw", row_number().over(
+        Window.orderBy(desc("score_micro"), asc("doc_id"))).cast("long"))
+      .select("doc_id", "rank_kw")
+    val qEmb = t.embeddings.filter(col("vec_id") === 7)
+      .select(col("embedding").as("q_emb"))
+    val vec = t.embeddings.filter(col("vec_id") =!= 7)
+      .crossJoin(broadcast(qEmb))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.dotFold(col("embedding"), col("q_emb")))
+      .orderBy(desc("cos"), asc("vec_id")).limit(50)
+      .withColumn("rank_vec", row_number().over(
+        Window.orderBy(desc("cos"), asc("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank_vec"))
+    kw.join(vec, Seq("doc_id"), "full_outer")
+      .na.fill(0L, Seq("rank_kw", "rank_vec"))
+      .withColumn("rrf_micro",
+        expr("(case when rank_kw > 0 then 1000000 div (60 + rank_kw) else 0 end)" +
+          " + (case when rank_vec > 0 then 1000000 div (60 + rank_vec) else 0 end)"))
+      .orderBy(desc("rrf_micro"), asc("doc_id")).limit(10)
+      .select("doc_id", "rank_kw", "rank_vec", "rrf_micro")
+  }
+
+  val q208Sql: String = {
+    val dot = OracleSql.dotFold("e.embedding", "q.q_emb")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${OracleSql.tokens("lower(text)")}) AS term
+       |  FROM documents),
+       |dlen AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY 1),
+       |st AS (SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+       |              (SELECT COUNT(*) FROM tok)::BIGINT AS t_total),
+       |p AS (
+       |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+       |  FROM tok WHERE term IN ('vector', 'merge', 'batch')
+       |  GROUP BY 1, 2),
+       |w AS (
+       |  SELECT term,
+       |    len(bin(greatest((2 * ((SELECT n_docs FROM st) - COUNT(*)) + 1)
+       |      // (2 * COUNT(*) + 1), 1)))::BIGINT AS idf_class
+       |  FROM p GROUP BY term),
+       |scored AS (
+       |  SELECT p.doc_id, SUM(
+       |    ((220 * p.tf * 1000000) // (100 * p.tf +
+       |      (120 * (25 * st.t_total + 75 * d.dl * st.n_docs))
+       |        // (100 * st.t_total))) * w.idf_class)::BIGINT AS s
+       |  FROM p JOIN w USING (term) JOIN dlen d USING (doc_id), st
+       |  GROUP BY p.doc_id),
+       |kw AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank_kw
+       |  FROM scored ORDER BY s DESC, doc_id LIMIT 50),
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 7),
+       |vec AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY $dot DESC, e.vec_id) AS rank_vec
+       |  FROM embeddings e, q WHERE e.vec_id <> 7
+       |  ORDER BY $dot DESC, e.vec_id LIMIT 50),
+       |fused AS (
+       |  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+       |    COALESCE(k.rank_kw, 0)::BIGINT AS rank_kw,
+       |    COALESCE(v.rank_vec, 0)::BIGINT AS rank_vec
+       |  FROM kw k FULL OUTER JOIN vec v ON k.doc_id = v.doc_id)
+       |SELECT doc_id, rank_kw, rank_vec,
+       |  ((CASE WHEN rank_kw > 0 THEN 1000000 // (60 + rank_kw) ELSE 0 END) +
+       |   (CASE WHEN rank_vec > 0 THEN 1000000 // (60 + rank_vec) ELSE 0 END))::BIGINT
+       |    AS rrf_micro
+       |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_hybrid_bm25_rrf" -> (q208HybridBm25Rrf _),
     "q206_bm25_ranking" -> (q206Bm25Ranking _),
     "q207_phrase_trigram" -> (q207PhraseTrigram _),
     "q205_stored_index_audit" -> (q205StoredIndexAudit _),
@@ -980,6 +1061,7 @@ object SearchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q208_hybrid_bm25_rrf" -> q208Sql,
     "q206_bm25_ranking" -> q206Sql,
     "q207_phrase_trigram" -> q207Sql,
     "q205_stored_index_audit" -> q205Sql,

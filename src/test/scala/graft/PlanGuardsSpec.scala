@@ -485,6 +485,7 @@ class PlanGuardsSpec extends AnyFunSuite {
       "q205" -> operators.SearchQueries.q205StoredIndexAudit(spark, dir),
       "q206" -> operators.SearchQueries.q206Bm25Ranking(spark, dir),
       "q207" -> operators.SearchQueries.q207PhraseTrigram(spark, dir),
+      "q208" -> operators.SearchQueries.q208HybridBm25Rrf(spark, dir),
       "q150" -> operators.SearchQueries.q150HybridRrf(spark, dir))
     dfs.foreach { case (name, df) =>
       val scans = collectNodes(df) {
@@ -504,8 +505,9 @@ class PlanGuardsSpec extends AnyFunSuite {
         s"$name reads an unexpected table:\n${stray.map(_.relation.location.rootPaths)}")
     }
     // term-selective entries must prune: every postings (non-stats)
-    // scan carries a partition filter on term_bucket
-    dfs.filter(d => d._1 != "q205").foreach { case (name, df) =>
+    // scan carries a partition filter on term_bucket (q205 audits the
+    // WHOLE index by design — no term predicate to prune with)
+    dfs.filterNot(_._1 == "q205").foreach { case (name, df) =>
       val postingsScans = collectNodes(df) {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(p =>
