@@ -207,17 +207,24 @@ object PostingsIndex {
     * exactly the query terms — the plan contains NO documents scan
     * (guarded in PlanGuardsSpec).
     */
-  def probe(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
+  /** Frame form of the probe — `postings` is any stored postings
+    * snapshot (the per-corpus memoized one, or an ingest store's
+    * docket index). Pruning still applies when the frame reads the
+    * hive layout: the bucket predicate is literal.
+    */
+  def probeOf(postings: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "probe needs at least one term")
     // the index stores lowercase terms (buildPostings lowercases the
     // corpus) — normalize HERE so a mixed-case query hashes to the
     // stored bucket instead of silently missing
     val norm = terms.map(_.toLowerCase).distinct
     val buckets = norm.map(bucketOf).distinct
-    storedPostings(spark, dir)
-      .filter(col("term_bucket").isin(buckets: _*) &&
-        col("term").isin(norm.map(lit): _*))
+    postings.filter(col("term_bucket").isin(buckets: _*) &&
+      col("term").isin(norm.map(lit): _*))
   }
+
+  def probe(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    probeOf(storedPostings(spark, dir), terms)
 
   // ---------------------------------------------------------------
   // query surface (SURVEY §2.9 search endpoints, parameterized)
@@ -232,9 +239,18 @@ object PostingsIndex {
     * semantics), and at any test SF the default cap drops nothing.
     */
   def keywordSearch(spark: SparkSession, dir: String, terms: Seq[String],
-      topK: Int = 20, maxTermDf: Long = DefaultMaxTermDf): DataFrame = {
-    val p = probe(spark, dir, terms)
-    val nTotal = stats(spark, dir).select(col("n_docs").as("n_total"))
+      topK: Int = 20, maxTermDf: Long = DefaultMaxTermDf): DataFrame =
+    keywordSearchFrames(storedPostings(spark, dir), stats(spark, dir),
+      terms, topK, maxTermDf)
+
+  /** Frame form — search ANY stored postings snapshot (e.g. an ingest
+    * store's docket_text index) with its stats row.
+    */
+  def keywordSearchFrames(postings: DataFrame, statsRow: DataFrame,
+      terms: Seq[String], topK: Int = 20,
+      maxTermDf: Long = DefaultMaxTermDf): DataFrame = {
+    val p = probeOf(postings, terms)
+    val nTotal = statsRow.select(col("n_docs").as("n_total"))
     val weights = p.groupBy("term")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxTermDf) // hot-term gate (certified subset)
@@ -271,12 +287,19 @@ object PostingsIndex {
     * corpus-sized joins. Hot-term gate as in [[keywordSearch]].
     */
   def bm25Search(spark: SparkSession, dir: String, terms: Seq[String],
-      topK: Int = 20, maxTermDf: Long = DefaultMaxTermDf): DataFrame = {
-    val p = probe(spark, dir, terms)
+      topK: Int = 20, maxTermDf: Long = DefaultMaxTermDf): DataFrame =
+    bm25SearchFrames(storedPostings(spark, dir), stats(spark, dir),
+      terms, topK, maxTermDf)
+
+  /** Frame form — see [[keywordSearchFrames]]. */
+  def bm25SearchFrames(postings: DataFrame, statsRow: DataFrame,
+      terms: Seq[String], topK: Int = 20,
+      maxTermDf: Long = DefaultMaxTermDf): DataFrame = {
+    val p = probeOf(postings, terms)
     val weights = p.groupBy("term")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxTermDf)
-      .crossJoin(broadcast(stats(spark, dir)))
+      .crossJoin(broadcast(statsRow))
       .withColumn("idf_class", length(bin(greatest(
         expr("(2 * (n_docs - df) + 1) div (2 * df + 1)"), lit(1L))))
         .cast("long"))
@@ -305,10 +328,15 @@ object PostingsIndex {
     * n_terms_used), top-k by occurrence count.
     */
   def phraseSearch(spark: SparkSession, dir: String, phrase: Seq[String],
+      topK: Int = 20, maxTermDf: Long = DefaultMaxTermDf): DataFrame =
+    phraseSearchFrames(storedPostings(spark, dir), phrase, topK, maxTermDf)
+
+  /** Frame form — see [[keywordSearchFrames]]. */
+  def phraseSearchFrames(postings: DataFrame, phrase: Seq[String],
       topK: Int = 20, maxTermDf: Long = DefaultMaxTermDf): DataFrame = {
     require(phrase.nonEmpty, "phrase needs at least one term")
     val norm = phrase.map(_.toLowerCase)
-    val p = probe(spark, dir, norm.distinct)
+    val p = probeOf(postings, norm.distinct)
     // bounded driver-side frame (≤ |phrase| rows): df per query term,
     // to decide which survive the hot-term gate — the same k-row
     // "seeds frame" pattern as the vector-family calibration collects
@@ -317,13 +345,13 @@ object PostingsIndex {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val surviving = norm.zipWithIndex
       .filter { case (t, _) => dfs.getOrElse(t, 0L) <= maxTermDf }
-    val spark2 = spark
+    val spark2 = postings.sparkSession
     import spark2.implicits._
     if (surviving.isEmpty)
       return Seq.empty[(Long, Long, Long)]
         .toDF("doc_id", "n_phrase", "n_terms_used")
     val terms = surviving.map(_._1).distinct
-    val perDoc = probe(spark, dir, terms)
+    val perDoc = probeOf(postings, terms)
       .groupBy("doc_id")
       .agg(map_from_entries(collect_list(
         struct(col("term"), col("positions")))).as("tm"),

@@ -91,6 +91,15 @@ object StreamingIngest {
       Seq("first_seen_at"), Seq("last_seen_at"))
     if (!r.quarantine.isEmpty) store.append("quarantine", r.quarantine)
     if (!r.errors.isEmpty) store.append("ingest_errors", r.errors)
+    // FTS index maintenance inside the SAME idempotent commit — the
+    // reference's GIN index on cases.docket_text (schema.sql:141) as a
+    // stored docket-postings table: LWW on the case's surrogate id, so
+    // an upserted case replaces its postings exactly like its row.
+    // StreamingPostings carries its own batch marker, so a crash-replay
+    // of THIS batch skips the already-merged index work.
+    StreamingPostings.processBatch(store,
+      r.cases.select(col("id").as("doc_id"),
+        coalesce(col("docket_text"), lit("")).as("text")), batchId)
     // the commit marker: MUST stay the last write (see idempotency note)
     store.append("ingest_runs", r.runLedger)
     // post-commit maintenance: every partition-scoped merge adds a file

@@ -60,6 +60,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(maria == 2)
       // run ledger: one row per micro-batch
       assert(store.read("ingest_runs").get.count() == 2)
+      // the docket FTS index (reference GIN, schema.sql:141) maintained
+      // inside the same commit: postings over docket_text equal a
+      // rebuild from the current cases snapshot, and the search API
+      // finds every docket ('text' appears in each docket_text)
+      val posts = store.read("postings").get
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("term"), col("doc_id"),
+          col("positions").cast("array<int>"), col("tf"), col("dl"))
+        .collect().map(_.toSeq).toSet
+      val rebuilt = graft.search.PostingsIndex.buildPostings(
+        cases.select(col("id").as("doc_id"),
+          coalesce(col("docket_text"), lit("")).as("text")))
+      assert(norm(posts) == norm(rebuilt),
+        "docket postings diverged from the cases snapshot")
+      val hits = graft.search.PostingsIndex.keywordSearchFrames(
+        posts, store.read("postings_stats").get, Seq("text"), topK = 10)
+      assert(hits.count() == 3)
       // retention: every table vacuumed to at most 2 snapshot versions
       assert(store.tables().forall(t => store.versions(t).size <= 2),
         store.tables().map(t => t -> store.versions(t)).toString)
