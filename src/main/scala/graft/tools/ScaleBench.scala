@@ -340,6 +340,23 @@ object ScaleBench {
     // the rollup grid-sized
     "q204_kanon" -> ((s, d) =>
       graft.operators.ProfileQueries.q204KAnonymity(s, d).count()),
+    // the hot-term gate's reason to exist, measured (r9's exact
+    // concern: a phrase of stopword-grade terms makes both join sides
+    // df-sized). 'the' and 'scan' are base-vocabulary terms whose df
+    // grows with the corpus; the gated run caps at the RARER term's
+    // df, so the hotter term becomes a position gap (Postgres
+    // stopword semantics) and its df-sized postings never ship.
+    "q203_hotterms_ungated" -> ((s, d) =>
+      graft.search.PostingsIndex.phraseSearch(s, d,
+        Seq("the", "scan"), topK = 20).count()),
+    "q203_hotterms_gated" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count => cnt, lit}
+      val dfs = graft.search.PostingsIndex.probe(s, d, Seq("the", "scan"))
+        .groupBy("term").agg(cnt(lit(1)).as("df")).collect()
+        .map(r => r.getLong(1))
+      graft.search.PostingsIndex.phraseSearch(s, d,
+        Seq("the", "scan"), topK = 20, maxTermDf = dfs.min).count()
+    }),
     // r10 reshape (found by the universal window guard): the quota
     // draw rides a budget-bounded TopKPerKey heap — max task must stay
     // heap-sized where the old per-lang corpus rank window grew
