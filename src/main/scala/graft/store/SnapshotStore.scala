@@ -317,24 +317,35 @@ final class SnapshotStore(spark: SparkSession, root: String,
   private def merged(table: String, batch: DataFrame,
       combine: (DataFrame, DataFrame) => DataFrame,
       partitionCols: Seq[String] = Nil,
-      probeKeys: Seq[String] = Nil): Long =
+      probeKeys: Seq[String] = Nil,
+      sortCols: Seq[String] = Nil): Long = {
+    // cluster each written file on sortCols so point/equality
+    // predicates prune Parquet row groups inside a hive partition
+    // (e.g. postings buckets cluster on `term`)
+    val c: (DataFrame, DataFrame) => DataFrame =
+      if (sortCols.isEmpty) combine
+      else (p, b) => combine(p, b).sortWithinPartitions(sortCols.map(col): _*)
     currentVersion(table) match {
       case Some(cur) if partitionCols.nonEmpty =>
-        mergedPartitionScoped(table, cur, batch, combine, partitionCols, probeKeys)
-      case Some(_) => write(table, combine(read(table).get, batch), partitionCols)
-      case None => write(table, batch, partitionCols)
+        mergedPartitionScoped(table, cur, batch, c, partitionCols, probeKeys)
+      case Some(_) => write(table, c(read(table).get, batch), partitionCols)
+      case None => write(table,
+        if (sortCols.isEmpty) batch
+        else batch.sortWithinPartitions(sortCols.map(col): _*), partitionCols)
     }
+  }
 
   /** Upsert: batch rows replace prior rows sharing the key (S4).
     * `partitionCols` keeps the merged snapshot hive-partitioned (e.g.
     * cases by `filed_year`) AND scopes the merge I/O to the touched
-    * partitions (see [[mergedPartitionScoped]]).
+    * partitions (see [[mergedPartitionScoped]]); `sortCols` clusters
+    * each written file for row-group pruning.
     */
   def mergeLastWriteWins(table: String, batch: DataFrame, keys: Seq[String],
-      partitionCols: Seq[String] = Nil): Long =
+      partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Long =
     merged(table, batch, (prior, b) =>
       prior.join(b.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        .unionByName(b), partitionCols, probeKeys = keys)
+        .unionByName(b), partitionCols, probeKeys = keys, sortCols = sortCols)
 
   /** Insert-if-absent: prior rows win, new keys append (S5/S6). */
   def mergeInsertIfAbsent(table: String, batch: DataFrame, keys: Seq[String],
@@ -431,23 +442,28 @@ final class SnapshotStore(spark: SparkSession, root: String,
     * Returns the new version, or None when every partition is already
     * under the threshold (no version is created).
     */
-  def compact(table: String, maxFilesPerPartition: Int = 4): Option[Long] = {
+  def compact(table: String, maxFilesPerPartition: Int = 4,
+      sortCols: Seq[String] = Nil): Option[Long] = {
     require(maxFilesPerPartition >= 1, "threshold must be at least 1 file")
     val cur = currentVersion(table).getOrElse(return None)
     val curDir = tableDir(table).resolve(s"v$cur")
     val parts = physicalParts(table, cur)
     val next = cur + 1
     val nextDir = tableDir(table).resolve(s"v$next")
+    def clustered(df: DataFrame): DataFrame =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(col): _*)
     if (parts.isEmpty) {
       // unpartitioned table: one flat pile of files
       if (parquetFiles(curDir).size <= maxFilesPerPartition) return None
-      writeVersionDir(table, next, spark.read.parquet(curDir.toString).coalesce(1), Nil)
+      writeVersionDir(table, next,
+        clustered(spark.read.parquet(curDir.toString).coalesce(1)), Nil)
     } else {
       val pc = parts.head._1.split("=")(0)
       val needy = parts.filter(p => parquetFiles(p._2).size > maxFilesPerPartition)
       if (needy.isEmpty) return None
       val rows = readParts(needy.values)
-      writeVersionDir(table, next, rows.repartition(col(pc)), Seq(pc))
+      writeVersionDir(table, next, clustered(rows.repartition(col(pc))), Seq(pc))
       retainParts(table, nextDir, parts -- needy.keys)
     }
     swapPointer(table, next)

@@ -220,8 +220,41 @@ object StreamingNearDup {
   * no-op (same protocol as StreamingIngest). Probes see either the
   * old snapshot or the new one — never a half-merged index (the
   * SnapshotStore pointer swap).
+  *
+  * Stats maintenance is O(touched buckets), not O(corpus) (r10
+  * verdict minor): the (doc_id, dl) registry is hive-partitioned by
+  * `doc_bucket = pmod(doc_id, DocRegistryBuckets)`, a batch
+  * recomputes the (n_docs, total_tokens) SUBTOTALS of only the
+  * buckets it touched (a partition-pruned literal-IN scan), and the
+  * global stats row sums ≤ DocRegistryBuckets subtotal rows. Every
+  * step remains a deterministic function of the post-merge store
+  * state — a delta-additive counter would instead double-apply on a
+  * crash replay between the registry merge and the stats write.
   */
 object StreamingPostings {
+
+  /** Hive-bucket count for the (doc_id, dl) registry. Per-batch stats
+    * cost tracks touched buckets × bucket size, so a production
+    * deployment raises it with the corpus exactly like
+    * PostingsIndex.NumBuckets (and like it, the layout is
+    * self-describing — pmod of the stored partition column).
+    */
+  val DocRegistryBuckets = 64
+
+  /** The per-bucket (n_docs, total_tokens) subtotals of the touched
+    * registry buckets — factored out so the plan is testable: the
+    * registry scan must carry a `doc_bucket` partition filter (the
+    * whole point — the corpus-sized registry is never rescanned).
+    */
+  def touchedBucketTotals(store: SnapshotStore,
+      touched: Seq[Long]): DataFrame =
+    store.read("indexed_docs").get
+      .filter(col("doc_bucket").isin(touched: _*))
+      // hive partition values read back as int — pin long so the
+      // subtotal table's schema is merge-stable across batches
+      .groupBy(col("doc_bucket").cast("long").as("doc_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("total_tokens"))
 
   /** One micro-batch of `{doc_id, text}` documents into the index at
     * `store`. Partition-scoped: only the term_bucket hive partitions
@@ -241,17 +274,30 @@ object StreamingPostings {
       .buildPostings(batch.select("doc_id", "text"))
       .localCheckpoint(true) // small (one batch); read by two merges
     store.mergeLastWriteWins("postings", posts, Seq("doc_id"),
-      partitionCols = Seq("term_bucket"))
+      partitionCols = Seq("term_bucket"), sortCols = Seq("term"))
     // doc registry carries dl so total_tokens stays exact across
     // re-ingests (LWW, not insert-if-absent: a re-ingested doc's
     // length changes); token-less docs register with dl = 0
     val batchDl = batch.select("doc_id").distinct()
       .join(posts.select("doc_id", "dl").distinct(), Seq("doc_id"), "left")
       .na.fill(0L, Seq("dl"))
-    store.mergeLastWriteWins("indexed_docs", batchDl, Seq("doc_id"))
+      .withColumn("doc_bucket",
+        pmod(col("doc_id"), lit(DocRegistryBuckets.toLong)))
+      .localCheckpoint(true) // read by the merge AND the touched probe
+    store.mergeLastWriteWins("indexed_docs", batchDl, Seq("doc_id"),
+      partitionCols = Seq("doc_bucket"))
+    // bounded driver frame (≤ DocRegistryBuckets values): which
+    // registry buckets this batch touched
+    val touched = batchDl.select("doc_bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    store.mergeLastWriteWins("registry_stats",
+      touchedBucketTotals(store, touched), Seq("doc_bucket"))
     store.write("postings_stats",
-      store.read("indexed_docs").get.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum("dl"), lit(0L)).as("total_tokens")))
+      store.read("registry_stats").get
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(sum("total_tokens"), lit(0L)).as("total_tokens"))
+        .withColumn("num_buckets",
+          lit(graft.search.PostingsIndex.NumBuckets.toLong)))
     // commit marker LAST (see StreamingIngest.processBatch)
     store.append("postings_batches", {
       import spark.implicits._
@@ -259,7 +305,8 @@ object StreamingPostings {
     })
     // post-commit maintenance, content-neutral (replay-safe)
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      store.compact("postings", maxFilesPerPartition = 4)
+      store.compact("postings", maxFilesPerPartition = 4,
+        sortCols = Seq("term"))
     ()
   }
 

@@ -506,18 +506,32 @@ class PlanGuardsSpec extends AnyFunSuite {
     }
     // term-selective entries must prune: every postings (non-stats)
     // scan carries a partition filter on term_bucket (q205 audits the
-    // WHOLE index by design — no term predicate to prune with)
-    dfs.filterNot(_._1 == "q205").foreach { case (name, df) =>
-      val postingsScans = collectNodes(df) {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.relation.location.rootPaths.exists(p =>
-            p.toString.contains("/postings/")) => f
-      }
-      assert(postingsScans.nonEmpty, s"$name lost its postings scan")
-      assert(postingsScans.forall(_.partitionFilters.nonEmpty),
-        s"$name probes without bucket pruning:\n" +
-          s"${df.queryExecution.executedPlan}")
+    // WHOLE index by design — no term predicate to prune with; q207
+    // rides phraseSearch's SINGLE materialized probe — checked below)
+    dfs.filterNot(d => d._1 == "q205" || d._1 == "q207").foreach {
+      case (name, df) =>
+        val postingsScans = collectNodes(df) {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(p =>
+              p.toString.contains("/postings/")) => f
+        }
+        assert(postingsScans.nonEmpty, s"$name lost its postings scan")
+        assert(postingsScans.forall(_.partitionFilters.nonEmpty),
+          s"$name probes without bucket pruning:\n" +
+            s"${df.queryExecution.executedPlan}")
     }
+    // r11: phraseSearch materializes its pruned probe ONCE (the df
+    // gate and the position intersect share it — one postings scan
+    // per query, not two), so q207's returned plan reads the
+    // checkpointed probe and contains NO file scan at all; the probe
+    // frame itself still prunes (covered by the probeOf check above
+    // via q203, which shares probe()).
+    val q207Scans = collectNodes(dfs.toMap.apply("q207")) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(q207Scans.isEmpty,
+      "q207 re-scans the index: phraseSearch must reuse its single " +
+        "materialized probe for both the df gate and the intersect")
   }
 
   test("UNIVERSAL window-class guard: across ALL registry entries, no " +

@@ -220,6 +220,127 @@ class PostingsIndexSpec extends AnyFunSuite {
       "stale index survived a corpus change")
   }
 
+  test("bucket-count fingerprint: a store recorded at a different " +
+    "NumBuckets REBUILDS instead of probing a layout it would mis-hash") {
+    // r10 verdict item 2: NumBuckets is a deployment tunable; a binary
+    // with a changed constant probing an index stored at the old count
+    // must never silently return partial results. The fingerprint now
+    // carries b<NumBuckets> — simulate the stale-layout store by
+    // rewriting the fingerprint the way an old binary would have.
+    val work = Files.createTempDirectory("graft-idx-nb")
+    val src = Paths.get(dir, "documents.parquet")
+    val dst = work.resolve("documents.parquet")
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      Files.list(src).forEach(p =>
+        Files.copy(p, dst.resolve(p.getFileName.toString)))
+    } else Files.copy(src, dst, StandardCopyOption.COPY_ATTRIBUTES)
+    val s1 = PostingsIndex.ensure(spark, work.toString)
+    val v1 = s1.currentVersion("postings").get
+    val root = Paths.get(sys.env.getOrElse("GRAFT_INDEX_ROOT",
+      Paths.get(sys.props("java.io.tmpdir"), "graft-postings").toString),
+      work.toString.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val fpFile = root.resolve("_corpus_fingerprint")
+    val fp = Files.readString(fpFile).trim
+    assert(fp.contains(s":b${PostingsIndex.NumBuckets}:"),
+      s"fingerprint '$fp' does not record the bucket count")
+    // same format + corpus, DIFFERENT bucket count → must rebuild
+    Files.writeString(fpFile, fp.replace(
+      s":b${PostingsIndex.NumBuckets}:", ":b8:"))
+    val s2 = PostingsIndex.ensure(spark, work.toString)
+    assert(s2.currentVersion("postings").exists(_ > v1),
+      "a bucket-count change did not force a rebuild — probes would " +
+        "silently miss terms")
+    assert(Files.readString(fpFile).trim == fp)
+  }
+
+  test("probes hash terms with the STORED layout's bucket count, not " +
+    "the compile-time constant") {
+    import spark.implicits._
+    // find a term whose bucket differs between 8 and 16 buckets, so a
+    // probe using the wrong count provably misses it
+    val term = Iterator.from(0).map(i => s"term$i")
+      .find(t => PostingsIndex.bucketOf(t, 16) != PostingsIndex.bucketOf(t, 8))
+      .get
+    val tmp = Files.createTempDirectory("graft-idx-layout").toString
+    val store = new SnapshotStore(spark, tmp)
+    // a store laid out at EIGHT buckets, stats recording that count
+    val docs = Seq((1L, s"$term alpha $term"), (2L, "alpha beta"))
+      .toDF("doc_id", "text")
+    store.write("postings",
+      PostingsIndex.buildPostings(docs, numBuckets = 8),
+      partitionCols = Seq("term_bucket"))
+    store.write("postings_stats",
+      Seq((2L, 5L, 8L)).toDF("n_docs", "total_tokens", "num_buckets"))
+    val posts = store.read("postings").get
+    val stats = store.read("postings_stats").get
+    // deriving the count from stats → hit
+    val hits = PostingsIndex.keywordSearchFrames(posts, stats, Seq(term),
+      numBuckets = PostingsIndex.numBucketsOf(stats)).collect()
+    assert(hits.map(_.getLong(0)).toSeq == Seq(1L))
+    // probing with the (wrong) 16-bucket constant → provably misses,
+    // which is exactly the silent failure the stored count prevents
+    val miss = PostingsIndex.keywordSearchFrames(posts, stats, Seq(term),
+      numBuckets = 16).collect()
+    assert(miss.isEmpty)
+  }
+
+  test("bucket files are SORTED by term — the cluster key row-group " +
+    "pruning depends on") {
+    val store = PostingsIndex.ensure(spark, dir)
+    val v = store.currentVersion("postings").get
+    val root = Paths.get(sys.env.getOrElse("GRAFT_INDEX_ROOT",
+      Paths.get(sys.props("java.io.tmpdir"), "graft-postings").toString),
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val vdir = root.resolve("postings").resolve(s"v$v")
+    val files = Files.walk(vdir).iterator()
+    val parquets = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
+      .asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    assert(parquets.nonEmpty)
+    parquets.take(4).foreach { f =>
+      val terms = spark.read.parquet(f.toString)
+        .select("term").collect().map(_.getString(0)).toSeq
+      assert(terms == terms.sorted,
+        s"bucket file $f is not term-sorted — row-group min/max stats " +
+          "span the whole vocabulary and pruning never fires")
+    }
+  }
+
+  test("streaming stats maintenance probes ONLY touched registry " +
+    "buckets (partition-pruned) and the registry is bucket-partitioned") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-idx-reg").toString
+    val store = new SnapshotStore(spark, tmp)
+    val b0 = (0L until 10L).map(i => (i, s"w$i alpha")).toDF("doc_id", "text")
+    StreamingPostings.processBatch(store, b0, 0L)
+    // registry lays out hive-partitioned by doc_bucket
+    val regDir = Paths.get(tmp, "indexed_docs",
+      s"v${store.currentVersion("indexed_docs").get}")
+    val dirs = Files.list(regDir).iterator()
+    val bucketDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(dirs)
+      .asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("doc_bucket=")).toSeq
+    assert(bucketDirs.nonEmpty, "registry is not bucket-partitioned")
+    // the touched-buckets subtotal scan prunes partitions
+    val probe = StreamingPostings.touchedBucketTotals(store, Seq(1L, 2L))
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          fileScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          fileScans(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      }.flatten
+    val scans = fileScans(probe.queryExecution.executedPlan)
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      s"stats maintenance rescans the whole registry:\n" +
+        s"${probe.queryExecution.executedPlan}")
+    // and the subtotals equal a direct recompute of those buckets
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("incremental maintenance equals a full rebuild; replay is a no-op " +
     "(freshness: index version tracks the commit ledger)") {
     import spark.implicits._
