@@ -80,6 +80,60 @@ object OracleSql {
       s"(CASE WHEN ${hyperplaneProjection(v, p)} > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Fix-point micro vector floor(x·2^20) — mirrors AnnStore.microCol
+    * (float→double, power-of-two multiply, floor: all exact).
+    */
+  def microVec(v: String): String =
+    s"list_transform($v, x -> floor(x::DOUBLE * ${graft.rag.AnnStore.ScaleBits})::BIGINT)"
+
+  /** Integer IVF assignment score ssq(c) − 2·dot(m, c) — mirrors
+    * AnnStore.scoresCol's per-centroid fold (pure BIGINT, no float
+    * reduction anywhere).
+    */
+  def annScore(m: String, c: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(list_zip($m, $c), " +
+      s"p -> p[2]*p[2] - 2*p[1]*p[2])), (acc, x) -> acc + x)"
+
+  /** The deterministic exact-integer IVF quantizer (AnnStore: lowest-id
+    * seeds → one Lloyd refinement with truncating integer-mean
+    * centroids → final argmin assignment) as a WITH-fragment over
+    * `embeddings`. Exposes:
+    *   fx(vec_id, embedding, m)   — fix-pointed corpus
+    *   ann_cent(list_id, c)       — refined centroids (empty keep seed)
+    *   ann_asg(vec_id, list_id)   — final assignment (ties → lowest)
+    * Splice after WITH and before the query's own CTEs.
+    */
+  def annQuantizerCtes(lists: Int): String = {
+    val score0 = annScore("f.m", "s.c")
+    val score1 = annScore("f.m", "c.c")
+    s"""fx AS (SELECT vec_id, embedding, ${microVec("embedding")} AS m
+       |  FROM embeddings),
+       |ann_seeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id, m AS c
+       |  FROM (SELECT vec_id, m FROM fx ORDER BY vec_id LIMIT $lists)),
+       |ann_a0 AS (
+       |  SELECT vec_id, m, list_id FROM (
+       |    SELECT f.vec_id, f.m, s.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |        ORDER BY $score0, s.list_id) AS rn
+       |    FROM fx f CROSS JOIN ann_seeds s) WHERE rn = 1),
+       |ann_cm AS (
+       |  SELECT list_id, u.i AS pos, (SUM(m[u.i]) // COUNT(*))::BIGINT AS cv
+       |  FROM ann_a0, UNNEST(generate_series(1, len(m))) AS u(i)
+       |  GROUP BY 1, 2),
+       |ann_cent1 AS (
+       |  SELECT list_id, list(cv ORDER BY pos) AS c FROM ann_cm GROUP BY 1),
+       |ann_cent AS (
+       |  SELECT s.list_id, COALESCE(c1.c, s.c) AS c
+       |  FROM ann_seeds s LEFT JOIN ann_cent1 c1 USING (list_id)),
+       |ann_asg AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT f.vec_id, c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY f.vec_id
+       |        ORDER BY $score1, c.list_id) AS rn
+       |    FROM fx f CROSS JOIN ann_cent c) WHERE rn = 1)""".stripMargin
+  }
+
   /** 32-bit SimHash over a token list — mirrors simHash32. Bit sums are
     * order-independent integers, so list_sum is safe here.
     */

@@ -968,35 +968,24 @@ object SearchQueries {
     * lexical leg probes the MATERIALIZED index (no documents scan —
     * same plan guard class as q44/q206).
     */
+  /** (r11) Both legs are STORED-index probes now, through the
+    * parameterized engine API itself (graft.search.HybridSearch): the
+    * lexical leg probes the postings snapshot, the dense leg probes
+    * the ANN snapshot's nprobe list dirs — the full embeddings scan
+    * the r10 verdict flagged is gone, and this oracle entry pins the
+    * API code path, not a twin reimplementation.
+    */
   def q208HybridBm25Rrf(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val kw = graft.search.PostingsIndex.bm25Search(spark, dir,
-      Seq("vector", "merge", "batch"), topK = 50)
-      .withColumn("rank_kw", row_number().over(
-        Window.orderBy(desc("score_micro"), asc("doc_id"))).cast("long"))
-      .select("doc_id", "rank_kw")
-    val qEmb = t.embeddings.filter(col("vec_id") === 7)
-      .select(col("embedding").as("q_emb"))
-    val vec = t.embeddings.filter(col("vec_id") =!= 7)
-      .crossJoin(broadcast(qEmb))
-      .withColumn("cos",
-        graft.functions.VectorFunctions.dotFold(col("embedding"), col("q_emb")))
-      .orderBy(desc("cos"), asc("vec_id")).limit(50)
-      .withColumn("rank_vec", row_number().over(
-        Window.orderBy(desc("cos"), asc("vec_id"))).cast("long"))
-      .select(col("vec_id").as("doc_id"), col("rank_vec"))
-    kw.join(vec, Seq("doc_id"), "full_outer")
-      .na.fill(0L, Seq("rank_kw", "rank_vec"))
-      .withColumn("rrf_micro",
-        expr("(case when rank_kw > 0 then 1000000 div (60 + rank_kw) else 0 end)" +
-          " + (case when rank_vec > 0 then 1000000 div (60 + rank_vec) else 0 end)"))
-      .orderBy(desc("rrf_micro"), asc("doc_id")).limit(10)
-      .select("doc_id", "rank_kw", "rank_vec", "rrf_micro")
+    val qv = graft.rag.AnnStore.vectorOf(spark, dir, 7L)
+    graft.search.HybridSearch.hybridSearch(spark, dir,
+      Seq("vector", "merge", "batch"), qv, topK = 10, legK = 50,
+      excludeId = Some(7L))
   }
 
   val q208Sql: String = {
     val dot = OracleSql.dotFold("e.embedding", "q.q_emb")
-    s"""WITH tok AS (
+    s"""WITH ${OracleSql.annQuantizerCtes(graft.rag.AnnStore.NumLists)},
+       |tok AS (
        |  SELECT doc_id, unnest(${OracleSql.tokens("lower(text)")}) AS term
        |  FROM documents),
        |dlen AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY 1),
@@ -1021,11 +1010,16 @@ object SearchQueries {
        |kw AS (
        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank_kw
        |  FROM scored ORDER BY s DESC, doc_id LIMIT 50),
-       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 7),
+       |q AS (SELECT m AS qm, embedding AS q_emb FROM fx WHERE vec_id = 7),
+       |plists AS (
+       |  SELECT c.list_id FROM ann_cent c, q
+       |  ORDER BY ${OracleSql.annScore("q.qm", "c.c")}, c.list_id
+       |  LIMIT ${graft.rag.AnnStore.DefaultNprobe}),
        |vec AS (
        |  SELECT e.vec_id AS doc_id,
        |    ROW_NUMBER() OVER (ORDER BY $dot DESC, e.vec_id) AS rank_vec
-       |  FROM embeddings e, q WHERE e.vec_id <> 7
+       |  FROM fx e JOIN ann_asg a USING (vec_id), q
+       |  WHERE a.list_id IN (SELECT list_id FROM plists) AND e.vec_id <> 7
        |  ORDER BY $dot DESC, e.vec_id LIMIT 50),
        |fused AS (
        |  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,

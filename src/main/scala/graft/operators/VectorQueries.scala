@@ -454,26 +454,36 @@ object VectorQueries {
        |ORDER BY query_id, rank""".stripMargin
 
   /** The reference's full search composition (rag.py:158-227, SURVEY
-    * §2.9 searchDockets) as one oracle-checked plan: score → candidate
+    * §2.9 searchDockets) as one oracle-checked plan: candidates →
     * pool `max(k*10, 50)` → best-chunk-per-case argmax → top-k with
     * 4-dp rounding. `vec_id mod 100` stands in for the chunk→case
     * grouping (the test embeddings have no case column). Rounding is
     * `round` (half-away) here to match DuckDB bit-for-bit; the
     * production path (RagPipeline.search) uses bround = Python
     * banker's rounding for reference parity.
+    *
+    * Shape (r11): the candidate stage probes the MATERIALIZED ANN
+    * index (graft.rag.AnnStore — the stored form of the reference's
+    * IVFFLAT, rag.py:83-86): centroids rank driver-side, the scan
+    * reads `nprobe` pruned list directories, never the full
+    * embeddings table — the same plan-class fix r10 applied to the
+    * lexical q44. Approximate overall exactly like the reference's
+    * `ivfflat.probes` walk; the DuckDB oracle recomputes the
+    * deterministic quantizer + probe from scratch, so stored-index ==
+    * recompute re-proves every round.
     */
   def q43SearchTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.rag.AnnStore
     val k = 5
     val pool = math.max(k * 10, 50)
-    val t = Tables(spark, dir)
-    val q = t.embeddings.filter(col("vec_id") === 7)
-      .select(col("embedding").as("q_emb"))
-    val cand = t.embeddings
-      .crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= 7)
-      .withColumn("similarity", dotFold(col("embedding"), col("q_emb")))
-      .select(col("vec_id"), pmod(col("vec_id"), lit(100)).as("case_key"),
-        col("similarity"))
+    val qv = AnnStore.vectorOf(spark, dir, 7L) // 1-row stored lookup
+    val lists = AnnStore.probeListsOf(
+      AnnStore.centroidsLocal(spark, dir), qv, AnnStore.DefaultNprobe)
+    val cand = AnnStore.assignments(spark, dir)
+      .filter(col("list_id").isin(lists: _*) && col("id") =!= 7)
+      .withColumn("similarity", dotFold(col("embedding"), typedlit(qv.toSeq)))
+      .select(col("id").as("vec_id"),
+        pmod(col("id"), lit(100)).as("case_key"), col("similarity"))
       .orderBy(desc("similarity"), asc("vec_id"))
       .limit(pool)
     val w = Window.partitionBy("case_key").orderBy(desc("similarity"), asc("vec_id"))
@@ -487,11 +497,17 @@ object VectorQueries {
   }
 
   val q43Sql: String =
-    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 7),
+    s"""WITH ${OracleSql.annQuantizerCtes(graft.rag.AnnStore.NumLists)},
+       |q AS (SELECT m AS qm, embedding AS q_emb FROM fx WHERE vec_id = 7),
+       |plists AS (
+       |  SELECT c.list_id FROM ann_cent c, q
+       |  ORDER BY ${OracleSql.annScore("q.qm", "c.c")}, c.list_id
+       |  LIMIT ${graft.rag.AnnStore.DefaultNprobe}),
        |cand AS (
-       |  SELECT vec_id, vec_id % 100 AS case_key,
-       |    ${OracleSql.dotFold("embedding", "q_emb")} AS similarity
-       |  FROM embeddings, q WHERE vec_id <> 7
+       |  SELECT e.vec_id, e.vec_id % 100 AS case_key,
+       |    ${OracleSql.dotFold("e.embedding", "q.q_emb")} AS similarity
+       |  FROM fx e JOIN ann_asg a USING (vec_id), q
+       |  WHERE a.list_id IN (SELECT list_id FROM plists) AND e.vec_id <> 7
        |  ORDER BY similarity DESC, vec_id LIMIT 50),
        |best AS (
        |  SELECT case_key, vec_id AS best_vec, round(similarity, 4) AS best_similarity,
@@ -499,6 +515,181 @@ object VectorQueries {
        |  FROM cand)
        |SELECT case_key, best_vec, best_similarity FROM best WHERE rn = 1
        |ORDER BY best_similarity DESC, case_key LIMIT 5""".stripMargin
+
+  /** q209: stored-ANN INTEGRITY audit — q205's stored==recompute
+    * contract applied to the vector index: the Spark side recomputes
+    * every stored vector's argmin list against the STORED centroids
+    * (n_mismatch must be 0 — catches a merge that assigned against
+    * stale centroids), and the per-list histogram hash-compares
+    * against the DuckDB oracle's from-scratch quantizer recompute
+    * (catches centroid drift, lost vectors, double merges). Together
+    * the two legs pin the whole stored index to the deterministic
+    * build every round.
+    *
+    * Scale shape: one scan of the assignments snapshot with a
+    * row-local 16-fold integer score (centroids ride as a literal),
+    * map-side-combined count aggregate to ≤ lists rows.
+    */
+  def q209StoredAnnAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.rag.AnnStore
+    val cents = AnnStore.centroidsLocal(spark, dir)
+    AnnStore.assignListId(
+      AnnStore.assignments(spark, dir)
+        .select(col("id"), col("embedding"),
+          col("list_id").cast("long").as("stored_list")),
+      "embedding", cents.map(_._2))
+      .withColumn("mismatch",
+        when(col("list_id").cast("long") =!= col("stored_list"), 1L)
+          .otherwise(0L))
+      .drop("list_id")
+      .groupBy(col("stored_list").as("list_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum("mismatch").as("n_mismatch"))
+      .orderBy("list_id")
+  }
+
+  val q209Sql: String =
+    s"""WITH ${OracleSql.annQuantizerCtes(graft.rag.AnnStore.NumLists)}
+       |SELECT list_id::BIGINT AS list_id, COUNT(*)::BIGINT AS n_vectors,
+       |  0::BIGINT AS n_mismatch
+       |FROM ann_asg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q210: the stored-ANN probe API itself (AnnStore.denseSearch) —
+    * centroids rank driver-side, the scan reads `nprobe` pruned list
+    * dirs, exact cosine re-rank within. This is the dense twin of
+    * q44's stored-keyword probe: the parameterized engine API under
+    * oracle (the DuckDB twin recomputes quantizer + probe from
+    * scratch), so the API users actually call is hash-gated, not just
+    * the composition built on it.
+    */
+  def q210AnnProbeTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.rag.AnnStore
+    val qv = AnnStore.vectorOf(spark, dir, 7L)
+    AnnStore.denseSearch(spark, dir, qv, topK = 10,
+      nprobe = AnnStore.DefaultNprobe, excludeId = Some(7L))
+  }
+
+  val q210Sql: String =
+    s"""WITH ${OracleSql.annQuantizerCtes(graft.rag.AnnStore.NumLists)},
+       |q AS (SELECT m AS qm, embedding AS q_emb FROM fx WHERE vec_id = 7),
+       |plists AS (
+       |  SELECT c.list_id FROM ann_cent c, q
+       |  ORDER BY ${OracleSql.annScore("q.qm", "c.c")}, c.list_id
+       |  LIMIT ${graft.rag.AnnStore.DefaultNprobe})
+       |SELECT e.vec_id AS id,
+       |  ${OracleSql.dotFold("e.embedding", "q.q_emb")} AS cosine
+       |FROM fx e JOIN ann_asg a USING (vec_id), q
+       |WHERE a.list_id IN (SELECT list_id FROM plists) AND e.vec_id <> 7
+       |ORDER BY cosine DESC, id LIMIT 10""".stripMargin
+
+  /** q211: STORED-ANN recall/cost curve — q191's tuning curve
+    * re-measured against the materialized IVF index (r10 verdict item
+    * 1's "done" bar): for nprobe ∈ {1,2,4,8,16}, mean recall@10 of
+    * the stored-index probe vs the exact top-10, next to the mean
+    * probe-pool size (the read-amplification axis). nprobe = 16 (all
+    * lists) must read recall 1000 — the exhaustive-probe sanity row.
+    *
+    * Scale shape: probe ranks are a driver-side lists×queries frame
+    * BROADCAST into one candidates join; a vector lives in exactly
+    * one list so tiers need no dedup (`rn` IS the tier); the truth
+    * leg's full sweep is the audit's ground twin (exempt from the
+    * no-full-scan guard — measuring recall REQUIRES the exact
+    * answer); per-(query, np) windows ride pool-bounded frames.
+    */
+  def q211AnnRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.rag.AnnStore
+    import spark.implicits._
+    val nprobes = Seq(1L, 2L, 4L, 8L, 16L)
+    val cents = AnnStore.centroidsLocal(spark, dir)
+    val assigned = AnnStore.assignments(spark, dir)
+    val qRows = assigned.filter(col("id") < 8)
+      .select(col("id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val probes = qRows.flatMap { case (qid, v) =>
+      AnnStore.probeListsOf(cents, v, cents.size).zipWithIndex
+        .map { case (l, i) => (qid, l, (i + 1).toLong) }
+    }.toSeq.toDF("query_id", "list_id", "rn")
+    val qFrame = assigned.filter(col("id") < 8)
+      .select(col("id").as("query_id"), col("embedding").as("q_emb"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("dot"), asc("id"))
+    val truth = assigned.select("id", "embedding")
+      .crossJoin(broadcast(qFrame))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("dot", dotFold(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("id"), lit(true).as("is_rel"))
+    val cand = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(qFrame), Seq("query_id"))
+      .withColumn("cosine", dotFold(col("embedding"), col("q_emb")))
+      .select("query_id", "id", "rn", "cosine")
+    val byNp = cand.withColumn("np", explode(typedlit(nprobes)))
+      .filter(col("rn") <= col("np"))
+      .withColumn("srank", row_number().over(
+        Window.partitionBy("query_id", "np")
+          .orderBy(desc("cosine"), asc("id"))))
+    val perQ = byNp.join(truth, Seq("query_id", "id"), "left")
+      .groupBy("query_id", "np")
+      .agg(count(lit(1)).as("n_pool"),
+        count(when(col("srank") <= 10 && col("is_rel"), 1)).as("n_hits"))
+    val universe = qFrame.select("query_id").crossJoin(nprobes.toDF("np"))
+    universe.join(perQ, Seq("query_id", "np"), "left")
+      .na.fill(0L, Seq("n_pool", "n_hits"))
+      .groupBy("np")
+      .agg(count(lit(1)).as("n_queries"),
+        expr("sum((1000 * n_hits) div 10) div count(1)")
+          .as("mean_recall_permille"),
+        expr("sum(n_pool) div count(1)").as("mean_pool"))
+      .orderBy("np")
+  }
+
+  val q211Sql: String = {
+    val dot = OracleSql.dotFold("e.embedding", "q.q_emb")
+    s"""WITH ${OracleSql.annQuantizerCtes(graft.rag.AnnStore.NumLists)},
+       |qs AS (SELECT vec_id AS query_id, m AS qm, embedding AS q_emb
+       |  FROM fx WHERE vec_id < 8),
+       |pl AS (
+       |  SELECT q.query_id, c.list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${OracleSql.annScore("q.qm", "c.c")}, c.list_id) AS rn
+       |  FROM qs q CROSS JOIN ann_cent c),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY $dot DESC, e.vec_id) AS rank
+       |    FROM fx e CROSS JOIN qs q WHERE e.vec_id <> q.query_id)
+       |  WHERE rank <= 10),
+       |cand AS (
+       |  SELECT p.query_id, e.vec_id, p.rn,
+       |    ${OracleSql.dotFold("e.embedding", "q.q_emb")} AS cosine
+       |  FROM fx e JOIN ann_asg a USING (vec_id)
+       |    JOIN pl p ON a.list_id = p.list_id
+       |    JOIN qs q ON q.query_id = p.query_id
+       |  WHERE e.vec_id <> p.query_id),
+       |bynp AS (
+       |  SELECT query_id, vec_id, cosine, u.np,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id, u.np
+       |      ORDER BY cosine DESC, vec_id) AS srank
+       |  FROM cand, UNNEST([1, 2, 4, 8, 16]::BIGINT[]) AS u(np)
+       |  WHERE rn <= u.np),
+       |perq AS (
+       |  SELECT b.query_id, b.np, COUNT(*)::BIGINT AS n_pool,
+       |    COUNT(CASE WHEN b.srank <= 10 AND t.vec_id IS NOT NULL
+       |      THEN 1 END)::BIGINT AS n_hits
+       |  FROM bynp b LEFT JOIN truth t
+       |    ON b.query_id = t.query_id AND b.vec_id = t.vec_id
+       |  GROUP BY 1, 2),
+       |univ AS (
+       |  SELECT query_id, u.np FROM qs, UNNEST([1, 2, 4, 8, 16]::BIGINT[]) AS u(np))
+       |SELECT np, COUNT(*)::BIGINT AS n_queries,
+       |  (SUM((1000 * COALESCE(n_hits, 0)) // 10) // COUNT(*))::BIGINT
+       |    AS mean_recall_permille,
+       |  (SUM(COALESCE(n_pool, 0)) // COUNT(*))::BIGINT AS mean_pool
+       |FROM univ LEFT JOIN perq USING (query_id, np)
+       |GROUP BY np ORDER BY np""".stripMargin
+  }
 
   /** One Lloyd assignment step — the training iteration behind the
     * IVF-Flat index (rag/AnnIndex): 8 seed centroids (vec_id < 8, the
@@ -1650,6 +1841,9 @@ object VectorQueries {
     "q164_cell_occupancy" -> (q164CellOccupancy _),
     "q165_mmr_rerank" -> (q165MmrRerank _),
     "q43_search_topk" -> (q43SearchTopk _),
+    "q209_stored_ann_audit" -> (q209StoredAnnAudit _),
+    "q210_ann_probe_topk" -> (q210AnnProbeTopk _),
+    "q211_ann_recall_curve" -> (q211AnnRecallCurve _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1674,5 +1868,8 @@ object VectorQueries {
     "q164_cell_occupancy" -> q164Sql,
     "q165_mmr_rerank" -> q165Sql,
     "q43_search_topk" -> q43Sql,
+    "q209_stored_ann_audit" -> q209Sql,
+    "q210_ann_probe_topk" -> q210Sql,
+    "q211_ann_recall_curve" -> q211Sql,
   )
 }

@@ -496,11 +496,14 @@ class PlanGuardsSpec extends AnyFunSuite {
       assert(docScans.isEmpty,
         s"$name scans the corpus instead of the stored index:\n" +
           s"${df.queryExecution.executedPlan}")
-      // q150's embeddings leg legitimately scans embeddings.parquet;
-      // every OTHER scan must be an index-store read
+      // q150's embeddings leg legitimately scans embeddings.parquet
+      // (the exact-fusion baseline); q208's dense leg reads the
+      // stored ANN snapshot; every OTHER scan must be an index-store
+      // read
       val stray = scans.filterNot(f => f.relation.location.rootPaths.exists(
         p => p.toString.contains("postings") ||
-          p.toString.contains("embeddings")))
+          p.toString.contains("embeddings") ||
+          p.toString.contains("ann_")))
       assert(stray.isEmpty,
         s"$name reads an unexpected table:\n${stray.map(_.relation.location.rootPaths)}")
     }
@@ -532,6 +535,42 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(q207Scans.isEmpty,
       "q207 re-scans the index: phraseSearch must reuse its single " +
         "materialized probe for both the df gate and the intersect")
+  }
+
+  test("q43/q208/q210 probe the STORED ANN index: no embeddings scan " +
+    "in any search plan; assignment scans prune list_id dirs") {
+    // r11: the r10 lexical materialized-index contract applied to the
+    // vector side (verdict item 1) — the reference STORES its IVFFLAT
+    // (rag.py:83-86) and walks `probes` lists per query; a search
+    // plan that scans the full embeddings table is CPU/IO-linear in
+    // the corpus per query, the wrong class at 100 TB. The query
+    // vector itself comes from a bounded stored-index point lookup at
+    // plan-construction time, so the returned plan must contain ZERO
+    // embeddings.parquet scans and its ann_assignments scans must
+    // carry a list_id partition filter (the directory-level list
+    // walk). q209/q211 audit the WHOLE index by design and are
+    // exempt; q211's exact-truth leg REQUIRES a full assignments pass
+    // (recall is measured against the exact answer).
+    val dfs = Seq(
+      "q43" -> operators.VectorQueries.q43SearchTopk(spark, dir),
+      "q208" -> operators.SearchQueries.q208HybridBm25Rrf(spark, dir),
+      "q210" -> operators.VectorQueries.q210AnnProbeTopk(spark, dir))
+    dfs.foreach { case (name, df) =>
+      val scans = collectNodes(df) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val embScans = scans.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("embeddings.parquet")))
+      assert(embScans.isEmpty,
+        s"$name scans the raw embeddings table instead of the stored " +
+          s"ANN index:\n${df.queryExecution.executedPlan}")
+      val annScans = scans.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("ann_assignments")))
+      assert(annScans.nonEmpty, s"$name lost its ANN probe scan")
+      assert(annScans.forall(_.partitionFilters.nonEmpty),
+        s"$name probes without list pruning:\n" +
+          s"${df.queryExecution.executedPlan}")
+    }
   }
 
   test("UNIVERSAL window-class guard: across ALL registry entries, no " +
