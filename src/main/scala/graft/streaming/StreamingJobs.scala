@@ -328,6 +328,137 @@ object StreamingPostings {
   }
 }
 
+/** Continuous ANN-index maintenance — the streaming face of the
+  * MATERIALIZED ANN snapshot (graft.rag.AnnStore), on
+  * StreamingPostings' exact protocol: each micro-batch's vectors
+  * assign MAP-side against the STORED centroids (the lists×dim
+  * codebook rides as a literal — no join, no shuffle in the scoring
+  * stage) and merge LAST-WRITE-WINS on id. A re-ingested vector
+  * MOVES lists correctly: the LWW merge's collide probe finds its
+  * old list partition, so both the old and the new list dirs
+  * rewrite and every other list re-links. Per-list occupancy
+  * subtotals recompute for the TOUCHED lists only (batch's lists ∪
+  * prior lists of batch ids — a partition-pruned scan; departures
+  * write explicit zeros so a drained list never keeps a stale
+  * count), and the stats row — with the q164-style occupancy skew
+  * ratio and the retrain flag — sums the ≤ lists-row subtotal table.
+  * Idempotent on batchId via the ledger marker; every step is a
+  * deterministic function of post-merge store state, so crash
+  * replays converge (the delta-counter alternative would
+  * double-apply between the merge and the stats write).
+  *
+  * Centroid drift: when occupancy skew crosses the threshold the
+  * stats row flags `needs_retrain`; [[retrain]] re-trains the
+  * deterministic quantizer on the CURRENT assignments and rewrites
+  * the index (a new snapshot version — probes see old or new, never
+  * half). `retrainOnSkew = true` wires the trigger into the commit
+  * itself.
+  */
+object StreamingAnn {
+  import graft.rag.AnnStore
+
+  /** One micro-batch of `(id, embedding)` vectors into the ANN store.
+    * The store must hold a trained index already (AnnStore.ensure or
+    * writeIndex) — maintenance extends an index, it does not invent
+    * the codebook.
+    */
+  def processBatch(store: SnapshotStore, batch: DataFrame, batchId: Long,
+      retrainSkewX1000: Long = 4000L, retrainOnSkew: Boolean = false): Unit = {
+    val alreadyDone = store.read("ann_batches").exists(
+      _.filter(col("batch_id") === batchId).limit(1).count() > 0)
+    if (alreadyDone) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents = AnnStore.centroidsOf(store.read("ann_centroids").getOrElse(
+      throw new IllegalStateException(
+        "ann store has no centroids — build the index before streaming " +
+          "maintenance (AnnStore.ensure / writeIndex)")))
+    val assignedBatch = AnnStore.assignListId(
+      batch.select("id", "embedding").dropDuplicates("id"),
+      "embedding", cents.map(_._2))
+      .localCheckpoint(true) // read by the merge, the probe, and touched
+    val batchLists = assignedBatch.select("list_id").distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSeq
+    // prior lists of re-ingested ids — the column-pruned lookup that
+    // makes a MOVED vector's old list part of the touched set (same
+    // class as the LWW merge's own collide probe)
+    val priorLists = store.read("ann_assignments").get
+      .join(assignedBatch.select("id"), Seq("id"), "left_semi")
+      .select("list_id").distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSeq
+    // durable TOUCHED-SET INTENT, appended BEFORE any mutation: after
+    // a crash mid-batch the replay recomputes priorLists from the
+    // post-merge store — where a moved vector's OLD list is invisible
+    // — so without this record the old list's count would go stale.
+    // Replay unions every intent row for the batch (idempotent: a
+    // superset touched set only recomputes extra exact subtotals).
+    store.append("ann_touched_intents",
+      Seq((batchId, (batchLists ++ priorLists).distinct.sorted))
+        .toDF("batch_id", "list_ids"))
+    val touched = store.read("ann_touched_intents").get
+      .filter(col("batch_id") === batchId)
+      .select(explode(col("list_ids")).as("l"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    store.mergeLastWriteWins("ann_assignments", assignedBatch, Seq("id"),
+      partitionCols = Seq("list_id"), sortCols = Seq("id"))
+    // LEFT join from the touched-key frame: a list every batch vector
+    // LEFT still gets a (possibly zero) row — counts never go stale
+    val listTotals = touched.toDF("list_id").join(
+      store.read("ann_assignments").get
+        .filter(col("list_id").isin(touched: _*))
+        .groupBy(col("list_id").cast("long").as("list_id"))
+        .agg(count(lit(1)).as("n_vectors")),
+      Seq("list_id"), "left").na.fill(0L, Seq("n_vectors"))
+    store.mergeLastWriteWins("ann_list_stats", listTotals, Seq("list_id"))
+    store.write("ann_stats",
+      AnnStore.statsFromListStats(store, cents.size, retrainSkewX1000))
+    // commit marker LAST (see StreamingIngest.processBatch)
+    store.append("ann_batches", Seq(batchId).toDF("batch_id"))
+    // post-commit maintenance, content-neutral (replay-safe): the
+    // retrain trigger — a rewritten index is a NEW snapshot version
+    // assigning the same vectors, so a crash replay of this batch
+    // skips via the marker and probes keep working either way
+    if (retrainOnSkew && needsRetrain(store)) retrain(spark, store)
+    ()
+  }
+
+  /** Does the stored stats row flag occupancy skew past threshold? */
+  def needsRetrain(store: SnapshotStore): Boolean =
+    store.read("ann_stats").exists(
+      _.select("needs_retrain").collect().headOption.exists(_.getBoolean(0)))
+
+  /** Re-train the deterministic quantizer on the CURRENT assignments
+    * and rewrite the whole index (new snapshot versions of all four
+    * tables) — the occupancy-drift response q164's audit calls for.
+    */
+  def retrain(spark: SparkSession, store: SnapshotStore,
+      lists: Int = AnnStore.NumLists): Unit = {
+    val emb = store.read("ann_assignments").get.select("id", "embedding")
+      .localCheckpoint(true) // sever from the versions being replaced
+    val cents = AnnStore.trainCentroids(emb, "embedding",
+      Seq(col("id")), lists)
+    AnnStore.writeIndex(spark, store, emb, cents)
+  }
+
+  /** Watch `inputDir` for JSON files of `{id, embedding: [...]}`. */
+  def start(spark: SparkSession, inputDir: String, checkpointDir: String,
+      store: SnapshotStore, retrainOnSkew: Boolean = false): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    spark.readStream.schema(schema).option("multiLine", true).json(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(store, batch, batchId, retrainOnSkew = retrainOnSkew)
+      }
+      .start()
+  }
+}
+
 /** Continuous eval-set decontamination — the streaming face of q111:
   * each micro-batch's documents are word-8-gram'd ROW-LOCALLY and
   * probed against the (static, broadcast) benchmark gram set; a

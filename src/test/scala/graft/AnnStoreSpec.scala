@@ -1,0 +1,201 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rag.AnnStore
+import graft.store.SnapshotStore
+import graft.streaming.StreamingAnn
+
+/** The materialized ANN index: probe semantics against driver-side
+  * Scala references, corpus-change invalidation, incremental
+  * maintenance (LWW moves, touched-list stats, replay idempotence),
+  * and the occupancy retrain trigger.
+  */
+class AnnStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Driver-side reference: exact top-k by cosine over a collected
+    * id→vector map, restricted to `lists` when given — the algebra
+    * denseSearch claims, independent of every Spark operator.
+    */
+  private def refTopK(vecs: Map[Long, Array[Float]], q: Array[Float],
+      k: Int, keep: Long => Boolean): Seq[Long] =
+    vecs.toSeq.filter(v => keep(v._1))
+      .map { case (id, v) =>
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i).toDouble * q(i).toDouble; i += 1 }
+        (id, s)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+
+  test("exhaustive probe (nprobe = NumLists) equals exact brute-force " +
+    "top-k — the IVF recall knob's upper end") {
+    val all = AnnStore.assignments(spark, dir)
+      .select("id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = AnnStore.vectorOf(spark, dir, 7L)
+    val got = AnnStore.denseSearch(spark, dir, q, topK = 10,
+      nprobe = AnnStore.NumLists, excludeId = Some(7L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == refTopK(all, q, 10, _ != 7L))
+  }
+
+  test("narrow probe returns the exact top-k WITHIN the probed lists " +
+    "(approximate overall, exact inside — the IVFFLAT contract)") {
+    val cents = AnnStore.centroidsLocal(spark, dir)
+    val q = AnnStore.vectorOf(spark, dir, 7L)
+    val lists = AnnStore.probeListsOf(cents, q, 2).toSet
+    val inLists = AnnStore.assignments(spark, dir)
+      .filter(col("list_id").isin(lists.toSeq.map(_.asInstanceOf[Any]): _*))
+      .select("id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = AnnStore.denseSearch(spark, dir, q, topK = 5, nprobe = 2,
+      excludeId = Some(7L)).collect().map(_.getLong(0)).toSeq
+    assert(got == refTopK(inLists, q, 5, _ != 7L))
+  }
+
+  test("stored assignments match a driver-side argmin against the " +
+    "stored centroids (ties to lowest list)") {
+    val cents = AnnStore.centroidsLocal(spark, dir)
+    val rows = AnnStore.assignments(spark, dir)
+      .select("id", "embedding", "list_id").collect()
+    assert(rows.nonEmpty)
+    rows.take(200).foreach { r =>
+      val m = AnnStore.microLocal(r.getSeq[Float](1).toArray)
+      val best = cents.map { case (i, c) => (AnnStore.scoreLocal(m, c), i) }
+        .min._2
+      assert(r.getAs[Number]("list_id").intValue == best,
+        s"vector ${r.getLong(0)} stored in the wrong list")
+    }
+  }
+
+  test("corpus fingerprint: changed embeddings invalidate, unchanged " +
+    "reuse; the fingerprint records the list count") {
+    val work = Files.createTempDirectory("graft-ann-fp")
+    val src = Paths.get(dir, "embeddings.parquet")
+    val dst = work.resolve("embeddings.parquet")
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      Files.list(src).forEach(p =>
+        Files.copy(p, dst.resolve(p.getFileName.toString)))
+    } else Files.copy(src, dst, StandardCopyOption.COPY_ATTRIBUTES)
+    val s1 = AnnStore.ensure(spark, work.toString)
+    val v1 = s1.currentVersion("ann_assignments").get
+    assert(AnnStore.ensure(spark, work.toString)
+      .currentVersion("ann_assignments").contains(v1))
+    val root = Paths.get(sys.env.getOrElse("GRAFT_ANN_ROOT",
+      Paths.get(sys.props("java.io.tmpdir"), "graft-ann").toString),
+      work.toString.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val fp = Files.readString(root.resolve("_corpus_fingerprint")).trim
+    assert(fp.contains(s":l${AnnStore.NumLists}:"),
+      s"fingerprint '$fp' does not record the list count")
+    val touch = if (Files.isDirectory(dst))
+      Files.list(dst).findFirst().get() else dst
+    Files.setLastModifiedTime(touch,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(touch).toMillis + 54321))
+    assert(AnnStore.ensure(spark, work.toString)
+      .currentVersion("ann_assignments").exists(_ > v1),
+      "stale ANN index survived a corpus change")
+  }
+
+  /** Two tight clusters on the first axis — base all in cluster A so
+    * both trained centroids land there; streamed cluster-B vectors
+    * then pile into one list (skew) until retrain splits them.
+    */
+  private def clusteredFixture(): (SnapshotStore,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    def vec(x: Float) = Array.tabulate(4)(i => if (i == 0) x else 0.1f)
+    val base = Seq(
+      (0L, vec(1.00f).toSeq), (1L, vec(0.95f).toSeq),
+      (2L, vec(0.90f).toSeq), (3L, vec(0.85f).toSeq))
+      .toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val batch = (10L until 22L).map(i => (i, vec(-1.0f - (i - 10) * 0.01f).toSeq))
+      .toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val tmp = Files.createTempDirectory("graft-ann-inc").toString
+    val store = new SnapshotStore(spark, tmp)
+    val cents = AnnStore.trainCentroids(base, "embedding", Seq(col("id")), 2)
+    AnnStore.writeIndex(spark, store, base, cents)
+    (store, base, batch)
+  }
+
+  test("incremental maintenance: LWW merge, moved vectors rewrite both " +
+    "lists, touched-list stats stay exact, replay is a no-op") {
+    import spark.implicits._
+    val (store, _, batch) = clusteredFixture()
+    StreamingAnn.processBatch(store, batch, 0L)
+    // re-ingest id 10 MOVED to cluster A — its list must change and
+    // both lists' counts must follow
+    def vecRow(id: Long, x: Float) =
+      Seq((id, Array.tabulate(4)(i => if (i == 0) x else 0.1f).toSeq))
+        .toDF("id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    StreamingAnn.processBatch(store, vecRow(10L, 0.99f), 1L)
+    val cents = AnnStore.centroidsOf(store.read("ann_centroids").get)
+    val rows = store.read("ann_assignments").get
+      .select("id", "embedding", "list_id").collect()
+    assert(rows.length == 4 + 12, "LWW merge lost or duplicated ids")
+    rows.foreach { r =>
+      val m = AnnStore.microLocal(r.getSeq[Float](1).toArray)
+      val best = cents.map { case (i, c) => (AnnStore.scoreLocal(m, c), i) }
+        .min._2
+      assert(r.getAs[Number]("list_id").intValue == best)
+    }
+    // per-list stats equal a recompute (including any zeroed list)
+    val gotStats = store.read("ann_list_stats").get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = rows.groupBy(_.getAs[Number]("list_id").longValue)
+      .map { case (l, rs) => l -> rs.length.toLong }
+    assert(gotStats.filter(_._2 > 0) == expect)
+    val st = store.read("ann_stats").get.collect()(0)
+    assert(st.getAs[Long]("n_vectors") == 16L)
+    // replay: every pointer stays put
+    val vA = store.currentVersion("ann_assignments")
+    val vS = store.currentVersion("ann_stats")
+    StreamingAnn.processBatch(store, vecRow(10L, 0.99f), 1L)
+    assert(store.currentVersion("ann_assignments") == vA &&
+      store.currentVersion("ann_stats") == vS,
+      "replayed batch mutated the index")
+  }
+
+  test("occupancy skew flags needs_retrain; retrain rewrites a " +
+    "self-consistent index over the same vectors") {
+    val (store, _, batch) = clusteredFixture()
+    // both centroids sit in cluster A, so 12 cluster-B vectors land in
+    // ONE list: max 12+? of 16 total → skew ≥ 12*2000/16 = 1500
+    StreamingAnn.processBatch(store, batch, 0L, retrainSkewX1000 = 1400L)
+    assert(StreamingAnn.needsRetrain(store),
+      "lopsided occupancy did not flag a retrain")
+    val vC = store.currentVersion("ann_centroids").get
+    StreamingAnn.retrain(spark, store, lists = 2)
+    assert(store.currentVersion("ann_centroids").exists(_ > vC))
+    // rewritten index is audit-consistent: stored == argmin vs NEW
+    // centroids, same vector set
+    val cents = AnnStore.centroidsOf(store.read("ann_centroids").get)
+    val rows = store.read("ann_assignments").get
+      .select("id", "embedding", "list_id").collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val m = AnnStore.microLocal(r.getSeq[Float](1).toArray)
+      val best = cents.map { case (i, c) => (AnnStore.scoreLocal(m, c), i) }
+        .min._2
+      assert(r.getAs[Number]("list_id").intValue == best)
+    }
+    // the two tight clusters now split across the two lists, so the
+    // retrained layout is balanced again (4 vs 12 of 16: skew 1500 →
+    // the A/B split puts 12 B-vectors in one list and 4 A in the
+    // other; with lists=2 the mean is 8, max 12 → 1500 exactly — use
+    // the stats row recomputed by retrain's writeIndex)
+    val skew = store.read("ann_stats").get.collect()(0)
+      .getAs[Long]("skew_x1000")
+    assert(skew == 1500L)
+  }
+}
