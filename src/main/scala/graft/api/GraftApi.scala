@@ -16,16 +16,30 @@ final case class PartyRow(name: String, normalized_name: String, role: String)
 final case class SearchResult(case_number: String, title: String,
     filed_date: String, judge: Option[String], court: Option[String],
     best_similarity: Double, best_chunk_id: Int, best_chunk_snippet: String)
+final case class KeywordHit(case_number: String, score: Long,
+    n_terms_matched: Long)
+final case class Bm25Hit(case_number: String, score_micro: Long,
+    n_terms_matched: Long)
+final case class PhraseHit(case_number: String, n_phrase: Long,
+    n_terms_used: Long)
 
 /** The query facade — the three REST endpoints of the reference
   * (api.py:154-270) as typed methods over registered tables. All
   * filters reach the Parquet scans (predicate pushdown stands in for
   * the reference's B-tree indexes, SURVEY §4); dim joins broadcast.
   */
+/** @param searchStore the ingest SnapshotStore carrying the stored
+  *   search indexes the streaming commit maintains — the docket
+  *   postings tables (StreamingPostings) for the keyword/BM25/phrase
+  *   endpoints, and the chunk-ANN tables (RagPipeline.indexChunks)
+  *   that let searchDockets probe `nprobe` pruned lists instead of
+  *   scanning every chunk embedding.
+  */
 final class GraftApi(spark: SparkSession, cases: DataFrame, judges: DataFrame,
     courts: DataFrame, caseTypes: DataFrame, parties: DataFrame,
     caseParties: DataFrame, embeddings: Option[DataFrame] = None,
-    embedder: Embedder = HashingEmbedder()) {
+    embedder: Embedder = HashingEmbedder(),
+    searchStore: Option[graft.store.SnapshotStore] = None) {
   import spark.implicits._
 
   private def withDims(df: DataFrame): DataFrame = df
@@ -96,12 +110,98 @@ final class GraftApi(spark: SparkSession, cases: DataFrame, judges: DataFrame,
       .orderBy("role", "name")
       .as[PartyRow].collect().toSeq
 
-  /** POST /cases/search (api.py:202-218 → rag.py:158-227). */
+  /** POST /cases/search (api.py:202-218 → rag.py:158-227). When the
+    * search store carries a chunk-ANN index, candidates come from the
+    * STORED index's nprobe-pruned lists (the reference's actual plan:
+    * its IVFFLAT probe, rag.py:179-180); otherwise the exact chunk
+    * scan — same contract, exhaustive pool.
+    */
   def searchDockets(query: String, topK: Int = 5): Seq[SearchResult] = {
     require(topK >= 1 && topK <= 50, "top_k must be in [1, 50]") // api.py:66
-    val emb = embeddings.getOrElse(
-      throw new IllegalStateException("no embedding table loaded"))
-    RagPipeline.searchText(emb, cases, judges, courts, query, topK, embedder)
-      .as[SearchResult].collect().toSeq
+    require(query != null && query.trim.length >= 2,
+      "query must be at least 2 characters") // api.py:64-73
+    searchStore.filter(_.currentVersion("chunk_ann_centroids").isDefined) match {
+      case Some(st) =>
+        RagPipeline.searchStored(st, cases, judges, courts,
+          embedder.embed(query), topK).as[SearchResult].collect().toSeq
+      case None =>
+        val emb = embeddings.getOrElse(
+          throw new IllegalStateException("no embedding table loaded"))
+        RagPipeline.searchText(emb, cases, judges, courts, query, topK,
+          embedder).as[SearchResult].collect().toSeq
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // parameterized full-text endpoints over the STORED docket postings
+  // index (the GIN capability, schema.sql:141 — maintained inside the
+  // streaming ingest commit, probed here with bucket pruning)
+  // ---------------------------------------------------------------
+
+  private def postingsFrames: (DataFrame, DataFrame) = {
+    val st = searchStore.getOrElse(
+      throw new IllegalStateException("no search index loaded"))
+    val posts = st.read("postings").getOrElse(
+      throw new IllegalStateException("search store has no postings index"))
+    (posts, st.read("postings_stats").get)
+  }
+
+  /** Reference validation conventions (api.py:64-73's pattern): at
+    * least one non-blank term, k in [1, 50].
+    */
+  private def validated(terms: Seq[String], topK: Int): Seq[String] = {
+    require(topK >= 1 && topK <= 50, "top_k must be in [1, 50]")
+    require(terms != null && terms.nonEmpty,
+      "at least one search term is required")
+    val t = terms.map(s => Option(s).getOrElse("").trim).filter(_.nonEmpty)
+    require(t.nonEmpty, "at least one non-blank search term is required")
+    t
+  }
+
+  /** Resolve doc_id (the case surrogate id the index is keyed by) to
+    * case_number, preserving the hit order.
+    */
+  private def withCaseNumbers(hits: DataFrame, orderCol: String): DataFrame =
+    cases.select(col("id").as("doc_id"), col("case_number"))
+      .join(broadcast(hits), Seq("doc_id"))
+      .orderBy(desc(orderCol), asc("doc_id"))
+
+  /** POST /search/keyword — deterministic TF×rarity ranking over the
+    * stored index (PostingsIndex.keywordSearchFrames).
+    */
+  def keywordSearch(terms: Seq[String], topK: Int = 20): Seq[KeywordHit] = {
+    val t = validated(terms, topK)
+    val (posts, stats) = postingsFrames
+    val hits = graft.search.PostingsIndex.keywordSearchFrames(posts, stats,
+      t, topK, numBuckets = graft.search.PostingsIndex.numBucketsOf(stats))
+    withCaseNumbers(hits, "score")
+      .select("case_number", "score", "n_terms_matched")
+      .as[KeywordHit].collect().toSeq
+  }
+
+  /** POST /search/bm25 — Okapi BM25 (exact integer fixed-point) over
+    * the stored index.
+    */
+  def bm25Search(terms: Seq[String], topK: Int = 20): Seq[Bm25Hit] = {
+    val t = validated(terms, topK)
+    val (posts, stats) = postingsFrames
+    val hits = graft.search.PostingsIndex.bm25SearchFrames(posts, stats,
+      t, topK, numBuckets = graft.search.PostingsIndex.numBucketsOf(stats))
+    withCaseNumbers(hits, "score_micro")
+      .select("case_number", "score_micro", "n_terms_matched")
+      .as[Bm25Hit].collect().toSeq
+  }
+
+  /** POST /search/phrase — n-term positional adjacency over the
+    * stored index.
+    */
+  def phraseSearch(phrase: Seq[String], topK: Int = 20): Seq[PhraseHit] = {
+    val t = validated(phrase, topK)
+    val (posts, stats) = postingsFrames
+    val hits = graft.search.PostingsIndex.phraseSearchFrames(posts, t,
+      topK, numBuckets = graft.search.PostingsIndex.numBucketsOf(stats))
+    withCaseNumbers(hits, "n_phrase")
+      .select("case_number", "n_phrase", "n_terms_used")
+      .as[PhraseHit].collect().toSeq
   }
 }

@@ -62,6 +62,11 @@ final class GraftHttpServer(api: GraftApi, port: Int = 0, poolSize: Int = 8) {
           respond(ex, 200, Map("status" -> "ok", "engine" -> "spark"))
         case ("GET", "/cases") => listCases(ex)
         case ("POST", "/cases/search") => search(ex)
+        case ("POST", "/search/keyword") =>
+          termSearch(ex, (t, k) => api.keywordSearch(t, k))
+        case ("POST", "/search/bm25") =>
+          termSearch(ex, (t, k) => api.bm25Search(t, k))
+        case ("POST", "/search/phrase") => phraseSearch(ex)
         case ("GET", p) if p.startsWith("/cases/") =>
           getCase(ex, URLDecoder.decode(p.stripPrefix("/cases/"), "UTF-8"))
         case _ => throw HttpError(404, s"no route for $method $path")
@@ -119,6 +124,53 @@ final class GraftHttpServer(api: GraftApi, port: Int = 0, poolSize: Int = 8) {
     if (limit < 1 || limit > 50)
       throw HttpError(422, "limit must be in [1, 50]")
     respond(ex, 200, api.searchDockets(query, limit))
+  }
+
+  /** Shared body parsing for the parameterized full-text endpoints
+    * (r10 verdict item 5): `{terms: [...], limit}` with the
+    * reference's validation conventions — 422 on empty/blank terms or
+    * a limit outside [1, 50] (api.py:64-73's pattern), 500s from a
+    * missing index stay 500 (server misconfiguration, not bad input).
+    */
+  private def termSearch(ex: HttpExchange,
+      run: (Seq[String], Int) => Any): Unit = {
+    val node = parseJson(ex)
+    val termsNode = node.path("terms")
+    if (!termsNode.isArray || termsNode.size() == 0)
+      throw HttpError(422, "terms must be a non-empty array")
+    val terms = (0 until termsNode.size())
+      .map(i => termsNode.get(i).asText("").trim).filter(_.nonEmpty)
+    if (terms.isEmpty)
+      throw HttpError(422, "at least one non-blank term is required")
+    respond(ex, 200, run(terms, limitOf(node, default = 20)))
+  }
+
+  /** `{phrase: "breach of contract", limit}` — the phrase splits on
+    * whitespace into the positional pattern.
+    */
+  private def phraseSearch(ex: HttpExchange): Unit = {
+    val node = parseJson(ex)
+    val phrase = Option(node.path("phrase").asText(null))
+      .map(_.trim).getOrElse("")
+    if (phrase.length < 2)
+      throw HttpError(422, "phrase must be at least 2 characters")
+    val terms = phrase.split("\\s+").filter(_.nonEmpty).toSeq
+    respond(ex, 200, api.phraseSearch(terms, limitOf(node, default = 20)))
+  }
+
+  private def parseJson(ex: HttpExchange): com.fasterxml.jackson.databind.JsonNode = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    try mapper.readTree(body) catch {
+      case _: Exception => throw HttpError(422, "request body must be JSON")
+    }
+  }
+
+  private def limitOf(node: com.fasterxml.jackson.databind.JsonNode,
+      default: Int): Int = {
+    val limit = if (node.has("limit")) node.get("limit").asInt(-1) else default
+    if (limit < 1 || limit > 50)
+      throw HttpError(422, "limit must be in [1, 50]")
+    limit
   }
 
   private def respond(ex: HttpExchange, status: Int, value: Any): Unit = {

@@ -177,6 +177,51 @@ object RagPipeline {
       graft.functions.VectorFunctions.hyperplaneSignature(
         col("embedding"), planes, dim))
 
+  /** Materialize the chunk-ANN index into an ingest store — the
+    * reference's `CREATE INDEX ... USING ivfflat` on the embedding
+    * table (rag.py:83-86) as two stored tables:
+    * chunk_ann_centroids(list_id, centroid) and
+    * chunk_ann_assignments (the chunk rows + list_id,
+    * hive-partitioned by list_id). Uses [[AnnStore]]'s deterministic
+    * exact-integer quantizer; seed order is (case_number, chunk_id)
+    * so rebuilds are reproducible. `lists` clamps to the corpus size
+    * (pgvector's own small-table degradation).
+    */
+  def indexChunks(store: graft.store.SnapshotStore,
+      chunkEmbeddings: DataFrame, lists: Int = AnnStore.NumLists): Unit = {
+    val spark = chunkEmbeddings.sparkSession
+    import spark.implicits._
+    val n = chunkEmbeddings.count()
+    val l = math.max(1, math.min(lists.toLong, n).toInt)
+    val cents = AnnStore.trainCentroids(chunkEmbeddings, "embedding",
+      Seq(col("case_number"), col("chunk_id")), l)
+    store.write("chunk_ann_centroids",
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toDF("list_id", "centroid"))
+    store.write("chunk_ann_assignments",
+      AnnStore.assignListId(chunkEmbeddings, "embedding", cents)
+        .repartition(l, col("list_id"))
+        .sortWithinPartitions("case_number", "chunk_id"),
+      partitionCols = Seq("list_id"))
+  }
+
+  /** [[search]] through the STORED chunk-ANN index: centroids rank
+    * driver-side, candidates come from `nprobe` pruned list
+    * directories (the IVFFLAT probe, rag.py:179-180) instead of a
+    * full chunk-table scan; scoring/argmax/top-k semantics are
+    * [[search]]'s own, applied to the pruned pool.
+    */
+  def searchStored(store: graft.store.SnapshotStore, cases: DataFrame,
+      judges: DataFrame, courts: DataFrame, queryVec: Array[Float],
+      topK: Int = 5, nprobe: Int = AnnStore.DefaultNprobe): DataFrame = {
+    val cents = AnnStore.centroidsOf(store.read("chunk_ann_centroids").get)
+    val lists = AnnStore.probeListsOf(cents, queryVec,
+      math.min(nprobe, cents.size))
+    val cand = store.read("chunk_ann_assignments").get
+      .filter(col("list_id").isin(lists: _*)).drop("list_id")
+    search(cand, cases, judges, courts, queryVec, topK)
+  }
+
   /** Text-query convenience over [[search]]. */
   def searchText(embeddings: DataFrame, cases: DataFrame, judges: DataFrame,
       courts: DataFrame, query: String, topK: Int = 5,

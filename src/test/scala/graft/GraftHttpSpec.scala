@@ -19,14 +19,24 @@ class GraftHttpSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private lazy val server = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val ingest = IngestJob.run(spark,
       IngestJob.readRaw(spark, "/root/reference/data/raw_dockets.json"),
       1, "raw_dockets.json", "ref", Timestamp.valueOf("2026-01-01 00:00:00"))
     val embedder = HashingEmbedder(64)
     val embeddings = RagPipeline.backfill(ingest.cases, None, embedder)
+    // the stored search indexes a production deployment maintains in
+    // the ingest commit: docket postings (keyword/bm25/phrase) and the
+    // chunk-ANN lists (searchDockets' pruned candidate pool)
+    val store = new graft.store.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-http-store").toString)
+    graft.streaming.StreamingPostings.processBatch(store,
+      ingest.cases.select(col("id").as("doc_id"),
+        coalesce(col("docket_text"), lit("")).as("text")), 0L)
+    RagPipeline.indexChunks(store, embeddings)
     val api = new GraftApi(spark, ingest.cases, ingest.judges, ingest.courts,
       ingest.caseTypes, ingest.parties, ingest.caseParties,
-      Some(embeddings), embedder)
+      Some(embeddings), embedder, Some(store))
     val s = new GraftHttpServer(api, port = 0)
     s.start()
     s
@@ -95,6 +105,48 @@ class GraftHttpSpec extends AnyFunSuite {
     assert(post("/cases/search", """{"query":"x"}""").statusCode() == 422)
     assert(post("/cases/search", """{"query":"valid","limit":99}""").statusCode() == 422)
     assert(post("/cases/search", "not json").statusCode() == 422)
+  }
+
+  test("POST /search/keyword and /search/bm25: stored-index hits with " +
+    "case numbers; validation → 422") {
+    for (route <- Seq("/search/keyword", "/search/bm25")) {
+      val r = post(route, """{"terms":["breach","contract"],"limit":5}""")
+      assert(r.statusCode() == 200, s"$route: ${r.body()}")
+      val arr = mapper.readTree(r.body())
+      assert(arr.isArray && arr.size() > 0, s"$route returned no hits")
+      assert(arr.get(0).has("case_number") &&
+        arr.get(0).has("n_terms_matched"))
+      // ranked: scores non-increasing
+      val scoreField = if (route.endsWith("bm25")) "score_micro" else "score"
+      val scores = (0 until arr.size()).map(i =>
+        arr.get(i).path(scoreField).asLong())
+      assert(scores == scores.sortBy(-_), s"$route hits not ranked")
+
+      assert(post(route, """{"terms":[]}""").statusCode() == 422)
+      assert(post(route, """{"terms":["  "]}""").statusCode() == 422)
+      assert(post(route, """{"terms":["breach"],"limit":0}""").statusCode() == 422)
+      assert(post(route, """{"terms":["breach"],"limit":99}""").statusCode() == 422)
+      assert(post(route, "not json").statusCode() == 422)
+    }
+  }
+
+  test("POST /search/phrase: positional adjacency over the stored " +
+    "index; validation → 422") {
+    val r = post("/search/phrase", """{"phrase":"breach of contract","limit":10}""")
+    assert(r.statusCode() == 200, r.body())
+    val arr = mapper.readTree(r.body())
+    assert(arr.isArray && arr.size() > 0, "no 'breach of contract' phrase hits")
+    assert(arr.get(0).has("case_number") && arr.get(0).has("n_phrase") &&
+      arr.get(0).path("n_terms_used").asLong() == 3L)
+    // a scrambled non-adjacent pattern of the same words scores fewer
+    // docs than the real phrase (adjacency, not bag-of-words)
+    val scrambled = post("/search/phrase", """{"phrase":"contract breach of"}""")
+    assert(scrambled.statusCode() == 200)
+    assert(mapper.readTree(scrambled.body()).size() <= arr.size())
+
+    assert(post("/search/phrase", """{"phrase":"x"}""").statusCode() == 422)
+    assert(post("/search/phrase", """{"phrase":"breach of","limit":51}""").statusCode() == 422)
+    assert(post("/search/phrase", "{}").statusCode() == 422)
   }
 
   test("unknown route → 404 error body") {

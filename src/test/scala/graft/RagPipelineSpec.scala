@@ -92,6 +92,54 @@ class RagPipelineSpec extends AnyFunSuite {
     assert(cellSize < embeddings.count())
   }
 
+  test("stored chunk-ANN search: exhaustive probe equals the exact " +
+    "search; narrow probe reads a pruned candidate pool") {
+    val store = new graft.store.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-rag-ann").toString)
+    RagPipeline.indexChunks(store, embeddings, lists = 8)
+    val probe = ingest.cases.select("case_number", "docket_text")
+      .orderBy("case_number").limit(1).collect()(0)
+    val qvec = embedder.embed(probe.getString(1))
+    // nprobe = lists ⇒ the stored path degenerates to the exact scan:
+    // identical results, proving the composition on top is unchanged
+    val exact = RagPipeline.search(embeddings, ingest.cases, ingest.judges,
+      ingest.courts, qvec, topK = 5).collect().toSeq
+    val exhaustive = RagPipeline.searchStored(store, ingest.cases,
+      ingest.judges, ingest.courts, qvec, topK = 5, nprobe = 8)
+      .collect().toSeq
+    assert(exhaustive == exact)
+    // narrow probe: self-query's own chunk shares its list by
+    // construction (it IS a corpus member), pool strictly prunes
+    val narrow = RagPipeline.searchStored(store, ingest.cases,
+      ingest.judges, ingest.courts, qvec, topK = 5, nprobe = 2).collect()
+    assert(narrow.nonEmpty)
+    assert(narrow(0).getAs[String]("case_number") == probe.getString(0))
+    val cents = graft.rag.AnnStore.centroidsOf(
+      store.read("chunk_ann_centroids").get)
+    val lists = graft.rag.AnnStore.probeListsOf(cents, qvec, 2)
+    val poolSize = store.read("chunk_ann_assignments").get
+      .filter(col("list_id").isin(lists: _*)).count()
+    assert(poolSize < embeddings.count(),
+      "narrow probe did not prune the candidate pool")
+  }
+
+  test("api: searchDockets through a search store probes the stored " +
+    "chunk-ANN index and matches the exact path at full probe width") {
+    val store = new graft.store.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-rag-api-ann").toString)
+    RagPipeline.indexChunks(store, embeddings, lists = 4)
+    // DefaultNprobe = 4 = lists here, so the stored path is exhaustive
+    // and must agree with the embeddings-scan path exactly
+    val apiStored = new GraftApi(spark, ingest.cases, ingest.judges,
+      ingest.courts, ingest.caseTypes, ingest.parties, ingest.caseParties,
+      Some(embeddings), embedder, Some(store))
+    val apiExact = new GraftApi(spark, ingest.cases, ingest.judges,
+      ingest.courts, ingest.caseTypes, ingest.parties, ingest.caseParties,
+      Some(embeddings), embedder)
+    val q = "motion for summary judgment"
+    assert(apiStored.searchDockets(q, 4) == apiExact.searchDockets(q, 4))
+  }
+
   test("api: listCases by judge + year filters and orders") {
     val api = new GraftApi(spark, ingest.cases, ingest.judges, ingest.courts,
       ingest.caseTypes, ingest.parties, ingest.caseParties, Some(embeddings), embedder)
