@@ -197,7 +197,23 @@ object Bench {
       timed("api_bm25_search") {
         PostingsIndex.bm25Search(spark, sfDir,
           Seq("vector", "merge", "batch"), topK = 20).collect(); ()
-      })
+      }) ++ {
+      // dense + hybrid through the stored ANN index (r11): the build
+      // amortizes in the warm pass like the postings build; the timed
+      // reps measure the centroid rank + nprobe-list probe — the
+      // per-query cost the reference pays on its IVFFLAT walk
+      import graft.rag.AnnStore
+      import graft.search.HybridSearch
+      val qv = AnnStore.vectorOf(spark, sfDir, 7L)
+      Seq(
+        timed("api_ann_search") {
+          AnnStore.denseSearch(spark, sfDir, qv, topK = 10).collect(); ()
+        },
+        timed("api_hybrid_search") {
+          HybridSearch.hybridSearch(spark, sfDir,
+            Seq("vector", "merge", "batch"), qv, topK = 10).collect(); ()
+        })
+    }
   }
 
   /** The r9-reshaped scan/lag six at a SECOND scale factor: their

@@ -947,8 +947,15 @@ object SamplingQueries {
     * runs on that tiny frame. n·Σx² must fit int64 — ~10⁹ docs of
     * 10⁴ chars per stratum (decimal swap documented past that).
     */
+  /** q178/q185's shared eval-budget: q185's per-stratum heap k MUST
+    * bound every Neyman quota, which holds exactly because both read
+    * THIS constant (neyman_n = budget·w div Σw ≤ budget) — a drifted
+    * pair would silently truncate strata (ADVICE r10).
+    */
+  private[operators] val EvalBudget = 10000L
+
   def q178NeymanAllocation(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 10000L
+    val budget = EvalBudget
     val t = Tables(spark, dir)
     val strata = t.documents.groupBy("lang")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("sx"),
@@ -969,7 +976,7 @@ object SamplingQueries {
   }
 
   val q178Sql: String =
-    """WITH strata AS (
+    s"""WITH strata AS (
       |  SELECT lang, COUNT(*)::BIGINT AS n, SUM(n_chars)::BIGINT AS sx,
       |    SUM(n_chars * n_chars)::BIGINT AS sxx
       |  FROM documents GROUP BY lang),
@@ -983,10 +990,10 @@ object SamplingQueries {
       |    SUM(n * sd_chars) OVER () AS tot_w, SUM(n) OVER () AS tot_n
       |  FROM sd)
       |SELECT lang, n AS n_docs, sd_chars,
-      |  ((10000 * weight) // tot_w)::BIGINT AS neyman_n,
-      |  ((10000 * n) // tot_n)::BIGINT AS proportional_n,
-      |  ((1000 * ((10000 * weight) // tot_w))
-      |    // greatest((10000 * n) // tot_n, 1))::BIGINT AS divergence_x1000
+      |  (($EvalBudget * weight) // tot_w)::BIGINT AS neyman_n,
+      |  (($EvalBudget * n) // tot_n)::BIGINT AS proportional_n,
+      |  ((1000 * (($EvalBudget * weight) // tot_w))
+      |    // greatest(($EvalBudget * n) // tot_n, 1))::BIGINT AS divergence_x1000
       |FROM w ORDER BY lang""".stripMargin
 
   /** q185: quota-sample EXECUTION — q178's allocation turned into an
@@ -1011,7 +1018,7 @@ object SamplingQueries {
     * q178 as a subquery — operators are DataFrames, so reuse is free.
     */
   def q185QuotaSample(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 10000 // q178's total allocation budget bounds every quota
+    val budget = EvalBudget.toInt // the SHARED constant: heap k ≥ max quota
     val t = Tables(spark, dir)
     val quota = q178NeymanAllocation(spark, dir)
       .select(col("lang"), col("neyman_n"))

@@ -25,12 +25,16 @@ object ScaleBench {
 
   private final class TaskAgg extends SparkListener {
     val shuffleWrite = new AtomicLong
+    val inputRead = new AtomicLong
     val maxTaskMs = new AtomicLong
     val sumTaskMs = new AtomicLong
     val nTasks = new AtomicLong
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
-      if (m != null) shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        inputRead.addAndGet(m.inputMetrics.bytesRead)
+      }
       if (e.taskInfo != null) {
         val d = e.taskInfo.duration
         maxTaskMs.accumulateAndGet(d, (a: Long, b: Long) => math.max(a, b))
@@ -363,6 +367,48 @@ object ScaleBench {
     // corpus/|langs| per task
     "q185_quota" -> ((s, d) =>
       graft.operators.SamplingQueries.q185QuotaSample(s, d).count()),
+    // r11 ANN decade: the stored-index BUILD (train + assign + write,
+    // forced fresh) is the corpus-linear one-time cost; the probes
+    // should track nprobe/lists of the INDEX bytes, not the corpus
+    "ann_index_build" -> ((s, d) => {
+      graft.rag.AnnStore.invalidate(d)
+      graft.rag.AnnStore.assignments(s, d).count()
+    }),
+    "q210_ann_probe" -> ((s, d) =>
+      graft.operators.VectorQueries.q210AnnProbeTopk(s, d).count()),
+    "q43_ann_search" -> ((s, d) =>
+      graft.operators.VectorQueries.q43SearchTopk(s, d).count()),
+    "q208_hybrid" -> ((s, d) =>
+      graft.operators.SearchQueries.q208HybridBm25Rrf(s, d).count()),
+    // r11 A/B for the bucket sort (verdict item 3): the SAME probe
+    // against a term-SORTED store (production layout) vs an UNSORTED
+    // twin written without the cluster key — input_mb is the metric
+    // the row-group term pruning moves
+    "q44_probe_sorted" -> ((s, d) =>
+      graft.operators.SearchQueries.q44KeywordSearch(s, d).count()),
+    "q44_probe_unsorted" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-scale-unsorted",
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+      val store = new graft.store.SnapshotStore(s, root)
+      if (store.currentVersion("postings").isEmpty) {
+        val docs = Tables(s, d).documents.select("doc_id", "text")
+        store.write("postings",
+          graft.search.PostingsIndex.buildPostings(docs)
+            .repartition(graft.search.PostingsIndex.NumBuckets,
+              col("term_bucket")),
+          partitionCols = Seq("term_bucket"))
+        store.write("postings_stats",
+          docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+            store.read("postings").get
+              .agg(coalesce(sum("tf"), lit(0L)).as("total_tokens")))
+            .withColumn("num_buckets",
+              lit(graft.search.PostingsIndex.NumBuckets.toLong)))
+      }
+      graft.search.PostingsIndex.keywordSearchFrames(
+        store.read("postings").get, store.read("postings_stats").get,
+        Seq("vector", "merge", "batch"), topK = 20).count()
+    }),
   )
 
   /** Seed-join row count for [[DedupQueries.q193Grams]] over a
@@ -411,6 +457,7 @@ object ScaleBench {
       println(f"""{"dir": "$dir", "query": "$name", "secs": $secs%.2f, """ +
         f""""rows": $rows, "shuffle_mb": ${agg.shuffleWrite.get / 1e6}%.1f, """ +
         f""""max_task_ms": ${agg.maxTaskMs.get}, """ +
+        f""""input_mb": ${agg.inputRead.get / 1e6}%.1f, """ +
         f""""sum_task_ms": ${agg.sumTaskMs.get}, "n_tasks": ${agg.nTasks.get}}""")
     }
   }
