@@ -22,6 +22,8 @@ final case class Bm25Hit(case_number: String, score_micro: Long,
     n_terms_matched: Long)
 final case class PhraseHit(case_number: String, n_phrase: Long,
     n_terms_used: Long)
+final case class HybridHit(case_number: String, rank_kw: Long,
+    rank_vec: Long, rrf_micro: Long)
 
 /** The query facade — the three REST endpoints of the reference
   * (api.py:154-270) as typed methods over registered tables. All
@@ -190,6 +192,56 @@ final class GraftApi(spark: SparkSession, cases: DataFrame, judges: DataFrame,
     withCaseNumbers(hits, "score_micro")
       .select("case_number", "score_micro", "n_terms_matched")
       .as[Bm25Hit].collect().toSeq
+  }
+
+  /** POST /search/hybrid — BM25 + dense reciprocal-rank fusion at the
+    * CASE level, both legs stored-index probes: the lexical leg ranks
+    * cases through the docket postings snapshot, the dense leg ranks
+    * cases by their best chunk within the chunk-ANN index's nprobe
+    * pruned lists, and integer RRF (Σ 10⁶ div (60 + rank)) fuses the
+    * two incomparable scales. Rank 0 marks "not in that leg's
+    * top-legK".
+    */
+  def hybridSearchDockets(query: String, topK: Int = 10): Seq[HybridHit] = {
+    require(topK >= 1 && topK <= 50, "top_k must be in [1, 50]")
+    require(query != null && query.trim.length >= 2,
+      "query must be at least 2 characters")
+    val st = searchStore.getOrElse(
+      throw new IllegalStateException("no search index loaded"))
+    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val legK = math.max(topK * 5, 50)
+    val (posts, stats) = postingsFrames
+    import org.apache.spark.sql.expressions.Window
+    val kw = withCaseNumbers(
+      graft.search.PostingsIndex.bm25SearchFrames(posts, stats, terms, legK,
+        numBuckets = graft.search.PostingsIndex.numBucketsOf(stats)),
+      "score_micro")
+      .withColumn("rank_kw", row_number().over(
+        Window.orderBy(desc("score_micro"), asc("doc_id"))).cast("long"))
+      .select("case_number", "rank_kw")
+    val cents = graft.rag.AnnStore.centroidsOf(
+      st.read("chunk_ann_centroids").getOrElse(throw new IllegalStateException(
+        "search store has no chunk-ANN index")))
+    val qv = embedder.embed(query)
+    val lists = graft.rag.AnnStore.probeListsOf(cents, qv,
+      math.min(graft.rag.AnnStore.DefaultNprobe, cents.size))
+    val vec = st.read("chunk_ann_assignments").get
+      .filter(col("list_id").isin(lists: _*))
+      .withColumn("cos", graft.functions.VectorFunctions
+        .dotFold(col("embedding"), typedlit(qv.toSeq)))
+      .groupBy("case_number").agg(max("cos").as("best_cos"))
+      .orderBy(desc("best_cos"), asc("case_number")).limit(legK)
+      .withColumn("rank_vec", row_number().over(
+        Window.orderBy(desc("best_cos"), asc("case_number"))).cast("long"))
+      .select("case_number", "rank_vec")
+    kw.join(vec, Seq("case_number"), "full_outer")
+      .na.fill(0L, Seq("rank_kw", "rank_vec"))
+      .withColumn("rrf_micro",
+        expr("(case when rank_kw > 0 then 1000000 div (60 + rank_kw) else 0 end)" +
+          " + (case when rank_vec > 0 then 1000000 div (60 + rank_vec) else 0 end)"))
+      .orderBy(desc("rrf_micro"), asc("case_number")).limit(topK)
+      .select("case_number", "rank_kw", "rank_vec", "rrf_micro")
+      .as[HybridHit].collect().toSeq
   }
 
   /** POST /search/phrase — n-term positional adjacency over the

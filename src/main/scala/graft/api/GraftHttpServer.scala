@@ -67,6 +67,7 @@ final class GraftHttpServer(api: GraftApi, port: Int = 0, poolSize: Int = 8) {
         case ("POST", "/search/bm25") =>
           termSearch(ex, (t, k) => api.bm25Search(t, k))
         case ("POST", "/search/phrase") => phraseSearch(ex)
+        case ("POST", "/search/hybrid") => hybridSearch(ex)
         case ("GET", p) if p.startsWith("/cases/") =>
           getCase(ex, URLDecoder.decode(p.stripPrefix("/cases/"), "UTF-8"))
         case _ => throw HttpError(404, s"no route for $method $path")
@@ -156,6 +157,18 @@ final class GraftHttpServer(api: GraftApi, port: Int = 0, poolSize: Int = 8) {
       throw HttpError(422, "phrase must be at least 2 characters")
     val terms = phrase.split("\\s+").filter(_.nonEmpty).toSeq
     respond(ex, 200, api.phraseSearch(terms, limitOf(node, default = 20)))
+  }
+
+  /** `{query: "...", limit}` — BM25 + dense RRF, both legs stored-
+    * index probes (GraftApi.hybridSearchDockets).
+    */
+  private def hybridSearch(ex: HttpExchange): Unit = {
+    val node = parseJson(ex)
+    val query = Option(node.path("query").asText(null))
+      .map(_.trim).getOrElse("")
+    if (query.length < 2)
+      throw HttpError(422, "query must be at least 2 characters")
+    respond(ex, 200, api.hybridSearchDockets(query, limitOf(node, default = 10)))
   }
 
   private def parseJson(ex: HttpExchange): com.fasterxml.jackson.databind.JsonNode = {

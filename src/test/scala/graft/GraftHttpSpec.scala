@@ -149,6 +149,27 @@ class GraftHttpSpec extends AnyFunSuite {
     assert(post("/search/phrase", "{}").statusCode() == 422)
   }
 
+  test("POST /search/hybrid: case-level BM25 + dense RRF, both legs " +
+    "stored-index probes; validation → 422") {
+    val r = post("/search/hybrid", """{"query":"breach of contract","limit":5}""")
+    assert(r.statusCode() == 200, r.body())
+    val arr = mapper.readTree(r.body())
+    assert(arr.isArray && arr.size() > 0)
+    val top = arr.get(0)
+    assert(top.has("case_number") && top.has("rank_kw") &&
+      top.has("rank_vec") && top.has("rrf_micro"))
+    // fused scores non-increasing; at least one hit found by BOTH legs
+    val scores = (0 until arr.size()).map(i => arr.get(i).path("rrf_micro").asLong())
+    assert(scores == scores.sortBy(-_))
+    assert((0 until arr.size()).exists(i =>
+      arr.get(i).path("rank_kw").asLong() > 0 &&
+        arr.get(i).path("rank_vec").asLong() > 0),
+      "no case fused from both legs — fixture degenerated")
+
+    assert(post("/search/hybrid", """{"query":"x"}""").statusCode() == 422)
+    assert(post("/search/hybrid", """{"query":"breach","limit":0}""").statusCode() == 422)
+  }
+
   test("unknown route → 404 error body") {
     val r = get("/nope")
     assert(r.statusCode() == 404)
