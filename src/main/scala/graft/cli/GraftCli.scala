@@ -76,6 +76,15 @@ object GraftCli {
             .json(s"$storeDir/quarantine_jsonl/ingest_run_$runId")
         }
         if (!r.errors.isEmpty) store.append("ingest_errors", r.errors)
+        // FTS index maintenance in the same run (the GIN index on
+        // cases.docket_text, schema.sql:141) — LWW on the case
+        // surrogate id, the exact call the streaming commit makes
+        locally {
+          import org.apache.spark.sql.functions.{coalesce, col, lit}
+          graft.streaming.StreamingPostings.processBatch(store,
+            r.cases.select(col("id").as("doc_id"),
+              coalesce(col("docket_text"), lit("")).as("text")), runId)
+        }
         // the reference's JSON summary (ingest.py:768-773)
         println(
           s"""{"run_id": ${r.summary.runId}, "summary": {"read": ${r.summary.read}, "inserted": ${r.summary.inserted}, "updated": ${r.summary.updated}, "failed": ${r.summary.failed}}}""")
@@ -86,7 +95,15 @@ object GraftCli {
         val existing = store.read("case_chunk_embeddings")
         val delta = RagPipeline.backfill(cases, existing, HashingEmbedder())
         val n = delta.count()
-        if (n > 0) store.append("case_chunk_embeddings", delta)
+        if (n > 0) {
+          store.append("case_chunk_embeddings", delta)
+          // keep the stored chunk-ANN index in step with the embedding
+          // table (the reference's CREATE INDEX ... ivfflat moment,
+          // rag.py:83-86) — searchDockets then probes nprobe pruned
+          // lists instead of scanning every chunk
+          RagPipeline.indexChunks(store,
+            store.read("case_chunk_embeddings").get)
+        }
         println(s"""{"chunks_embedded": $n}""")
         0
 
@@ -194,5 +211,10 @@ object GraftCli {
       store.read("judges").get, store.read("courts").get,
       store.read("case_types").get, store.read("parties").get,
       store.read("case_parties").get,
-      store.read("case_chunk_embeddings"))
+      store.read("case_chunk_embeddings"),
+      // the store IS the search index home: docket postings (the
+      // streaming ingest commit maintains them) power the
+      // keyword/bm25/phrase/hybrid endpoints, the chunk-ANN tables
+      // (backfill maintains them) the pruned searchDockets pool
+      searchStore = Some(store))
 }
