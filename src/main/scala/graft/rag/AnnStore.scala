@@ -260,7 +260,7 @@ object AnnStore {
     val assigned = assignListId(emb.select("id", "embedding"), "embedding", cents)
     store.write("ann_assignments",
       assigned.repartition(cents.size, col("list_id"))
-        .sortWithinPartitions("id"),
+        .sortWithinPartitions("list_id", "id"),
       partitionCols = Seq("list_id"))
     val listStats = store.read("ann_assignments").get
       .groupBy(col("list_id").cast("long").as("list_id"))

@@ -201,7 +201,7 @@ object RagPipeline {
     store.write("chunk_ann_assignments",
       AnnStore.assignListId(chunkEmbeddings, "embedding", cents)
         .repartition(l, col("list_id"))
-        .sortWithinPartitions("case_number", "chunk_id"),
+        .sortWithinPartitions("list_id", "case_number", "chunk_id"),
       partitionCols = Seq("list_id"))
   }
 

@@ -198,7 +198,7 @@ object PostingsIndex {
         // of a bucket — r10 verdict item 3 made this claim true)
         store.write("postings",
           buildPostings(docs).repartition(NumBuckets, col("term_bucket"))
-            .sortWithinPartitions("term"),
+            .sortWithinPartitions("term_bucket", "term"),
           partitionCols = Seq("term_bucket"))
         // total_tokens = Σ tf over the STORED index (each token counted
         // once) — no second tokenize pass; n_docs counts every document,

@@ -321,17 +321,24 @@ final class SnapshotStore(spark: SparkSession, root: String,
       sortCols: Seq[String] = Nil): Long = {
     // cluster each written file on sortCols so point/equality
     // predicates prune Parquet row groups inside a hive partition
-    // (e.g. postings buckets cluster on `term`)
+    // (e.g. postings buckets cluster on `term`). The sort key MUST
+    // lead with the partition columns: FileFormatWriter requires its
+    // input ordered by them and silently injects its own
+    // partition-cols-only sort otherwise — an UNSTABLE sort that
+    // scrambles the clustering it was meant to protect (measured:
+    // r11's row-group probe caught exactly this).
+    val effSort = if (sortCols.isEmpty) Nil
+      else (partitionCols ++ sortCols).distinct
     val c: (DataFrame, DataFrame) => DataFrame =
-      if (sortCols.isEmpty) combine
-      else (p, b) => combine(p, b).sortWithinPartitions(sortCols.map(col): _*)
+      if (effSort.isEmpty) combine
+      else (p, b) => combine(p, b).sortWithinPartitions(effSort.map(col): _*)
     currentVersion(table) match {
       case Some(cur) if partitionCols.nonEmpty =>
         mergedPartitionScoped(table, cur, batch, c, partitionCols, probeKeys)
       case Some(_) => write(table, c(read(table).get, batch), partitionCols)
       case None => write(table,
-        if (sortCols.isEmpty) batch
-        else batch.sortWithinPartitions(sortCols.map(col): _*), partitionCols)
+        if (effSort.isEmpty) batch
+        else batch.sortWithinPartitions(effSort.map(col): _*), partitionCols)
     }
   }
 
@@ -450,9 +457,13 @@ final class SnapshotStore(spark: SparkSession, root: String,
     val parts = physicalParts(table, cur)
     val next = cur + 1
     val nextDir = tableDir(table).resolve(s"v$next")
+    // lead with the partition column — see merged()'s effSort note
     def clustered(df: DataFrame): DataFrame =
       if (sortCols.isEmpty) df
-      else df.sortWithinPartitions(sortCols.map(col): _*)
+      else df.sortWithinPartitions(
+        ((if (parts.isEmpty) Nil
+          else Seq(parts.head._1.split("=")(0))) ++ sortCols)
+          .distinct.map(col): _*)
     if (parts.isEmpty) {
       // unpartitioned table: one flat pile of files
       if (parquetFiles(curDir).size <= maxFilesPerPartition) return None
