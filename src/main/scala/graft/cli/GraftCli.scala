@@ -93,16 +93,20 @@ object GraftCli {
       case "backfill" =>
         val cases = store.read("cases").getOrElse(sys.error("no cases ingested"))
         val existing = store.read("case_chunk_embeddings")
+        // materialize once: counted, appended, AND index-merged below
         val delta = RagPipeline.backfill(cases, existing, HashingEmbedder())
+          .localCheckpoint(true)
         val n = delta.count()
         if (n > 0) {
-          store.append("case_chunk_embeddings", delta)
+          val materialized = delta
+          store.append("case_chunk_embeddings", materialized)
           // keep the stored chunk-ANN index in step with the embedding
           // table (the reference's CREATE INDEX ... ivfflat moment,
           // rag.py:83-86) — searchDockets then probes nprobe pruned
-          // lists instead of scanning every chunk
-          RagPipeline.indexChunks(store,
-            store.read("case_chunk_embeddings").get)
+          // lists instead of scanning every chunk. Incremental: only
+          // the DELTA assigns (pgvector's insert path); first backfill
+          // trains + builds.
+          RagPipeline.mergeChunkIndex(store, materialized)
         }
         println(s"""{"chunks_embedded": $n}""")
         0

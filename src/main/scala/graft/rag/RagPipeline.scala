@@ -205,6 +205,32 @@ object RagPipeline {
       partitionCols = Seq("list_id"))
   }
 
+  /** Incrementally fold a backfill DELTA into the stored chunk-ANN
+    * index: new chunks assign map-side against the STORED centroids
+    * (pgvector's insert path — ivfflat never retrains on insert) and
+    * merge last-write-wins on the chunk key, rewriting only the
+    * touched list partitions. Falls back to a full [[indexChunks]]
+    * build when no index exists yet. Occupancy drift is the
+    * retrain-trigger problem StreamingAnn owns for the corpus index;
+    * here a caller rebuilds via [[indexChunks]] when it cares.
+    */
+  def mergeChunkIndex(store: graft.store.SnapshotStore,
+      delta: DataFrame): Unit = {
+    store.read("chunk_ann_centroids") match {
+      case None => indexChunks(store,
+        delta.select("case_number", "chunk_id", "chunk_text", "embedding"))
+      case Some(centFrame) =>
+        val cents = AnnStore.centroidsOf(centFrame)
+        store.mergeLastWriteWins("chunk_ann_assignments",
+          AnnStore.assignListId(delta.select("case_number", "chunk_id",
+            "chunk_text", "embedding"), "embedding", cents.map(_._2)),
+          keys = Seq("case_number", "chunk_id"),
+          partitionCols = Seq("list_id"),
+          sortCols = Seq("case_number", "chunk_id"))
+        ()
+    }
+  }
+
   /** [[search]] through the STORED chunk-ANN index: centroids rank
     * driver-side, candidates come from `nprobe` pruned list
     * directories (the IVFFLAT probe, rag.py:179-180) instead of a

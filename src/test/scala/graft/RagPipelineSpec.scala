@@ -123,6 +123,38 @@ class RagPipelineSpec extends AnyFunSuite {
       "narrow probe did not prune the candidate pool")
   }
 
+  test("incremental chunk-index merge equals assigning every chunk " +
+    "against the stored centroids (pgvector's insert path)") {
+    val store = new graft.store.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-rag-inc").toString)
+    // base index over half the cases, then the other half arrives as a
+    // backfill delta — new chunks must join the EXISTING lists
+    val caseIds = ingest.cases.select("case_number").orderBy("case_number")
+      .collect().map(_.getString(0))
+    val (baseIds, deltaIds) = caseIds.splitAt(caseIds.length / 2)
+    val base = embeddings.filter(col("case_number").isin(baseIds.toSeq: _*))
+    val delta = embeddings.filter(col("case_number").isin(deltaIds.toSeq: _*))
+    RagPipeline.indexChunks(store, base, lists = 4)
+    val vCents = store.currentVersion("chunk_ann_centroids")
+    RagPipeline.mergeChunkIndex(store, delta)
+    // centroids untouched (insert path never retrains)
+    assert(store.currentVersion("chunk_ann_centroids") == vCents)
+    val cents = graft.rag.AnnStore.centroidsOf(
+      store.read("chunk_ann_centroids").get)
+    val got = store.read("chunk_ann_assignments").get
+      .select("case_number", "chunk_id", "list_id").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        r.getAs[Number]("list_id").intValue).toMap
+    val expect = graft.rag.AnnStore.assignListId(embeddings, "embedding",
+      cents.map(_._2))
+      .select("case_number", "chunk_id", "list_id").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(got == expect, "merged index diverged from a full assignment")
+    // and a re-ingested chunk REPLACES its row (LWW on the chunk key)
+    RagPipeline.mergeChunkIndex(store, delta)
+    assert(store.read("chunk_ann_assignments").get.count() == expect.size)
+  }
+
   test("api: searchDockets through a search store probes the stored " +
     "chunk-ANN index and matches the exact path at full probe width") {
     val store = new graft.store.SnapshotStore(spark,
