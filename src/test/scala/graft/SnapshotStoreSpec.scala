@@ -440,4 +440,39 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(got == Map(1 -> ((2019, "a")), 2 -> ((2020, "b2")),
       3 -> ((2021, "c"))), "mid-flight reader broken by vacuum")
   }
+
+  test("clustered writes stay sorted AT SCALE: the writer's implicit " +
+    "partition-cols sort must never scramble sortCols (r11 regression)") {
+    // FileFormatWriter injects an UNSTABLE sort by the partition
+    // columns when its input isn't already ordered by them — at sf10
+    // it scrambled a 788k-row bucket that small fixtures left intact
+    // (the pre-fix spec passed spuriously at sf0.001). This pins the
+    // invariant at a row count where the instability actually bites:
+    // every written file must be sorted by the cluster key, for both
+    // the fresh-write path and the partition-scoped merge path.
+    import org.apache.spark.sql.functions._
+    val store = newStore()
+    val big = spark.range(400000L)
+      .select((col("id") % 2).cast("int").as("bucket"),
+        concat(lit("k"), ((col("id") * 48271L) % 1000003L)).as("key"),
+        col("id").as("payload"))
+    store.mergeLastWriteWins("t", big, Seq("key"),
+      partitionCols = Seq("bucket"), sortCols = Seq("key"))
+    val batch = spark.range(50L)
+      .select(lit(0).cast("int").as("bucket"),
+        concat(lit("k"), col("id")).as("key"), lit(-1L).as("payload"))
+    store.mergeLastWriteWins("t", batch, Seq("key"),
+      partitionCols = Seq("bucket"), sortCols = Seq("key"))
+    val root = java.nio.file.Paths.get(store.read("t").get.inputFiles(0))
+      .getParent.getParent.getParent
+    val files = store.read("t").get.inputFiles
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val keys = spark.read.parquet(f).select("key")
+        .collect().map(_.getString(0)).toSeq
+      assert(keys == keys.sorted,
+        s"file $f lost its cluster sort (root $root) — the writer's " +
+          "partition-cols sort scrambled it")
+    }
+  }
 }
