@@ -175,8 +175,11 @@ object AnnStore {
   /** Layout version (fingerprint carries it AND the list count — the
     * PostingsIndex v3 lesson applied from day one: a constant change
     * rebuilds, never mis-probes).
+    * v2: the id cluster sort survives the write (the FileFormatWriter
+    * unstable-sort fix, SCALING.md r11) — rebuilds v1 stores whose
+    * files the broken builder left unsorted.
     */
-  private val Format = "v1"
+  private val Format = "v2"
 
   private def indexRoot(dir: String): String = {
     val base = sys.env.getOrElse("GRAFT_ANN_ROOT",

@@ -153,8 +153,12 @@ object PostingsIndex {
     * v3: bucket files SORTED by term (row-group pruning actually
     * fires), stats carry `num_buckets` (probes derive buckets from
     * the stored layout), fingerprint carries the bucket count.
+    * v4: the bucket sort actually SURVIVES the write — v3's sort was
+    * scrambled by FileFormatWriter's implicit partition-cols sort
+    * (SCALING.md r11); the bump rebuilds any store laid down by the
+    * broken builder.
     */
-  private val Format = "v3"
+  private val Format = "v4"
 
   /** Cross-JVM (Verify ∥ Bench ∥ sbt test) build guard: the memoized
     * store lives at a SHARED default root, so two processes seeing
