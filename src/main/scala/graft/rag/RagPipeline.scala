@@ -205,10 +205,13 @@ object RagPipeline {
       partitionCols = Seq("list_id"))
   }
 
-  /** Incrementally fold a backfill DELTA into the stored chunk-ANN
-    * index: new chunks assign map-side against the STORED centroids
-    * (pgvector's insert path — ivfflat never retrains on insert) and
-    * merge last-write-wins on the chunk key, rewriting only the
+  /** Incrementally fold a chunk DELTA into the stored chunk-ANN
+    * index: the delta's chunks assign map-side against the STORED
+    * centroids (pgvector's insert path — ivfflat never retrains on
+    * insert) and merge last-write-wins ON THE CASE — a re-ingested
+    * case replaces ALL its chunk rows, so a case whose text shrank
+    * loses its stale high-chunk_id rows (the same per-document
+    * replacement rule as the postings index) — rewriting only the
     * touched list partitions. Falls back to a full [[indexChunks]]
     * build when no index exists yet. Occupancy drift is the
     * retrain-trigger problem StreamingAnn owns for the corpus index;
@@ -224,7 +227,7 @@ object RagPipeline {
         store.mergeLastWriteWins("chunk_ann_assignments",
           AnnStore.assignListId(delta.select("case_number", "chunk_id",
             "chunk_text", "embedding"), "embedding", cents.map(_._2)),
-          keys = Seq("case_number", "chunk_id"),
+          keys = Seq("case_number"),
           partitionCols = Seq("list_id"),
           sortCols = Seq("case_number", "chunk_id"))
         ()

@@ -35,7 +35,8 @@ object StreamingIngest {
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
       store: SnapshotStore, epochTs: Long => Timestamp =
         _ => new Timestamp(System.currentTimeMillis()),
-      retainVersions: Option[Int] = None): StreamingQuery = {
+      retainVersions: Option[Int] = None,
+      embedder: Option[graft.rag.Embedder] = None): StreamingQuery = {
     val raw = spark.readStream
       .schema(IngestJob.rawSchema)
       .option("multiLine", true)
@@ -44,7 +45,7 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(store, batch, batchId, s"stream:$inputDir", inputDir,
-          epochTs(batchId))
+          epochTs(batchId), embedder = embedder)
         retainVersions.foreach(n =>
           store.tables().foreach(t => store.vacuum(t, keepLast = n)))
       }
@@ -59,9 +60,20 @@ object StreamingIngest {
     * whose run_id is already recorded was fully merged (it is appended
     * last), so the replay is a no-op.
     */
+  /** @param embedder when set, the SAME idempotent commit also keeps
+    *   the RAG serving tables fresh: the batch's upserted cases
+    *   re-chunk + re-embed (case-keyed LWW, so a re-ingested case
+    *   whose text shrinks LOSES its stale chunk rows) into
+    *   `case_chunk_embeddings`, and the chunk-ANN index extends
+    *   incrementally against its stored centroids (first batch
+    *   trains). The reference runs backfill as a separate cron
+    *   (rag.py); a continuous pipeline folds it into ingest so
+    *   searchDockets never serves a case whose chunks lag its text.
+    */
   def processBatch(store: SnapshotStore, batch: DataFrame, batchId: Long,
       sourceName: String, sourceUri: String, ts: Timestamp,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0,
+      embedder: Option[graft.rag.Embedder] = None): Unit = {
     val alreadyDone = store.read("ingest_runs").exists(
       _.filter(col("run_id") === batchId).limit(1).count() > 0)
     if (alreadyDone) return
@@ -100,6 +112,24 @@ object StreamingIngest {
     StreamingPostings.processBatch(store,
       r.cases.select(col("id").as("doc_id"),
         coalesce(col("docket_text"), lit("")).as("text")), batchId)
+    // RAG serving tables inside the same commit (see the scaladoc):
+    // chunk + embed ONLY the batch's cases, replace per CASE (LWW on
+    // case_number drops a shrunken case's stale chunk rows), and
+    // extend the chunk-ANN index against its stored centroids — every
+    // step idempotent (deterministic content, LWW merges), so the
+    // run-ledger replay guard plus crash re-runs both stay safe
+    embedder.foreach { emb =>
+      val chunks = graft.rag.RagPipeline.embedChunks(
+        graft.rag.RagPipeline.chunkCases(
+          r.cases.select("case_number", "docket_text")), emb)
+        .localCheckpoint(true) // consumed by two merges
+      store.mergeLastWriteWins("case_chunk_embeddings", chunks,
+        Seq("case_number"))
+      if (store.currentVersion("chunk_ann_centroids").isEmpty)
+        graft.rag.RagPipeline.indexChunks(store,
+          store.read("case_chunk_embeddings").get)
+      else graft.rag.RagPipeline.mergeChunkIndex(store, chunks)
+    }
     // the commit marker: MUST stay the last write (see idempotency note)
     store.append("ingest_runs", r.runLedger)
     // post-commit maintenance: every partition-scoped merge adds a file

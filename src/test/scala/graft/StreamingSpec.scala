@@ -83,6 +83,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("embedder-enabled ingest commit keeps the RAG serving tables " +
+    "fresh: chunks re-embed per case, shrunken cases drop stale chunk " +
+    "rows, chunk-ANN extends against its stored centroids") {
+    import spark.implicits._
+    import graft.rag.{AnnStore, HashingEmbedder, RagPipeline}
+    import graft.ingest.IngestJob
+    val store = new SnapshotStore(spark,
+      Files.createTempDirectory("graft-stream-rag").toString)
+    val emb = HashingEmbedder(16)
+    def raw(cn: String, text: String) = IngestJob.withSeq(spark, Seq(
+      (cn, "S.D.N.Y", s"t $cn", "2024-10-03",
+        "A (plaintiff); B (defendant)", "civil", "Judge Chen", text,
+        "active")).toDF("case_number", "court", "title", "filed_date",
+      "parties", "case_type", "judge", "docket_text", "status"))
+    val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+    // batch 0: one LONG case (3 chunks) + via a second batch one short
+    val long = ("lorem ipsum " * 250).trim // ~3000 chars → 3 chunks
+    StreamingIngest.processBatch(store, raw("R-1", long), 0L,
+      "test", "test", ts, embedder = Some(emb))
+    assert(store.read("case_chunk_embeddings").get
+      .filter(col("case_number") === "R-1").count() == 3)
+    StreamingIngest.processBatch(store, raw("R-2", "short text"), 1L,
+      "test", "test", ts, embedder = Some(emb))
+    // batch 2 RE-INGESTS R-1 with SHORT text — its 3 chunk rows must
+    // collapse to 1 in BOTH serving tables (case-keyed LWW)
+    StreamingIngest.processBatch(store, raw("R-1", "tiny now"), 2L,
+      "test", "test", ts, embedder = Some(emb))
+    val chunks = store.read("case_chunk_embeddings").get
+    assert(chunks.filter(col("case_number") === "R-1").count() == 1,
+      "stale chunk rows survived the shrink")
+    // serving table == a fresh backfill of the final snapshot
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("case_number", "chunk_id", "chunk_text").collect()
+      .map(_.toSeq).toSet
+    val expect = RagPipeline.backfill(
+      store.read("cases").get, None, emb)
+    assert(key(chunks) == key(expect))
+    // the chunk-ANN index tracks: same chunk set, every list_id =
+    // argmin against the STORED centroids
+    val cents = AnnStore.centroidsOf(store.read("chunk_ann_centroids").get)
+    val asg = store.read("chunk_ann_assignments").get
+    assert(key(asg) == key(chunks))
+    asg.select("embedding", "list_id").collect().foreach { r =>
+      val m = AnnStore.microLocal(r.getSeq[Float](0).toArray)
+      val best = cents.map { case (i, c) => (AnnStore.scoreLocal(m, c), i) }
+        .min._2
+      assert(r.getAs[Number]("list_id").intValue == best)
+    }
+    // replay of batch 2: every serving-table pointer stays put
+    val vE = store.currentVersion("case_chunk_embeddings")
+    val vA = store.currentVersion("chunk_ann_assignments")
+    StreamingIngest.processBatch(store, raw("R-1", "tiny now"), 2L,
+      "test", "test", ts, embedder = Some(emb))
+    assert(store.currentVersion("case_chunk_embeddings") == vE &&
+      store.currentVersion("chunk_ann_assignments") == vA)
+  }
+
   test("micro-batch merge rewrites only the touched filed_year partition") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-stream-in2")
