@@ -106,7 +106,7 @@ object OracleSql {
   def annQuantizerCtes(lists: Int): String = {
     val score0 = annScore("f.m", "s.c")
     val score1 = annScore("f.m", "c.c")
-    s"""fx AS (SELECT vec_id, embedding, ${microVec("embedding")} AS m
+    s"""fx AS (SELECT vec_id, embedding, label, ${microVec("embedding")} AS m
        |  FROM embeddings),
        |ann_seeds AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS list_id, m AS c

@@ -644,6 +644,37 @@ object VectorQueries {
       .orderBy("np")
   }
 
+  /** q212: FILTERED ANN search through the stored index — the
+    * metadata-constrained top-k every production vector store serves
+    * ("nearest neighbors among docs WHERE label = 3", pgvector's
+    * filtered-scan case): the predicate pushes into the SAME pruned
+    * list scan because the assignment rows carry the embedding
+    * table's metadata columns (AnnStore v3) — no corpus-side
+    * lookback join. Wider nprobe (8) compensates the filter shrinking
+    * the candidate pool — pgvector's iterative-scan guidance as a
+    * knob instead of a loop.
+    */
+  def q212FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.rag.AnnStore
+    val qv = AnnStore.vectorOf(spark, dir, 7L)
+    AnnStore.denseSearch(spark, dir, qv, topK = 10, nprobe = 8,
+      excludeId = Some(7L), where = Some(col("label") === 3))
+  }
+
+  val q212Sql: String =
+    s"""WITH ${OracleSql.annQuantizerCtes(graft.rag.AnnStore.NumLists)},
+       |q AS (SELECT m AS qm, embedding AS q_emb FROM fx WHERE vec_id = 7),
+       |plists AS (
+       |  SELECT c.list_id FROM ann_cent c, q
+       |  ORDER BY ${OracleSql.annScore("q.qm", "c.c")}, c.list_id
+       |  LIMIT 8)
+       |SELECT e.vec_id AS id,
+       |  ${OracleSql.dotFold("e.embedding", "q.q_emb")} AS cosine
+       |FROM fx e JOIN ann_asg a USING (vec_id), q
+       |WHERE a.list_id IN (SELECT list_id FROM plists)
+       |  AND e.vec_id <> 7 AND e.label = 3
+       |ORDER BY cosine DESC, id LIMIT 10""".stripMargin
+
   val q211Sql: String = {
     val dot = OracleSql.dotFold("e.embedding", "q.q_emb")
     s"""WITH ${OracleSql.annQuantizerCtes(graft.rag.AnnStore.NumLists)},
@@ -1844,6 +1875,7 @@ object VectorQueries {
     "q209_stored_ann_audit" -> (q209StoredAnnAudit _),
     "q210_ann_probe_topk" -> (q210AnnProbeTopk _),
     "q211_ann_recall_curve" -> (q211AnnRecallCurve _),
+    "q212_filtered_ann" -> (q212FilteredAnn _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1871,5 +1903,6 @@ object VectorQueries {
     "q209_stored_ann_audit" -> q209Sql,
     "q210_ann_probe_topk" -> q210Sql,
     "q211_ann_recall_curve" -> q211Sql,
+    "q212_filtered_ann" -> q212Sql,
   )
 }

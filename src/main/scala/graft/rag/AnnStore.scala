@@ -178,8 +178,12 @@ object AnnStore {
     * v2: the id cluster sort survives the write (the FileFormatWriter
     * unstable-sort fix, SCALING.md r11) — rebuilds v1 stores whose
     * files the broken builder left unsorted.
+    * v3: assignment rows carry the embedding table's metadata columns
+    * (e.g. `label`) so FILTERED ANN search pushes its predicate into
+    * the pruned list scan — pgvector's filtered-scan case without a
+    * heap lookback.
     */
-  private val Format = "v2"
+  private val Format = "v3"
 
   private def indexRoot(dir: String): String = {
     val base = sys.env.getOrElse("GRAFT_ANN_ROOT",
@@ -237,8 +241,10 @@ object AnnStore {
     if (fresh) return store
     withBuildLock(root) {
       if (!fresh) {
+        // keep EVERY embedding-table column (label, ...): filtered
+        // search pushes metadata predicates into the pruned list scan
         val emb = Tables(spark, dir).embeddings
-          .select(col("vec_id").as("id"), col("embedding"))
+          .withColumnRenamed("vec_id", "id")
         val cents = trainCentroids(emb, "embedding", Seq(col("id")))
         writeIndex(spark, store, emb, cents)
         Files.writeString(fpFile, fp) // LAST: a crashed build rebuilds
@@ -251,8 +257,10 @@ object AnnStore {
 
   /** Write the four index tables from scratch — shared by [[ensure]]
     * and [[graft.streaming.StreamingAnn.retrain]]. `emb` must carry
-    * (id, embedding). One file per list dir, rows sorted by id (point
-    * lookups prune row groups).
+    * (id, embedding) and may carry metadata columns, which ride onto
+    * the assignment rows (filtered search reads them with the scan).
+    * One file per list dir, rows sorted by id (point lookups prune
+    * row groups).
     */
   private[graft] def writeIndex(spark: SparkSession, store: SnapshotStore,
       emb: DataFrame, cents: Seq[Array[Long]]): Unit = {
@@ -260,7 +268,7 @@ object AnnStore {
     store.write("ann_centroids",
       cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
         .toDF("list_id", "centroid"))
-    val assigned = assignListId(emb.select("id", "embedding"), "embedding", cents)
+    val assigned = assignListId(emb, "embedding", cents)
     store.write("ann_assignments",
       assigned.repartition(cents.size, col("list_id"))
         .sortWithinPartitions("list_id", "id"),
@@ -340,13 +348,24 @@ object AnnStore {
     * IVFFLAT probe (rag.py:179-180) as a Spark plan. Returns
     * (id, cosine), ordered.
     */
+  /** @param where optional metadata predicate over the assignment
+    *   rows (the index carries the embedding table's metadata
+    *   columns) — FILTERED ANN search, pgvector's filtered-scan case:
+    *   the predicate composes with the list pruning and pushes into
+    *   the same Parquet scan, no corpus-side lookback. Filtering
+    *   SHRINKS the candidate pool, so at fixed nprobe a highly
+    *   selective predicate may return < topK rows — widen nprobe for
+    *   recall, exactly pgvector's iterative-scan guidance.
+    */
   def denseSearch(spark: SparkSession, dir: String, vec: Array[Float],
       topK: Int = 10, nprobe: Int = DefaultNprobe,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      where: Option[Column] = None): DataFrame = {
     val lists = probeListsOf(centroidsLocal(spark, dir), vec, nprobe)
     val base = assignments(spark, dir)
       .filter(col("list_id").isin(lists: _*))
-    val cand = excludeId.fold(base)(x => base.filter(col("id") =!= x))
+    val filtered = where.fold(base)(base.filter)
+    val cand = excludeId.fold(filtered)(x => filtered.filter(col("id") =!= x))
     cand
       .withColumn("cosine", graft.functions.VectorFunctions
         .dotFold(col("embedding"), typedlit(vec.toSeq)))

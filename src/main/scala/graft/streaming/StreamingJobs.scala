@@ -403,8 +403,10 @@ object StreamingAnn {
       throw new IllegalStateException(
         "ann store has no centroids — build the index before streaming " +
           "maintenance (AnnStore.ensure / writeIndex)")))
+    // pass the batch's columns through: the stored rows carry the
+    // corpus's metadata columns, so batches must ship the same schema
     val assignedBatch = AnnStore.assignListId(
-      batch.select("id", "embedding").dropDuplicates("id"),
+      batch.dropDuplicates("id"),
       "embedding", cents.map(_._2))
       .localCheckpoint(true) // read by the merge, the probe, and touched
     val batchLists = assignedBatch.select("list_id").distinct().collect()
@@ -463,7 +465,7 @@ object StreamingAnn {
     */
   def retrain(spark: SparkSession, store: SnapshotStore,
       lists: Int = AnnStore.NumLists): Unit = {
-    val emb = store.read("ann_assignments").get.select("id", "embedding")
+    val emb = store.read("ann_assignments").get.drop("list_id")
       .localCheckpoint(true) // sever from the versions being replaced
     val cents = AnnStore.trainCentroids(emb, "embedding",
       Seq(col("id")), lists)

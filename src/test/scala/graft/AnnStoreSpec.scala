@@ -59,6 +59,27 @@ class AnnStoreSpec extends AnyFunSuite {
     assert(got == refTopK(inLists, q, 5, _ != 7L))
   }
 
+  test("filtered search: predicate composes with list pruning — exact " +
+    "top-k among matching rows of the probed lists") {
+    val all = AnnStore.assignments(spark, dir)
+      .select("id", "embedding", "label", "list_id").collect()
+    val byId = all.map(r => r.getLong(0) ->
+      ((r.getSeq[Float](1).toArray, r.getInt(2),
+        r.getAs[Number]("list_id").intValue))).toMap
+    val q = AnnStore.vectorOf(spark, dir, 7L)
+    val lists = AnnStore.probeListsOf(
+      AnnStore.centroidsLocal(spark, dir), q, 8).toSet
+    val got = AnnStore.denseSearch(spark, dir, q, topK = 10, nprobe = 8,
+      excludeId = Some(7L), where = Some(col("label") === 3))
+      .collect().map(_.getLong(0)).toSeq
+    val expect = refTopK(
+      byId.collect { case (id, (v, lbl, l))
+        if lbl == 3 && lists.contains(l) => id -> v },
+      q, 10, _ != 7L)
+    assert(got == expect && got.nonEmpty)
+    assert(got.forall(id => byId(id)._2 == 3))
+  }
+
   test("stored assignments match a driver-side argmin against the " +
     "stored centroids (ties to lowest list)") {
     val cents = AnnStore.centroidsLocal(spark, dir)
