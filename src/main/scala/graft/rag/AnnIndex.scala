@@ -70,8 +70,11 @@ object AnnIndex {
 final class IvfIndex private (val centroids: Array[Array[Double]],
     assigned: DataFrame) {
 
-  /** The bucketed corpus: (id, embedding, list_id) — persist/write
-    * partitioned by `list_id` at scale.
+  /** The bucketed corpus: (id, embedding, list_id). The PERSISTED
+    * form of this table — hive-partitioned by `list_id` in a
+    * SnapshotStore, incrementally maintained, probed with partition
+    * pruning — is [[AnnStore]]; this in-session variant remains the
+    * MLlib-trained (float-kmeans) twin for q86/q191's recall studies.
     */
   def table: DataFrame = assigned
 

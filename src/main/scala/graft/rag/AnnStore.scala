@@ -182,8 +182,21 @@ object AnnStore {
     * (e.g. `label`) so FILTERED ANN search pushes its predicate into
     * the pruned list scan — pgvector's filtered-scan case without a
     * heap lookback.
+    * v4: adds `ann_id_map(id, list_id)` hive-partitioned by
+    * `id_bucket = pmod(id, IdBuckets)` — the id→list sidecar that
+    * makes the streaming maintenance's prior-list lookup a
+    * partition-PRUNED read (O(batch id-buckets)) instead of a
+    * column-pruned full-assignments probe per micro-batch, the same
+    * treatment StreamingPostings' registry got in r11.
     */
-  private val Format = "v3"
+  private val Format = "v4"
+
+  /** Hive-bucket count of the id→list sidecar map (pmod(id, _)) —
+    * bounds a micro-batch's prior-list lookup to the batch's own id
+    * buckets. Self-describing like NumLists: the fingerprint carries
+    * it, so a constant change rebuilds rather than mis-probes.
+    */
+  val IdBuckets = 64
 
   private def indexRoot(dir: String): String = {
     val base = sys.env.getOrElse("GRAFT_ANN_ROOT",
@@ -231,12 +244,13 @@ object AnnStore {
   def ensure(spark: SparkSession, dir: String): SnapshotStore = synchronized {
     val root = indexRoot(dir)
     val store = new SnapshotStore(spark, root)
-    val fp = s"$Format:l$NumLists:${corpusFingerprint(dir)}"
+    val fp = s"$Format:l$NumLists:i$IdBuckets:${corpusFingerprint(dir)}"
     val fpFile = Paths.get(root, "_corpus_fingerprint")
     def fresh = Files.exists(fpFile) &&
       Files.readString(fpFile).trim == fp &&
       store.currentVersion("ann_centroids").isDefined &&
       store.currentVersion("ann_assignments").isDefined &&
+      store.currentVersion("ann_id_map").isDefined &&
       store.currentVersion("ann_stats").isDefined
     if (fresh) return store
     withBuildLock(root) {
@@ -248,7 +262,7 @@ object AnnStore {
         val cents = trainCentroids(emb, "embedding", Seq(col("id")))
         writeIndex(spark, store, emb, cents)
         Files.writeString(fpFile, fp) // LAST: a crashed build rebuilds
-        Seq("ann_centroids", "ann_assignments", "ann_stats",
+        Seq("ann_centroids", "ann_assignments", "ann_id_map", "ann_stats",
           "ann_list_stats").foreach(store.vacuum(_, keepLast = 1))
       }
     }
@@ -273,12 +287,25 @@ object AnnStore {
       assigned.repartition(cents.size, col("list_id"))
         .sortWithinPartitions("list_id", "id"),
       partitionCols = Seq("list_id"))
+    store.write("ann_id_map", idMapOf(assigned), partitionCols = Seq("id_bucket"))
     val listStats = store.read("ann_assignments").get
       .groupBy(col("list_id").cast("long").as("list_id"))
       .agg(count(lit(1)).as("n_vectors"))
     store.write("ann_list_stats", listStats)
     store.write("ann_stats", statsFromListStats(store, cents.size))
   }
+
+  /** Project an assigned frame onto the id→list sidecar map's rows:
+    * (id, list_id, id_bucket = pmod(id, IdBuckets)). The map is
+    * hive-partitioned by `id_bucket` and each file sorts by id, so a
+    * batch's prior-list lookup reads only its own buckets and prunes
+    * row groups inside them.
+    */
+  private[graft] def idMapOf(assigned: DataFrame): DataFrame =
+    assigned.select(col("id"), col("list_id"),
+      pmod(col("id"), lit(IdBuckets.toLong)).cast("int").as("id_bucket"))
+      .repartition(IdBuckets, col("id_bucket"))
+      .sortWithinPartitions("id_bucket", "id")
 
   /** The global stats row derived from the ≤ lists-row subtotal table
     * (never a corpus scan): totals plus the occupancy skew ratio
@@ -331,12 +358,40 @@ object AnnStore {
   def assignments(spark: SparkSession, dir: String): DataFrame =
     ensure(spark, dir).read("ann_assignments").get
 
+  /** Prior-list rows (id, list_id) for a key frame, through the
+    * sidecar map: the scan carries a LITERAL `id_bucket IN (...)`
+    * partition filter (the keys' own buckets — ≤ IdBuckets values
+    * regardless of batch size), so the lookup reads O(touched
+    * id-buckets) of the map, never the assignments table. This is
+    * what the streaming maintenance uses to find a re-ingested
+    * vector's OLD list and to hand the LWW merge its collide set.
+    */
+  def priorListRows(store: SnapshotStore, ids: DataFrame): DataFrame = {
+    val buckets = ids
+      .select(pmod(col("id"), lit(IdBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    store.read("ann_id_map").get
+      .filter(col("id_bucket").isin(buckets: _*))
+      .join(ids.select("id"), Seq("id"), "left_semi")
+      .select("id", "list_id")
+  }
+
   /** Point lookup of a stored vector by id (the "query by corpus
-    * member" convenience the search entries use) — reads the
-    * id-sorted snapshot, never the raw embeddings table.
+    * member" convenience the search entries use): resolve the id's
+    * list through the sidecar map (one pruned bucket dir), then read
+    * that single list partition — two pruned point reads, never a
+    * full-assignments or raw-embeddings scan.
     */
   def vectorOf(spark: SparkSession, dir: String, id: Long): Array[Float] = {
-    val rows = assignments(spark, dir).filter(col("id") === id)
+    val store = ensure(spark, dir)
+    val bucket = ((id % IdBuckets + IdBuckets) % IdBuckets).toInt
+    val listRows = store.read("ann_id_map").get
+      .filter(col("id_bucket") === bucket && col("id") === id)
+      .select("list_id").limit(1).collect()
+    require(listRows.nonEmpty, s"no stored vector with id $id")
+    val listId = listRows(0).getInt(0)
+    val rows = store.read("ann_assignments").get
+      .filter(col("list_id") === listId && col("id") === id)
       .select("embedding").limit(1).collect()
     require(rows.nonEmpty, s"no stored vector with id $id")
     rows(0).getSeq[Float](0).toArray

@@ -250,7 +250,8 @@ final class SnapshotStore(spark: SparkSession, root: String,
     */
   private def mergedPartitionScoped(table: String, cur: Long, batch: DataFrame,
       combine: (DataFrame, DataFrame) => DataFrame,
-      partitionCols: Seq[String], probeKeys: Seq[String]): Long = {
+      partitionCols: Seq[String], probeKeys: Seq[String],
+      collideHint: Option[Seq[Any]]): Long = {
     import org.apache.spark.storage.StorageLevel
     val pc = partitionCols.head
     val priorPartDirs: Map[String, java.nio.file.Path] =
@@ -262,11 +263,19 @@ final class SnapshotStore(spark: SparkSession, root: String,
     try {
       val prior = readVersion(table, cur).get
       val batchVals = batch.select(col(pc)).distinct().collect().map(_.get(0))
-      val collideVals: Array[Any] =
-        if (probeKeys.isEmpty) Array.empty
-        else prior.select((probeKeys :+ pc).distinct.map(col): _*)
-          .join(batch.select(probeKeys.map(col): _*).distinct(), probeKeys, "left_semi")
-          .select(col(pc)).distinct().collect().map(_.get(0))
+      val collideVals: Array[Any] = collideHint match {
+        // the caller already knows which partitions hold prior rows
+        // with batch keys (a pruned sidecar lookup, or the partition
+        // value is a function of the key) — skip the full-table probe.
+        // MUST be a superset of the true collide set: a missed
+        // partition would leave stale prior rows alive.
+        case Some(vals) => vals.toArray
+        case None =>
+          if (probeKeys.isEmpty) Array.empty
+          else prior.select((probeKeys :+ pc).distinct.map(col): _*)
+            .join(batch.select(probeKeys.map(col): _*).distinct(), probeKeys, "left_semi")
+            .select(col(pc)).distinct().collect().map(_.get(0))
+      }
       val touchedVals = (batchVals ++ collideVals).toSet
       val touchedDirs = touchedVals.map(partitionDirName(pc, _))
       val nonNull = touchedVals.filter(_ != null).toSeq
@@ -318,7 +327,8 @@ final class SnapshotStore(spark: SparkSession, root: String,
       combine: (DataFrame, DataFrame) => DataFrame,
       partitionCols: Seq[String] = Nil,
       probeKeys: Seq[String] = Nil,
-      sortCols: Seq[String] = Nil): Long = {
+      sortCols: Seq[String] = Nil,
+      collideHint: Option[Seq[Any]] = None): Long = {
     // cluster each written file on sortCols so point/equality
     // predicates prune Parquet row groups inside a hive partition
     // (e.g. postings buckets cluster on `term`). The sort key MUST
@@ -334,7 +344,8 @@ final class SnapshotStore(spark: SparkSession, root: String,
       else (p, b) => combine(p, b).sortWithinPartitions(effSort.map(col): _*)
     currentVersion(table) match {
       case Some(cur) if partitionCols.nonEmpty =>
-        mergedPartitionScoped(table, cur, batch, c, partitionCols, probeKeys)
+        mergedPartitionScoped(table, cur, batch, c, partitionCols, probeKeys,
+          collideHint)
       case Some(_) => write(table, c(read(table).get, batch), partitionCols)
       case None => write(table,
         if (effSort.isEmpty) batch
@@ -348,11 +359,23 @@ final class SnapshotStore(spark: SparkSession, root: String,
     * partitions (see [[mergedPartitionScoped]]); `sortCols` clusters
     * each written file for row-group pruning.
     */
+  /** @param collideHint when the caller already knows the partition
+    *   values holding prior rows with batch keys (from a pruned
+    *   sidecar lookup like AnnStore's id map, or because the partition
+    *   value is a pure function of the key), passing them skips the
+    *   internal column-pruned full-table key probe — the per-batch
+    *   merge then touches NO unpruned scan of the table at all. The
+    *   hint must be a SUPERSET of the true collide set (extra values
+    *   only rewrite identical partitions; a missing one would leave
+    *   stale rows alive).
+    */
   def mergeLastWriteWins(table: String, batch: DataFrame, keys: Seq[String],
-      partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Long =
+      partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil,
+      collideHint: Option[Seq[Any]] = None): Long =
     merged(table, batch, (prior, b) =>
       prior.join(b.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        .unionByName(b), partitionCols, probeKeys = keys, sortCols = sortCols)
+        .unionByName(b), partitionCols, probeKeys = keys, sortCols = sortCols,
+      collideHint = collideHint)
 
   /** Insert-if-absent: prior rows win, new keys append (S5/S6). */
   def mergeInsertIfAbsent(table: String, batch: DataFrame, keys: Seq[String],

@@ -411,13 +411,18 @@ object StreamingAnn {
       .localCheckpoint(true) // read by the merge, the probe, and touched
     val batchLists = assignedBatch.select("list_id").distinct().collect()
       .map(_.getAs[Number](0).longValue).toSeq
-    // prior lists of re-ingested ids — the column-pruned lookup that
-    // makes a MOVED vector's old list part of the touched set (same
-    // class as the LWW merge's own collide probe)
-    val priorLists = store.read("ann_assignments").get
-      .join(assignedBatch.select("id"), Seq("id"), "left_semi")
+    // prior lists of re-ingested ids — the lookup that makes a MOVED
+    // vector's old list part of the touched set. Goes through the
+    // id-bucketed sidecar map (ann_id_map, AnnStore v4): the scan is
+    // partition-pruned to the batch's own id buckets, so per-batch
+    // cost is O(touched buckets), never an assignments-table scan —
+    // and the result doubles as the LWW merge's collide set, so the
+    // merge skips its own full-table key probe too.
+    val priorListVals = AnnStore
+      .priorListRows(store, assignedBatch.select("id"))
       .select("list_id").distinct().collect()
-      .map(_.getAs[Number](0).longValue).toSeq
+      .map(_.getInt(0)).sorted.toSeq
+    val priorLists = priorListVals.map(_.toLong)
     // durable TOUCHED-SET INTENT, appended BEFORE any mutation: after
     // a crash mid-batch the replay recomputes priorLists from the
     // post-merge store — where a moved vector's OLD list is invisible
@@ -431,8 +436,23 @@ object StreamingAnn {
       .filter(col("batch_id") === batchId)
       .select(explode(col("list_ids")).as("l"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    // collide set = the sidecar lookup's prior lists (exact): the
+    // merge rewrites batch ∪ prior lists and probes NOTHING unpruned
     store.mergeLastWriteWins("ann_assignments", assignedBatch, Seq("id"),
-      partitionCols = Seq("list_id"), sortCols = Seq("id"))
+      partitionCols = Seq("list_id"), sortCols = Seq("id"),
+      collideHint = Some(priorListVals))
+    // maintain the sidecar map AFTER the assignments merge (a crash
+    // between the two replays with the STALE map — the old list stays
+    // visible, the recomputed collide set is a correct superset; the
+    // reverse order would hide a moved vector's old list from the
+    // replay). Bucket is a pure function of the key, so the collide
+    // set is the batch's own buckets — no probe either.
+    val batchBuckets = assignedBatch
+      .select(pmod(col("id"), lit(AnnStore.IdBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    store.mergeLastWriteWins("ann_id_map", AnnStore.idMapOf(assignedBatch),
+      Seq("id"), partitionCols = Seq("id_bucket"), sortCols = Seq("id"),
+      collideHint = Some(batchBuckets))
     // LEFT join from the touched-key frame: a list every batch vector
     // LEFT still gets a (possibly zero) row — counts never go stale
     val listTotals = touched.toDF("list_id").join(

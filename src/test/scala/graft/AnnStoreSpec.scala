@@ -187,6 +187,45 @@ class AnnStoreSpec extends AnyFunSuite {
       "replayed batch mutated the index")
   }
 
+  test("sidecar id map tracks assignments across batches (incl. a " +
+    "move); the prior-list lookup partition-prunes to the keys' " +
+    "buckets and never touches the assignments table") {
+    import spark.implicits._
+    val (store, _, batch) = clusteredFixture()
+    StreamingAnn.processBatch(store, batch, 0L)
+    def vecRow(id: Long, x: Float) =
+      Seq((id, Array.tabulate(4)(i => if (i == 0) x else 0.1f).toSeq))
+        .toDF("id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+    StreamingAnn.processBatch(store, vecRow(10L, 0.99f), 1L) // a MOVE
+    def pairs(t: String) = store.read(t).get.select("id", "list_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).intValue)).toSet
+    assert(pairs("ann_id_map") == pairs("ann_assignments"),
+      "sidecar map diverged from the assignments after a moved vector")
+    // the lookup plan: partition filter on id_bucket, and the ONLY
+    // file scans are of the sidecar map — O(touched buckets), the
+    // contract that keeps per-batch maintenance off the corpus table
+    val probe = AnnStore.priorListRows(store, Seq(10L, 11L).toDF("id"))
+    probe.collect() // finalize the adaptive plan
+    def go(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          go(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      }.flatten
+    val scans = go(probe.queryExecution.executedPlan)
+    assert(scans.nonEmpty && scans.forall(f =>
+      f.relation.location.rootPaths.exists(_.toString.contains("ann_id_map"))),
+      s"prior-list lookup reads beyond the sidecar map:\n" +
+        s"${probe.queryExecution.executedPlan}")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      s"prior-list lookup does not prune id buckets:\n" +
+        s"${probe.queryExecution.executedPlan}")
+  }
+
   test("occupancy skew flags needs_retrain; retrain rewrites a " +
     "self-consistent index over the same vectors") {
     val (store, _, batch) = clusteredFixture()

@@ -144,6 +144,30 @@ class SnapshotStoreSpec extends AnyFunSuite {
       3 -> ((2021, "far"))))
   }
 
+  test("collide hint: an exact hint reproduces the probed merge (moved " +
+    "key included); a superset hint is harmless") {
+    // contract: a caller that already knows the collide partitions (a
+    // pruned sidecar lookup, StreamingAnn) may hand them over and the
+    // merge skips its full-table key probe — results must be
+    // indistinguishable from the probed path
+    def run(hint: Option[Seq[Any]]) = {
+      val s = newStore()
+      s.write("cases", Seq((1, 2019, "orig"), (2, 2019, "stay"), (3, 2021, "far"))
+        .toDF("k", "filed_year", "v"), Seq("filed_year"))
+      s.mergeLastWriteWins("cases",
+        Seq((1, 2020, "moved")).toDF("k", "filed_year", "v"),
+        Seq("k"), partitionCols = Seq("filed_year"), collideHint = hint)
+      s.read("cases").get.collect()
+        .map(r => (r.getAs[Int]("k"), r.getAs[Int]("filed_year"),
+          r.getAs[String]("v"))).toSet
+    }
+    val probed = run(None)
+    assert(run(Some(Seq(2019))) == probed,
+      "exact collide hint diverged from the probed merge")
+    assert(run(Some(Seq(2019, 2021))) == probed,
+      "superset collide hint diverged from the probed merge")
+  }
+
   test("partition-scoped insert-if-absent and additive keep semantics") {
     val s = newStore()
     s.write("dims", Seq((1, 2019, "first")).toDF("k", "y", "v"), Seq("y"))
