@@ -99,7 +99,12 @@ object GraftCli {
         val n = delta.count()
         if (n > 0) {
           val materialized = delta
-          store.append("case_chunk_embeddings", materialized)
+          // bucketed layout: the append lands in the delta's own
+          // case_bucket dirs; untouched buckets carry forward
+          RagPipeline.ensureCaseBucketed(store, "case_chunk_embeddings")
+          store.append("case_chunk_embeddings",
+            RagPipeline.withCaseBucket(materialized),
+            partitionCols = Seq("case_bucket"))
           // keep the stored chunk-ANN index in step with the embedding
           // table (the reference's CREATE INDEX ... ivfflat moment,
           // rag.py:83-86) — searchDockets then probes nprobe pruned

@@ -198,12 +198,62 @@ object RagPipeline {
     store.write("chunk_ann_centroids",
       cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
         .toDF("list_id", "centroid"))
+    val assigned = AnnStore.assignListId(chunkEmbeddings, "embedding", cents)
     store.write("chunk_ann_assignments",
-      AnnStore.assignListId(chunkEmbeddings, "embedding", cents)
-        .repartition(l, col("list_id"))
+      assigned.repartition(l, col("list_id"))
         .sortWithinPartitions("list_id", "case_number", "chunk_id"),
       partitionCols = Seq("list_id"))
+    store.write("chunk_ann_case_map", caseMapOf(assigned),
+      partitionCols = Seq("case_bucket"))
   }
+
+  /** Hive-bucket count of the case→list sidecar map (the id-map
+    * treatment applied to the serving chunk index: a delta's
+    * prior-list lookup prunes to its own case buckets instead of
+    * probing the full assignments table per merge).
+    */
+  val CaseBuckets = 64
+
+  /** Attach `case_bucket = crc32(case_number) % CaseBuckets` — the
+    * hive-partition key of the case-keyed serving tables
+    * (case_chunk_embeddings, chunk_ann_case_map): a pure function of
+    * the merge key, so every per-batch merge's touched set is the
+    * batch's own buckets and no collide probe ever runs.
+    */
+  def withCaseBucket(df: DataFrame): DataFrame =
+    df.withColumn("case_bucket",
+      pmod(crc32(col("case_number")), lit(CaseBuckets.toLong)).cast("int"))
+
+  /** Project assigned chunk rows onto the case→list sidecar map:
+    * one row per DISTINCT (case_number, list_id), partitioned by
+    * `case_bucket`.
+    */
+  private def caseMapOf(assigned: DataFrame): DataFrame =
+    withCaseBucket(assigned.select(col("case_number"), col("list_id")).distinct())
+      .repartition(CaseBuckets, col("case_bucket"))
+      .sortWithinPartitions("case_bucket", "case_number")
+
+  /** Distinct case buckets of a frame (the collide/touched hint for
+    * case-bucketed merges — bucket is a function of the key).
+    */
+  def caseBucketsOf(df: DataFrame): Seq[Int] =
+    withCaseBucket(df.select("case_number")).select("case_bucket")
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+
+  /** One-time layout migration: rewrite a case-keyed serving table
+    * hive-partitioned by `case_bucket` if it predates the bucketed
+    * layout (no-op otherwise). Merges afterwards are partition-scoped
+    * to the batch's own buckets.
+    */
+  def ensureCaseBucketed(store: graft.store.SnapshotStore,
+      table: String): Unit =
+    store.read(table).foreach { cur =>
+      if (!cur.columns.contains("case_bucket"))
+        store.write(table,
+          withCaseBucket(cur).repartition(CaseBuckets, col("case_bucket"))
+            .sortWithinPartitions("case_bucket", "case_number"),
+          partitionCols = Seq("case_bucket"))
+    }
 
   /** Incrementally fold a chunk DELTA into the stored chunk-ANN
     * index: the delta's chunks assign map-side against the STORED
@@ -212,10 +262,15 @@ object RagPipeline {
     * case replaces ALL its chunk rows, so a case whose text shrank
     * loses its stale high-chunk_id rows (the same per-document
     * replacement rule as the postings index) — rewriting only the
-    * touched list partitions. Falls back to a full [[indexChunks]]
-    * build when no index exists yet. Occupancy drift is the
-    * retrain-trigger problem StreamingAnn owns for the corpus index;
-    * here a caller rebuilds via [[indexChunks]] when it cares.
+    * touched list partitions. The merge's collide set (which lists
+    * hold a re-ingested case's PRIOR chunks) comes from the
+    * case-bucketed sidecar map, pruned to the delta's own buckets —
+    * per-delta cost is O(touched buckets + touched lists), with no
+    * unpruned scan of the assignments table anywhere. Falls back to a
+    * full [[indexChunks]] build when no index exists yet. Occupancy
+    * drift is the retrain-trigger problem StreamingAnn owns for the
+    * corpus index; here a caller rebuilds via [[indexChunks]] when it
+    * cares.
     */
   def mergeChunkIndex(store: graft.store.SnapshotStore,
       delta: DataFrame): Unit = {
@@ -224,12 +279,46 @@ object RagPipeline {
         delta.select("case_number", "chunk_id", "chunk_text", "embedding"))
       case Some(centFrame) =>
         val cents = AnnStore.centroidsOf(centFrame)
-        store.mergeLastWriteWins("chunk_ann_assignments",
-          AnnStore.assignListId(delta.select("case_number", "chunk_id",
-            "chunk_text", "embedding"), "embedding", cents.map(_._2)),
+        val assignedDelta = AnnStore.assignListId(
+          delta.select("case_number", "chunk_id", "chunk_text", "embedding"),
+          "embedding", cents.map(_._2))
+          .localCheckpoint(true) // read by two merges + two collects
+        // one-time migration for stores indexed before the case map
+        // existed (a single full pass, after which merges are pruned)
+        if (store.currentVersion("chunk_ann_case_map").isEmpty)
+          store.write("chunk_ann_case_map",
+            caseMapOf(store.read("chunk_ann_assignments").get),
+            partitionCols = Seq("case_bucket"))
+        // prior lists of the delta's cases through the sidecar map —
+        // pruned to the delta's own case buckets, and handed to the
+        // merge as its collide set so no full-table probe runs. A
+        // crash-replay reads a possibly part-updated map, but a prior
+        // row it misses can only live in the delta's OWN new lists,
+        // which the merge rewrites regardless (batch partition values).
+        val deltaBuckets = assignedDelta
+          .select(pmod(crc32(col("case_number")), lit(CaseBuckets.toLong))
+            .cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).sorted.toSeq
+        val priorLists = store.read("chunk_ann_case_map").get
+          .filter(col("case_bucket").isin(deltaBuckets: _*))
+          .join(assignedDelta.select("case_number").distinct(),
+            Seq("case_number"), "left_semi")
+          .select("list_id").distinct().collect()
+          .map(_.getAs[Number](0).intValue).sorted.toSeq
+        store.mergeLastWriteWins("chunk_ann_assignments", assignedDelta,
           keys = Seq("case_number"),
           partitionCols = Seq("list_id"),
-          sortCols = Seq("case_number", "chunk_id"))
+          sortCols = Seq("case_number", "chunk_id"),
+          collideHint = Some(priorLists))
+        // the map merges AFTER the assignments (stale-map replays keep
+        // a moved case's old lists visible); its own collide set is
+        // the delta's buckets — the partition value is a pure function
+        // of the key
+        store.mergeLastWriteWins("chunk_ann_case_map",
+          caseMapOf(assignedDelta), keys = Seq("case_number"),
+          partitionCols = Seq("case_bucket"),
+          sortCols = Seq("case_number"),
+          collideHint = Some(deltaBuckets))
         ()
     }
   }

@@ -251,7 +251,8 @@ final class SnapshotStore(spark: SparkSession, root: String,
   private def mergedPartitionScoped(table: String, cur: Long, batch: DataFrame,
       combine: (DataFrame, DataFrame) => DataFrame,
       partitionCols: Seq[String], probeKeys: Seq[String],
-      collideHint: Option[Seq[Any]]): Long = {
+      collideHint: Option[Seq[Any]],
+      probeFrame: Option[DataFrame]): Long = {
     import org.apache.spark.storage.StorageLevel
     val pc = partitionCols.head
     val priorPartDirs: Map[String, java.nio.file.Path] =
@@ -273,7 +274,8 @@ final class SnapshotStore(spark: SparkSession, root: String,
         case None =>
           if (probeKeys.isEmpty) Array.empty
           else prior.select((probeKeys :+ pc).distinct.map(col): _*)
-            .join(batch.select(probeKeys.map(col): _*).distinct(), probeKeys, "left_semi")
+            .join(probeFrame.getOrElse(batch)
+              .select(probeKeys.map(col): _*).distinct(), probeKeys, "left_semi")
             .select(col(pc)).distinct().collect().map(_.get(0))
       }
       val touchedVals = (batchVals ++ collideVals).toSet
@@ -328,7 +330,8 @@ final class SnapshotStore(spark: SparkSession, root: String,
       partitionCols: Seq[String] = Nil,
       probeKeys: Seq[String] = Nil,
       sortCols: Seq[String] = Nil,
-      collideHint: Option[Seq[Any]] = None): Long = {
+      collideHint: Option[Seq[Any]] = None,
+      probeFrame: Option[DataFrame] = None): Long = {
     // cluster each written file on sortCols so point/equality
     // predicates prune Parquet row groups inside a hive partition
     // (e.g. postings buckets cluster on `term`). The sort key MUST
@@ -345,7 +348,7 @@ final class SnapshotStore(spark: SparkSession, root: String,
     currentVersion(table) match {
       case Some(cur) if partitionCols.nonEmpty =>
         mergedPartitionScoped(table, cur, batch, c, partitionCols, probeKeys,
-          collideHint)
+          collideHint, probeFrame)
       case Some(_) => write(table, c(read(table).get, batch), partitionCols)
       case None => write(table,
         if (effSort.isEmpty) batch
@@ -369,13 +372,25 @@ final class SnapshotStore(spark: SparkSession, root: String,
     *   only rewrite identical partitions; a missing one would leave
     *   stale rows alive).
     */
+  /** @param keyScope widens the REPLACEMENT set beyond the batch's own
+    *   keys: every prior row whose key appears in `keyScope` is
+    *   dropped, whether or not the batch carries rows for it — "the
+    *   batch is the complete new state of these keys". This is how a
+    *   row-EXPLODED table (postings: one doc → many term rows) deletes
+    *   a re-ingested doc whose new content produces ZERO rows; without
+    *   it the LWW anti-join only sees keys the batch happens to emit
+    *   and the emptied doc's stale rows would survive. Defaults to the
+    *   batch frame (plain upsert semantics).
+    */
   def mergeLastWriteWins(table: String, batch: DataFrame, keys: Seq[String],
       partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil,
-      collideHint: Option[Seq[Any]] = None): Long =
+      collideHint: Option[Seq[Any]] = None,
+      keyScope: Option[DataFrame] = None): Long =
     merged(table, batch, (prior, b) =>
-      prior.join(b.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      prior.join(keyScope.getOrElse(b).select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
         .unionByName(b), partitionCols, probeKeys = keys, sortCols = sortCols,
-      collideHint = collideHint)
+      collideHint = collideHint, probeFrame = keyScope)
 
   /** Insert-if-absent: prior rows win, new keys append (S5/S6). */
   def mergeInsertIfAbsent(table: String, batch: DataFrame, keys: Seq[String],

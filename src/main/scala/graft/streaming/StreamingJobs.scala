@@ -123,11 +123,20 @@ object StreamingIngest {
         graft.rag.RagPipeline.chunkCases(
           r.cases.select("case_number", "docket_text")), emb)
         .localCheckpoint(true) // consumed by two merges
-      store.mergeLastWriteWins("case_chunk_embeddings", chunks,
-        Seq("case_number"))
+      // the serving table is hive-partitioned by case_bucket (a pure
+      // function of the merge key), so the per-batch merge rewrites
+      // ONLY the batch's own buckets — no full-table rewrite, no
+      // collide probe. ensureCaseBucketed migrates pre-bucket stores.
+      graft.rag.RagPipeline.ensureCaseBucketed(store, "case_chunk_embeddings")
+      store.mergeLastWriteWins("case_chunk_embeddings",
+        graft.rag.RagPipeline.withCaseBucket(chunks),
+        Seq("case_number"), partitionCols = Seq("case_bucket"),
+        sortCols = Seq("case_number", "chunk_id"),
+        collideHint = Some(graft.rag.RagPipeline.caseBucketsOf(chunks)))
       if (store.currentVersion("chunk_ann_centroids").isEmpty)
         graft.rag.RagPipeline.indexChunks(store,
-          store.read("case_chunk_embeddings").get)
+          store.read("case_chunk_embeddings").get
+            .select("case_number", "chunk_id", "chunk_text", "embedding"))
       else graft.rag.RagPipeline.mergeChunkIndex(store, chunks)
     }
     // the commit marker: MUST stay the last write (see idempotency note)
@@ -286,13 +295,40 @@ object StreamingPostings {
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum("dl"), lit(0L)).as("total_tokens"))
 
+  /** One-time registry migration: attach the `term_buckets` column
+    * (each doc's posting partitions) to a registry written before the
+    * sidecar column existed — one pass over postings + registry, after
+    * which every merge is bucket-pruned. No-op on current layouts.
+    */
+  def ensureRegistryTermBuckets(store: SnapshotStore): Unit =
+    store.read("indexed_docs").foreach { reg =>
+      if (!reg.columns.contains("term_buckets")) {
+        // hive partition values read back as int — pin long so the
+        // migrated column matches the batch-built array<bigint>
+        val tb = store.read("postings").get.groupBy("doc_id")
+          .agg(sort_array(collect_set(col("term_bucket").cast("long")))
+            .as("term_buckets"))
+        store.write("indexed_docs",
+          reg.join(tb, Seq("doc_id"), "left")
+            .withColumn("term_buckets",
+              coalesce(col("term_buckets"), typedlit(Seq.empty[Long])))
+            .repartition(col("doc_bucket")),
+          partitionCols = Seq("doc_bucket"))
+        ()
+      }
+    }
+
   /** One micro-batch of `{doc_id, text}` documents into the index at
     * `store`. Partition-scoped: only the term_bucket hive partitions
     * the batch (or a re-ingested doc's prior rows) touch are
-    * rewritten; untouched buckets re-link. `compactEvery` > 0 runs the
-    * store's small-file compaction on that batch cadence (every
-    * partition-scoped merge adds a file pile to the touched buckets —
-    * the same OPTIMIZE rhythm StreamingIngest uses for cases).
+    * rewritten; untouched buckets re-link — and the collide set (a
+    * re-ingested doc's PRIOR buckets) comes from the registry's
+    * term_buckets sidecar, pruned to the batch's own doc buckets, so
+    * no merge step reads the index or the registry unpruned.
+    * `compactEvery` > 0 runs the store's small-file compaction on that
+    * batch cadence (every partition-scoped merge adds a file pile to
+    * the touched buckets — the same OPTIMIZE rhythm StreamingIngest
+    * uses for cases).
     */
   def processBatch(store: SnapshotStore, batch: DataFrame, batchId: Long,
       compactEvery: Int = 0): Unit = {
@@ -303,23 +339,57 @@ object StreamingPostings {
     val posts = graft.search.PostingsIndex
       .buildPostings(batch.select("doc_id", "text"))
       .localCheckpoint(true) // small (one batch); read by two merges
-    store.mergeLastWriteWins("postings", posts, Seq("doc_id"),
-      partitionCols = Seq("term_bucket"), sortCols = Seq("term"))
     // doc registry carries dl so total_tokens stays exact across
     // re-ingests (LWW, not insert-if-absent: a re-ingested doc's
-    // length changes); token-less docs register with dl = 0
+    // length changes); token-less docs register with dl = 0. It also
+    // records each doc's TERM BUCKETS — the sidecar that lets the
+    // postings merge find a re-ingested doc's prior partitions with a
+    // doc_bucket-pruned lookup instead of a full-index key probe.
     val batchDl = batch.select("doc_id").distinct()
       .join(posts.select("doc_id", "dl").distinct(), Seq("doc_id"), "left")
       .na.fill(0L, Seq("dl"))
+      .join(posts.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("term_bucket"))).as("term_buckets")),
+        Seq("doc_id"), "left")
+      .withColumn("term_buckets",
+        coalesce(col("term_buckets"), typedlit(Seq.empty[Long])))
       .withColumn("doc_bucket",
         pmod(col("doc_id"), lit(DocRegistryBuckets.toLong)))
-      .localCheckpoint(true) // read by the merge AND the touched probe
-    store.mergeLastWriteWins("indexed_docs", batchDl, Seq("doc_id"),
-      partitionCols = Seq("doc_bucket"))
+      .localCheckpoint(true) // read by the merges AND the touched probe
     // bounded driver frame (≤ DocRegistryBuckets values): which
     // registry buckets this batch touched
     val touched = batchDl.select("doc_bucket").distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
+    ensureRegistryTermBuckets(store)
+    // prior term buckets of the batch's docs, looked up through the
+    // pruned registry — the postings merge's collide set. A registry
+    // that never existed next to a non-empty postings table (a store
+    // maintained by an older protocol) falls back to the merge's own
+    // full-index probe rather than risk a stale-row miss.
+    val collide: Option[Seq[Any]] = store.read("indexed_docs") match {
+      case Some(reg) =>
+        Some(reg.filter(col("doc_bucket").isin(touched: _*))
+          .join(batchDl.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(explode(col("term_buckets")).as("b")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq)
+      case None if store.currentVersion("postings").isEmpty => Some(Nil)
+      case None => None
+    }
+    // keyScope = ALL batch docs: a doc re-ingested with token-less
+    // text emits ZERO postings rows but must still DELETE its stale
+    // ones — the batch is the complete new posting state of its docs
+    store.mergeLastWriteWins("postings", posts, Seq("doc_id"),
+      partitionCols = Seq("term_bucket"), sortCols = Seq("term"),
+      collideHint = collide,
+      keyScope = Some(batchDl.select("doc_id")))
+    // the registry merges AFTER the postings (a crash between the two
+    // replays with the STALE registry: old term buckets stay visible —
+    // a correct superset; prior rows already moved live in the batch's
+    // own buckets, which the merge rewrites regardless). Its partition
+    // value is pmod of the key, so its collide set is the batch's own
+    // buckets — no probe.
+    store.mergeLastWriteWins("indexed_docs", batchDl, Seq("doc_id"),
+      partitionCols = Seq("doc_bucket"), collideHint = Some(touched))
     store.mergeLastWriteWins("registry_stats",
       touchedBucketTotals(store, touched), Seq("doc_bucket"))
     store.write("postings_stats",

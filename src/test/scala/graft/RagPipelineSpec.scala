@@ -125,8 +125,9 @@ class RagPipelineSpec extends AnyFunSuite {
 
   test("incremental chunk-index merge equals assigning every chunk " +
     "against the stored centroids (pgvector's insert path)") {
-    val store = new graft.store.SnapshotStore(spark,
-      java.nio.file.Files.createTempDirectory("graft-rag-inc").toString)
+    val storeRoot =
+      java.nio.file.Files.createTempDirectory("graft-rag-inc").toString
+    val store = new graft.store.SnapshotStore(spark, storeRoot)
     // base index over half the cases, then the other half arrives as a
     // backfill delta — new chunks must join the EXISTING lists
     val caseIds = ingest.cases.select("case_number").orderBy("case_number")
@@ -153,6 +154,28 @@ class RagPipelineSpec extends AnyFunSuite {
     // and a re-ingested chunk REPLACES its row (LWW on the chunk key)
     RagPipeline.mergeChunkIndex(store, delta)
     assert(store.read("chunk_ann_assignments").get.count() == expect.size)
+    // the case→list sidecar map (the merge's pruned collide-set
+    // source) stays exactly the distinct (case, list) projection
+    def mapPairs = store.read("chunk_ann_case_map").get
+      .select("case_number", "list_id").collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).intValue)).toSet
+    def assignPairs = store.read("chunk_ann_assignments").get
+      .select("case_number", "list_id").distinct().collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).intValue)).toSet
+    assert(mapPairs == assignPairs,
+      "case map diverged from the assignments after merges")
+    // migration: a store indexed before the map existed (simulated by
+    // dropping the table) backfills it on the next merge and stays
+    // correct
+    val mapDir = java.nio.file.Paths.get(storeRoot, "chunk_ann_case_map")
+    val w = java.nio.file.Files.walk(mapDir)
+    try w.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    finally w.close()
+    assert(store.currentVersion("chunk_ann_case_map").isEmpty)
+    RagPipeline.mergeChunkIndex(store, delta)
+    assert(mapPairs == assignPairs,
+      "migrated case map diverged from the assignments")
   }
 
   test("api: searchDockets through a search store probes the stored " +

@@ -290,7 +290,62 @@ class StreamingSpec extends AnyFunSuite {
       val st = store.read("postings_stats").get
         .select("n_docs", "total_tokens").collect()(0)
       assert(st.getLong(0) == 3L && st.getLong(1) == 11L)
+      // the registry's term_buckets sidecar (the merge's pruned
+      // collide-set source) tracks each doc's actual postings buckets
+      val regTb = store.read("indexed_docs").get
+        .select("doc_id", "term_buckets").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val postTb = posts.select("doc_id", "term_bucket").collect()
+        .groupBy(_.getLong(0)).map { case (d, rs) =>
+          d -> rs.map(_.getAs[Number](1).longValue).toSet }
+      assert(regTb == postTb,
+        "registry term_buckets diverged from the stored postings")
+      // doc 2 re-ingested TOKEN-LESS: zero postings rows, yet its old
+      // rows must vanish (keyScope deletion) and dl must drop to 0
+      Files.writeString(in.resolve("b2.json"),
+        """[{"doc_id":2,"text":"   "}]""")
+      q.processAllAvailable()
+      val posts2 = store.read("postings").get
+      assert(posts2.filter(col("doc_id") === 2L).isEmpty,
+        "stale postings survived a token-less re-ingest")
+      val st2 = store.read("postings_stats").get
+        .select("n_docs", "total_tokens").collect()(0)
+      assert(st2.getLong(0) == 3L && st2.getLong(1) == 8L)
+      assert(store.read("indexed_docs").get
+        .filter(col("doc_id") === 2L)
+        .select("term_buckets").collect()(0).getSeq[Long](0).isEmpty)
     } finally q.stop()
+  }
+
+  test("registry migration: a pre-sidecar indexed_docs (no term_buckets " +
+    "column) backfills from the stored postings on the next batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val storeDir = Files.createTempDirectory("graft-post-migrate")
+    val store = new SnapshotStore(spark, storeDir.toString)
+    // lay down batch 0 with the CURRENT protocol, then strip the
+    // sidecar column to simulate a store an older build maintained
+    graft.streaming.StreamingPostings.processBatch(store,
+      Seq((1L, "alpha beta gamma"), (2L, "delta alpha")).toDF("doc_id", "text"), 0L)
+    store.write("indexed_docs",
+      store.read("indexed_docs").get.drop("term_buckets")
+        .repartition(col("doc_bucket")),
+      partitionCols = Seq("doc_bucket"))
+    assert(!store.read("indexed_docs").get.columns.contains("term_buckets"))
+    // next batch migrates, then merges — and a re-ingest that MOVES
+    // doc 1's terms still deletes every stale row
+    graft.streaming.StreamingPostings.processBatch(store,
+      Seq((1L, "omega")).toDF("doc_id", "text"), 1L)
+    val posts = store.read("postings").get
+    assert(posts.filter(col("doc_id") === 1L).select("term").collect()
+      .map(_.getString(0)).toSeq == Seq("omega"))
+    val regTb = store.read("indexed_docs").get
+      .select("doc_id", "term_buckets").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val postTb = posts.select("doc_id", "term_bucket").collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) =>
+        d -> rs.map(_.getAs[Number](1).longValue).toSet }
+    assert(regTb == postTb, "migrated registry diverged from postings")
   }
 
   test("streaming decontamination diverts 8-gram overlap and is replay-proof") {
