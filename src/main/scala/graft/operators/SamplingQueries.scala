@@ -128,6 +128,91 @@ object SamplingQueries {
        |  COUNT(*) AS n_docs, SUM(toks)::BIGINT AS pack_tokens
        |FROM packed GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
 
+  /** q213: GREEDY doc-boundary sequence packing — the complement of
+    * q47's stripe assignment. q47 splits the cumulative token stream
+    * every `budget` tokens: perfect fill, but documents cross window
+    * boundaries (fine when attention masks reset at doc boundaries
+    * inside a window). This packer NEVER splits a document: docs walk
+    * in doc_id order within a language and a window closes when the
+    * next doc doesn't fit (first-fit-in-order — the packing rule when
+    * a training sequence must hold whole documents). A doc longer
+    * than the budget truncates to one full window. Output per
+    * language: window count, packed/padding token totals, fill
+    * efficiency (permille, exact integer), truncation count — the
+    * padding bill for respecting boundaries, next to q47's zero-waste
+    * stripes.
+    *
+    * Scale shape: ONE shuffle (repartition on the packing-group key,
+    * sorted within) + a STREAMING per-partition greedy with O(1)
+    * state — a group never materializes in memory, so a language of
+    * any size packs in one pass. The sequential contract is
+    * per-language here because the DuckDB oracle replays it exactly
+    * (recursive CTE); at 100 TB the group key becomes (lang, shard) —
+    * packing has no cross-shard semantics, so the identical plan fans
+    * out over thousands of shards unchanged. The test-scale budget
+    * (80) sits inside the corpus's 10-99-token doc range so both the
+    * pack-several and the truncate paths carry rows; production uses
+    * the model context (2048/4096/...) — the plan does not change.
+    */
+  def q213GreedyPacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 80L
+    val prepped = Tables(spark, dir).documents
+      .select(col("lang"), col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("toks"))
+      .select(col("lang"), col("doc_id"),
+        least(col("toks"), lit(budget)).as("dlen"),
+        (col("toks") > budget).cast("int").as("trunc"))
+      .repartition(col("lang"))
+      .sortWithinPartitions("lang", "doc_id")
+      .as[(String, Long, Long, Int)]
+    val packed = prepped.mapPartitions { it =>
+      var curLang: String = null
+      var fill = 0L
+      var win = 0L
+      it.map { case (lang, _, dlen, trunc) =>
+        if (lang != curLang) { curLang = lang; win = 1L; fill = dlen }
+        else if (fill + dlen <= budget) fill += dlen
+        else { win += 1L; fill = dlen }
+        (lang, win, dlen, trunc)
+      }
+    }.toDF("lang", "win", "dlen", "trunc")
+    packed.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        max("win").as("n_windows"),
+        sum("dlen").as("packed_tokens"),
+        (max("win") * budget - sum("dlen")).as("pad_tokens"),
+        expr(s"(sum(dlen) * 1000) div (max(win) * $budget)")
+          .as("eff_permille"),
+        sum("trunc").cast("long").as("n_truncated"))
+      .orderBy("lang")
+  }
+
+  val q213Sql: String = {
+    val toks = s"len(${OracleSql.tokens("text")})::BIGINT"
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT lang, least($toks, 80) AS dlen,
+       |    CASE WHEN $toks > 80 THEN 1 ELSE 0 END AS trunc,
+       |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |pack AS (
+       |  SELECT lang, rn, dlen, trunc, dlen AS fill, 1::BIGINT AS win
+       |  FROM docs WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.lang, d.rn, d.dlen, d.trunc,
+       |    CASE WHEN p.fill + d.dlen <= 80 THEN p.fill + d.dlen
+       |         ELSE d.dlen END,
+       |    CASE WHEN p.fill + d.dlen <= 80 THEN p.win ELSE p.win + 1 END
+       |  FROM pack p JOIN docs d ON d.lang = p.lang AND d.rn = p.rn + 1)
+       |SELECT lang, COUNT(*)::BIGINT AS n_docs, MAX(win) AS n_windows,
+       |  SUM(dlen)::BIGINT AS packed_tokens,
+       |  (MAX(win) * 80 - SUM(dlen))::BIGINT AS pad_tokens,
+       |  ((SUM(dlen)::BIGINT * 1000) // (MAX(win) * 80))::BIGINT AS eff_permille,
+       |  SUM(trunc)::BIGINT AS n_truncated
+       |FROM pack GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** The full curation pipeline as ONE query — the composition a
     * training-data team actually ships: inject exact duplicates (the
     * corpus has none), then
@@ -1475,6 +1560,7 @@ object SamplingQueries {
     "q144_ab_readout" -> (q144AbReadout _),
     "q163_group_leakage" -> (q163GroupLeakage _),
     "q47_sequence_packing" -> (q47SequencePacking _),
+    "q213_greedy_packing" -> (q213GreedyPacking _),
     "q55_training_mix" -> (q55TrainingMix _),
     "q84_temperature_sample" -> (q84TemperatureSample _),
     "q104_weighted_sample" -> (q104WeightedSample _),
@@ -1500,6 +1586,7 @@ object SamplingQueries {
     "q163_group_leakage" -> q163Sql,
     "q117_dsir_weights" -> q117Sql,
     "q47_sequence_packing" -> q47Sql,
+    "q213_greedy_packing" -> q213Sql,
     "q55_training_mix" -> q55Sql,
     "q84_temperature_sample" -> q84Sql,
     "q104_weighted_sample" -> q104Sql,
