@@ -50,6 +50,11 @@ object ScaleBench {
     */
   private val explain = sys.env.get("SPARK_GRAFT_SCALE_EXPLAIN").contains("1")
 
+  /** Fresh batch ids for the maintenance-decade entries (each rep
+    * must not replay-skip on the ledger marker).
+    */
+  private val maintBatchId = new AtomicLong(1000L)
+
   /** One (doc_id, bigram set) frame shared by the q80 entries, so the
     * full join and its candidate-only stage measure the SAME corpus —
     * the generation-vs-verification subtraction depends on it.
@@ -380,6 +385,47 @@ object ScaleBench {
       graft.operators.VectorQueries.q43SearchTopk(s, d).count()),
     "q208_hybrid" -> ((s, d) =>
       graft.operators.SearchQueries.q208HybridBm25Rrf(s, d).count()),
+    // r11b maintenance decade: ONE micro-batch (50 re-ingested docs /
+    // vectors) against an EXISTING store built over the whole corpus.
+    // With the sidecar collide lookups (registry term_buckets,
+    // ann_id_map) the per-batch cost must be ~FLAT across corpus
+    // decades — every scan in the batch path is partition-pruned to
+    // the batch's own buckets/lists, so wall tracks batch size and
+    // bucket width, not corpus size. The first rep pays the one-time
+    // store build; best-of-reps reads the steady-state batch cost.
+    "postings_maintain_batch" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-scale-postmaint",
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+      val store = new graft.store.SnapshotStore(s, root)
+      if (store.currentVersion("postings").isEmpty)
+        graft.streaming.StreamingPostings.processBatch(store,
+          Tables(s, d).documents.select("doc_id", "text"), 0L)
+      val batch = Tables(s, d).documents
+        .filter(pmod(col("doc_id"), lit(97L)) === 1L).limit(50)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" deltatok")).as("text"))
+      graft.streaming.StreamingPostings.processBatch(store, batch,
+        maintBatchId.incrementAndGet())
+      batch.count()
+    }),
+    "ann_maintain_batch" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-scale-annmaint",
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+      val store = new graft.store.SnapshotStore(s, root)
+      if (store.currentVersion("ann_centroids").isEmpty) {
+        val emb = Tables(s, d).embeddings.withColumnRenamed("vec_id", "id")
+        val cents = graft.rag.AnnStore.trainCentroids(
+          emb, "embedding", Seq(col("id")))
+        graft.rag.AnnStore.writeIndex(s, store, emb, cents)
+      }
+      val batch = Tables(s, d).embeddings.withColumnRenamed("vec_id", "id")
+        .filter(pmod(col("id"), lit(97L)) === 1L).limit(50)
+      graft.streaming.StreamingAnn.processBatch(store, batch,
+        maintBatchId.incrementAndGet())
+      batch.count()
+    }),
     // r11 A/B for the bucket sort (verdict item 3): the SAME probe
     // against a term-SORTED store (production layout) vs an UNSORTED
     // twin written without the cluster key — input_mb is the metric
