@@ -53,29 +53,17 @@ object GraftCli {
         val prior = store.read("cases").map(_.select("case_number"))
         val r = IngestJob.run(spark, IngestJob.readRaw(spark, file), runId,
           file.split('/').last, file, ts, prior)
-        store.mergeLastWriteWins("cases", r.cases, Seq("case_number"), partitionCols = Seq("filed_year"))
-        store.mergeInsertIfAbsent("courts", r.courts, Seq("normalized_name"))
-        store.mergeInsertIfAbsent("judges", r.judges, Seq("normalized_name"))
-        store.mergeInsertIfAbsent("case_types", r.caseTypes, Seq("name"))
-        store.mergeInsertIfAbsent("parties", r.parties, Seq("normalized_name"))
-        store.mergeInsertIfAbsent("case_parties", r.caseParties,
-          Seq("case_id", "party_id", "role"))
-        store.mergeAdditive("court_name_variations", r.courtVariations,
-          Seq("court_id", "raw_name"), Seq("seen_count"), Seq("first_seen_at"), Seq("last_seen_at"))
-        store.mergeAdditive("judge_name_variations", r.judgeVariations,
-          Seq("judge_id", "raw_name"), Seq("seen_count"), Seq("first_seen_at"), Seq("last_seen_at"))
-        store.mergeAdditive("party_name_variations", r.partyVariations,
-          Seq("party_id", "raw_name"), Seq("seen_count"), Seq("first_seen_at"), Seq("last_seen_at"))
+        // the SAME merge choreography as the streaming commit (shared
+        // code — the two ingest entrances can never drift in layout)
+        graft.streaming.StreamingIngest.mergeResult(store, r)
         store.append("ingest_runs", r.runLedger)
         if (!r.quarantine.isEmpty) {
-          store.append("quarantine", r.quarantine)
           // the reference's per-run JSONL quarantine file
           // (ingest.py:170-202): one JSON object per line, envelope
           // field order = schema order
           r.quarantine.write.mode("overwrite")
             .json(s"$storeDir/quarantine_jsonl/ingest_run_$runId")
         }
-        if (!r.errors.isEmpty) store.append("ingest_errors", r.errors)
         // FTS index maintenance in the same run (the GIN index on
         // cases.docket_text, schema.sql:141) — LWW on the case
         // surrogate id, the exact call the streaming commit makes

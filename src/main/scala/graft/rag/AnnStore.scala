@@ -325,6 +325,7 @@ object AnnStore {
   /** Drop the memoized index for a corpus dir (next touch rebuilds). */
   def invalidate(dir: String): Unit = synchronized {
     centroidCache.clear()
+    vectorCache.clear()
     val root = Paths.get(indexRoot(dir))
     if (Files.isDirectory(root)) {
       val w = Files.walk(root)
@@ -376,13 +377,25 @@ object AnnStore {
       .select("id", "list_id")
   }
 
+  private val vectorCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long), Array[Float]]
+
   /** Point lookup of a stored vector by id (the "query by corpus
     * member" convenience the search entries use): resolve the id's
     * list through the sidecar map (one pruned bucket dir), then read
     * that single list partition — two pruned point reads, never a
-    * full-assignments or raw-embeddings scan.
+    * full-assignments or raw-embeddings scan. Memoized per (store,
+    * version, id): a repeated query vector costs zero jobs.
     */
   def vectorOf(spark: SparkSession, dir: String, id: Long): Array[Float] = {
+    val store0 = ensure(spark, dir)
+    val v = store0.currentVersion("ann_assignments").getOrElse(-1L)
+    vectorCache.getOrElseUpdate((indexRoot(dir), v, id),
+      vectorOfUncached(spark, dir, id))
+  }
+
+  private def vectorOfUncached(spark: SparkSession, dir: String,
+      id: Long): Array[Float] = {
     val store = ensure(spark, dir)
     val bucket = ((id % IdBuckets + IdBuckets) % IdBuckets).toInt
     val listRows = store.read("ann_id_map").get

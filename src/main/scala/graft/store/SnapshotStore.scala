@@ -392,13 +392,18 @@ final class SnapshotStore(spark: SparkSession, root: String,
         .unionByName(b), partitionCols, probeKeys = keys, sortCols = sortCols,
       collideHint = collideHint, probeFrame = keyScope)
 
-  /** Insert-if-absent: prior rows win, new keys append (S5/S6). */
+  /** Insert-if-absent: prior rows win, new keys append (S5/S6).
+    * `collideHint` as in [[mergeLastWriteWins]] — with a partition
+    * value that is a pure function of the key, pass the batch's own
+    * partition values and the full-table key probe is skipped.
+    */
   def mergeInsertIfAbsent(table: String, batch: DataFrame, keys: Seq[String],
-      partitionCols: Seq[String] = Nil): Long =
+      partitionCols: Seq[String] = Nil,
+      collideHint: Option[Seq[Any]] = None): Long =
     merged(table, batch, (prior, b) =>
       prior.unionByName(
         b.join(prior.select(keys.map(col): _*).distinct(), keys, "left_anti")),
-      partitionCols, probeKeys = keys)
+      partitionCols, probeKeys = keys, collideHint = collideHint)
 
   /** Additive counter merge (G9/G11): `countCols` sum, `minCols` take
     * least, `maxCols` take greatest, any other column takes the
@@ -408,7 +413,8 @@ final class SnapshotStore(spark: SparkSession, root: String,
     */
   def mergeAdditive(table: String, batch: DataFrame, keys: Seq[String],
       countCols: Seq[String], minCols: Seq[String], maxCols: Seq[String],
-      partitionCols: Seq[String] = Nil): Long =
+      partitionCols: Seq[String] = Nil,
+      collideHint: Option[Seq[Any]] = None): Long =
     merged(table, batch, (prior, b) => {
       val all = prior.withColumn("_src", lit(0))
         .unionByName(b.withColumn("_src", lit(1)))
@@ -424,7 +430,7 @@ final class SnapshotStore(spark: SparkSession, root: String,
             max_by(col(c), when(col(c).isNotNull, col("_src"))).as(c))
       all.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
         .select(out.map(col): _*)
-    }, partitionCols, probeKeys = keys)
+    }, partitionCols, probeKeys = keys, collideHint = collideHint)
 
   /** Append-only ledger (S3/S7). Partition-scoped when partitioned:
     * no key collisions exist by definition, so touched = the batch's

@@ -52,6 +52,94 @@ object StreamingIngest {
       .start()
   }
 
+  /** 64-way bucket column derived from a hash-of-key surrogate id —
+    * the hive-partition key of the corpus-scaled ingest tables
+    * (parties, case_parties, party_name_variations) and the ledgers.
+    */
+  private def bucketed(df: DataFrame, bucketCol: String,
+      of: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn(bucketCol, pmod(of, lit(64L)).cast("int"))
+
+  private def bucketsOf(df: DataFrame, bucketCol: String): Seq[Int] =
+    df.select(bucketCol).distinct().collect().map(_.getInt(0)).sorted.toSeq
+
+  /** One-time layout migration: rewrite a pre-bucket table
+    * hive-partitioned on the derived bucket (no-op otherwise).
+    */
+  private def ensureBucketed(store: SnapshotStore, table: String,
+      bucketCol: String, of: org.apache.spark.sql.Column): Unit =
+    store.read(table).foreach { cur =>
+      if (!cur.columns.contains(bucketCol)) {
+        store.write(table,
+          cur.withColumn(bucketCol, pmod(of, lit(64L)).cast("int"))
+            .repartition(col(bucketCol)),
+          partitionCols = Seq(bucketCol))
+        ()
+      }
+    }
+
+  /** Merge one IngestResult's tables into a store — SHARED by the
+    * streaming micro-batch commit and the CLI batch ingest so the
+    * layout choreography can never drift between the two entrances.
+    *
+    * Layouts: courts / judges / case_types are genuinely dim-sized
+    * (entity vocabularies, not corpus-scaled) — an unpartitioned
+    * merge rewrites KBs and stays the simpler layout. parties,
+    * case_parties, and party_name_variations GROW WITH THE CORPUS:
+    * they merge partition-scoped on a bucket derived from the
+    * hash-of-key surrogate id, so a batch rewrites only its own
+    * buckets, and — the bucket being a pure function of the merge
+    * key — the collide set is the batch's own buckets, no probe.
+    * Ledgers append into the run's own bucket partition (a run-scoped
+    * report read prunes to it). ensureBucketed migrates pre-bucket
+    * stores once, then every merge is O(batch).
+    */
+  def mergeResult(store: SnapshotStore, r: graft.ingest.IngestResult): Unit = {
+    store.mergeLastWriteWins("cases", r.cases, Seq("case_number"),
+      partitionCols = Seq("filed_year"))
+    store.mergeInsertIfAbsent("courts", r.courts, Seq("normalized_name"))
+    store.mergeInsertIfAbsent("judges", r.judges, Seq("normalized_name"))
+    store.mergeInsertIfAbsent("case_types", r.caseTypes, Seq("name"))
+    val partiesB = bucketed(r.parties, "p_bucket", col("id"))
+    ensureBucketed(store, "parties", "p_bucket", col("id"))
+    store.mergeInsertIfAbsent("parties", partiesB, Seq("normalized_name"),
+      partitionCols = Seq("p_bucket"),
+      collideHint = Some(bucketsOf(partiesB, "p_bucket")))
+    val cpB = bucketed(r.caseParties, "cp_bucket", col("case_id"))
+    ensureBucketed(store, "case_parties", "cp_bucket", col("case_id"))
+    store.mergeInsertIfAbsent("case_parties", cpB,
+      Seq("case_id", "party_id", "role"),
+      partitionCols = Seq("cp_bucket"),
+      collideHint = Some(bucketsOf(cpB, "cp_bucket")))
+    store.mergeAdditive("court_name_variations", r.courtVariations,
+      Seq("court_id", "raw_name"), Seq("seen_count"),
+      Seq("first_seen_at"), Seq("last_seen_at"))
+    store.mergeAdditive("judge_name_variations", r.judgeVariations,
+      Seq("judge_id", "raw_name"), Seq("seen_count"),
+      Seq("first_seen_at"), Seq("last_seen_at"))
+    val pvB = bucketed(r.partyVariations, "v_bucket", col("party_id"))
+    ensureBucketed(store, "party_name_variations", "v_bucket", col("party_id"))
+    store.mergeAdditive("party_name_variations", pvB,
+      Seq("party_id", "raw_name"), Seq("seen_count"),
+      Seq("first_seen_at"), Seq("last_seen_at"),
+      partitionCols = Seq("v_bucket"),
+      collideHint = Some(bucketsOf(pvB, "v_bucket")))
+    if (!r.quarantine.isEmpty) {
+      ensureBucketed(store, "quarantine", "run_bucket", col("run_id"))
+      store.append("quarantine",
+        bucketed(r.quarantine, "run_bucket", col("run_id")),
+        partitionCols = Seq("run_bucket"))
+      ()
+    }
+    if (!r.errors.isEmpty) {
+      ensureBucketed(store, "ingest_errors", "run_bucket", col("run_id"))
+      store.append("ingest_errors",
+        bucketed(r.errors, "run_bucket", col("run_id")),
+        partitionCols = Seq("run_bucket"))
+      ()
+    }
+  }
+
   /** One micro-batch's store merge. IDEMPOTENT on `batchId`: after a
     * crash between the sink commit and the checkpoint commit,
     * foreachBatch REPLAYS the batch — without this guard the replay
@@ -85,24 +173,7 @@ object StreamingIngest {
       IngestJob.withSeq(batch.sparkSession, batch),
       runId = batchId, sourceName = sourceName,
       sourceUri = sourceUri, ts = ts, priorCaseNumbers = prior)
-    store.mergeLastWriteWins("cases", r.cases, Seq("case_number"), partitionCols = Seq("filed_year"))
-    store.mergeInsertIfAbsent("courts", r.courts, Seq("normalized_name"))
-    store.mergeInsertIfAbsent("judges", r.judges, Seq("normalized_name"))
-    store.mergeInsertIfAbsent("case_types", r.caseTypes, Seq("name"))
-    store.mergeInsertIfAbsent("parties", r.parties, Seq("normalized_name"))
-    store.mergeInsertIfAbsent("case_parties", r.caseParties,
-      Seq("case_id", "party_id", "role"))
-    store.mergeAdditive("court_name_variations", r.courtVariations,
-      Seq("court_id", "raw_name"), Seq("seen_count"),
-      Seq("first_seen_at"), Seq("last_seen_at"))
-    store.mergeAdditive("judge_name_variations", r.judgeVariations,
-      Seq("judge_id", "raw_name"), Seq("seen_count"),
-      Seq("first_seen_at"), Seq("last_seen_at"))
-    store.mergeAdditive("party_name_variations", r.partyVariations,
-      Seq("party_id", "raw_name"), Seq("seen_count"),
-      Seq("first_seen_at"), Seq("last_seen_at"))
-    if (!r.quarantine.isEmpty) store.append("quarantine", r.quarantine)
-    if (!r.errors.isEmpty) store.append("ingest_errors", r.errors)
+    mergeResult(store, r)
     // FTS index maintenance inside the SAME idempotent commit — the
     // reference's GIN index on cases.docket_text (schema.sql:141) as a
     // stored docket-postings table: LWW on the case's surrogate id, so
