@@ -56,17 +56,17 @@ object StreamingIngest {
     * the hive-partition key of the corpus-scaled ingest tables
     * (parties, case_parties, party_name_variations) and the ledgers.
     */
-  private def bucketed(df: DataFrame, bucketCol: String,
+  private[streaming] def bucketed(df: DataFrame, bucketCol: String,
       of: org.apache.spark.sql.Column): DataFrame =
     df.withColumn(bucketCol, pmod(of, lit(64L)).cast("int"))
 
-  private def bucketsOf(df: DataFrame, bucketCol: String): Seq[Int] =
+  private[streaming] def bucketsOf(df: DataFrame, bucketCol: String): Seq[Int] =
     df.select(bucketCol).distinct().collect().map(_.getInt(0)).sorted.toSeq
 
   /** One-time layout migration: rewrite a pre-bucket table
     * hive-partitioned on the derived bucket (no-op otherwise).
     */
-  private def ensureBucketed(store: SnapshotStore, table: String,
+  private[streaming] def ensureBucketed(store: SnapshotStore, table: String,
       bucketCol: String, of: org.apache.spark.sql.Column): Unit =
     store.read(table).foreach { cur =>
       if (!cur.columns.contains(bucketCol)) {
@@ -228,11 +228,15 @@ object StreamingIngest {
   * previously kept doc (or of an earlier doc in the same batch) is
   * diverted to `near_dups`; novel docs land in `kept` and append
   * their signatures. State is the banded signature table itself —
-  * 4 longs per kept doc, snapshot-versioned, shared with batch
-  * consumers — rather than opaque operator state, and the per-batch
-  * work is the exact band-equi-join shape that scales (cost tracks
-  * collisions, never batch × corpus). Idempotent on batchId via the
-  * same ledger-as-commit-log protocol as StreamingIngest.
+  * PRE-BANDED (4 rows per kept doc) and hive-partitioned by the band
+  * key, so it doubles as the LSH index: a batch's probe reads only
+  * the key dirs its own band keys name (literal IN → directory
+  * pruning), never a full scan + re-explode of the accumulated
+  * corpus. Snapshot-versioned and shared with batch consumers rather
+  * than opaque operator state; per-batch work is the band-equi-join
+  * shape that scales (cost tracks collisions, never batch × corpus).
+  * Idempotent on batchId via the same ledger-as-commit-log protocol
+  * as StreamingIngest.
   */
 object StreamingNearDup {
   import graft.functions.TextFunctions._
@@ -246,11 +250,28 @@ object StreamingNearDup {
           shiftright(col("sh"), b * 8).bitwiseAND(255L).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
 
+  /** One-time layout migration: rewrite a per-doc (doc_id, sh)
+    * signature table into the PRE-BANDED, key-partitioned probe
+    * layout (the store IS the LSH index: a batch's probe reads only
+    * the ≤256 key dirs its own band keys name, never a full scan +
+    * re-explode of the accumulated corpus).
+    */
+  private def ensureBandedSignatures(store: SnapshotStore): Unit =
+    store.read("signatures").foreach { cur =>
+      if (!cur.columns.contains("key")) {
+        store.write("signatures",
+          banded(cur.select("doc_id", "sh")).repartition(col("key"))
+            .sortWithinPartitions("key", "band"),
+          partitionCols = Seq("key"))
+        ()
+      }
+    }
+
   /** One micro-batch: returns (kept, nearDups) after merging into the
     * store. Public so tests (and batch callers) can drive it directly.
     */
   def processBatch(store: SnapshotStore, batch: DataFrame, batchId: Long,
-      maxHamming: Int = 2): Unit = {
+      maxHamming: Int = 2, compactEvery: Int = 0): Unit = {
     val alreadyDone = store.read("neardup_batches").exists(
       _.filter(col("batch_id") === batchId).limit(1).count() > 0)
     if (alreadyDone) return
@@ -260,11 +281,19 @@ object StreamingNearDup {
         simHash32(tokens(col("text"))).as("sh"))
       .localCheckpoint(true) // tiny; read by several joins below
     val newBanded = banded(sigs.select("doc_id", "sh"))
-    // vs prior corpus: any stored signature within the Hamming bound
+      .localCheckpoint(true) // read by the key collect, 2 joins, the write
+    ensureBandedSignatures(store)
+    // vs prior corpus: any stored signature within the Hamming bound.
+    // The store is pre-banded and key-partitioned, so the probe reads
+    // ONLY the key dirs the batch's own band keys name (literal IN →
+    // directory pruning) — cost tracks matching keys, not the corpus.
     val dupVsPrior = store.read("signatures") match {
       case Some(prior) =>
-        newBanded.join(banded(prior).select(col("band"), col("key"),
-          col("sh").as("p_sh")), Seq("band", "key"))
+        val batchKeys = newBanded.select("key").distinct().collect()
+          .map(_.getAs[Number](0).longValue).sorted.toSeq
+        newBanded.join(prior.filter(col("key").isin(batchKeys: _*))
+          .select(col("band"), col("key"), col("sh").as("p_sh")),
+          Seq("band", "key"))
           .filter(hamming32(col("sh"), col("p_sh")) <= maxHamming)
           .select("doc_id").distinct()
       case None => sigs.select("doc_id").limit(0)
@@ -280,22 +309,48 @@ object StreamingNearDup {
       .select(col("b_id").as("doc_id")).distinct()
     val dupIds = dupVsPrior.unionByName(dupInBatch).distinct()
     val kept = sigs.join(dupIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // read by two appends
     val dups = sigs.join(dupIds, Seq("doc_id"), "left_semi")
-    store.append("signatures", kept.select("doc_id", "sh"))
-    store.append("kept", kept.select("doc_id", "text"))
-    if (!dups.isEmpty)
-      store.append("near_dups", dups.select("doc_id", "text"))
+    // appends land partition-scoped: signatures into the batch's own
+    // key dirs (pre-banded — the probe layout), kept/near_dups into
+    // doc-id buckets — never a full rewrite of a corpus-scaled table
+    store.append("signatures",
+      newBanded.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"),
+      partitionCols = Seq("key"))
+    StreamingIngest.ensureBucketed(store, "kept", "doc_bucket", col("doc_id"))
+    store.append("kept",
+      StreamingIngest.bucketed(kept.select("doc_id", "text"),
+        "doc_bucket", col("doc_id")),
+      partitionCols = Seq("doc_bucket"))
+    if (!dups.isEmpty) {
+      StreamingIngest.ensureBucketed(store, "near_dups", "doc_bucket",
+        col("doc_id"))
+      store.append("near_dups",
+        StreamingIngest.bucketed(dups.select("doc_id", "text"),
+          "doc_bucket", col("doc_id")),
+        partitionCols = Seq("doc_bucket"))
+      ()
+    }
     // commit marker LAST (see StreamingIngest.processBatch)
     store.append("neardup_batches", {
       import spark.implicits._
       Seq(batchId).toDF("batch_id")
     })
+    // post-commit maintenance, content-neutral (replay-safe): every
+    // bucketed append adds a file per touched partition, so
+    // long-running streams compact the accumulating tables on a
+    // cadence (the postings/cases OPTIMIZE rhythm)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      store.compact("signatures", maxFilesPerPartition = 4)
+      store.compact("kept", maxFilesPerPartition = 4)
+    }
     ()
   }
 
   /** Watch `inputDir` for JSON files of `{doc_id, text}` documents. */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
-      store: SnapshotStore, maxHamming: Int = 2): StreamingQuery = {
+      store: SnapshotStore, maxHamming: Int = 2,
+      compactEvery: Int = 0): StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -305,7 +360,7 @@ object StreamingNearDup {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(store, batch, batchId, maxHamming)
+        processBatch(store, batch, batchId, maxHamming, compactEvery)
       }
       .start()
   }
@@ -670,7 +725,8 @@ object StreamingDecontaminate {
     * (typically precomputed once from the benchmark and stored).
     */
   def processBatch(store: SnapshotStore, evalGrams: DataFrame,
-      batch: DataFrame, batchId: Long, maxPermille: Long = 100L): Unit = {
+      batch: DataFrame, batchId: Long, maxPermille: Long = 100L,
+      compactEvery: Int = 0): Unit = {
     val alreadyDone = store.read("decon_batches").exists(
       _.filter(col("batch_id") === batchId).limit(1).count() > 0)
     if (alreadyDone) return
@@ -690,14 +746,31 @@ object StreamingDecontaminate {
       .select("doc_id")
     val clean = grams.join(dirtyIds, Seq("doc_id"), "left_anti")
     val dirty = grams.join(dirtyIds, Seq("doc_id"), "left_semi")
-    store.append("clean", clean.select("doc_id", "text"))
-    if (!dirty.isEmpty)
-      store.append("contaminated", dirty.select("doc_id", "text"))
+    // doc-bucketed appends: the routed tables are corpus-scaled, so
+    // each batch lands in its own ≤64 partitions instead of rewriting
+    // the accumulated table (same layout as StreamingNearDup's kept)
+    StreamingIngest.ensureBucketed(store, "clean", "doc_bucket", col("doc_id"))
+    store.append("clean",
+      StreamingIngest.bucketed(clean.select("doc_id", "text"),
+        "doc_bucket", col("doc_id")),
+      partitionCols = Seq("doc_bucket"))
+    if (!dirty.isEmpty) {
+      StreamingIngest.ensureBucketed(store, "contaminated", "doc_bucket",
+        col("doc_id"))
+      store.append("contaminated",
+        StreamingIngest.bucketed(dirty.select("doc_id", "text"),
+          "doc_bucket", col("doc_id")),
+        partitionCols = Seq("doc_bucket"))
+      ()
+    }
     // commit marker LAST (see StreamingIngest.processBatch)
     store.append("decon_batches", {
       import spark.implicits._
       Seq(batchId).toDF("batch_id")
     })
+    // post-commit compaction cadence for the accumulating routed table
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      store.compact("clean", maxFilesPerPartition = 4)
     ()
   }
 

@@ -257,6 +257,38 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L, 5L))
     assert(store.read("near_dups").get.select("doc_id").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(3L, 6L))
+    // the signature store is PRE-BANDED and key-partitioned (it IS
+    // the LSH index): 4 rows per kept doc, partition dirs on disk
+    val sigs = store.read("signatures").get
+    assert(sigs.columns.contains("key") && sigs.count() == 4 * 4)
+    locally {
+      import scala.jdk.CollectionConverters._
+      assert(Files.list(storeDir.resolve("signatures")
+        .resolve(s"v${store.currentVersion("signatures").get}"))
+        .iterator().asScala.exists(_.getFileName.toString.startsWith("key=")))
+    }
+  }
+
+  test("near-dup signature migration: a per-doc (doc_id, sh) layout " +
+    "rewrites banded+key-partitioned and still catches a prior dup") {
+    import spark.implicits._
+    val storeDir = Files.createTempDirectory("graft-neardup-migrate")
+    val store = new SnapshotStore(spark, storeDir.toString)
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    // lay down the CURRENT protocol's state, then strip to the old
+    // per-doc layout (simulating a store an older build accumulated)
+    graft.streaming.StreamingNearDup.processBatch(store,
+      docs(1L -> "alpha beta gamma delta"), batchId = 0L)
+    store.write("signatures",
+      store.read("signatures").get.select("doc_id", "sh").distinct())
+    assert(!store.read("signatures").get.columns.contains("key"))
+    // next batch migrates the layout, and the probe still catches the
+    // prior-corpus duplicate
+    graft.streaming.StreamingNearDup.processBatch(store,
+      docs(9L -> "alpha beta gamma delta"), batchId = 1L)
+    assert(store.read("near_dups").get.select("doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+    assert(store.read("signatures").get.columns.contains("key"))
   }
 
   test("streaming postings maintenance: index version tracks the commit " +
