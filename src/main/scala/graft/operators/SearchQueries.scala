@@ -1033,8 +1033,81 @@ object SearchQueries {
        |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** q214: FILTERED hybrid search — q208's two stored-index legs with
+    * q212's metadata predicate composed into BOTH: the dense leg
+    * pushes `label = 3` into its pruned list scan, the lexical leg
+    * keeps only its top-legK BM25 hits that satisfy it (resolved
+    * through the id-map sidecar — a pruned bucket read of ≤legK keys,
+    * never a corpus scan) and re-ranks among survivors. Pool-then-
+    * filter semantics on both legs, with legK/nprobe as the recall
+    * knobs (pgvector's iterative-scan guidance). Pins the engine API
+    * code path (HybridSearch.hybridSearch(where)).
+    */
+  def q214FilteredHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val qv = graft.rag.AnnStore.vectorOf(spark, dir, 7L)
+    graft.search.HybridSearch.hybridSearch(spark, dir,
+      Seq("vector", "merge", "batch"), qv, topK = 10, legK = 50,
+      nprobe = 8, excludeId = Some(7L),
+      where = Some(col("label") === 3))
+  }
+
+  val q214Sql: String = {
+    val dot = OracleSql.dotFold("e.embedding", "q.q_emb")
+    s"""WITH ${OracleSql.annQuantizerCtes(graft.rag.AnnStore.NumLists)},
+       |tok AS (
+       |  SELECT doc_id, unnest(${OracleSql.tokens("lower(text)")}) AS term
+       |  FROM documents),
+       |dlen AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY 1),
+       |st AS (SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+       |              (SELECT COUNT(*) FROM tok)::BIGINT AS t_total),
+       |p AS (
+       |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+       |  FROM tok WHERE term IN ('vector', 'merge', 'batch')
+       |  GROUP BY 1, 2),
+       |w AS (
+       |  SELECT term,
+       |    len(bin(greatest((2 * ((SELECT n_docs FROM st) - COUNT(*)) + 1)
+       |      // (2 * COUNT(*) + 1), 1)))::BIGINT AS idf_class
+       |  FROM p GROUP BY term),
+       |scored AS (
+       |  SELECT p.doc_id, SUM(
+       |    ((220 * p.tf * 1000000) // (100 * p.tf +
+       |      (120 * (25 * st.t_total + 75 * d.dl * st.n_docs))
+       |        // (100 * st.t_total))) * w.idf_class)::BIGINT AS s
+       |  FROM p JOIN w USING (term) JOIN dlen d USING (doc_id), st
+       |  GROUP BY p.doc_id),
+       |kw0 AS (SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id LIMIT 50),
+       |kw AS (
+       |  SELECT k.doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY k.s DESC, k.doc_id) AS rank_kw
+       |  FROM kw0 k JOIN fx e ON e.vec_id = k.doc_id WHERE e.label = 3),
+       |q AS (SELECT m AS qm, embedding AS q_emb FROM fx WHERE vec_id = 7),
+       |plists AS (
+       |  SELECT c.list_id FROM ann_cent c, q
+       |  ORDER BY ${OracleSql.annScore("q.qm", "c.c")}, c.list_id
+       |  LIMIT 8),
+       |vec AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY $dot DESC, e.vec_id) AS rank_vec
+       |  FROM fx e JOIN ann_asg a USING (vec_id), q
+       |  WHERE a.list_id IN (SELECT list_id FROM plists)
+       |    AND e.vec_id <> 7 AND e.label = 3
+       |  ORDER BY $dot DESC, e.vec_id LIMIT 50),
+       |fused AS (
+       |  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+       |    COALESCE(k.rank_kw, 0)::BIGINT AS rank_kw,
+       |    COALESCE(v.rank_vec, 0)::BIGINT AS rank_vec
+       |  FROM kw k FULL OUTER JOIN vec v ON k.doc_id = v.doc_id)
+       |SELECT doc_id, rank_kw, rank_vec,
+       |  ((CASE WHEN rank_kw > 0 THEN 1000000 // (60 + rank_kw) ELSE 0 END) +
+       |   (CASE WHEN rank_vec > 0 THEN 1000000 // (60 + rank_vec) ELSE 0 END))::BIGINT
+       |    AS rrf_micro
+       |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q208_hybrid_bm25_rrf" -> (q208HybridBm25Rrf _),
+    "q214_filtered_hybrid" -> (q214FilteredHybrid _),
     "q206_bm25_ranking" -> (q206Bm25Ranking _),
     "q207_phrase_trigram" -> (q207PhraseTrigram _),
     "q205_stored_index_audit" -> (q205StoredIndexAudit _),
@@ -1056,6 +1129,7 @@ object SearchQueries {
 
   val oracle: Map[String, String] = Map(
     "q208_hybrid_bm25_rrf" -> q208Sql,
+    "q214_filtered_hybrid" -> q214Sql,
     "q206_bm25_ranking" -> q206Sql,
     "q207_phrase_trigram" -> q207Sql,
     "q205_stored_index_audit" -> q205Sql,

@@ -188,8 +188,12 @@ object AnnStore {
     * partition-PRUNED read (O(batch id-buckets)) instead of a
     * column-pruned full-assignments probe per micro-batch, the same
     * treatment StreamingPostings' registry got in r11.
+    * v5: the id map carries the embedding table's metadata columns
+    * (everything but the vector), so an id-keyed METADATA lookup —
+    * filtered hybrid search's lexical-leg predicate — is the same
+    * pruned bucket read; the map stays narrow (no embeddings).
     */
-  private val Format = "v4"
+  private val Format = "v5"
 
   /** Hive-bucket count of the id→list sidecar map (pmod(id, _)) —
     * bounds a micro-batch's prior-list lookup to the batch's own id
@@ -296,14 +300,17 @@ object AnnStore {
   }
 
   /** Project an assigned frame onto the id→list sidecar map's rows:
-    * (id, list_id, id_bucket = pmod(id, IdBuckets)). The map is
-    * hive-partitioned by `id_bucket` and each file sorts by id, so a
-    * batch's prior-list lookup reads only its own buckets and prunes
-    * row groups inside them.
+    * (id, list_id, metadata..., id_bucket = pmod(id, IdBuckets)) —
+    * every column EXCEPT the embedding, so the map doubles as the
+    * pruned id-keyed metadata lookup (filtered search's lexical leg)
+    * while staying narrow. The map is hive-partitioned by `id_bucket`
+    * and each file sorts by id, so a lookup reads only its keys' own
+    * buckets and prunes row groups inside them.
     */
   private[graft] def idMapOf(assigned: DataFrame): DataFrame =
-    assigned.select(col("id"), col("list_id"),
-      pmod(col("id"), lit(IdBuckets.toLong)).cast("int").as("id_bucket"))
+    assigned.drop("embedding")
+      .withColumn("id_bucket",
+        pmod(col("id"), lit(IdBuckets.toLong)).cast("int"))
       .repartition(IdBuckets, col("id_bucket"))
       .sortWithinPartitions("id_bucket", "id")
 
@@ -367,14 +374,20 @@ object AnnStore {
     * what the streaming maintenance uses to find a re-ingested
     * vector's OLD list and to hand the LWW merge its collide set.
     */
-  def priorListRows(store: SnapshotStore, ids: DataFrame): DataFrame = {
+  def priorListRows(store: SnapshotStore, ids: DataFrame): DataFrame =
+    mapRows(store, ids).select("id", "list_id")
+
+  /** The sidecar map's full rows (id, list_id, metadata...) for a key
+    * frame — the same pruned-bucket read as [[priorListRows]], used as
+    * the id-keyed metadata lookup by filtered hybrid search.
+    */
+  def mapRows(store: SnapshotStore, ids: DataFrame): DataFrame = {
     val buckets = ids
       .select(pmod(col("id"), lit(IdBuckets.toLong)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).sorted.toSeq
     store.read("ann_id_map").get
       .filter(col("id_bucket").isin(buckets: _*))
       .join(ids.select("id"), Seq("id"), "left_semi")
-      .select("id", "list_id")
   }
 
   private val vectorCache = scala.collection.concurrent.TrieMap

@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,21 +30,41 @@ object HybridSearch {
     * @param excludeId drop one corpus id from the dense leg (queries
     *   issued "by corpus member" exclude themselves, rag.py's search
     *   never returns the query row)
+    * @param where optional metadata predicate (the corpus's metadata
+    *   columns) — FILTERED hybrid search: the dense leg pushes it
+    *   into the pruned list scan (AnnStore v3's filtered-scan case),
+    *   the lexical leg keeps only its top-legK hits that satisfy it,
+    *   resolved through the id-map sidecar (a pruned bucket read of
+    *   ≤legK keys — never a corpus-side lookback) and RE-RANKED among
+    *   the survivors. Both legs are pool-then-filter: a highly
+    *   selective predicate thins the pools, so widen legK/nprobe for
+    *   recall — the same knob-not-loop guidance as q212.
     */
   def hybridSearch(spark: SparkSession, dir: String, terms: Seq[String],
       queryVec: Array[Float], topK: Int = 10, legK: Int = 50,
       nprobe: Int = AnnStore.DefaultNprobe,
       maxTermDf: Long = PostingsIndex.DefaultMaxTermDf,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None,
+      where: Option[Column] = None): DataFrame = {
     require(terms.nonEmpty, "hybrid search needs at least one term")
     require(topK >= 1 && legK >= topK, "need legK >= topK >= 1")
-    val kw = PostingsIndex.bm25Search(spark, dir, terms, topK = legK,
+    val kwHits = PostingsIndex.bm25Search(spark, dir, terms, topK = legK,
       maxTermDf = maxTermDf)
+    val kwKept = where match {
+      case None => kwHits
+      case Some(p) =>
+        val store = AnnStore.ensure(spark, dir)
+        val ok = AnnStore.mapRows(store,
+          kwHits.select(col("doc_id").as("id"))).filter(p)
+        kwHits.join(ok.select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+    }
+    val kw = kwKept
       .withColumn("rank_kw", row_number().over(
         Window.orderBy(desc("score_micro"), asc("doc_id"))).cast("long"))
       .select("doc_id", "rank_kw")
     val vec = AnnStore.denseSearch(spark, dir, queryVec, topK = legK,
-      nprobe = nprobe, excludeId = excludeId)
+      nprobe = nprobe, excludeId = excludeId, where = where)
       .withColumn("rank_vec", row_number().over(
         Window.orderBy(desc("cosine"), asc("id"))).cast("long"))
       .select(col("id").as("doc_id"), col("rank_vec"))

@@ -555,7 +555,8 @@ class PlanGuardsSpec extends AnyFunSuite {
       "q43" -> operators.VectorQueries.q43SearchTopk(spark, dir),
       "q208" -> operators.SearchQueries.q208HybridBm25Rrf(spark, dir),
       "q210" -> operators.VectorQueries.q210AnnProbeTopk(spark, dir),
-      "q212" -> operators.VectorQueries.q212FilteredAnn(spark, dir))
+      "q212" -> operators.VectorQueries.q212FilteredAnn(spark, dir),
+      "q214" -> operators.SearchQueries.q214FilteredHybrid(spark, dir))
     dfs.foreach { case (name, df) =>
       val scans = collectNodes(df) {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
