@@ -48,8 +48,13 @@ object HybridSearch {
       where: Option[Column] = None): DataFrame = {
     require(terms.nonEmpty, "hybrid search needs at least one term")
     require(topK >= 1 && legK >= topK, "need legK >= topK >= 1")
-    val kwHits = PostingsIndex.bm25Search(spark, dir, terms, topK = legK,
+    val kwHits0 = PostingsIndex.bm25Search(spark, dir, terms, topK = legK,
       maxTermDf = maxTermDf)
+    // the filtered leg reads the hits twice (the map lookup's bucket
+    // collect + the final semi-join): materialize the ≤legK-row frame
+    // ONCE so the postings store is probed a single time per query
+    val kwHits = if (where.isDefined) kwHits0.localCheckpoint(true)
+      else kwHits0
     val kwKept = where match {
       case None => kwHits
       case Some(p) =>

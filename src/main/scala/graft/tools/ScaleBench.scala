@@ -426,6 +426,21 @@ object ScaleBench {
         maintBatchId.incrementAndGet())
       batch.count()
     }),
+    "neardup_maintain_batch" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-scale-ndmaint",
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+      val store = new graft.store.SnapshotStore(s, root)
+      if (store.currentVersion("signatures").isEmpty)
+        graft.streaming.StreamingNearDup.processBatch(store,
+          Tables(s, d).documents.select("doc_id", "text"), 0L)
+      val batch = Tables(s, d).documents
+        .filter(pmod(col("doc_id"), lit(97L)) === 1L).limit(50)
+        .select("doc_id", "text")
+      graft.streaming.StreamingNearDup.processBatch(store, batch,
+        maintBatchId.incrementAndGet())
+      batch.count()
+    }),
     // r11 A/B for the bucket sort (verdict item 3): the SAME probe
     // against a term-SORTED store (production layout) vs an UNSORTED
     // twin written without the cluster key — input_mb is the metric

@@ -625,7 +625,12 @@ class PlanGuardsSpec extends AnyFunSuite {
       "q176_theil_sen" ->
         ("the rank window rides the (type, day)-matrix pair frame — an " +
           "aggregate output severed from the plan by localCheckpoint; " +
-          "days²-bounded per type, never raw events")
+          "days²-bounded per type, never raw events"),
+      "q214_filtered_hybrid" ->
+        ("its rank windows ride the ≤legK-row BM25 hit frame — a top-k " +
+          "output severed by the single-probe localCheckpoint (the same " +
+          "frame q208 shows WITH its TakeOrdered below); the stored-ANN " +
+          "plan guard pins the probe scans")
     )
     val conf = spark.conf
     val oldAqe = conf.get("spark.sql.adaptive.enabled")
