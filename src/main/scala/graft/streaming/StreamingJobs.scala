@@ -410,16 +410,25 @@ object StreamingPostings {
     * registry buckets — factored out so the plan is testable: the
     * registry scan must carry a `doc_bucket` partition filter (the
     * whole point — the corpus-sized registry is never rescanned).
+    * LEFT join from the touched-key frame: a bucket a DELETION fully
+    * drained still gets an explicit zero row, so its stale subtotal
+    * can never survive the merge.
     */
   def touchedBucketTotals(store: SnapshotStore,
-      touched: Seq[Long]): DataFrame =
-    store.read("indexed_docs").get
-      .filter(col("doc_bucket").isin(touched: _*))
-      // hive partition values read back as int — pin long so the
-      // subtotal table's schema is merge-stable across batches
-      .groupBy(col("doc_bucket").cast("long").as("doc_bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+      touched: Seq[Long]): DataFrame = {
+    val reg = store.read("indexed_docs").get
+    val spark = reg.sparkSession
+    import spark.implicits._
+    touched.toDF("doc_bucket").join(
+      reg.filter(col("doc_bucket").isin(touched: _*))
+        // hive partition values read back as int — pin long so the
+        // subtotal table's schema is merge-stable across batches
+        .groupBy(col("doc_bucket").cast("long").as("doc_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("dl"), lit(0L)).as("total_tokens")),
+      Seq("doc_bucket"), "left")
+      .na.fill(0L, Seq("n_docs", "total_tokens"))
+  }
 
   /** One-time registry migration: attach the `term_buckets` column
     * (each doc's posting partitions) to a registry written before the
@@ -704,6 +713,104 @@ object StreamingAnn {
         processBatch(store, batch, batchId, retrainOnSkew = retrainOnSkew)
       }
       .start()
+  }
+}
+
+/** Right-to-be-forgotten EXECUTION through the stored indexes — the
+  * cascade q179 sizes as a dry run, actually applied: a tombstone set
+  * of ids is removed from the postings index (postings rows, registry
+  * row, stats) and/or the ANN index (assignment row, id-map row, list
+  * stats) with the SAME pruned machinery maintenance uses — keyScope
+  * merges ("the batch is the complete new state of these keys", here
+  * the EMPTY state) with sidecar-derived collide hints — so the whole
+  * cascade costs O(tombstones × touched buckets/lists) and never
+  * rewrites or rescans a corpus-scaled table. Naturally idempotent:
+  * re-deleting an absent key is a no-op, so crash replays converge
+  * without a ledger. (Postgres serves this as DELETE + index
+  * maintenance in one transaction; the lakehouse form is these
+  * versioned partition-scoped merges followed by `vacuum` of the old
+  * versions — which is what makes the bytes actually DISAPPEAR, the
+  * part a GDPR erasure requires.)
+  */
+object IndexDeletes {
+
+  /** Remove `ids` (a frame with a `doc_id` column) from a stored
+    * postings index maintained under the StreamingPostings protocol.
+    * Stats recompute exactly (drained registry buckets get explicit
+    * zero subtotals); `num_buckets` is re-recorded from the STORED
+    * stats row, never the compile-time constant.
+    */
+  def deleteFromPostings(store: SnapshotStore, ids: DataFrame): Unit = {
+    if (store.currentVersion("postings").isEmpty) return
+    StreamingPostings.ensureRegistryTermBuckets(store)
+    val idsB = ids.select(col("doc_id")).distinct()
+      .withColumn("doc_bucket", pmod(col("doc_id"),
+        lit(StreamingPostings.DocRegistryBuckets.toLong)))
+      .localCheckpoint(true)
+    val touched = idsB.select("doc_bucket").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val priorTermBuckets = store.read("indexed_docs").get
+      .filter(col("doc_bucket").isin(touched: _*))
+      .join(idsB.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(explode(col("term_buckets")).as("b")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    def emptyOf(table: String) = store.read(table).get.filter(lit(false))
+    val storedBuckets = graft.search.PostingsIndex.numBucketsOf(
+      store.read("postings_stats").get)
+    store.mergeLastWriteWins("postings", emptyOf("postings"), Seq("doc_id"),
+      partitionCols = Seq("term_bucket"), sortCols = Seq("term"),
+      collideHint = Some(priorTermBuckets),
+      keyScope = Some(idsB.select("doc_id")))
+    store.mergeLastWriteWins("indexed_docs", emptyOf("indexed_docs"),
+      Seq("doc_id"), partitionCols = Seq("doc_bucket"),
+      collideHint = Some(touched),
+      keyScope = Some(idsB.select("doc_id")))
+    store.mergeLastWriteWins("registry_stats",
+      StreamingPostings.touchedBucketTotals(store, touched),
+      Seq("doc_bucket"))
+    store.write("postings_stats",
+      store.read("registry_stats").get
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(sum("total_tokens"), lit(0L)).as("total_tokens"))
+        .withColumn("num_buckets", lit(storedBuckets.toLong)))
+    ()
+  }
+
+  /** Remove `ids` (a frame with an `id` column) from a stored ANN
+    * index (AnnStore tables, StreamingAnn's stats protocol — drained
+    * lists get explicit zero occupancy).
+    */
+  def deleteFromAnn(store: SnapshotStore, ids: DataFrame): Unit = {
+    if (store.currentVersion("ann_assignments").isEmpty) return
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val idsOnly = ids.select("id").distinct().localCheckpoint(true)
+    val priorListVals = graft.rag.AnnStore.priorListRows(store, idsOnly)
+      .select("list_id").distinct().collect()
+      .map(_.getAs[Number](0).intValue).sorted.toSeq
+    val idBuckets = idsOnly
+      .select(pmod(col("id"), lit(graft.rag.AnnStore.IdBuckets.toLong))
+        .cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    def emptyOf(table: String) = store.read(table).get.filter(lit(false))
+    store.mergeLastWriteWins("ann_assignments", emptyOf("ann_assignments"),
+      Seq("id"), partitionCols = Seq("list_id"), sortCols = Seq("id"),
+      collideHint = Some(priorListVals), keyScope = Some(idsOnly))
+    store.mergeLastWriteWins("ann_id_map", emptyOf("ann_id_map"), Seq("id"),
+      partitionCols = Seq("id_bucket"), collideHint = Some(idBuckets),
+      keyScope = Some(idsOnly))
+    val touched = priorListVals.map(_.toLong)
+    val listTotals = touched.toDF("list_id").join(
+      store.read("ann_assignments").get
+        .filter(col("list_id").isin(touched: _*))
+        .groupBy(col("list_id").cast("long").as("list_id"))
+        .agg(count(lit(1)).as("n_vectors")),
+      Seq("list_id"), "left").na.fill(0L, Seq("n_vectors"))
+    store.mergeLastWriteWins("ann_list_stats", listTotals, Seq("list_id"))
+    val lists = store.read("ann_centroids").get.count().toInt
+    store.write("ann_stats",
+      graft.rag.AnnStore.statsFromListStats(store, lists))
+    ()
   }
 }
 

@@ -226,6 +226,40 @@ class AnnStoreSpec extends AnyFunSuite {
         s"${probe.queryExecution.executedPlan}")
   }
 
+  test("ANN deletion: tombstoned vectors vanish from assignments + id " +
+    "map; a fully drained list gets an explicit zero occupancy") {
+    import spark.implicits._
+    val (store, _, batch) = clusteredFixture()
+    StreamingAnn.processBatch(store, batch, 0L) // 4 base + 12 streamed
+    // tombstone EVERY member of the fuller list (drains it) plus one
+    // vector of the other: the drained list must get an explicit 0
+    val byList = store.read("ann_assignments").get
+      .select("id", "list_id").collect()
+      .groupBy(_.getAs[Number]("list_id").intValue)
+      .map { case (l, rs) => l -> rs.map(_.getLong(0)).toSet }
+    val (fullList, fullIds) = byList.maxBy(_._2.size)
+    val otherIds = byList.removed(fullList).values.flatten.toSet
+    val victims = (fullIds + otherIds.min).toSeq.sorted
+    graft.streaming.IndexDeletes.deleteFromAnn(store,
+      victims.toDF("id"))
+    val left = store.read("ann_assignments").get
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(left == otherIds - otherIds.min, s"wrong survivors: $left")
+    assert(store.read("ann_id_map").get
+      .select("id").collect().map(_.getLong(0)).toSet == left)
+    val nLeft = left.size.toLong
+    val stats = store.read("ann_list_stats").get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.values.sum == nLeft, s"list stats did not follow: $stats")
+    assert(stats.get(fullList.toLong).contains(0L),
+      s"the drained list kept a stale occupancy count: $stats")
+    assert(store.read("ann_stats").get.collect()(0)
+      .getAs[Long]("n_vectors") == nLeft)
+    // re-delete: content-neutral
+    graft.streaming.IndexDeletes.deleteFromAnn(store, victims.toDF("id"))
+    assert(store.read("ann_assignments").get.count() == nLeft)
+  }
+
   test("occupancy skew flags needs_retrain; retrain rewrites a " +
     "self-consistent index over the same vectors") {
     val (store, _, batch) = clusteredFixture()

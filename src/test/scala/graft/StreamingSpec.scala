@@ -349,6 +349,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("index deletion: tombstoned docs vanish from postings, registry, " +
+    "and stats (drained buckets zeroed); re-delete is content-neutral") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val storeDir = Files.createTempDirectory("graft-post-delete")
+    val store = new SnapshotStore(spark, storeDir.toString)
+    graft.streaming.StreamingPostings.processBatch(store,
+      Seq((1L, "alpha beta gamma"), (2L, "delta alpha"),
+        (3L, "epsilon zeta")).toDF("doc_id", "text"), 0L)
+    graft.streaming.IndexDeletes.deleteFromPostings(store,
+      Seq(2L).toDF("doc_id"))
+    val posts = store.read("postings").get
+    assert(posts.filter(col("doc_id") === 2L).isEmpty,
+      "tombstoned doc's postings survived the delete")
+    assert(posts.filter(col("doc_id") =!= 2L).count() == 5,
+      "the delete touched a surviving doc's rows")
+    assert(store.read("indexed_docs").get
+      .filter(col("doc_id") === 2L).isEmpty)
+    val st = store.read("postings_stats").get
+      .select("n_docs", "total_tokens").collect()(0)
+    assert(st.getLong(0) == 2L && st.getLong(1) == 5L,
+      s"stats did not follow the delete: $st")
+    // and the search surface agrees: 'delta' finds nothing now
+    val hits = graft.search.PostingsIndex.keywordSearchFrames(
+      posts, store.read("postings_stats").get, Seq("delta"), topK = 10)
+    assert(hits.isEmpty)
+    // re-delete (crash replay): content identical
+    graft.streaming.IndexDeletes.deleteFromPostings(store,
+      Seq(2L).toDF("doc_id"))
+    assert(store.read("postings").get.count() == 5)
+    assert(store.read("postings_stats").get
+      .select("n_docs").collect()(0).getLong(0) == 2L)
+  }
+
   test("registry migration: a pre-sidecar indexed_docs (no term_buckets " +
     "column) backfills from the stored postings on the next batch") {
     import spark.implicits._
