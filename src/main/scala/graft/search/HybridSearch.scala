@@ -50,18 +50,22 @@ object HybridSearch {
     require(topK >= 1 && legK >= topK, "need legK >= topK >= 1")
     val kwHits0 = PostingsIndex.bm25Search(spark, dir, terms, topK = legK,
       maxTermDf = maxTermDf)
-    // the filtered leg reads the hits twice (the map lookup's bucket
-    // collect + the final semi-join): materialize the ≤legK-row frame
-    // ONCE so the postings store is probed a single time per query
-    val kwHits = if (where.isDefined) kwHits0.localCheckpoint(true)
-      else kwHits0
     val kwKept = where match {
-      case None => kwHits
+      case None => kwHits0
       case Some(p) =>
+        // the ≤legK-row hit frame collects ONCE (API-boundary bounded
+        // frame, the centroid-rank convention): the postings store is
+        // probed a single time, the bucket set and the semi-join both
+        // ride the local relation, and the metadata check is a pruned
+        // id-map bucket read
+        import spark.implicits._
+        val hits = kwHits0.select("doc_id", "score_micro").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val hitDf = hits.toDF("doc_id", "score_micro")
         val store = AnnStore.ensure(spark, dir)
         val ok = AnnStore.mapRows(store,
-          kwHits.select(col("doc_id").as("id"))).filter(p)
-        kwHits.join(ok.select(col("id").as("doc_id")),
+          hitDf.select(col("doc_id").as("id"))).filter(p)
+        hitDf.join(ok.select(col("id").as("doc_id")),
           Seq("doc_id"), "left_semi")
     }
     val kw = kwKept
