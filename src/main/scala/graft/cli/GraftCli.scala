@@ -189,16 +189,22 @@ object GraftCli {
 
       case "forget" =>
         // expungement: erase the named dockets end-to-end (case row,
-        // party links, chunks, chunk-ANN rows, docket postings) and
-        // vacuum so the old versions' bytes actually disappear —
-        // sealed/expunged-record compliance as one command
+        // party links, chunks, chunk-ANN rows, docket postings, AND
+        // the quarantine/error-ledger envelopes carrying the raw
+        // record, including the per-run quarantine JSONL side files)
+        // then vacuum so the old versions' bytes actually disappear —
+        // sealed/expunged-record compliance as one command. The
+        // vacuum scopes to the tables the erasure actually rewrote:
+        // every other table keeps its version history (time travel,
+        // the `changes` CDC surface).
         val cns = opt(args, "--case-numbers")
           .getOrElse(sys.error("--case-numbers required")).split(',').toSeq
         val before = store.read("cases").map(_.count()).getOrElse(0L)
-        graft.streaming.IndexDeletes.forgetCases(store, cns)
+        val report = graft.streaming.IndexDeletes.forgetCases(store, cns,
+          quarantineJsonlDir = Some(s"$storeDir/quarantine_jsonl"))
         val after = store.read("cases").map(_.count()).getOrElse(0L)
-        store.tables().foreach(t => store.vacuum(t, keepLast = 1))
-        println(s"""{"forgotten": ${before - after}, "requested": ${cns.size}}""")
+        report.tables.foreach(t => store.vacuum(t, keepLast = 1))
+        println(s"""{"forgotten": ${before - after}, "requested": ${cns.size}, "tables_rewritten": ${report.tables.size}}""")
         0
 
       case "changes" =>

@@ -1,8 +1,11 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
@@ -738,10 +741,18 @@ object IndexDeletes {
     * postings index maintained under the StreamingPostings protocol.
     * Stats recompute exactly (drained registry buckets get explicit
     * zero subtotals); `num_buckets` is re-recorded from the STORED
-    * stats row, never the compile-time constant.
+    * stats row, never the compile-time constant. Returns the tables it
+    * rewrote, so callers can scope their post-erasure vacuum to them.
+    *
+    * A legacy-protocol store holding a postings table but NO doc
+    * registry (a pre-registry batch build) still deletes correctly:
+    * the LWW merge falls back to its own column-pruned key probe for
+    * the collide set, and stats recompute from the surviving postings
+    * rows (a legacy build indexed no token-less docs, so the
+    * registry-free recount is exact for such stores).
     */
-  def deleteFromPostings(store: SnapshotStore, ids: DataFrame): Unit = {
-    if (store.currentVersion("postings").isEmpty) return
+  def deleteFromPostings(store: SnapshotStore, ids: DataFrame): Seq[String] = {
+    if (store.currentVersion("postings").isEmpty) return Nil
     StreamingPostings.ensureRegistryTermBuckets(store)
     val idsB = ids.select(col("doc_id")).distinct()
       .withColumn("doc_bucket", pmod(col("doc_id"),
@@ -749,113 +760,238 @@ object IndexDeletes {
       .localCheckpoint(true)
     val touched = idsB.select("doc_bucket").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    val priorTermBuckets = store.read("indexed_docs").get
-      .filter(col("doc_bucket").isin(touched: _*))
-      .join(idsB.select("doc_id"), Seq("doc_id"), "left_semi")
-      .select(explode(col("term_buckets")).as("b")).distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
     def emptyOf(table: String) = store.read(table).get.filter(lit(false))
-    val storedBuckets = graft.search.PostingsIndex.numBucketsOf(
-      store.read("postings_stats").get)
-    store.mergeLastWriteWins("postings", emptyOf("postings"), Seq("doc_id"),
-      partitionCols = Seq("term_bucket"), sortCols = Seq("term"),
-      collideHint = Some(priorTermBuckets),
-      keyScope = Some(idsB.select("doc_id")))
-    store.mergeLastWriteWins("indexed_docs", emptyOf("indexed_docs"),
-      Seq("doc_id"), partitionCols = Seq("doc_bucket"),
-      collideHint = Some(touched),
-      keyScope = Some(idsB.select("doc_id")))
-    store.mergeLastWriteWins("registry_stats",
-      StreamingPostings.touchedBucketTotals(store, touched),
-      Seq("doc_bucket"))
-    store.write("postings_stats",
-      store.read("registry_stats").get
-        .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
-          coalesce(sum("total_tokens"), lit(0L)).as("total_tokens"))
-        .withColumn("num_buckets", lit(storedBuckets.toLong)))
-    ()
+    store.read("indexed_docs") match {
+      case Some(reg) =>
+        val priorTermBuckets = reg
+          .filter(col("doc_bucket").isin(touched: _*))
+          .join(idsB.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(explode(col("term_buckets")).as("b")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val storedBuckets = graft.search.PostingsIndex.numBucketsOf(
+          store.read("postings_stats").get)
+        store.mergeLastWriteWins("postings", emptyOf("postings"), Seq("doc_id"),
+          partitionCols = Seq("term_bucket"), sortCols = Seq("term"),
+          collideHint = Some(priorTermBuckets),
+          keyScope = Some(idsB.select("doc_id")))
+        store.mergeLastWriteWins("indexed_docs", emptyOf("indexed_docs"),
+          Seq("doc_id"), partitionCols = Seq("doc_bucket"),
+          collideHint = Some(touched),
+          keyScope = Some(idsB.select("doc_id")))
+        store.mergeLastWriteWins("registry_stats",
+          StreamingPostings.touchedBucketTotals(store, touched),
+          Seq("doc_bucket"))
+        store.write("postings_stats",
+          store.read("registry_stats").get
+            .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+              coalesce(sum("total_tokens"), lit(0L)).as("total_tokens"))
+            .withColumn("num_buckets", lit(storedBuckets.toLong)))
+        Seq("postings", "indexed_docs", "registry_stats", "postings_stats")
+      case None =>
+        store.mergeLastWriteWins("postings", emptyOf("postings"), Seq("doc_id"),
+          partitionCols = Seq("term_bucket"), sortCols = Seq("term"),
+          keyScope = Some(idsB.select("doc_id")))
+        if (store.currentVersion("postings_stats").isEmpty) Seq("postings")
+        else {
+          val storedBuckets = graft.search.PostingsIndex.numBucketsOf(
+            store.read("postings_stats").get)
+          store.write("postings_stats",
+            store.read("postings").get.select("doc_id", "dl").distinct()
+              .agg(count(lit(1)).as("n_docs"),
+                coalesce(sum("dl"), lit(0L)).as("total_tokens"))
+              .withColumn("num_buckets", lit(storedBuckets.toLong)))
+          Seq("postings", "postings_stats")
+        }
+    }
   }
+
+  /** What a [[forgetCases]] run actually rewrote: the tables (scope a
+    * post-erasure `vacuum` to exactly these — other tables' version
+    * history and CDC surface are unrelated to the erasure and
+    * survive) and the ingest run ids whose quarantine rows were
+    * touched (drives the per-run quarantine JSONL rewrite).
+    */
+  final case class ForgetReport(tables: Seq[String], quarantineRuns: Seq[Long])
 
   /** Expunge cases END-TO-END from an ingest store — the legal-domain
     * erasure (a sealed/expunged docket, the GDPR erasure shape): the
     * case row, its party LINKS, its chunk/embedding rows, its
-    * chunk-ANN index rows, and its docket postings all vanish through
-    * partition-scoped keyScope merges; shared entities (parties,
-    * judges, courts and their variation counters) survive — only the
-    * links die, exactly what expungement requires. The tombstone set
-    * is request-sized, so the id/year resolution collects bounded
-    * frames; every table merge prunes to the victims' own
-    * buckets/partitions. Follow with `vacuum` per table to reclaim
-    * the old versions' files — that is what makes the bytes
-    * disappear.
+    * chunk-ANN index rows, its docket postings, AND every raw-record
+    * copy in the ingest ledgers — the quarantine envelope embeds the
+    * full raw docket (ingest.py:170-202 parity) and the error
+    * ledger's `details` embeds raw + normalized_attempt
+    * (ingest.py:218-224 parity), so a docket that ever failed
+    * validation would otherwise survive its own expungement verbatim.
+    * Shared entities (parties, judges, courts and their variation
+    * counters) survive — only the links die, exactly what expungement
+    * requires.
+    *
+    * Cost shape: the tombstone set is request-sized, so the id/year
+    * resolution collects bounded frames and every case-keyed table
+    * merge prunes to the victims' own buckets/partitions. The ledgers
+    * are RUN-bucketed (not case-bucketed), so FINDING a victim's
+    * ledger rows costs one column-pruned scan per ledger (only the
+    * raw case_number, record_hash and run_bucket columns are read);
+    * the REWRITE is again O(touched run buckets). Erasures are rare —
+    * that scan is the honest price of erasing from an append-only
+    * audit ledger without a per-case index over it.
+    *
+    * Follow with `vacuum` of the REPORTED tables to reclaim the old
+    * versions' files — that is what makes the bytes disappear.
+    *
+    * @param quarantineJsonlDir when the store's CLI ingests also wrote
+    *   per-run quarantine JSONL files (`<dir>/ingest_run_<id>`,
+    *   ingest.py:170-202's side file), pass that directory and each
+    *   touched run's file is rewritten without the victims (deleted
+    *   outright when the run has no surviving quarantine rows).
     */
-  def forgetCases(store: SnapshotStore, caseNumbers: Seq[String]): Unit = {
-    val cases = store.read("cases").getOrElse(return)
-    val spark = cases.sparkSession
-    import spark.implicits._
-    if (caseNumbers.isEmpty) return
-    val cnDf = caseNumbers.toDF("case_number")
-    // resolve surrogate ids + filed years BEFORE the case rows die
-    val victims = cases.join(cnDf, Seq("case_number"), "left_semi")
-      .select("id", "filed_year").collect()
-    val victimIds = victims.map(_.getLong(0)).toSeq.distinct.sorted
-    val victimYears: Seq[Any] = victims.map(_.get(1)).toSeq.distinct
+  def forgetCases(store: SnapshotStore, caseNumbers: Seq[String],
+      quarantineJsonlDir: Option[String] = None): ForgetReport = {
+    if (caseNumbers.isEmpty) return ForgetReport(Nil, Nil)
+    val touched = Seq.newBuilder[String]
     def emptyOf(table: String) = store.read(table).get.filter(lit(false))
-    // 1. docket postings (doc_id = the case surrogate id)
-    deleteFromPostings(store, victimIds.toDF("doc_id"))
-    // 2. serving chunk tables (case-keyed, case-bucketed)
-    val cnBuckets = graft.rag.RagPipeline
-      .withCaseBucket(cnDf).select("case_bucket")
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
-    if (store.currentVersion("case_chunk_embeddings").isDefined) {
-      graft.rag.RagPipeline.ensureCaseBucketed(store, "case_chunk_embeddings")
-      store.mergeLastWriteWins("case_chunk_embeddings",
-        emptyOf("case_chunk_embeddings"), Seq("case_number"),
-        partitionCols = Seq("case_bucket"),
-        sortCols = Seq("case_number", "chunk_id"),
-        collideHint = Some(cnBuckets), keyScope = Some(cnDf))
-      ()
-    }
-    if (store.currentVersion("chunk_ann_assignments").isDefined) {
-      // pre-sidecar stores (no case map yet) fall back to the merge's
-      // own column-pruned collide probe; sidecar stores hand it over
-      val priorLists: Option[Seq[Any]] =
-        store.read("chunk_ann_case_map").map(_.filter(
-          col("case_bucket").isin(cnBuckets: _*))
-          .join(cnDf, Seq("case_number"), "left_semi")
-          .select("list_id").distinct().collect()
-          .map(_.getAs[Number](0).intValue).sorted.toSeq)
-      store.mergeLastWriteWins("chunk_ann_assignments",
-        emptyOf("chunk_ann_assignments"), Seq("case_number"),
-        partitionCols = Seq("list_id"),
-        sortCols = Seq("case_number", "chunk_id"),
-        collideHint = priorLists, keyScope = Some(cnDf))
-      store.read("chunk_ann_case_map").foreach { _ =>
-        store.mergeLastWriteWins("chunk_ann_case_map",
-          emptyOf("chunk_ann_case_map"), Seq("case_number"),
-          partitionCols = Seq("case_bucket"),
-          sortCols = Seq("case_number"),
-          collideHint = Some(cnBuckets), keyScope = Some(cnDf))
-        ()
+    store.read("cases").foreach { cases =>
+      val spark = cases.sparkSession
+      import spark.implicits._
+      val cnDf = caseNumbers.toDF("case_number")
+      // resolve surrogate ids + filed years BEFORE the case rows die
+      val victims = cases.join(cnDf, Seq("case_number"), "left_semi")
+        .select("id", "filed_year").collect()
+      val victimIds = victims.map(_.getLong(0)).toSeq.distinct.sorted
+      val victimYears: Seq[Any] = victims.map(_.get(1)).toSeq.distinct
+      if (victimIds.nonEmpty) {
+        // 1. docket postings (doc_id = the case surrogate id)
+        touched ++= deleteFromPostings(store, victimIds.toDF("doc_id"))
+        // 2. serving chunk tables (case-keyed, case-bucketed)
+        val cnBuckets = graft.rag.RagPipeline
+          .withCaseBucket(cnDf).select("case_bucket")
+          .distinct().collect().map(_.getInt(0)).sorted.toSeq
+        if (store.currentVersion("case_chunk_embeddings").isDefined) {
+          graft.rag.RagPipeline.ensureCaseBucketed(store, "case_chunk_embeddings")
+          store.mergeLastWriteWins("case_chunk_embeddings",
+            emptyOf("case_chunk_embeddings"), Seq("case_number"),
+            partitionCols = Seq("case_bucket"),
+            sortCols = Seq("case_number", "chunk_id"),
+            collideHint = Some(cnBuckets), keyScope = Some(cnDf))
+          touched += "case_chunk_embeddings"
+        }
+        if (store.currentVersion("chunk_ann_assignments").isDefined) {
+          // pre-sidecar stores (no case map yet) fall back to the merge's
+          // own column-pruned collide probe; sidecar stores hand it over
+          val priorLists: Option[Seq[Any]] =
+            store.read("chunk_ann_case_map").map(_.filter(
+              col("case_bucket").isin(cnBuckets: _*))
+              .join(cnDf, Seq("case_number"), "left_semi")
+              .select("list_id").distinct().collect()
+              .map(_.getAs[Number](0).intValue).sorted.toSeq)
+          store.mergeLastWriteWins("chunk_ann_assignments",
+            emptyOf("chunk_ann_assignments"), Seq("case_number"),
+            partitionCols = Seq("list_id"),
+            sortCols = Seq("case_number", "chunk_id"),
+            collideHint = priorLists, keyScope = Some(cnDf))
+          touched += "chunk_ann_assignments"
+          store.read("chunk_ann_case_map").foreach { _ =>
+            store.mergeLastWriteWins("chunk_ann_case_map",
+              emptyOf("chunk_ann_case_map"), Seq("case_number"),
+              partitionCols = Seq("case_bucket"),
+              sortCols = Seq("case_number"),
+              collideHint = Some(cnBuckets), keyScope = Some(cnDf))
+            touched += "chunk_ann_case_map"
+          }
+        }
+        // 3. party LINKS (delete-by-case: LWW on case_id alone with an
+        // empty batch — coarser than the upsert key on purpose). A store
+        // last written by pre-bucket code migrates first — the merge's
+        // layout-change fallback cannot partition prior rows by a
+        // column they don't carry.
+        if (store.currentVersion("case_parties").isDefined) {
+          StreamingIngest.ensureBucketed(store, "case_parties", "cp_bucket",
+            col("case_id"))
+          val cpB = StreamingIngest.bucketed(victimIds.toDF("case_id"),
+            "cp_bucket", col("case_id"))
+          store.mergeLastWriteWins("case_parties", emptyOf("case_parties"),
+            Seq("case_id"), partitionCols = Seq("cp_bucket"),
+            collideHint = Some(StreamingIngest.bucketsOf(cpB, "cp_bucket")),
+            keyScope = Some(cpB.select("case_id")))
+          touched += "case_parties"
+        }
+        // 4. the case rows themselves (filed_year partitions pruned to
+        // the victims' own years)
+        store.mergeLastWriteWins("cases", emptyOf("cases"), Seq("case_number"),
+          partitionCols = Seq("filed_year"),
+          collideHint = Some(victimYears), keyScope = Some(cnDf))
+        touched += "cases"
       }
     }
-    // 3. party LINKS (delete-by-case: LWW on case_id alone with an
-    // empty batch — coarser than the upsert key on purpose)
-    if (store.currentVersion("case_parties").isDefined) {
-      val cpB = StreamingIngest.bucketed(victimIds.toDF("case_id"),
-        "cp_bucket", col("case_id"))
-      store.mergeLastWriteWins("case_parties", emptyOf("case_parties"),
-        Seq("case_id"), partitionCols = Seq("cp_bucket"),
-        collideHint = Some(StreamingIngest.bucketsOf(cpB, "cp_bucket")),
-        keyScope = Some(cpB.select("case_id")))
-      ()
+    // 5. the raw-record ledgers — runs even when the docket NEVER
+    // ingested successfully (a permanently-quarantined record has no
+    // case row, yet its raw bytes sit in the envelope)
+    val quarantinedRuns = purgeLedger(store, "quarantine",
+      trim(coalesce(col("raw.case_number"), lit(""))), caseNumbers, touched)
+    purgeLedger(store, "ingest_errors",
+      coalesce(col("case_number"),
+        trim(coalesce(col("details.raw.case_number"), lit("")))),
+      caseNumbers, touched)
+    quarantineJsonlDir.foreach(rewriteQuarantineJsonl(store, _, quarantinedRuns))
+    ForgetReport(touched.result().distinct, quarantinedRuns)
+  }
+
+  /** Expunge every row of a run-bucketed ledger whose raw record names
+    * one of `caseNumbers`: one column-pruned scan finds the victims'
+    * (record_hash, run_bucket, run_id) frame — bounded by victims ×
+    * their failed runs — then a keyScope LWW merge on record_hash
+    * rewrites only the touched run buckets. Returns the touched run
+    * ids (ascending). The record hash is F7's canonical hash of the
+    * raw record, so retries of the same record in other runs share it
+    * and die in the same merge.
+    */
+  private def purgeLedger(store: SnapshotStore, table: String,
+      caseNumberCol: Column, caseNumbers: Seq[String],
+      touched: scala.collection.mutable.Builder[String, Seq[String]]): Seq[Long] = {
+    if (store.currentVersion(table).isEmpty) return Nil
+    StreamingIngest.ensureBucketed(store, table, "run_bucket", col("run_id"))
+    val cur = store.read(table).get
+    val spark = cur.sparkSession
+    import spark.implicits._
+    val victims = cur.filter(caseNumberCol.isin(caseNumbers: _*))
+      .select("record_hash", "run_bucket", "run_id").distinct().collect()
+    if (victims.isEmpty) return Nil
+    val hashes = victims.map(_.getString(0)).toSeq.distinct
+    val buckets: Seq[Any] = victims.map(_.getInt(1)).toSeq.distinct.sorted
+    store.mergeLastWriteWins(table, cur.filter(lit(false)),
+      Seq("record_hash"), partitionCols = Seq("run_bucket"),
+      collideHint = Some(buckets),
+      keyScope = Some(hashes.toDF("record_hash")))
+    touched += table
+    victims.map(_.getLong(2)).toSeq.distinct.sorted
+  }
+
+  /** Rewrite each touched run's quarantine JSONL side file from the
+    * (already purged) quarantine table — envelope field order = schema
+    * order, exactly the CLI ingest's original write — deleting the
+    * file outright when the run has no surviving quarantine rows.
+    */
+  private def rewriteQuarantineJsonl(store: SnapshotStore, dir: String,
+      runs: Seq[Long]): Unit = {
+    if (runs.isEmpty) return
+    val purged = store.read("quarantine").getOrElse(return)
+    runs.foreach { r =>
+      val path = Paths.get(dir, s"ingest_run_$r")
+      if (Files.exists(path)) {
+        // run_bucket is pmod(run_id, 64) — filter it explicitly so the
+        // read prunes to the run's own bucket dir
+        val remaining = purged
+          .filter(col("run_bucket") === (((r % 64) + 64) % 64).toInt &&
+            col("run_id") === r)
+          .select("run_id", "error_code", "why", "raw", "ts", "record_hash")
+        if (remaining.isEmpty) {
+          val w = Files.walk(path)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+          finally w.close()
+        } else remaining.coalesce(1).write.mode("overwrite").json(path.toString)
+      }
     }
-    // 4. the case rows themselves (filed_year partitions pruned to
-    // the victims' own years)
-    store.mergeLastWriteWins("cases", emptyOf("cases"), Seq("case_number"),
-      partitionCols = Seq("filed_year"),
-      collideHint = Some(victimYears), keyScope = Some(cnDf))
-    ()
   }
 
   /** Remove `ids` (a frame with an `id` column) from a stored ANN

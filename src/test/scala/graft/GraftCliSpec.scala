@@ -58,12 +58,50 @@ class GraftCliSpec extends AnyFunSuite {
   }
 
   test("forget expunges a docket and vacuums; get returns 404 after") {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, trim}
     val storeArgs = Array("--store", storeDir)
     assert(GraftCli.dispatch(spark,
       Array("get", "1:23-cv-12345") ++ storeArgs) == 0)
+    // the victim also FAILS an ingest (null filed_date → BAD_DATE), so
+    // its raw record lands in the quarantine table, the error ledger
+    // AND the per-run quarantine JSONL side file — the copies the
+    // erasure contract is hardest on; a second bad record must survive
+    val badFile = Files.createTempFile("graft-bad-ingest", ".json")
+    Files.writeString(badFile,
+      """[{"case_number":"1:23-cv-12345","court":"S.D.N.Y.","title":"bad",
+        |"filed_date":null,"parties":"","case_type":"civil","judge":"",
+        |"docket_text":"EXPUNGEBYTES secret","status":"active"},
+        |{"case_number":"9:99-cv-99999","court":"S.D.N.Y.","title":"bad2",
+        |"filed_date":null,"parties":"","case_type":"civil","judge":"",
+        |"docket_text":"other failure","status":"active"}]"""
+        .stripMargin.replaceAll("\n", ""))
+    assert(GraftCli.dispatch(spark,
+      Array("ingest", badFile.toString) ++ storeArgs) == 0)
+    val jsonlRun = java.nio.file.Paths.get(storeDir, "quarantine_jsonl")
+      .toFile.listFiles().map(_.getName).max // the newest ingest run's file
+    val jsonlPath = s"$storeDir/quarantine_jsonl/$jsonlRun"
+    def jsonlText() = java.nio.file.Paths.get(jsonlPath).toFile.listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .map(f => Files.readString(f.toPath)).mkString
+    assert(jsonlText().contains("EXPUNGEBYTES"))
+    val judgesVersionsBefore = new graft.store.SnapshotStore(spark, storeDir)
+      .versions("judges").size
     assert(GraftCli.dispatch(spark,
       Array("forget", "--case-numbers", "1:23-cv-12345") ++ storeArgs) == 0)
+    // ledger rows + JSONL: the victim's raw bytes are gone, the other
+    // failed record's row and line survive
+    val st0 = new graft.store.SnapshotStore(spark, storeDir)
+    assert(st0.read("quarantine").get
+      .filter(trim(col("raw.case_number")) === "1:23-cv-12345").isEmpty)
+    assert(st0.read("ingest_errors").get
+      .filter(col("case_number") === "1:23-cv-12345").isEmpty)
+    assert(st0.read("quarantine").get
+      .filter(trim(col("raw.case_number")) === "9:99-cv-99999").count() == 1L)
+    val after = jsonlText()
+    assert(!after.contains("EXPUNGEBYTES") && after.contains("other failure"))
+    // vacuum scoped to the rewritten tables: an untouched table's
+    // version history (time travel / `changes` CDC) is preserved
+    assert(st0.versions("judges").size == judgesVersionsBefore)
     assert(GraftCli.dispatch(spark,
       Array("get", "1:23-cv-12345") ++ storeArgs) == 1)
     val st = new graft.store.SnapshotStore(spark, storeDir)

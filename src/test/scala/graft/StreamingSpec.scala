@@ -350,25 +350,65 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("forgetCases expunges a docket end-to-end: case row, party links, " +
-    "chunks, chunk-ANN rows, docket postings — shared entities survive") {
+    "chunks, chunk-ANN rows, docket postings, ledger envelopes — shared " +
+    "entities and other dockets' ledger rows survive") {
     import spark.implicits._
     import graft.rag.HashingEmbedder
     import graft.ingest.IngestJob
     val store = new SnapshotStore(spark,
       Files.createTempDirectory("graft-forget-store").toString)
     val emb = HashingEmbedder(16)
-    def raw(cn: String, text: String) = IngestJob.withSeq(spark, Seq(
-      (cn, "S.D.N.Y", s"t $cn", "2024-10-03",
-        "A (plaintiff); B (defendant)", "civil", "Judge Chen", text,
-        "active")).toDF("case_number", "court", "title", "filed_date",
-      "parties", "case_type", "judge", "docket_text", "status"))
+    def rawRows(rows: (String, String, String)*) = IngestJob.withSeq(spark,
+      rows.toSeq.map { case (cn, fd, text) =>
+        (cn, "S.D.N.Y", s"t $cn", fd,
+          "A (plaintiff); B (defendant)", "civil", "Judge Chen", text,
+          "active")
+      }.toDF("case_number", "court", "title", "filed_date",
+        "parties", "case_type", "judge", "docket_text", "status"))
+    def raw(cn: String, text: String) = rawRows((cn, "2024-10-03", text))
     val ts = Timestamp.valueOf("2026-01-01 00:00:00")
-    StreamingIngest.processBatch(store, raw("X-1", "expungeme secret words"),
+    // batch 0 carries the VICTIM'S FAILED INGEST too (a null filed_date
+    // quarantines the record and ledgers its error — both envelopes
+    // embed the full raw docket, the erasure's hardest copies), plus a
+    // failed X-2 variant that must SURVIVE the expungement
+    StreamingIngest.processBatch(store, rawRows(
+      ("X-1", "2024-10-03", "expungeme secret words"),
+      ("X-1", null, "expungeme secret words FAILED VARIANT"),
+      ("X-2", null, "other docket failed variant")),
       0L, "test", "test", ts, embedder = Some(emb))
     StreamingIngest.processBatch(store, raw("X-2", "ordinary docket text"),
       1L, "test", "test", ts, embedder = Some(emb))
+    assert(store.read("quarantine").get
+      .filter(trim(col("raw.case_number")) === "X-1").count() == 1L)
     val partiesBefore = store.read("parties").get.count()
-    graft.streaming.IndexDeletes.forgetCases(store, Seq("X-1"))
+    val report = graft.streaming.IndexDeletes.forgetCases(store, Seq("X-1"))
+    // the ledgers: zero quarantine/error rows mention the forgotten
+    // docket in ANY field; the other docket's failure rows survive
+    val quarantine = store.read("quarantine").get
+    assert(quarantine.filter(trim(col("raw.case_number")) === "X-1").isEmpty,
+      "quarantine kept the expunged docket's raw envelope")
+    assert(quarantine
+      .filter(col("raw.docket_text").contains("expungeme")).isEmpty,
+      "quarantine kept the expunged docket's raw text")
+    assert(quarantine.filter(trim(col("raw.case_number")) === "X-2")
+      .count() == 1L, "the erasure took another docket's quarantine row")
+    val errs = store.read("ingest_errors").get
+    assert(errs.filter(col("case_number") === "X-1").isEmpty &&
+      errs.filter(col("details.raw.docket_text").contains("expungeme")).isEmpty,
+      "error ledger kept the expunged docket's raw record")
+    assert(errs.filter(col("case_number") === "X-2").count() == 1L)
+    // the report names exactly the rewritten tables (vacuum scope) and
+    // the touched quarantine run; after vacuuming them, no retained
+    // version of either ledger carries the victim either
+    assert(report.tables.contains("quarantine") &&
+      report.tables.contains("ingest_errors") &&
+      report.quarantineRuns == Seq(0L))
+    report.tables.foreach(t => store.vacuum(t, keepLast = 1))
+    assert(store.versions("quarantine").size == 1 &&
+      store.versions("ingest_errors").size == 1)
+    // an untouched table's version history is not the erasure's to
+    // destroy (CDC/time travel survive a scoped vacuum)
+    assert(!report.tables.contains("judges"))
     // the case row, its chunks, its index rows: gone
     assert(store.read("cases").get.select("case_number").collect()
       .map(_.getString(0)).toSeq == Seq("X-2"))
