@@ -69,12 +69,12 @@ object AnnStore {
     */
   val NumLists = 16
 
-  /** Default probe width — mirrors the reference's recall/latency
-    * knob (`ivfflat.probes = 10` of 100 lists, rag.py:179-180):
-    * 4 of 16 lists ≈ the same quarter-ish read fraction at test
-    * scale... no: 10/100 = 1/10, 4/16 = 1/4 — deliberately wider so
-    * small test lists keep recall@10 meaningful (a 1/16 probe of a
-    * 500-vector corpus reads ~31 candidates for a top-10).
+  /** Default probe width — the reference's recall/latency knob
+    * (`ivfflat.probes = 10` of 100 lists, rag.py:179-180). 4 of 16
+    * lists is a deliberately WIDER read fraction (1/4 vs the
+    * reference's 1/10) so the small test lists keep recall@10
+    * meaningful: a 1/16 probe of a 500-vector corpus would read only
+    * ~31 candidates for a top-10.
     */
   val DefaultNprobe = 4
 
@@ -342,17 +342,28 @@ object AnnStore {
     }
   }
 
-  private val centroidCache = scala.collection.concurrent.TrieMap
+  private[graft] val centroidCache = scala.collection.concurrent.TrieMap
     .empty[(String, Long), Seq[(Int, Array[Long])]]
+
+  /** Evict a root's memo entries for every version except the current
+    * one — ordinary streaming maintenance bumps versions without ever
+    * calling [[invalidate]], and a long-lived serving process would
+    * otherwise strand each superseded version's entries forever.
+    */
+  private def evictStale[K, V](cache: scala.collection.concurrent.TrieMap[K, V],
+      isStale: K => Boolean): Unit =
+    cache.keysIterator.filter(isStale).foreach(cache.remove)
 
   /** Stored centroids, collected once per (store root, version) —
     * lists × dim longs, the "broadcast the codebook" step of every
-    * IVF probe.
+    * IVF probe. Superseded versions' entries evict on access.
     */
   def centroidsLocal(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] = {
     val store = ensure(spark, dir)
     val v = store.currentVersion("ann_centroids").getOrElse(-1L)
-    centroidCache.getOrElseUpdate((indexRoot(dir), v),
+    val root = indexRoot(dir)
+    evictStale(centroidCache, (k: (String, Long)) => k._1 == root && k._2 != v)
+    centroidCache.getOrElseUpdate((root, v),
       centroidsOf(store.read("ann_centroids").get))
   }
 
@@ -390,20 +401,34 @@ object AnnStore {
       .join(ids.select("id"), Seq("id"), "left_semi")
   }
 
-  private val vectorCache = scala.collection.concurrent.TrieMap
+  private[graft] val vectorCache = scala.collection.concurrent.TrieMap
     .empty[(String, Long, Long), Array[Float]]
+
+  /** Hard cap on memoized query vectors: past it the memo resets
+    * wholesale (it is a cache, not a correctness structure — the
+    * coarse reset keeps the heap bounded for a serving process that
+    * answers by-corpus-member queries over an arbitrarily large id
+    * space within one index version).
+    */
+  private[graft] val MaxVectorCacheEntries = 4096
 
   /** Point lookup of a stored vector by id (the "query by corpus
     * member" convenience the search entries use): resolve the id's
     * list through the sidecar map (one pruned bucket dir), then read
     * that single list partition — two pruned point reads, never a
     * full-assignments or raw-embeddings scan. Memoized per (store,
-    * version, id): a repeated query vector costs zero jobs.
+    * version, id); superseded versions' entries evict on access and
+    * the memo is size-capped, so a long-lived serving loop holds the
+    * heap flat.
     */
   def vectorOf(spark: SparkSession, dir: String, id: Long): Array[Float] = {
     val store0 = ensure(spark, dir)
     val v = store0.currentVersion("ann_assignments").getOrElse(-1L)
-    vectorCache.getOrElseUpdate((indexRoot(dir), v, id),
+    val root = indexRoot(dir)
+    evictStale(vectorCache,
+      (k: (String, Long, Long)) => k._1 == root && k._2 != v)
+    if (vectorCache.size >= MaxVectorCacheEntries) vectorCache.clear()
+    vectorCache.getOrElseUpdate((root, v, id),
       vectorOfUncached(spark, dir, id))
   }
 

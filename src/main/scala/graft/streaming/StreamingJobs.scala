@@ -39,7 +39,8 @@ object StreamingIngest {
       store: SnapshotStore, epochTs: Long => Timestamp =
         _ => new Timestamp(System.currentTimeMillis()),
       retainVersions: Option[Int] = None,
-      embedder: Option[graft.rag.Embedder] = None): StreamingQuery = {
+      embedder: Option[graft.rag.Embedder] = None,
+      compactEvery: Int = 0): StreamingQuery = {
     val raw = spark.readStream
       .schema(IngestJob.rawSchema)
       .option("multiLine", true)
@@ -48,7 +49,7 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(store, batch, batchId, s"stream:$inputDir", inputDir,
-          epochTs(batchId), embedder = embedder)
+          epochTs(batchId), compactEvery = compactEvery, embedder = embedder)
         retainVersions.foreach(n =>
           store.tables().foreach(t => store.vacuum(t, keepLast = n)))
       }
@@ -185,7 +186,8 @@ object StreamingIngest {
     // of THIS batch skips the already-merged index work.
     StreamingPostings.processBatch(store,
       r.cases.select(col("id").as("doc_id"),
-        coalesce(col("docket_text"), lit("")).as("text")), batchId)
+        coalesce(col("docket_text"), lit("")).as("text")), batchId,
+      compactEvery = compactEvery)
     // RAG serving tables inside the same commit (see the scaladoc):
     // chunk + embed ONLY the batch's cases, replace per CASE (LWW on
     // case_number drops a shrunken case's stale chunk rows), and
@@ -218,8 +220,21 @@ object StreamingIngest {
     // post-commit maintenance: every partition-scoped merge adds a file
     // pile to the touched partitions, so long-running streams compact on
     // a cadence. Content-neutral, so replay/crash around it is safe.
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+    // The RAG serving/chunk-index tables ride the same cadence when
+    // maintained (their per-batch merges pile files exactly like cases;
+    // cluster sorts survive the rewrite so pruned probes keep their
+    // row-group selectivity).
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       store.compact("cases", maxFilesPerPartition = 4)
+      if (embedder.isDefined) {
+        store.compact("case_chunk_embeddings", maxFilesPerPartition = 4,
+          sortCols = Seq("case_number", "chunk_id"))
+        store.compact("chunk_ann_assignments", maxFilesPerPartition = 4,
+          sortCols = Seq("case_number", "chunk_id"))
+        store.compact("chunk_ann_case_map", maxFilesPerPartition = 4,
+          sortCols = Seq("case_number"))
+      }
+    }
     ()
   }
 }
@@ -600,8 +615,16 @@ object StreamingAnn {
     * writeIndex) — maintenance extends an index, it does not invent
     * the codebook.
     */
+  /** @param compactEvery > 0 runs the store's small-file compaction on
+    *   that batch cadence (mirroring StreamingIngest / StreamingNearDup
+    *   / StreamingPostings): every partition-scoped LWW merge adds a
+    *   file pile to the touched list partitions, and a long-lived
+    *   maintenance stream would otherwise degrade exactly the pruned
+    *   probes the index exists for.
+    */
   def processBatch(store: SnapshotStore, batch: DataFrame, batchId: Long,
-      retrainSkewX1000: Long = 4000L, retrainOnSkew: Boolean = false): Unit = {
+      retrainSkewX1000: Long = 4000L, retrainOnSkew: Boolean = false,
+      compactEvery: Int = 0): Unit = {
     val alreadyDone = store.read("ann_batches").exists(
       _.filter(col("batch_id") === batchId).limit(1).count() > 0)
     if (alreadyDone) return
@@ -679,6 +702,15 @@ object StreamingAnn {
     // assigning the same vectors, so a crash replay of this batch
     // skips via the marker and probes keep working either way
     if (retrainOnSkew && needsRetrain(store)) retrain(spark, store)
+    // compaction cadence (see the param doc): both probed tables keep
+    // their cluster sort through the rewrite (id — point lookups
+    // prune row groups)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      store.compact("ann_assignments", maxFilesPerPartition = 4,
+        sortCols = Seq("id"))
+      store.compact("ann_id_map", maxFilesPerPartition = 4,
+        sortCols = Seq("id"))
+    }
     ()
   }
 
@@ -702,7 +734,8 @@ object StreamingAnn {
 
   /** Watch `inputDir` for JSON files of `{id, embedding: [...]}`. */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
-      store: SnapshotStore, retrainOnSkew: Boolean = false): StreamingQuery = {
+      store: SnapshotStore, retrainOnSkew: Boolean = false,
+      compactEvery: Int = 0): StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType),
@@ -713,7 +746,8 @@ object StreamingAnn {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(store, batch, batchId, retrainOnSkew = retrainOnSkew)
+        processBatch(store, batch, batchId, retrainOnSkew = retrainOnSkew,
+          compactEvery = compactEvery)
       }
       .start()
   }

@@ -292,4 +292,77 @@ class AnnStoreSpec extends AnyFunSuite {
       .getAs[Long]("skew_x1000")
     assert(skew == 1500L)
   }
+
+  test("compaction cadence bounds the file piles a long-lived " +
+    "maintenance stream leaves in hot list partitions") {
+    import spark.implicits._
+    // a WIDE batch (many rows landing in the same hot list): every
+    // writer task with rows for a touched hive partition writes its
+    // own file there — the realistic multi-executor merge shape. AQE's
+    // partition coalescing hides the effect at test row counts (it
+    // packs the tiny batch into 1-2 tasks), so pin it off for the
+    // duration — at production batch sizes the tasks are real.
+    def wideBatch(b: Long) = (10L until 22L).map(i =>
+      (i, Array.tabulate(4)(j =>
+        if (j == 0) -1.0f - (i - 10) * 0.01f - b * 0.001f else 0.1f).toSeq))
+      .toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    def filesPerPart(store: SnapshotStore, t: String): Map[String, Int] =
+      store.read(t).get.inputFiles.toSeq
+        .groupBy(_.split("/").takeRight(2).head)
+        .map { case (p, fs) => p -> fs.length }
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      // control: NO cadence — the hot list dir holds a file per writer
+      // task (this is the pile the cadence exists to bound)
+      val (plain, _, _) = clusteredFixture()
+      (0L to 5L).foreach(b => StreamingAnn.processBatch(plain, wideBatch(b), b))
+      assert(filesPerPart(plain, "ann_assignments").values.max > 4,
+        "fixture no longer piles files — the cadence test lost its teeth")
+      // cadence on: every partition is at/under the compaction threshold
+      // right after a cadence batch, for BOTH probed tables
+      val (store, _, _) = clusteredFixture()
+      (0L to 5L).foreach(b =>
+        StreamingAnn.processBatch(store, wideBatch(b), b, compactEvery = 2))
+      Seq("ann_assignments", "ann_id_map").foreach { t =>
+        assert(filesPerPart(store, t).values.max <= 4,
+          s"$t kept an over-threshold file pile despite the cadence")
+      }
+      // content untouched: same rows as the uncompacted control
+      def rows(s: SnapshotStore) = s.read("ann_assignments").get
+        .select("id", "list_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).intValue)).toSet
+      assert(rows(store) == rows(plain))
+    } finally spark.conf.set(coalesceKey, prevCoalesce)
+  }
+
+  test("memo caches evict superseded versions on access and the vector " +
+    "memo is size-capped — a long-lived serving loop holds heap flat") {
+    val q = AnnStore.vectorOf(spark, dir, 7L)
+    assert(q.nonEmpty)
+    val (root, curV, _) = AnnStore.vectorCache.keysIterator
+      .find(_._3 == 7L).get
+    // strand a fake superseded-version entry; the next access evicts it
+    AnnStore.vectorCache.put((root, curV - 1, 999L), Array(0f))
+    AnnStore.vectorOf(spark, dir, 8L)
+    assert(!AnnStore.vectorCache.keysIterator.exists(
+      k => k._1 == root && k._2 != curV),
+      "superseded-version vector memo entries survived an access")
+    // same contract for the centroid memo
+    val cents = AnnStore.centroidsLocal(spark, dir)
+    val cKey = AnnStore.centroidCache.keysIterator.find(_._1 == root).get
+    AnnStore.centroidCache.put((root, cKey._2 - 1), cents)
+    AnnStore.centroidsLocal(spark, dir)
+    assert(!AnnStore.centroidCache.keysIterator.exists(
+      k => k._1 == root && k._2 != cKey._2),
+      "superseded-version centroid memo entries survived an access")
+    // size cap: overfill within the CURRENT version, next access resets
+    (0 until AnnStore.MaxVectorCacheEntries)
+      .foreach(i => AnnStore.vectorCache.put((root, curV, 100000L + i), Array(0f)))
+    AnnStore.vectorOf(spark, dir, 9L)
+    assert(AnnStore.vectorCache.size < AnnStore.MaxVectorCacheEntries,
+      "vector memo grew past its cap")
+  }
 }
