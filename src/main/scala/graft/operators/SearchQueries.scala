@@ -1105,9 +1105,110 @@ object SearchQueries {
        |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** q216: ADAPTIVE filtered hybrid search — q214's pool-then-filter
+    * legs with the iterative-scan loop (HybridSearch.
+    * hybridSearchAdaptive): while the fused result holds fewer than
+    * topK docs, legK and nprobe double together and both stored-index
+    * probes re-run, capping at (all lists, maxLegK) — the dense leg's
+    * exhaustive rung covers the corpus, so ≥ topK matches corpus-wide
+    * guarantee exactly topK fused rows. `nprobe_used`/`leg_k_used`
+    * pin the rung the loop landed on; the DuckDB twin replays every
+    * rung's two legs and fused count from scratch, so the STOPPING
+    * decision is hash-gated, not just the final ranking.
+    */
+  def q216AdaptiveFilteredHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val qv = graft.rag.AnnStore.vectorOf(spark, dir, 7L)
+    graft.search.HybridSearch.hybridSearchAdaptive(spark, dir,
+      Seq("vector", "merge", "batch"), qv, topK = 10, legK = 50,
+      nprobe = 8, excludeId = Some(7L),
+      where = Some(col("label") === 3))
+  }
+
+  val q216Sql: String = {
+    val dot = OracleSql.dotFold("e.embedding", "q.q_emb")
+    s"""WITH ${OracleSql.annQuantizerCtes(graft.rag.AnnStore.NumLists)},
+       |tok AS (
+       |  SELECT doc_id, unnest(${OracleSql.tokens("lower(text)")}) AS term
+       |  FROM documents),
+       |dlen AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY 1),
+       |st AS (SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+       |              (SELECT COUNT(*) FROM tok)::BIGINT AS t_total),
+       |p AS (
+       |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+       |  FROM tok WHERE term IN ('vector', 'merge', 'batch')
+       |  GROUP BY 1, 2),
+       |w AS (
+       |  SELECT term,
+       |    len(bin(greatest((2 * ((SELECT n_docs FROM st) - COUNT(*)) + 1)
+       |      // (2 * COUNT(*) + 1), 1)))::BIGINT AS idf_class
+       |  FROM p GROUP BY term),
+       |scored AS (
+       |  SELECT p.doc_id, SUM(
+       |    ((220 * p.tf * 1000000) // (100 * p.tf +
+       |      (120 * (25 * st.t_total + 75 * d.dl * st.n_docs))
+       |        // (100 * st.t_total))) * w.idf_class)::BIGINT AS s
+       |  FROM p JOIN w USING (term) JOIN dlen d USING (doc_id), st
+       |  GROUP BY p.doc_id),
+       |rungs AS (SELECT * FROM (VALUES (0, 50, 8), (1, 100, 16),
+       |  (2, 200, 16), (3, 400, 16), (4, 800, 16)) AS r(rung, lk, np)),
+       |q AS (SELECT m AS qm, embedding AS q_emb FROM fx WHERE vec_id = 7),
+       |pl AS (
+       |  SELECT c.list_id,
+       |    ROW_NUMBER() OVER (ORDER BY ${OracleSql.annScore("q.qm", "c.c")},
+       |      c.list_id) AS rn
+       |  FROM ann_cent c, q),
+       |kw0 AS (
+       |  SELECT r.rung, r.lk, s.doc_id, s.s,
+       |    ROW_NUMBER() OVER (PARTITION BY r.rung
+       |      ORDER BY s.s DESC, s.doc_id) AS pos
+       |  FROM scored s CROSS JOIN rungs r),
+       |kw AS (
+       |  SELECT k.rung, k.doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY k.rung
+       |      ORDER BY k.s DESC, k.doc_id) AS rank_kw
+       |  FROM kw0 k JOIN fx e ON e.vec_id = k.doc_id
+       |  WHERE k.pos <= k.lk AND e.label = 3),
+       |vec AS (
+       |  SELECT rung, doc_id, rank_vec FROM (
+       |    SELECT r.rung, r.lk, e.vec_id AS doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY r.rung
+       |        ORDER BY $dot DESC, e.vec_id) AS rank_vec
+       |    FROM fx e JOIN ann_asg a USING (vec_id)
+       |      JOIN pl pp ON a.list_id = pp.list_id
+       |      CROSS JOIN rungs r, q
+       |    WHERE pp.rn <= r.np AND e.vec_id <> 7 AND e.label = 3)
+       |  WHERE rank_vec <= lk),
+       |fused AS (
+       |  SELECT COALESCE(k.rung, v.rung) AS rung,
+       |    COALESCE(k.doc_id, v.doc_id) AS doc_id,
+       |    COALESCE(k.rank_kw, 0)::BIGINT AS rank_kw,
+       |    COALESCE(v.rank_vec, 0)::BIGINT AS rank_vec
+       |  FROM kw k FULL OUTER JOIN vec v
+       |    ON k.rung = v.rung AND k.doc_id = v.doc_id),
+       |counts AS (
+       |  SELECT r.rung,
+       |    (SELECT COUNT(*) FROM fused f WHERE f.rung = r.rung) AS n
+       |  FROM rungs r),
+       |chosen AS (
+       |  SELECT COALESCE(MIN(rung) FILTER (WHERE n >= 10), 4) AS rung
+       |  FROM counts)
+       |SELECT f.doc_id, f.rank_kw, f.rank_vec,
+       |  ((CASE WHEN f.rank_kw > 0 THEN 1000000 // (60 + f.rank_kw) ELSE 0 END) +
+       |   (CASE WHEN f.rank_vec > 0 THEN 1000000 // (60 + f.rank_vec) ELSE 0 END))::BIGINT
+       |    AS rrf_micro,
+       |  (SELECT r.np FROM rungs r, chosen ch WHERE r.rung = ch.rung)::BIGINT
+       |    AS nprobe_used,
+       |  (SELECT r.lk FROM rungs r, chosen ch WHERE r.rung = ch.rung)::BIGINT
+       |    AS leg_k_used
+       |FROM fused f, chosen ch
+       |WHERE f.rung = ch.rung
+       |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q208_hybrid_bm25_rrf" -> (q208HybridBm25Rrf _),
     "q214_filtered_hybrid" -> (q214FilteredHybrid _),
+    "q216_adaptive_filtered_hybrid" -> (q216AdaptiveFilteredHybrid _),
     "q206_bm25_ranking" -> (q206Bm25Ranking _),
     "q207_phrase_trigram" -> (q207PhraseTrigram _),
     "q205_stored_index_audit" -> (q205StoredIndexAudit _),
@@ -1130,6 +1231,7 @@ object SearchQueries {
   val oracle: Map[String, String] = Map(
     "q208_hybrid_bm25_rrf" -> q208Sql,
     "q214_filtered_hybrid" -> q214Sql,
+    "q216_adaptive_filtered_hybrid" -> q216Sql,
     "q206_bm25_ranking" -> q206Sql,
     "q207_phrase_trigram" -> q207Sql,
     "q205_stored_index_audit" -> q205Sql,

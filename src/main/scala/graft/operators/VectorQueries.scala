@@ -675,6 +675,51 @@ object VectorQueries {
        |  AND e.vec_id <> 7 AND e.label = 3
        |ORDER BY cosine DESC, id LIMIT 10""".stripMargin
 
+  /** q215: ADAPTIVE filtered ANN search — pgvector's iterative-scan
+    * behavior (q212's manual widen-nprobe knob replaced by the loop):
+    * probe 2 lists, and while fewer than topK candidates survive the
+    * `label = 3` predicate, double the probe width over the same
+    * pruned plans, ending (worst case) at the exhaustive probe — so
+    * the result has exactly topK rows whenever ≥ topK matches exist
+    * corpus-wide. `nprobe_used` pins the recall/cost rung the loop
+    * landed on (q211's curve, chosen per query instead of globally).
+    * The DuckDB twin replays the doubling schedule from scratch:
+    * per-rung survivor counts over the recomputed quantizer pick the
+    * same rung, so the probe choice itself is hash-gated.
+    */
+  def q215AdaptiveFilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.rag.AnnStore
+    val qv = AnnStore.vectorOf(spark, dir, 7L)
+    AnnStore.denseSearchAdaptive(spark, dir, qv, topK = 10, startNprobe = 2,
+      excludeId = Some(7L), where = Some(col("label") === 3))
+  }
+
+  val q215Sql: String =
+    s"""WITH ${OracleSql.annQuantizerCtes(graft.rag.AnnStore.NumLists)},
+       |q AS (SELECT m AS qm, embedding AS q_emb FROM fx WHERE vec_id = 7),
+       |pl AS (
+       |  SELECT c.list_id,
+       |    ROW_NUMBER() OVER (ORDER BY ${OracleSql.annScore("q.qm", "c.c")},
+       |      c.list_id) AS rn
+       |  FROM ann_cent c, q),
+       |surv AS (
+       |  SELECT u.np,
+       |    (SELECT COUNT(*) FROM fx e JOIN ann_asg a USING (vec_id)
+       |       JOIN pl p ON a.list_id = p.list_id
+       |     WHERE p.rn <= u.np AND e.vec_id <> 7 AND e.label = 3) AS n
+       |  FROM UNNEST([2, 4, 8, 16]::BIGINT[]) AS u(np)),
+       |chosen AS (
+       |  SELECT COALESCE(MIN(np) FILTER (WHERE n >= 10),
+       |    ${graft.rag.AnnStore.NumLists}) AS np FROM surv)
+       |SELECT e.vec_id AS id,
+       |  ${OracleSql.dotFold("e.embedding", "q.q_emb")} AS cosine,
+       |  (SELECT np FROM chosen) AS nprobe_used
+       |FROM fx e JOIN ann_asg a USING (vec_id), q
+       |WHERE a.list_id IN (SELECT p.list_id FROM pl p, chosen ch
+       |                    WHERE p.rn <= ch.np)
+       |  AND e.vec_id <> 7 AND e.label = 3
+       |ORDER BY cosine DESC, id LIMIT 10""".stripMargin
+
   val q211Sql: String = {
     val dot = OracleSql.dotFold("e.embedding", "q.q_emb")
     s"""WITH ${OracleSql.annQuantizerCtes(graft.rag.AnnStore.NumLists)},
@@ -1876,6 +1921,7 @@ object VectorQueries {
     "q210_ann_probe_topk" -> (q210AnnProbeTopk _),
     "q211_ann_recall_curve" -> (q211AnnRecallCurve _),
     "q212_filtered_ann" -> (q212FilteredAnn _),
+    "q215_adaptive_filtered_ann" -> (q215AdaptiveFilteredAnn _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1904,5 +1950,6 @@ object VectorQueries {
     "q210_ann_probe_topk" -> q210Sql,
     "q211_ann_recall_curve" -> q211Sql,
     "q212_filtered_ann" -> q212Sql,
+    "q215_adaptive_filtered_ann" -> q215Sql,
   )
 }

@@ -479,4 +479,49 @@ object AnnStore {
       .limit(topK)
       .select(col("id"), col("cosine"))
   }
+
+  /** FILTERED ANN search with pgvector's iterative-scan behavior
+    * (`ivfflat.iterative_scan`): a selective predicate thins the
+    * candidate pool inside a fixed-nprobe probe, so instead of handing
+    * the user a manual widen-nprobe knob, probe `startNprobe` lists
+    * and — while fewer than `topK` candidates survive the predicate —
+    * DOUBLE the probe width, a driver-side loop over the same pruned
+    * plans, until k survivors or every list has been read. The last
+    * rung is the exhaustive probe, so whenever ≥ topK matches exist
+    * corpus-wide the result has exactly topK rows.
+    *
+    * Cost shape: probe ranks are computed ONCE (driver-side, lists
+    * rows) and each rung counts survivors over only the lists it
+    * NEWLY uncovered (probe prefixes nest), so across all rungs the
+    * counting pass reads each probed list dir exactly once; the final
+    * top-k re-reads the chosen width. `nprobe_used` rides the result —
+    * the per-query cost row of the recall/cost curve (q211) the
+    * adaptive loop landed on.
+    */
+  def denseSearchAdaptive(spark: SparkSession, dir: String,
+      vec: Array[Float], topK: Int = 10, startNprobe: Int = DefaultNprobe,
+      excludeId: Option[Long] = None,
+      where: Option[Column] = None): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val cents = centroidsLocal(spark, dir)
+    val ranked = probeListsOf(cents, vec, cents.size)
+    def survivorsIn(listSlice: Seq[Int]): Long = {
+      if (listSlice.isEmpty) return 0L
+      val base = assignments(spark, dir)
+        .filter(col("list_id").isin(listSlice: _*))
+      val filtered = where.fold(base)(base.filter)
+      excludeId.fold(filtered)(x => filtered.filter(col("id") =!= x)).count()
+    }
+    var np = math.min(math.max(startNprobe, 1), ranked.size)
+    var covered = 0
+    var survivors = 0L
+    while ({
+      survivors += survivorsIn(ranked.slice(covered, np))
+      covered = np
+      survivors < topK && np < ranked.size
+    }) np = math.min(np * 2, ranked.size)
+    denseSearch(spark, dir, vec, topK = topK, nprobe = np,
+      excludeId = excludeId, where = where)
+      .withColumn("nprobe_used", lit(np.toLong))
+  }
 }

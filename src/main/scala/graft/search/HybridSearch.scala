@@ -85,4 +85,41 @@ object HybridSearch {
       .orderBy(desc("rrf_micro"), asc("doc_id")).limit(topK)
       .select("doc_id", "rank_kw", "rank_vec", "rrf_micro")
   }
+
+  /** FILTERED hybrid search with the iterative-scan treatment
+    * ([[graft.rag.AnnStore.denseSearchAdaptive]]'s loop applied to
+    * both legs): while the fused result holds fewer than `topK` docs,
+    * DOUBLE legK and nprobe together and re-run the same two pruned
+    * index probes, until k fused survivors or both legs hit their
+    * caps (nprobe = all lists, legK ≥ maxLegK). At full width the
+    * dense leg covers the whole corpus, so whenever ≥ topK matches
+    * exist corpus-wide the fused result has exactly topK rows.
+    * Per-rung cost stays two index probes + a ≤legK metadata check —
+    * the loop trades a bounded number of re-probes for the recall the
+    * fixed-width variant documents as a manual knob.
+    */
+  def hybridSearchAdaptive(spark: SparkSession, dir: String,
+      terms: Seq[String], queryVec: Array[Float], topK: Int = 10,
+      legK: Int = 50, nprobe: Int = AnnStore.DefaultNprobe,
+      maxLegK: Int = 800,
+      maxTermDf: Long = PostingsIndex.DefaultMaxTermDf,
+      excludeId: Option[Long] = None,
+      where: Option[Column] = None): DataFrame = {
+    val lists = AnnStore.centroidsLocal(spark, dir).size
+    var lk = math.max(legK, topK)
+    var np = math.min(math.max(nprobe, 1), lists)
+    while (true) {
+      val fused = hybridSearch(spark, dir, terms, queryVec, topK = topK,
+        legK = lk, nprobe = np, maxTermDf = maxTermDf,
+        excludeId = excludeId, where = where)
+        .localCheckpoint(true) // ≤topK rows; counted AND returned
+      val atCap = np >= lists && lk >= maxLegK
+      if (atCap || fused.count() >= topK)
+        return fused.withColumn("nprobe_used", lit(np.toLong))
+          .withColumn("leg_k_used", lit(lk.toLong))
+      np = math.min(np * 2, lists)
+      lk = math.min(lk * 2, maxLegK)
+    }
+    sys.error("unreachable")
+  }
 }

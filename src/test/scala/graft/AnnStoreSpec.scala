@@ -293,6 +293,40 @@ class AnnStoreSpec extends AnyFunSuite {
     assert(skew == 1500L)
   }
 
+  test("adaptive filtered probe widens until k survivors: exactly k " +
+    "results whenever >= k matches exist corpus-wide, nprobe_used " +
+    "records the rung — the fixed-width knob returns fewer") {
+    val q = AnnStore.vectorOf(spark, dir, 7L)
+    val cents = AnnStore.centroidsLocal(spark, dir)
+    val firstList = AnnStore.probeListsOf(cents, q, 1).head
+    // 5 target ids from 5 DIFFERENT lists, none in the query's nearest
+    // list — a predicate selective enough that the start rung finds 0
+    val byList = AnnStore.assignments(spark, dir)
+      .select("id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue))
+      .filter(_._1 != 7L)
+      .groupBy(_._2).map { case (l, rs) => l -> rs.map(_._1).min }
+    val targets = byList.filter(_._1 != firstList).values.toSeq.sorted.take(5)
+    assert(targets.size == 5, "fixture needs 5 populated non-first lists")
+    val pred = col("id").isin(targets: _*)
+    val got = AnnStore.denseSearchAdaptive(spark, dir, q, topK = 5,
+      startNprobe = 1, excludeId = Some(7L), where = Some(pred)).collect()
+    assert(got.length == 5, "adaptive probe returned fewer than k matches")
+    assert(got.map(_.getLong(0)).toSet == targets.toSet)
+    assert(got.head.getLong(2) > 1L, "the loop never widened")
+    val fixed = AnnStore.denseSearch(spark, dir, q, topK = 5, nprobe = 1,
+      excludeId = Some(7L), where = Some(pred)).count()
+    assert(fixed < 5, "fixture predicate is not selective at the start rung")
+    // hybrid twin: both legs widen together until the fused frame
+    // holds k docs (the dense leg's exhaustive rung covers the corpus)
+    val hybrid = graft.search.HybridSearch.hybridSearchAdaptive(spark, dir,
+      Seq("vector"), q, topK = 5, legK = 5, nprobe = 1,
+      excludeId = Some(7L), where = Some(pred)).collect()
+    assert(hybrid.length == 5,
+      "adaptive hybrid returned fewer than k fused matches")
+    assert(hybrid.map(_.getLong(0)).toSet == targets.toSet)
+  }
+
   test("compaction cadence bounds the file piles a long-lived " +
     "maintenance stream leaves in hot list partitions") {
     import spark.implicits._

@@ -556,7 +556,13 @@ class PlanGuardsSpec extends AnyFunSuite {
       "q208" -> operators.SearchQueries.q208HybridBm25Rrf(spark, dir),
       "q210" -> operators.VectorQueries.q210AnnProbeTopk(spark, dir),
       "q212" -> operators.VectorQueries.q212FilteredAnn(spark, dir),
-      "q214" -> operators.SearchQueries.q214FilteredHybrid(spark, dir))
+      "q214" -> operators.SearchQueries.q214FilteredHybrid(spark, dir),
+      // q215's adaptive loop returns the chosen rung's denseSearch
+      // plan — same pruning contract as the fixed-width probes. (q216
+      // is not listable here: hybridSearchAdaptive returns an
+      // API-boundary localCheckpointed ≤topK frame whose leg plans
+      // are exactly q214's, already guarded above.)
+      "q215" -> operators.VectorQueries.q215AdaptiveFilteredAnn(spark, dir))
     dfs.foreach { case (name, df) =>
       val scans = collectNodes(df) {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
