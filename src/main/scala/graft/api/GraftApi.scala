@@ -24,6 +24,18 @@ final case class PhraseHit(case_number: String, n_phrase: Long,
     n_terms_used: Long)
 final case class HybridHit(case_number: String, rank_kw: Long,
     rank_vec: Long, rrf_micro: Long)
+final case class AnnSearchHit(case_number: String, best_cosine: Double)
+
+object GraftApi {
+  /** The case-attribute equality filters the filtered-search endpoints
+    * accept (the engine's q212/q214 `where` predicates surfaced to the
+    * REST layer as a JSON object). A key outside this set rejects with
+    * IllegalArgumentException — the HTTP layer's 422, the reference's
+    * validation convention (api.py:64-73).
+    */
+  val FilterFields: Set[String] =
+    Set("case_number", "status", "filed_year", "judge", "court", "case_type")
+}
 
 /** The query facade — the three REST endpoints of the reference
   * (api.py:154-270) as typed methods over registered tables. All
@@ -194,54 +206,153 @@ final class GraftApi(spark: SparkSession, cases: DataFrame, judges: DataFrame,
       .as[Bm25Hit].collect().toSeq
   }
 
+  /** The cases frame narrowed by the equality-filter object (validated
+    * against [[GraftApi.FilterFields]]): scalar attributes filter the
+    * (year-partition-pruned) cases scan directly; dim attributes
+    * resolve through normalized-name broadcast joins, exactly
+    * listCases' conventions.
+    */
+  private def filteredCases(where: Map[String, String]): DataFrame = {
+    where.keys.find(!GraftApi.FilterFields(_)).foreach(k =>
+      throw new IllegalArgumentException(s"unknown filter field: $k"))
+    var df = cases
+    where.foreach {
+      case ("case_number", v) => df = df.filter(col("case_number") === v)
+      case ("status", v) => df = df.filter(col("status") === v)
+      case ("filed_year", v) =>
+        val y = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+          "filed_year must be an integer"))
+        if (df.columns.contains("filed_year"))
+          df = df.filter(col("filed_year") === y)
+        df = df.filter(org.apache.spark.sql.functions.year(col("filed_date")) === y)
+      case ("judge", v) =>
+        df = df.join(broadcast(judges
+          .filter(col("normalized_name") === v.toLowerCase)
+          .select(col("id").as("judge_id"))), Seq("judge_id"))
+      case ("court", v) =>
+        df = df.join(broadcast(courts
+          .filter(col("normalized_name") === v)
+          .select(col("id").as("court_id"))), Seq("court_id"))
+      case ("case_type", v) =>
+        df = df.join(broadcast(caseTypes
+          .filter(col("name") === v)
+          .select(col("id").as("case_type_id"))), Seq("case_type_id"))
+      case (k, _) => throw new IllegalArgumentException(s"unknown filter field: $k")
+    }
+    df
+  }
+
+  /** Keep only the hits (a bounded ≤legK frame with a `case_number`
+    * column) whose case satisfies the filter object: one semi join of
+    * the small hit frame against the filtered cases scan — the
+    * pool-then-filter metadata check, never a corpus-side expansion.
+    */
+  private def keepFiltered(hits: DataFrame,
+      where: Map[String, String]): DataFrame =
+    if (where.isEmpty) hits
+    else hits.join(filteredCases(where).select("case_number"),
+      Seq("case_number"), "left_semi")
+
+  /** POST /search/ann — dense-only case-level search over the STORED
+    * chunk-ANN index with optional case-attribute equality filters
+    * and the iterative-scan loop: rank cases by their best chunk
+    * within nprobe pruned lists, keep cases satisfying the filter,
+    * and while fewer than topK survive DOUBLE nprobe and the pool
+    * width together (capped at all lists / maxLegK) — the engine's
+    * q215 adaptive probe on the docket serving surface.
+    */
+  def annSearchDockets(query: String, topK: Int = 10,
+      where: Map[String, String] = Map.empty,
+      maxLegK: Int = 800): Seq[AnnSearchHit] = {
+    require(topK >= 1 && topK <= 50, "top_k must be in [1, 50]")
+    require(query != null && query.trim.length >= 2,
+      "query must be at least 2 characters")
+    val st = searchStore.getOrElse(
+      throw new IllegalStateException("no search index loaded"))
+    val cents = graft.rag.AnnStore.centroidsOf(
+      st.read("chunk_ann_centroids").getOrElse(throw new IllegalStateException(
+        "search store has no chunk-ANN index")))
+    val qv = embedder.embed(query)
+    val ranked = graft.rag.AnnStore.probeListsOf(cents, qv, cents.size)
+    var np = math.min(graft.rag.AnnStore.DefaultNprobe, ranked.size)
+    var legK = math.max(topK * 5, 50)
+    while (true) {
+      val pool = st.read("chunk_ann_assignments").get
+        .filter(col("list_id").isin(ranked.take(np): _*))
+        .withColumn("cos", graft.functions.VectorFunctions
+          .dotFold(col("embedding"), typedlit(qv.toSeq)))
+        .groupBy("case_number").agg(max("cos").as("best_cosine"))
+        .orderBy(desc("best_cosine"), asc("case_number")).limit(legK)
+      val rows = keepFiltered(pool, where)
+        .orderBy(desc("best_cosine"), asc("case_number")).limit(topK)
+        .as[AnnSearchHit].collect().toSeq
+      if (rows.length >= topK || (np >= ranked.size && legK >= maxLegK))
+        return rows
+      np = math.min(np * 2, ranked.size)
+      legK = math.min(legK * 2, maxLegK)
+    }
+    sys.error("unreachable")
+  }
+
   /** POST /search/hybrid — BM25 + dense reciprocal-rank fusion at the
     * CASE level, both legs stored-index probes: the lexical leg ranks
     * cases through the docket postings snapshot, the dense leg ranks
     * cases by their best chunk within the chunk-ANN index's nprobe
     * pruned lists, and integer RRF (Σ 10⁶ div (60 + rank)) fuses the
     * two incomparable scales. Rank 0 marks "not in that leg's
-    * top-legK".
+    * top-legK". With a filter object both legs are pool-then-filter
+    * (survivors re-rank) and the iterative-scan loop widens legK and
+    * nprobe together until topK fused survivors or the caps.
     */
-  def hybridSearchDockets(query: String, topK: Int = 10): Seq[HybridHit] = {
+  def hybridSearchDockets(query: String, topK: Int = 10,
+      where: Map[String, String] = Map.empty,
+      maxLegK: Int = 800): Seq[HybridHit] = {
     require(topK >= 1 && topK <= 50, "top_k must be in [1, 50]")
     require(query != null && query.trim.length >= 2,
       "query must be at least 2 characters")
     val st = searchStore.getOrElse(
       throw new IllegalStateException("no search index loaded"))
     val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-    val legK = math.max(topK * 5, 50)
     val (posts, stats) = postingsFrames
-    import org.apache.spark.sql.expressions.Window
-    val kw = withCaseNumbers(
-      graft.search.PostingsIndex.bm25SearchFrames(posts, stats, terms, legK,
-        numBuckets = graft.search.PostingsIndex.numBucketsOf(stats)),
-      "score_micro")
-      .withColumn("rank_kw", row_number().over(
-        Window.orderBy(desc("score_micro"), asc("doc_id"))).cast("long"))
-      .select("case_number", "rank_kw")
     val cents = graft.rag.AnnStore.centroidsOf(
       st.read("chunk_ann_centroids").getOrElse(throw new IllegalStateException(
         "search store has no chunk-ANN index")))
     val qv = embedder.embed(query)
-    val lists = graft.rag.AnnStore.probeListsOf(cents, qv,
-      math.min(graft.rag.AnnStore.DefaultNprobe, cents.size))
-    val vec = st.read("chunk_ann_assignments").get
-      .filter(col("list_id").isin(lists: _*))
-      .withColumn("cos", graft.functions.VectorFunctions
-        .dotFold(col("embedding"), typedlit(qv.toSeq)))
-      .groupBy("case_number").agg(max("cos").as("best_cos"))
-      .orderBy(desc("best_cos"), asc("case_number")).limit(legK)
-      .withColumn("rank_vec", row_number().over(
-        Window.orderBy(desc("best_cos"), asc("case_number"))).cast("long"))
-      .select("case_number", "rank_vec")
-    kw.join(vec, Seq("case_number"), "full_outer")
-      .na.fill(0L, Seq("rank_kw", "rank_vec"))
-      .withColumn("rrf_micro",
-        expr("(case when rank_kw > 0 then 1000000 div (60 + rank_kw) else 0 end)" +
-          " + (case when rank_vec > 0 then 1000000 div (60 + rank_vec) else 0 end)"))
-      .orderBy(desc("rrf_micro"), asc("case_number")).limit(topK)
-      .select("case_number", "rank_kw", "rank_vec", "rrf_micro")
-      .as[HybridHit].collect().toSeq
+    val ranked = graft.rag.AnnStore.probeListsOf(cents, qv, cents.size)
+    var np = math.min(graft.rag.AnnStore.DefaultNprobe, ranked.size)
+    var legK = math.max(topK * 5, 50)
+    import org.apache.spark.sql.expressions.Window
+    while (true) {
+      val kw = keepFiltered(withCaseNumbers(
+        graft.search.PostingsIndex.bm25SearchFrames(posts, stats, terms, legK,
+          numBuckets = graft.search.PostingsIndex.numBucketsOf(stats)),
+        "score_micro").select("case_number", "doc_id", "score_micro"), where)
+        .withColumn("rank_kw", row_number().over(
+          Window.orderBy(desc("score_micro"), asc("doc_id"))).cast("long"))
+        .select("case_number", "rank_kw")
+      val vec = keepFiltered(st.read("chunk_ann_assignments").get
+        .filter(col("list_id").isin(ranked.take(np): _*))
+        .withColumn("cos", graft.functions.VectorFunctions
+          .dotFold(col("embedding"), typedlit(qv.toSeq)))
+        .groupBy("case_number").agg(max("cos").as("best_cos"))
+        .orderBy(desc("best_cos"), asc("case_number")).limit(legK), where)
+        .withColumn("rank_vec", row_number().over(
+          Window.orderBy(desc("best_cos"), asc("case_number"))).cast("long"))
+        .select("case_number", "rank_vec")
+      val fused = kw.join(vec, Seq("case_number"), "full_outer")
+        .na.fill(0L, Seq("rank_kw", "rank_vec"))
+        .withColumn("rrf_micro",
+          expr("(case when rank_kw > 0 then 1000000 div (60 + rank_kw) else 0 end)" +
+            " + (case when rank_vec > 0 then 1000000 div (60 + rank_vec) else 0 end)"))
+        .orderBy(desc("rrf_micro"), asc("case_number")).limit(topK)
+        .select("case_number", "rank_kw", "rank_vec", "rrf_micro")
+        .as[HybridHit].collect().toSeq
+      if (fused.length >= topK || where.isEmpty ||
+        (np >= ranked.size && legK >= maxLegK)) return fused
+      np = math.min(np * 2, ranked.size)
+      legK = math.min(legK * 2, maxLegK)
+    }
+    sys.error("unreachable")
   }
 
   /** POST /search/phrase — n-term positional adjacency over the

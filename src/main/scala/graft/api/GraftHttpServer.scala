@@ -68,12 +68,17 @@ final class GraftHttpServer(api: GraftApi, port: Int = 0, poolSize: Int = 8) {
           termSearch(ex, (t, k) => api.bm25Search(t, k))
         case ("POST", "/search/phrase") => phraseSearch(ex)
         case ("POST", "/search/hybrid") => hybridSearch(ex)
+        case ("POST", "/search/ann") => annSearch(ex)
         case ("GET", p) if p.startsWith("/cases/") =>
           getCase(ex, URLDecoder.decode(p.stripPrefix("/cases/"), "UTF-8"))
         case _ => throw HttpError(404, s"no route for $method $path")
       }
     } catch {
       case HttpError(status, msg) => respond(ex, status, Map("error" -> msg))
+      case e: IllegalArgumentException =>
+        // API-layer validation rejections (unknown filter fields,
+        // out-of-range values) — FastAPI's 422 class (api.py:64-73)
+        respond(ex, 422, Map("error" -> e.getMessage))
       case e: Exception =>
         respond(ex, 500, Map("error" -> s"Internal server error: ${e.getMessage}"))
     } finally ex.close()
@@ -159,8 +164,10 @@ final class GraftHttpServer(api: GraftApi, port: Int = 0, poolSize: Int = 8) {
     respond(ex, 200, api.phraseSearch(terms, limitOf(node, default = 20)))
   }
 
-  /** `{query: "...", limit}` — BM25 + dense RRF, both legs stored-
-    * index probes (GraftApi.hybridSearchDockets).
+  /** `{query: "...", limit, where: {field: value}}` — BM25 + dense
+    * RRF, both legs stored-index probes (GraftApi.hybridSearchDockets);
+    * the optional equality-filter object narrows both legs to cases
+    * matching every field (422 on unknown fields).
     */
   private def hybridSearch(ex: HttpExchange): Unit = {
     val node = parseJson(ex)
@@ -168,7 +175,42 @@ final class GraftHttpServer(api: GraftApi, port: Int = 0, poolSize: Int = 8) {
       .map(_.trim).getOrElse("")
     if (query.length < 2)
       throw HttpError(422, "query must be at least 2 characters")
-    respond(ex, 200, api.hybridSearchDockets(query, limitOf(node, default = 10)))
+    respond(ex, 200, api.hybridSearchDockets(query,
+      limitOf(node, default = 10), whereOf(node)))
+  }
+
+  /** `{query: "...", limit, where: {field: value}}` — dense-only
+    * case-level search over the stored chunk-ANN index with the
+    * adaptive filtered probe (GraftApi.annSearchDockets).
+    */
+  private def annSearch(ex: HttpExchange): Unit = {
+    val node = parseJson(ex)
+    val query = Option(node.path("query").asText(null))
+      .map(_.trim).getOrElse("")
+    if (query.length < 2)
+      throw HttpError(422, "query must be at least 2 characters")
+    respond(ex, 200, api.annSearchDockets(query,
+      limitOf(node, default = 10), whereOf(node)))
+  }
+
+  /** The optional `where` equality-filter object: every value must be
+    * a scalar and every field one of [[GraftApi.FilterFields]] — 422
+    * otherwise, the reference's unknown-field validation convention.
+    */
+  private def whereOf(node: com.fasterxml.jackson.databind.JsonNode):
+      Map[String, String] = {
+    val w = node.path("where")
+    if (w.isMissingNode || w.isNull) return Map.empty
+    if (!w.isObject) throw HttpError(422, "where must be an object")
+    val fields = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(w.fields()).asScala.toSeq
+    fields.map { e =>
+      if (!GraftApi.FilterFields(e.getKey))
+        throw HttpError(422, s"unknown filter field: ${e.getKey}")
+      if (!e.getValue.isValueNode || e.getValue.isNull)
+        throw HttpError(422, s"filter value for ${e.getKey} must be a scalar")
+      e.getKey -> e.getValue.asText()
+    }.toMap
   }
 
   private def parseJson(ex: HttpExchange): com.fasterxml.jackson.databind.JsonNode = {

@@ -170,6 +170,49 @@ class GraftHttpSpec extends AnyFunSuite {
     assert(post("/search/hybrid", """{"query":"breach","limit":0}""").statusCode() == 422)
   }
 
+  test("POST /search/ann + filtered /search/hybrid: the equality-filter " +
+    "object narrows to matching cases; unknown fields/values → 422") {
+    def caseDetail(cn: String) = mapper.readTree(
+      get("/cases/" + java.net.URLEncoder.encode(cn, "UTF-8")).body())
+    val r = post("/search/ann",
+      """{"query":"breach of contract","limit":3,"where":{"status":"active"}}""")
+    assert(r.statusCode() == 200, r.body())
+    val arr = mapper.readTree(r.body())
+    assert(arr.isArray && arr.size() > 0)
+    assert(arr.get(0).has("case_number") && arr.get(0).has("best_cosine"))
+    (0 until arr.size()).foreach { i =>
+      val cn = arr.get(i).path("case_number").asText()
+      assert(caseDetail(cn).path("status").asText() == "active",
+        s"$cn escaped the status filter")
+    }
+    // unfiltered /search/ann still serves
+    assert(post("/search/ann",
+      """{"query":"breach of contract","limit":3}""").statusCode() == 200)
+    // hybrid with a year filter: every fused hit filed in that year
+    val h = post("/search/hybrid",
+      """{"query":"breach of contract","limit":3,"where":{"filed_year":2023}}""")
+    assert(h.statusCode() == 200, h.body())
+    val harr = mapper.readTree(h.body())
+    assert(harr.isArray && harr.size() > 0)
+    (0 until harr.size()).foreach { i =>
+      val cn = harr.get(i).path("case_number").asText()
+      assert(caseDetail(cn).path("filed_date").asText().startsWith("2023"),
+        s"$cn escaped the filed_year filter")
+    }
+    // validation: unknown field (the reference's convention), malformed
+    // where shapes, non-integer year — all 422, never 500
+    assert(post("/search/ann",
+      """{"query":"breach","where":{"label":3}}""").statusCode() == 422)
+    assert(post("/search/hybrid",
+      """{"query":"breach","where":{"nope":"x"}}""").statusCode() == 422)
+    assert(post("/search/ann",
+      """{"query":"breach","where":[1]}""").statusCode() == 422)
+    assert(post("/search/ann",
+      """{"query":"breach","where":{"status":["a"]}}""").statusCode() == 422)
+    assert(post("/search/ann",
+      """{"query":"breach","where":{"filed_year":"20x3"}}""").statusCode() == 422)
+  }
+
   test("unknown route → 404 error body") {
     val r = get("/nope")
     assert(r.statusCode() == 404)
