@@ -441,6 +441,48 @@ object ScaleBench {
         maintBatchId.incrementAndGet())
       batch.count()
     }),
+    // r12 erasure decade: the forget path's index legs + scoped vacuum
+    // against the SAME corpus-scaled stores the maintain entries build
+    // — 50 fresh tombstones per rep (the id slice rotates so every rep
+    // deletes rows that exist). Cost must track tombstones × touched
+    // buckets/lists — every scan in the delete path partition-prunes
+    // through the sidecars (registry term_buckets, ann_id_map) — NOT
+    // corpus size; the scoped vacuum is the bytes-disappear step.
+    "forget_batch" -> ((s, d) => {
+      import s.implicits._
+      val postStore = new graft.store.SnapshotStore(s,
+        java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-scale-postmaint",
+          d.replaceAll("[^A-Za-z0-9._-]", "_")).toString)
+      if (postStore.currentVersion("postings").isEmpty)
+        graft.streaming.StreamingPostings.processBatch(postStore,
+          Tables(s, d).documents.select("doc_id", "text"), 0L)
+      val annStore = new graft.store.SnapshotStore(s,
+        java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-scale-annmaint",
+          d.replaceAll("[^A-Za-z0-9._-]", "_")).toString)
+      if (annStore.currentVersion("ann_centroids").isEmpty) {
+        val emb = Tables(s, d).embeddings.withColumnRenamed("vec_id", "id")
+        val cents = graft.rag.AnnStore.trainCentroids(
+          emb, "embedding", Seq(col("id")))
+        graft.rag.AnnStore.writeIndex(s, annStore, emb, cents)
+      }
+      val slice = maintBatchId.incrementAndGet() % 90L + 2L
+      val docIds = Tables(s, d).documents
+        .filter(pmod(col("doc_id"), lit(97L)) === slice).limit(50)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val vecIds = Tables(s, d).embeddings
+        .filter(pmod(col("vec_id"), lit(97L)) === slice).limit(50)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val touched = graft.streaming.IndexDeletes.deleteFromPostings(
+        postStore, docIds.toDF("doc_id"))
+      graft.streaming.IndexDeletes.deleteFromAnn(annStore,
+        vecIds.toDF("id"))
+      touched.foreach(postStore.vacuum(_, keepLast = 1))
+      Seq("ann_assignments", "ann_id_map", "ann_list_stats", "ann_stats")
+        .foreach(annStore.vacuum(_, keepLast = 1))
+      (docIds.size + vecIds.size).toLong
+    }),
     // r11 A/B for the bucket sort (verdict item 3): the SAME probe
     // against a term-SORTED store (production layout) vs an UNSORTED
     // twin written without the cluster key — input_mb is the metric
