@@ -361,6 +361,7 @@ object StreamingNearDup {
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       store.compact("signatures", maxFilesPerPartition = 4)
       store.compact("kept", maxFilesPerPartition = 4)
+      store.compact("near_dups", maxFilesPerPartition = 4)
     }
     ()
   }
@@ -1127,9 +1128,11 @@ object StreamingDecontaminate {
       import spark.implicits._
       Seq(batchId).toDF("batch_id")
     })
-    // post-commit compaction cadence for the accumulating routed table
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+    // post-commit compaction cadence for the accumulating routed tables
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       store.compact("clean", maxFilesPerPartition = 4)
+      store.compact("contaminated", maxFilesPerPartition = 4)
+    }
     ()
   }
 
