@@ -1067,6 +1067,68 @@ object IndexDeletes {
   }
 }
 
+/** CDC-driven index maintenance — follow a snapshot table by DELTAS.
+  * The store's change feed ([[graft.store.SnapshotStore.readChanges]])
+  * already gives the row-level diff between two retained versions; this
+  * applies it to the stored search indexes, so ANY writer of the base
+  * table (a backfill job, a compaction-free bulk merge, another
+  * pipeline entirely) keeps the indexes fresh without the indexer
+  * re-reading the snapshot — the lakehouse CDF→index pattern that
+  * makes a 100 TB table followable: the CDF read is two
+  * partition-pruned version scans joined on the key, and the index
+  * work is O(changed rows), never O(corpus). Inserts/updates re-index
+  * through the ordinary micro-batch merge (LWW on the doc/vector key —
+  * an updated row replaces ALL its index rows); deletes run the
+  * tombstone cascade with its explicit drained-bucket zeros.
+  *
+  * Idempotent per version transition: the postings/ANN batch marker is
+  * the TARGET version, so re-applying the same (from, to) advance is a
+  * no-op, and the delete leg is naturally idempotent.
+  */
+object CdcIndexMaintenance {
+
+  /** Apply the (from → to] change feed of a `(doc_id, text)` table in
+    * `store` to the postings index in the SAME store. Returns the
+    * number of changed keys applied (0 when either version is gone —
+    * vacuumed feeds need a fresh full build, surfaced to the caller).
+    */
+  def applyToPostings(store: SnapshotStore, docsTable: String,
+      fromVersion: Long, toVersion: Long): Long = {
+    val changes = store.readChanges(docsTable, fromVersion, toVersion,
+      Seq("doc_id")).getOrElse(return 0L)
+      .localCheckpoint(true) // read by both legs + the count
+    val upserts = changes.filter(col("op").isin("insert", "update"))
+      .select(col("doc_id"), coalesce(col("after.text"), lit("")).as("text"))
+    StreamingPostings.processBatch(store, upserts, batchId = toVersion)
+    IndexDeletes.deleteFromPostings(store,
+      changes.filter(col("op") === "delete").select("doc_id"))
+    changes.count()
+  }
+
+  /** Apply the (from → to] change feed of an `(id, embedding, ...)`
+    * table in `store` to the ANN index in the same store (the index
+    * must exist — maintenance extends, it does not invent centroids).
+    */
+  def applyToAnn(store: SnapshotStore, vecTable: String,
+      fromVersion: Long, toVersion: Long): Long = {
+    val cur = store.readVersion(vecTable, toVersion).getOrElse(return 0L)
+    val changes = store.readChanges(vecTable, fromVersion, toVersion,
+      Seq("id")).getOrElse(return 0L)
+      .localCheckpoint(true)
+    // upserted rows re-read from the TARGET version (the feed's
+    // `after` struct carries every non-key column, but re-selecting
+    // through a semi join keeps the batch schema identical to the
+    // stored assignment rows regardless of the table's column set)
+    val upserts = cur.join(
+      changes.filter(col("op").isin("insert", "update")).select("id"),
+      Seq("id"), "left_semi")
+    StreamingAnn.processBatch(store, upserts, batchId = toVersion)
+    IndexDeletes.deleteFromAnn(store,
+      changes.filter(col("op") === "delete").select("id"))
+    changes.count()
+  }
+}
+
 /** Continuous eval-set decontamination — the streaming face of q111:
   * each micro-batch's documents are word-8-gram'd ROW-LOCALLY and
   * probed against the (static, broadcast) benchmark gram set; a

@@ -51,9 +51,13 @@ object ScaleBench {
   private val explain = sys.env.get("SPARK_GRAFT_SCALE_EXPLAIN").contains("1")
 
   /** Fresh batch ids for the maintenance-decade entries (each rep
-    * must not replay-skip on the ledger marker).
+    * must not replay-skip on the ledger marker). Seeded from the clock
+    * so ids stay fresh across JVM runs against the PERSISTED scratch
+    * stores too — a fixed seed made every rerun's batches replay-skip
+    * on markers a previous session had already committed, silently
+    * measuring the no-op path.
     */
-  private val maintBatchId = new AtomicLong(1000L)
+  private val maintBatchId = new AtomicLong(System.currentTimeMillis())
 
   /** One (doc_id, bigram set) frame shared by the q80 entries, so the
     * full join and its candidate-only stage measure the SAME corpus —
@@ -405,8 +409,11 @@ object ScaleBench {
         .filter(pmod(col("doc_id"), lit(97L)) === 1L).limit(50)
         .select(col("doc_id"),
           concat(col("text"), lit(" deltatok")).as("text"))
+      // compaction cadence ON (compactEvery = 1 relative to this
+      // batch id): the steady-state cost a long-lived stream pays,
+      // including its OPTIMIZE rhythm, not just the merge
       graft.streaming.StreamingPostings.processBatch(store, batch,
-        maintBatchId.incrementAndGet())
+        maintBatchId.incrementAndGet(), compactEvery = 1)
       batch.count()
     }),
     "ann_maintain_batch" -> ((s, d) => {
@@ -423,7 +430,7 @@ object ScaleBench {
       val batch = Tables(s, d).embeddings.withColumnRenamed("vec_id", "id")
         .filter(pmod(col("id"), lit(97L)) === 1L).limit(50)
       graft.streaming.StreamingAnn.processBatch(store, batch,
-        maintBatchId.incrementAndGet())
+        maintBatchId.incrementAndGet(), compactEvery = 1)
       batch.count()
     }),
     "neardup_maintain_batch" -> ((s, d) => {
@@ -438,7 +445,7 @@ object ScaleBench {
         .filter(pmod(col("doc_id"), lit(97L)) === 1L).limit(50)
         .select("doc_id", "text")
       graft.streaming.StreamingNearDup.processBatch(store, batch,
-        maintBatchId.incrementAndGet())
+        maintBatchId.incrementAndGet(), compactEvery = 1)
       batch.count()
     }),
     // r12 erasure decade: the forget path's index legs + scoped vacuum

@@ -440,6 +440,70 @@ class StreamingSpec extends AnyFunSuite {
       Seq("ordinary"), topK = 10).count() == 1L)
   }
 
+  test("CDC-driven index maintenance: applying a table's change feed " +
+    "keeps the postings index equal to a from-scratch rebuild; the ANN " +
+    "index follows its vector table the same way; replay is content-neutral") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark,
+      Files.createTempDirectory("graft-cdc-idx").toString)
+    // v0 of the docs table + the index over it
+    store.write("docs", Seq((1L, "alpha beta"), (2L, "gamma delta"),
+      (3L, "epsilon zeta")).toDF("doc_id", "text"))
+    graft.streaming.StreamingPostings.processBatch(store,
+      store.readVersion("docs", 0L).get, 0L)
+    // v1 by ANOTHER writer: update doc 2, insert doc 4, delete doc 3
+    val v1 = Seq((1L, "alpha beta"), (2L, "gamma updated"),
+      (4L, "eta theta")).toDF("doc_id", "text")
+    store.write("docs", v1)
+    assert(graft.streaming.CdcIndexMaintenance
+      .applyToPostings(store, "docs", 0L, 1L) == 3L)
+    def postRows(s: SnapshotStore) = s.read("postings").get
+      .select("doc_id", "term", "tf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    def postStats(s: SnapshotStore) = s.read("postings_stats").get
+      .select("n_docs", "total_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head
+    val fresh = new SnapshotStore(spark,
+      Files.createTempDirectory("graft-cdc-fresh").toString)
+    graft.streaming.StreamingPostings.processBatch(fresh, v1, 0L)
+    assert(postRows(store) == postRows(fresh),
+      "CDC-maintained postings diverged from a from-scratch rebuild")
+    assert(postStats(store) == postStats(fresh))
+    // replaying the same version advance changes nothing (the upsert
+    // leg skips on its marker; the delete leg is naturally idempotent)
+    graft.streaming.CdcIndexMaintenance.applyToPostings(store, "docs", 0L, 1L)
+    assert(postRows(store) == postRows(fresh))
+    // the ANN twin: index follows an (id, embedding) table's feed
+    def vec(x: Float) = Array.tabulate(4)(i => if (i == 0) x else 0.1f).toSeq
+    def vecsDf(rows: (Long, Float)*) = rows.toSeq
+      .map { case (id, x) => (id, vec(x)) }.toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    store.write("vecs", vecsDf(1L -> 1.0f, 2L -> 0.95f, 3L -> -1.0f))
+    val cents = graft.rag.AnnStore.trainCentroids(
+      store.readVersion("vecs", 0L).get, "embedding", Seq(col("id")), 2)
+    graft.rag.AnnStore.writeIndex(spark,  store,
+      store.readVersion("vecs", 0L).get, cents)
+    // v1: move vector 2 across clusters, insert 5, delete 3
+    store.write("vecs", vecsDf(1L -> 1.0f, 2L -> -0.9f, 5L -> 0.9f))
+    assert(graft.streaming.CdcIndexMaintenance
+      .applyToAnn(store, "vecs", 0L, 1L) == 3L)
+    val storedCents = graft.rag.AnnStore.centroidsOf(
+      store.read("ann_centroids").get)
+    val rows = store.read("ann_assignments").get
+      .select("id", "embedding", "list_id").collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 5L),
+      "ANN index ids diverged from the followed table")
+    rows.foreach { r =>
+      val m = graft.rag.AnnStore.microLocal(r.getSeq[Float](1).toArray)
+      val best = storedCents.map { case (i, c) =>
+        (graft.rag.AnnStore.scoreLocal(m, c), i) }.min._2
+      assert(r.getAs[Number]("list_id").intValue == best,
+        s"vector ${r.getLong(0)} not in its argmin list after the feed")
+    }
+    assert(store.read("ann_stats").get.collect()(0)
+      .getAs[Long]("n_vectors") == 3L)
+  }
+
   test("index deletion: tombstoned docs vanish from postings, registry, " +
     "and stats (drained buckets zeroed); re-delete is content-neutral") {
     import spark.implicits._
