@@ -789,8 +789,66 @@ object CoreQueries {
       |  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM (
       |     SELECT * FROM a UNION ALL SELECT * FROM b))) AS either""".stripMargin
 
+  /** q217: the store's CHANGE DATA FEED surface itself under oracle —
+    * [[graft.store.SnapshotStore.readChanges]] is what lets a
+    * downstream consumer (CdcIndexMaintenance, a replica, an embedding
+    * backfill) follow a 100 TB table by processing deltas instead of
+    * re-reading snapshots, so the diff it emits must be exactly the
+    * row algebra it claims. Two versions of a documents slice are
+    * written under a DETERMINISTIC twist (deletes where doc_id ≡ 0
+    * mod 101, updates where ≡ 0 mod 13, inserts from a disjoint
+    * slice), and the feed between them must equal the DuckDB oracle's
+    * from-scratch full-outer-join diff of the same two derivations —
+    * insert/update/delete ops, before/after values, and NOTHING for
+    * unchanged rows (the compaction-is-CDC-silent contract).
+    *
+    * Scale shape: the feed is ONE full outer join on the key between
+    * two version scans — at production layouts both sides are
+    * partition-pruned by the same hive layout the merges maintain.
+    */
+  def q217ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val v0 = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+    val v1 = v0.filter(pmod(col("doc_id"), lit(101L)) =!= 0L)
+      .withColumn("text", when(pmod(col("doc_id"), lit(13L)) === 0L,
+        concat(col("text"), lit(" [revised]"))).otherwise(col("text")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(7L)) === 1L &&
+        pmod(col("doc_id"), lit(31L)) === 0L))
+    val store = new graft.store.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-q217-cdc").toString)
+    store.write("docs", v0)
+    store.write("docs", v1)
+    store.readChanges("docs", 0L, 1L, Seq("doc_id")).get
+      .select(col("doc_id"), col("op"),
+        col("before.text").as("before_text"),
+        col("after.text").as("after_text"))
+      .orderBy("doc_id")
+  }
+
+  val q217Sql: String =
+    """WITH base AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+      |v0 AS (SELECT doc_id, text FROM base WHERE doc_id % 7 = 0),
+      |v1 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' [revised]' ELSE text END AS text
+      |  FROM v0 WHERE doc_id % 101 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, text FROM base WHERE doc_id % 7 = 1 AND doc_id % 31 = 0)
+      |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN a.doc_id IS NULL THEN 'insert'
+      |       WHEN b.doc_id IS NULL THEN 'delete'
+      |       WHEN a.text <> b.text THEN 'update' END AS op,
+      |  a.text AS before_text, b.text AS after_text
+      |FROM v0 a FULL OUTER JOIN v1 b ON a.doc_id = b.doc_id
+      |WHERE (CASE WHEN a.doc_id IS NULL THEN 'insert'
+      |            WHEN b.doc_id IS NULL THEN 'delete'
+      |            WHEN a.text <> b.text THEN 'update' END) IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_set_ops" -> (q96SetOps _),
+    "q217_change_feed" -> (q217ChangeFeed _),
     "q95_group_stats" -> (q95GroupStats _),
     "q19_approx_distinct" -> (q19ApproxDistinct _),
     "q28_tumbling_window" -> (q28TumblingWindow _),
@@ -825,6 +883,7 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q217_change_feed" -> q217Sql,
     "q96_set_ops" -> q96Sql,
     "q95_group_stats" -> q95Sql,
     "q19_approx_distinct" -> q19Sql,
