@@ -105,9 +105,13 @@ final class SnapshotStore(spark: SparkSession, root: String,
   def readVersion(table: String, version: Long): Option[DataFrame] = {
     val dir = tableDir(table).resolve(s"v$version")
     if (!Files.isDirectory(dir) || Files.exists(vacuumedMark(dir))) None
-    else if (Files.exists(manifestFile(dir)))
-      Some(readParts(physicalParts(table, version).values))
-    else Some(spark.read.parquet(dir.toString))
+    else if (Files.exists(manifestFile(dir))) {
+      val parts = physicalParts(table, version)
+      // a manifest with no partitions (a drained commit) reads the
+      // version dir itself — the empty schema-bearing rewrite
+      if (parts.isEmpty) Some(spark.read.parquet(dir.toString))
+      else Some(readParts(parts.values))
+    } else Some(spark.read.parquet(dir.toString))
   }
 
   /** Versions currently readable for a table, ascending (vacuumed
@@ -180,8 +184,38 @@ final class SnapshotStore(spark: SparkSession, root: String,
   def write(table: String, df: DataFrame, partitionCols: Seq[String] = Nil): Long = {
     val next = currentVersion(table).getOrElse(-1L) + 1
     writeVersionDir(table, next, df, partitionCols)
+    ensureReadableVersion(table, next, df)
     swapPointer(table, next)
     next
+  }
+
+  /** A fully-DRAINED partitioned commit (every row deleted, nothing
+    * retained) emits NO data files — Spark writes only `_SUCCESS` for
+    * an empty partitionBy write — leaving a version whose schema can't
+    * be inferred back. Reachable in production: an erasure that
+    * tombstones every remaining key. Rewrite the empty frame
+    * UNPARTITIONED so the full schema (partition column included)
+    * survives on disk; the next partition-scoped merge sees no
+    * partition dirs and takes its layout-change full-rewrite path,
+    * re-establishing the hive layout as soon as rows exist again.
+    */
+  private def ensureReadableVersion(table: String, version: Long,
+      df: DataFrame): Unit = {
+    val dir = tableDir(table).resolve(s"v$version")
+    val hasData = {
+      val s = Files.walk(dir)
+      try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    if (!hasData) {
+      val mf = manifestFile(dir)
+      val hasRefs = Files.exists(mf) &&
+        Files.readAllLines(mf).asScala.exists(_.nonEmpty)
+      if (!hasRefs) {
+        if (Files.exists(mf)) Files.delete(mf)
+        df.limit(0).write.mode("overwrite").parquet(dir.toString)
+      }
+    }
   }
 
   private def writeVersionDir(table: String, version: Long, df: DataFrame,
@@ -287,10 +321,12 @@ final class SnapshotStore(spark: SparkSession, root: String,
       }
       val priorTouched = prior.filter(touchedPred)
       val next = cur + 1
-      writeVersionDir(table, next, combine(priorTouched, batch), partitionCols)
+      val combined = combine(priorTouched, batch)
+      writeVersionDir(table, next, combined, partitionCols)
       val nextDir = tableDir(table).resolve(s"v$next")
       retainParts(table, nextDir,
         priorPartDirs.filterNot(p => touchedDirs.contains(p._1)))
+      ensureReadableVersion(table, next, combined)
       swapPointer(table, next) // only after retained parts are wired:
       next                     // readers of v_next always see a complete table
     } finally { batch.unpersist(); () }

@@ -499,4 +499,36 @@ class SnapshotStoreSpec extends AnyFunSuite {
           "partition-cols sort scrambled it")
     }
   }
+
+  test("a fully-drained partitioned table stays readable (both commit " +
+    "modes) and refills through the layout-change path") {
+    // Spark writes NO data files for an empty partitionBy commit (just
+    // _SUCCESS), so a keyScope merge that deletes every remaining row —
+    // a total erasure — used to leave an uninferrable version. The
+    // empty commit now lands unpartitioned with its full schema.
+    import org.apache.spark.sql.functions._
+    for (manifest <- Seq(false, true)) {
+      val s = new SnapshotStore(spark,
+        Files.createTempDirectory("graft-drain").toString,
+        manifestCommits = manifest)
+      val rows = Seq((1L, 0, "a"), (2L, 1, "b")).toDF("k", "bucket", "v")
+      s.mergeLastWriteWins("t", rows, Seq("k"), partitionCols = Seq("bucket"))
+      // drain EVERYTHING: empty batch, keyScope = all live keys
+      s.mergeLastWriteWins("t", rows.filter(lit(false)), Seq("k"),
+        partitionCols = Seq("bucket"),
+        keyScope = Some(rows.select("k")))
+      val drained = s.read("t").get
+      assert(drained.isEmpty, s"manifest=$manifest: drain left rows")
+      assert(drained.columns.toSet == Set("k", "bucket", "v"),
+        s"manifest=$manifest: drained table lost its schema")
+      // refill: the next merge takes the layout-change full-rewrite
+      // path and re-establishes the hive layout
+      s.mergeLastWriteWins("t", Seq((3L, 0, "c")).toDF("k", "bucket", "v"),
+        Seq("k"), partitionCols = Seq("bucket"))
+      assert(s.read("t").get.collect().map(_.getLong(0)).toSeq == Seq(3L))
+      // vacuum across the drained version stays safe
+      s.vacuum("t", keepLast = 1)
+      assert(s.read("t").get.count() == 1L)
+    }
+  }
 }

@@ -440,6 +440,56 @@ class StreamingSpec extends AnyFunSuite {
       Seq("ordinary"), topK = 10).count() == 1L)
   }
 
+  test("interleaved maintenance/deletion fuzz: after any seeded mix of " +
+    "upsert batches and tombstone deletes, the postings index equals a " +
+    "from-scratch build over the mirrored survivor state") {
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def textOf(rng: scala.util.Random): String =
+      Seq.fill(rng.nextInt(6))(words(rng.nextInt(words.size))).mkString(" ")
+    for (seed <- Seq(1, 7, 42)) {
+      val rng = new scala.util.Random(seed)
+      val store = new SnapshotStore(spark,
+        Files.createTempDirectory(s"graft-fuzz-$seed").toString)
+      val mirror = scala.collection.mutable.Map.empty[Long, String]
+      var batchId = 0L
+      for (_ <- 1 to 6) {
+        if (rng.nextInt(3) < 2 || mirror.isEmpty) {
+          // upsert batch: 1-5 docs over a small id space (re-ingests,
+          // moves, and token-less wipes all occur across rounds)
+          val docs = Seq.fill(1 + rng.nextInt(5))(
+            (rng.nextInt(8).toLong, textOf(rng))).distinctBy(_._1)
+          graft.streaming.StreamingPostings.processBatch(store,
+            docs.toDF("doc_id", "text"), batchId)
+          batchId += 1
+          docs.foreach { case (id, t) => mirror(id) = t }
+        } else {
+          val victims = mirror.keys.toSeq.sorted
+            .filter(_ => rng.nextBoolean())
+          graft.streaming.IndexDeletes.deleteFromPostings(store,
+            victims.toDF("doc_id"))
+          victims.foreach(mirror.remove)
+        }
+      }
+      def rows(s: SnapshotStore) = s.read("postings").get
+        .select("doc_id", "term", "tf", "positions").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getSeq[Int](3).toList)).toSet
+      def stats(s: SnapshotStore) = s.read("postings_stats").get
+        .select("n_docs", "total_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).head
+      val fresh = new SnapshotStore(spark,
+        Files.createTempDirectory(s"graft-fuzz-fresh-$seed").toString)
+      graft.streaming.StreamingPostings.processBatch(fresh,
+        mirror.toSeq.toDF("doc_id", "text"), 0L)
+      assert(rows(store) == rows(fresh),
+        s"seed $seed: interleaved index diverged from the mirror rebuild")
+      assert(stats(store) == stats(fresh),
+        s"seed $seed: stats diverged from the mirror rebuild")
+    }
+  }
+
   test("CDC-driven index maintenance: applying a table's change feed " +
     "keeps the postings index equal to a from-scratch rebuild; the ANN " +
     "index follows its vector table the same way; replay is content-neutral") {
