@@ -25,10 +25,11 @@
 # r10 memory-axis result: all 206 entries hash-match at sf0.1 under
 # local-cluster[4,8,2048] — HALF the r9 executor heap (4096) — so every
 # operator's per-task memory holds a 2 GB executor at 10× the oracle SF.
-# r12 full-registry replay: all 217 entries (incl. the adaptive-probe
-# family q215/q216) hash-match at sf0.1 under local-cluster[4,8,2048],
-# so EVERY family's sidecar lookups and keyScope merges cross real
-# executor JVM boundaries, not just the r11 15-entry new family.
+# r12 full-registry replay: all 218 entries (incl. the adaptive-probe
+# family q215/q216 and the CDC-feed oracle q217) hash-match at sf0.1
+# under local-cluster[4,8,2048], so EVERY family's sidecar lookups and
+# keyScope merges cross real executor JVM boundaries, not just the r11
+# 15-entry new family.
 set -euo pipefail
 SF_DIR="${1:-/root/testdata/sf0.01}"
 OUT_DIR="${2:-/tmp/graft_verify_all}"
