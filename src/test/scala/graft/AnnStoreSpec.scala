@@ -327,6 +327,66 @@ class AnnStoreSpec extends AnyFunSuite {
     assert(hybrid.map(_.getLong(0)).toSet == targets.toSet)
   }
 
+  test("interleaved maintenance/deletion fuzz: after any seeded mix of " +
+    "vector upserts and tombstone deletes, the stored ANN index equals " +
+    "the mirrored survivor state (assignments, id map, stats)") {
+    import spark.implicits._
+    for (seed <- Seq(3, 11, 59)) {
+      val rng = new scala.util.Random(seed)
+      val (store, _, _) = clusteredFixture()
+      // mirror of live vectors (id → first component; others fixed)
+      val mirror = scala.collection.mutable.Map.empty[Long, Float]
+      def vecsDf(rows: Seq[(Long, Float)]) = rows
+        .map { case (id, x) =>
+          (id, Array.tabulate(4)(i => if (i == 0) x else 0.1f).toSeq) }
+        .toDF("id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      var batchId = 5000L + seed * 100L
+      for (_ <- 1 to 6) {
+        if (rng.nextInt(3) < 2 || mirror.isEmpty) {
+          // upsert 1-4 vectors over a small id space: re-ingests and
+          // cross-list MOVES occur across rounds (x flips sign)
+          val batch = Seq.fill(1 + rng.nextInt(4))(
+            (rng.nextInt(6).toLong + 30L,
+              (rng.nextFloat() * 2f - 1f))).distinctBy(_._1)
+          StreamingAnn.processBatch(store, vecsDf(batch), batchId)
+          batchId += 1
+          batch.foreach { case (id, x) => mirror(id) = x }
+        } else {
+          val victims = mirror.keys.toSeq.sorted.filter(_ => rng.nextBoolean())
+          graft.streaming.IndexDeletes.deleteFromAnn(store,
+            victims.toDF("id"))
+          victims.foreach(mirror.remove)
+        }
+      }
+      val cents = AnnStore.centroidsOf(store.read("ann_centroids").get)
+      def argmin(x: Float) = {
+        val m = AnnStore.microLocal(
+          Array.tabulate(4)(i => if (i == 0) x else 0.1f))
+        cents.map { case (i, c) => (AnnStore.scoreLocal(m, c), i) }.min._2
+      }
+      // the fixture's 4 base vectors (ids 0-3) are never touched
+      val expect = mirror.toMap.map { case (id, x) => id -> argmin(x) } ++
+        Map(0L -> argmin(1.00f), 1L -> argmin(0.95f),
+          2L -> argmin(0.90f), 3L -> argmin(0.85f))
+      def pairs(t: String) = store.read(t).get.select("id", "list_id")
+        .collect().map(r => (r.getLong(0), r.getAs[Number](1).intValue)).toMap
+      assert(pairs("ann_assignments") == expect,
+        s"seed $seed: assignments diverged from the mirror")
+      assert(pairs("ann_id_map") == expect,
+        s"seed $seed: id map diverged from the assignments")
+      // stats: totals equal the mirror; per-list counts equal a recount
+      assert(store.read("ann_stats").get.collect()(0)
+        .getAs[Long]("n_vectors") == expect.size.toLong,
+        s"seed $seed: n_vectors diverged")
+      val counted = expect.values.groupBy(identity)
+        .map { case (l, vs) => l.toLong -> vs.size.toLong }
+      val stored = store.read("ann_list_stats").get.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap.filter(_._2 > 0)
+      assert(stored == counted, s"seed $seed: list stats diverged")
+    }
+  }
+
   test("compaction cadence bounds the file piles a long-lived " +
     "maintenance stream leaves in hot list partitions") {
     import spark.implicits._
