@@ -440,6 +440,84 @@ class StreamingSpec extends AnyFunSuite {
       Seq("ordinary"), topK = 10).count() == 1L)
   }
 
+  test("erasure fuzz: after any seeded mix of ingests (failures " +
+    "included) and forgets, no store surface mentions a forgotten " +
+    "docket and the survivors stay fully served") {
+    import spark.implicits._
+    import graft.ingest.IngestJob
+    import graft.rag.HashingEmbedder
+    val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+    def tok(cn: String) = "tok" + cn.toLowerCase.replace("-", "")
+    for (seed <- Seq(2, 13)) {
+      val rng = new scala.util.Random(seed)
+      val store = new SnapshotStore(spark,
+        Files.createTempDirectory(s"graft-erasure-fuzz-$seed").toString)
+      val emb = HashingEmbedder(16)
+      val pool = (0 to 5).map(i => s"F-$i")
+      val live = scala.collection.mutable.Map.empty[String, String]
+      // forgotten and never mentioned again afterwards (re-ingesting a
+      // forgotten docket is a NEW record — it legitimately reappears)
+      val forgotten = scala.collection.mutable.Set.empty[String]
+      var batchId = 0L
+      for (_ <- 1 to 5) {
+        if (rng.nextInt(3) < 2 || live.isEmpty) {
+          val rows = Seq.fill(1 + rng.nextInt(3))(pool(rng.nextInt(pool.size)))
+            .distinct.map { cn =>
+              val bad = rng.nextInt(3) == 0
+              val text = s"alpha ${tok(cn)} beta"
+              (cn, "S.D.N.Y", s"t $cn",
+                if (bad) null else "2024-10-03",
+                "A (plaintiff); B (defendant)", "civil", "Judge Chen",
+                text, "active")
+            }
+          StreamingIngest.processBatch(store,
+            IngestJob.withSeq(spark, rows.toDF("case_number", "court",
+              "title", "filed_date", "parties", "case_type", "judge",
+              "docket_text", "status")),
+            batchId, "fuzz", "fuzz", ts, embedder = Some(emb))
+          batchId += 1
+          rows.foreach { r =>
+            forgotten -= r._1 // any mention un-quarantines the claim
+            if (r._4 != null) live(r._1) = r._8
+          }
+        } else {
+          val victims = live.keys.toSeq.sorted.filter(_ => rng.nextBoolean())
+          graft.streaming.IndexDeletes.forgetCases(store, victims)
+          victims.foreach { v => live.remove(v); forgotten += v }
+        }
+      }
+      // survivors: case rows exact, each still keyword-searchable
+      assert(store.read("cases").get.select("case_number").collect()
+        .map(_.getString(0)).toSet == live.keySet,
+        s"seed $seed: case rows diverged from the mirror")
+      val posts = store.read("postings").get
+      val stats = store.read("postings_stats").get
+      live.keys.foreach { cn =>
+        assert(graft.search.PostingsIndex.keywordSearchFrames(
+          posts, stats, Seq(tok(cn)), 10).count() == 1L,
+          s"seed $seed: surviving docket $cn lost its search entry")
+      }
+      // the forgotten: no trace on ANY surface
+      forgotten.foreach { cn =>
+        assert(graft.search.PostingsIndex.keywordSearchFrames(
+          posts, stats, Seq(tok(cn)), 10).isEmpty,
+          s"seed $seed: forgotten docket $cn still searchable")
+        Seq("case_chunk_embeddings", "chunk_ann_assignments",
+          "chunk_ann_case_map").foreach { t =>
+          store.read(t).foreach(df => assert(
+            df.filter(col("case_number") === cn).isEmpty,
+            s"seed $seed: $t kept forgotten docket $cn"))
+        }
+        store.read("quarantine").foreach(q => assert(
+          q.filter(trim(col("raw.case_number")) === cn).isEmpty,
+          s"seed $seed: quarantine kept forgotten docket $cn"))
+        store.read("ingest_errors").foreach(e => assert(
+          e.filter(coalesce(col("case_number"), lit("")) === cn).isEmpty,
+          s"seed $seed: error ledger kept forgotten docket $cn"))
+      }
+    }
+  }
+
   test("interleaved maintenance/deletion fuzz: after any seeded mix of " +
     "upsert batches and tombstone deletes, the postings index equals a " +
     "from-scratch build over the mirrored survivor state") {
