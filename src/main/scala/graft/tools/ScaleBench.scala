@@ -385,6 +385,11 @@ object ScaleBench {
     }),
     "q210_ann_probe" -> ((s, d) =>
       graft.operators.VectorQueries.q210AnnProbeTopk(s, d).count()),
+    // the adaptive filtered probe: its survivor-count rungs must read
+    // pruned list dirs only, so the decade should track the fixed
+    // probes (index bytes), never the corpus
+    "q215_adaptive_probe" -> ((s, d) =>
+      graft.operators.VectorQueries.q215AdaptiveFilteredAnn(s, d).count()),
     "q43_ann_search" -> ((s, d) =>
       graft.operators.VectorQueries.q43SearchTopk(s, d).count()),
     "q208_hybrid" -> ((s, d) =>
