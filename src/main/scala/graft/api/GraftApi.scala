@@ -243,15 +243,26 @@ final class GraftApi(spark: SparkSession, cases: DataFrame, judges: DataFrame,
   }
 
   /** Keep only the hits (a bounded ≤legK frame with a `case_number`
-    * column) whose case satisfies the filter object: one semi join of
-    * the small hit frame against the filtered cases scan — the
-    * pool-then-filter metadata check, never a corpus-side expansion.
+    * column) whose case satisfies the filter object. The hit keys
+    * collect ONCE (API-boundary bounded frame, the HybridSearch
+    * lexical-leg convention) and ride INTO the cases scan as a literal
+    * IN, so the metadata check is a PUSHED-predicate scan — parquet
+    * row-group pruning applies — never an unpushed corpus-side join
+    * re-run per adaptive rung. The caller materializes `hits` first
+    * (it is read twice: the key collect and the survivor filter).
     */
   private def keepFiltered(hits: DataFrame,
-      where: Map[String, String]): DataFrame =
-    if (where.isEmpty) hits
-    else hits.join(filteredCases(where).select("case_number"),
-      Seq("case_number"), "left_semi")
+      where: Map[String, String]): DataFrame = {
+    if (where.isEmpty) return hits
+    val keys = hits.select("case_number").distinct().collect()
+      .map(_.getString(0)).toSeq
+    if (keys.isEmpty) return hits
+    val ok = filteredCases(where)
+      .filter(col("case_number").isin(keys: _*))
+      .select("case_number").collect().map(_.getString(0)).toSeq
+    if (ok.isEmpty) hits.filter(lit(false))
+    else hits.filter(col("case_number").isin(ok: _*))
+  }
 
   /** POST /search/ann — dense-only case-level search over the STORED
     * chunk-ANN index with optional case-attribute equality filters
@@ -277,12 +288,14 @@ final class GraftApi(spark: SparkSession, cases: DataFrame, judges: DataFrame,
     var np = math.min(graft.rag.AnnStore.DefaultNprobe, ranked.size)
     var legK = math.max(topK * 5, 50)
     while (true) {
-      val pool = st.read("chunk_ann_assignments").get
+      val pool0 = st.read("chunk_ann_assignments").get
         .filter(col("list_id").isin(ranked.take(np): _*))
         .withColumn("cos", graft.functions.VectorFunctions
           .dotFold(col("embedding"), typedlit(qv.toSeq)))
         .groupBy("case_number").agg(max("cos").as("best_cosine"))
         .orderBy(desc("best_cosine"), asc("case_number")).limit(legK)
+      // ≤legK rows, read twice under a filter (key collect + survivors)
+      val pool = if (where.isEmpty) pool0 else pool0.localCheckpoint(true)
       val rows = keepFiltered(pool, where)
         .orderBy(desc("best_cosine"), asc("case_number")).limit(topK)
         .as[AnnSearchHit].collect().toSeq
@@ -323,19 +336,21 @@ final class GraftApi(spark: SparkSession, cases: DataFrame, judges: DataFrame,
     var legK = math.max(topK * 5, 50)
     import org.apache.spark.sql.expressions.Window
     while (true) {
-      val kw = keepFiltered(withCaseNumbers(
+      def bounded(df: DataFrame): DataFrame =
+        if (where.isEmpty) df else df.localCheckpoint(true)
+      val kw = keepFiltered(bounded(withCaseNumbers(
         graft.search.PostingsIndex.bm25SearchFrames(posts, stats, terms, legK,
           numBuckets = graft.search.PostingsIndex.numBucketsOf(stats)),
-        "score_micro").select("case_number", "doc_id", "score_micro"), where)
+        "score_micro").select("case_number", "doc_id", "score_micro")), where)
         .withColumn("rank_kw", row_number().over(
           Window.orderBy(desc("score_micro"), asc("doc_id"))).cast("long"))
         .select("case_number", "rank_kw")
-      val vec = keepFiltered(st.read("chunk_ann_assignments").get
+      val vec = keepFiltered(bounded(st.read("chunk_ann_assignments").get
         .filter(col("list_id").isin(ranked.take(np): _*))
         .withColumn("cos", graft.functions.VectorFunctions
           .dotFold(col("embedding"), typedlit(qv.toSeq)))
         .groupBy("case_number").agg(max("cos").as("best_cos"))
-        .orderBy(desc("best_cos"), asc("case_number")).limit(legK), where)
+        .orderBy(desc("best_cos"), asc("case_number")).limit(legK)), where)
         .withColumn("rank_vec", row_number().over(
           Window.orderBy(desc("best_cos"), asc("case_number"))).cast("long"))
         .select("case_number", "rank_vec")
