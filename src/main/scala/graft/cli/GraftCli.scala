@@ -28,6 +28,8 @@ import graft.store.SnapshotStore
   *   vacuum --store <dir> [--table T] [--keep N]        drop old versions
   *   compact --store <dir> [--table T] [--max-files N]  merge small files
   *   changes --store <dir> --table T --from V --to V --keys k1,k2  CDC diff
+  *   forget --store <dir> --case-numbers a,b             expunge dockets
+  *   follow --store <dir> --table T [--index postings|ann]  CDC catch-up
   */
 object GraftCli {
 
@@ -205,6 +207,23 @@ object GraftCli {
         val after = store.read("cases").map(_.count()).getOrElse(0L)
         report.tables.foreach(t => store.vacuum(t, keepLast = 1))
         println(s"""{"forgotten": ${before - after}, "requested": ${cns.size}, "tables_rewritten": ${report.tables.size}}""")
+        0
+
+      case "follow" =>
+        // keep a stored index in step with a base table maintained by
+        // ANY writer: cursor-tracked CDC catch-up — bootstrap on first
+        // touch, per-version feed steps, full resync when the feed gap
+        // was vacuumed (CdcIndexMaintenance)
+        val table = opt(args, "--table").getOrElse(sys.error("--table required"))
+        val index = opt(args, "--index").getOrElse("postings")
+        val report = index match {
+          case "postings" =>
+            graft.streaming.CdcIndexMaintenance.followPostings(store, table)
+          case "ann" =>
+            graft.streaming.CdcIndexMaintenance.followAnn(store, table)
+          case other => sys.error(s"unknown index: $other (postings|ann)")
+        }
+        println(s"""{"index": "$index", "table": "$table", "action": "${report.action}", "applied_version": ${report.appliedVersion}, "steps": ${report.steps}}""")
         0
 
       case "changes" =>

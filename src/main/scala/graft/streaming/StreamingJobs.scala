@@ -1127,6 +1127,118 @@ object CdcIndexMaintenance {
       changes.filter(col("op") === "delete").select("id"))
     changes.count()
   }
+
+  /** What one follower advance did: `bootstrap` (index built from the
+    * current snapshot), `steps` (that many version feeds applied),
+    * `resync` (a feed gap was vacuumed away — full reconcile against
+    * the current snapshot), or `current` (nothing to do).
+    */
+  final case class FollowReport(action: String, appliedVersion: Long,
+      steps: Int)
+
+  private def cursorOf(store: SnapshotStore, indexName: String,
+      table: String): Option[Long] =
+    store.read("cdc_cursors").flatMap(
+      _.filter(col("index_name") === indexName &&
+        col("table_name") === table)
+        .select("applied_version").collect().headOption.map(_.getLong(0)))
+
+  private def advanceCursor(store: SnapshotStore, indexName: String,
+      table: String, version: Long): Unit = {
+    val spark = store.read(table).get.sparkSession
+    import spark.implicits._
+    store.mergeLastWriteWins("cdc_cursors",
+      Seq((indexName, table, version))
+        .toDF("index_name", "table_name", "applied_version"),
+      Seq("index_name", "table_name"))
+    ()
+  }
+
+  /** The FOLLOWER: advance the postings index from its persisted
+    * cursor to `docsTable`'s current version — one feed application
+    * per version step (each step's diff is minimal and replay-safe:
+    * the batch marker is the target version). Recovery paths:
+    * no cursor → bootstrap from the current snapshot; a vacuumed
+    * version gap → full RESYNC (re-ingest the current snapshot — LWW
+    * makes it correct — then delete registry keys the snapshot no
+    * longer holds, one column-pruned anti join: the honest O(corpus)
+    * price of losing the feed, paid once, after which following is
+    * O(changes) again). Run it on any cadence; it is idempotent.
+    */
+  def followPostings(store: SnapshotStore,
+      docsTable: String = "docs"): FollowReport = {
+    val cur = store.currentVersion(docsTable).getOrElse(
+      return FollowReport("current", -1L, 0))
+    def docsNow = store.read(docsTable).get.select("doc_id", "text")
+    def resync(action: String): FollowReport = {
+      StreamingPostings.processBatch(store, docsNow, batchId = cur)
+      store.read("indexed_docs").foreach { reg =>
+        IndexDeletes.deleteFromPostings(store,
+          reg.select("doc_id").join(docsNow.select("doc_id"),
+            Seq("doc_id"), "left_anti"))
+        ()
+      }
+      advanceCursor(store, "postings", docsTable, cur)
+      FollowReport(action, cur, 0)
+    }
+    cursorOf(store, "postings", docsTable) match {
+      case None => resync("bootstrap")
+      case Some(a) if a >= cur => FollowReport("current", a, 0)
+      case Some(a) =>
+        val feedsReadable = (a to cur).forall(v =>
+          store.readVersion(docsTable, v).isDefined)
+        if (!feedsReadable) resync("resync")
+        else {
+          ((a + 1) to cur).foreach(v =>
+            applyToPostings(store, docsTable, v - 1, v))
+          advanceCursor(store, "postings", docsTable, cur)
+          FollowReport("steps", cur, (cur - a).toInt)
+        }
+    }
+  }
+
+  /** The ANN follower — [[followPostings]]'s vector twin. Bootstrap
+    * additionally TRAINS the deterministic quantizer when no index
+    * exists yet; resync re-assigns the current snapshot against the
+    * STORED centroids and deletes id-map keys the snapshot dropped.
+    */
+  def followAnn(store: SnapshotStore,
+      vecTable: String = "vecs"): FollowReport = {
+    val cur = store.currentVersion(vecTable).getOrElse(
+      return FollowReport("current", -1L, 0))
+    def vecsNow = store.read(vecTable).get
+    def resync(action: String): FollowReport = {
+      if (store.currentVersion("ann_centroids").isEmpty) {
+        val spark = vecsNow.sparkSession
+        val cents = graft.rag.AnnStore.trainCentroids(
+          vecsNow, "embedding", Seq(col("id")))
+        graft.rag.AnnStore.writeIndex(spark, store, vecsNow, cents)
+      } else {
+        StreamingAnn.processBatch(store, vecsNow, batchId = cur)
+        store.read("ann_id_map").foreach { idMap =>
+          IndexDeletes.deleteFromAnn(store,
+            idMap.select("id").join(vecsNow.select("id"),
+              Seq("id"), "left_anti"))
+          ()
+        }
+      }
+      advanceCursor(store, "ann", vecTable, cur)
+      FollowReport(action, cur, 0)
+    }
+    cursorOf(store, "ann", vecTable) match {
+      case None => resync("bootstrap")
+      case Some(a) if a >= cur => FollowReport("current", a, 0)
+      case Some(a) =>
+        val feedsReadable = (a to cur).forall(v =>
+          store.readVersion(vecTable, v).isDefined)
+        if (!feedsReadable) resync("resync")
+        else {
+          ((a + 1) to cur).foreach(v => applyToAnn(store, vecTable, v - 1, v))
+          advanceCursor(store, "ann", vecTable, cur)
+          FollowReport("steps", cur, (cur - a).toInt)
+        }
+    }
+  }
 }
 
 /** Continuous eval-set decontamination — the streaming face of q111:

@@ -118,4 +118,23 @@ class GraftCliSpec extends AnyFunSuite {
     // only the current version survives the post-forget vacuum
     assert(st.versions("cases").size == 1)
   }
+
+  test("follow keeps a stored index in step with an externally-written table") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-follow").toString
+    val st = new graft.store.SnapshotStore(spark, dir)
+    st.write("docs", Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text"))
+    assert(GraftCli.dispatch(spark,
+      Array("follow", "--table", "docs", "--store", dir)) == 0)
+    st.write("docs", Seq((1L, "alpha beta"), (3L, "epsilon zeta"))
+      .toDF("doc_id", "text"))
+    assert(GraftCli.dispatch(spark,
+      Array("follow", "--table", "docs", "--store", dir)) == 0)
+    val posts = st.read("postings").get
+    assert(posts.filter(col("doc_id") === 2L).isEmpty,
+      "follow kept a deleted doc's postings")
+    assert(posts.filter(col("term") === "epsilon").count() == 1L)
+  }
 }

@@ -440,6 +440,88 @@ class StreamingSpec extends AnyFunSuite {
       Seq("ordinary"), topK = 10).count() == 1L)
   }
 
+  test("CDC follower: cursor-tracked catch-up across versions, " +
+    "idempotent re-run, and full resync when the feed gap is vacuumed") {
+    import spark.implicits._
+    import graft.streaming.CdcIndexMaintenance
+    val store = new SnapshotStore(spark,
+      Files.createTempDirectory("graft-follow").toString)
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    store.write("docs", docsDf(1L -> "alpha beta", 2L -> "gamma delta",
+      3L -> "epsilon zeta"))
+    // bootstrap: no cursor, no index — built from the current snapshot
+    val r0 = CdcIndexMaintenance.followPostings(store)
+    assert(r0.action == "bootstrap" && r0.appliedVersion == 0L)
+    def postRows(s: SnapshotStore) = s.read("postings").get
+      .select("doc_id", "term", "tf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(postRows(store).exists(_._2 == "alpha"))
+    // two more versions by another writer: update, insert, delete
+    store.write("docs", docsDf(1L -> "alpha beta", 2L -> "gamma updated",
+      3L -> "epsilon zeta", 4L -> "eta theta"))
+    val v2 = docsDf(1L -> "alpha beta", 2L -> "gamma updated",
+      4L -> "eta theta")
+    store.write("docs", v2)
+    val r1 = CdcIndexMaintenance.followPostings(store)
+    assert(r1.action == "steps" && r1.steps == 2 && r1.appliedVersion == 2L)
+    val fresh2 = new SnapshotStore(spark,
+      Files.createTempDirectory("graft-follow-f2").toString)
+    graft.streaming.StreamingPostings.processBatch(fresh2, v2, 0L)
+    assert(postRows(store) == postRows(fresh2),
+      "stepped follower diverged from a fresh rebuild")
+    // idempotent re-run
+    assert(CdcIndexMaintenance.followPostings(store).action == "current")
+    // two more versions, then vacuum the feed away → resync
+    store.write("docs", docsDf(1L -> "alpha beta", 4L -> "eta theta"))
+    val v4 = docsDf(4L -> "eta revised", 5L -> "iota kappa")
+    store.write("docs", v4)
+    store.vacuum("docs", keepLast = 1)
+    val r2 = CdcIndexMaintenance.followPostings(store)
+    assert(r2.action == "resync" && r2.appliedVersion == 4L)
+    val fresh4 = new SnapshotStore(spark,
+      Files.createTempDirectory("graft-follow-f4").toString)
+    graft.streaming.StreamingPostings.processBatch(fresh4, v4, 0L)
+    assert(postRows(store) == postRows(fresh4),
+      "resynced follower diverged from a fresh rebuild")
+    // --- the ANN twin ---
+    def vecsDf(rows: (Long, Float)*) = rows.toSeq
+      .map { case (id, x) =>
+        (id, Array.tabulate(4)(i => if (i == 0) x else 0.1f).toSeq) }
+      .toDF("id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val base = (0L until 20L).map(i => i -> (1.0f - i.toFloat * 0.01f))
+    store.write("vecs", vecsDf(base: _*))
+    assert(CdcIndexMaintenance.followAnn(store).action == "bootstrap")
+    // move one vector, insert one, delete one; follow by steps
+    val v1v = base.filterNot(_._1 == 3L)
+      .map { case (id, x) => if (id == 2L) id -> -0.9f else id -> x } :+
+      (30L -> -0.8f)
+    store.write("vecs", vecsDf(v1v: _*))
+    val ra = CdcIndexMaintenance.followAnn(store)
+    assert(ra.action == "steps" && ra.steps == 1)
+    val cents = graft.rag.AnnStore.centroidsOf(store.read("ann_centroids").get)
+    val annRows = store.read("ann_assignments").get
+      .select("id", "embedding", "list_id").collect()
+    assert(annRows.map(_.getLong(0)).toSet == v1v.map(_._1).toSet)
+    annRows.foreach { r =>
+      val m = graft.rag.AnnStore.microLocal(r.getSeq[Float](1).toArray)
+      val best = cents.map { case (i, c) =>
+        (graft.rag.AnnStore.scoreLocal(m, c), i) }.min._2
+      assert(r.getAs[Number]("list_id").intValue == best)
+    }
+    assert(CdcIndexMaintenance.followAnn(store).action == "current")
+    // vacuumed gap → resync against the stored centroids
+    val v3v = v1v.filterNot(_._1 == 30L) :+ (31L -> 0.85f)
+    store.write("vecs", vecsDf(v3v: _*))
+    store.write("vecs", vecsDf(v3v: _*)) // one more version to open a gap
+    store.vacuum("vecs", keepLast = 1)
+    val rb = CdcIndexMaintenance.followAnn(store)
+    assert(rb.action == "resync")
+    assert(store.read("ann_assignments").get.select("id").collect()
+      .map(_.getLong(0)).toSet == v3v.map(_._1).toSet,
+      "ANN resync diverged from the followed snapshot")
+  }
+
   test("erasure fuzz: after any seeded mix of ingests (failures " +
     "included) and forgets, no store surface mentions a forgotten " +
     "docket and the survivors stay fully served") {
