@@ -44,8 +44,21 @@ import org.apache.spark.sql.functions._
   *     chains, and [[vacuum]] reference-counts: a dropped version's
   *     dirs survive while any retained version's manifest lists them.
   */
+/** @param allowSchemaEvolution opt-in ADDITIVE schema evolution (the
+  *   reference's `ALTER TABLE ADD COLUMN` moment): a merge batch may
+  *   carry columns the table lacks (they backfill null on prior rows)
+  *   or omit columns it has (they fill null on the batch). Off by
+  *   default — silent column alignment would also swallow typos, so a
+  *   store keeps today's strict-schema error unless evolution is asked
+  *   for. Works WITH partition-scoped commits: every version records
+  *   its schema in a `_schema` sidecar and reads apply it explicitly,
+  *   so retained (hard-linked / manifest-referenced) partitions whose
+  *   files predate a new column still read, the missing column null —
+  *   no mergeSchema footer sweep at read time.
+  */
 final class SnapshotStore(spark: SparkSession, root: String,
-    manifestCommits: Boolean = false) {
+    manifestCommits: Boolean = false,
+    allowSchemaEvolution: Boolean = false) {
 
   private def tableDir(table: String) = Paths.get(root, table)
   private def pointer(table: String) = tableDir(table).resolve("_current")
@@ -60,6 +73,22 @@ final class SnapshotStore(spark: SparkSession, root: String,
 
   private def manifestFile(dir: java.nio.file.Path) = dir.resolve("_manifest")
   private def vacuumedMark(dir: java.nio.file.Path) = dir.resolve("_vacuumed")
+  private def schemaFile(dir: java.nio.file.Path) = dir.resolve("_schema")
+
+  /** The logical schema a version was committed with (None for
+    * versions written before the sidecar existed — those fall back to
+    * parquet inference, today's behavior). Applying it explicitly at
+    * read time is what makes ADDITIVE evolution work with retained
+    * partitions: files that predate a column read it as null, with no
+    * mergeSchema footer sweep.
+    */
+  private def storedSchema(table: String,
+      version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val f = schemaFile(tableDir(table).resolve(s"v$version"))
+    if (!Files.exists(f)) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(f))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
 
   /** The PHYSICAL hive partition dirs backing a version: its own dirs
     * plus, for a manifest version, the older-version dirs its manifest
@@ -90,12 +119,15 @@ final class SnapshotStore(spark: SparkSession, root: String,
 
   /** Read a set of physical partition dirs as one frame, grouping by
     * containing version dir so each read's `basePath` recovers the
-    * hive partition column.
+    * hive partition column. `schema`, when given, applies to every
+    * read (see [[storedSchema]] — evolution across retained dirs).
     */
-  private def readParts(paths: Iterable[java.nio.file.Path]): DataFrame =
+  private def readParts(paths: Iterable[java.nio.file.Path],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
     paths.groupBy(_.getParent).toSeq.sortBy(_._1.toString)
       .map { case (vdir, ps) =>
-        spark.read.option("basePath", vdir.toString)
+        val r = spark.read.option("basePath", vdir.toString)
+        schema.fold(r)(r.schema)
           .parquet(ps.map(_.toString).toSeq.sorted: _*)
       }.reduce(_ unionByName _)
 
@@ -105,13 +137,19 @@ final class SnapshotStore(spark: SparkSession, root: String,
   def readVersion(table: String, version: Long): Option[DataFrame] = {
     val dir = tableDir(table).resolve(s"v$version")
     if (!Files.isDirectory(dir) || Files.exists(vacuumedMark(dir))) None
-    else if (Files.exists(manifestFile(dir))) {
-      val parts = physicalParts(table, version)
-      // a manifest with no partitions (a drained commit) reads the
-      // version dir itself — the empty schema-bearing rewrite
-      if (parts.isEmpty) Some(spark.read.parquet(dir.toString))
-      else Some(readParts(parts.values))
-    } else Some(spark.read.parquet(dir.toString))
+    else {
+      val schema = storedSchema(table, version)
+      def plainRead = schema
+        .fold(spark.read)(spark.read.schema)
+        .parquet(dir.toString)
+      if (Files.exists(manifestFile(dir))) {
+        val parts = physicalParts(table, version)
+        // a manifest with no partitions (a drained commit) reads the
+        // version dir itself — the empty schema-bearing rewrite
+        if (parts.isEmpty) Some(plainRead)
+        else Some(readParts(parts.values, schema))
+      } else Some(plainRead)
+    }
   }
 
   /** Versions currently readable for a table, ascending (vacuumed
@@ -214,6 +252,7 @@ final class SnapshotStore(spark: SparkSession, root: String,
       if (!hasRefs) {
         if (Files.exists(mf)) Files.delete(mf)
         df.limit(0).write.mode("overwrite").parquet(dir.toString)
+        Files.writeString(schemaFile(dir), df.schema.json) // overwritten above
       }
     }
   }
@@ -222,8 +261,14 @@ final class SnapshotStore(spark: SparkSession, root: String,
       partitionCols: Seq[String]): Unit = {
     Files.createDirectories(tableDir(table))
     val writer = df.write.mode("overwrite")
+    val dir = tableDir(table).resolve(s"v$version")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(tableDir(table).resolve(s"v$version").toString)
+      .parquet(dir.toString)
+    // the version's logical schema rides as a sidecar so reads apply
+    // it explicitly — what lets retained partitions predating a new
+    // column still read (null-filled) under schema evolution
+    Files.writeString(schemaFile(dir), df.schema.json)
+    ()
   }
 
   /** Test hook, invoked once the new version directory (data files
@@ -361,13 +406,36 @@ final class SnapshotStore(spark: SparkSession, root: String,
     } finally s.close()
   }
 
+  /** Null-fill each frame's missing columns from the other (ADDITIVE
+    * evolution — only reached when `allowSchemaEvolution` is on): a
+    * batch's new column backfills null on prior rows, a batch missing
+    * a table column fills null. Types come from whichever side HAS the
+    * column; a column present on both with different types stays
+    * untouched and fails in unionByName exactly as without evolution.
+    */
+  private def alignSchemas(prior: DataFrame,
+      batch: DataFrame): (DataFrame, DataFrame) = {
+    val pCols = prior.columns.toSet
+    val bCols = batch.columns.toSet
+    val p2 = batch.schema.fields.filterNot(f => pCols.contains(f.name))
+      .foldLeft(prior)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
+    val b2 = prior.schema.fields.filterNot(f => bCols.contains(f.name))
+      .foldLeft(batch)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
+    (p2, b2)
+  }
+
   private def merged(table: String, batch: DataFrame,
-      combine: (DataFrame, DataFrame) => DataFrame,
+      combine0: (DataFrame, DataFrame) => DataFrame,
       partitionCols: Seq[String] = Nil,
       probeKeys: Seq[String] = Nil,
       sortCols: Seq[String] = Nil,
       collideHint: Option[Seq[Any]] = None,
       probeFrame: Option[DataFrame] = None): Long = {
+    val combine: (DataFrame, DataFrame) => DataFrame =
+      if (!allowSchemaEvolution) combine0
+      else (p, b) => { val (p2, b2) = alignSchemas(p, b); combine0(p2, b2) }
     // cluster each written file on sortCols so point/equality
     // predicates prune Parquet row groups inside a hive partition
     // (e.g. postings buckets cluster on `term`). The sort key MUST
@@ -548,12 +616,13 @@ final class SnapshotStore(spark: SparkSession, root: String,
       // unpartitioned table: one flat pile of files
       if (parquetFiles(curDir).size <= maxFilesPerPartition) return None
       writeVersionDir(table, next,
-        clustered(spark.read.parquet(curDir.toString).coalesce(1)), Nil)
+        clustered(storedSchema(table, cur).fold(spark.read)(spark.read.schema)
+          .parquet(curDir.toString).coalesce(1)), Nil)
     } else {
       val pc = parts.head._1.split("=")(0)
       val needy = parts.filter(p => parquetFiles(p._2).size > maxFilesPerPartition)
       if (needy.isEmpty) return None
-      val rows = readParts(needy.values)
+      val rows = readParts(needy.values, storedSchema(table, cur))
       writeVersionDir(table, next, clustered(rows.repartition(col(pc))), Seq(pc))
       retainParts(table, nextDir, parts -- needy.keys)
     }

@@ -500,6 +500,57 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("additive schema evolution (opt-in): a new column backfills null " +
+    "on retained partitions, a missing column fills null on the batch, " +
+    "compaction crosses the mixed-schema dirs — strict stores still reject") {
+    import org.apache.spark.sql.functions.col
+    // strict (default) store keeps today's error on a widened batch
+    val strict = newStore()
+    strict.mergeLastWriteWins("t", Seq((1L, 0, "a")).toDF("k", "bucket", "v"),
+      Seq("k"), partitionCols = Seq("bucket"))
+    intercept[Exception] {
+      strict.mergeLastWriteWins("t",
+        Seq((2L, 1, "b", 9L)).toDF("k", "bucket", "v", "score"),
+        Seq("k"), partitionCols = Seq("bucket"))
+    }
+    for (manifest <- Seq(false, true)) {
+      val s = new SnapshotStore(spark,
+        Files.createTempDirectory("graft-evolve").toString,
+        manifestCommits = manifest, allowSchemaEvolution = true)
+      s.mergeLastWriteWins("t", Seq((1L, 0, "a"), (2L, 1, "b"))
+        .toDF("k", "bucket", "v"), Seq("k"), partitionCols = Seq("bucket"))
+      // widened batch touches ONLY bucket 1; bucket 0's file is
+      // RETAINED (hard link / manifest ref) and predates the column
+      s.mergeLastWriteWins("t",
+        Seq((2L, 1, "b2", 9L)).toDF("k", "bucket", "v", "score"),
+        Seq("k"), partitionCols = Seq("bucket"))
+      val out = s.read("t").get
+      assert(out.columns.toSet == Set("k", "bucket", "v", "score"),
+        s"manifest=$manifest: table schema did not widen")
+      def byK(df: org.apache.spark.sql.DataFrame) = df
+        .select("k", "v", "score").collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      assert(byK(out) == Map(
+        1L -> (Some("a"), None), 2L -> (Some("b2"), Some(9L))),
+        s"manifest=$manifest: retained rows misread under the new schema")
+      // a NARROW batch (missing v) fills null on its own rows only
+      s.mergeLastWriteWins("t", Seq((3L, 0, 7L)).toDF("k", "bucket", "score"),
+        Seq("k"), partitionCols = Seq("bucket"))
+      assert(byK(s.read("t").get) == Map(
+        1L -> (Some("a"), None), 2L -> (Some("b2"), Some(9L)),
+        3L -> (None, Some(7L))),
+        s"manifest=$manifest: narrow batch misaligned")
+      // compaction reads across the mixed-schema dirs and keeps rows
+      s.compact("t", maxFilesPerPartition = 1)
+      assert(byK(s.read("t").get).size == 3,
+        s"manifest=$manifest: compaction lost rows across schema versions")
+      // time travel: the pre-evolution version still reads with ITS schema
+      assert(s.readVersion("t", 0L).get.columns.toSet ==
+        Set("k", "bucket", "v"),
+        s"manifest=$manifest: old version's schema drifted")
+    }
+  }
+
   test("a fully-drained partitioned table stays readable (both commit " +
     "modes) and refills through the layout-change path") {
     // Spark writes NO data files for an empty partitionBy commit (just
