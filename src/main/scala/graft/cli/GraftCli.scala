@@ -45,7 +45,10 @@ object GraftCli {
 
   private[graft] def dispatch(spark: SparkSession, args: Array[String]): Int = {
     val storeDir = opt(args, "--store").getOrElse("/tmp/graft-store")
-    val store = new SnapshotStore(spark, storeDir)
+    // --evolve-schema: opt-in additive schema evolution on every merge
+    // this invocation performs (the store-level flag; see SnapshotStore)
+    val store = new SnapshotStore(spark, storeDir,
+      allowSchemaEvolution = args.contains("--evolve-schema"))
     args(0) match {
       case "ingest" =>
         val file = args(1)
