@@ -44,21 +44,35 @@ import org.apache.spark.sql.functions._
   *     chains, and [[vacuum]] reference-counts: a dropped version's
   *     dirs survive while any retained version's manifest lists them.
   */
-/** @param allowSchemaEvolution opt-in ADDITIVE schema evolution (the
-  *   reference's `ALTER TABLE ADD COLUMN` moment): a merge batch may
-  *   carry columns the table lacks (they backfill null on prior rows)
-  *   or omit columns it has (they fill null on the batch). Off by
-  *   default — silent column alignment would also swallow typos, so a
-  *   store keeps today's strict-schema error unless evolution is asked
-  *   for. Works WITH partition-scoped commits: every version records
-  *   its schema in a `_schema` sidecar and reads apply it explicitly,
-  *   so retained (hard-linked / manifest-referenced) partitions whose
-  *   files predate a new column still read, the missing column null —
-  *   no mergeSchema footer sweep at read time.
+/** @param allowSchemaEvolution opt-in schema evolution (the
+  *   reference's `ALTER TABLE` moment): a merge batch may carry
+  *   columns the table lacks (they backfill null on prior rows),
+  *   omit columns it has (they fill null on the batch), or carry a
+  *   shared column at a WIDER numeric type (int→long, float→double —
+  *   the table's column widens; the reverse narrows the BATCH up to
+  *   the table's wider type, so a late narrow writer still merges).
+  *   Off by default — silent column alignment would also swallow
+  *   typos, so a store keeps today's strict-schema error unless
+  *   evolution is asked for. Works WITH partition-scoped commits:
+  *   every version records its schema in a `_schema` sidecar and
+  *   reads apply it explicitly, so retained (hard-linked /
+  *   manifest-referenced) partitions whose files predate a new column
+  *   read it as null, and files written at the narrow type read under
+  *   the widened sidecar schema (Spark 4's parquet readers up-cast
+  *   int32→int64 / float→double pages — spec-pinned across both
+  *   commit modes, compaction, and time travel).
+  */
+/** @param claimTimeoutMs how long another writer's version claim is
+  *   honored before it is presumed crashed and stolen (see
+  *   [[tryClaim]]). The default is generous — stealing a LIVE claim
+  *   could commit two writers onto one version dir, the exact lost
+  *   update the protocol exists to prevent — and a healthy writer
+  *   holds a claim only for the duration of one version write.
   */
 final class SnapshotStore(spark: SparkSession, root: String,
     manifestCommits: Boolean = false,
-    allowSchemaEvolution: Boolean = false) {
+    allowSchemaEvolution: Boolean = false,
+    claimTimeoutMs: Long = 600000L) {
 
   private def tableDir(table: String) = Paths.get(root, table)
   private def pointer(table: String) = tableDir(table).resolve("_current")
@@ -160,11 +174,15 @@ final class SnapshotStore(spark: SparkSession, root: String,
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) Seq.empty
     else {
+      // a dir NEWER than the pointer is an in-flight (claimed, not yet
+      // swapped) or orphaned commit — not a readable version
+      val cur = currentVersion(table).getOrElse(-1L)
       val s = Files.list(dir)
       try s.iterator().asScala
         .filter(p => p.getFileName.toString.matches("v\\d+") &&
           !Files.exists(vacuumedMark(p)))
-        .map(_.getFileName.toString.drop(1).toLong).toSeq.sorted
+        .map(_.getFileName.toString.drop(1).toLong)
+        .filter(_ <= cur).toSeq.sorted
       finally s.close()
     }
   }
@@ -194,8 +212,10 @@ final class SnapshotStore(spark: SparkSession, root: String,
         dir.toAbsolutePath.normalize)
       def deleteTree(p: java.nio.file.Path): Unit = {
         val s = Files.walk(p)
+        // deleteIfExists: two concurrent vacuums may race on the same
+        // reclaimable dirs — losing that race is success, not an error
         try s.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
+          .iterator().asScala.foreach(Files.deleteIfExists)
         finally s.close()
       }
       if (keep.isEmpty) deleteTree(dir)
@@ -213,14 +233,118 @@ final class SnapshotStore(spark: SparkSession, root: String,
     drop
   }
 
+  // ---- optimistic concurrency: the version-claim CAS -------------------
+  //
+  // The reference gets multi-writer safety from Postgres transactions
+  // (ingest.py:613-644 upserts run under MVCC; commit batching
+  // ingest.py:716-722); a snapshot store must build it from filesystem
+  // primitives. Without it, two writers both read currentVersion=N,
+  // both write vN+1 (the second `mode("overwrite")` clobbers the
+  // first's dir), and both swap — one merge silently vanishes. The
+  // colliding workloads are real: the CLI `follow` daemon, streaming
+  // index maintainers, and batch ingest are all designed to run
+  // against one store.
+  //
+  // Protocol (the lakehouse optimistic-commit model, e.g. Delta's
+  // PutIfAbsent log entry, expressed as an O_EXCL claim file):
+  //   1. read currentVersion = N; the candidate is N+1
+  //   2. CAS: create `_claim.vN+1` with CREATE_NEW (atomic on POSIX) —
+  //      failure means another writer owns that version: back off and
+  //      retry from step 1 (their swap will advance N)
+  //   3. after winning the claim, re-check the pointer still reads N —
+  //      the claim's owner releases AFTER swapping, so a claim won on
+  //      an already-committed version is detectable and retried
+  //   4. write the version dir, swap the pointer, release the claim
+  // A crashed writer's claim (JVM death between 2 and 4) is stolen
+  // once it ages past `claimTimeoutMs`: the steal re-reads the claim
+  // body and deletes only the exact bytes it judged stale, so a fresh
+  // claim re-created in the window survives. The orphaned vN+1 dir is
+  // invisible (the pointer never moved) and the next writer of that
+  // version overwrites it — the same crash-window safety the
+  // single-writer protocol already pinned (see [[beforeSwap]]).
+
+  private val writerNonce = java.util.UUID.randomUUID().toString
+
+  private def claimFile(table: String, version: Long) =
+    tableDir(table).resolve(s"_claim.v$version")
+
+  /** One CAS attempt on the claim for `version`: true = this store
+    * instance now owns it. A stale or unreadable claim is removed
+    * (content-compared delete) and the attempt reports false — the
+    * caller's retry loop re-reads the pointer before trying again.
+    */
+  private def tryClaim(table: String, version: Long): Boolean = {
+    val f = claimFile(table, version)
+    try {
+      Files.createDirectories(tableDir(table))
+      Files.writeString(f, s"$writerNonce ${System.currentTimeMillis()}",
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val txt = try Files.readString(f)
+          catch { case _: java.io.IOException => return false }
+        // unparsable claim = no live owner to honor — treat as stale
+        val age = txt.split(' ').lift(1).flatMap(_.toLongOption)
+          .map(System.currentTimeMillis() - _).getOrElse(Long.MaxValue)
+        if (age > claimTimeoutMs) {
+          try { if (Files.readString(f) == txt) Files.delete(f) }
+          catch { case _: java.io.IOException => () }
+        }
+        false
+    }
+  }
+
+  private def releaseClaim(table: String, version: Long): Unit = {
+    Files.deleteIfExists(claimFile(table, version)); ()
+  }
+
+  /** Serialize one commit against concurrent writers (same JVM or
+    * another process on the store root — the claim is a file, not a
+    * lock object). `body` receives the prior version (frozen while
+    * the claim is held: any other writer must first claim prior+1,
+    * which this writer owns) and the claimed version to write. On a
+    * lost race the loop re-reads the NEW current version and re-runs
+    * `body` — which re-reads its prior from the store, so the retried
+    * merge applies on top of the winner's commit instead of losing it.
+    */
+  private def committed[A](table: String)(body: (Option[Long], Long) => A): A = {
+    var backoffMs = 5L
+    while (true) {
+      val cur = currentVersion(table)
+      val next = cur.getOrElse(-1L) + 1
+      if (tryClaim(table, next)) {
+        try {
+          // step 3: a release-then-claim interleave can hand us a claim
+          // on a version that already committed — detect via the pointer
+          if (currentVersion(table) == cur) return body(cur, next)
+        } finally releaseClaim(table, next)
+      }
+      Thread.sleep(backoffMs)
+      backoffMs = math.min(backoffMs * 2, 200L)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Write a new snapshot version and atomically swap the pointer.
     * `partitionCols` lays the snapshot out hive-partitioned (e.g.
     * `cases` by filing year) so partition pruning replaces the
     * reference's date index at scale (SURVEY §4: P6/P8 year and
-    * date-range filters prune whole directories).
+    * date-range filters prune whole directories). Whole-table
+    * REPLACEMENT semantics: under concurrent writers the claim keeps
+    * version dirs exclusive, and the last replacement wins — callers
+    * whose frame derives from the prior snapshot want the merge
+    * flavors instead (their combine re-applies on a lost race).
     */
-  def write(table: String, df: DataFrame, partitionCols: Seq[String] = Nil): Long = {
-    val next = currentVersion(table).getOrElse(-1L) + 1
+  def write(table: String, df: DataFrame, partitionCols: Seq[String] = Nil): Long =
+    committed(table) { (_, next) => commitAt(table, next, df, partitionCols) }
+
+  /** The unclaimed single-version commit every committed body ends
+    * with: dir, readability guard, pointer swap. Callers must hold
+    * the claim on `next`.
+    */
+  private def commitAt(table: String, next: Long, df: DataFrame,
+      partitionCols: Seq[String]): Long = {
     writeVersionDir(table, next, df, partitionCols)
     ensureReadableVersion(table, next, df)
     swapPointer(table, next)
@@ -327,7 +451,8 @@ final class SnapshotStore(spark: SparkSession, root: String,
     * `vacuum` stays safe: deleting an old version's files only drops
     * one hard link; the data lives while any newer version links it.
     */
-  private def mergedPartitionScoped(table: String, cur: Long, batch: DataFrame,
+  private def mergedPartitionScoped(table: String, cur: Long, next: Long,
+      batch: DataFrame,
       combine: (DataFrame, DataFrame) => DataFrame,
       partitionCols: Seq[String], probeKeys: Seq[String],
       collideHint: Option[Seq[Any]],
@@ -338,7 +463,8 @@ final class SnapshotStore(spark: SparkSession, root: String,
       physicalParts(table, cur).filter(_._1.startsWith(s"$pc="))
     // prior layout isn't partitioned on pc (layout change) → full rewrite
     if (priorPartDirs.isEmpty)
-      return write(table, combine(read(table).get, batch), partitionCols)
+      return commitAt(table, next,
+        combine(readVersion(table, cur).get, batch), partitionCols)
     batch.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val prior = readVersion(table, cur).get
@@ -365,7 +491,6 @@ final class SnapshotStore(spark: SparkSession, root: String,
         if (touchedVals.contains(null)) in || col(pc).isNull else in
       }
       val priorTouched = prior.filter(touchedPred)
-      val next = cur + 1
       val combined = combine(priorTouched, batch)
       writeVersionDir(table, next, combined, partitionCols)
       val nextDir = tableDir(table).resolve(s"v$next")
@@ -406,22 +531,59 @@ final class SnapshotStore(spark: SparkSession, root: String,
     } finally s.close()
   }
 
-  /** Null-fill each frame's missing columns from the other (ADDITIVE
-    * evolution — only reached when `allowSchemaEvolution` is on): a
-    * batch's new column backfills null on prior rows, a batch missing
-    * a table column fills null. Types come from whichever side HAS the
-    * column; a column present on both with different types stays
-    * untouched and fails in unionByName exactly as without evolution.
+  /** The widened numeric type of a safely-promotable pair — the
+    * lakehouse type-widening matrix (int→long, float→double, and the
+    * smaller integrals up to either): every promotion is lossless, so
+    * prior rows rewritten at the wide type carry identical values.
+    * (Union-based merge flavors get width coercion from unionByName's
+    * native type resolution even without the evolution flag; the
+    * explicit cast here is what aligns the NON-union paths — the
+    * additive groupBy, keyScope joins, and [[readChanges]]'s
+    * version-straddling structs.) Renames and any other type change
+    * are NOT evolution — they stay the strict analysis error,
+    * evolution flag or not.
+    */
+  private def widenedType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Option[Int] = t match {
+      case ByteType => Some(0); case ShortType => Some(1)
+      case IntegerType => Some(2); case LongType => Some(3)
+      case _ => None
+    }
+    (a, b) match {
+      case _ if a == b => None
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case _ => for { ra <- rank(a); rb <- rank(b) }
+        yield (if (ra > rb) a else b)
+    }
+  }
+
+  /** Align two frames for an evolving merge (only reached when
+    * `allowSchemaEvolution` is on). ADDITIVE: a batch's new column
+    * backfills null on prior rows, a batch missing a table column
+    * fills null. WIDENING: a column both sides carry at different but
+    * promotable numeric widths casts BOTH sides to the wider type —
+    * a wide batch widens the table (the reference's `ALTER TABLE ...
+    * TYPE bigint` moment), and a still-narrow late writer's batch
+    * up-casts to the table's established wide type rather than
+    * erroring. Any other type conflict stays untouched and fails in
+    * unionByName exactly as without evolution.
     */
   private def alignSchemas(prior: DataFrame,
       batch: DataFrame): (DataFrame, DataFrame) = {
     val pCols = prior.columns.toSet
     val bCols = batch.columns.toSet
+    val pTypes = prior.schema.fields.map(f => f.name -> f.dataType).toMap
+    val widen = batch.schema.fields.flatMap(f => pTypes.get(f.name)
+      .flatMap(pt => widenedType(pt, f.dataType)).map(f.name -> _)).toMap
+    def widenCols(df: DataFrame) = widen.foldLeft(df) { case (d, (n, t)) =>
+      d.withColumn(n, col(n).cast(t)) }
     val p2 = batch.schema.fields.filterNot(f => pCols.contains(f.name))
-      .foldLeft(prior)((df, f) =>
+      .foldLeft(widenCols(prior))((df, f) =>
         df.withColumn(f.name, lit(null).cast(f.dataType)))
     val b2 = prior.schema.fields.filterNot(f => bCols.contains(f.name))
-      .foldLeft(batch)((df, f) =>
+      .foldLeft(widenCols(batch))((df, f) =>
         df.withColumn(f.name, lit(null).cast(f.dataType)))
     (p2, b2)
   }
@@ -449,14 +611,21 @@ final class SnapshotStore(spark: SparkSession, root: String,
     val c: (DataFrame, DataFrame) => DataFrame =
       if (effSort.isEmpty) combine
       else (p, b) => combine(p, b).sortWithinPartitions(effSort.map(col): _*)
-    currentVersion(table) match {
-      case Some(cur) if partitionCols.nonEmpty =>
-        mergedPartitionScoped(table, cur, batch, c, partitionCols, probeKeys,
-          collideHint, probeFrame)
-      case Some(_) => write(table, c(read(table).get, batch), partitionCols)
-      case None => write(table,
-        if (effSort.isEmpty) batch
-        else batch.sortWithinPartitions(effSort.map(col): _*), partitionCols)
+    // the whole merge — prior read, combine, version write, swap —
+    // runs inside one claim window: a lost race re-enters here with
+    // the WINNER's version as prior, so concurrent merges serialize
+    // instead of losing updates
+    committed(table) { (curOpt, next) =>
+      curOpt match {
+        case Some(cur) if partitionCols.nonEmpty =>
+          mergedPartitionScoped(table, cur, next, batch, c, partitionCols,
+            probeKeys, collideHint, probeFrame)
+        case Some(cur) => commitAt(table, next,
+          c(readVersion(table, cur).get, batch), partitionCols)
+        case None => commitAt(table, next,
+          if (effSort.isEmpty) batch
+          else batch.sortWithinPartitions(effSort.map(col): _*), partitionCols)
+      }
     }
   }
 
@@ -558,8 +727,14 @@ final class SnapshotStore(spark: SparkSession, root: String,
     */
   def readChanges(table: String, fromVersion: Long, toVersion: Long,
       keys: Seq[String]): Option[DataFrame] = {
-    val oldDf = readVersion(table, fromVersion).getOrElse(return None)
-    val newDf = readVersion(table, toVersion).getOrElse(return None)
+    val oldRaw = readVersion(table, fromVersion).getOrElse(return None)
+    val newRaw = readVersion(table, toVersion).getOrElse(return None)
+    // the two versions may straddle a schema-evolution boundary (a
+    // column added, a numeric width grown) — align them the same way
+    // evolving merges do, so a follower stepping over the evolution
+    // version sees null-filled/widened before structs instead of an
+    // unresolved-column error
+    val (oldDf, newDf) = alignSchemas(oldRaw, newRaw)
     val valueCols = newDf.columns.toSeq.diff(keys)
     val o = oldDf.select(
       keys.map(col) :+ struct(valueCols.map(col): _*).as("_old"): _*)
@@ -600,34 +775,44 @@ final class SnapshotStore(spark: SparkSession, root: String,
   def compact(table: String, maxFilesPerPartition: Int = 4,
       sortCols: Seq[String] = Nil): Option[Long] = {
     require(maxFilesPerPartition >= 1, "threshold must be at least 1 file")
-    val cur = currentVersion(table).getOrElse(return None)
-    val curDir = tableDir(table).resolve(s"v$cur")
-    val parts = physicalParts(table, cur)
-    val next = cur + 1
-    val nextDir = tableDir(table).resolve(s"v$next")
-    // lead with the partition column — see merged()'s effSort note
-    def clustered(df: DataFrame): DataFrame =
-      if (sortCols.isEmpty) df
-      else df.sortWithinPartitions(
-        ((if (parts.isEmpty) Nil
-          else Seq(parts.head._1.split("=")(0))) ++ sortCols)
-          .distinct.map(col): _*)
-    if (parts.isEmpty) {
-      // unpartitioned table: one flat pile of files
-      if (parquetFiles(curDir).size <= maxFilesPerPartition) return None
-      writeVersionDir(table, next,
-        clustered(storedSchema(table, cur).fold(spark.read)(spark.read.schema)
-          .parquet(curDir.toString).coalesce(1)), Nil)
-    } else {
-      val pc = parts.head._1.split("=")(0)
-      val needy = parts.filter(p => parquetFiles(p._2).size > maxFilesPerPartition)
-      if (needy.isEmpty) return None
-      val rows = readParts(needy.values, storedSchema(table, cur))
-      writeVersionDir(table, next, clustered(rows.repartition(col(pc))), Seq(pc))
-      retainParts(table, nextDir, parts -- needy.keys)
+    if (currentVersion(table).isEmpty) return None
+    // a compaction is a commit like any other — it claims its version,
+    // so a concurrent merge can neither clobber its dir nor vice versa
+    committed(table) { (curOpt, next) =>
+      val cur = curOpt.get
+      val curDir = tableDir(table).resolve(s"v$cur")
+      val parts = physicalParts(table, cur)
+      val nextDir = tableDir(table).resolve(s"v$next")
+      // lead with the partition column — see merged()'s effSort note
+      def clustered(df: DataFrame): DataFrame =
+        if (sortCols.isEmpty) df
+        else df.sortWithinPartitions(
+          ((if (parts.isEmpty) Nil
+            else Seq(parts.head._1.split("=")(0))) ++ sortCols)
+            .distinct.map(col): _*)
+      if (parts.isEmpty) {
+        // unpartitioned table: one flat pile of files
+        if (parquetFiles(curDir).size <= maxFilesPerPartition) None
+        else {
+          writeVersionDir(table, next,
+            clustered(storedSchema(table, cur).fold(spark.read)(spark.read.schema)
+              .parquet(curDir.toString).coalesce(1)), Nil)
+          swapPointer(table, next)
+          Some(next)
+        }
+      } else {
+        val pc = parts.head._1.split("=")(0)
+        val needy = parts.filter(p => parquetFiles(p._2).size > maxFilesPerPartition)
+        if (needy.isEmpty) None
+        else {
+          val rows = readParts(needy.values, storedSchema(table, cur))
+          writeVersionDir(table, next, clustered(rows.repartition(col(pc))), Seq(pc))
+          retainParts(table, nextDir, parts -- needy.keys)
+          swapPointer(table, next)
+          Some(next)
+        }
+      }
     }
-    swapPointer(table, next)
-    Some(next)
   }
 
   /** Every table currently in the store. */

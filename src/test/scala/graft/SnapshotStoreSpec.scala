@@ -551,6 +551,73 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("type-widening schema evolution (opt-in): int→long and " +
+    "float→double widen the table, narrow late batches up-cast, " +
+    "retained narrow-typed files read under the wide sidecar schema, " +
+    "compaction crosses mixed-width dirs") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    for (manifest <- Seq(false, true)) {
+      val s = new SnapshotStore(spark,
+        Files.createTempDirectory("graft-widen").toString,
+        manifestCommits = manifest, allowSchemaEvolution = true)
+      s.mergeLastWriteWins("t",
+        Seq((1L, 0, 5, 1.5f), (2L, 1, 6, 2.5f)).toDF("k", "bucket", "n", "x"),
+        Seq("k"), partitionCols = Seq("bucket"))
+      // wide batch touches ONLY bucket 1; bucket 0's file is RETAINED
+      // (hard link / manifest ref) and still holds int32/float pages
+      s.mergeLastWriteWins("t",
+        Seq((2L, 1, 9L, 9.5d)).toDF("k", "bucket", "n", "x"),
+        Seq("k"), partitionCols = Seq("bucket"))
+      val out = s.read("t").get
+      assert(out.schema("n").dataType == LongType &&
+        out.schema("x").dataType == DoubleType,
+        s"manifest=$manifest: table types did not widen")
+      def byK = s.read("t").get.select("k", "n", "x").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(byK == Map(1L -> ((5L, 1.5d)), 2L -> ((9L, 9.5d))),
+        s"manifest=$manifest: retained narrow files misread under wide schema")
+      // a LATE NARROW writer (still int/float) up-casts to the table's
+      // established wide type instead of erroring
+      s.mergeLastWriteWins("t",
+        Seq((3L, 0, 7, 3.5f)).toDF("k", "bucket", "n", "x"),
+        Seq("k"), partitionCols = Seq("bucket"))
+      assert(byK == Map(1L -> ((5L, 1.5d)), 2L -> ((9L, 9.5d)),
+        3L -> ((7L, 3.5d))),
+        s"manifest=$manifest: narrow late batch misaligned")
+      // compaction reads across mixed-width dirs and keeps values
+      s.compact("t", maxFilesPerPartition = 1)
+      assert(byK.size == 3,
+        s"manifest=$manifest: compaction lost rows across width versions")
+      // time travel: the pre-widening version reads with ITS narrow schema
+      assert(s.readVersion("t", 0L).get.schema("n").dataType ==
+        org.apache.spark.sql.types.IntegerType,
+        s"manifest=$manifest: old version's narrow schema drifted")
+    }
+  }
+
+  test("readChanges across a schema-evolution boundary: the follower " +
+    "sees null-filled/up-cast before structs instead of an analysis error") {
+    val s = new SnapshotStore(spark,
+      Files.createTempDirectory("graft-cdc-evolve").toString,
+      allowSchemaEvolution = true)
+    s.write("t", Seq((1L, 5), (2L, 6)).toDF("k", "n"))             // v0
+    s.mergeLastWriteWins("t",
+      Seq((2L, 60L, "new")).toDF("k", "n", "tag"), Seq("k"))        // v1: +tag, n→long
+    val ch = s.readChanges("t", 0L, 1L, Seq("k")).get
+      .orderBy("k").collect()
+    assert(ch.length == 1, "only k=2 changed")
+    val r = ch.head
+    assert(r.getLong(0) == 2L && r.getString(1) == "update")
+    val before = r.getStruct(2)
+    val after = r.getStruct(3)
+    assert(before.getLong(before.fieldIndex("n")) == 6L &&
+      before.isNullAt(before.fieldIndex("tag")),
+      "before struct not aligned to the union schema")
+    assert(after.getLong(after.fieldIndex("n")) == 60L &&
+      after.getString(after.fieldIndex("tag")) == "new")
+  }
+
   test("a fully-drained partitioned table stays readable (both commit " +
     "modes) and refills through the layout-change path") {
     // Spark writes NO data files for an empty partitionBy commit (just
