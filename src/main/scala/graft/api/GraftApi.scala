@@ -230,8 +230,12 @@ final class GraftApi(spark: SparkSession, cases: DataFrame, judges: DataFrame,
           .filter(col("normalized_name") === v.toLowerCase)
           .select(col("id").as("judge_id"))), Seq("judge_id"))
       case ("court", v) =>
+        // normalize the client's value the way ingest normalized the
+        // dim ("S.D.N.Y." → "SDNY") — the display form the API itself
+        // returns must match, mirroring the judge filter's lowercase
         df = df.join(broadcast(courts
-          .filter(col("normalized_name") === v)
+          .filter(col("normalized_name") ===
+            graft.functions.DocketFunctions.normCourt(lit(v)))
           .select(col("id").as("court_id"))), Seq("court_id"))
       case ("case_type", v) =>
         df = df.join(broadcast(caseTypes

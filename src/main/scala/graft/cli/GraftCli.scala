@@ -29,7 +29,7 @@ import graft.store.SnapshotStore
   *   compact --store <dir> [--table T] [--max-files N]  merge small files
   *   changes --store <dir> --table T --from V --to V --keys k1,k2  CDC diff
   *   forget --store <dir> --case-numbers a,b             expunge dockets
-  *   follow --store <dir> --table T [--index postings|ann]  CDC catch-up
+  *   follow --store <dir> --table T [--index postings|ann|neardup|rag]  CDC catch-up
   */
 object GraftCli {
 
@@ -224,7 +224,12 @@ object GraftCli {
             graft.streaming.CdcIndexMaintenance.followPostings(store, table)
           case "ann" =>
             graft.streaming.CdcIndexMaintenance.followAnn(store, table)
-          case other => sys.error(s"unknown index: $other (postings|ann)")
+          case "neardup" =>
+            graft.streaming.CdcIndexMaintenance.followNearDup(store, table)
+          case "rag" =>
+            graft.streaming.CdcIndexMaintenance.followRag(store, table)
+          case other =>
+            sys.error(s"unknown index: $other (postings|ann|neardup|rag)")
         }
         println(s"""{"index": "$index", "table": "$table", "action": "${report.action}", "applied_version": ${report.appliedVersion}, "steps": ${report.steps}}""")
         0

@@ -56,13 +56,21 @@ object StreamingIngest {
       .start()
   }
 
+  /** Bucket fan-out of the ingest tables and ledgers — ONE constant,
+    * shared by [[bucketed]], [[ensureBucketed]], and every consumer
+    * that re-derives a bucket from a key (the quarantine JSONL rewrite
+    * prunes on it): a drifted copy of this literal would silently
+    * match zero partitions.
+    */
+  private[streaming] val BucketCount = 64L
+
   /** 64-way bucket column derived from a hash-of-key surrogate id —
     * the hive-partition key of the corpus-scaled ingest tables
     * (parties, case_parties, party_name_variations) and the ledgers.
     */
   private[streaming] def bucketed(df: DataFrame, bucketCol: String,
       of: org.apache.spark.sql.Column): DataFrame =
-    df.withColumn(bucketCol, pmod(of, lit(64L)).cast("int"))
+    df.withColumn(bucketCol, pmod(of, lit(BucketCount)).cast("int"))
 
   private[streaming] def bucketsOf(df: DataFrame, bucketCol: String): Seq[Int] =
     df.select(bucketCol).distinct().collect().map(_.getInt(0)).sorted.toSeq
@@ -75,7 +83,7 @@ object StreamingIngest {
     store.read(table).foreach { cur =>
       if (!cur.columns.contains(bucketCol)) {
         store.write(table,
-          cur.withColumn(bucketCol, pmod(of, lit(64L)).cast("int"))
+          cur.withColumn(bucketCol, pmod(of, lit(BucketCount)).cast("int"))
             .repartition(col(bucketCol)),
           partitionCols = Seq(bucketCol))
         ()
@@ -261,12 +269,21 @@ object StreamingNearDup {
 
   private val bands = 4
 
-  private def banded(sigs: DataFrame): DataFrame =
+  private[streaming] def banded(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), col("sh"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sh"), b * 8).bitwiseAND(255L).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+
+  /** The banded signature rows of a `(doc_id, text)` frame — the
+    * store's row shape, derived purely from the text (what lets the
+    * CDC follower compute a victim's OLD band keys from the feed's
+    * `before.text` instead of probing the index).
+    */
+  private[streaming] def bandedSignaturesOf(docs: DataFrame): DataFrame =
+    banded(docs.select(col("doc_id"),
+      simHash32(tokens(col("text"))).as("sh")))
 
   /** One-time layout migration: rewrite a per-doc (doc_id, sh)
     * signature table into the PRE-BANDED, key-partitioned probe
@@ -484,9 +501,20 @@ object StreamingPostings {
     * the touched buckets — the same OPTIMIZE rhythm StreamingIngest
     * uses for cases).
     */
+  /** @param recordMarker when false, the shared `postings_batches`
+    *   replay-skip ledger is neither consulted nor written — for
+    *   callers that carry their OWN idempotency marker (the CDC
+    *   follower keys on (index, table, version) in `cdc_applied`).
+    *   Reusing the writers' batch-id ledger from a second protocol
+    *   would silently replay-skip a real merge whenever the two id
+    *   spaces collide (streaming micro-batches start at 0, CLI run
+    *   ids at 1, CDC target versions wherever the table is). The
+    *   merge body is idempotent by construction (LWW merges +
+    *   recomputed stats), so markerless replays converge.
+    */
   def processBatch(store: SnapshotStore, batch: DataFrame, batchId: Long,
-      compactEvery: Int = 0): Unit = {
-    val alreadyDone = store.read("postings_batches").exists(
+      compactEvery: Int = 0, recordMarker: Boolean = true): Unit = {
+    val alreadyDone = recordMarker && store.read("postings_batches").exists(
       _.filter(col("batch_id") === batchId).limit(1).count() > 0)
     if (alreadyDone) return
     val spark = batch.sparkSession
@@ -553,7 +581,7 @@ object StreamingPostings {
         .withColumn("num_buckets",
           lit(graft.search.PostingsIndex.NumBuckets.toLong)))
     // commit marker LAST (see StreamingIngest.processBatch)
-    store.append("postings_batches", {
+    if (recordMarker) store.append("postings_batches", {
       import spark.implicits._
       Seq(batchId).toDF("batch_id")
     })
@@ -623,10 +651,14 @@ object StreamingAnn {
     *   maintenance stream would otherwise degrade exactly the pruned
     *   probes the index exists for.
     */
+  /** @param recordMarker as in [[StreamingPostings.processBatch]]:
+    *   false skips the shared `ann_batches` ledger for callers with
+    *   their own idempotency namespace (the CDC follower).
+    */
   def processBatch(store: SnapshotStore, batch: DataFrame, batchId: Long,
       retrainSkewX1000: Long = 4000L, retrainOnSkew: Boolean = false,
-      compactEvery: Int = 0): Unit = {
-    val alreadyDone = store.read("ann_batches").exists(
+      compactEvery: Int = 0, recordMarker: Boolean = true): Unit = {
+    val alreadyDone = recordMarker && store.read("ann_batches").exists(
       _.filter(col("batch_id") === batchId).limit(1).count() > 0)
     if (alreadyDone) return
     val spark = batch.sparkSession
@@ -697,7 +729,7 @@ object StreamingAnn {
     store.write("ann_stats",
       AnnStore.statsFromListStats(store, cents.size, retrainSkewX1000))
     // commit marker LAST (see StreamingIngest.processBatch)
-    store.append("ann_batches", Seq(batchId).toDF("batch_id"))
+    if (recordMarker) store.append("ann_batches", Seq(batchId).toDF("batch_id"))
     // post-commit maintenance, content-neutral (replay-safe): the
     // retrain trigger — a rewritten index is a NEW snapshot version
     // assigning the same vectors, so a crash replay of this batch
@@ -840,6 +872,79 @@ object IndexDeletes {
     }
   }
 
+  /** Remove `caseNumbers` (a frame with a `case_number` column) from
+    * the RAG serving tables: the chunk/embedding rows and the
+    * chunk-ANN index rows (assignments + the case→list sidecar map).
+    * Shared by [[forgetCases]] and the CDC follower's delete leg.
+    * Cost: O(victims × touched buckets/lists) — collide sets come
+    * from the case-bucket pure function and the pruned sidecar map,
+    * never a full assignments scan. Returns the tables rewritten.
+    */
+  def deleteFromRagServing(store: SnapshotStore,
+      caseNumbers: DataFrame): Seq[String] = {
+    val touched = Seq.newBuilder[String]
+    def emptyOf(table: String) = store.read(table).get.filter(lit(false))
+    val cnDf = caseNumbers.select("case_number").distinct()
+      .localCheckpoint(true) // read by the bucket collect + three merges
+    val cnBuckets = graft.rag.RagPipeline
+      .withCaseBucket(cnDf).select("case_bucket")
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    if (cnBuckets.isEmpty) return Nil
+    if (store.currentVersion("case_chunk_embeddings").isDefined) {
+      graft.rag.RagPipeline.ensureCaseBucketed(store, "case_chunk_embeddings")
+      store.mergeLastWriteWins("case_chunk_embeddings",
+        emptyOf("case_chunk_embeddings"), Seq("case_number"),
+        partitionCols = Seq("case_bucket"),
+        sortCols = Seq("case_number", "chunk_id"),
+        collideHint = Some(cnBuckets), keyScope = Some(cnDf))
+      touched += "case_chunk_embeddings"
+    }
+    if (store.currentVersion("chunk_ann_assignments").isDefined) {
+      // pre-sidecar stores (no case map yet) fall back to the merge's
+      // own column-pruned collide probe; sidecar stores hand it over
+      val priorLists: Option[Seq[Any]] =
+        store.read("chunk_ann_case_map").map(_.filter(
+          col("case_bucket").isin(cnBuckets: _*))
+          .join(cnDf, Seq("case_number"), "left_semi")
+          .select("list_id").distinct().collect()
+          .map(_.getAs[Number](0).intValue).sorted.toSeq)
+      store.mergeLastWriteWins("chunk_ann_assignments",
+        emptyOf("chunk_ann_assignments"), Seq("case_number"),
+        partitionCols = Seq("list_id"),
+        sortCols = Seq("case_number", "chunk_id"),
+        collideHint = priorLists, keyScope = Some(cnDf))
+      touched += "chunk_ann_assignments"
+      store.read("chunk_ann_case_map").foreach { _ =>
+        store.mergeLastWriteWins("chunk_ann_case_map",
+          emptyOf("chunk_ann_case_map"), Seq("case_number"),
+          partitionCols = Seq("case_bucket"),
+          sortCols = Seq("case_number"),
+          collideHint = Some(cnBuckets), keyScope = Some(cnDf))
+        touched += "chunk_ann_case_map"
+      }
+    }
+    touched.result()
+  }
+
+  /** Remove `ids` (a frame with a `doc_id` column) from a stored
+    * near-dup signature index (the banded, key-partitioned layout
+    * [[CdcIndexMaintenance.followNearDup]] maintains). `priorKeys`,
+    * when the caller can derive them (the CDC feed's `before.text`
+    * re-hashes to the victim's old band keys — a pure computation),
+    * prunes the merge to the victims' own key dirs; otherwise the
+    * merge's own column-pruned probe finds them.
+    */
+  def deleteFromSignatures(store: SnapshotStore, ids: DataFrame,
+      priorKeys: Option[Seq[Any]] = None): Seq[String] = {
+    if (store.currentVersion("signatures").isEmpty) return Nil
+    val idsOnly = ids.select("doc_id").distinct()
+    def emptyOf(table: String) = store.read(table).get.filter(lit(false))
+    store.mergeLastWriteWins("signatures", emptyOf("signatures"),
+      Seq("doc_id"), partitionCols = Seq("key"), sortCols = Seq("band"),
+      collideHint = priorKeys, keyScope = Some(idsOnly))
+    Seq("signatures")
+  }
+
   /** What a [[forgetCases]] run actually rewrote: the tables (scope a
     * post-erasure `vacuum` to exactly these — other tables' version
     * history and CDC surface are unrelated to the erasure and
@@ -898,42 +1003,7 @@ object IndexDeletes {
         // 1. docket postings (doc_id = the case surrogate id)
         touched ++= deleteFromPostings(store, victimIds.toDF("doc_id"))
         // 2. serving chunk tables (case-keyed, case-bucketed)
-        val cnBuckets = graft.rag.RagPipeline
-          .withCaseBucket(cnDf).select("case_bucket")
-          .distinct().collect().map(_.getInt(0)).sorted.toSeq
-        if (store.currentVersion("case_chunk_embeddings").isDefined) {
-          graft.rag.RagPipeline.ensureCaseBucketed(store, "case_chunk_embeddings")
-          store.mergeLastWriteWins("case_chunk_embeddings",
-            emptyOf("case_chunk_embeddings"), Seq("case_number"),
-            partitionCols = Seq("case_bucket"),
-            sortCols = Seq("case_number", "chunk_id"),
-            collideHint = Some(cnBuckets), keyScope = Some(cnDf))
-          touched += "case_chunk_embeddings"
-        }
-        if (store.currentVersion("chunk_ann_assignments").isDefined) {
-          // pre-sidecar stores (no case map yet) fall back to the merge's
-          // own column-pruned collide probe; sidecar stores hand it over
-          val priorLists: Option[Seq[Any]] =
-            store.read("chunk_ann_case_map").map(_.filter(
-              col("case_bucket").isin(cnBuckets: _*))
-              .join(cnDf, Seq("case_number"), "left_semi")
-              .select("list_id").distinct().collect()
-              .map(_.getAs[Number](0).intValue).sorted.toSeq)
-          store.mergeLastWriteWins("chunk_ann_assignments",
-            emptyOf("chunk_ann_assignments"), Seq("case_number"),
-            partitionCols = Seq("list_id"),
-            sortCols = Seq("case_number", "chunk_id"),
-            collideHint = priorLists, keyScope = Some(cnDf))
-          touched += "chunk_ann_assignments"
-          store.read("chunk_ann_case_map").foreach { _ =>
-            store.mergeLastWriteWins("chunk_ann_case_map",
-              emptyOf("chunk_ann_case_map"), Seq("case_number"),
-              partitionCols = Seq("case_bucket"),
-              sortCols = Seq("case_number"),
-              collideHint = Some(cnBuckets), keyScope = Some(cnDf))
-            touched += "chunk_ann_case_map"
-          }
-        }
+        touched ++= deleteFromRagServing(store, cnDf)
         // 3. party LINKS (delete-by-case: LWW on case_id alone with an
         // empty batch — coarser than the upsert key on purpose). A store
         // last written by pre-bucket code migrates first — the merge's
@@ -1013,10 +1083,15 @@ object IndexDeletes {
     runs.foreach { r =>
       val path = Paths.get(dir, s"ingest_run_$r")
       if (Files.exists(path)) {
-        // run_bucket is pmod(run_id, 64) — filter it explicitly so the
-        // read prunes to the run's own bucket dir
+        // run_bucket is pmod(run_id, BucketCount) — filter it
+        // explicitly so the read prunes to the run's own bucket dir.
+        // SHARED constant with StreamingIngest.bucketed: a drifted
+        // literal here would match nothing, `remaining.isEmpty` would
+        // read true, and the run's whole JSONL file — other records'
+        // surviving quarantine lines included — would be deleted.
+        val b = StreamingIngest.BucketCount
         val remaining = purged
-          .filter(col("run_bucket") === (((r % 64) + 64) % 64).toInt &&
+          .filter(col("run_bucket") === (((r % b) + b) % b).toInt &&
             col("run_id") === r)
           .select("run_id", "error_code", "why", "raw", "ts", "record_hash")
         if (remaining.isEmpty) {
@@ -1081,11 +1156,41 @@ object IndexDeletes {
   * an updated row replaces ALL its index rows); deletes run the
   * tombstone cascade with its explicit drained-bucket zeros.
   *
-  * Idempotent per version transition: the postings/ANN batch marker is
-  * the TARGET version, so re-applying the same (from, to) advance is a
-  * no-op, and the delete leg is naturally idempotent.
+  * Idempotent per version transition: each applied (index, table,
+  * version) records in the follower's OWN `cdc_applied` marker table —
+  * NOT the writers' postings_batches/ann_batches batch-id ledgers,
+  * whose id spaces (streaming micro-batches from 0, CLI run ids from
+  * 1) are unrelated to table versions: reusing them would silently
+  * replay-skip a real feed application whenever ids collide — so
+  * re-applying the same (from, to) advance is a no-op, and the delete
+  * legs are naturally idempotent.
   */
 object CdcIndexMaintenance {
+
+  /** Has this follower already applied `version` of `table` to
+    * `indexName`? The marker namespace is the follower's own, keyed
+    * (index, table, version) — immune to every other writer protocol
+    * sharing the store.
+    */
+  private def cdcApplied(store: SnapshotStore, indexName: String,
+      table: String, version: Long): Boolean =
+    store.read("cdc_applied").exists(
+      _.filter(col("index_name") === indexName &&
+        col("table_name") === table &&
+        col("version") === version).limit(1).count() > 0)
+
+  /** Commit marker for one feed application — appended LAST, so a
+    * crash mid-apply replays the (idempotent-by-construction) body.
+    */
+  private def markCdcApplied(store: SnapshotStore, indexName: String,
+      table: String, version: Long): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    store.append("cdc_applied",
+      Seq((indexName, table, version))
+        .toDF("index_name", "table_name", "version"))
+    ()
+  }
 
   /** Apply the (from → to] change feed of a `(doc_id, text)` table in
     * `store` to the postings index in the SAME store. Returns the
@@ -1094,15 +1199,19 @@ object CdcIndexMaintenance {
     */
   def applyToPostings(store: SnapshotStore, docsTable: String,
       fromVersion: Long, toVersion: Long): Long = {
+    if (cdcApplied(store, "postings", docsTable, toVersion)) return 0L
     val changes = store.readChanges(docsTable, fromVersion, toVersion,
       Seq("doc_id")).getOrElse(return 0L)
       .localCheckpoint(true) // read by both legs + the count
     val upserts = changes.filter(col("op").isin("insert", "update"))
       .select(col("doc_id"), coalesce(col("after.text"), lit("")).as("text"))
-    StreamingPostings.processBatch(store, upserts, batchId = toVersion)
+    StreamingPostings.processBatch(store, upserts, batchId = toVersion,
+      recordMarker = false)
     IndexDeletes.deleteFromPostings(store,
       changes.filter(col("op") === "delete").select("doc_id"))
-    changes.count()
+    val n = changes.count()
+    markCdcApplied(store, "postings", docsTable, toVersion)
+    n
   }
 
   /** Apply the (from → to] change feed of an `(id, embedding, ...)`
@@ -1111,6 +1220,7 @@ object CdcIndexMaintenance {
     */
   def applyToAnn(store: SnapshotStore, vecTable: String,
       fromVersion: Long, toVersion: Long): Long = {
+    if (cdcApplied(store, "ann", vecTable, toVersion)) return 0L
     val cur = store.readVersion(vecTable, toVersion).getOrElse(return 0L)
     val changes = store.readChanges(vecTable, fromVersion, toVersion,
       Seq("id")).getOrElse(return 0L)
@@ -1122,10 +1232,100 @@ object CdcIndexMaintenance {
     val upserts = cur.join(
       changes.filter(col("op").isin("insert", "update")).select("id"),
       Seq("id"), "left_semi")
-    StreamingAnn.processBatch(store, upserts, batchId = toVersion)
+    StreamingAnn.processBatch(store, upserts, batchId = toVersion,
+      recordMarker = false)
     IndexDeletes.deleteFromAnn(store,
       changes.filter(col("op") === "delete").select("id"))
-    changes.count()
+    val n = changes.count()
+    markCdcApplied(store, "ann", vecTable, toVersion)
+    n
+  }
+
+  /** Apply the (from → to] change feed of a `(doc_id, text)` table to
+    * the near-dup SIGNATURE index (the banded, key-partitioned LSH
+    * probe layout): upserted docs' banded rows replace their prior
+    * rows LWW-on-doc_id, deleted docs' rows die. The merge's collide
+    * set — which band-key partitions hold a changed doc's PRIOR rows —
+    * derives PURELY from the feed: `before.text` re-hashes to the old
+    * signature, so no sidecar and no index probe exist on this path at
+    * all; per-step cost is O(changed docs × bands).
+    */
+  def applyToSignatures(store: SnapshotStore, docsTable: String,
+      fromVersion: Long, toVersion: Long): Long = {
+    if (cdcApplied(store, "neardup", docsTable, toVersion)) return 0L
+    val changes = store.readChanges(docsTable, fromVersion, toVersion,
+      Seq("doc_id")).getOrElse(return 0L)
+      .localCheckpoint(true) // read by 2 key collects + merge + count
+    val newBanded = StreamingNearDup.bandedSignaturesOf(
+      changes.filter(col("op").isin("insert", "update"))
+        .select(col("doc_id"), coalesce(col("after.text"), lit("")).as("text")))
+      .localCheckpoint(true) // read by the key collect and the merge
+    def keysOf(df: DataFrame): Seq[Any] = df.select("key").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    val oldKeys = keysOf(StreamingNearDup.bandedSignaturesOf(
+      changes.filter(col("op").isin("update", "delete"))
+        .select(col("doc_id"), coalesce(col("before.text"), lit("")).as("text"))))
+    val touched = (oldKeys ++ keysOf(newBanded)).distinct.sorted(
+      Ordering.by((a: Any) => a.asInstanceOf[Long]))
+    // keyScope = EVERY changed doc (deletes included): the batch is
+    // the complete new signature state of its docs
+    store.mergeLastWriteWins("signatures", newBanded, Seq("doc_id"),
+      partitionCols = Seq("key"), sortCols = Seq("band"),
+      collideHint = Some(touched),
+      keyScope = Some(changes.select("doc_id")))
+    val n = changes.count()
+    markCdcApplied(store, "neardup", docsTable, toVersion)
+    n
+  }
+
+  /** Apply the (from → to] change feed of a cases-shaped table
+    * (`case_number`, `docket_text`) to the RAG serving tables: the
+    * chunk/embedding table and the chunk-ANN index. Upserted cases
+    * re-chunk + re-embed and replace per CASE (a shrunken case loses
+    * its stale chunk rows); deleted cases run the serving-table
+    * tombstone cascade. Per-step cost is O(changed cases × chunks) —
+    * the merges prune to the cases' own buckets/lists through the
+    * case-bucket pure function and the sidecar map.
+    */
+  def applyToRag(store: SnapshotStore, casesTable: String,
+      fromVersion: Long, toVersion: Long,
+      embedder: graft.rag.Embedder): Long = {
+    if (cdcApplied(store, "rag", casesTable, toVersion)) return 0L
+    val changes = store.readChanges(casesTable, fromVersion, toVersion,
+      Seq("case_number")).getOrElse(return 0L)
+      .localCheckpoint(true)
+    val upserts = changes.filter(col("op").isin("insert", "update"))
+      .select(col("case_number"), col("after.docket_text").as("docket_text"))
+    mergeRagChunks(store, upserts, embedder)
+    IndexDeletes.deleteFromRagServing(store,
+      changes.filter(col("op") === "delete").select("case_number"))
+    val n = changes.count()
+    markCdcApplied(store, "rag", casesTable, toVersion)
+    n
+  }
+
+  /** Chunk + embed `cases` and fold them into the serving tables —
+    * the exact choreography StreamingIngest's embedder path commits
+    * per micro-batch, shared so the follower can never drift from it.
+    */
+  private def mergeRagChunks(store: SnapshotStore, cases: DataFrame,
+      embedder: graft.rag.Embedder): Unit = {
+    if (cases.isEmpty) return
+    val chunks = graft.rag.RagPipeline.embedChunks(
+      graft.rag.RagPipeline.chunkCases(
+        cases.select("case_number", "docket_text")), embedder)
+      .localCheckpoint(true) // consumed by two merges
+    graft.rag.RagPipeline.ensureCaseBucketed(store, "case_chunk_embeddings")
+    store.mergeLastWriteWins("case_chunk_embeddings",
+      graft.rag.RagPipeline.withCaseBucket(chunks),
+      Seq("case_number"), partitionCols = Seq("case_bucket"),
+      sortCols = Seq("case_number", "chunk_id"),
+      collideHint = Some(graft.rag.RagPipeline.caseBucketsOf(chunks)))
+    if (store.currentVersion("chunk_ann_centroids").isEmpty)
+      graft.rag.RagPipeline.indexChunks(store,
+        store.read("case_chunk_embeddings").get
+          .select("case_number", "chunk_id", "chunk_text", "embedding"))
+    else graft.rag.RagPipeline.mergeChunkIndex(store, chunks)
   }
 
   /** What one follower advance did: `bootstrap` (index built from the
@@ -1154,47 +1354,59 @@ object CdcIndexMaintenance {
     ()
   }
 
-  /** The FOLLOWER: advance the postings index from its persisted
-    * cursor to `docsTable`'s current version — one feed application
-    * per version step (each step's diff is minimal and replay-safe:
-    * the batch marker is the target version). Recovery paths:
-    * no cursor → bootstrap from the current snapshot; a vacuumed
-    * version gap → full RESYNC (re-ingest the current snapshot — LWW
-    * makes it correct — then delete registry keys the snapshot no
-    * longer holds, one column-pruned anti join: the honest O(corpus)
-    * price of losing the feed, paid once, after which following is
-    * O(changes) again). Run it on any cadence; it is idempotent.
+  /** The shared follower skeleton: advance `indexName` from its
+    * persisted cursor to `table`'s current version — one feed
+    * application per version step (each step's diff is minimal and
+    * replay-safe: the `cdc_applied` marker keys on the target
+    * version). Recovery paths: no cursor → `fullSync` bootstrap from
+    * the current snapshot; a vacuumed version gap → `fullSync` RESYNC
+    * (the honest O(corpus) price of losing the feed, paid once, after
+    * which following is O(changes) again). Run on any cadence;
+    * idempotent — the cursor advance is the commit marker, and every
+    * body is idempotent by construction.
+    */
+  private def follow(store: SnapshotStore, indexName: String,
+      table: String)(fullSync: Long => Unit)(
+      applyStep: (Long, Long) => Unit): FollowReport = {
+    val cur = store.currentVersion(table).getOrElse(
+      return FollowReport("current", -1L, 0))
+    def resync(action: String): FollowReport = {
+      fullSync(cur)
+      advanceCursor(store, indexName, table, cur)
+      FollowReport(action, cur, 0)
+    }
+    cursorOf(store, indexName, table) match {
+      case None => resync("bootstrap")
+      case Some(a) if a >= cur => FollowReport("current", a, 0)
+      case Some(a) =>
+        val feedsReadable = (a to cur).forall(v =>
+          store.readVersion(table, v).isDefined)
+        if (!feedsReadable) resync("resync")
+        else {
+          ((a + 1) to cur).foreach(v => applyStep(v - 1, v))
+          advanceCursor(store, indexName, table, cur)
+          FollowReport("steps", cur, (cur - a).toInt)
+        }
+    }
+  }
+
+  /** The postings FOLLOWER. Resync re-ingests the current snapshot
+    * (LWW makes it correct) then deletes registry keys the snapshot
+    * no longer holds — one column-pruned anti join.
     */
   def followPostings(store: SnapshotStore,
       docsTable: String = "docs"): FollowReport = {
-    val cur = store.currentVersion(docsTable).getOrElse(
-      return FollowReport("current", -1L, 0))
     def docsNow = store.read(docsTable).get.select("doc_id", "text")
-    def resync(action: String): FollowReport = {
-      StreamingPostings.processBatch(store, docsNow, batchId = cur)
+    follow(store, "postings", docsTable) { cur =>
+      StreamingPostings.processBatch(store, docsNow, batchId = cur,
+        recordMarker = false)
       store.read("indexed_docs").foreach { reg =>
         IndexDeletes.deleteFromPostings(store,
           reg.select("doc_id").join(docsNow.select("doc_id"),
             Seq("doc_id"), "left_anti"))
         ()
       }
-      advanceCursor(store, "postings", docsTable, cur)
-      FollowReport(action, cur, 0)
-    }
-    cursorOf(store, "postings", docsTable) match {
-      case None => resync("bootstrap")
-      case Some(a) if a >= cur => FollowReport("current", a, 0)
-      case Some(a) =>
-        val feedsReadable = (a to cur).forall(v =>
-          store.readVersion(docsTable, v).isDefined)
-        if (!feedsReadable) resync("resync")
-        else {
-          ((a + 1) to cur).foreach(v =>
-            applyToPostings(store, docsTable, v - 1, v))
-          advanceCursor(store, "postings", docsTable, cur)
-          FollowReport("steps", cur, (cur - a).toInt)
-        }
-    }
+    }(applyToPostings(store, docsTable, _, _))
   }
 
   /** The ANN follower — [[followPostings]]'s vector twin. Bootstrap
@@ -1204,17 +1416,16 @@ object CdcIndexMaintenance {
     */
   def followAnn(store: SnapshotStore,
       vecTable: String = "vecs"): FollowReport = {
-    val cur = store.currentVersion(vecTable).getOrElse(
-      return FollowReport("current", -1L, 0))
     def vecsNow = store.read(vecTable).get
-    def resync(action: String): FollowReport = {
+    follow(store, "ann", vecTable) { cur =>
       if (store.currentVersion("ann_centroids").isEmpty) {
         val spark = vecsNow.sparkSession
         val cents = graft.rag.AnnStore.trainCentroids(
           vecsNow, "embedding", Seq(col("id")))
         graft.rag.AnnStore.writeIndex(spark, store, vecsNow, cents)
       } else {
-        StreamingAnn.processBatch(store, vecsNow, batchId = cur)
+        StreamingAnn.processBatch(store, vecsNow, batchId = cur,
+          recordMarker = false)
         store.read("ann_id_map").foreach { idMap =>
           IndexDeletes.deleteFromAnn(store,
             idMap.select("id").join(vecsNow.select("id"),
@@ -1222,22 +1433,59 @@ object CdcIndexMaintenance {
           ()
         }
       }
-      advanceCursor(store, "ann", vecTable, cur)
-      FollowReport(action, cur, 0)
-    }
-    cursorOf(store, "ann", vecTable) match {
-      case None => resync("bootstrap")
-      case Some(a) if a >= cur => FollowReport("current", a, 0)
-      case Some(a) =>
-        val feedsReadable = (a to cur).forall(v =>
-          store.readVersion(vecTable, v).isDefined)
-        if (!feedsReadable) resync("resync")
-        else {
-          ((a + 1) to cur).foreach(v => applyToAnn(store, vecTable, v - 1, v))
-          advanceCursor(store, "ann", vecTable, cur)
-          FollowReport("steps", cur, (cur - a).toInt)
-        }
-    }
+    }(applyToAnn(store, vecTable, _, _))
+  }
+
+  /** The near-dup SIGNATURE follower: keeps the banded signature
+    * index (the LSH probe table every batch/stream dedup consumer
+    * joins against) in step with a `(doc_id, text)` table maintained
+    * by ANY writer — every live doc carries its banded rows, a
+    * re-ingested doc's rows move key dirs, a deleted doc's rows die.
+    * Bootstrap/resync rewrites the table from the snapshot (equal to
+    * a from-scratch build by construction); steps cost
+    * O(changed docs × bands), the old keys derived from the feed's
+    * `before.text` with no index probe.
+    *
+    * NOTE: this maintains the INDEX-of-a-table contract. The
+    * [[StreamingNearDup]] filter pipeline writes the same table under
+    * kept-only semantics — run one protocol per store, not both.
+    */
+  def followNearDup(store: SnapshotStore,
+      docsTable: String = "docs"): FollowReport = {
+    def docsNow = store.read(docsTable).get.select("doc_id", "text")
+    follow(store, "neardup", docsTable) { _ =>
+      store.write("signatures",
+        StreamingNearDup.bandedSignaturesOf(docsNow)
+          .repartition(col("key")).sortWithinPartitions("key", "band"),
+        partitionCols = Seq("key"))
+      ()
+    }(applyToSignatures(store, docsTable, _, _))
+  }
+
+  /** The RAG serving follower: keeps `case_chunk_embeddings` and the
+    * chunk-ANN index in step with a cases-shaped table maintained by
+    * ANY writer — the continuous-ingest embedder path's tables,
+    * without requiring ingest to be the one doing the writing.
+    * Bootstrap/resync re-chunks + re-embeds the current snapshot
+    * (LWW per case), then deletes serving rows for cases the snapshot
+    * no longer holds (one column-pruned anti join); steps cost
+    * O(changed cases × chunks).
+    */
+  def followRag(store: SnapshotStore, casesTable: String = "cases",
+      embedder: graft.rag.Embedder =
+        graft.rag.HashingEmbedder()): FollowReport = {
+    def casesNow = store.read(casesTable).get
+      .select("case_number", "docket_text")
+    follow(store, "rag", casesTable) { _ =>
+      mergeRagChunks(store, casesNow, embedder)
+      store.read("case_chunk_embeddings").foreach { served =>
+        IndexDeletes.deleteFromRagServing(store,
+          served.select("case_number").distinct()
+            .join(casesNow.select("case_number"),
+              Seq("case_number"), "left_anti"))
+        ()
+      }
+    }(applyToRag(store, casesTable, _, _, embedder))
   }
 }
 

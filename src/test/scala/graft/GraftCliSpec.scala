@@ -136,5 +136,43 @@ class GraftCliSpec extends AnyFunSuite {
     assert(posts.filter(col("doc_id") === 2L).isEmpty,
       "follow kept a deleted doc's postings")
     assert(posts.filter(col("term") === "epsilon").count() == 1L)
+    // the near-dup signature index follows the same table
+    assert(GraftCli.dispatch(spark, Array("follow", "--table", "docs",
+      "--index", "neardup", "--store", dir)) == 0)
+    assert(st.read("signatures").get.select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    st.write("docs", Seq((3L, "epsilon zeta")).toDF("doc_id", "text"))
+    assert(GraftCli.dispatch(spark, Array("follow", "--table", "docs",
+      "--index", "neardup", "--store", dir)) == 0)
+    assert(st.read("signatures").get.select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(3L),
+      "neardup follow kept a deleted doc's signatures")
+  }
+
+  test("follow --index rag keeps the serving chunk tables in step " +
+    "with an externally-written cases table") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cli-follow-rag").toString
+    val st = new graft.store.SnapshotStore(spark, dir)
+    st.write("cases", Seq(("A-1", "first docket body"),
+      ("A-2", "second docket body")).toDF("case_number", "docket_text"))
+    assert(GraftCli.dispatch(spark, Array("follow", "--table", "cases",
+      "--index", "rag", "--store", dir)) == 0)
+    assert(st.read("case_chunk_embeddings").get.select("case_number")
+      .collect().map(_.getString(0)).toSet == Set("A-1", "A-2"))
+    st.write("cases", Seq(("A-1", "revised docket body"),
+      ("A-3", "third docket body")).toDF("case_number", "docket_text"))
+    assert(GraftCli.dispatch(spark, Array("follow", "--table", "cases",
+      "--index", "rag", "--store", dir)) == 0)
+    val served = st.read("case_chunk_embeddings").get
+    assert(served.select("case_number").collect()
+      .map(_.getString(0)).toSet == Set("A-1", "A-3"),
+      "rag follow did not track the cases feed")
+    assert(served.filter(col("case_number") === "A-1")
+      .select("chunk_text").collect().head.getString(0)
+      .contains("revised"), "rag follow served a stale chunk")
+    assert(st.read("chunk_ann_assignments").get.select("case_number")
+      .collect().map(_.getString(0)).toSet == Set("A-1", "A-3"))
   }
 }

@@ -1195,4 +1195,157 @@ class StreamingSpec extends AnyFunSuite {
       assert(current() == batchBottomK(all))
     } finally q.stop()
   }
+
+  test("CDC follower markers are NAMESPACED: taking over an index " +
+    "previously maintained by another writer's batch ids applies the " +
+    "feed instead of replay-skipping on a colliding id") {
+    import spark.implicits._
+    import graft.streaming.{CdcIndexMaintenance, StreamingPostings}
+    val store = new SnapshotStore(spark,
+      Files.createTempDirectory("graft-cdc-ns").toString)
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    // a streaming maintainer ran first: postings_batches now holds the
+    // micro-batch ids 0 and 1 — exactly the ids a version-numbered
+    // follower would collide with
+    StreamingPostings.processBatch(store, docsDf(9L -> "legacy stream"), 0L)
+    StreamingPostings.processBatch(store, docsDf(9L -> "legacy stream"), 1L)
+    // another writer now owns the docs table; the follower takes over
+    store.write("docs", docsDf(1L -> "alpha beta"))           // v0
+    val r0 = CdcIndexMaintenance.followPostings(store)
+    assert(r0.action == "bootstrap")
+    def terms() = store.read("postings").get.select("doc_id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(terms() == Set(1L -> "alpha", 1L -> "beta"),
+      "bootstrap did not index the followed snapshot (or kept legacy rows)")
+    // v1's target version is 1 — already marked in postings_batches by
+    // the legacy stream; the namespaced marker must still apply it
+    store.write("docs", docsDf(1L -> "alpha beta", 2L -> "gamma"))  // v1
+    val r1 = CdcIndexMaintenance.followPostings(store)
+    assert(r1.action == "steps" && r1.steps == 1)
+    assert(terms().contains(2L -> "gamma"),
+      "follower replay-skipped a real feed on a colliding legacy batch id")
+    // and the follower never pollutes the writers' ledger
+    assert(store.read("postings_batches").get.collect()
+      .map(_.getLong(0)).toSet == Set(0L, 1L),
+      "follower wrote into the writers' batch-id namespace")
+  }
+
+  test("near-dup signature follower: bootstrap equals a from-scratch " +
+    "build, steps move/insert/delete banded rows, resync after vacuum") {
+    import spark.implicits._
+    import graft.streaming.CdcIndexMaintenance
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def sigRows(s: SnapshotStore) = s.read("signatures").get
+      .select("doc_id", "sh", "band", "key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    def freshSigs(rows: (Long, String)*): Set[(Long, Long, Int, Long)] = {
+      val f = new SnapshotStore(spark,
+        Files.createTempDirectory("graft-ndf-fresh").toString)
+      f.write("docs", docsDf(rows: _*))
+      CdcIndexMaintenance.followNearDup(f)
+      sigRows(f)
+    }
+    val store = new SnapshotStore(spark,
+      Files.createTempDirectory("graft-ndf").toString)
+    val v0 = Seq(1L -> "the quick brown fox", 2L -> "lorem ipsum dolor")
+    store.write("docs", docsDf(v0: _*))
+    val r0 = CdcIndexMaintenance.followNearDup(store)
+    assert(r0.action == "bootstrap")
+    assert(sigRows(store).map(_._1) == Set(1L, 2L))
+    assert(sigRows(store).groupBy(_._1).forall(_._2.size == 4),
+      "each doc must carry one row per band")
+    // update doc 1 (its rows must MOVE — old-key rows die), insert 3,
+    // delete 2 — across two versions, followed in one call
+    val v1 = Seq(1L -> "a completely different text now",
+      2L -> "lorem ipsum dolor", 3L -> "third document body")
+    store.write("docs", docsDf(v1: _*))
+    val v2 = Seq(1L -> "a completely different text now",
+      3L -> "third document body")
+    store.write("docs", docsDf(v2: _*))
+    val r1 = CdcIndexMaintenance.followNearDup(store)
+    assert(r1.action == "steps" && r1.steps == 2)
+    assert(sigRows(store) == freshSigs(v2: _*),
+      "stepped signature index diverged from a from-scratch build")
+    assert(CdcIndexMaintenance.followNearDup(store).action == "current")
+    // vacuumed feed gap → resync, again equal to from-scratch
+    val v4 = Seq(3L -> "third document body", 4L -> "fourth arrives")
+    store.write("docs", docsDf(v4: _*))
+    store.write("docs", docsDf(v4: _*))
+    store.vacuum("docs", keepLast = 1)
+    val r2 = CdcIndexMaintenance.followNearDup(store)
+    assert(r2.action == "resync")
+    assert(sigRows(store) == freshSigs(v4: _*),
+      "resynced signature index diverged from a from-scratch build")
+  }
+
+  test("RAG serving follower: bootstrap chunks+embeds the snapshot, " +
+    "steps re-chunk updated cases and cascade deletes, resync after " +
+    "vacuum — stored chunks always equal a fresh pipeline run") {
+    import spark.implicits._
+    import graft.streaming.CdcIndexMaintenance
+    val emb = graft.rag.HashingEmbedder(16)
+    def casesDf(rows: (String, String)*) =
+      rows.toSeq.toDF("case_number", "docket_text")
+    def chunkRows(s: SnapshotStore) = s.read("case_chunk_embeddings").get
+      .select("case_number", "chunk_id", "chunk_text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    def freshChunks(rows: (String, String)*) =
+      graft.rag.RagPipeline.embedChunks(
+        graft.rag.RagPipeline.chunkCases(casesDf(rows: _*)), emb)
+        .select("case_number", "chunk_id", "chunk_text").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val long1 = ("docket text sentence " * 200).trim // multi-chunk
+    val store = new SnapshotStore(spark,
+      Files.createTempDirectory("graft-ragf").toString)
+    val v0 = Seq("A-1" -> long1, "A-2" -> "short body two")
+    store.write("cases", casesDf(v0: _*))
+    val r0 = CdcIndexMaintenance.followRag(store, embedder = emb)
+    assert(r0.action == "bootstrap")
+    assert(chunkRows(store) == freshChunks(v0: _*))
+    // the chunk-ANN index built alongside and covers the same cases
+    assert(store.read("chunk_ann_assignments").get
+      .select("case_number").collect().map(_.getString(0)).toSet ==
+      Set("A-1", "A-2"))
+    // shrink A-1 (stale high-chunk_id rows must die), add A-3, drop A-2
+    val v1 = Seq("A-1" -> "now tiny", "A-2" -> "short body two",
+      "A-3" -> "third case text")
+    store.write("cases", casesDf(v1: _*))
+    val v2 = Seq("A-1" -> "now tiny", "A-3" -> "third case text")
+    store.write("cases", casesDf(v2: _*))
+    val r1 = CdcIndexMaintenance.followRag(store, embedder = emb)
+    assert(r1.action == "steps" && r1.steps == 2)
+    assert(chunkRows(store) == freshChunks(v2: _*),
+      "stepped serving table diverged from a fresh pipeline run")
+    assert(store.read("chunk_ann_assignments").get
+      .select("case_number").collect().map(_.getString(0)).toSet ==
+      Set("A-1", "A-3"), "chunk-ANN rows did not follow the feed")
+    assert(store.read("chunk_ann_case_map").get
+      .select("case_number").collect().map(_.getString(0)).toSet ==
+      Set("A-1", "A-3"))
+    assert(CdcIndexMaintenance.followRag(store, embedder = emb)
+      .action == "current")
+    // vacuumed gap → resync
+    val v4 = Seq("A-3" -> "third case text revised", "A-4" -> long1)
+    store.write("cases", casesDf(v4: _*))
+    store.write("cases", casesDf(v4: _*))
+    store.vacuum("cases", keepLast = 1)
+    val r2 = CdcIndexMaintenance.followRag(store, embedder = emb)
+    assert(r2.action == "resync")
+    assert(chunkRows(store) == freshChunks(v4: _*),
+      "resynced serving table diverged from a fresh pipeline run")
+    // the serving search path works over the followed index
+    val qv = emb.embed("docket text sentence")
+    val hits = graft.rag.RagPipeline.searchStored(store,
+      casesDf(v4: _*).withColumn("id", monotonically_increasing_id())
+        .withColumn("title", lit("t")).withColumn("status", lit("active"))
+        .withColumn("filed_date", to_date(lit("2024-01-01")))
+        .withColumn("judge_id", lit(null).cast("long"))
+        .withColumn("court_id", lit(null).cast("long")),
+      Seq.empty[(Long, String)].toDF("id", "normalized_name")
+        .withColumn("full_name", lit("")),
+      Seq.empty[(Long, String)].toDF("id", "normalized_name")
+        .withColumn("name", lit("")),
+      qv, topK = 2)
+    assert(hits.count() >= 1L, "searchStored found nothing over the followed index")
+  }
 }
