@@ -337,6 +337,11 @@ object Bench {
     val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"spread":$spread,"loadavg":[$loadBefore,$loadAfter],"wide_spread_entries":$wide,"tainted":$tainted,"reprobed":$reprobed,"suspect":$suspectJson,"calibration":$calib,"load_factor":$loadFactor,"cores":$cores}"""
     println(record)
+    // the machine-parsable line the round driver greps for — the bare
+    // record above can be lost to log-tail truncation (r12's committed
+    // record kept 37/235 entries); a stable prefix makes the full
+    // record recoverable from any log slice that contains the line
+    println("BENCH-JSON: " + record)
     // The driver keeps only a 2000-char stdout tail when its JSON parse
     // fails, which truncates the per-entry map — persist the FULL record
     // so every entry is auditable from the committed repo.

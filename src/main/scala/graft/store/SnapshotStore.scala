@@ -712,6 +712,30 @@ final class SnapshotStore(spark: SparkSession, root: String,
   def append(table: String, batch: DataFrame, partitionCols: Seq[String] = Nil): Long =
     merged(table, batch, (prior, b) => prior.unionByName(b), partitionCols)
 
+  /** Do two partition dirs hold the SAME physical bytes — the same
+    * file names, each pair resolving to one physical file (one path in
+    * manifest mode, a shared inode in hard-link mode)? True means the
+    * partition was RETAINED by the commit between the two versions,
+    * so its rows are byte-identical and it can contribute nothing to
+    * a row-level diff.
+    */
+  private def samePhysicalTree(a: java.nio.file.Path,
+      b: java.nio.file.Path): Boolean = {
+    if (a == b) return true
+    def files(d: java.nio.file.Path): Map[String, java.nio.file.Path] = {
+      val s = Files.list(d)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => p.getFileName.toString -> p).toMap
+      finally s.close()
+    }
+    val fa = files(a)
+    val fb = files(b)
+    fa.keySet == fb.keySet && fa.forall { case (n, p) =>
+      try Files.isSameFile(p, fb(n))
+      catch { case _: java.io.IOException => false }
+    }
+  }
+
   /** Change data feed: the row-level diff between two retained
     * versions, keyed on `keys` — `op` ∈ insert/update/delete (updates
     * only where a non-key column actually changed; a rewritten file
@@ -721,14 +745,34 @@ final class SnapshotStore(spark: SparkSession, root: String,
     * processing deltas instead of re-reading snapshots — the lakehouse
     * CDF surface on the same version directories time travel reads.
     *
-    * Plan shape: one full-outer join on the keys between the two
-    * versions; at scale both sides are partition-pruned by the same
-    * hive layout the merges maintain.
+    * Plan shape: one full-outer join on the keys — restricted, for
+    * hive-partitioned tables, to the partitions whose PHYSICAL dirs
+    * differ between the two versions. A retained partition (the same
+    * manifest-referenced dir, or a dir of hard links to the same
+    * inodes) is byte-identical on both sides, so its keys can appear
+    * on neither side of the diff (the store's merges keep keys unique
+    * per snapshot); skipping it makes a follow step cost O(changed
+    * partitions), never O(corpus) — the property that lets an index
+    * follow a 100 TB table batch by batch.
     */
   def readChanges(table: String, fromVersion: Long, toVersion: Long,
       keys: Seq[String]): Option[DataFrame] = {
-    val oldRaw = readVersion(table, fromVersion).getOrElse(return None)
-    val newRaw = readVersion(table, toVersion).getOrElse(return None)
+    if (readVersion(table, fromVersion).isEmpty ||
+      readVersion(table, toVersion).isEmpty) return None
+    def side(version: Long, other: Long): DataFrame = {
+      val mine = physicalParts(table, version)
+      val theirs = physicalParts(table, other)
+      val full = readVersion(table, version).get
+      if (mine.isEmpty || theirs.isEmpty) full // not both hive-layout
+      else {
+        val changed = mine.filterNot { case (name, dir) =>
+          theirs.get(name).exists(samePhysicalTree(dir, _)) }
+        if (changed.isEmpty) full.filter(lit(false))
+        else readParts(changed.values, storedSchema(table, version))
+      }
+    }
+    val oldRaw = side(fromVersion, toVersion)
+    val newRaw = side(toVersion, fromVersion)
     // the two versions may straddle a schema-evolution boundary (a
     // column added, a numeric width grown) — align them the same way
     // evolving merges do, so a follower stepping over the evolution

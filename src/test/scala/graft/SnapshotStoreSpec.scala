@@ -596,6 +596,43 @@ class SnapshotStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("readChanges is partition-restricted: a feed step reads ONLY " +
+    "the partitions whose physical dirs changed (both commit modes) — " +
+    "what keeps a follow step O(changed partitions), not O(corpus)") {
+    import org.apache.spark.sql.functions.col
+    for (manifest <- Seq(false, true)) {
+      val s = new SnapshotStore(spark,
+        Files.createTempDirectory("graft-cdc-pruned").toString,
+        manifestCommits = manifest)
+      val v0 = (0L until 32L).map(k => (k, (k % 8).toInt, s"v$k"))
+        .toDF("k", "bucket", "v")
+      s.mergeLastWriteWins("t", v0, Seq("k"), partitionCols = Seq("bucket"))
+      // touch ONLY bucket 3: one update, one insert
+      s.mergeLastWriteWins("t",
+        Seq((3L, 3, "updated"), (103L, 3, "new")).toDF("k", "bucket", "v"),
+        Seq("k"), partitionCols = Seq("bucket"))
+      val d = s.readChanges("t", 0L, 1L, Seq("k")).get
+      val got = d.select("k", "op").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(3L -> "update", 103L -> "insert"),
+        s"manifest=$manifest: restricted diff lost or invented changes")
+      // the diff's scans must touch no untouched bucket's files
+      val buckets = d.inputFiles.flatMap(
+        "bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toInt)).toSet
+      assert(buckets == Set(3),
+        s"manifest=$manifest: diff read buckets $buckets — not just the touched one")
+      // a no-op transition (pure compaction rewrite) stays CDC-silent
+      // and a fully-retained feed step reads nothing at all
+      s.mergeLastWriteWins("t",
+        Seq((200L, 5, "x")).toDF("k", "bucket", "v"), Seq("k"),
+        partitionCols = Seq("bucket"))
+      val d2 = s.readChanges("t", 1L, 2L, Seq("k")).get
+      assert(d2.inputFiles.forall(_.contains("bucket=5")),
+        s"manifest=$manifest: second step read beyond its touched bucket")
+      assert(d2.collect().map(_.getLong(0)).toSeq == Seq(200L))
+    }
+  }
+
   test("readChanges across a schema-evolution boundary: the follower " +
     "sees null-filled/up-cast before structs instead of an analysis error") {
     val s = new SnapshotStore(spark,
