@@ -118,6 +118,47 @@ class SnapshotStoreConcurrencySpec extends AnyFunSuite {
     assert(a.currentVersion("dims").contains(9L))
   }
 
+  test("a follow daemon running BESIDE an ingest loop (the r12 " +
+    "workload that motivated the claim protocol): interleaved real " +
+    "writers converge to the serialized end state") {
+    import graft.streaming.CdcIndexMaintenance
+    val root = newRoot()
+    val ingestStore = new SnapshotStore(spark, root)
+    val followStore = new SnapshotStore(spark, root) // separate instance
+    val emb = graft.rag.HashingEmbedder(16)
+    val batches = (0 until 4).map(b =>
+      Seq((s"K-$b", s"docket body $b revision"), ("K-shared", s"shared rev $b"))
+        .toDF("case_number", "docket_text"))
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    inParallel(2) {
+      case 0 =>
+        try batches.foreach { b =>
+          ingestStore.mergeLastWriteWins("cases", b, Seq("case_number"))
+        } finally done.set(true)
+      case _ =>
+        // the daemon polls concurrently; every pass must land a clean
+        // cursor/serving state whatever half-way point it observes
+        while (!done.get()) {
+          CdcIndexMaintenance.followRag(followStore, embedder = emb); ()
+        }
+    }
+    // one final catch-up, then the serving table must equal a fresh
+    // pipeline run over the final snapshot
+    CdcIndexMaintenance.followRag(followStore, embedder = emb)
+    val served = followStore.read("case_chunk_embeddings").get
+      .select("case_number", "chunk_id", "chunk_text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val expect = graft.rag.RagPipeline.embedChunks(
+      graft.rag.RagPipeline.chunkCases(
+        ingestStore.read("cases").get), emb)
+      .select("case_number", "chunk_id", "chunk_text").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(served == expect,
+      "concurrent follow daemon diverged from the final snapshot")
+    // the ingest writer lost nothing to the concurrent committer
+    assert(ingestStore.read("cases").get.count() == 5L)
+  }
+
   test("a stale claim (crashed writer) is stolen after the timeout; " +
     "a fresh claim blocks the commit until released") {
     val root = newRoot()
