@@ -16,6 +16,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // hive-bucketed snapshot tables routinely exceed 32 partition
+      // dirs, and past this threshold Spark turns every file listing
+      // into its own one-task-per-dir JOB — a 1024-bucket table paid a
+      // ~1024-task listing job per read (measured: ~8k tasks per CDC
+      // follow step, all listing). Local/driver listing of a few
+      // thousand dirs is milliseconds; on a real cluster object-store
+      // listing would be tuned per deployment
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
       // Native graft expressions (codegen'd dot product for the ANN
       // hot paths) — see graft.plans.GraftExtensions.
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -398,7 +398,11 @@ object AnnStore {
       .distinct().collect().map(_.getInt(0)).sorted.toSeq
     store.read("ann_id_map").get
       .filter(col("id_bucket").isin(buckets: _*))
-      .join(ids.select("id"), Seq("id"), "left_semi")
+      // measured-size hint: a feed-derived key frame's estimate can
+      // demote this to a map-shuffling sort-merge join (SnapshotStore
+      // .broadcastIfSmall)
+      .join(SnapshotStore.broadcastIfSmall(ids.select("id")),
+        Seq("id"), "left_semi")
   }
 
   private[graft] val vectorCache = scala.collection.concurrent.TrieMap

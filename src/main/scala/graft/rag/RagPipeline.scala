@@ -301,7 +301,8 @@ object RagPipeline {
           .distinct().collect().map(_.getInt(0)).sorted.toSeq
         val priorLists = store.read("chunk_ann_case_map").get
           .filter(col("case_bucket").isin(deltaBuckets: _*))
-          .join(assignedDelta.select("case_number").distinct(),
+          .join(graft.store.SnapshotStore.broadcastIfSmall(
+            assignedDelta.select("case_number").distinct()),
             Seq("case_number"), "left_semi")
           .select("list_id").distinct().collect()
           .map(_.getAs[Number](0).intValue).sorted.toSeq

@@ -69,6 +69,28 @@ import org.apache.spark.sql.functions._
   *   update the protocol exists to prevent — and a healthy writer
   *   holds a claim only for the duration of one version write.
   */
+object SnapshotStore {
+  /** Broadcast-hint a batch-derived key frame when it is ACTUALLY
+    * small — decided by counting it, not by the planner's estimate.
+    * Plans flowing out of the change feed carry a join's worst-case
+    * size estimate (no column stats → the planner multiplies input
+    * sizes), and `localCheckpoint` preserves that origin estimate, so
+    * every downstream anti/semi join against a corpus-sized table
+    * silently demotes to a sort-merge join that shuffles the big side
+    * — measured on the CDC chain: a 50-key feed step shuffled the
+    * entire postings table (479 MB) where the directly-read twin
+    * shuffled 0.4 MB. The count is one cheap job over the (eagerly
+    * checkpointed, so counted-once-then-reused) key frame; frames
+    * above the threshold keep the planner's choice so a genuinely
+    * corpus-sized key set (a resync delete) can never OOM the driver.
+    */
+  private[graft] def broadcastIfSmall(df: DataFrame,
+      maxRows: Long = 2000000L): DataFrame = {
+    val m = df.localCheckpoint(true)
+    if (m.count() <= maxRows) broadcast(m) else m
+  }
+}
+
 final class SnapshotStore(spark: SparkSession, root: String,
     manifestCommits: Boolean = false,
     allowSchemaEvolution: Boolean = false,
@@ -658,12 +680,17 @@ final class SnapshotStore(spark: SparkSession, root: String,
   def mergeLastWriteWins(table: String, batch: DataFrame, keys: Seq[String],
       partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil,
       collideHint: Option[Seq[Any]] = None,
-      keyScope: Option[DataFrame] = None): Long =
+      keyScope: Option[DataFrame] = None): Long = {
+    // the replacement-key frame drives an anti join against the
+    // (possibly corpus-sized) prior — hint it by MEASURED size, not
+    // the planner's estimate (see [[SnapshotStore.broadcastIfSmall]])
+    val keysDf = SnapshotStore.broadcastIfSmall(
+      keyScope.getOrElse(batch).select(keys.map(col): _*).distinct())
     merged(table, batch, (prior, b) =>
-      prior.join(keyScope.getOrElse(b).select(keys.map(col): _*).distinct(),
-        keys, "left_anti")
+      prior.join(keysDf, keys, "left_anti")
         .unionByName(b), partitionCols, probeKeys = keys, sortCols = sortCols,
-      collideHint = collideHint, probeFrame = keyScope)
+      collideHint = collideHint, probeFrame = Some(keysDf))
+  }
 
   /** Insert-if-absent: prior rows win, new keys append (S5/S6).
     * `collideHint` as in [[mergeLastWriteWins]] — with a partition

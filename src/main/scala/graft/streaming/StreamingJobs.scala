@@ -551,7 +551,8 @@ object StreamingPostings {
     val collide: Option[Seq[Any]] = store.read("indexed_docs") match {
       case Some(reg) =>
         Some(reg.filter(col("doc_bucket").isin(touched: _*))
-          .join(batchDl.select("doc_id"), Seq("doc_id"), "left_semi")
+          .join(graft.store.SnapshotStore.broadcastIfSmall(
+            batchDl.select("doc_id")), Seq("doc_id"), "left_semi")
           .select(explode(col("term_buckets")).as("b")).distinct()
           .collect().map(_.getLong(0)).sorted.toSeq)
       case None if store.currentVersion("postings").isEmpty => Some(Nil)
@@ -905,7 +906,8 @@ object IndexDeletes {
       val priorLists: Option[Seq[Any]] =
         store.read("chunk_ann_case_map").map(_.filter(
           col("case_bucket").isin(cnBuckets: _*))
-          .join(cnDf, Seq("case_number"), "left_semi")
+          .join(graft.store.SnapshotStore.broadcastIfSmall(cnDf),
+            Seq("case_number"), "left_semi")
           .select("list_id").distinct().collect()
           .map(_.getAs[Number](0).intValue).sorted.toSeq)
       store.mergeLastWriteWins("chunk_ann_assignments",
@@ -1230,7 +1232,8 @@ object CdcIndexMaintenance {
     // through a semi join keeps the batch schema identical to the
     // stored assignment rows regardless of the table's column set)
     val upserts = cur.join(
-      changes.filter(col("op").isin("insert", "update")).select("id"),
+      graft.store.SnapshotStore.broadcastIfSmall(
+        changes.filter(col("op").isin("insert", "update")).select("id")),
       Seq("id"), "left_semi")
     StreamingAnn.processBatch(store, upserts, batchId = toVersion,
       recordMarker = false)

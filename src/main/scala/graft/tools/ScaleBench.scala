@@ -569,10 +569,18 @@ object ScaleBench {
         sys.props("java.io.tmpdir"), "graft-scale-chain",
         d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
       val store = new graft.store.SnapshotStore(s, root)
+      // 1024-way buckets: a 50-row batch of ARBITRARY keys touches
+      // ≤50 partitions ≈ 5% of the fan-out, so the partition-scoped
+      // merge (and the restricted change feed behind the followers)
+      // moves O(batch × bucket width), not O(corpus). At 64 buckets
+      // the same batch touched ~40/64 dirs — most of the corpus
+      // rewritten per round (measured: chain shuffle tracked the
+      // corpus 10×). Production sizes fan-out with the table for
+      // exactly this reason.
       def docsB(df: org.apache.spark.sql.DataFrame) =
-        df.withColumn("d_bucket", pmod(col("doc_id"), lit(64L)).cast("int"))
+        df.withColumn("d_bucket", pmod(col("doc_id"), lit(1024L)).cast("int"))
       def vecsB(df: org.apache.spark.sql.DataFrame) =
-        df.withColumn("v_bucket", pmod(col("id"), lit(64L)).cast("int"))
+        df.withColumn("v_bucket", pmod(col("id"), lit(1024L)).cast("int"))
       if (store.currentVersion("docs").isEmpty) {
         store.write("docs",
           docsB(Tables(s, d).documents.select("doc_id", "text"))
