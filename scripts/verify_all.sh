@@ -30,6 +30,11 @@
 # under local-cluster[4,8,2048], so EVERY family's sidecar lookups and
 # keyScope merges cross real executor JVM boundaries, not just the r11
 # 15-entry new family.
+# r13 full-registry replay: 218/218 again at sf0.1 under
+# local-cluster[4,8,2048] on the tree carrying the commit-claim CAS,
+# the measured-count broadcast hints, the partition-restricted change
+# feed, and the neardup/rag followers (SPARK_HOME=/opt/spark also
+# required alongside SPARK_SCALA_VERSION in this sandbox).
 set -euo pipefail
 SF_DIR="${1:-/root/testdata/sf0.01}"
 OUT_DIR="${2:-/tmp/graft_verify_all}"

@@ -1354,7 +1354,18 @@ object CdcIndexMaintenance {
       Seq((indexName, table, version))
         .toDF("index_name", "table_name", "applied_version"),
       Seq("index_name", "table_name"))
-    ()
+    // marker retention: the follower resumes at cursor+1 and never
+    // re-checks versions at or below the committed cursor, so their
+    // markers are dead — pruning here keeps cdc_applied
+    // O(in-flight applies), not O(every version ever followed). A
+    // crash before the prune just leaves dead rows until the next
+    // advance.
+    store.read("cdc_applied").foreach { m =>
+      store.write("cdc_applied", m.filter(
+        !(col("index_name") === indexName && col("table_name") === table &&
+          col("version") <= version)).localCheckpoint(true))
+      ()
+    }
   }
 
   /** The shared follower skeleton: advance `indexName` from its

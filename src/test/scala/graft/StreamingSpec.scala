@@ -1228,6 +1228,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.read("postings_batches").get.collect()
       .map(_.getLong(0)).toSet == Set(0L, 1L),
       "follower wrote into the writers' batch-id namespace")
+    // marker retention: everything at or below the committed cursor is
+    // dead and pruned — the marker table stays O(in-flight applies)
+    assert(store.read("cdc_applied").get
+      .filter(col("index_name") === "postings" &&
+        col("table_name") === "docs" && col("version") <= 1L).isEmpty,
+      "dead cdc markers survived the cursor advance")
   }
 
   test("near-dup signature follower: bootstrap equals a from-scratch " +
