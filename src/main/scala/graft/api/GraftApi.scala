@@ -155,9 +155,13 @@ final class GraftApi(spark: SparkSession, cases: DataFrame, judges: DataFrame,
   private def postingsFrames: (DataFrame, DataFrame) = {
     val st = searchStore.getOrElse(
       throw new IllegalStateException("no search index loaded"))
-    val posts = st.read("postings").getOrElse(
-      throw new IllegalStateException("search store has no postings index"))
-    (posts, st.read("postings_stats").get)
+    if (st.currentVersion("postings").isEmpty)
+      throw new IllegalStateException("search store has no postings index")
+    // the serving view: identical to the raw table on LWW-maintained
+    // stores (no tombstones), and the dead-generation filter on
+    // segment-maintained ones (StreamingPostings.processBatchAppend)
+    (graft.streaming.StreamingPostings.servingPostings(st),
+      st.read("postings_stats").get)
   }
 
   /** Reference validation conventions (api.py:64-73's pattern): at

@@ -221,7 +221,11 @@ object GraftCli {
         val index = opt(args, "--index").getOrElse("postings")
         val report = index match {
           case "postings" =>
-            graft.streaming.CdcIndexMaintenance.followPostings(store, table)
+            // --segment: O(batch) tombstone+append maintenance with
+            // --fold-every N amortizing the corpus rewrite
+            graft.streaming.CdcIndexMaintenance.followPostings(store, table,
+              segment = args.contains("--segment"),
+              foldEvery = opt(args, "--fold-every").map(_.toInt).getOrElse(0))
           case "ann" =>
             graft.streaming.CdcIndexMaintenance.followAnn(store, table)
           case "neardup" =>

@@ -524,6 +524,58 @@ final class SnapshotStore(spark: SparkSession, root: String,
     } finally { batch.unpersist(); () }
   }
 
+  /** ADD the batch's rows to a table as NEW FILES without rewriting
+    * any prior row — the segment-append commit (Lucene's new-segment
+    * write; a lakehouse AddFile-only commit): the new version's
+    * partition dirs hold the batch's files PLUS hard links to every
+    * prior file of the same partition, so the write cost is O(batch)
+    * regardless of how much prior data shares the touched partitions.
+    * This is what a partition-scoped [[append]] merge cannot give when
+    * the batch's keys hash across every partition (postings: one doc's
+    * terms touch all term buckets — the merge's touched-partition
+    * rewrite degenerates to the whole table); consumers that need
+    * replacement semantics layer tombstones over the appended rows and
+    * FOLD on a cadence (see StreamingPostings.processBatchAppend).
+    *
+    * Link-mode only: a manifest version maps each partition NAME to
+    * one physical dir, so merging new files into a retained partition
+    * would shadow the retained half (multi-path manifests are the
+    * object-store extension this commit mode still needs).
+    *
+    * Schema evolution composes: the version's `_schema` sidecar is the
+    * batch's schema, so a batch carrying a new column (a segment `seq`)
+    * reads null on the prior files with no rewrite.
+    */
+  def appendFiles(table: String, batch: DataFrame,
+      partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Long = {
+    require(!manifestCommits,
+      "appendFiles needs link-mode commits (manifest manifests map one " +
+        "dir per partition; merging files into a retained partition " +
+        "would shadow it)")
+    val b = if (sortCols.isEmpty) batch
+      else batch.sortWithinPartitions(
+        (partitionCols ++ sortCols).distinct.map(col): _*)
+    committed(table) { (curOpt, next) =>
+      writeVersionDir(table, next, b, partitionCols)
+      curOpt.foreach { cur =>
+        val nextDir = tableDir(table).resolve(s"v$next")
+        val curDir = tableDir(table).resolve(s"v$cur")
+        val parts = physicalParts(table, cur)
+        if (parts.nonEmpty) parts.foreach { case (name, dir) =>
+          linkTree(dir, nextDir.resolve(name)) }
+        else parquetFiles(curDir).foreach { f =>
+          // unpartitioned table: prior root files ride alongside
+          try Files.createLink(nextDir.resolve(f.getFileName.toString), f)
+          catch { case _: UnsupportedOperationException =>
+            Files.copy(f, nextDir.resolve(f.getFileName.toString)); () }
+        }
+      }
+      ensureReadableVersion(table, next, b)
+      swapPointer(table, next)
+      next
+    }
+  }
+
   /** Wire the untouched partitions of the prior snapshot into a new
     * version dir: hard links in link mode, `_manifest` lines
     * (`v<src>/<partDir>`, physical locations) in manifest mode.

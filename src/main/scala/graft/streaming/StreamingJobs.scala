@@ -593,6 +593,156 @@ object StreamingPostings {
     ()
   }
 
+  // ---- the SEGMENT maintenance path (opt-in, the 100 TB shape) -------
+  //
+  // The default [[processBatch]] is wall-flat across corpus decades but
+  // BYTE-linear: a doc batch's terms hash across every term bucket, so
+  // the LWW merge's touched-partition rewrite degenerates to the whole
+  // postings table per batch — fine at 500k docs (seconds), a bonfire
+  // at 100 TB. The segment protocol is Lucene's answer on the snapshot
+  // store: per batch, (1) tombstone the batch's docs below a fresh
+  // sequence number (a tiny LWW table — "rows of these docs older than
+  // seq s are dead"), then (2) APPEND the batch's postings as new
+  // files carrying seq = s ([[SnapshotStore.appendFiles]], O(batch)
+  // bytes). Probes read [[servingPostings]] — the appended rows minus
+  // a broadcast tombstone filter — and [[foldPostings]] rewrites the
+  // table applying the filter on a cadence, amortizing the one
+  // O(corpus) pass over N O(batch) merges.
+  //
+  // Crash ordering: tombstone FIRST, append SECOND, ledger marker last.
+  // A crash between the two leaves the batch's docs transiently ABSENT
+  // (benign for an index; the mandated replay re-tombstones at a HIGHER
+  // seq and re-appends, so the half-applied attempt's rows — if any —
+  // die under the new tombstone: replays can never double-count a
+  // term). Fold is idempotent for the same reason: surviving rows keep
+  // their seq, so re-applying an un-cleared tombstone filters nothing.
+  // Single maintainer per index (the follower/stream contract): seq
+  // derives from the postings version line, which only that
+  // maintainer advances.
+
+  /** One micro-batch under the SEGMENT protocol — same replacement
+    * semantics as [[processBatch]] (a re-ingested doc loses ALL its
+    * old rows, token-less re-ingests drop the doc), O(batch) write
+    * cost. Registry and stats maintenance are identical (already
+    * O(touched doc buckets)). `foldEvery` > 0 runs [[foldPostings]]
+    * on that batch cadence — the amortization knob.
+    */
+  def processBatchAppend(store: SnapshotStore, batch: DataFrame,
+      batchId: Long, foldEvery: Int = 0, recordMarker: Boolean = true): Unit = {
+    val alreadyDone = recordMarker && store.read("postings_batches").exists(
+      _.filter(col("batch_id") === batchId).limit(1).count() > 0)
+    if (alreadyDone) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val posts = graft.search.PostingsIndex
+      .buildPostings(batch.select("doc_id", "text"))
+      .localCheckpoint(true)
+    val batchDl = batch.select("doc_id").distinct()
+      .join(posts.select("doc_id", "dl").distinct(), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dl"))
+      .join(posts.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("term_bucket"))).as("term_buckets")),
+        Seq("doc_id"), "left")
+      .withColumn("term_buckets",
+        coalesce(col("term_buckets"), typedlit(Seq.empty[Long])))
+      .withColumn("doc_bucket",
+        pmod(col("doc_id"), lit(DocRegistryBuckets.toLong)))
+      .localCheckpoint(true)
+    // strictly increasing under the single-maintainer contract: every
+    // prior segment append (and every fold) bumped the version line
+    val seq = store.currentVersion("postings").map(_ + 1).getOrElse(0L)
+    // 1. tombstone: the batch is the complete new state of its docs
+    store.mergeLastWriteWins("postings_tombstones",
+      batchDl.select("doc_id").withColumn("dead_below", lit(seq)),
+      Seq("doc_id"))
+    // 2. the segment: new files only, every prior file linked forward
+    store.appendFiles("postings", posts.withColumn("seq", lit(seq)),
+      partitionCols = Seq("term_bucket"), sortCols = Seq("term"))
+    // registry + stats: the existing idempotent choreography — EXCEPT
+    // term_buckets, which must UNION the prior generations' buckets: a
+    // segment store keeps a doc's old rows physically alive until the
+    // fold, and the erasure path's collide hint must cover every
+    // partition any generation sits in (a latest-only registry missed
+    // an old generation's bucket and the erasure left its row alive —
+    // spec-pinned). Supersets are always safe for collide hints; folds
+    // drop the dead rows and the next re-ingest re-tightens the set.
+    val touched = batchDl.select("doc_bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    ensureRegistryTermBuckets(store)
+    val regDl = store.read("indexed_docs") match {
+      case Some(reg) =>
+        val prior = reg.filter(col("doc_bucket").isin(touched: _*))
+          .join(graft.store.SnapshotStore.broadcastIfSmall(
+            batchDl.select("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            col("term_buckets").cast("array<long>").as("prior_tb"))
+        batchDl.join(prior, Seq("doc_id"), "left")
+          .withColumn("term_buckets", sort_array(array_distinct(concat(
+            col("term_buckets"),
+            coalesce(col("prior_tb"), typedlit(Seq.empty[Long]))))))
+          .drop("prior_tb")
+      case None => batchDl
+    }
+    store.mergeLastWriteWins("indexed_docs", regDl, Seq("doc_id"),
+      partitionCols = Seq("doc_bucket"), collideHint = Some(touched))
+    store.mergeLastWriteWins("registry_stats",
+      touchedBucketTotals(store, touched), Seq("doc_bucket"))
+    store.write("postings_stats",
+      store.read("registry_stats").get
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(sum("total_tokens"), lit(0L)).as("total_tokens"))
+        .withColumn("num_buckets",
+          lit(graft.search.PostingsIndex.NumBuckets.toLong)))
+    if (recordMarker) store.append("postings_batches",
+      Seq(batchId).toDF("batch_id"))
+    if (foldEvery > 0 && (batchId + 1) % foldEvery == 0) { foldPostings(store); () }
+    ()
+  }
+
+  /** The probe-facing view of a segment-maintained postings table:
+    * appended rows minus the tombstoned generations. Pre-segment rows
+    * (no `seq` column / null seq) read as generation 0. The tombstone
+    * side is small by construction (only docs replaced since the last
+    * fold) and broadcast by measured size, so a probe pays one
+    * map-side filter over its term-pruned rows — never a corpus join.
+    * On a store with no tombstones (a batch-built index, or right
+    * after a fold) the view is the raw table.
+    */
+  def servingPostings(store: SnapshotStore): DataFrame = {
+    val base0 = store.read("postings").get
+    val base = (if (base0.columns.contains("seq"))
+      base0.withColumn("seq", coalesce(col("seq"), lit(0L)))
+    else base0.withColumn("seq", lit(0L)))
+    store.read("postings_tombstones") match {
+      case None => base
+      case Some(t) =>
+        base.join(graft.store.SnapshotStore.broadcastIfSmall(
+          t.select("doc_id", "dead_below")), Seq("doc_id"), "left")
+          .filter(col("dead_below").isNull || col("seq") >= col("dead_below"))
+          .drop("dead_below")
+    }
+  }
+
+  /** Fold the segments: rewrite the postings table as the serving
+    * view (dead generations dropped, files re-clustered by term), then
+    * clear the spent tombstones — the amortized O(corpus) pass that
+    * keeps probe overhead and tombstone size bounded. Idempotent: a
+    * crash between the rewrite and the clear re-applies tombstones to
+    * rows that already survived them (seq is preserved, so the filter
+    * keeps everything), and the next fold clears them.
+    */
+  def foldPostings(store: SnapshotStore): Option[Long] = {
+    val t = store.read("postings_tombstones").getOrElse(return None)
+    if (t.isEmpty) return None
+    val folded = servingPostings(store)
+      .localCheckpoint(true) // sever from the version being replaced
+      .repartition(col("term_bucket"))
+      .sortWithinPartitions("term_bucket", "term")
+    val v = store.write("postings", folded, partitionCols = Seq("term_bucket"))
+    store.write("postings_tombstones", t.filter(lit(false)))
+    Some(v)
+  }
+
   /** Watch `inputDir` for JSON files of `{doc_id, text}` documents. */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
       store: SnapshotStore, compactEvery: Int = 0): StreamingQuery = {
@@ -829,6 +979,15 @@ object IndexDeletes {
     val touched = idsB.select("doc_bucket").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     def emptyOf(table: String) = store.read(table).get.filter(lit(false))
+    // a segment-maintained store (processBatchAppend) also tracks the
+    // victims in the tombstone table — an ERASURE leaves no row at all,
+    // unlike a logical delete
+    store.read("postings_tombstones").foreach { _ =>
+      store.mergeLastWriteWins("postings_tombstones",
+        emptyOf("postings_tombstones"), Seq("doc_id"),
+        keyScope = Some(idsB.select("doc_id")))
+      ()
+    }
     store.read("indexed_docs") match {
       case Some(reg) =>
         val priorTermBuckets = reg
@@ -1199,15 +1358,23 @@ object CdcIndexMaintenance {
     * number of changed keys applied (0 when either version is gone —
     * vacuumed feeds need a fresh full build, surfaced to the caller).
     */
+  /** @param segment apply upserts through the SEGMENT protocol
+    *   (tombstone + new-files-only append, O(batch) bytes —
+    *   StreamingPostings.processBatchAppend) instead of the LWW
+    *   whole-bucket rewrite; deletes still run the eager erase.
+    */
   def applyToPostings(store: SnapshotStore, docsTable: String,
-      fromVersion: Long, toVersion: Long): Long = {
+      fromVersion: Long, toVersion: Long, segment: Boolean = false): Long = {
     if (cdcApplied(store, "postings", docsTable, toVersion)) return 0L
     val changes = store.readChanges(docsTable, fromVersion, toVersion,
       Seq("doc_id")).getOrElse(return 0L)
       .localCheckpoint(true) // read by both legs + the count
     val upserts = changes.filter(col("op").isin("insert", "update"))
       .select(col("doc_id"), coalesce(col("after.text"), lit("")).as("text"))
-    StreamingPostings.processBatch(store, upserts, batchId = toVersion,
+    if (segment)
+      StreamingPostings.processBatchAppend(store, upserts,
+        batchId = toVersion, recordMarker = false)
+    else StreamingPostings.processBatch(store, upserts, batchId = toVersion,
       recordMarker = false)
     IndexDeletes.deleteFromPostings(store,
       changes.filter(col("op") === "delete").select("doc_id"))
@@ -1408,10 +1575,16 @@ object CdcIndexMaintenance {
     * (LWW makes it correct) then deletes registry keys the snapshot
     * no longer holds — one column-pruned anti join.
     */
+  /** @param segment maintain through the segment protocol (see
+    *   [[applyToPostings]]); bootstraps/resyncs keep the LWW full
+    *   rebuild (they ARE the corpus pass). `foldEvery` > 0 folds the
+    *   segments every N feed steps.
+    */
   def followPostings(store: SnapshotStore,
-      docsTable: String = "docs"): FollowReport = {
+      docsTable: String = "docs", segment: Boolean = false,
+      foldEvery: Int = 0): FollowReport = {
     def docsNow = store.read(docsTable).get.select("doc_id", "text")
-    follow(store, "postings", docsTable) { cur =>
+    val r = follow(store, "postings", docsTable) { cur =>
       StreamingPostings.processBatch(store, docsNow, batchId = cur,
         recordMarker = false)
       store.read("indexed_docs").foreach { reg =>
@@ -1420,7 +1593,12 @@ object CdcIndexMaintenance {
             Seq("doc_id"), "left_anti"))
         ()
       }
-    }(applyToPostings(store, docsTable, _, _))
+    }(applyToPostings(store, docsTable, _, _, segment))
+    if (segment && foldEvery > 0 && r.steps > 0 &&
+      (r.appliedVersion + 1) % foldEvery == 0) {
+      StreamingPostings.foldPostings(store); ()
+    }
+    r
   }
 
   /** The ANN follower — [[followPostings]]'s vector twin. Bootstrap

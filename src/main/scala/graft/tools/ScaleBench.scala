@@ -428,6 +428,45 @@ object ScaleBench {
         maintBatchId.incrementAndGet(), compactEvery = 1)
       batch.count()
     }),
+    // r13 SEGMENT maintenance: the same 50-doc batch through
+    // processBatchAppend — tombstone + new-files-only append — whose
+    // write cost must be O(batch) in BYTES, not just wall-flat like
+    // the LWW row (which rewrites every term bucket per batch). The
+    // fold entry measures the amortized O(corpus) pass the cadence
+    // knob spreads over N batches (it appends one batch first so the
+    // fold always has tombstones to spend).
+    "postings_append_maintain" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-scale-postseg",
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+      val store = new graft.store.SnapshotStore(s, root)
+      if (store.currentVersion("postings").isEmpty)
+        graft.streaming.StreamingPostings.processBatchAppend(store,
+          Tables(s, d).documents.select("doc_id", "text"), 0L)
+      val batch = Tables(s, d).documents
+        .filter(pmod(col("doc_id"), lit(97L)) === 1L).limit(50)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" deltatok")).as("text"))
+      graft.streaming.StreamingPostings.processBatchAppend(store, batch,
+        maintBatchId.incrementAndGet())
+      batch.count()
+    }),
+    "postings_fold" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-scale-postseg",
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+      val store = new graft.store.SnapshotStore(s, root)
+      if (store.currentVersion("postings").isEmpty)
+        graft.streaming.StreamingPostings.processBatchAppend(store,
+          Tables(s, d).documents.select("doc_id", "text"), 0L)
+      val batch = Tables(s, d).documents
+        .filter(pmod(col("doc_id"), lit(97L)) === 2L).limit(50)
+        .select("doc_id", "text")
+      graft.streaming.StreamingPostings.processBatchAppend(store, batch,
+        maintBatchId.incrementAndGet())
+      graft.streaming.StreamingPostings.foldPostings(store)
+      store.vacuum("postings", keepLast = 1).size.toLong
+    }),
     "ann_maintain_batch" -> ((s, d) => {
       val root = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-scale-annmaint",
@@ -616,7 +655,7 @@ object ScaleBench {
       // postings + a dense probe over the stored ANN lists
       val stats = store.read("postings_stats").get
       graft.search.PostingsIndex.bm25SearchFrames(
-        store.read("postings").get, stats,
+        graft.streaming.StreamingPostings.servingPostings(store), stats,
         Seq("vector", "merge", "batch"), topK = 10,
         numBuckets = graft.search.PostingsIndex.numBucketsOf(stats)).count()
       val cents = graft.rag.AnnStore.centroidsOf(
