@@ -601,95 +601,12 @@ object ScaleBench {
     // track its own input (batch / changed partitions / tombstones /
     // index bytes), never the corpus; the first rep pays the one-time
     // corpus bootstrap outside the steady-state min.
-    "chain_batch" -> ((s, d) => {
-      import s.implicits._
-      import graft.streaming.CdcIndexMaintenance
-      val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-scale-chain",
-        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
-      val store = new graft.store.SnapshotStore(s, root)
-      // 1024-way buckets: a 50-row batch of ARBITRARY keys touches
-      // ≤50 partitions ≈ 5% of the fan-out, so the partition-scoped
-      // merge (and the restricted change feed behind the followers)
-      // moves O(batch × bucket width), not O(corpus). At 64 buckets
-      // the same batch touched ~40/64 dirs — most of the corpus
-      // rewritten per round (measured: chain shuffle tracked the
-      // corpus 10×). Production sizes fan-out with the table for
-      // exactly this reason.
-      def docsB(df: org.apache.spark.sql.DataFrame) =
-        df.withColumn("d_bucket", pmod(col("doc_id"), lit(1024L)).cast("int"))
-      def vecsB(df: org.apache.spark.sql.DataFrame) =
-        df.withColumn("v_bucket", pmod(col("id"), lit(1024L)).cast("int"))
-      if (store.currentVersion("docs").isEmpty) {
-        store.write("docs",
-          docsB(Tables(s, d).documents.select("doc_id", "text"))
-            .repartition(col("d_bucket")), partitionCols = Seq("d_bucket"))
-        store.write("vecs",
-          vecsB(Tables(s, d).embeddings.withColumnRenamed("vec_id", "id"))
-            .repartition(col("v_bucket")), partitionCols = Seq("v_bucket"))
-        CdcIndexMaintenance.followPostings(store, "docs")
-        CdcIndexMaintenance.followAnn(store, "vecs")
-      }
-      val slice = maintBatchId.incrementAndGet() % 90L + 2L
-      def bucketsOf(df: org.apache.spark.sql.DataFrame, c: String): Seq[Any] =
-        df.select(c).distinct().collect().map(_.get(0)).toSeq
-      // 1. a writer lands a 50-row batch in each base table
-      val docBatch = docsB(Tables(s, d).documents
-        .filter(pmod(col("doc_id"), lit(97L)) === slice).limit(50)
-        .select(col("doc_id"), concat(col("text"), lit(" chaintok")).as("text")))
-        .localCheckpoint(true)
-      store.mergeLastWriteWins("docs", docBatch, Seq("doc_id"),
-        partitionCols = Seq("d_bucket"),
-        collideHint = Some(bucketsOf(docBatch, "d_bucket")))
-      val vecBatch = vecsB(Tables(s, d).embeddings
-        .withColumnRenamed("vec_id", "id")
-        .filter(pmod(col("id"), lit(97L)) === slice).limit(50))
-        .localCheckpoint(true)
-      store.mergeLastWriteWins("vecs", vecBatch, Seq("id"),
-        partitionCols = Seq("v_bucket"),
-        collideHint = Some(bucketsOf(vecBatch, "v_bucket")))
-      // 2. the followers step both indexes from the restricted feed
-      CdcIndexMaintenance.followPostings(store, "docs")
-      CdcIndexMaintenance.followAnn(store, "vecs")
-      // 3. serve from the followed indexes: BM25 over the stored
-      // postings + a dense probe over the stored ANN lists
-      val stats = store.read("postings_stats").get
-      graft.search.PostingsIndex.bm25SearchFrames(
-        graft.streaming.StreamingPostings.servingPostings(store), stats,
-        Seq("vector", "merge", "batch"), topK = 10,
-        numBuckets = graft.search.PostingsIndex.numBucketsOf(stats)).count()
-      val cents = graft.rag.AnnStore.centroidsOf(
-        store.read("ann_centroids").get)
-      val qv = vecBatch.select("embedding").limit(1).collect()
-        .head.getSeq[Float](0).toArray
-      val probeLists = graft.rag.AnnStore.probeListsOf(cents, qv, 4)
-      store.read("ann_assignments").get
-        .filter(col("list_id").isin(probeLists: _*))
-        .withColumn("cosine", graft.functions.VectorFunctions
-          .dotFold(col("embedding"), typedlit(qv.toSeq)))
-        .orderBy(desc("cosine"), asc("id")).limit(10).count()
-      // 4. a writer tombstones 10 rows; the followers feed the deletes
-      val dead = docBatch.limit(10).localCheckpoint(true)
-      store.mergeLastWriteWins("docs", docsB(dead.filter(lit(false))),
-        Seq("doc_id"), partitionCols = Seq("d_bucket"),
-        collideHint = Some(bucketsOf(dead, "d_bucket")),
-        keyScope = Some(dead.select("doc_id")))
-      val deadVecs = vecBatch.limit(10).localCheckpoint(true)
-      store.mergeLastWriteWins("vecs", vecsB(deadVecs.filter(lit(false))),
-        Seq("id"), partitionCols = Seq("v_bucket"),
-        collideHint = Some(bucketsOf(deadVecs, "v_bucket")),
-        keyScope = Some(deadVecs.select("id")))
-      CdcIndexMaintenance.followPostings(store, "docs")
-      CdcIndexMaintenance.followAnn(store, "vecs")
-      // 5. reclaim: vacuum the tables this round touched
-      Seq("docs", "vecs", "postings", "indexed_docs", "registry_stats",
-        "postings_stats", "ann_assignments", "ann_id_map",
-        "ann_list_stats", "ann_stats", "cdc_cursors", "cdc_applied",
-        "ann_touched_intents")
-        .foreach(t => if (store.currentVersion(t).isDefined)
-          store.vacuum(t, keepLast = 1))
-      100L
-    }),
+    "chain_batch" -> ((s, d) => chainRound(s, d, segment = false)),
+    // the same loop with the postings follower in SEGMENT mode
+    // (tombstone + new-files append, fold every 8 steps): the
+    // follow-postings stage stops rewriting the corpus-wide term
+    // buckets per batch
+    "chain_batch_segment" -> ((s, d) => chainRound(s, d, segment = true)),
     // r11 A/B for the bucket sort (verdict item 3): the SAME probe
     // against a term-SORTED store (production layout) vs an UNSORTED
     // twin written without the cluster key — input_mb is the metric
@@ -720,6 +637,110 @@ object ScaleBench {
         Seq("vector", "merge", "batch"), topK = 20).count()
     }),
   )
+
+  /** One end-to-end chain round (see the chain_batch entry comment).
+    * `segment` switches the postings follower to the O(batch)
+    * tombstone+append protocol with an 8-step fold cadence.
+    */
+  private def chainRound(s: org.apache.spark.sql.SparkSession, d: String,
+      segment: Boolean): Long = {
+    locally {
+      import s.implicits._
+      import graft.streaming.CdcIndexMaintenance
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        if (segment) "graft-scale-chainseg" else "graft-scale-chain",
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+      val store = new graft.store.SnapshotStore(s, root)
+      // 1024-way buckets: a 50-row batch of ARBITRARY keys touches
+      // ≤50 partitions ≈ 5% of the fan-out, so the partition-scoped
+      // merge (and the restricted change feed behind the followers)
+      // moves O(batch × bucket width), not O(corpus). At 64 buckets
+      // the same batch touched ~40/64 dirs — most of the corpus
+      // rewritten per round (measured: chain shuffle tracked the
+      // corpus 10×). Production sizes fan-out with the table for
+      // exactly this reason.
+      def docsB(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("d_bucket", pmod(col("doc_id"), lit(1024L)).cast("int"))
+      def vecsB(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("v_bucket", pmod(col("id"), lit(1024L)).cast("int"))
+      if (store.currentVersion("docs").isEmpty) {
+        store.write("docs",
+          docsB(Tables(s, d).documents.select("doc_id", "text"))
+            .repartition(col("d_bucket")), partitionCols = Seq("d_bucket"))
+        store.write("vecs",
+          vecsB(Tables(s, d).embeddings.withColumnRenamed("vec_id", "id"))
+            .repartition(col("v_bucket")), partitionCols = Seq("v_bucket"))
+        CdcIndexMaintenance.followPostings(store, "docs",
+          segment = segment, foldEvery = if (segment) 8 else 0)
+        CdcIndexMaintenance.followAnn(store, "vecs")
+      }
+      val slice = maintBatchId.incrementAndGet() % 90L + 2L
+      def bucketsOf(df: org.apache.spark.sql.DataFrame, c: String): Seq[Any] =
+        df.select(c).distinct().collect().map(_.get(0)).toSeq
+      // 1. a writer lands a 50-row batch in each base table
+      val docBatch = docsB(Tables(s, d).documents
+        .filter(pmod(col("doc_id"), lit(97L)) === slice).limit(50)
+        .select(col("doc_id"), concat(col("text"), lit(" chaintok")).as("text")))
+        .localCheckpoint(true)
+      store.mergeLastWriteWins("docs", docBatch, Seq("doc_id"),
+        partitionCols = Seq("d_bucket"),
+        collideHint = Some(bucketsOf(docBatch, "d_bucket")))
+      val vecBatch = vecsB(Tables(s, d).embeddings
+        .withColumnRenamed("vec_id", "id")
+        .filter(pmod(col("id"), lit(97L)) === slice).limit(50))
+        .localCheckpoint(true)
+      store.mergeLastWriteWins("vecs", vecBatch, Seq("id"),
+        partitionCols = Seq("v_bucket"),
+        collideHint = Some(bucketsOf(vecBatch, "v_bucket")))
+      // 2. the followers step both indexes from the restricted feed
+      CdcIndexMaintenance.followPostings(store, "docs",
+        segment = segment, foldEvery = if (segment) 8 else 0)
+      CdcIndexMaintenance.followAnn(store, "vecs")
+      // 3. serve from the followed indexes: BM25 over the stored
+      // postings + a dense probe over the stored ANN lists
+      val stats = store.read("postings_stats").get
+      graft.search.PostingsIndex.bm25SearchFrames(
+        graft.streaming.StreamingPostings.servingPostings(store), stats,
+        Seq("vector", "merge", "batch"), topK = 10,
+        numBuckets = graft.search.PostingsIndex.numBucketsOf(stats)).count()
+      val cents = graft.rag.AnnStore.centroidsOf(
+        store.read("ann_centroids").get)
+      val qv = vecBatch.select("embedding").limit(1).collect()
+        .head.getSeq[Float](0).toArray
+      val probeLists = graft.rag.AnnStore.probeListsOf(cents, qv, 4)
+      store.read("ann_assignments").get
+        .filter(col("list_id").isin(probeLists: _*))
+        .withColumn("cosine", graft.functions.VectorFunctions
+          .dotFold(col("embedding"), typedlit(qv.toSeq)))
+        .orderBy(desc("cosine"), asc("id")).limit(10).count()
+      // 4. a writer tombstones 10 rows; the followers feed the deletes
+      val dead = docBatch.limit(10).localCheckpoint(true)
+      store.mergeLastWriteWins("docs", docsB(dead.filter(lit(false))),
+        Seq("doc_id"), partitionCols = Seq("d_bucket"),
+        collideHint = Some(bucketsOf(dead, "d_bucket")),
+        keyScope = Some(dead.select("doc_id")))
+      val deadVecs = vecBatch.limit(10).localCheckpoint(true)
+      store.mergeLastWriteWins("vecs", vecsB(deadVecs.filter(lit(false))),
+        Seq("id"), partitionCols = Seq("v_bucket"),
+        collideHint = Some(bucketsOf(deadVecs, "v_bucket")),
+        keyScope = Some(deadVecs.select("id")))
+      CdcIndexMaintenance.followPostings(store, "docs",
+        segment = segment, foldEvery = if (segment) 8 else 0)
+      CdcIndexMaintenance.followAnn(store, "vecs")
+      // 5. reclaim: vacuum the tables this round touched (the
+      // segment variant keeps postings_tombstones bounded via the
+      // fold cadence, so it rides the same list)
+      Seq("docs", "vecs", "postings", "postings_tombstones",
+        "indexed_docs", "registry_stats",
+        "postings_stats", "ann_assignments", "ann_id_map",
+        "ann_list_stats", "ann_stats", "cdc_cursors", "cdc_applied",
+        "ann_touched_intents")
+        .foreach(t => if (store.currentVersion(t).isDefined)
+          store.vacuum(t, keepLast = 1))
+      100L
+    }
+  }
 
   /** Seed-join row count for [[DedupQueries.q193Grams]] over a
     * boilerplate-heavy twist of the corpus: every 10th document gains
