@@ -337,11 +337,6 @@ object Bench {
     val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"spread":$spread,"loadavg":[$loadBefore,$loadAfter],"wide_spread_entries":$wide,"tainted":$tainted,"reprobed":$reprobed,"suspect":$suspectJson,"calibration":$calib,"load_factor":$loadFactor,"cores":$cores}"""
     println(record)
-    // the machine-parsable line the round driver greps for — the bare
-    // record above can be lost to log-tail truncation (r12's committed
-    // record kept 37/235 entries); a stable prefix makes the full
-    // record recoverable from any log slice that contains the line
-    println("BENCH-JSON: " + record)
     // The driver keeps only a 2000-char stdout tail when its JSON parse
     // fails, which truncates the per-entry map — persist the FULL record
     // so every entry is auditable from the committed repo.
@@ -350,6 +345,14 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
       record + "\n")
     catch { case _: Throwable => () }
+    // The machine-parsable line — printed LAST and kept COMPACT (<500
+    // chars): the driver retains only a short stdout tail, so the ~18 KB
+    // full record can never survive it with its leading `{` intact
+    // (r12/r13 both recorded `parsed: null` for exactly that reason).
+    // Totals, size, and health flags ride here; the per-entry map lives
+    // in the committed BENCH_FULL.json named by `full_record`.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_entries":${all.size},"reps":$Reps,"tainted":$tainted,"wide_spread_entries":$wide,"load_factor":$loadFactor,"calibration":$calib,"loadavg":[$loadBefore,$loadAfter],"full_record":"BENCH_FULL.json"}"""
+    println("BENCH-JSON: " + compact)
     spark.stop()
   }
 }

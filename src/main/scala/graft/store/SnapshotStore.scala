@@ -63,11 +63,12 @@ import org.apache.spark.sql.functions._
   *   commit modes, compaction, and time travel).
   */
 /** @param claimTimeoutMs how long another writer's version claim is
-  *   honored before it is presumed crashed and stolen (see
-  *   [[tryClaim]]). The default is generous — stealing a LIVE claim
-  *   could commit two writers onto one version dir, the exact lost
-  *   update the protocol exists to prevent — and a healthy writer
-  *   holds a claim only for the duration of one version write.
+  *   honored WITHOUT a heartbeat refresh before it is presumed crashed
+  *   and stolen (see [[CommitGuard]]). A live writer's claim is
+  *   refreshed every claimTimeoutMs/4 for as long as its commit runs,
+  *   so arbitrarily long commits (folds, compactions, corpus rewrites)
+  *   are never stolen from a healthy process — the timeout only has to
+  *   outlive a heartbeat gap, not a whole commit.
   */
 object SnapshotStore {
   /** Broadcast-hint a batch-derived key frame when it is ACTUALLY
@@ -89,12 +90,151 @@ object SnapshotStore {
     val m = df.localCheckpoint(true)
     if (m.count() <= maxRows) broadcast(m) else m
   }
+
+  /** Thrown (and caught inside [[SnapshotStore]]'s commit loop) when a
+    * writer discovers, immediately before its pointer swap, that its
+    * version claim was stolen — the commit aborts and retries on top of
+    * whatever the thief committed instead of racing it for the pointer.
+    */
+  private[graft] final class ClaimLostException(table: String, version: Long)
+    extends RuntimeException(
+      s"claim on $table v$version lost to another writer — retrying")
+
+  /** One JVM-wide daemon thread drives every in-flight commit's claim
+    * heartbeat (tasks are scheduled per commit and cancelled when it
+    * finishes — a heartbeat is a sub-millisecond stat+rename, so one
+    * thread serves any realistic number of concurrent commits).
+    */
+  private lazy val heartbeatExec =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "snapshot-store-claim-heartbeat")
+        t.setDaemon(true)
+        t
+      })
 }
 
+/** The commit-serialization primitive a [[SnapshotStore]] builds its
+  * optimistic version-claim CAS from — abstracted so the POSIX file
+  * implementation ([[FileCommitGuard]]) can be swapped for an
+  * object-store equivalent without touching the commit protocol:
+  *   - S3: a conditional `PutObject` with `If-None-Match: *` on the
+  *     claim key (or, pre-2024, the external commit/locking service the
+  *     Delta S3 LogStore uses — DynamoDB conditional writes);
+  *   - GCS: `x-goog-if-generation-match: 0`;
+  *   - Azure ADLS/ABFS: blob lease acquisition, or an ETag-conditional
+  *     create.
+  * The heartbeat maps to refreshing the claim object's payload (or
+  * renewing the lease); `stillHeld` to a read-back of the nonce. The
+  * contract is claim-per-(table, version): `tryClaim` is an atomic
+  * create-if-absent, a claim not refreshed within the timeout may be
+  * stolen, and a holder must re-verify with [[stillHeld]] immediately
+  * before publishing its commit.
+  */
+trait CommitGuard {
+  /** One CAS attempt: true = this guard instance now owns the claim.
+    * A stale claim (older than the timeout, unreadable, or stamped in
+    * the far future by a skewed clock) is removed and the attempt
+    * reports false — the caller's retry loop re-reads the pointer
+    * before trying again.
+    */
+  def tryClaim(table: String, version: Long): Boolean
+
+  /** Refresh the claim's liveness stamp so a LONG commit (a fold, a
+    * compaction, a full rewrite at corpus scale) is not mistaken for a
+    * crashed writer and stolen mid-write. No-op if the claim is no
+    * longer this guard's (never resurrects a stolen claim).
+    */
+  def heartbeat(table: String, version: Long): Unit
+
+  /** Does the claim still carry THIS guard's nonce? Checked immediately
+    * before the pointer swap: false means a steal happened (the
+    * heartbeat bounds that to pathological stalls) and the commit must
+    * abort rather than race the thief for the pointer.
+    */
+  def stillHeld(table: String, version: Long): Boolean
+
+  /** Release the claim (only if still this guard's — an unconditional
+    * delete could remove a thief's fresh claim).
+    */
+  def release(table: String, version: Long): Unit
+}
+
+/** The POSIX implementation: an O_EXCL claim file per (table, version)
+  * under the store root, body = `<nonce> <millis>`. See [[CommitGuard]]
+  * for the object-store mappings of each primitive.
+  */
+final class FileCommitGuard(root: String, claimTimeoutMs: Long)
+    extends CommitGuard {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  private val writerNonce = java.util.UUID.randomUUID().toString
+
+  private def claimFile(table: String, version: Long) =
+    Paths.get(root, table).resolve(s"_claim.v$version")
+
+  def tryClaim(table: String, version: Long): Boolean = {
+    val f = claimFile(table, version)
+    try {
+      Files.createDirectories(Paths.get(root, table))
+      Files.writeString(f, s"$writerNonce ${System.currentTimeMillis()}",
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val txt = try Files.readString(f)
+          catch { case _: java.io.IOException => return false }
+        // unparsable claim = no live owner to honor — treat as stale;
+        // |age| catches a FUTURE-stamped claim too (cross-process clock
+        // skew), which would otherwise never age out and spin every
+        // waiter forever
+        val age = txt.split(' ').lift(1).flatMap(_.toLongOption)
+          .map(System.currentTimeMillis() - _).getOrElse(Long.MaxValue)
+        if (age > claimTimeoutMs || age < -claimTimeoutMs) {
+          try { if (Files.readString(f) == txt) Files.delete(f) }
+          catch { case _: java.io.IOException => () }
+        }
+        false
+    }
+  }
+
+  def heartbeat(table: String, version: Long): Unit = {
+    val f = claimFile(table, version)
+    try {
+      if (Files.readString(f).startsWith(s"$writerNonce ")) {
+        // atomic replace via tmp+move so a concurrent staleness read
+        // never sees a torn body
+        val tmp = f.resolveSibling(f.getFileName.toString + s".hb.$writerNonce")
+        Files.writeString(tmp, s"$writerNonce ${System.currentTimeMillis()}")
+        Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
+  def stillHeld(table: String, version: Long): Boolean =
+    try Files.readString(claimFile(table, version))
+      .startsWith(s"$writerNonce ")
+    catch { case _: java.io.IOException => false }
+
+  def release(table: String, version: Long): Unit = {
+    val f = claimFile(table, version)
+    try { if (Files.readString(f).startsWith(s"$writerNonce ")) Files.delete(f) }
+    catch { case _: java.io.IOException => () }
+  }
+}
+
+/** @param commitGuard the claim primitive (see [[CommitGuard]]) —
+  *   defaults to the POSIX O_EXCL file implementation; an object-store
+  *   deployment swaps in its conditional-put equivalent here without
+  *   touching the commit protocol.
+  */
 final class SnapshotStore(spark: SparkSession, root: String,
     manifestCommits: Boolean = false,
     allowSchemaEvolution: Boolean = false,
-    claimTimeoutMs: Long = 600000L) {
+    claimTimeoutMs: Long = 600000L,
+    commitGuard: Option[CommitGuard] = None) {
 
   private def tableDir(table: String) = Paths.get(root, table)
   private def pointer(table: String) = tableDir(table).resolve("_current")
@@ -129,28 +269,36 @@ final class SnapshotStore(spark: SparkSession, root: String,
   /** The PHYSICAL hive partition dirs backing a version: its own dirs
     * plus, for a manifest version, the older-version dirs its manifest
     * retains (physical by construction — manifests are written
-    * resolved, never chained).
+    * resolved, never chained). MULTI-PATH: a partition name may map to
+    * SEVERAL physical dirs — the segment-append commit
+    * ([[appendFiles]]) adds a new generation dir per append while the
+    * manifest keeps referencing the prior generations' dirs, so a
+    * partition's rows are the UNION of its dirs. Merge commits write
+    * one own dir per touched partition and reference untouched
+    * partitions only (never both for one name), so their reads are
+    * unchanged by the union semantics.
     */
   private def physicalParts(table: String,
-      version: Long): Map[String, java.nio.file.Path] = {
+      version: Long): Map[String, Seq[java.nio.file.Path]] = {
     val dir = tableDir(table).resolve(s"v$version")
     if (!Files.isDirectory(dir)) return Map.empty
-    val own: Map[String, java.nio.file.Path] = {
+    val own: Seq[(String, java.nio.file.Path)] = {
       val s = Files.list(dir)
       try s.iterator().asScala.filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.contains("="))
-        .map(p => p.getFileName.toString -> p).toMap
+        .map(p => p.getFileName.toString -> p).toSeq
       finally s.close()
     }
     val mf = manifestFile(dir)
-    val refs: Map[String, java.nio.file.Path] =
-      if (!Files.exists(mf)) Map.empty
+    val refs: Seq[(String, java.nio.file.Path)] =
+      if (!Files.exists(mf)) Nil
       else Files.readAllLines(mf).asScala.filter(_.nonEmpty).map { line =>
         val i = line.indexOf('/')
         line.substring(i + 1) ->
           tableDir(table).resolve(line.substring(0, i)).resolve(line.substring(i + 1))
-      }.toMap
-    refs ++ own
+      }.toSeq
+    (refs ++ own).groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sortBy(_.toString)).toMap
   }
 
   /** Read a set of physical partition dirs as one frame, grouping by
@@ -183,7 +331,7 @@ final class SnapshotStore(spark: SparkSession, root: String,
         // a manifest with no partitions (a drained commit) reads the
         // version dir itself — the empty schema-bearing rewrite
         if (parts.isEmpty) Some(plainRead)
-        else Some(readParts(parts.values, schema))
+        else Some(readParts(parts.values.flatten, schema))
       } else Some(plainRead)
     }
   }
@@ -226,7 +374,7 @@ final class SnapshotStore(spark: SparkSession, root: String,
     // link mode the set is empty and whole dirs delete, link counts
     // keeping shared file data alive)
     val referenced: Set[java.nio.file.Path] = all.diff(drop)
-      .flatMap(v => physicalParts(table, v).values)
+      .flatMap(v => physicalParts(table, v).values.flatten)
       .map(_.toAbsolutePath.normalize).toSet
     drop.foreach { v =>
       val dir = tableDir(table).resolve(s"v$v")
@@ -276,71 +424,59 @@ final class SnapshotStore(spark: SparkSession, root: String,
   //   3. after winning the claim, re-check the pointer still reads N —
   //      the claim's owner releases AFTER swapping, so a claim won on
   //      an already-committed version is detectable and retried
-  //   4. write the version dir, swap the pointer, release the claim
+  //   4. write the version dir, RE-VERIFY the claim, swap the pointer,
+  //      release the claim
   // A crashed writer's claim (JVM death between 2 and 4) is stolen
-  // once it ages past `claimTimeoutMs`: the steal re-reads the claim
-  // body and deletes only the exact bytes it judged stale, so a fresh
-  // claim re-created in the window survives. The orphaned vN+1 dir is
-  // invisible (the pointer never moved) and the next writer of that
-  // version overwrites it — the same crash-window safety the
-  // single-writer protocol already pinned (see [[beforeSwap]]).
+  // once it ages past `claimTimeoutMs` with no heartbeat: the steal
+  // re-reads the claim body and deletes only the exact bytes it judged
+  // stale, so a fresh claim re-created in the window survives. The
+  // orphaned vN+1 dir is invisible (the pointer never moved) and the
+  // next writer of that version overwrites it — the same crash-window
+  // safety the single-writer protocol already pinned ([[beforeSwap]]).
+  //
+  // Two live-writer protections (a steal must only ever hit CRASHED
+  // writers): (a) a HEARTBEAT daemon refreshes the claim stamp every
+  // claimTimeoutMs/4 for as long as the body runs, so a legitimately
+  // long commit (a fold, a compaction, a corpus-scale rewrite) never
+  // looks stale; (b) the pointer swap RE-VERIFIES the claim still
+  // carries this writer's nonce and aborts into a clean retry if not —
+  // so even a steal that wins every race ends with one committed writer
+  // and one retried writer, never two writers publishing one version.
 
-  private val writerNonce = java.util.UUID.randomUUID().toString
-
-  private def claimFile(table: String, version: Long) =
-    tableDir(table).resolve(s"_claim.v$version")
-
-  /** One CAS attempt on the claim for `version`: true = this store
-    * instance now owns it. A stale or unreadable claim is removed
-    * (content-compared delete) and the attempt reports false — the
-    * caller's retry loop re-reads the pointer before trying again.
-    */
-  private def tryClaim(table: String, version: Long): Boolean = {
-    val f = claimFile(table, version)
-    try {
-      Files.createDirectories(tableDir(table))
-      Files.writeString(f, s"$writerNonce ${System.currentTimeMillis()}",
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val txt = try Files.readString(f)
-          catch { case _: java.io.IOException => return false }
-        // unparsable claim = no live owner to honor — treat as stale
-        val age = txt.split(' ').lift(1).flatMap(_.toLongOption)
-          .map(System.currentTimeMillis() - _).getOrElse(Long.MaxValue)
-        if (age > claimTimeoutMs) {
-          try { if (Files.readString(f) == txt) Files.delete(f) }
-          catch { case _: java.io.IOException => () }
-        }
-        false
-    }
-  }
-
-  private def releaseClaim(table: String, version: Long): Unit = {
-    Files.deleteIfExists(claimFile(table, version)); ()
-  }
+  private val guard: CommitGuard =
+    commitGuard.getOrElse(new FileCommitGuard(root, claimTimeoutMs))
 
   /** Serialize one commit against concurrent writers (same JVM or
     * another process on the store root — the claim is a file, not a
     * lock object). `body` receives the prior version (frozen while
     * the claim is held: any other writer must first claim prior+1,
     * which this writer owns) and the claimed version to write. On a
-    * lost race the loop re-reads the NEW current version and re-runs
-    * `body` — which re-reads its prior from the store, so the retried
-    * merge applies on top of the winner's commit instead of losing it.
+    * lost race — or a mid-write claim steal detected at swap time —
+    * the loop re-reads the NEW current version and re-runs `body`,
+    * which re-reads its prior from the store, so the retried merge
+    * applies on top of the winner's commit instead of losing it.
     */
   private def committed[A](table: String)(body: (Option[Long], Long) => A): A = {
     var backoffMs = 5L
     while (true) {
       val cur = currentVersion(table)
       val next = cur.getOrElse(-1L) + 1
-      if (tryClaim(table, next)) {
+      if (guard.tryClaim(table, next)) {
+        val interval = math.max(claimTimeoutMs / 4, 25L)
+        val hb = SnapshotStore.heartbeatExec.scheduleWithFixedDelay(
+          () => guard.heartbeat(table, next),
+          interval, interval, java.util.concurrent.TimeUnit.MILLISECONDS)
         try {
           // step 3: a release-then-claim interleave can hand us a claim
           // on a version that already committed — detect via the pointer
-          if (currentVersion(table) == cur) return body(cur, next)
-        } finally releaseClaim(table, next)
+          if (currentVersion(table) == cur) {
+            try return body(cur, next)
+            catch { case _: SnapshotStore.ClaimLostException => () } // retry
+          }
+        } finally {
+          hb.cancel(false)
+          guard.release(table, next)
+        }
       }
       Thread.sleep(backoffMs)
       backoffMs = math.min(backoffMs * 2, 200L)
@@ -429,6 +565,12 @@ final class SnapshotStore(spark: SparkSession, root: String,
 
   private def swapPointer(table: String, version: Long): Unit = {
     beforeSwap(table, version)
+    // the final claim re-verify: if a (pathological, heartbeat-stalled)
+    // steal took the claim mid-write, abort into the commit loop's
+    // retry instead of publishing a version dir the thief may be
+    // overwriting right now
+    if (!guard.stillHeld(table, version))
+      throw new SnapshotStore.ClaimLostException(table, version)
     val tmp = tableDir(table).resolve("_current.tmp")
     Files.writeString(tmp, version.toString)
     Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
@@ -481,7 +623,7 @@ final class SnapshotStore(spark: SparkSession, root: String,
       probeFrame: Option[DataFrame]): Long = {
     import org.apache.spark.storage.StorageLevel
     val pc = partitionCols.head
-    val priorPartDirs: Map[String, java.nio.file.Path] =
+    val priorPartDirs: Map[String, Seq[java.nio.file.Path]] =
       physicalParts(table, cur).filter(_._1.startsWith(s"$pc="))
     // prior layout isn't partitioned on pc (layout change) → full rewrite
     if (priorPartDirs.isEmpty)
@@ -537,58 +679,137 @@ final class SnapshotStore(spark: SparkSession, root: String,
     * replacement semantics layer tombstones over the appended rows and
     * FOLD on a cadence (see StreamingPostings.processBatchAppend).
     *
-    * Link-mode only: a manifest version maps each partition NAME to
-    * one physical dir, so merging new files into a retained partition
-    * would shadow the retained half (multi-path manifests are the
-    * object-store extension this commit mode still needs).
+    * Works in BOTH commit modes: link mode hard-links every prior file
+    * into the new version's partition dirs; manifest mode writes
+    * MULTI-PATH manifests (a partition name maps to a LIST of physical
+    * dirs — the batch's own generation dir plus every retained prior
+    * generation), so the object-store commit model gets the same
+    * O(batch) write cost. Manifest mode needs a partitioned layout
+    * (root files cannot be manifest-referenced).
     *
-    * Schema evolution composes: the version's `_schema` sidecar is the
-    * batch's schema, so a batch carrying a new column (a segment `seq`)
-    * reads null on the prior files with no rewrite.
+    * Schema evolution composes, with a MERGED sidecar: the version's
+    * `_schema` is the union of the stored schema and the batch's —
+    * a batch adding a column (a segment `seq`) reads null on the prior
+    * files with no rewrite, a column both carry at promotable numeric
+    * widths widens, and — the guard rail — a batch that OMITS a stored
+    * column errors unless `allowSchemaEvolution` is on (a
+    * verbatim-batch sidecar would silently null that column on every
+    * prior row), while a non-promotable retype errors in both modes.
     */
   def appendFiles(table: String, batch: DataFrame,
       partitionCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Long = {
-    require(!manifestCommits,
-      "appendFiles needs link-mode commits (manifest manifests map one " +
-        "dir per partition; merging files into a retained partition " +
-        "would shadow it)")
+    require(!manifestCommits || partitionCols.nonEmpty,
+      "manifest-mode appendFiles needs a partitioned layout — version-" +
+        "root data files cannot be manifest-referenced")
     val b = if (sortCols.isEmpty) batch
       else batch.sortWithinPartitions(
         (partitionCols ++ sortCols).distinct.map(col): _*)
     committed(table) { (curOpt, next) =>
-      writeVersionDir(table, next, b, partitionCols)
+      val priorSchema = curOpt.flatMap(cv => storedSchema(table, cv)
+        .orElse(readVersion(table, cv).map(_.schema)))
+      val aligned = priorSchema.fold(b)(appendAligned(_, b))
+      writeVersionDir(table, next, aligned, partitionCols)
       curOpt.foreach { cur =>
         val nextDir = tableDir(table).resolve(s"v$next")
         val curDir = tableDir(table).resolve(s"v$cur")
         val parts = physicalParts(table, cur)
-        if (parts.nonEmpty) parts.foreach { case (name, dir) =>
-          linkTree(dir, nextDir.resolve(name)) }
-        else parquetFiles(curDir).foreach { f =>
-          // unpartitioned table: prior root files ride alongside
-          try Files.createLink(nextDir.resolve(f.getFileName.toString), f)
-          catch { case _: UnsupportedOperationException =>
-            Files.copy(f, nextDir.resolve(f.getFileName.toString)); () }
+        if (parts.nonEmpty) retainParts(table, nextDir, parts)
+        else {
+          require(!manifestCommits,
+            "manifest-mode appendFiles onto an unpartitioned prior " +
+              "layout is not representable — rewrite the table " +
+              "partitioned first")
+          parquetFiles(curDir).foreach { f =>
+            // unpartitioned table: prior root files ride alongside
+            try Files.createLink(nextDir.resolve(f.getFileName.toString), f)
+            catch { case _: UnsupportedOperationException =>
+              Files.copy(f, nextDir.resolve(f.getFileName.toString)); () }
+          }
         }
       }
-      ensureReadableVersion(table, next, b)
+      ensureReadableVersion(table, next, aligned)
       swapPointer(table, next)
       next
     }
   }
 
+  /** Align an [[appendFiles]] batch with the table's stored schema so
+    * the written sidecar is the MERGED schema, never the batch's
+    * verbatim (every prior hard-linked/manifest-referenced file is
+    * read under the sidecar — a batch that misspelled, omitted, or
+    * retyped a column would otherwise silently null/drop it for the
+    * whole table). Additions always align (the segment `seq`
+    * mechanism); omissions null-fill only under `allowSchemaEvolution`
+    * and error otherwise; promotable numeric retypes widen; anything
+    * else errors.
+    */
+  /** Structural type equality ignoring nullability flags (a rebuilt
+    * batch's `array<int>` may differ from the stored sidecar's only in
+    * `containsNull` — not a retype).
+    */
+  private def sameTypeIgnoreNull(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (ArrayType(ea, _), ArrayType(eb, _)) => sameTypeIgnoreNull(ea, eb)
+      case (MapType(ka, va, _), MapType(kb, vb, _)) =>
+        sameTypeIgnoreNull(ka, kb) && sameTypeIgnoreNull(va, vb)
+      case (StructType(fa), StructType(fb)) =>
+        fa.length == fb.length && fa.zip(fb).forall { case (x, y) =>
+          x.name == y.name && sameTypeIgnoreNull(x.dataType, y.dataType) }
+      case _ => a == b
+    }
+  }
+
+  private def appendAligned(prior: org.apache.spark.sql.types.StructType,
+      batch: DataFrame): DataFrame = {
+    val bByName = batch.schema.fields.map(f => f.name -> f).toMap
+    val mergedFields = prior.fields.map { pf =>
+      bByName.get(pf.name) match {
+        case None =>
+          if (!allowSchemaEvolution)
+            throw new IllegalArgumentException(
+              s"appendFiles batch omits stored column '${pf.name}' — " +
+                "a verbatim-batch sidecar would silently null it on " +
+                "every prior row; enable allowSchemaEvolution to align " +
+                "omissions (null-filled on the batch's rows), or fix " +
+                "the batch")
+          pf
+        case Some(bf) if sameTypeIgnoreNull(bf.dataType, pf.dataType) => pf
+        case Some(bf) =>
+          widenedType(pf.dataType, bf.dataType) match {
+            case Some(w) => pf.copy(dataType = w)
+            case None => throw new IllegalArgumentException(
+              s"appendFiles batch retypes column '${pf.name}' from " +
+                s"${pf.dataType.simpleString} to " +
+                s"${bf.dataType.simpleString} — not a lossless " +
+                "widening, so prior files cannot read under it")
+          }
+      }
+    } ++ batch.schema.fields.filterNot(f => prior.fieldNames.contains(f.name))
+    batch.select(mergedFields.toSeq.map { f =>
+      (if (batch.columns.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
+  }
+
   /** Wire the untouched partitions of the prior snapshot into a new
     * version dir: hard links in link mode, `_manifest` lines
-    * (`v<src>/<partDir>`, physical locations) in manifest mode.
+    * (`v<src>/<partDir>`, physical locations) in manifest mode. A
+    * multi-path partition (segment generations) retains one line /
+    * link pass per physical dir; in link mode the generations' files
+    * merge into one target dir (part-file names are UUID-unique).
     */
   private def retainParts(table: String, nextDir: java.nio.file.Path,
-      retained: Map[String, java.nio.file.Path]): Unit =
+      retained: Map[String, Seq[java.nio.file.Path]]): Unit =
     if (manifestCommits) {
-      val lines = retained.toSeq.map { case (name, path) =>
-        s"${path.getParent.getFileName}/$name"
+      val lines = retained.toSeq.flatMap { case (name, paths) =>
+        paths.map(p => s"${p.getParent.getFileName}/$name")
       }.sorted
       Files.write(manifestFile(nextDir), lines.asJava)
-    } else retained.foreach { case (name, path) =>
-      linkTree(path, nextDir.resolve(name))
+      ()
+    } else retained.foreach { case (name, paths) =>
+      paths.foreach(linkTree(_, nextDir.resolve(name)))
     }
 
   /** Recursively hard-link `src` into `dst` (fallback: copy, for
@@ -791,27 +1012,34 @@ final class SnapshotStore(spark: SparkSession, root: String,
   def append(table: String, batch: DataFrame, partitionCols: Seq[String] = Nil): Long =
     merged(table, batch, (prior, b) => prior.unionByName(b), partitionCols)
 
-  /** Do two partition dirs hold the SAME physical bytes — the same
-    * file names, each pair resolving to one physical file (one path in
-    * manifest mode, a shared inode in hard-link mode)? True means the
-    * partition was RETAINED by the commit between the two versions,
-    * so its rows are byte-identical and it can contribute nothing to
-    * a row-level diff.
+  /** Do two partition dir SETS hold the SAME physical bytes — the same
+    * file names across all generations, each pair resolving to one
+    * physical file (one path in manifest mode, a shared inode in
+    * hard-link mode)? True means the partition was RETAINED by the
+    * commit between the two versions, so its rows are byte-identical
+    * and it can contribute nothing to a row-level diff. A duplicate
+    * file name within one side (cannot happen with Spark's UUID part
+    * names) degrades to "changed" — a safe over-read, never a miss.
     */
-  private def samePhysicalTree(a: java.nio.file.Path,
-      b: java.nio.file.Path): Boolean = {
-    if (a == b) return true
-    def files(d: java.nio.file.Path): Map[String, java.nio.file.Path] = {
-      val s = Files.list(d)
-      try s.iterator().asScala.filter(Files.isRegularFile(_))
-        .map(p => p.getFileName.toString -> p).toMap
-      finally s.close()
+  private def samePhysicalTree(as: Seq[java.nio.file.Path],
+      bs: Seq[java.nio.file.Path]): Boolean = {
+    if (as == bs) return true
+    def files(ds: Seq[java.nio.file.Path]): Option[Map[String, java.nio.file.Path]] = {
+      val all = ds.flatMap { d =>
+        val s = Files.list(d)
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+        finally s.close()
+      }
+      val m = all.map(p => p.getFileName.toString -> p).toMap
+      if (m.size != all.size) None else Some(m)
     }
-    val fa = files(a)
-    val fb = files(b)
-    fa.keySet == fb.keySet && fa.forall { case (n, p) =>
-      try Files.isSameFile(p, fb(n))
-      catch { case _: java.io.IOException => false }
+    (files(as), files(bs)) match {
+      case (Some(fa), Some(fb)) =>
+        fa.keySet == fb.keySet && fa.forall { case (n, p) =>
+          try Files.isSameFile(p, fb(n))
+          catch { case _: java.io.IOException => false }
+        }
+      case _ => false
     }
   }
 
@@ -844,10 +1072,10 @@ final class SnapshotStore(spark: SparkSession, root: String,
       val full = readVersion(table, version).get
       if (mine.isEmpty || theirs.isEmpty) full // not both hive-layout
       else {
-        val changed = mine.filterNot { case (name, dir) =>
-          theirs.get(name).exists(samePhysicalTree(dir, _)) }
+        val changed = mine.filterNot { case (name, dirs) =>
+          theirs.get(name).exists(samePhysicalTree(dirs, _)) }
         if (changed.isEmpty) full.filter(lit(false))
-        else readParts(changed.values, storedSchema(table, version))
+        else readParts(changed.values.flatten, storedSchema(table, version))
       }
     }
     val oldRaw = side(fromVersion, toVersion)
@@ -925,10 +1153,13 @@ final class SnapshotStore(spark: SparkSession, root: String,
         }
       } else {
         val pc = parts.head._1.split("=")(0)
-        val needy = parts.filter(p => parquetFiles(p._2).size > maxFilesPerPartition)
+        // a multi-path partition counts files across its generations —
+        // compacting it also folds the generation dirs back to one
+        val needy = parts.filter(
+          p => p._2.map(parquetFiles(_).size).sum > maxFilesPerPartition)
         if (needy.isEmpty) None
         else {
-          val rows = readParts(needy.values, storedSchema(table, cur))
+          val rows = readParts(needy.values.flatten, storedSchema(table, cur))
           writeVersionDir(table, next, clustered(rows.repartition(col(pc))), Seq(pc))
           retainParts(table, nextDir, parts -- needy.keys)
           swapPointer(table, next)

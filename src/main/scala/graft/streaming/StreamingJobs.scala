@@ -981,14 +981,13 @@ object IndexDeletes {
     def emptyOf(table: String) = store.read(table).get.filter(lit(false))
     // a segment-maintained store (processBatchAppend) also tracks the
     // victims in the tombstone table — an ERASURE leaves no row at all,
-    // unlike a logical delete
-    store.read("postings_tombstones").foreach { _ =>
-      store.mergeLastWriteWins("postings_tombstones",
-        emptyOf("postings_tombstones"), Seq("doc_id"),
-        keyScope = Some(idsB.select("doc_id")))
-      ()
-    }
-    store.read("indexed_docs") match {
+    // unlike a logical delete. The clear runs AFTER the postings/registry
+    // erase (see the end of this method): clearing first would open a
+    // crash window where previously-tombstoned generations resurrect
+    // into servingPostings with no replay marker to force a re-run —
+    // whereas a leftover tombstone for a doc with no physical rows is
+    // harmless.
+    val result = store.read("indexed_docs") match {
       case Some(reg) =>
         val priorTermBuckets = reg
           .filter(col("doc_bucket").isin(touched: _*))
@@ -1029,6 +1028,15 @@ object IndexDeletes {
               .withColumn("num_buckets", lit(storedBuckets.toLong)))
           Seq("postings", "postings_stats")
         }
+    }
+    store.read("postings_tombstones") match {
+      case Some(t) if !t.join(idsB.select("doc_id"),
+          Seq("doc_id"), "left_semi").isEmpty =>
+        store.mergeLastWriteWins("postings_tombstones",
+          emptyOf("postings_tombstones"), Seq("doc_id"),
+          keyScope = Some(idsB.select("doc_id")))
+        result :+ "postings_tombstones"
+      case _ => result
     }
   }
 
@@ -1526,12 +1534,25 @@ object CdcIndexMaintenance {
     // markers are dead — pruning here keeps cdc_applied
     // O(in-flight applies), not O(every version ever followed). A
     // crash before the prune just leaves dead rows until the next
-    // advance.
+    // advance. KEYED merge, not replacement: a whole-table write of a
+    // frame checkpointed from the prior version would clobber a
+    // concurrent follower's just-appended in-flight marker (the
+    // checkpointed frame predates it and replays verbatim on a lost
+    // claim race) — the keyScope delete removes exactly THIS
+    // (index, table)'s dead rows and re-reads the prior inside the
+    // claim window, so other followers' markers always survive.
     store.read("cdc_applied").foreach { m =>
-      store.write("cdc_applied", m.filter(
-        !(col("index_name") === indexName && col("table_name") === table &&
-          col("version") <= version)).localCheckpoint(true))
-      ()
+      val dead = m.filter(
+        col("index_name") === indexName && col("table_name") === table &&
+          col("version") <= version)
+        .select("index_name", "table_name", "version")
+        .localCheckpoint(true)
+      if (!dead.isEmpty) {
+        store.mergeLastWriteWins("cdc_applied", dead.filter(lit(false)),
+          Seq("index_name", "table_name", "version"),
+          keyScope = Some(dead))
+        ()
+      }
     }
   }
 

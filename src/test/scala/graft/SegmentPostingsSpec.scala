@@ -18,8 +18,9 @@ class SegmentPostingsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def newStore() =
-    new SnapshotStore(spark, Files.createTempDirectory("graft-seg").toString)
+  private def newStore(manifest: Boolean = false) =
+    new SnapshotStore(spark, Files.createTempDirectory("graft-seg").toString,
+      manifestCommits = manifest)
 
   private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
 
@@ -44,10 +45,12 @@ class SegmentPostingsSpec extends AnyFunSuite {
       numBuckets = graft.search.PostingsIndex.numBucketsOf(stats))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("segment protocol equals the LWW protocol on the same batch " +
-    "history: serving rows, stats, and BM25 results all match") {
+  for (manifest <- Seq(false, true))
+  test(s"segment protocol equals the LWW protocol on the same batch " +
+    s"history (manifestCommits=$manifest): serving rows, stats, and " +
+    "BM25 results all match") {
     val lww = newStore()
-    val seg = newStore()
+    val seg = newStore(manifest)
     history.zipWithIndex.foreach { case (b, i) =>
       StreamingPostings.processBatch(lww, b, i.toLong)
       StreamingPostings.processBatchAppend(seg, b, i.toLong)
@@ -70,6 +73,13 @@ class SegmentPostingsSpec extends AnyFunSuite {
     val rowsBefore = seg.read("postings").get.count()
     StreamingPostings.processBatchAppend(seg, history.head, 0L)
     assert(seg.read("postings").get.count() == rowsBefore)
+    // time travel + fold + erasure all hold in this commit mode too
+    assert(seg.readVersion("postings", 0L).isDefined)
+    assert(StreamingPostings.foldPostings(seg).isDefined)
+    assert(viewRows(seg.read("postings").get.drop("seq")) ==
+      viewRows(lww.read("postings").get), "post-fold rows diverged")
+    IndexDeletes.deleteFromPostings(seg, Seq(5L).toDF("doc_id"))
+    assert(seg.read("postings").get.filter(col("doc_id") === 5L).isEmpty)
   }
 
   test("foldPostings drops dead generations and spends the " +
@@ -157,10 +167,11 @@ class SegmentPostingsSpec extends AnyFunSuite {
     assert(sL.getLong(0) == sS.getLong(0) && sL.getLong(1) == sS.getLong(1))
   }
 
-  test("appendFiles: new files add to touched partitions, prior rows " +
-    "survive unrewritten, time travel and vacuum hold, manifest mode " +
-    "refuses") {
-    val s = newStore()
+  for (manifest <- Seq(false, true))
+  test(s"appendFiles (manifestCommits=$manifest): new files add to " +
+    "touched partitions, prior rows survive unrewritten, time travel " +
+    "and vacuum hold, schema evolution composes") {
+    val s = newStore(manifest)
     s.appendFiles("t", Seq((1L, 0, "a"), (2L, 1, "b")).toDF("k", "bucket", "v"),
       partitionCols = Seq("bucket"))
     s.appendFiles("t", Seq((3L, 0, "c")).toDF("k", "bucket", "v"),
@@ -175,15 +186,50 @@ class SegmentPostingsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(got == Map(1L -> None, 2L -> None, 3L -> None, 4L -> Some(7L)))
     s.vacuum("t", keepLast = 1)
-    assert(s.read("t").get.count() == 4L, "vacuum broke shared links")
-    val m = new SnapshotStore(spark,
-      Files.createTempDirectory("graft-seg-m").toString,
-      manifestCommits = true)
-    m.write("t", Seq((1L, 0, "a")).toDF("k", "bucket", "v"),
+    assert(s.read("t").get.count() == 4L,
+      "vacuum broke shared links / referenced generations")
+    // compaction folds the multi-generation partitions back to one
+    // dir and keeps every row
+    s.compact("t", maxFilesPerPartition = 1)
+    assert(s.read("t").get.count() == 4L, "compaction lost a generation")
+  }
+
+  test("appendFiles guards the sidecar schema: an omitted column " +
+    "errors under the strict default (and null-fills under evolution), " +
+    "a non-promotable retype errors always, a widened column widens " +
+    "the table") {
+    val s = newStore()
+    s.appendFiles("t", Seq((1L, 0, "a", 5)).toDF("k", "bucket", "v", "n"),
       partitionCols = Seq("bucket"))
+    // omission: strict store errors — the sidecar would otherwise
+    // silently null `v` on every prior row
     intercept[IllegalArgumentException] {
-      m.appendFiles("t", Seq((2L, 1, "b")).toDF("k", "bucket", "v"),
+      s.appendFiles("t", Seq((2L, 1, 6)).toDF("k", "bucket", "n"),
         partitionCols = Seq("bucket"))
     }
+    // non-promotable retype: errors in both modes
+    intercept[IllegalArgumentException] {
+      s.appendFiles("t", Seq((2L, 1, "b", "oops")).toDF("k", "bucket", "v", "n"),
+        partitionCols = Seq("bucket"))
+    }
+    // widening: an int→long batch widens the table, prior files read
+    // up-cast under the merged sidecar
+    s.appendFiles("t", Seq((2L, 1, "b", 7L)).toDF("k", "bucket", "v", "n"),
+      partitionCols = Seq("bucket"))
+    val gotW = s.read("t").get.select("k", "n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotW == Map(1L -> 5L, 2L -> 7L))
+    // evolution store: the omission null-fills the batch's rows and
+    // the sidecar keeps the full merged schema
+    val e = new SnapshotStore(spark,
+      Files.createTempDirectory("graft-seg-evo").toString,
+      allowSchemaEvolution = true)
+    e.appendFiles("t", Seq((1L, 0, "a")).toDF("k", "bucket", "v"),
+      partitionCols = Seq("bucket"))
+    e.appendFiles("t", Seq((2L, 1)).toDF("k", "bucket"),
+      partitionCols = Seq("bucket"))
+    val gotE = e.read("t").get.select("k", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(gotE == Map(1L -> Some("a"), 2L -> None))
   }
 }

@@ -172,18 +172,76 @@ class SnapshotStoreConcurrencySpec extends AnyFunSuite {
     s.append("t", Seq((2, "b")).toDF("k", "v"))
     assert(s.read("t").get.count() == 2L, "steal path lost the commit")
     assert(System.currentTimeMillis() - t0 < 60000L)
-    // fresh claim: the writer waits. Hold v2's claim, release it from
-    // another thread after a beat, and assert the commit then lands.
+    // fresh claim: the writer waits. Hold v2's claim (a just-stamped
+    // one — a live writer's), release it from another thread after a
+    // beat, and assert the commit then lands.
     val fresh = Paths.get(root, "t", "_claim.v2")
-    Files.writeString(fresh, s"live-writer ${System.currentTimeMillis() + 3600000L}")
+    val released = new java.util.concurrent.atomic.AtomicLong(0L)
     val releaser = new Thread(() => {
-      Thread.sleep(700); Files.deleteIfExists(fresh); ()
+      // keep the claim alive past its 300ms timeout the way a live
+      // writer's heartbeat would, then release it
+      (0 until 6).foreach { _ =>
+        Thread.sleep(120)
+        Files.writeString(fresh, s"live-writer ${System.currentTimeMillis()}")
+      }
+      Files.deleteIfExists(fresh)
+      released.set(System.currentTimeMillis())
     })
+    Files.writeString(fresh, s"live-writer ${System.currentTimeMillis()}")
     releaser.start()
     s.append("t", Seq((3, "c")).toDF("k", "v"))
     releaser.join()
+    assert(released.get() > 0L, "the commit raced past a live claim")
     assert(s.read("t").get.count() == 3L)
     assert(s.currentVersion("t").contains(2L))
+  }
+
+  test("a FUTURE-stamped claim (cross-process clock skew) ages out as " +
+    "stale instead of blocking every waiter forever") {
+    val root = newRoot()
+    val s = new SnapshotStore(spark, root, claimTimeoutMs = 300L)
+    s.write("t", Seq((1, "a")).toDF("k", "v"))
+    Files.writeString(Paths.get(root, "t", "_claim.v1"),
+      s"skewed-writer ${System.currentTimeMillis() + 3600000L}")
+    val t0 = System.currentTimeMillis()
+    s.append("t", Seq((2, "b")).toDF("k", "v"))
+    assert(s.read("t").get.count() == 2L)
+    assert(System.currentTimeMillis() - t0 < 60000L,
+      "future-stamped claim was honored instead of judged stale")
+  }
+
+  test("a mid-write claim steal is detected at the pointer swap: the " +
+    "victim aborts into a clean retry, the thief's commit survives, " +
+    "and the final state is the serialized result") {
+    val root = newRoot()
+    val s = new SnapshotStore(spark, root)
+    s.write("t", Seq((1, "a")).toDF("k", "v"))
+    // simulate a steal landing while the victim writes: at the swap
+    // the claim no longer carries the victim's nonce. The victim must
+    // retry (the loop re-reads the pointer) rather than publish.
+    var stolen = false
+    s.beforeSwap = (table, version) =>
+      if (table == "t" && version == 1L && !stolen) {
+        stolen = true
+        // the thief replaces the claim and commits v1 itself
+        val claim = Paths.get(root, "t", "_claim.v1")
+        Files.writeString(claim, s"thief ${System.currentTimeMillis()}")
+        val thief = new SnapshotStore(spark, root)
+        // the thief holds the claim, so it commits by writing the dir
+        // and swapping directly (mirroring a stolen-claim winner)
+        thief.read("t").get.unionByName(Seq((2, "thief")).toDF("k", "v"))
+          .write.mode("overwrite")
+          .parquet(Paths.get(root, "t", "v1").toString)
+        Files.writeString(Paths.get(root, "t", "_current"), "1")
+      }
+    s.mergeLastWriteWins("t", Seq((3, "victim")).toDF("k", "v"), Seq("k"))
+    s.beforeSwap = (_, _) => ()
+    val got = s.read("t").get.collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "a", 2 -> "thief", 3 -> "victim"),
+      s"steal-at-swap lost a write: $got")
+    assert(s.currentVersion("t").contains(2L),
+      "the victim's retry did not land on top of the thief's commit")
   }
 
   test("crash between version write and pointer swap releases the " +
