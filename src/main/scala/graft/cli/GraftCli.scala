@@ -29,7 +29,9 @@ import graft.store.SnapshotStore
   *   compact --store <dir> [--table T] [--max-files N]  merge small files
   *   changes --store <dir> --table T --from V --to V --keys k1,k2  CDC diff
   *   forget --store <dir> --case-numbers a,b             expunge dockets
-  *   follow --store <dir> --table T [--index postings|ann|neardup|rag]  CDC catch-up
+  *   follow --store <dir> --table T [--index postings|ann|neardup|rag]
+  *          [--lww] [--fold-every N] [--fold-max-buckets N]  CDC catch-up
+  *          (segment maintenance by default; --lww = whole-bucket mode)
   */
 object GraftCli {
 
@@ -219,15 +221,23 @@ object GraftCli {
         // was vacuumed (CdcIndexMaintenance)
         val table = opt(args, "--table").getOrElse(sys.error("--table required"))
         val index = opt(args, "--index").getOrElse("postings")
+        // segment (O(batch) tombstone+append) maintenance is the
+        // DEFAULT since r14; --lww keeps the simple whole-bucket
+        // rewrite mode, --fold-every N sets the fold cadence (8), and
+        // --fold-max-buckets bounds each fold round's rewrite
+        val segment = !args.contains("--lww")
+        val foldEvery = opt(args, "--fold-every").map(_.toInt).getOrElse(8)
+        val foldMax = opt(args, "--fold-max-buckets").map(_.toInt)
+          .getOrElse(Int.MaxValue)
         val report = index match {
           case "postings" =>
-            // --segment: O(batch) tombstone+append maintenance with
-            // --fold-every N amortizing the corpus rewrite
             graft.streaming.CdcIndexMaintenance.followPostings(store, table,
-              segment = args.contains("--segment"),
-              foldEvery = opt(args, "--fold-every").map(_.toInt).getOrElse(0))
+              segment = segment, foldEvery = foldEvery,
+              foldMaxBuckets = foldMax)
           case "ann" =>
-            graft.streaming.CdcIndexMaintenance.followAnn(store, table)
+            graft.streaming.CdcIndexMaintenance.followAnn(store, table,
+              segment = segment, foldEvery = foldEvery,
+              foldMaxLists = foldMax)
           case "neardup" =>
             graft.streaming.CdcIndexMaintenance.followNearDup(store, table)
           case "rag" =>

@@ -445,8 +445,13 @@ object AnnStore {
       .select("list_id").limit(1).collect()
     require(listRows.nonEmpty, s"no stored vector with id $id")
     val listId = listRows(0).getInt(0)
-    val rows = store.read("ann_assignments").get
+    // a segment-maintained store can hold several GENERATIONS of the id
+    // in this list (re-ingest into the same list before a fold) — the
+    // live row is the max-seq one; batch-built stores have no seq
+    val asg = store.read("ann_assignments").get
       .filter(col("list_id") === listId && col("id") === id)
+    val rows = (if (asg.columns.contains("seq"))
+      asg.orderBy(desc_nulls_last("seq")) else asg)
       .select("embedding").limit(1).collect()
     require(rows.nonEmpty, s"no stored vector with id $id")
     rows(0).getSeq[Float](0).toArray

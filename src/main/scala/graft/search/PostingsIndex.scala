@@ -55,18 +55,33 @@ import graft.store.SnapshotStore
   */
 object PostingsIndex {
 
-  /** Bucket count for the hive layout. 16 keeps test-scale directory
-    * counts sane; a 100 TB deployment raises it (the probe prunes
-    * 1/NumBuckets of the index per distinct query term either way).
-    * The count is BAKED INTO the stored index twice (r10 verdict item
-    * 2): the fingerprint carries it, so a binary built with a
-    * different constant REBUILDS instead of probing a layout it would
-    * mis-hash, and `postings_stats.num_buckets` records it, so probes
-    * derive their bucket predicate from the STORED layout rather than
-    * the compile-time constant — a probe can never silently miss
-    * postings across a bucket-count change.
+  /** FLOOR bucket count for the hive layout — the count small corpora
+    * get. Since r14 the BUILD DERIVES the actual count from corpus
+    * size ([[bucketsFor]]) instead of trusting this constant at every
+    * scale (16 buckets of a 100 TB index would be ~6 TB partitions):
+    * `postings_stats.num_buckets` records whatever the build chose, so
+    * probes derive their bucket predicate from the STORED layout and
+    * streaming maintenance buckets its batches with the stored count —
+    * a probe or merge can never silently mis-hash across a
+    * bucket-count change, and a re-scaled corpus simply rebuilds at
+    * its own width (the fingerprint covers the corpus bytes).
     */
   val NumBuckets = 16
+
+  /** Build-time bucket-count derivation: the smallest power of two ≥
+    * [[NumBuckets]] that keeps ≤ `targetDocsPerBucket` documents'
+    * postings per bucket, capped at 65536 dirs. Power-of-two steps
+    * keep dir counts tame; ~1M docs per bucket ≈ a few GB of postings
+    * at web-document sizes — large enough to amortize task overhead,
+    * small enough that one bucket's rewrite is never a hotspot. (The
+    * same shape as AnnStore's lists-scale-with-corpus note, executed.)
+    */
+  def bucketsFor(nDocs: Long,
+      targetDocsPerBucket: Long = 1000000L): Int = {
+    var b = NumBuckets
+    while (b < 65536 && nDocs / b > targetDocsPerBucket) b <<= 1
+    b
+  }
 
   /** Inert-by-construction default for the hot-term df cap (no
     * achievable corpus here reaches 2^40 docs per term); production
@@ -157,8 +172,11 @@ object PostingsIndex {
     * scrambled by FileFormatWriter's implicit partition-cols sort
     * (SCALING.md r11); the bump rebuilds any store laid down by the
     * broken builder.
+    * v5: the bucket count DERIVES from corpus size at build time
+    * ([[bucketsFor]]); the fingerprint no longer pins the constant
+    * (the corpus bytes it already covers determine the derived count).
     */
-  private val Format = "v4"
+  private val Format = "v5"
 
   /** Cross-JVM (Verify ∥ Bench ∥ sbt test) build guard: the memoized
     * store lives at a SHARED default root, so two processes seeing
@@ -183,7 +201,7 @@ object PostingsIndex {
   def ensure(spark: SparkSession, dir: String): SnapshotStore = synchronized {
     val root = indexRoot(dir)
     val store = new SnapshotStore(spark, root)
-    val fp = s"$Format:b$NumBuckets:${corpusFingerprint(dir)}"
+    val fp = s"$Format:auto:${corpusFingerprint(dir)}"
     val fpFile = Paths.get(root, "_corpus_fingerprint")
     def fresh = Files.exists(fpFile) &&
       Files.readString(fpFile).trim == fp &&
@@ -196,12 +214,16 @@ object PostingsIndex {
       // here proves a complete store
       if (!fresh) {
         val docs = Tables(spark, dir).documents.select("doc_id", "text")
+        // the layout width derives from the corpus (bucketsFor) and is
+        // RECORDED in the stats row — probes and maintenance read it
+        // from there, so the derivation can evolve without mis-hashing
+        val buckets = bucketsFor(docs.count())
         // one shuffle partition per bucket → one file per hive dir,
         // sorted by term so the probe's term equality prunes row
         // groups via Parquet min/max stats (terms are the cluster key
         // of a bucket — r10 verdict item 3 made this claim true)
         store.write("postings",
-          buildPostings(docs).repartition(NumBuckets, col("term_bucket"))
+          buildPostings(docs, buckets).repartition(buckets, col("term_bucket"))
             .sortWithinPartitions("term_bucket", "term"),
           partitionCols = Seq("term_bucket"))
         // total_tokens = Σ tf over the STORED index (each token counted
@@ -211,7 +233,7 @@ object PostingsIndex {
           docs.agg(count(lit(1)).as("n_docs")).crossJoin(
             store.read("postings").get
               .agg(coalesce(sum("tf"), lit(0L)).as("total_tokens")))
-            .withColumn("num_buckets", lit(NumBuckets.toLong)))
+            .withColumn("num_buckets", lit(buckets.toLong)))
         Files.writeString(fpFile, fp) // LAST: a crashed build rebuilds
         // a rebuild (corpus regen / format bump) adds a full new version
         // next to the stale one — reclaim the old copies, keep current

@@ -442,6 +442,17 @@ object StreamingPostings {
     */
   val DocRegistryBuckets = 64
 
+  /** The TERM-bucket count this store's postings are hashed with: the
+    * stored stats row's `num_buckets` when the index exists, else the
+    * compile-time floor (first batch of a fresh store). Every merge
+    * path buckets its batch with this, so maintenance follows an index
+    * built at any derived width (PostingsIndex.bucketsFor).
+    */
+  private def storedBuckets(store: SnapshotStore): Int =
+    store.read("postings_stats")
+      .map(graft.search.PostingsIndex.numBucketsOf)
+      .getOrElse(graft.search.PostingsIndex.NumBuckets)
+
   /** The per-bucket (n_docs, total_tokens) subtotals of the touched
     * registry buckets — factored out so the plan is testable: the
     * registry scan must carry a `doc_bucket` partition filter (the
@@ -518,8 +529,13 @@ object StreamingPostings {
       _.filter(col("batch_id") === batchId).limit(1).count() > 0)
     if (alreadyDone) return
     val spark = batch.sparkSession
+    // bucket the batch with the STORED layout's count, never the
+    // compile-time floor — builds derive their width from corpus size
+    // (PostingsIndex.bucketsFor), and a merge hashed with a different
+    // count would scatter rows into partitions probes never read
+    val numBuckets = storedBuckets(store)
     val posts = graft.search.PostingsIndex
-      .buildPostings(batch.select("doc_id", "text"))
+      .buildPostings(batch.select("doc_id", "text"), numBuckets)
       .localCheckpoint(true) // small (one batch); read by two merges
     // doc registry carries dl so total_tokens stays exact across
     // re-ingests (LWW, not insert-if-absent: a re-ingested doc's
@@ -558,10 +574,20 @@ object StreamingPostings {
       case None if store.currentVersion("postings").isEmpty => Some(Nil)
       case None => None
     }
+    // a store previously maintained under the segment protocol carries
+    // a `seq` column: the LWW merge must match the stored schema, and
+    // stamping the rows at currentVersion+1 outranks every outstanding
+    // tombstone (dead_below is always ≤ that), so the serving view
+    // keeps them
+    val postsAligned =
+      if (store.read("postings").exists(_.columns.contains("seq")))
+        posts.withColumn("seq",
+          lit(store.currentVersion("postings").map(_ + 1).getOrElse(0L)))
+      else posts
     // keyScope = ALL batch docs: a doc re-ingested with token-less
     // text emits ZERO postings rows but must still DELETE its stale
     // ones — the batch is the complete new posting state of its docs
-    store.mergeLastWriteWins("postings", posts, Seq("doc_id"),
+    store.mergeLastWriteWins("postings", postsAligned, Seq("doc_id"),
       partitionCols = Seq("term_bucket"), sortCols = Seq("term"),
       collideHint = collide,
       keyScope = Some(batchDl.select("doc_id")))
@@ -580,7 +606,7 @@ object StreamingPostings {
         .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
           coalesce(sum("total_tokens"), lit(0L)).as("total_tokens"))
         .withColumn("num_buckets",
-          lit(graft.search.PostingsIndex.NumBuckets.toLong)))
+          lit(numBuckets.toLong)))
     // commit marker LAST (see StreamingIngest.processBatch)
     if (recordMarker) store.append("postings_batches", {
       import spark.implicits._
@@ -634,8 +660,9 @@ object StreamingPostings {
     if (alreadyDone) return
     val spark = batch.sparkSession
     import spark.implicits._
+    val numBuckets = storedBuckets(store)
     val posts = graft.search.PostingsIndex
-      .buildPostings(batch.select("doc_id", "text"))
+      .buildPostings(batch.select("doc_id", "text"), numBuckets)
       .localCheckpoint(true)
     val batchDl = batch.select("doc_id").distinct()
       .join(posts.select("doc_id", "dl").distinct(), Seq("doc_id"), "left")
@@ -692,7 +719,7 @@ object StreamingPostings {
         .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
           coalesce(sum("total_tokens"), lit(0L)).as("total_tokens"))
         .withColumn("num_buckets",
-          lit(graft.search.PostingsIndex.NumBuckets.toLong)))
+          lit(numBuckets.toLong)))
     if (recordMarker) store.append("postings_batches",
       Seq(batchId).toDF("batch_id"))
     if (foldEvery > 0 && (batchId + 1) % foldEvery == 0) { foldPostings(store); () }
@@ -723,29 +750,106 @@ object StreamingPostings {
     }
   }
 
-  /** Fold the segments: rewrite the postings table as the serving
-    * view (dead generations dropped, files re-clustered by term), then
-    * clear the spent tombstones — the amortized O(corpus) pass that
-    * keeps probe overhead and tombstone size bounded. Idempotent: a
-    * crash between the rewrite and the clear re-applies tombstones to
-    * rows that already survived them (seq is preserved, so the filter
-    * keeps everything), and the next fold clears them.
+  /** Fold the segments: drop dead generations and clear their spent
+    * tombstones. Two shapes behind one knob:
+    *
+    *   - `maxBuckets = Int.MaxValue` (default): ONE full-table rewrite
+    *     of the serving view, files re-clustered by term — the
+    *     compacting fold, O(corpus) when it fires.
+    *   - bounded `maxBuckets`: an INCREMENTAL, doc-scoped fold — pick
+    *     tombstoned docs (smallest bucket footprints first) until
+    *     their generations' term buckets fill the budget, then one
+    *     partition-scoped LWW merge replaces exactly those docs' rows
+    *     with their live generation (keyScope drops every generation,
+    *     the batch is the serving rows) and clears ONLY their
+    *     tombstones. No single round ever pays more than `maxBuckets`
+    *     bucket rewrites; successive rounds converge to the full
+    *     fold's fixed point (tombstones drain monotonically). This is
+    *     Lucene's per-segment merge on the snapshot store — the r13
+    *     full fold was one O(corpus) job whenever it fired (3.3 GB
+    *     input at sf10); the bounded form caps every round.
+    *
+    * Idempotent in both shapes: a crash between the rewrite and the
+    * clear re-applies tombstones to rows that already survived them
+    * (seq is preserved, so the filter keeps everything), and the next
+    * fold clears them. A doc whose tombstone row predates the doc
+    * registry (legacy store) folds through the full shape only.
     */
-  def foldPostings(store: SnapshotStore): Option[Long] = {
+  def foldPostings(store: SnapshotStore,
+      maxBuckets: Int = Int.MaxValue): Option[Long] = {
     val t = store.read("postings_tombstones").getOrElse(return None)
     if (t.isEmpty) return None
-    val folded = servingPostings(store)
+    val spark = t.sparkSession
+    import spark.implicits._
+    if (maxBuckets == Int.MaxValue || store.read("indexed_docs").isEmpty) {
+      val folded = servingPostings(store)
+        .localCheckpoint(true) // sever from the version being replaced
+        .repartition(col("term_bucket"))
+        .sortWithinPartitions("term_bucket", "term")
+      val v = store.write("postings", folded, partitionCols = Seq("term_bucket"))
+      store.write("postings_tombstones", t.filter(lit(false)))
+      return Some(v)
+    }
+    // tombstoned docs with the buckets ANY generation can sit in — the
+    // registry's term_buckets is a superset by construction (it unions
+    // prior generations on every segment append)
+    val tsDocs = t.select("doc_id").distinct()
+      .withColumn("doc_bucket",
+        pmod(col("doc_id"), lit(DocRegistryBuckets.toLong)))
+      .localCheckpoint(true)
+    val regBuckets = tsDocs.select("doc_bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val allBuckets = (0L until graft.search.PostingsIndex
+      .numBucketsOf(store.read("postings_stats").get).toLong).toSeq
+    val reg = store.read("indexed_docs").get
+    val known = reg.filter(col("doc_bucket").isin(regBuckets: _*))
+      .join(graft.store.SnapshotStore.broadcastIfSmall(
+        tsDocs.select("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("term_buckets").cast("array<long>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // a tombstoned doc missing from the registry (shouldn't happen —
+    // defensive) could sit anywhere: it folds only when the budget
+    // covers every bucket
+    val docBuckets = tsDocs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => id -> known.getOrElse(id, allBuckets)).toSeq
+    // greedy: smallest footprints first, always at least one doc
+    val sorted = docBuckets.sortBy { case (id, bs) => (bs.size, id) }
+    val chosenIds = Seq.newBuilder[Long]
+    var union = Set.empty[Long]
+    var taken = 0
+    sorted.foreach { case (id, bs) =>
+      val u = union ++ bs
+      if (taken == 0 || u.size <= maxBuckets) {
+        chosenIds += id; union = u; taken += 1
+      }
+    }
+    val ids = chosenIds.result()
+    val buckets = union.toSeq.sorted
+    val chosenDf = ids.toDF("doc_id").localCheckpoint(true)
+    val live = servingPostings(store)
+      .filter(col("term_bucket").isin(buckets: _*))
+      .join(graft.store.SnapshotStore.broadcastIfSmall(chosenDf),
+        Seq("doc_id"), "left_semi")
       .localCheckpoint(true) // sever from the version being replaced
-      .repartition(col("term_bucket"))
-      .sortWithinPartitions("term_bucket", "term")
-    val v = store.write("postings", folded, partitionCols = Seq("term_bucket"))
-    store.write("postings_tombstones", t.filter(lit(false)))
+    val v = store.mergeLastWriteWins("postings", live, Seq("doc_id"),
+      partitionCols = Seq("term_bucket"), sortCols = Seq("term"),
+      collideHint = Some(buckets), keyScope = Some(chosenDf))
+    // clear ONLY the folded docs' tombstones — and only after their
+    // dead rows are physically gone (the crash-ordering discipline)
+    store.mergeLastWriteWins("postings_tombstones", t.filter(lit(false)),
+      Seq("doc_id"), keyScope = Some(chosenDf))
     Some(v)
   }
 
-  /** Watch `inputDir` for JSON files of `{doc_id, text}` documents. */
+  /** Watch `inputDir` for JSON files of `{doc_id, text}` documents.
+    * Maintains through the SEGMENT protocol by default (r14: O(batch)
+    * write cost per micro-batch, fold every `foldEvery` batches);
+    * `segment = false` keeps the simple LWW mode with its
+    * `compactEvery` cadence.
+    */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
-      store: SnapshotStore, compactEvery: Int = 0): StreamingQuery = {
+      store: SnapshotStore, compactEvery: Int = 0,
+      segment: Boolean = true, foldEvery: Int = 8): StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -755,7 +859,8 @@ object StreamingPostings {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(store, batch, batchId, compactEvery)
+        if (segment) processBatchAppend(store, batch, batchId, foldEvery)
+        else processBatch(store, batch, batchId, compactEvery)
       }
       .start()
   }
@@ -851,9 +956,17 @@ object StreamingAnn {
       .filter(col("batch_id") === batchId)
       .select(explode(col("list_ids")).as("l"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    // a store previously maintained under the segment protocol carries
+    // a `seq` column — align the LWW batch with it (stamped past every
+    // outstanding tombstone, mirroring StreamingPostings.processBatch)
+    val batchAligned =
+      if (store.read("ann_assignments").exists(_.columns.contains("seq")))
+        assignedBatch.withColumn("seq",
+          lit(store.currentVersion("ann_assignments").map(_ + 1).getOrElse(0L)))
+      else assignedBatch
     // collide set = the sidecar lookup's prior lists (exact): the
     // merge rewrites batch ∪ prior lists and probes NOTHING unpruned
-    store.mergeLastWriteWins("ann_assignments", assignedBatch, Seq("id"),
+    store.mergeLastWriteWins("ann_assignments", batchAligned, Seq("id"),
       partitionCols = Seq("list_id"), sortCols = Seq("id"),
       collideHint = Some(priorListVals))
     // maintain the sidecar map AFTER the assignments merge (a crash
@@ -869,9 +982,11 @@ object StreamingAnn {
       Seq("id"), partitionCols = Seq("id_bucket"), sortCols = Seq("id"),
       collideHint = Some(batchBuckets))
     // LEFT join from the touched-key frame: a list every batch vector
-    // LEFT still gets a (possibly zero) row — counts never go stale
+    // LEFT still gets a (possibly zero) row — counts never go stale.
+    // SERVING view (= the raw table on a pure-LWW store): a mixed
+    // store's dead generations must not inflate a list's occupancy.
     val listTotals = touched.toDF("list_id").join(
-      store.read("ann_assignments").get
+      servingAssignments(store)
         .filter(col("list_id").isin(touched: _*))
         .groupBy(col("list_id").cast("long").as("list_id"))
         .agg(count(lit(1)).as("n_vectors")),
@@ -898,6 +1013,190 @@ object StreamingAnn {
     ()
   }
 
+  // ---- the SEGMENT maintenance path (the 100 TB shape) ---------------
+  //
+  // The LWW [[processBatch]] rewrites every touched list per batch —
+  // O(touched lists × list size) bytes, the same class the r13 postings
+  // segment work fixed (and exactly what pgvector does NOT do: its
+  // IVFFLAT insert appends a tuple to a list page, rag.py:83-86's index
+  // never rewrites a list on insert). The segment protocol is the
+  // postings one applied to vectors: per batch, (1) tombstone the
+  // batch's ids below a fresh sequence number — the tombstone row also
+  // records the id's GENERATION LISTS (every list any physical
+  // generation sits in: the id map only tracks the current one, and
+  // erasure/folds must find them all); (2) APPEND the assignments as
+  // new files carrying seq ([[SnapshotStore.appendFiles]], O(batch)
+  // bytes). Probes read [[servingAssignments]]; [[foldAnn]] rewrites on
+  // a cadence. Crash ordering and replay convergence are identical to
+  // StreamingPostings.processBatchAppend (tombstone first, marker last,
+  // replays re-tombstone at a higher seq).
+
+  /** One micro-batch under the SEGMENT protocol — same replacement
+    * semantics as [[processBatch]] (a re-ingested vector leaves its old
+    * list), O(batch) write cost. Occupancy subtotals recompute over the
+    * SERVING view of the touched lists; `foldEvery` > 0 runs
+    * [[foldAnn]] on that batch cadence.
+    */
+  def processBatchAppend(store: SnapshotStore, batch: DataFrame,
+      batchId: Long, retrainSkewX1000: Long = 4000L,
+      retrainOnSkew: Boolean = false, foldEvery: Int = 0,
+      recordMarker: Boolean = true): Unit = {
+    val alreadyDone = recordMarker && store.read("ann_batches").exists(
+      _.filter(col("batch_id") === batchId).limit(1).count() > 0)
+    if (alreadyDone) return
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents = AnnStore.centroidsOf(store.read("ann_centroids").getOrElse(
+      throw new IllegalStateException(
+        "ann store has no centroids — build the index before streaming " +
+          "maintenance (AnnStore.ensure / writeIndex)")))
+    val assignedBatch = AnnStore.assignListId(
+      batch.dropDuplicates("id"), "embedding", cents.map(_._2))
+      .localCheckpoint(true)
+    val batchLists = assignedBatch.select("list_id").distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSeq
+    // the batch ids' CURRENT lists (pruned sidecar lookup) — the lists
+    // their latest live generation occupies, whose occupancy changes
+    val priorRows = AnnStore
+      .priorListRows(store, assignedBatch.select("id"))
+      .localCheckpoint(true)
+    val priorLists = priorRows.select("list_id").distinct().collect()
+      .map(_.getAs[Number](0).longValue).sorted.toSeq
+    // durable touched-set intent BEFORE any mutation (see processBatch:
+    // after a crash the replay can no longer see a moved vector's old
+    // list through the post-merge id map)
+    store.append("ann_touched_intents",
+      Seq((batchId, (batchLists ++ priorLists).distinct.sorted))
+        .toDF("batch_id", "list_ids"))
+    val touched = store.read("ann_touched_intents").get
+      .filter(col("batch_id") === batchId)
+      .select(explode(col("list_ids")).as("l"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    // strictly increasing under the single-maintainer contract
+    val seq = store.currentVersion("ann_assignments").map(_ + 1).getOrElse(0L)
+    // 1. tombstone FIRST, carrying the union of every generation's
+    // list: prior tombstone's gen_lists ∪ the current-map list ∪ the
+    // new list — the physical-location superset erasure and folds need
+    val priorTomb = store.read("ann_tombstones") match {
+      case Some(t) => t
+        .join(graft.store.SnapshotStore.broadcastIfSmall(
+          assignedBatch.select("id")), Seq("id"), "left_semi")
+        .select(col("id"), col("gen_lists").as("old_gl"))
+      case None => Seq.empty[(Long, Seq[Long])].toDF("id", "old_gl")
+    }
+    val tombBatch = assignedBatch.select(col("id"),
+        col("list_id").cast("long").as("new_list"))
+      .join(priorRows.select(col("id"),
+        col("list_id").cast("long").as("prior_list")), Seq("id"), "left")
+      .join(priorTomb, Seq("id"), "left")
+      .withColumn("gen_lists", sort_array(array_distinct(concat(
+        coalesce(col("old_gl"), typedlit(Seq.empty[Long])),
+        when(col("prior_list").isNotNull, array(col("prior_list")))
+          .otherwise(typedlit(Seq.empty[Long])),
+        array(col("new_list"))))))
+      .select(col("id"), lit(seq).as("dead_below"), col("gen_lists"))
+    store.mergeLastWriteWins("ann_tombstones", tombBatch, Seq("id"))
+    // 2. the segment: new files only, every prior file retained forward
+    store.appendFiles("ann_assignments",
+      assignedBatch.withColumn("seq", lit(seq)),
+      partitionCols = Seq("list_id"), sortCols = Seq("id"))
+    // 3. the id map tracks the CURRENT list exactly as in the LWW path
+    val batchBuckets = assignedBatch
+      .select(pmod(col("id"), lit(AnnStore.IdBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    store.mergeLastWriteWins("ann_id_map", AnnStore.idMapOf(assignedBatch),
+      Seq("id"), partitionCols = Seq("id_bucket"), sortCols = Seq("id"),
+      collideHint = Some(batchBuckets))
+    // 4. LIVE occupancy of the touched lists — the serving view, so a
+    // moved vector's dead generation never inflates its old list
+    val listTotals = touched.toDF("list_id").join(
+      servingAssignments(store)
+        .filter(col("list_id").isin(touched: _*))
+        .groupBy(col("list_id").cast("long").as("list_id"))
+        .agg(count(lit(1)).as("n_vectors")),
+      Seq("list_id"), "left").na.fill(0L, Seq("n_vectors"))
+    store.mergeLastWriteWins("ann_list_stats", listTotals, Seq("list_id"))
+    store.write("ann_stats",
+      AnnStore.statsFromListStats(store, cents.size, retrainSkewX1000))
+    if (recordMarker) store.append("ann_batches", Seq(batchId).toDF("batch_id"))
+    if (retrainOnSkew && needsRetrain(store)) retrain(spark, store)
+    if (foldEvery > 0 && (batchId + 1) % foldEvery == 0) { foldAnn(store); () }
+    ()
+  }
+
+  /** The probe-facing view of a segment-maintained assignments table:
+    * appended rows minus the tombstoned generations (pre-segment rows
+    * read as generation 0; the tombstone side broadcasts by measured
+    * size). On an LWW/batch-built store the view is the raw table.
+    */
+  def servingAssignments(store: SnapshotStore): DataFrame = {
+    val base0 = store.read("ann_assignments").get
+    val base = if (base0.columns.contains("seq"))
+      base0.withColumn("seq", coalesce(col("seq"), lit(0L)))
+    else base0.withColumn("seq", lit(0L))
+    store.read("ann_tombstones") match {
+      case None => base
+      case Some(t) =>
+        base.join(graft.store.SnapshotStore.broadcastIfSmall(
+          t.select("id", "dead_below")), Seq("id"), "left")
+          .filter(col("dead_below").isNull || col("seq") >= col("dead_below"))
+          .drop("dead_below")
+    }
+  }
+
+  /** Fold the vector segments — [[StreamingPostings.foldPostings]]'s
+    * twin: default = one full rewrite of the serving view (re-clustered
+    * by list); bounded `maxLists` = an incremental id-scoped fold that
+    * rewrites at most that many list partitions per round (the
+    * tombstones' `gen_lists` say exactly where each id's dead
+    * generations sit) and clears only the folded ids' tombstones.
+    * Same idempotency argument (seq preserved → re-applied tombstones
+    * filter nothing).
+    */
+  def foldAnn(store: SnapshotStore,
+      maxLists: Int = Int.MaxValue): Option[Long] = {
+    val t = store.read("ann_tombstones").getOrElse(return None)
+    if (t.isEmpty) return None
+    val spark = t.sparkSession
+    import spark.implicits._
+    if (maxLists == Int.MaxValue) {
+      val folded = servingAssignments(store)
+        .localCheckpoint(true) // sever from the version being replaced
+        .repartition(col("list_id"))
+        .sortWithinPartitions("list_id", "id")
+      val v = store.write("ann_assignments", folded,
+        partitionCols = Seq("list_id"))
+      store.write("ann_tombstones", t.filter(lit(false)))
+      return Some(v)
+    }
+    val idLists = t.select("id", "gen_lists").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
+    val sorted = idLists.sortBy { case (id, ls) => (ls.size, id) }
+    val chosenIds = Seq.newBuilder[Long]
+    var union = Set.empty[Long]
+    var taken = 0
+    sorted.foreach { case (id, ls) =>
+      val u = union ++ ls
+      if (taken == 0 || u.size <= maxLists) {
+        chosenIds += id; union = u; taken += 1
+      }
+    }
+    val ids = chosenIds.result()
+    val lists: Seq[Any] = union.toSeq.sorted.map(_.toInt)
+    val chosenDf = ids.toDF("id").localCheckpoint(true)
+    val live = servingAssignments(store)
+      .filter(col("list_id").isin(lists: _*))
+      .join(graft.store.SnapshotStore.broadcastIfSmall(chosenDf),
+        Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    val v = store.mergeLastWriteWins("ann_assignments", live, Seq("id"),
+      partitionCols = Seq("list_id"), sortCols = Seq("id"),
+      collideHint = Some(lists), keyScope = Some(chosenDf))
+    store.mergeLastWriteWins("ann_tombstones", t.filter(lit(false)),
+      Seq("id"), keyScope = Some(chosenDf))
+    Some(v)
+  }
+
   /** Does the stored stats row flag occupancy skew past threshold? */
   def needsRetrain(store: SnapshotStore): Boolean =
     store.read("ann_stats").exists(
@@ -909,17 +1208,29 @@ object StreamingAnn {
     */
   def retrain(spark: SparkSession, store: SnapshotStore,
       lists: Int = AnnStore.NumLists): Unit = {
-    val emb = store.read("ann_assignments").get.drop("list_id")
+    // the SERVING view, not the raw table: a segment store's raw rows
+    // include dead generations (duplicate ids) that would both skew the
+    // quantizer and write duplicate assignment rows
+    val emb = servingAssignments(store).drop("list_id", "seq")
       .localCheckpoint(true) // sever from the versions being replaced
     val cents = AnnStore.trainCentroids(emb, "embedding",
       Seq(col("id")), lists)
     AnnStore.writeIndex(spark, store, emb, cents)
+    // the rewritten index has no generations left — spent tombstones
+    // would otherwise re-kill the survivors' rows (writeIndex rows
+    // carry no seq: they read as generation 0)
+    store.read("ann_tombstones").foreach { t =>
+      store.write("ann_tombstones", t.filter(lit(false))); () }
   }
 
-  /** Watch `inputDir` for JSON files of `{id, embedding: [...]}`. */
+  /** Watch `inputDir` for JSON files of `{id, embedding: [...]}`.
+    * Maintains through the SEGMENT protocol by default (r14 — see
+    * [[processBatchAppend]]); `segment = false` keeps the LWW mode.
+    */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
       store: SnapshotStore, retrainOnSkew: Boolean = false,
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0,
+      segment: Boolean = true, foldEvery: Int = 8): StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType),
@@ -930,8 +1241,10 @@ object StreamingAnn {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(store, batch, batchId, retrainOnSkew = retrainOnSkew,
-          compactEvery = compactEvery)
+        if (segment) processBatchAppend(store, batch, batchId,
+          retrainOnSkew = retrainOnSkew, foldEvery = foldEvery)
+        else processBatch(store, batch, batchId,
+          retrainOnSkew = retrainOnSkew, compactEvery = compactEvery)
       }
       .start()
   }
@@ -1275,16 +1588,30 @@ object IndexDeletes {
 
   /** Remove `ids` (a frame with an `id` column) from a stored ANN
     * index (AnnStore tables, StreamingAnn's stats protocol — drained
-    * lists get explicit zero occupancy).
+    * lists get explicit zero occupancy). Segment-maintained stores
+    * (StreamingAnn.processBatchAppend) erase EVERY physical
+    * generation: the victims' lists are the current-map list ∪ the
+    * tombstone rows' `gen_lists`, occupancy recomputes over the
+    * serving view, and the victims' tombstone rows clear LAST (a
+    * leftover tombstone for a rowless id is harmless; the reverse
+    * order could resurrect dead generations on a crash).
     */
   def deleteFromAnn(store: SnapshotStore, ids: DataFrame): Unit = {
     if (store.currentVersion("ann_assignments").isEmpty) return
     val spark = ids.sparkSession
     import spark.implicits._
     val idsOnly = ids.select("id").distinct().localCheckpoint(true)
-    val priorListVals = graft.rag.AnnStore.priorListRows(store, idsOnly)
+    val mapListVals = graft.rag.AnnStore.priorListRows(store, idsOnly)
       .select("list_id").distinct().collect()
-      .map(_.getAs[Number](0).intValue).sorted.toSeq
+      .map(_.getAs[Number](0).intValue).toSeq
+    // a segment store's victims may hold dead generations in OTHER
+    // lists — the tombstone rows recorded them
+    val tombListVals: Seq[Int] = store.read("ann_tombstones").map(
+      _.join(graft.store.SnapshotStore.broadcastIfSmall(idsOnly),
+        Seq("id"), "left_semi")
+        .select(explode(col("gen_lists")).as("l")).distinct()
+        .collect().map(_.getLong(0).toInt).toSeq).getOrElse(Nil)
+    val priorListVals = (mapListVals ++ tombListVals).distinct.sorted
     val idBuckets = idsOnly
       .select(pmod(col("id"), lit(graft.rag.AnnStore.IdBuckets.toLong))
         .cast("int").as("b"))
@@ -1298,7 +1625,7 @@ object IndexDeletes {
       keyScope = Some(idsOnly))
     val touched = priorListVals.map(_.toLong)
     val listTotals = touched.toDF("list_id").join(
-      store.read("ann_assignments").get
+      graft.streaming.StreamingAnn.servingAssignments(store)
         .filter(col("list_id").isin(touched: _*))
         .groupBy(col("list_id").cast("long").as("list_id"))
         .agg(count(lit(1)).as("n_vectors")),
@@ -1307,7 +1634,15 @@ object IndexDeletes {
     val lists = store.read("ann_centroids").get.count().toInt
     store.write("ann_stats",
       graft.rag.AnnStore.statsFromListStats(store, lists))
-    ()
+    // the erasure leaves no row at all — tombstones included, cleared
+    // AFTER the physical erase
+    store.read("ann_tombstones") match {
+      case Some(t) if !t.join(idsOnly, Seq("id"), "left_semi").isEmpty =>
+        store.mergeLastWriteWins("ann_tombstones", emptyOf("ann_tombstones"),
+          Seq("id"), keyScope = Some(idsOnly))
+        ()
+      case _ => ()
+    }
   }
 }
 
@@ -1368,11 +1703,12 @@ object CdcIndexMaintenance {
     */
   /** @param segment apply upserts through the SEGMENT protocol
     *   (tombstone + new-files-only append, O(batch) bytes —
-    *   StreamingPostings.processBatchAppend) instead of the LWW
-    *   whole-bucket rewrite; deletes still run the eager erase.
+    *   StreamingPostings.processBatchAppend, the default since r14)
+    *   instead of the LWW whole-bucket rewrite; deletes still run the
+    *   eager erase.
     */
   def applyToPostings(store: SnapshotStore, docsTable: String,
-      fromVersion: Long, toVersion: Long, segment: Boolean = false): Long = {
+      fromVersion: Long, toVersion: Long, segment: Boolean = true): Long = {
     if (cdcApplied(store, "postings", docsTable, toVersion)) return 0L
     val changes = store.readChanges(docsTable, fromVersion, toVersion,
       Seq("doc_id")).getOrElse(return 0L)
@@ -1395,8 +1731,13 @@ object CdcIndexMaintenance {
     * table in `store` to the ANN index in the same store (the index
     * must exist — maintenance extends, it does not invent centroids).
     */
+  /** @param segment apply upserts through the SEGMENT protocol
+    *   (tombstone + new-files-only append, O(batch) bytes —
+    *   StreamingAnn.processBatchAppend) instead of the LWW
+    *   touched-list rewrite; deletes still run the eager erase.
+    */
   def applyToAnn(store: SnapshotStore, vecTable: String,
-      fromVersion: Long, toVersion: Long): Long = {
+      fromVersion: Long, toVersion: Long, segment: Boolean = true): Long = {
     if (cdcApplied(store, "ann", vecTable, toVersion)) return 0L
     val cur = store.readVersion(vecTable, toVersion).getOrElse(return 0L)
     val changes = store.readChanges(vecTable, fromVersion, toVersion,
@@ -1410,7 +1751,10 @@ object CdcIndexMaintenance {
       graft.store.SnapshotStore.broadcastIfSmall(
         changes.filter(col("op").isin("insert", "update")).select("id")),
       Seq("id"), "left_semi")
-    StreamingAnn.processBatch(store, upserts, batchId = toVersion,
+    if (segment)
+      StreamingAnn.processBatchAppend(store, upserts, batchId = toVersion,
+        recordMarker = false)
+    else StreamingAnn.processBatch(store, upserts, batchId = toVersion,
       recordMarker = false)
     IndexDeletes.deleteFromAnn(store,
       changes.filter(col("op") === "delete").select("id"))
@@ -1597,13 +1941,20 @@ object CdcIndexMaintenance {
     * no longer holds — one column-pruned anti join.
     */
   /** @param segment maintain through the segment protocol (see
-    *   [[applyToPostings]]); bootstraps/resyncs keep the LWW full
-    *   rebuild (they ARE the corpus pass). `foldEvery` > 0 folds the
-    *   segments every N feed steps.
+    *   [[applyToPostings]]) — the DEFAULT since r14: per-step write
+    *   cost is O(batch) bytes where the LWW mode rewrites every
+    *   touched term bucket (measured r13: merge byte ratio 1.34 vs
+    *   2.27 over the chain decade). Bootstraps/resyncs keep the LWW
+    *   full rebuild (they ARE the corpus pass); LWW stepping remains
+    *   the simple mode for small corpora. `foldEvery` > 0 folds the
+    *   segments every N feed steps (default 8 — tombstones stay
+    *   bounded by 8 steps' doc churn); `foldMaxBuckets` bounds each
+    *   fold round's rewrite (Int.MaxValue = the full compacting fold).
     */
   def followPostings(store: SnapshotStore,
-      docsTable: String = "docs", segment: Boolean = false,
-      foldEvery: Int = 0): FollowReport = {
+      docsTable: String = "docs", segment: Boolean = true,
+      foldEvery: Int = 8,
+      foldMaxBuckets: Int = Int.MaxValue): FollowReport = {
     def docsNow = store.read(docsTable).get.select("doc_id", "text")
     val r = follow(store, "postings", docsTable) { cur =>
       StreamingPostings.processBatch(store, docsNow, batchId = cur,
@@ -1617,20 +1968,24 @@ object CdcIndexMaintenance {
     }(applyToPostings(store, docsTable, _, _, segment))
     if (segment && foldEvery > 0 && r.steps > 0 &&
       (r.appliedVersion + 1) % foldEvery == 0) {
-      StreamingPostings.foldPostings(store); ()
+      StreamingPostings.foldPostings(store, foldMaxBuckets); ()
     }
     r
   }
 
-  /** The ANN follower — [[followPostings]]'s vector twin. Bootstrap
-    * additionally TRAINS the deterministic quantizer when no index
-    * exists yet; resync re-assigns the current snapshot against the
-    * STORED centroids and deletes id-map keys the snapshot dropped.
+  /** The ANN follower — [[followPostings]]'s vector twin, same
+    * segment-by-default contract (`segment`/`foldEvery`/`foldMaxLists`
+    * mirror the postings knobs). Bootstrap additionally TRAINS the
+    * deterministic quantizer when no index exists yet; resync
+    * re-assigns the current snapshot against the STORED centroids and
+    * deletes id-map keys the snapshot dropped.
     */
   def followAnn(store: SnapshotStore,
-      vecTable: String = "vecs"): FollowReport = {
+      vecTable: String = "vecs", segment: Boolean = true,
+      foldEvery: Int = 8,
+      foldMaxLists: Int = Int.MaxValue): FollowReport = {
     def vecsNow = store.read(vecTable).get
-    follow(store, "ann", vecTable) { cur =>
+    val r = follow(store, "ann", vecTable) { cur =>
       if (store.currentVersion("ann_centroids").isEmpty) {
         val spark = vecsNow.sparkSession
         val cents = graft.rag.AnnStore.trainCentroids(
@@ -1646,7 +2001,12 @@ object CdcIndexMaintenance {
           ()
         }
       }
-    }(applyToAnn(store, vecTable, _, _))
+    }(applyToAnn(store, vecTable, _, _, segment))
+    if (segment && foldEvery > 0 && r.steps > 0 &&
+      (r.appliedVersion + 1) % foldEvery == 0) {
+      StreamingAnn.foldAnn(store, foldMaxLists); ()
+    }
+    r
   }
 
   /** The near-dup SIGNATURE follower: keeps the banded signature

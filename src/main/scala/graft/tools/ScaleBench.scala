@@ -484,6 +484,46 @@ object ScaleBench {
         maintBatchId.incrementAndGet(), compactEvery = 1)
       batch.count()
     }),
+    // r14 ANN SEGMENT maintenance (the default path): the same 50-
+    // vector batch through processBatchAppend — merge BYTES must be
+    // O(batch) where the LWW row rewrites every touched list per batch
+    // (O(touched lists × list size)); the fold entry measures the
+    // amortized pass the cadence spreads over N batches.
+    "ann_append_maintain" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-scale-annseg",
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+      val store = new graft.store.SnapshotStore(s, root)
+      if (store.currentVersion("ann_centroids").isEmpty) {
+        val emb = Tables(s, d).embeddings.withColumnRenamed("vec_id", "id")
+        val cents = graft.rag.AnnStore.trainCentroids(
+          emb, "embedding", Seq(col("id")))
+        graft.rag.AnnStore.writeIndex(s, store, emb, cents)
+      }
+      val batch = Tables(s, d).embeddings.withColumnRenamed("vec_id", "id")
+        .filter(pmod(col("id"), lit(97L)) === 1L).limit(50)
+      graft.streaming.StreamingAnn.processBatchAppend(store, batch,
+        maintBatchId.incrementAndGet())
+      batch.count()
+    }),
+    "ann_fold" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-scale-annseg",
+        d.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+      val store = new graft.store.SnapshotStore(s, root)
+      if (store.currentVersion("ann_centroids").isEmpty) {
+        val emb = Tables(s, d).embeddings.withColumnRenamed("vec_id", "id")
+        val cents = graft.rag.AnnStore.trainCentroids(
+          emb, "embedding", Seq(col("id")))
+        graft.rag.AnnStore.writeIndex(s, store, emb, cents)
+      }
+      val batch = Tables(s, d).embeddings.withColumnRenamed("vec_id", "id")
+        .filter(pmod(col("id"), lit(97L)) === 2L).limit(50)
+      graft.streaming.StreamingAnn.processBatchAppend(store, batch,
+        maintBatchId.incrementAndGet())
+      graft.streaming.StreamingAnn.foldAnn(store)
+      store.vacuum("ann_assignments", keepLast = 1).size.toLong
+    }),
     "neardup_maintain_batch" -> ((s, d) => {
       val root = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft-scale-ndmaint",
@@ -673,7 +713,8 @@ object ScaleBench {
             .repartition(col("v_bucket")), partitionCols = Seq("v_bucket"))
         CdcIndexMaintenance.followPostings(store, "docs",
           segment = segment, foldEvery = if (segment) 8 else 0)
-        CdcIndexMaintenance.followAnn(store, "vecs")
+        CdcIndexMaintenance.followAnn(store, "vecs",
+        segment = segment, foldEvery = if (segment) 8 else 0)
       }
       val slice = maintBatchId.incrementAndGet() % 90L + 2L
       def bucketsOf(df: org.apache.spark.sql.DataFrame, c: String): Seq[Any] =
@@ -696,7 +737,8 @@ object ScaleBench {
       // 2. the followers step both indexes from the restricted feed
       CdcIndexMaintenance.followPostings(store, "docs",
         segment = segment, foldEvery = if (segment) 8 else 0)
-      CdcIndexMaintenance.followAnn(store, "vecs")
+      CdcIndexMaintenance.followAnn(store, "vecs",
+        segment = segment, foldEvery = if (segment) 8 else 0)
       // 3. serve from the followed indexes: BM25 over the stored
       // postings + a dense probe over the stored ANN lists
       val stats = store.read("postings_stats").get
@@ -709,7 +751,7 @@ object ScaleBench {
       val qv = vecBatch.select("embedding").limit(1).collect()
         .head.getSeq[Float](0).toArray
       val probeLists = graft.rag.AnnStore.probeListsOf(cents, qv, 4)
-      store.read("ann_assignments").get
+      graft.streaming.StreamingAnn.servingAssignments(store)
         .filter(col("list_id").isin(probeLists: _*))
         .withColumn("cosine", graft.functions.VectorFunctions
           .dotFold(col("embedding"), typedlit(qv.toSeq)))
@@ -727,15 +769,16 @@ object ScaleBench {
         keyScope = Some(deadVecs.select("id")))
       CdcIndexMaintenance.followPostings(store, "docs",
         segment = segment, foldEvery = if (segment) 8 else 0)
-      CdcIndexMaintenance.followAnn(store, "vecs")
+      CdcIndexMaintenance.followAnn(store, "vecs",
+        segment = segment, foldEvery = if (segment) 8 else 0)
       // 5. reclaim: vacuum the tables this round touched (the
       // segment variant keeps postings_tombstones bounded via the
       // fold cadence, so it rides the same list)
       Seq("docs", "vecs", "postings", "postings_tombstones",
         "indexed_docs", "registry_stats",
         "postings_stats", "ann_assignments", "ann_id_map",
-        "ann_list_stats", "ann_stats", "cdc_cursors", "cdc_applied",
-        "ann_touched_intents")
+        "ann_list_stats", "ann_stats", "ann_tombstones",
+        "cdc_cursors", "cdc_applied", "ann_touched_intents")
         .foreach(t => if (store.currentVersion(t).isDefined)
           store.vacuum(t, keepLast = 1))
       100L

@@ -242,14 +242,16 @@ class PostingsIndexSpec extends AnyFunSuite {
       work.toString.replaceAll("[^A-Za-z0-9._-]", "_"))
     val fpFile = root.resolve("_corpus_fingerprint")
     val fp = Files.readString(fpFile).trim
-    assert(fp.contains(s":b${PostingsIndex.NumBuckets}:"),
-      s"fingerprint '$fp' does not record the bucket count")
-    // same format + corpus, DIFFERENT bucket count → must rebuild
-    Files.writeString(fpFile, fp.replace(
-      s":b${PostingsIndex.NumBuckets}:", ":b8:"))
+    // v5: the count DERIVES from the corpus (bucketsFor), so the
+    // fingerprint pins the derivation's format version instead of a
+    // constant — a derivation change ships as a format bump, and a
+    // layout written under any other version must rebuild
+    assert(fp.startsWith("v5:auto:"),
+      s"fingerprint '$fp' does not pin the width-derivation version")
+    Files.writeString(fpFile, fp.replace("v5:auto:", "v4:b8:"))
     val s2 = PostingsIndex.ensure(spark, work.toString)
     assert(s2.currentVersion("postings").exists(_ > v1),
-      "a bucket-count change did not force a rebuild — probes would " +
+      "a layout-version change did not force a rebuild — probes would " +
         "silently miss terms")
     assert(Files.readString(fpFile).trim == fp)
   }
@@ -382,5 +384,61 @@ class PostingsIndexSpec extends AnyFunSuite {
       store.currentVersion("postings_batches") == vLedger,
       "replayed batch mutated the index")
     assert(store.read("postings_batches").get.count() == 2)
+  }
+
+  test("bucketsFor derives the layout width from corpus size: " +
+    "power-of-two steps from the floor, ~1M docs per bucket, capped") {
+    import graft.search.PostingsIndex.{bucketsFor, NumBuckets}
+    assert(bucketsFor(0L) == NumBuckets)
+    assert(bucketsFor(600000L) == NumBuckets)            // sf10 stays 16
+    assert(bucketsFor(100000000L) == 128)                // 1e8 docs
+    assert(bucketsFor(10000000000L) == 16384)            // ~100 TB class
+    assert(bucketsFor(Long.MaxValue) == 65536, "cap breached")
+    // monotone + power-of-two
+    var prev = 0
+    Seq(1L, 1000L, 1000000L, 16000001L, 1e9.toLong, 1e11.toLong).foreach { n =>
+      val b = bucketsFor(n)
+      assert(b >= prev && Integer.bitCount(b) == 1, s"n=$n b=$b")
+      prev = b
+    }
+    // the knob form used by the width-following test below
+    assert(bucketsFor(1000L, targetDocsPerBucket = 10L) == 128)
+  }
+
+  test("streaming maintenance FOLLOWS a store built at a non-default " +
+    "width: batches hash with the stored num_buckets, probes stay " +
+    "exact, stats keep recording the stored width") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.streaming.StreamingPostings
+    val store = new graft.store.SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-width").toString)
+    // a store laid down at 8 buckets (a derived width != the constant)
+    val docs0 = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    store.write("postings",
+      PostingsIndex.buildPostings(docs0, numBuckets = 8)
+        .repartition(8, col("term_bucket"))
+        .sortWithinPartitions("term_bucket", "term"),
+      partitionCols = Seq("term_bucket"))
+    store.write("postings_stats",
+      docs0.agg(count(lit(1)).as("n_docs")).crossJoin(
+        store.read("postings").get
+          .agg(coalesce(sum("tf"), lit(0L)).as("total_tokens")))
+        .withColumn("num_buckets", lit(8L)))
+    // maintenance batches (both protocols) must hash with width 8
+    StreamingPostings.processBatch(store,
+      Seq((3L, "epsilon alpha")).toDF("doc_id", "text"), 0L)
+    StreamingPostings.processBatchAppend(store,
+      Seq((4L, "zeta")).toDF("doc_id", "text"), 1L)
+    val posts = StreamingPostings.servingPostings(store)
+    assert(posts.select(max("term_bucket")).collect()(0).getLong(0) < 8L,
+      "a batch hashed with the compile-time constant, not the stored width")
+    Seq("alpha", "epsilon", "zeta").foreach { term =>
+      val hits = PostingsIndex.probeOf(posts, Seq(term), numBuckets = 8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(hits.nonEmpty, s"probe missed '$term' on the 8-bucket store")
+    }
+    assert(PostingsIndex.numBucketsOf(store.read("postings_stats").get) == 8,
+      "maintenance overwrote the stored width with the constant")
   }
 }

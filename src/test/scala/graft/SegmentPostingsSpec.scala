@@ -104,6 +104,40 @@ class SegmentPostingsSpec extends AnyFunSuite {
       "post-fold append lost replacement semantics")
   }
 
+  test("incremental foldPostings (bounded maxBuckets) converges to the " +
+    "full fold's fixed point over rounds, clearing only the folded " +
+    "docs' tombstones each round") {
+    val seg = newStore()
+    val full = newStore()
+    history.zipWithIndex.foreach { case (b, i) =>
+      StreamingPostings.processBatchAppend(seg, b, i.toLong)
+      StreamingPostings.processBatchAppend(full, b, i.toLong)
+    }
+    val before = viewRows(StreamingPostings.servingPostings(seg))
+    StreamingPostings.foldPostings(full) // the fixed point
+    var rounds = 0
+    var lastTs = Long.MaxValue
+    while (StreamingPostings.foldPostings(seg, maxBuckets = 2).isDefined &&
+        rounds < 20) {
+      rounds += 1
+      val ts = seg.read("postings_tombstones").get.count()
+      assert(ts < lastTs, "a round cleared no tombstones — no progress")
+      lastTs = ts
+      // every intermediate state still serves correctly
+      assert(viewRows(StreamingPostings.servingPostings(seg)) == before,
+        s"round $rounds changed the visible rows")
+    }
+    assert(rounds > 0 && rounds < 20, s"incremental fold ran $rounds rounds")
+    assert(seg.read("postings_tombstones").get.isEmpty,
+      "incremental folds left tombstones behind")
+    assert(viewRows(seg.read("postings").get.drop("seq")) ==
+      viewRows(full.read("postings").get.drop("seq")),
+      "incremental fixed point diverged from the full fold")
+    assert(seg.read("postings").get.count() ==
+      full.read("postings").get.count(),
+      "a dead generation survived the incremental folds")
+  }
+
   test("crash between tombstone and segment append: the docs are " +
     "transiently absent, and the mandated replay converges with no " +
     "double-counted term") {
@@ -152,11 +186,11 @@ class SegmentPostingsSpec extends AnyFunSuite {
       lww.write("docs", docs(rows: _*)); seg.write("docs", docs(rows: _*)); ()
     }
     writeBoth(1L -> "alpha beta", 2L -> "gamma delta")
-    CdcIndexMaintenance.followPostings(lww)
+    CdcIndexMaintenance.followPostings(lww, segment = false)
     CdcIndexMaintenance.followPostings(seg, segment = true, foldEvery = 2)
     writeBoth(1L -> "alpha revised", 3L -> "epsilon zeta")   // v1
     writeBoth(3L -> "epsilon zeta")                          // v2: drop 1,2
-    assert(CdcIndexMaintenance.followPostings(lww).steps == 2)
+    assert(CdcIndexMaintenance.followPostings(lww, segment = false).steps == 2)
     assert(CdcIndexMaintenance
       .followPostings(seg, segment = true, foldEvery = 2).steps == 2)
     assert(viewRows(StreamingPostings.servingPostings(seg)) ==

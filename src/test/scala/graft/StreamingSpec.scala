@@ -315,7 +315,9 @@ class StreamingSpec extends AnyFunSuite {
       // pointers advanced with batch 1 and the probe sees ONLY the
       // latest doc-1 postings (no stale 'scan' row)
       assert(store.read("postings_batches").get.count() == 2)
-      val posts = store.read("postings").get
+      // the stream maintains through the segment protocol by default —
+      // the probe surface is the serving view
+      val posts = graft.streaming.StreamingPostings.servingPostings(store)
       assert(posts.filter(col("term") === "scan" && col("doc_id") === 1L).isEmpty)
       assert(posts.filter(col("term") === "scan" && col("doc_id") === 3L).count() == 1)
       // 3 docs, 4+3+4 tokens — doc 1's length REPLACED (4 stays 4)
@@ -323,29 +325,35 @@ class StreamingSpec extends AnyFunSuite {
         .select("n_docs", "total_tokens").collect()(0)
       assert(st.getLong(0) == 3L && st.getLong(1) == 11L)
       // the registry's term_buckets sidecar (the merge's pruned
-      // collide-set source) tracks each doc's actual postings buckets
+      // collide-set source) must COVER each doc's live postings buckets
+      // — under the segment default it is the union across generations
+      // (a superset: erasure must find every physical generation), so
+      // ⊇ is the contract, with every registered bucket a real one
       val regTb = store.read("indexed_docs").get
         .select("doc_id", "term_buckets").collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
-      val postTb = posts.select("doc_id", "term_bucket").collect()
+      val liveTb = posts.select("doc_id", "term_bucket").collect()
         .groupBy(_.getLong(0)).map { case (d, rs) =>
           d -> rs.map(_.getAs[Number](1).longValue).toSet }
-      assert(regTb == postTb,
-        "registry term_buckets diverged from the stored postings")
-      // doc 2 re-ingested TOKEN-LESS: zero postings rows, yet its old
-      // rows must vanish (keyScope deletion) and dl must drop to 0
+      val rawTb = store.read("postings").get
+        .select("doc_id", "term_bucket").collect()
+        .groupBy(_.getLong(0)).map { case (d, rs) =>
+          d -> rs.map(_.getAs[Number](1).longValue).toSet }
+      liveTb.foreach { case (d, bs) =>
+        assert(regTb.getOrElse(d, Set.empty).subsetOf(rawTb(d)) &&
+          bs.subsetOf(regTb.getOrElse(d, Set.empty)),
+          s"registry term_buckets for doc $d do not cover its postings") }
+      // doc 2 re-ingested TOKEN-LESS: zero postings rows, yet it must
+      // vanish from the SERVING view (tombstoned) and dl drop to 0
       Files.writeString(in.resolve("b2.json"),
         """[{"doc_id":2,"text":"   "}]""")
       q.processAllAvailable()
-      val posts2 = store.read("postings").get
+      val posts2 = graft.streaming.StreamingPostings.servingPostings(store)
       assert(posts2.filter(col("doc_id") === 2L).isEmpty,
         "stale postings survived a token-less re-ingest")
       val st2 = store.read("postings_stats").get
         .select("n_docs", "total_tokens").collect()(0)
       assert(st2.getLong(0) == 3L && st2.getLong(1) == 8L)
-      assert(store.read("indexed_docs").get
-        .filter(col("doc_id") === 2L)
-        .select("term_buckets").collect()(0).getSeq[Long](0).isEmpty)
     } finally q.stop()
   }
 
@@ -452,9 +460,12 @@ class StreamingSpec extends AnyFunSuite {
     // bootstrap: no cursor, no index — built from the current snapshot
     val r0 = CdcIndexMaintenance.followPostings(store)
     assert(r0.action == "bootstrap" && r0.appliedVersion == 0L)
-    def postRows(s: SnapshotStore) = s.read("postings").get
-      .select("doc_id", "term", "tf").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // segment-by-default follower: the probe surface is the serving
+    // view (raw = serving on the LWW-built fresh twins)
+    def postRows(s: SnapshotStore) =
+      graft.streaming.StreamingPostings.servingPostings(s)
+        .select("doc_id", "term", "tf").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(postRows(store).exists(_._2 == "alpha"))
     // two more versions by another writer: update, insert, delete
     store.write("docs", docsDf(1L -> "alpha beta", 2L -> "gamma updated",
@@ -500,7 +511,9 @@ class StreamingSpec extends AnyFunSuite {
     val ra = CdcIndexMaintenance.followAnn(store)
     assert(ra.action == "steps" && ra.steps == 1)
     val cents = graft.rag.AnnStore.centroidsOf(store.read("ann_centroids").get)
-    val annRows = store.read("ann_assignments").get
+    // the follower maintains through the segment protocol by default —
+    // the probe surface is the SERVING view (dead generations filtered)
+    val annRows = graft.streaming.StreamingAnn.servingAssignments(store)
       .select("id", "embedding", "list_id").collect()
     assert(annRows.map(_.getLong(0)).toSet == v1v.map(_._1).toSet)
     annRows.foreach { r =>
@@ -517,7 +530,8 @@ class StreamingSpec extends AnyFunSuite {
     store.vacuum("vecs", keepLast = 1)
     val rb = CdcIndexMaintenance.followAnn(store)
     assert(rb.action == "resync")
-    assert(store.read("ann_assignments").get.select("id").collect()
+    assert(graft.streaming.StreamingAnn.servingAssignments(store)
+      .select("id").collect()
       .map(_.getLong(0)).toSet == v3v.map(_._1).toSet,
       "ANN resync diverged from the followed snapshot")
   }
@@ -667,9 +681,10 @@ class StreamingSpec extends AnyFunSuite {
     store.write("docs", v1)
     assert(graft.streaming.CdcIndexMaintenance
       .applyToPostings(store, "docs", 0L, 1L) == 3L)
-    def postRows(s: SnapshotStore) = s.read("postings").get
-      .select("doc_id", "term", "tf").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    def postRows(s: SnapshotStore) =
+      graft.streaming.StreamingPostings.servingPostings(s)
+        .select("doc_id", "term", "tf").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     def postStats(s: SnapshotStore) = s.read("postings_stats").get
       .select("n_docs", "total_tokens").collect()
       .map(r => (r.getLong(0), r.getLong(1))).head
@@ -699,7 +714,7 @@ class StreamingSpec extends AnyFunSuite {
       .applyToAnn(store, "vecs", 0L, 1L) == 3L)
     val storedCents = graft.rag.AnnStore.centroidsOf(
       store.read("ann_centroids").get)
-    val rows = store.read("ann_assignments").get
+    val rows = graft.streaming.StreamingAnn.servingAssignments(store)
       .select("id", "embedding", "list_id").collect()
     assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L, 5L),
       "ANN index ids diverged from the followed table")
