@@ -1149,7 +1149,13 @@ object DedupQueries {
     val t = Tables(spark, dir)
     val docs = t.documents.filter(col("doc_id") < 300)
     val sh = docs.select(col("doc_id"), wordShingles(col("text"), 2).as("s"))
-    val truth = sh.select(col("doc_id").as("a_id"), col("s").as("a_s"))
+    // the exact-truth cross join runs |slice|²/2 array intersections;
+    // the slice arrives as ONE scan split (single-row-group input), so
+    // without the explicit fan-out every intersection ran in a single
+    // task (r14: a 1.3-1.7 s straggler task = the query's floor).
+    // Repartitioning ≤300 rows is free; the work is the per-pair CPU.
+    val truth = sh.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("a_id"), col("s").as("a_s"))
       .crossJoin(sh.select(col("doc_id").as("b_id"), col("s").as("b_s")))
       .filter(col("a_id") < col("b_id"))
       .withColumn("n_inter", size(array_intersect(col("a_s"), col("b_s"))))

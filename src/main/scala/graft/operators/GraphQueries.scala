@@ -935,8 +935,14 @@ object GraphQueries {
         shiftright(col("s"), 1).as("supp"))
       .distinct()
     val sizes = baskets.groupBy("cust").agg(count(lit(1)).as("k"))
+    // FOUR consumers read `capped` (both self-join sides, totals,
+    // nCust): without the lazy checkpoint the planner inlines the
+    // distinct + semi-join subtree into each — measured 4× the
+    // baskets derivation (r14: 100.8 MB scanned, four SMJ-LeftSemi
+    // copies in the plan). One materialization, four block reads.
     val capped = baskets.join(
       sizes.filter(col("k") <= 100).select("cust"), Seq("cust"), "left_semi")
+      .localCheckpoint(false)
     val totals = capped.groupBy("supp").agg(count(lit(1)).as("n_s"))
     val nCust = capped.select("cust").distinct().agg(count(lit(1)).as("n"))
     capped.select(col("cust"), col("supp").as("s1"))

@@ -339,23 +339,30 @@ object ProfileQueries {
     * range — q114's injected-defect convention) pins the detection
     * power: the spec asserts the orphan set is exactly the injection.
     *
-    * Scale shape: each edge is a LEFT ANTI join from the child onto
+    * Scale shape: each edge is ONE LEFT OUTER join from the child onto
     * the parent's distinct keys (broadcast where the parent is a dim)
-    * + one count aggregate; edges are independent jobs unioned into
-    * the |FKs|-row report.
+    * + one aggregate computing total/orphan/distinct-orphan counts in
+    * the same pass — r14 folded the original anti-join + separate
+    * child-count + crossJoin (two child scans, three exchanges per
+    * edge; 27 jobs for a 1.5 s-of-task-time query) into it. A child
+    * row is orphan iff its probe misses, so `__pk IS NULL` after the
+    * outer join is exactly the anti-join membership (null child keys
+    * never match, as in the anti form), and the unmatched-count rides
+    * the single scan; edges are independent jobs unioned into the
+    * |FKs|-row report.
     */
   def q148RiAudit(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     def audit(name: String, child: DataFrame, key: String,
         parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
       val pk = parent.select(col(pkey).as("__pk")).distinct()
-      val orphans = child.select(col(key).as("__k"))
+      child.select(col(key).as("__k"))
         .join(if (bcast) broadcast(pk) else pk,
-          col("__k") === col("__pk"), "left_anti")
-        .agg(count(lit(1)).as("n_orphan_rows"),
-          countDistinct("__k").as("n_orphan_keys"))
-      child.agg(count(lit(1)).as("n_child_rows"))
-        .crossJoin(orphans)
+          col("__k") === col("__pk"), "left_outer")
+        .agg(count(lit(1)).as("n_child_rows"),
+          count(when(col("__pk").isNull, 1)).as("n_orphan_rows"),
+          countDistinct(when(col("__pk").isNull, col("__k")))
+            .as("n_orphan_keys"))
         .select(lit(name).as("fk"), col("n_child_rows"),
           col("n_orphan_rows"), col("n_orphan_keys"))
     }
@@ -673,24 +680,38 @@ object ProfileQueries {
     * built on the estimate — join order, broadcast threshold, shuffle
     * partition count — inherits the error. All integer arithmetic.
     *
-    * Scale shape: per edge, two 1-row aggregates (exact ndv — swap in
-    * q19's HLL contract at 100 TB) and the actual equi-join count
-    * (one shuffle each, AQE-planned); the audit output is 4 rows.
-    * n_left·n_right overflows int64 only past ~3e9 rows per side —
-    * per-shard audits long before that (documented bound).
+    * Scale shape (r14 reshape): per edge, ONE exchange — union both
+    * sides' keys side-tagged, group by key to per-key (cl, cr)
+    * counts, and a final scalar aggregate reads every statistic off
+    * that frame: n/ndv per side as conditional sums, and the true
+    * join cardinality as Σ cl·cr over non-null keys (the equi-join
+    * count by definition, without materializing a single joined row).
+    * The original shape paid two extra full scans per side (separate
+    * stat aggregates) plus the join's own shuffle and two crossJoins
+    * — 29 jobs for ~1 s of task time; this is 4 independent
+    * two-stage aggregates. Exact ndv — swap in q19's HLL contract at
+    * 100 TB. Σ cl·cr and n_left·n_right overflow int64 only past ~3e9
+    * rows per side/key — per-shard audits long before that
+    * (documented bound).
     */
   def q171JoinCardinality(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     def audit(name: String, left: DataFrame, lk: String,
         right: DataFrame, rk: String): DataFrame = {
-      val ls = left.agg(count(lit(1)).as("n_left"),
-        countDistinct(col(lk)).as("ndv_left"))
-      val rs = right.agg(count(lit(1)).as("n_right"),
-        countDistinct(col(rk)).as("ndv_right"))
-      val ac = left.select(col(lk).as("__lk"))
-        .join(right.select(col(rk).as("__rk")), col("__lk") === col("__rk"))
-        .agg(count(lit(1)).as("actual_rows"))
-      ls.crossJoin(rs).crossJoin(ac)
+      val keyed = left.select(col(lk).as("__k"), lit(1L).as("__l"),
+          lit(0L).as("__r"))
+        .unionByName(right.select(col(rk).as("__k"), lit(0L).as("__l"),
+          lit(1L).as("__r")))
+        .groupBy("__k").agg(sum("__l").as("cl"), sum("__r").as("cr"))
+      keyed.agg(
+          coalesce(sum("cl"), lit(0L)).as("n_left"),
+          count(when(col("__k").isNotNull && col("cl") > 0, 1))
+            .as("ndv_left"),
+          coalesce(sum("cr"), lit(0L)).as("n_right"),
+          count(when(col("__k").isNotNull && col("cr") > 0, 1))
+            .as("ndv_right"),
+          coalesce(sum(when(col("__k").isNotNull, col("cl") * col("cr"))),
+            lit(0L)).as("actual_rows"))
         .select(lit(name).as("join_name"),
           col("n_left"), col("ndv_left"), col("n_right"), col("ndv_right"),
           expr("(n_left * n_right) div greatest(ndv_left, ndv_right)")

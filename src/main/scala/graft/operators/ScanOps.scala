@@ -36,6 +36,27 @@ import org.apache.spark.sql.functions._
   */
 object ScanOps {
 
+  /** Fan a NARROW scan out to the session's parallelism before heavy
+    * per-row work (tokenization, hashing, shingling). The driver's
+    * testdata ships one single-row-group parquet file per table, so
+    * every scan is ONE task no matter the split config — and a
+    * tokenize-everything pipeline then runs on one core of 32 (guide
+    * §2.5 "input skew: one huge unsplittable file … repartition
+    * immediately after the read"). Round-robin repartition keeps
+    * Spark's sort-before-repartition retry determinism.
+    *
+    * Scale-adaptive, not a local constant: when the scan already has
+    * at least the cluster's parallelism (any real multi-file corpus —
+    * at 100 TB a scan has ~10⁵ splits), this is the identity and adds
+    * NO exchange; the shuffle only fires when the input is a handful
+    * of undersplittable files, where moving the few MB once is the
+    * enabling cost of using the machine at all.
+    */
+  def fanOutSmallScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Shuffle width for the range exchange — the session conf already
     * parsed to Int (a raw `conf.get(...).toInt` would throw on
     * distros that set symbolic values like "auto").

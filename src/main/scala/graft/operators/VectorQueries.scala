@@ -1652,6 +1652,60 @@ object VectorQueries {
     */
   def q195KnnShapley(spark: SparkSession, dir: String,
       evalBuckets: Long): DataFrame = {
+    val scored = q195Scored(spark, dir, evalBuckets)
+    val totals = scored.groupBy("vec_id", "label")
+      .agg(sum("shap_nano").as("shap_nano"), count(lit(1)).as("n_tests"))
+      // both report branches read it; |train| rows, one aggregate's output
+      .localCheckpoint(false)
+    // Top/bottom-20 as two TakeOrderedAndProject passes (each executor
+    // keeps a 20-row heap; the driver merges 20·|tasks| rows) instead of
+    // rank windows over an unpartitioned Window.orderBy, which would
+    // funnel the corpus-sized per-train totals frame through ONE
+    // partition. The 20-row anti join reproduces the old tie rule: a
+    // vector in both tails (possible only when |train| < 40) reports
+    // once, as "valuable".
+    val top = totals.orderBy(desc("shap_nano"), asc("vec_id")).limit(20)
+      .withColumn("bucket", lit("valuable"))
+    val bot = totals.orderBy(asc("shap_nano"), asc("vec_id")).limit(20)
+      .join(broadcast(top.select("vec_id")), Seq("vec_id"), "left_anti")
+      .withColumn("bucket", lit("harmful"))
+    top.unionByName(bot)
+      .select("vec_id", "label", "shap_nano", "n_tests", "bucket")
+      .orderBy(desc("shap_nano"), asc("vec_id"))
+  }
+
+  /** The per-(train, query) Shapley frame q195 rolls up — split out so
+    * the plan guard can assert the fused scan's shape (the final
+    * report hides it behind the rollup checkpoint).
+    */
+  private[graft] def q195Scored(spark: SparkSession, dir: String,
+      evalBuckets: Long): DataFrame = {
+    // the h-offset aggregate and the final projection both read the
+    // ranked chain; without the pin the whole window+join pipeline
+    // re-runs (and re-shuffles) once per consumer
+    val ranked = q195Ranked(spark, dir, evalBuckets).localCheckpoint(false)
+    val wOff = Window.partitionBy("query_id").orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy("query_id")
+    val hCells = ranked.groupBy("query_id", "__pid")
+      .agg(sum("h").as("__hcell"))
+    val hOffsets = hCells
+      .withColumn("__hoff", coalesce(sum("__hcell").over(wOff), lit(0L)))
+      .withColumn("ht", sum("__hcell").over(wTot))
+      .drop("__hcell")
+    ranked
+      .join(broadcast(hOffsets), Seq("query_id", "__pid"))
+      .withColumn("shap_nano",
+        col("own") + col("ht") - (col("__hloc") + col("__hoff")))
+  }
+
+  /** The ranked pair chain up to the local h-cumsum — split out (and
+    * left unpinned) so the plan guard can read the fused scan's shape:
+    * one cell-window hash exchange serving BOTH windows, no per-query
+    * partition anywhere.
+    */
+  private[graft] def q195Ranked(spark: SparkSession, dir: String,
+      evalBuckets: Long): DataFrame = {
     val t = Tables(spark, dir)
     // pmod, not %: Spark's sign-preserving % would route every
     // NEGATIVE vec_id into the test slice (ADVICE r9) — identical on
@@ -1684,12 +1738,46 @@ object VectorQueries {
       .withColumn("dot", dotFold(col("embedding"), col("q_emb")))
       .withColumn("ind", when(col("label") === col("q_label"), 1L).otherwise(0L))
       .select("query_id", "vec_id", "label", "ind", "dot")
+    // r14 FUSION of the two grouped scans: the second scan's value (h)
+    // is a row-local function of the FIRST scan's output (rank), and
+    // both scans share the identical (query_id, dot desc, vec_id)
+    // order — so one range exchange + ONE per-cell window pass serves
+    // both. Layout: range-partition once (each query's rows contiguous
+    // across partitions, the ScanOps invariant), pin the assignment
+    // with a lazy checkpoint, then (a) local rank per (query, pid)
+    // cell; (b) cell row-counts → per-query rank offsets AND sizes n
+    // (the old separate `sizes` aggregate rides along free); (c) after
+    // the broadcast offset join — which preserves the window's hash
+    // partitioning — compute w/own/h row-local and take h's running
+    // sum in a SECOND window over the SAME partitioning: no new
+    // exchange (plan-guarded in PlanGuardsSpec); (d) per-cell h
+    // totals → per-query h offsets and grand totals ht, broadcast back.
+    // Full-frame exchanges: 3 (range, window hash, final rollup) where
+    // the two chained runningSums paid 5 plus two extra scalar
+    // aggregates and a second checkpoint — measured 23 → 15 jobs at
+    // sf0.1. Same exact integer algebra; the oracle hash pins it.
     val sortCols = Seq(col("dot").desc, col("vec_id").asc)
-    val sizes = pairs.groupBy("query_id").agg(count(lit(1)).as("n"))
-    val ranked = ScanOps.joinKeysNullSafe(
-      ScanOps.runningSums(pairs, Seq("query_id"), sortCols,
-        Seq((lit(1L), "rank"))),
-      sizes, Seq("query_id"), broadcastRight = true)
+    val p = spark.sessionState.conf.numShufflePartitions
+    val ranged = pairs
+      .repartitionByRange(p, col("query_id") +: sortCols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .localCheckpoint(false)
+    val wCell = Window.partitionBy("query_id", "__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy("query_id").orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy("query_id")
+    val localRank = ranged.withColumn("__lrank", sum(lit(1L)).over(wCell))
+    // (wOff/wTot also appear in q195Scored for the h offsets)
+    val cells = ranged.groupBy("query_id", "__pid")
+      .agg(count(lit(1)).as("__cnt"))
+    val offsets = cells
+      .withColumn("__roff", coalesce(sum("__cnt").over(wOff), lit(0L)))
+      .withColumn("n", sum("__cnt").over(wTot))
+      .drop("__cnt")
+    localRank
+      .join(broadcast(offsets), Seq("query_id", "__pid"))
+      .withColumn("rank", col("__lrank") + col("__roff"))
       .withColumn("w", expr("(1000000000L * least(5, rank)) div (5 * rank)"))
       .withColumn("w_prev", expr(
         "(1000000000L * least(5, rank - 1)) div (5 * (rank - 1))"))
@@ -1700,33 +1788,7 @@ object VectorQueries {
         .when(col("rank") === col("n"),
           col("ind") * (expr("1000000000L div n") - col("w_prev")))
         .otherwise(col("ind") * (col("w") - col("w_prev"))))
-      // the h-totals aggregate and the second scan both read it
-      .localCheckpoint(false)
-    val hTotals = ranked.groupBy("query_id").agg(sum("h").as("ht"))
-    val scored = ScanOps.joinKeysNullSafe(
-      ScanOps.runningSums(ranked, Seq("query_id"), sortCols,
-        Seq((col("h"), "hcum"))),
-      hTotals, Seq("query_id"), broadcastRight = true)
-      .withColumn("shap_nano", col("own") + col("ht") - col("hcum"))
-    val totals = scored.groupBy("vec_id", "label")
-      .agg(sum("shap_nano").as("shap_nano"), count(lit(1)).as("n_tests"))
-      // both report branches read it; |train| rows, one aggregate's output
-      .localCheckpoint(false)
-    // Top/bottom-20 as two TakeOrderedAndProject passes (each executor
-    // keeps a 20-row heap; the driver merges 20·|tasks| rows) instead of
-    // rank windows over an unpartitioned Window.orderBy, which would
-    // funnel the corpus-sized per-train totals frame through ONE
-    // partition. The 20-row anti join reproduces the old tie rule: a
-    // vector in both tails (possible only when |train| < 40) reports
-    // once, as "valuable".
-    val top = totals.orderBy(desc("shap_nano"), asc("vec_id")).limit(20)
-      .withColumn("bucket", lit("valuable"))
-    val bot = totals.orderBy(asc("shap_nano"), asc("vec_id")).limit(20)
-      .join(broadcast(top.select("vec_id")), Seq("vec_id"), "left_anti")
-      .withColumn("bucket", lit("harmful"))
-    top.unionByName(bot)
-      .select("vec_id", "label", "shap_nano", "n_tests", "bucket")
-      .orderBy(desc("shap_nano"), asc("vec_id"))
+      .withColumn("__hloc", sum(col("h")).over(wCell))
   }
 
   val q195Sql: String = {

@@ -39,6 +39,52 @@ class PlanGuardsSpec extends AnyFunSuite {
     assert(shuffles.nonEmpty, "expected at least the signature aggregate exchange")
   }
 
+  test("q195's fused scan: the full pair frame crosses exactly two " +
+    "exchanges (range + one cell window), both windows share one sort") {
+    // r14 fused the two chained grouped scans (rank, then the h-cumsum
+    // over the same order) into one ranged layout: the h window must
+    // ride the rank window's hash exchange — a reintroduced second
+    // full-frame exchange or per-query window fails HERE. The lazy
+    // checkpoint truncates the final report's plan, so the guard reads
+    // the pre-rollup frame.
+    val ranked = operators.VectorQueries.q195Ranked(spark, dir, 1L)
+    def hasAgg(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case a: AdaptiveSparkPlanExec => hasAgg(a.executedPlan)
+      case q: QueryStageExec => hasAgg(q.plan)
+      case other => other.children.exists(hasAgg)
+    }
+    // Exchanges whose input is NOT pre-reduced by an aggregate carry
+    // the full pair frame: exactly ONE may exist in the visible plan —
+    // the cell-window hash exchange (the range exchange sits behind the
+    // layout checkpoint). Everything else must ride a partial aggregate
+    // (cell-count-sized offset frames).
+    val fullFrame = collectNodes(ranked) {
+      case s: ShuffleExchangeLike if !hasAgg(s) => s
+    }
+    assert(fullFrame.size <= 1,
+      s"q195 ranked shuffles the pair frame more than once " +
+        s"(${fullFrame.size}):\n${ranked.queryExecution.executedPlan}")
+    val wins = collectNodes(ranked) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // 2 cell windows (rank, hloc) + the rank-offset frame's 2 windows
+    assert(wins.size == 4,
+      s"expected 4 windows (2 cell + 2 offset), got ${wins.size}:\n" +
+        s"${ranked.queryExecution.executedPlan}")
+    val perQueryWins = wins.filter(_.partitionSpec.size < 2)
+      .filterNot(w => hasAgg(w.child)) // offset frames are bounded
+    assert(perQueryWins.isEmpty,
+      s"q195 grew a per-query (train-sized) window:\n" +
+        s"${ranked.queryExecution.executedPlan}")
+    // the h window must RIDE the rank window's exchange: two cell
+    // windows, at most one full-frame exchange between scan and both
+    val cellWins = wins.filter(_.partitionSpec.size == 2)
+    assert(cellWins.size == 2,
+      s"expected the two fused cell windows, got ${cellWins.size}:\n" +
+        s"${ranked.queryExecution.executedPlan}")
+  }
+
   test("q13 broadcasts all three dimension joins") {
     val df = operators.CoreQueries.q13RevenueByNation(spark, dir)
     val bhj = collectNodes(df) { case b: BroadcastHashJoinExec => b }
