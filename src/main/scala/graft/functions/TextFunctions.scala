@@ -36,8 +36,17 @@ object TextFunctions {
   /** 60-bit integer from the first 15 hex chars of md5 — the one
     * primitive hash shared with the oracle:
     * DuckDB `('0x' || substr(md5(x), 1, 15))::UBIGINT`.
+    * Native expression (plans.Md5Long60Expr): folds the digest bytes
+    * directly instead of the hex-string/substring/conv detour the
+    * declarative form below pays per evaluation.
     */
   def md5Long60(c: Column): Column =
+    call_function("graft_md5_60", c)
+
+  /** Declarative form of [[md5Long60]] — the semantics the oracle
+    * mirrors; value-identical (SketchExprSpec), slower.
+    */
+  def md5Long60Hof(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Whitespace tokens, empty strings dropped (leading/trailing
@@ -45,6 +54,25 @@ object TextFunctions {
     */
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Positional word n-grams, NON-distinct (native expression — one
+    * eval per row; see plans.WordGramsExpr): one entry per position,
+    * empty array below n tokens. The occurrence-counting sibling of
+    * [[wordShingles]] for LM/surprisal queries.
+    */
+  def wordGrams(c: Column, n: Int): Column =
+    call_function("graft_word_grams", c, lit(n))
+
+  /** Declarative form of [[wordGrams]] — the semantics the oracle
+    * mirrors; value-identical (SketchExprSpec), slower.
+    */
+  def wordGramsHof(c: Column, n: Int): Column = {
+    val tk = tokens(c)
+    when(size(tk) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - n + 1),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(tk, i + j)): _*)))
+  }
 
   /** Distinct character n-gram shingles (native expression — one eval
     * per row; see plans.CharShinglesExpr). A text shorter than n

@@ -104,10 +104,27 @@ object ProfileQueries {
     }
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      base.write.option("header", "true").option("timestampFormat", tsFmt)
-        .csv(s"$out/csv")
-      base.write.option("timestampFormat", tsFmt).json(s"$out/json")
-      base.write.orc(s"$out/orc")
+      // The three exports are independent jobs — submit them
+      // concurrently (guide §2.6: actions are only sequential because
+      // the driver calls them sequentially) instead of paying three
+      // serial write walls; each also fans its rows out first, because
+      // the single-split events scan otherwise makes every export one
+      // task of row-at-a-time CSV/JSON serialization (r14: the three
+      // writes were ~2/3 of this audit's wall). bit_xor fingerprints
+      // are order- and file-layout-independent, so neither change
+      // touches the audit's verdicts.
+      val par = spark.sparkContext.defaultParallelism
+      val src = base.repartition(par)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        Future(src.write.option("header", "true")
+          .option("timestampFormat", tsFmt).csv(s"$out/csv")),
+        Future(src.write.option("timestampFormat", tsFmt)
+          .json(s"$out/json")),
+        Future(src.write.orc(s"$out/orc")))
+      writes.foreach(Await.result(_, Duration.Inf))
       val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
       // ONE action for all four fingerprints: the union's branches
       // run as parallel stages of a single job

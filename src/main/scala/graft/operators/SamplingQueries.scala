@@ -710,9 +710,15 @@ object SamplingQueries {
     */
   def q137ScoreCalibrate(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val scored = t.documents
+    // one scoring pass (q197's discipline): the scan machinery and the
+    // per-source counts both read `scored`; qualityScore per document
+    // is the dominant cost and the single-split scan would otherwise
+    // run it twice, one task each
+    val scored = ScanOps.fanOutSmallScan(
+      t.documents.select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"),
         graft.functions.TextFunctions.qualityScore(col("text")).as("score"))
+      .localCheckpoint(false)
     val ranked = ScanOps.runningSums(scored, Seq("source"),
       Seq(col("score").asc, col("doc_id").asc), Seq((lit(1L), "rk")))
     val counts = scored.groupBy("source").agg(count(lit(1)).as("cnt"))
@@ -884,6 +890,10 @@ object SamplingQueries {
     val tokenized = t.documents.select(col("doc_id"), col("lang"),
       graft.functions.TextFunctions.tokens(col("text")).as("tk"))
     val tk = col("tk")
+    // bigrams from the materialized token array: a native
+    // graft_word_grams(text) was A/B'd here (r14) and lost — it
+    // re-tokenizes internally, and with the unigram leg also needing
+    // `tk`, the double split cost more than the lambda frames saved
     val bigrams: Column = when(size(tk) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(tk) - 1), i =>
         concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
@@ -1224,10 +1234,20 @@ object SamplingQueries {
     */
   def q197BudgetSelect(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val scored = t.documents.select(col("source"),
+    // score ONCE: both the class histogram and the selection scan read
+    // the identical (source, n_tok, qclass) rows, and tokens() +
+    // qualityScore() per document is this query's dominant cost — the
+    // lazy checkpoint replaces the second scoring scan with a block
+    // read (the narrow 3-column frame is what materializes, never the
+    // text). Fanned out first: the single-split scan otherwise scores
+    // the whole corpus slice in ONE task (r14).
+    val scored = ScanOps.fanOutSmallScan(
+      t.documents.select(col("source"), col("text")))
+      .select(col("source"),
         size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
         floor(graft.functions.TextFunctions.qualityScore(col("text")) * 1000.0d)
           .cast("long").as("qclass"))
+      .localCheckpoint(false)
     val classes = scored.groupBy("qclass").agg(sum("n_tok").as("ctoks"))
     val wAll = Window.partitionBy(lit(1))
     val wCum = Window.partitionBy(lit(1)).orderBy(desc("qclass"))
@@ -1318,11 +1338,16 @@ object SamplingQueries {
     */
   def q200SelectionCurve(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val scored = t.documents.select(col("doc_id"),
-      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
-        .as("n_tok"),
-      floor(graft.functions.TextFunctions.qualityScore(col("text")) * 1000.0d)
-        .cast("long").as("qclass"))
+    // same one-scoring-pass + fan-out discipline as q197: the scan
+    // machinery and the decile-cut aggregate both read `scored`
+    val scored = ScanOps.fanOutSmallScan(
+      t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+          .as("n_tok"),
+        floor(graft.functions.TextFunctions.qualityScore(col("text")) * 1000.0d)
+          .cast("long").as("qclass"))
+      .localCheckpoint(false)
     val ranked = ScanOps.runningSums(scored,
       Seq(col("qclass").desc, col("doc_id").asc),
       Seq((lit(1L), "rn"), (col("n_tok"), "cum_tokens")))

@@ -532,19 +532,15 @@ object TextQueries {
     */
   def q107BigramScore(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // tokens materialize in their OWN projection: referencing the
-    // `tokens(text)` expression from inside the gram lambda would let
-    // CollapseProject inline the whole split into every element_at —
-    // O(len²) re-tokenization per row (the q31 lesson; measured 12.3s
-    // → 1.9s warm at sf0.1 for this query, and 1.1s → 0.3s for q105)
-    val tokenized = t.documents
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
-    val tk = col("tk")
-    val bigrams = when(size(tk) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(tk) - 2),
-        i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2))))
-    val docBigrams = tokenized
-      .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
+    // native positional bigrams (graft_word_grams): one eval per row
+    // into a tight loop — replaces the tokens-projection + per-element
+    // transform lambda, whose interpreted frames were this query's
+    // dominant per-task cost (and whose CollapseProject hazard forced
+    // the two-projection shape; the native expr tokenizes internally,
+    // once)
+    val docBigrams = t.documents
+      .select(col("doc_id"), col("lang"),
+        explode(wordGrams(col("text"), 2)).as("bg"))
     val bgCounts = docBigrams.groupBy("bg").agg(count(lit(1)).as("bg_cnt"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val prefixCounts = bgCounts.groupBy("w1")

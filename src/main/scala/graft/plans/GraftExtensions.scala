@@ -51,6 +51,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CharShinglesExpr(children(0), intLit(children(1), "n"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_word_grams"),
+      new ExpressionInfo(classOf[WordGramsExpr].getName, "graft_word_grams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_word_grams(text, n)")
+        WordGramsExpr(children(0), intLit(children(1), "n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5_60"),
+      new ExpressionInfo(classOf[Md5Long60Expr].getName, "graft_md5_60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_md5_60(text)")
+        Md5Long60Expr(children(0))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_posgrams"),
       new ExpressionInfo(classOf[PosGramHashesExpr].getName, "graft_posgrams"),
       (children: Seq[Expression]) => {

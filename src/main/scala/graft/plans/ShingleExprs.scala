@@ -85,6 +85,51 @@ case class CharShinglesExpr(child: Expression, n: Int) extends ShinglesExprBase 
     copy(child = newChild)
 }
 
+/** POSITIONAL word n-grams as strings, NON-distinct (one entry per
+  * position — LM/bigram surprisal counts occurrences, not types).
+  * Value-identical to the declarative
+  * `transform(sequence(1, size(tk) - n + 1), i -> concat_ws(' ',
+  * tk[i..i+n-1]))` over `tk = tokens(text)` (pinned in
+  * SketchExprSpec), empty array when the text has fewer than n
+  * whitespace tokens. One eval per row into a tight loop — the
+  * per-position interpreted-lambda frames (q107/q117's dominant
+  * per-task cost) disappear.
+  */
+case class WordGramsExpr(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"graft_word_grams needs n >= 1, got $n")
+  override def prettyName: String = "graft_word_grams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_grams requires a string column, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split("\\s+").filter(_.nonEmpty)
+    val count = toks.length - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramsExpr =
+    copy(child = newChild)
+}
+
 /** POSITIONAL n-gram 60-bit hashes — the seed generator for
   * substring-span dedup (q193) and the novelty curve (q201):
   * element i = md5Long60 of tokens i..i+n-1 joined by single spaces,
@@ -139,5 +184,41 @@ case class PosGramHashesExpr(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PosGramHashesExpr =
+    copy(child = newChild)
+}
+
+/** Scalar 60-bit md5 — the engine's one shared primitive hash, native.
+  * Value-identical to the declarative
+  * `conv(substring(md5(c), 1, 15), 16, 10).cast("long")` (pinned in
+  * SketchExprSpec) and to DuckDB's
+  * `('0x' || substr(md5(x), 1, 15))::UBIGINT`, but the digest's first
+  * 60 bits fold directly from the bytes (7 full bytes + the high
+  * nibble of byte 7) — no 32-char hex string, no substring, no base-16
+  * string parse per evaluation. The declarative chain allocated three
+  * intermediate strings per hash; on the shingle-explode hot paths
+  * (q32/q33/q124 signatures, q117's per-occurrence feature hash) that
+  * detour was a third of per-task CPU. The UTF8String's bytes feed the
+  * digest directly — byte-identical to the UTF-8 encode md5() does.
+  */
+case class Md5Long60Expr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "graft_md5_60"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_60 requires a string column, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(input.asInstanceOf[UTF8String].getBytes)
+    var v = 0L
+    var k = 0
+    while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Long60Expr =
     copy(child = newChild)
 }

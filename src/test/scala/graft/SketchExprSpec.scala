@@ -98,6 +98,39 @@ class SketchExprSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_word_grams == declarative positional-gram transform") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("text"))
+      .unionByName(Seq("", "a", "a b c", "one two three four",
+        "  padded   runs\tof \n ws  ", "x y x y x").toDF("text"))
+    for (n <- Seq(1, 2, 3)) {
+      val diff = texts
+        .withColumn("fast", TextFunctions.wordGrams(col("text"), n))
+        .withColumn("slow", TextFunctions.wordGramsHof(col("text"), n))
+        .filter(col("fast") =!= col("slow"))
+      assert(diff.count() == 0, s"graft_word_grams diverged at n=$n")
+    }
+  }
+
+  test("graft_md5_60 == declarative conv(substring(md5)) on corpus + edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus text plus edge shapes: empty string, 1 char, multi-byte
+    // UTF-8, long runs — the native fold must equal the hex-parse for
+    // every byte pattern the engine hashes
+    val texts = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("text"))
+      .unionByName(Seq("", "a", "ab c", "naïve — déjà vu ✓",
+        "\t\n  ", "0123456789" * 50).toDF("text"))
+    val diff = texts
+      .withColumn("fast", TextFunctions.md5Long60(col("text")))
+      .withColumn("slow", TextFunctions.md5Long60Hof(col("text")))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0, "graft_md5_60 diverged from the hex parse")
+  }
+
   test("graft_minhash on empty shingle arrays mirrors array_min nulls") {
     import spark.implicits._
     val empty = Seq((1L, Seq.empty[Long])).toDF("id", "base")
