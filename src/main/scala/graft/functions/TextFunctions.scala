@@ -63,6 +63,17 @@ object TextFunctions {
   def wordGrams(c: Column, n: Int): Column =
     call_function("graft_word_grams", c, lit(n))
 
+  /** Sliding-window co-occurrence pairs (native expression — one eval
+    * per row; see plans.CoocPairsExpr): positional non-distinct
+    * "a b" pairs for offsets 1..win over the minLen-filtered tokens;
+    * `canonical` orders each pair like least/greatest, `dropSelf`
+    * skips equal-word pairs.
+    */
+  def coocPairs(c: Column, win: Int, minLen: Int, canonical: Boolean,
+      dropSelf: Boolean): Column =
+    call_function("graft_cooc_pairs", c, lit(win), lit(minLen),
+      lit(canonical), lit(dropSelf))
+
   /** Declarative form of [[wordGrams]] — the semantics the oracle
     * mirrors; value-identical (SketchExprSpec), slower.
     */
@@ -123,6 +134,14 @@ object TextFunctions {
   /** Base hashes of an array of shingles, reduced mod P. */
   def baseHashes(shingleCol: Column): Column =
     transform(shingleCol, s => pmod(md5Long60(s), lit(P)))
+
+  /** Distinct word w-gram shingle hashes reduced mod P — native
+    * fusion of `baseHashes(wordShingles(c, w))` (see
+    * plans.ShingleHashesExpr); the MinHash pipelines' base in one
+    * eval per row, no per-element lambda.
+    */
+  def shingleHashes(c: Column, w: Int): Column =
+    call_function("graft_shingle_hashes", c, lit(w))
 
   /** MinHash signature (k values) from a *pre-materialized* base-hash
     * array column: minhash_i = min over shingles of (a_i*h + b_i) mod P.

@@ -121,29 +121,25 @@ object DedupQueries {
   private def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val k = 16; val bands = 8; val r = 2
     val t = Tables(spark, dir)
-    // Postings-first shape: shingles explode ONCE, the md5 runs as a
-    // codegen'd projection over exploded rows (outside any HOF), and
-    // the signature falls out of one hash aggregate — min is
-    // order-independent, so min-over-rows ≡ array_min over the array
-    // the oracle computes. The postings (~10× the corpus) have exactly
-    // ONE consumer (this aggregate), so nothing corpus-sized is ever
-    // cached — the round-2 memory-discipline concern is gone by
-    // construction, not by a persist knob.
-    val postings = t.documents
-      .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("g"))
-      .withColumn("h", pmod(md5Long60(col("g")), lit(P)))
-    val minCols = (0 until k).map(i =>
-      min(pmod(col("h") * seedA(i) + seedB(i), lit(P))).as(s"_m$i"))
-    // one compact row per doc; cached because both band-join sides
-    // would otherwise re-run the signature aggregate over the postings
-    val sigs = postings.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
+    // ROW-LOCAL signature (r14 — replaces the explode + 16-min
+    // aggregate): graft_shingle_hashes builds the distinct-shingle
+    // base hashes in one native eval (an interpreted baseHashes lambda
+    // here was A/B'd and cost ~4 s/task — the exact hazard the old
+    // postings shape existed to dodge) and graft_minhash folds all k
+    // minima in a single codegen pass. Same distinct-shingle base,
+    // same seeds, same modulus — min-over-array ≡ the old
+    // min-over-exploded-rows, so the oracle (unchanged) still
+    // hash-matches; what disappears is the ~10×-corpus posting
+    // explode, its hash-aggregate machinery, and the signature
+    // exchange (q32's plan guard tightens to ONE shuffle: the result
+    // sort). Fanned out: with the aggregate gone the whole signature
+    // pass would otherwise ride the single-split scan in one task.
+    val sigs = ScanOps.fanOutSmallScan(
+      t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), shingleHashes(col("text"), 2).as("bh"))
+      .select(col("doc_id"), minHashFromBase(col("bh"), k).as("mins"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    // each doc's 16 minhash values as one compact long array, carried
-    // through the band join so the minimal-band predicate below can
-    // see BOTH docs' full signatures
-    val minsArr = array((0 until k).map(i => col(s"_m$i")): _*)
-    val banded = sigs.select(col("doc_id"), minsArr.as("mins"),
+    val banded = sigs.select(col("doc_id"), col("mins"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("doc_id"), col("mins"), col("band"),
         concat_ws("_", (0 until r).map(j =>
@@ -276,16 +272,14 @@ object DedupQueries {
   def q131IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val k = 16; val bands = 8; val r = 2
     val t = Tables(spark, dir)
-    val postings = t.documents
-      .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("g"))
-      .withColumn("h", pmod(md5Long60(col("g")), lit(P)))
-    val minCols = (0 until k).map(i =>
-      min(pmod(col("h") * seedA(i) + seedB(i), lit(P))).as(s"_m$i"))
-    val sigs = postings.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
+    // row-local signature, as in minhashVerifiedPairs (r14): identical
+    // base/seeds, no posting explode/aggregate/exchange
+    val sigs = ScanOps.fanOutSmallScan(
+      t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), shingleHashes(col("text"), 2).as("bh"))
+      .select(col("doc_id"), minHashFromBase(col("bh"), k).as("mins"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val minsArr = array((0 until k).map(i => col(s"_m$i")): _*)
-    val banded = sigs.select(col("doc_id"), minsArr.as("mins"),
+    val banded = sigs.select(col("doc_id"), col("mins"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("doc_id"), col("mins"), col("band"),
         concat_ws("_", (0 until r).map(j =>
@@ -1165,14 +1159,13 @@ object DedupQueries {
       .select(col("a_id"), col("b_id"),
         floor(col("jaccard") * 10).cast("long").as("bucket"))
       .localCheckpoint(false) // consumed by the per-bucket totals AND the semi-join
-    val postings = docs
-      .select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("g"))
-      .withColumn("h", pmod(md5Long60(col("g")), lit(P)))
-    val minCols = (0 until k).map(i =>
-      min(pmod(col("h") * seedA(i) + seedB(i), lit(P))).as(s"_m$i"))
-    val sigs = postings.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val minsArr = array((0 until k).map(i => col(s"_m$i")): _*)
-    val banded = sigs.select(col("doc_id"), minsArr.as("mins"),
+    // row-local signature, as in minhashVerifiedPairs (r14): same
+    // distinct-shingle base + seeds, so the banding this audit measures
+    // is bit-identical to q32's — without the posting explode/aggregate
+    val sigs = docs
+      .select(col("doc_id"), shingleHashes(col("text"), 2).as("bh"))
+      .select(col("doc_id"), minHashFromBase(col("bh"), k).as("mins"))
+    val banded = sigs.select(col("doc_id"), col("mins"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("doc_id"), col("band"),
         concat_ws("_", (0 until r).map(j =>

@@ -835,18 +835,16 @@ object GraphQueries {
     * top-30 is a TakeOrderedAndProject.
     */
   def q113Textrank(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.{md5Long60, tokens}
+    import graft.functions.TextFunctions.{coocPairs, md5Long60, tokens}
     val t = Tables(spark, dir)
     val toks = t.documents.select(tokens(col("text")).as("tk0"))
       .select(filter(col("tk0"), w => length(w) >= 4).as("tk"))
     val tk = col("tk")
-    val prsCol = when(size(tk) < 2, array().cast("array<string>"))
-      .otherwise(flatten(transform(sequence(lit(1), size(tk) - 1), i =>
-        filter(transform(array(lit(1), lit(2)), d =>
-          when((i + d <= size(tk)) &&
-            (element_at(tk, i) =!= element_at(tk, i + d)),
-            concat_ws(" ", element_at(tk, i), element_at(tk, i + d)))),
-          x => x.isNotNull))))
+    // native windowed-pair derivation over the length≥4 content words
+    // (graft_cooc_pairs: ordered pairs, self-loops dropped) — replaces
+    // the per-(position, offset) interpreted lambda (r14)
+    val prsCol = coocPairs(col("text"), 2, 4, canonical = false,
+      dropSelf = true)
     // hash the VOCABULARY, not the occurrences: md5 per co-occurrence
     // (2 per pair row) measured ~1.2s of the query at sf0.1; the
     // vocabulary is Heaps-small, so hashing it once and resolving
@@ -857,7 +855,7 @@ object GraphQueries {
     val vocab = toks.select(explode(tk).as("word")).distinct()
       .withColumn("node_id", md5Long60(col("word")))
       .localCheckpoint(false)
-    val occ = toks.select(explode(prsCol).as("pr"))
+    val occ = t.documents.select(explode(prsCol).as("pr"))
       .select(substring_index(col("pr"), " ", 1).as("w1"),
         substring_index(col("pr"), " ", -1).as("w2"))
     val pairs = occ

@@ -603,20 +603,16 @@ object TextQueries {
     */
   def q110CoocPmi(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val tokenized = t.documents
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-    val tk = col("tk")
-    val prsCol = when(size(tk) < 2, array().cast("array<string>"))
-      .otherwise(flatten(transform(sequence(lit(1), size(tk) - 1), i =>
-        filter(transform(array(lit(1), lit(2)), d =>
-          when(i + d <= size(tk),
-            concat_ws(" ",
-              least(element_at(tk, i), element_at(tk, i + d)),
-              greatest(element_at(tk, i), element_at(tk, i + d))))),
-          x => x.isNotNull))))
-    val pairRows = tokenized.select(explode(prsCol).as("pr"))
+    // native windowed-pair derivation (graft_cooc_pairs, canonical
+    // least/greatest order, offsets 1..2): the nested
+    // transform/filter/flatten lambda evaluated one interpreted frame
+    // per (position, offset) and was this query's dominant single-task
+    // cost (r14: 1.2-2.4 s stages); same row-local shape, one eval/row
+    val pairRows = t.documents.select(
+      explode(coocPairs(col("text"), 2, 0, canonical = true,
+        dropSelf = false)).as("pr"))
     val pc = pairRows.groupBy("pr").agg(count(lit(1)).as("c_ab"))
-    val tc = tokenized.select(explode(tk).as("w"))
+    val tc = t.documents.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c_w"))
     // N from the pair aggregate, NOT a second pass over pairRows: a
     // second reference to the un-shuffled pairRows would re-run the

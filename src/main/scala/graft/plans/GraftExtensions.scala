@@ -51,6 +51,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CharShinglesExpr(children(0), intLit(children(1), "n"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_shingle_hashes(text, w)")
+        ShingleHashesExpr(children(0), intLit(children(1), "w"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cooc_pairs"),
+      new ExpressionInfo(classOf[CoocPairsExpr].getName, "graft_cooc_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          "graft_cooc_pairs(text, win, minLen, canonical, dropSelf)")
+        def boolLit(e: Expression, what: String): Boolean = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"$what must be a boolean literal, got $other")
+        }
+        CoocPairsExpr(children(0), intLit(children(1), "win"),
+          intLit(children(2), "minLen"),
+          boolLit(children(3), "canonical"), boolLit(children(4), "dropSelf"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_word_grams"),
       new ExpressionInfo(classOf[WordGramsExpr].getName, "graft_word_grams"),
       (children: Seq[Expression]) => {

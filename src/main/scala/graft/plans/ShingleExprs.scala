@@ -9,6 +9,8 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+import graft.functions.TextFunctions
+
 /** Native shingle builders. The declarative forms
   * (TextFunctions.wordShinglesHof / charShinglesHof — sequence +
   * transform + array_join/substr + array_distinct) evaluate one
@@ -184,6 +186,113 @@ case class PosGramHashesExpr(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): PosGramHashesExpr =
+    copy(child = newChild)
+}
+
+/** Distinct word w-gram shingle HASHES — WordShinglesExpr composed
+  * with the 60-bit md5 reduced mod P, one native eval per row:
+  * value-identical to `baseHashes(wordShingles(text, w))` =
+  * `transform(graft_word_shingles(text, w), s -> pmod(md5Long60(s),
+  * P))` (pinned in SketchExprSpec) but with no per-element lambda
+  * frame and no intermediate shingle-string array surfacing — the
+  * MinHash signature pipelines' base in one pass.
+  */
+case class ShingleHashesExpr(child: Expression, w: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(w >= 1, s"graft_shingle_hashes needs w >= 1, got $w")
+  override def prettyName: String = "graft_shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes requires a string column, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    // same order-preserving first-occurrence distinct as
+    // WordShinglesExpr (order is irrelevant to the min-fold consumer,
+    // but the pinned declarative twin preserves it)
+    val seen = new mutable.LinkedHashSet[String]
+    var i = 0
+    val last = math.max(n - w, 0)
+    while (i <= last) {
+      val end = math.min(i + w, n)
+      seen += toks.slice(i, end).mkString(" ")
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](seen.size)
+    var j = 0
+    seen.foreach { s =>
+      val d = md.digest(s.getBytes("UTF-8")) // digest() resets
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      out(j) = ((v << 4) | ((d(7) >> 4) & 0xfL)) % TextFunctions.P
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** Sliding-window co-occurrence pairs — the q110/q113 pair derivation
+  * as ONE native eval per row. For each token position i and offset
+  * d ∈ [1, win], emits the pair "tk(i) tk(i+d)" (or the
+  * lexicographically canonical "min max" when `canonical`), over the
+  * tokens surviving `minLen`; `dropSelf` skips equal-word pairs.
+  * Positional, NON-distinct — co-occurrence counts occurrences.
+  * Value-identical to the nested transform/filter/flatten lambda forms
+  * it replaces (pinned in SketchExprSpec), which evaluated one
+  * interpreted lambda frame per (position, offset) — the dominant
+  * per-task cost of both queries' derivation stages.
+  */
+case class CoocPairsExpr(child: Expression, win: Int, minLen: Int,
+    canonical: Boolean, dropSelf: Boolean)
+  extends UnaryExpression with CodegenFallback {
+  require(win >= 1, s"graft_cooc_pairs needs win >= 1, got $win")
+  override def prettyName: String = "graft_cooc_pairs"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_cooc_pairs requires a string column, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    // UTF8String comparisons/lengths throughout: `canonical` must rank
+    // exactly like Spark's least/greatest (binary order) and `minLen`
+    // like length() (codepoints) — String.compareTo/length (UTF-16
+    // units) diverge outside the BMP
+    val toks = input.toString.split("\\s+").iterator
+      .filter(_.nonEmpty).map(UTF8String.fromString)
+      .filter(_.numChars >= minLen).toArray
+    val n = toks.length
+    val sep = UTF8String.fromString(" ")
+    val out = mutable.ArrayBuilder.make[Any]
+    var i = 0
+    while (i < n - 1) {
+      val a = toks(i)
+      var d = 1
+      while (d <= win && i + d < n) {
+        val b = toks(i + d)
+        if (!(dropSelf && a.equals(b))) {
+          val (x, y) =
+            if (canonical && a.compareTo(b) > 0) (b, a) else (a, b)
+          out += UTF8String.concat(x, sep, y)
+        }
+        d += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CoocPairsExpr =
     copy(child = newChild)
 }
 

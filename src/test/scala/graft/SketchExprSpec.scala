@@ -114,6 +114,67 @@ class SketchExprSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_shingle_hashes == baseHashes(wordShingles) on corpus + edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("text"))
+      .unionByName(Seq("", "a", "ab", "one two", "  padded  ", "a\tb\nc",
+        "naïve déjà ✓ vu naïve déjà").toDF("text"))
+    for (w <- Seq(2, 3)) {
+      val diff = texts
+        .withColumn("fast", TextFunctions.shingleHashes(col("text"), w))
+        .withColumn("slow",
+          TextFunctions.baseHashes(TextFunctions.wordShingles(col("text"), w)))
+        .filter(col("fast") =!= col("slow"))
+      assert(diff.count() == 0, s"graft_shingle_hashes diverged at w=$w")
+    }
+  }
+
+  test("graft_cooc_pairs == declarative window-pair lambdas (q110/q113 forms)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Tables(spark, "/root/testdata/sf0.001").documents
+      .select(col("text"))
+      .unionByName(Seq("", "a", "a b", "a a a", "ab cd ab cd",
+        "wide words here again wide words", "  runs\tof \n ws x y  ")
+        .toDF("text"))
+    // q110's form: all tokens, canonical (least/greatest), self kept
+    val tk0 = TextFunctions.tokens(col("text"))
+    def q110Form(tk: org.apache.spark.sql.Column) =
+      when(size(tk) < 2, array().cast("array<string>"))
+        .otherwise(flatten(transform(sequence(lit(1), size(tk) - 1), i =>
+          filter(transform(array(lit(1), lit(2)), d =>
+            when(i + d <= size(tk),
+              concat_ws(" ",
+                least(element_at(tk, i), element_at(tk, i + d)),
+                greatest(element_at(tk, i), element_at(tk, i + d))))),
+            x => x.isNotNull))))
+    // q113's form: length>=4 tokens, ordered, self-loops dropped
+    def q113Form(tk: org.apache.spark.sql.Column) =
+      when(size(tk) < 2, array().cast("array<string>"))
+        .otherwise(flatten(transform(sequence(lit(1), size(tk) - 1), i =>
+          filter(transform(array(lit(1), lit(2)), d =>
+            when((i + d <= size(tk)) &&
+              (element_at(tk, i) =!= element_at(tk, i + d)),
+              concat_ws(" ", element_at(tk, i), element_at(tk, i + d)))),
+            x => x.isNotNull))))
+    val staged = texts
+      .withColumn("tk", tk0)
+      .withColumn("tk4", filter(col("tk"), w => length(w) >= 4))
+    val diff = staged
+      .withColumn("f110",
+        TextFunctions.coocPairs(col("text"), 2, 0, canonical = true,
+          dropSelf = false))
+      .withColumn("s110", q110Form(col("tk")))
+      .withColumn("f113",
+        TextFunctions.coocPairs(col("text"), 2, 4, canonical = false,
+          dropSelf = true))
+      .withColumn("s113", q113Form(col("tk4")))
+      .filter(col("f110") =!= col("s110") || col("f113") =!= col("s113"))
+    assert(diff.count() == 0, "graft_cooc_pairs diverged from the lambdas")
+  }
+
   test("graft_md5_60 == declarative conv(substring(md5)) on corpus + edges") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
