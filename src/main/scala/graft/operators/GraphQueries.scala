@@ -256,7 +256,10 @@ object GraphQueries {
               (src, if (ss.contains(src)) 1L else 0L) }
         }
     }).persist(StorageLevel.MEMORY_AND_DISK)
-    seedFlag.foreachPartition(_ => ())
+    // persisted but lazily materialized by round 1's exchange (the
+    // eager foreachPartition job bought nothing — r14); the persist is
+    // what matters, so later rounds read blocks instead of re-deriving
+    // through the adjacency
     var ranks: RDD[(Long, Long)] = seedFlag.mapValues(_ * scale)
     var i = 0
     while (i < iterations) {
@@ -491,7 +494,15 @@ object GraphQueries {
     val fwd = buildAdjacency(raw, part).persist(StorageLevel.MEMORY_AND_DISK)
     val rev = buildAdjacency(raw.map(_.swap), part)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    fwd.count(); rev.count()
+    // the two adjacency materializations are independent — overlap them
+    // (guide §2.6) instead of paying two serial job walls
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Seq(Future(fwd.count()), Future(rev.count()))
+        .foreach(Await.result(_, Duration.Inf))
+    }
     raw.unpersist(false)
     val retired = collection.mutable.ArrayBuffer.empty[RDD[_]]
 
@@ -533,9 +544,11 @@ object GraphQueries {
       rawScores.mapValues(v => v * scale / mx)
     }
 
+    // persisted but NOT eagerly materialized: the first half-round's
+    // exchange computes it once (a dedicated foreachPartition job here
+    // bought nothing — r14)
     var hub: RDD[(Long, Long)] = fwd.mapValues(_ => scale)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    hub.foreachPartition(_ => ())
     retired += hub
     var auth: RDD[(Long, Long)] = null
     var i = 0
