@@ -123,6 +123,22 @@ object TextFunctions {
       i => array_join(slice(toks, i + 1, lit(w)), " ")))
   }
 
+  /** All ordered pairs (s1 < s2, packed `s1 << 32 | s2`) over the
+    * distinct values of a long-array column (native expression — see
+    * plans.SortedPairsExpr): the market-basket pair derivation
+    * without a self-join.
+    */
+  def sortedPairs(c: Column): Column =
+    call_function("graft_sorted_pairs", c)
+
+  /** `size(array_intersect(a, b))` over SORTED arrays as one
+    * allocation-free zipper merge (native expression — see
+    * plans.SortedInterCountExpr). Callers sort each side once
+    * (`sort_array`) instead of paying a hash set per evaluated pair.
+    */
+  def sortedInterCount(a: Column, b: Column): Column =
+    call_function("graft_sorted_inter_count", a, b)
+
   /** Jaccard similarity of two string arrays (assumed distinct).
     * Integer sizes divided as double — bit-identical across engines.
     */

@@ -172,11 +172,11 @@ object DedupQueries {
     // (doc, shingle). The intersection gets its own projection so it
     // evaluates once per pair, not once per reference.
     val shingles = t.documents
-      .select(col("doc_id"), wordShingles(col("text"), 2).as("s"))
+      .select(col("doc_id"), sort_array(wordShingles(col("text"), 2)).as("s"))
     cand
       .join(shingles.select(col("doc_id").as("a_id"), col("s").as("a_s")), Seq("a_id"))
       .join(shingles.select(col("doc_id").as("b_id"), col("s").as("b_s")), Seq("b_id"))
-      .withColumn("n_inter", size(array_intersect(col("a_s"), col("b_s"))))
+      .withColumn("n_inter", graft.functions.TextFunctions.sortedInterCount(col("a_s"), col("b_s")))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (size(col("a_s")) + size(col("b_s")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= 0.05d)
@@ -302,13 +302,13 @@ object DedupQueries {
       .filter(minimalBand)
       .select("batch_id", "hist_id")
     val shingles = t.documents
-      .select(col("doc_id"), wordShingles(col("text"), 2).as("s"))
+      .select(col("doc_id"), sort_array(wordShingles(col("text"), 2)).as("s"))
     cand
       .join(shingles.select(col("doc_id").as("batch_id"), col("s").as("b_s")),
         Seq("batch_id"))
       .join(shingles.select(col("doc_id").as("hist_id"), col("s").as("h_s")),
         Seq("hist_id"))
-      .withColumn("n_inter", size(array_intersect(col("b_s"), col("h_s"))))
+      .withColumn("n_inter", graft.functions.TextFunctions.sortedInterCount(col("b_s"), col("h_s")))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (size(col("b_s")) + size(col("h_s")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= 0.05d)
@@ -1142,7 +1142,8 @@ object DedupQueries {
     val k = 16; val bands = 8; val r = 2
     val t = Tables(spark, dir)
     val docs = t.documents.filter(col("doc_id") < 300)
-    val sh = docs.select(col("doc_id"), wordShingles(col("text"), 2).as("s"))
+    val sh = docs.select(col("doc_id"),
+      sort_array(wordShingles(col("text"), 2)).as("s"))
     // the exact-truth cross join runs |slice|²/2 array intersections;
     // the slice arrives as ONE scan split (single-row-group input), so
     // without the explicit fan-out every intersection ran in a single
@@ -1152,7 +1153,8 @@ object DedupQueries {
       .select(col("doc_id").as("a_id"), col("s").as("a_s"))
       .crossJoin(sh.select(col("doc_id").as("b_id"), col("s").as("b_s")))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("n_inter", size(array_intersect(col("a_s"), col("b_s"))))
+      .withColumn("n_inter",
+        graft.functions.TextFunctions.sortedInterCount(col("a_s"), col("b_s")))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (size(col("a_s")) + size(col("b_s")) - col("n_inter")).cast("double"))
       .filter(col("jaccard") >= 0.05d)

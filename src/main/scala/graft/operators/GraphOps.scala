@@ -191,21 +191,31 @@ object GraphOps {
     if (debug) println(f"[cc] init ${(System.nanoTime() - tInit0) / 1e9}%.3f s")
     var iter = 0
     var converged = false
+    // width-1 loops claim the partitioner on the re-keying maps (exact
+    // with one partition — every key hashes to it), so the per-round
+    // reduceByKey / join / partitionBy all run narrow and each round is
+    // ONE shuffle-free stage; at any width > 1 the re-keyed rows really
+    // do live in other partitions and the claim stays off (the spec's
+    // forced-partitions tests pin that path)
+    val widthOne = loopParts == 1
     while (!converged && iter < maxIterations) {
       val tR = System.nanoTime()
       // min step: only the NEW neighbor messages shuffle (reduceByKey);
       // the merge with the current labels is a narrow co-partitioned
       // join, and mapValues preserves the partitioner
       val mins = edges.join(labels, part)
-        .map { case (_, (dst, comp)) => (dst, comp) }
+        .mapPartitions(_.map { case (_, (dst, comp)) => (dst, comp) },
+          preservesPartitioning = widthOne)
         .reduceByKey(part, math.min(_: Long, _: Long))
       val m = labels.leftOuterJoin(mins, part)
         .mapValues { case (old, n) => math.min(old, n.getOrElse(Long.MaxValue)) }
       // compression: resolve label → label's label (m is keyed by id and
       // labels ARE ids, so re-keying by comp + one narrow lookup does it)
-      val next = m.map { case (id, comp) => (comp, id) }
+      val next = m.mapPartitions(_.map { case (id, comp) => (comp, id) },
+          preservesPartitioning = widthOne)
         .leftOuterJoin(m, part)
-        .map { case (comp, (id, p)) => (id, p.getOrElse(comp)) }
+        .mapPartitions(_.map { case (comp, (id, p)) => (id, p.getOrElse(comp)) },
+          preservesPartitioning = widthOne)
         .partitionBy(part)
       next.localCheckpoint() // constant lineage: the bigSum action below
       val s = bigSum(next)   // both materializes and truncates

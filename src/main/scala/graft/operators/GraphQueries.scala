@@ -262,14 +262,19 @@ object GraphQueries {
     // through the adjacency
     var ranks: RDD[(Long, Long)] = seedFlag.mapValues(_ * scale)
     var i = 0
+    // Width-1 loops claim the partitioner (r15): with ONE partition
+    // every dst key provably lives in it, so the claim is exact and
+    // reduceByKey runs narrow — the whole fixed-round loop collapses
+    // into a single shuffle-free stage (5 exchange walls gone). At any
+    // width > 1 the claim would be WRONG — the emitted keys are dst,
+    // which live in OTHER partitions; claiming the src partitioner
+    // would make reduceByKey skip the shuffle and strand every
+    // cross-partition contribution (caught by the spec's
+    // partitioner-width invariance test) — so it stays off.
+    val widthOne = loopParts == 1
     while (i < iterations) {
-      // NOT preservesPartitioning: the emitted keys are dst, which
-      // live in OTHER partitions — claiming the src partitioner here
-      // would make reduceByKey skip the shuffle and strand every
-      // cross-partition contribution (caught by the spec's
-      // partitioner-width invariance test)
       val contribs = adj
-        .zipPartitions(ranks) { (ai, ri) =>
+        .zipPartitions(ranks, preservesPartitioning = widthOne) { (ai, ri) =>
           val rank = collection.mutable.LongMap.empty[Long]
           ri.foreach { case (k, v) => rank(k) = v }
           val acc = collection.mutable.LongMap.empty[Long]
@@ -477,6 +482,15 @@ object GraphQueries {
     import spark.implicits._
     require(scale > 0L, s"scale must be positive, got $scale")
     require(iterations > 0, s"iterations must be positive, got $iterations")
+    // every round's max raw sum is ≥ scale (the previous max holder
+    // sends `scale` somewhere), so scale² ≥ 2^63 overflows UNCONDITIONALLY
+    // — reject on the driver; the data-dependent bound is re-checked per
+    // round (from the task on the width-1 path, where the partition max
+    // is the global max and normalization folds into the stage)
+    require(scale <= Long.MaxValue / scale,
+      s"HITS normalization overflows Long at any input: scale=$scale has " +
+        "scale*scale >= 2^63 (bound: maxRawSum*scale < 2^63, and " +
+        "maxRawSum >= scale by induction) — pass a smaller scale")
     val raw: RDD[(Long, Long)] = pairs
       .select(col(pairs.columns(0)).cast("long"),
         col(pairs.columns(1)).cast("long")).rdd
@@ -509,10 +523,14 @@ object GraphQueries {
     // one half-round: sum the sender scores into each receiver via the
     // sender-side adjacency; emission is structural (a receiver gets an
     // entry whenever an edge points at it, even for a zero sum), so the
-    // node set never shrinks across rounds
+    // node set never shrinks across rounds. Width-1 loops claim the
+    // partitioner (exact with one partition — see the pageRank loop's
+    // comment), so reduceByKey runs narrow and the whole loop chains
+    // into one shuffle-free stage.
+    val widthOne = part.numPartitions == 1
     def exchange(adj: RDD[(Long, Array[Long])],
         scores: RDD[(Long, Long)]): RDD[(Long, Long)] =
-      adj.zipPartitions(scores) { (ai, si) =>
+      adj.zipPartitions(scores, preservesPartitioning = widthOne) { (ai, si) =>
         val score = collection.mutable.LongMap.empty[Long]
         si.foreach { case (k, v) => score(k) = v }
         val acc = collection.mutable.LongMap.empty[Long]
@@ -528,21 +546,49 @@ object GraphQueries {
         acc.iterator
       }.reduceByKey(part, _ + _) // the half-round's ONE shuffle
 
-    // L∞ normalization: persist the raw sums, take the max (the
-    // action that materializes them), rescale so the max is exactly
-    // `scale`. The max element is ≥ scale·1 > 0 by induction (the
-    // previous round's max holder sends `scale` somewhere), so the
-    // division is always defined.
-    def normalized(rawScores: RDD[(Long, Long)]): RDD[(Long, Long)] = {
-      rawScores.persist(StorageLevel.MEMORY_AND_DISK)
-      retired += rawScores
-      val mx = rawScores.values.max()
-      require(mx <= Long.MaxValue / scale,
-        s"HITS normalization overflows Long: round max $mx at " +
-          s"scale=$scale (bound: maxRawSum*scale < 2^63) — " +
-          "pass a smaller scale")
-      rawScores.mapValues(v => v * scale / mx)
-    }
+    // L∞ normalization: rescale so the max is exactly `scale`. The max
+    // element is ≥ scale·1 > 0 by induction (the previous round's max
+    // holder sends `scale` somewhere), so the division is always
+    // defined.
+    //
+    // Width 1 (r15): the partition max IS the global max, so the
+    // rescale folds INTO the stage as a two-pass max-then-scale over
+    // the buffered partition — no driver action, no persist; ten
+    // max() job walls per run disappear and the full ten-half-round
+    // loop lazily chains into the final count's single stage. The
+    // overflow guard throws from the task instead of the driver —
+    // same abort, different wrapper.
+    //
+    // Width > 1: persist the raw sums, take the max (the action that
+    // materializes them), rescale — a global max across partitions
+    // needs a driver combine, and one tiny action per half-round over
+    // a persisted one-long-per-node RDD is the cheapest correct form.
+    def normalized(rawScores: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      if (widthOne) {
+        rawScores.mapPartitions({ it =>
+          val buf = it.toArray
+          if (buf.isEmpty) Iterator.empty
+          else {
+            var mx = Long.MinValue
+            buf.foreach { kv => if (kv._2 > mx) mx = kv._2 }
+            require(mx <= Long.MaxValue / scale,
+              s"HITS normalization overflows Long: round max $mx at " +
+                s"scale=$scale (bound: maxRawSum*scale < 2^63) — " +
+                "pass a smaller scale")
+            val m = mx
+            buf.iterator.map { case (k, v) => (k, v * scale / m) }
+          }
+        }, preservesPartitioning = true)
+      } else {
+        rawScores.persist(StorageLevel.MEMORY_AND_DISK)
+        retired += rawScores
+        val mx = rawScores.values.max()
+        require(mx <= Long.MaxValue / scale,
+          s"HITS normalization overflows Long: round max $mx at " +
+            s"scale=$scale (bound: maxRawSum*scale < 2^63) — " +
+            "pass a smaller scale")
+        rawScores.mapValues(v => v * scale / mx)
+      }
 
     // persisted but NOT eagerly materialized: the first half-round's
     // exchange computes it once (a dedicated foreachPartition job here
@@ -554,6 +600,15 @@ object GraphQueries {
     var i = 0
     while (i < iterations) {
       auth = normalized(exchange(fwd, hub))
+      if (widthOne && i == iterations - 1) {
+        // the LAST auth is read twice (the final hub exchange and the
+        // output join); the width>1 path persists every half-round's
+        // raw sums via normalized(), the lazy width-1 chain must pin
+        // this one double-consumed node itself or the whole chain
+        // re-evaluates once more
+        auth.persist(StorageLevel.MEMORY_AND_DISK)
+        retired += auth
+      }
       hub = normalized(exchange(rev, auth))
       i += 1
     }
@@ -704,8 +759,13 @@ object GraphQueries {
         s"[$labMin, $labMax] — remap labels to a dense small domain first")
     var labels: RDD[(Long, Long)] = seedsRdd
     var i = 0
+    // width-1 loops claim the partitioner (exact with one partition —
+    // see the pageRank loop's comment): the vote reduceByKey runs
+    // narrow and the fixed rounds chain into one shuffle-free stage
+    val widthOne = loopParts == 1
     while (i < iterations) {
-      val votes = adj.zipPartitions(labels) { (ai, li) =>
+      val votes = adj.zipPartitions(labels,
+          preservesPartitioning = widthOne) { (ai, li) =>
         val lab = collection.mutable.LongMap.empty[Long]
         li.foreach { case (k, v) => lab(k) = v }
         val acc = collection.mutable.LongMap.empty[Array[Long]]
@@ -932,35 +992,46 @@ object GraphQueries {
     * with support ≥ 5 score `bitlen(n_ab·N) − bitlen(n_a·n_b)` ≈
     * ⌈log2 lift⌉, top-50.
     *
-    * Scale shape: the self-join is an equi-join ON the basket key,
-    * co-partitioned after the distinct — cost ∝ Σ basket², which the
-    * k ≤ 100 basket cap bounds (the standard market-basket guard: a
-    * degenerate "customer" touching everything would otherwise emit
-    * C(k,2) pairs; capped baskets make the pair stage ≤ 50·k rows per
-    * basket). Supplier totals and the scalar N broadcast; the top-50
-    * is a TakeOrderedAndProject.
+    * Scale shape (r15): baskets materialize as ONE array row per
+    * customer (`collect_set` — map-side partial dedup, one corpus
+    * shuffle keyed by cust) and the C(k,2) pair expansion is a native
+    * row-local expression (`graft_sorted_pairs`) exploded straight
+    * into the pair aggregate's map-side combine — the r14 self-join
+    * form paid the same one cust-keyed shuffle TWICE (both join
+    * sides), plus a distinct shuffle and the sort-merge machinery,
+    * to produce the identical pair multiset. Cost is still ∝ Σ C(k,2),
+    * which the k ≤ 100 basket cap bounds (the standard market-basket
+    * guard: a degenerate "customer" touching everything would
+    * otherwise blow up the pair stage); the cap is now a row-local
+    * `size(set) <= 100` filter instead of a counted semi-join.
+    * Supplier totals and the scalar N fall out of the same basket
+    * frame (three consumers — one lazy checkpoint of |customers|
+    * array rows, where r14 checkpointed the full |baskets| pair
+    * frame); both broadcast; the top-50 is a TakeOrderedAndProject.
     */
   def q120Copurchase(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = tradePairs(Tables(spark, dir))
+    import graft.functions.TextFunctions.sortedPairs
+    val bsets = tradePairs(Tables(spark, dir))
       .select(shiftright(col("c"), 1).as("cust"),
         shiftright(col("s"), 1).as("supp"))
-      .distinct()
-    val sizes = baskets.groupBy("cust").agg(count(lit(1)).as("k"))
-    // FOUR consumers read `capped` (both self-join sides, totals,
-    // nCust): without the lazy checkpoint the planner inlines the
-    // distinct + semi-join subtree into each — measured 4× the
-    // baskets derivation (r14: 100.8 MB scanned, four SMJ-LeftSemi
-    // copies in the plan). One materialization, four block reads.
-    val capped = baskets.join(
-      sizes.filter(col("k") <= 100).select("cust"), Seq("cust"), "left_semi")
+      .groupBy("cust").agg(collect_set(col("supp")).as("supps"))
+      .filter(size(col("supps")) <= 100)
       .localCheckpoint(false)
-    val totals = capped.groupBy("supp").agg(count(lit(1)).as("n_s"))
-    val nCust = capped.select("cust").distinct().agg(count(lit(1)).as("n"))
-    capped.select(col("cust"), col("supp").as("s1"))
-      .join(capped.select(col("cust"), col("supp").as("s2")), Seq("cust"))
-      .filter(col("s1") < col("s2"))
-      .groupBy("s1", "s2").agg(count(lit(1)).as("n_ab"))
+    val totals = bsets.select(explode(col("supps")).as("supp"))
+      .groupBy("supp").agg(count(lit(1)).as("n_s"))
+    val nCust = bsets.agg(count(lit(1)).as("n"))
+    // fan the |customers|-row basket frame out before the C(k,2)
+    // explosion (identity on any multi-split input): the checkpoint
+    // lands on a handful of post-AQE partitions, and the expansion —
+    // not the scan — is this query's task-sum
+    ScanOps.fanOutSmallScan(bsets)
+      .select(sortedPairs(col("supps")).as("prs"))
+      .select(explode(col("prs")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 5)
+      .select(shiftright(col("pk"), 32).as("s1"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("s2"),
+        col("n_ab"))
       .join(broadcast(totals.select(col("supp").as("s1"), col("n_s").as("n_a"))),
         Seq("s1"))
       .join(broadcast(totals.select(col("supp").as("s2"), col("n_s").as("n_b"))),

@@ -58,6 +58,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHashesExpr(children(0), intLit(children(1), "w"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_inter_count"),
+      new ExpressionInfo(classOf[SortedInterCountExpr].getName,
+        "graft_sorted_inter_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_sorted_inter_count(sortedA, sortedB)")
+        SortedInterCountExpr(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_pairs"),
+      new ExpressionInfo(classOf[SortedPairsExpr].getName, "graft_sorted_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_sorted_pairs(array<bigint>)")
+        SortedPairsExpr(children(0))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cooc_pairs"),
       new ExpressionInfo(classOf[CoocPairsExpr].getName, "graft_cooc_pairs"),
       (children: Seq[Expression]) => {

@@ -4,49 +4,52 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.TextFunctions
 
-/** Native shingle builders. The declarative forms
-  * (TextFunctions.wordShinglesHof / charShinglesHof — sequence +
-  * transform + array_join/substr + array_distinct) evaluate one
-  * interpreted lambda frame per shingle, which measured ~1.3 ms/doc on
-  * the corpus; these do one eval call per row into a tight Scala loop.
-  * CodegenFallback: the enclosing stage stays whole-stage-codegen'd
-  * and calls eval() once per row — the per-element lambda dispatch is
-  * what disappears.
+/** Shared per-thread evaluation kernels for the native text/hash
+  * expressions below. Two jobs:
   *
-  * Semantics are pinned to the declarative forms (SketchExprSpec):
-  * order-preserving first-occurrence distinct; word mode joins
-  * `slice(tokens, i+1, w)` (a short tail never gains a separator) and
-  * yields the single shingle joined-from-whatever-exists when there
-  * are fewer than w tokens (including "" for zero tokens); char mode
-  * substrings clamp, and a text shorter than n yields itself.
+  *   - ONE MessageDigest per thread (`digest()` resets it), where the
+  *     r14 expressions paid `MessageDigest.getInstance` per evaluation
+  *     on the scalar-hash hot paths (q117 hashes one feature per
+  *     exploded occurrence; q32/q131/q135 one digest per row) — the
+  *     provider lookup + object allocation was measurable against the
+  *     ~100 ns of actual MD5 work per short input.
+  *   - static entry points the expressions' `doGenCode` can splice
+  *     into whole-stage-generated Java, replacing the r14
+  *     CodegenFallback path (per-row boxed `eval(InternalRow)` through
+  *     the fallback shim). The interpreted `nullSafeEval` calls the
+  *     SAME methods, so both execution modes share one body and the
+  *     SketchExprSpec value-identity pins cover both.
+  *
+  * Thread safety: tasks run one partition per thread; the ThreadLocal
+  * digest is never shared across rows of different threads.
   */
-abstract class ShinglesExprBase extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string column, got $other")
+object ShingleEval {
+  private val md5tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** The engine's 60-bit digest fold: 7 full bytes then the high
+    * nibble of byte 7 — `('0x' || substr(md5(x),1,15))::UBIGINT`.
+    */
+  private def fold60(d: Array[Byte]): Long = {
+    var v = 0L
+    var k = 0
+    while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
   }
-  protected def shingles(s: String): Array[UTF8String]
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(shingles(input.toString).asInstanceOf[Array[Any]])
-}
 
-/** Distinct word w-gram shingles joined by single spaces —
-  * value-identical to TextFunctions.wordShinglesHof.
-  */
-case class WordShinglesExpr(child: Expression, w: Int) extends ShinglesExprBase {
-  override def prettyName: String = "graft_word_shingles"
+  def md5Long60(s: UTF8String): Long =
+    fold60(md5tl.get().digest(s.getBytes)) // digest() resets
 
-  override protected def shingles(s: String): Array[UTF8String] = {
-    val toks = s.split("\\s+").filter(_.nonEmpty)
+  def wordShingles(s: UTF8String, w: Int): ArrayData = {
+    val toks = s.toString.split("\\s+").filter(_.nonEmpty)
     val n = toks.length
     val out = new mutable.LinkedHashSet[String]
     var i = 0
@@ -57,21 +60,12 @@ case class WordShinglesExpr(child: Expression, w: Int) extends ShinglesExprBase 
       out += toks.slice(i, end).mkString(" ")
       i += 1
     }
-    out.iterator.map(UTF8String.fromString).toArray
+    new GenericArrayData(
+      out.iterator.map(UTF8String.fromString).toArray[Any])
   }
 
-  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
-    copy(child = newChild)
-}
-
-/** Distinct character n-gram shingles — value-identical to
-  * TextFunctions.charShinglesHof (substring clamps; text shorter than
-  * n yields the single shingle = the text itself).
-  */
-case class CharShinglesExpr(child: Expression, n: Int) extends ShinglesExprBase {
-  override def prettyName: String = "graft_char_shingles"
-
-  override protected def shingles(s: String): Array[UTF8String] = {
+  def charShingles(s0: UTF8String, n: Int): ArrayData = {
+    val s = s0.toString
     val len = s.length
     val out = new mutable.LinkedHashSet[String]
     val last = math.max(len - (n - 1), 1)
@@ -80,36 +74,12 @@ case class CharShinglesExpr(child: Expression, n: Int) extends ShinglesExprBase 
       out += s.substring(i - 1, math.min(i - 1 + n, len))
       i += 1
     }
-    out.iterator.map(UTF8String.fromString).toArray
+    new GenericArrayData(
+      out.iterator.map(UTF8String.fromString).toArray[Any])
   }
 
-  override protected def withNewChildInternal(newChild: Expression): CharShinglesExpr =
-    copy(child = newChild)
-}
-
-/** POSITIONAL word n-grams as strings, NON-distinct (one entry per
-  * position — LM/bigram surprisal counts occurrences, not types).
-  * Value-identical to the declarative
-  * `transform(sequence(1, size(tk) - n + 1), i -> concat_ws(' ',
-  * tk[i..i+n-1]))` over `tk = tokens(text)` (pinned in
-  * SketchExprSpec), empty array when the text has fewer than n
-  * whitespace tokens. One eval per row into a tight loop — the
-  * per-position interpreted-lambda frames (q107/q117's dominant
-  * per-task cost) disappear.
-  */
-case class WordGramsExpr(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
-  require(n >= 1, s"graft_word_grams needs n >= 1, got $n")
-  override def prettyName: String = "graft_word_grams"
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_word_grams requires a string column, got $other")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.split("\\s+").filter(_.nonEmpty)
+  def wordGrams(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split("\\s+").filter(_.nonEmpty)
     val count = toks.length - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](count)
@@ -128,44 +98,13 @@ case class WordGramsExpr(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): WordGramsExpr =
-    copy(child = newChild)
-}
-
-/** POSITIONAL n-gram 60-bit hashes — the seed generator for
-  * substring-span dedup (q193) and the novelty curve (q201):
-  * element i = md5Long60 of tokens i..i+n-1 joined by single spaces,
-  * one entry per position (NOT distinct — position is the point),
-  * empty array when the text has fewer than n whitespace tokens.
-  *
-  * Value-identical to the declarative form
-  * `transform(sequence(0, size(ts)-n), i -> md5Long60(array_join(
-  * slice(ts, i+1, n), ' ')))` (pinned in SketchExprSpec), but one
-  * eval per row: token bytes are encoded once and each gram's md5 is
-  * STREAMED through one digest (update per token + separator), so no
-  * per-gram string, no per-element lambda frames — the ~1 ms/row
-  * interpreted-HOF tax q193 paid at every scale disappears. The
-  * 60-bit fold mirrors `('0x' || substr(md5(x),1,15))::UBIGINT`:
-  * 7 full digest bytes then the high nibble of byte 7.
-  */
-case class PosGramHashesExpr(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
-  require(n >= 1, s"graft_posgrams needs n >= 1, got $n")
-  override def prettyName: String = "graft_posgrams"
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_posgrams requires a string column, got $other")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.split("\\s+").filter(_.nonEmpty)
+  def posGramHashes(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split("\\s+").filter(_.nonEmpty)
     val count = toks.length - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val bytes = toks.map(_.getBytes("UTF-8"))
     val space = ' '.toByte
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5tl.get()
     val out = new Array[Any](count)
     var i = 0
     while (i < count) {
@@ -175,41 +114,14 @@ case class PosGramHashesExpr(child: Expression, n: Int)
         md.update(bytes(i + j))
         j += 1
       }
-      val d = md.digest() // returns AND resets
-      var v = 0L
-      var k = 0
-      while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
-      out(i) = (v << 4) | ((d(7) >> 4) & 0xfL)
+      out(i) = fold60(md.digest()) // returns AND resets
       i += 1
     }
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): PosGramHashesExpr =
-    copy(child = newChild)
-}
-
-/** Distinct word w-gram shingle HASHES — WordShinglesExpr composed
-  * with the 60-bit md5 reduced mod P, one native eval per row:
-  * value-identical to `baseHashes(wordShingles(text, w))` =
-  * `transform(graft_word_shingles(text, w), s -> pmod(md5Long60(s),
-  * P))` (pinned in SketchExprSpec) but with no per-element lambda
-  * frame and no intermediate shingle-string array surfacing — the
-  * MinHash signature pipelines' base in one pass.
-  */
-case class ShingleHashesExpr(child: Expression, w: Int)
-  extends UnaryExpression with CodegenFallback {
-  require(w >= 1, s"graft_shingle_hashes needs w >= 1, got $w")
-  override def prettyName: String = "graft_shingle_hashes"
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_shingle_hashes requires a string column, got $other")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.split("\\s+").filter(_.nonEmpty)
+  def shingleHashes(s: UTF8String, w: Int): ArrayData = {
+    val toks = s.toString.split("\\s+").filter(_.nonEmpty)
     val n = toks.length
     // same order-preserving first-occurrence distinct as
     // WordShinglesExpr (order is irrelevant to the min-fold consumer,
@@ -222,48 +134,96 @@ case class ShingleHashesExpr(child: Expression, w: Int)
       seen += toks.slice(i, end).mkString(" ")
       i += 1
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5tl.get()
     val out = new Array[Any](seen.size)
     var j = 0
-    seen.foreach { s =>
-      val d = md.digest(s.getBytes("UTF-8")) // digest() resets
-      var v = 0L
-      var k = 0
-      while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
-      out(j) = ((v << 4) | ((d(7) >> 4) & 0xfL)) % TextFunctions.P
+    seen.foreach { sh =>
+      out(j) = fold60(md.digest(sh.getBytes("UTF-8"))) % TextFunctions.P
       j += 1
     }
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
-    copy(child = newChild)
-}
-
-/** Sliding-window co-occurrence pairs — the q110/q113 pair derivation
-  * as ONE native eval per row. For each token position i and offset
-  * d ∈ [1, win], emits the pair "tk(i) tk(i+d)" (or the
-  * lexicographically canonical "min max" when `canonical`), over the
-  * tokens surviving `minLen`; `dropSelf` skips equal-word pairs.
-  * Positional, NON-distinct — co-occurrence counts occurrences.
-  * Value-identical to the nested transform/filter/flatten lambda forms
-  * it replaces (pinned in SketchExprSpec), which evaluated one
-  * interpreted lambda frame per (position, offset) — the dominant
-  * per-task cost of both queries' derivation stages.
-  */
-case class CoocPairsExpr(child: Expression, win: Int, minLen: Int,
-    canonical: Boolean, dropSelf: Boolean)
-  extends UnaryExpression with CodegenFallback {
-  require(win >= 1, s"graft_cooc_pairs needs win >= 1, got $win")
-  override def prettyName: String = "graft_cooc_pairs"
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_cooc_pairs requires a string column, got $other")
+  def sortedPairs(input: ArrayData): ArrayData = {
+    val xs = input.toLongArray()
+    java.util.Arrays.sort(xs)
+    // dedup equal neighbors so the contract is "all x < y pairs over
+    // the DISTINCT values" — exactly the self-join-on-key + (a < b)
+    // pair set it replaces — even if a caller ever feeds duplicates
+    var n = 0
+    var i = 0
+    while (i < xs.length) {
+      if (n == 0 || xs(i) != xs(n - 1)) { xs(n) = xs(i); n += 1 }
+      i += 1
+    }
+    require(n == 0 || (xs(0) >= 0L && xs(n - 1) < (1L << 31)),
+      s"graft_sorted_pairs packs each pair into one long: values must " +
+        s"be in [0, 2^31), got [${xs(0)}, ${xs(n - 1)}]")
+    val out = new Array[Long](n * (n - 1) / 2)
+    var idx = 0
+    i = 0
+    while (i < n - 1) {
+      val hi = xs(i) << 32
+      var j = i + 1
+      while (j < n) {
+        out(idx) = hi | xs(j)
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  def sortedInterCountStr(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    var lastMatch: UTF8String = null
+    while (i < na && j < nb) {
+      val x = a.getUTF8String(i)
+      val y = b.getUTF8String(j)
+      val c = x.compareTo(y)
+      if (c < 0) i += 1
+      else if (c > 0) j += 1
+      else {
+        // count each common value once even if an input repeats it —
+        // array_intersect set semantics
+        if (lastMatch == null || !lastMatch.equals(x)) { n += 1; lastMatch = x }
+        i += 1
+        j += 1
+      }
+    }
+    n
+  }
+
+  def sortedInterCountLong(a: ArrayData, b: ArrayData): Long = {
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    var i = 0
+    var j = 0
+    var n = 0L
+    var last = 0L
+    var any = false
+    while (i < xs.length && j < ys.length) {
+      val x = xs(i)
+      val y = ys(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        if (!any || last != x) { n += 1; last = x; any = true }
+        i += 1
+        j += 1
+      }
+    }
+    n
+  }
+
+  def coocPairs(input: UTF8String, win: Int, minLen: Int,
+      canonical: Boolean, dropSelf: Boolean): ArrayData = {
     // UTF8String comparisons/lengths throughout: `canonical` must rank
     // exactly like Spark's least/greatest (binary order) and `minLen`
     // like length() (codepoints) — String.compareTo/length (UTF-16
@@ -291,8 +251,281 @@ case class CoocPairsExpr(child: Expression, win: Int, minLen: Int,
     }
     new GenericArrayData(out.result())
   }
+}
+
+/** Native shingle builders. The declarative forms
+  * (TextFunctions.wordShinglesHof / charShinglesHof — sequence +
+  * transform + array_join/substr + array_distinct) evaluate one
+  * interpreted lambda frame per shingle, which measured ~1.3 ms/doc on
+  * the corpus; these do one eval call per row into a tight Scala loop,
+  * and (r15) splice that call DIRECTLY into whole-stage-generated code
+  * via `doGenCode` — the r14 CodegenFallback shim boxed every row
+  * through `eval(InternalRow)`.
+  *
+  * Semantics are pinned to the declarative forms (SketchExprSpec):
+  * order-preserving first-occurrence distinct; word mode joins
+  * `slice(tokens, i+1, w)` (a short tail never gains a separator) and
+  * yields the single shingle joined-from-whatever-exists when there
+  * are fewer than w tokens (including "" for zero tokens); char mode
+  * substrings clamp, and a text shorter than n yields itself.
+  */
+abstract class ShinglesExprBase extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got $other")
+  }
+}
+
+/** Distinct word w-gram shingles joined by single spaces —
+  * value-identical to TextFunctions.wordShinglesHof.
+  */
+case class WordShinglesExpr(child: Expression, w: Int) extends ShinglesExprBase {
+  override def prettyName: String = "graft_word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleEval.wordShingles(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleEval.wordShingles($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+/** Distinct character n-gram shingles — value-identical to
+  * TextFunctions.charShinglesHof (substring clamps; text shorter than
+  * n yields the single shingle = the text itself).
+  */
+case class CharShinglesExpr(child: Expression, n: Int) extends ShinglesExprBase {
+  override def prettyName: String = "graft_char_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleEval.charShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleEval.charShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShinglesExpr =
+    copy(child = newChild)
+}
+
+/** POSITIONAL word n-grams as strings, NON-distinct (one entry per
+  * position — LM/bigram surprisal counts occurrences, not types).
+  * Value-identical to the declarative
+  * `transform(sequence(1, size(tk) - n + 1), i -> concat_ws(' ',
+  * tk[i..i+n-1]))` over `tk = tokens(text)` (pinned in
+  * SketchExprSpec), empty array when the text has fewer than n
+  * whitespace tokens. One eval per row into a tight loop — the
+  * per-position interpreted-lambda frames (q107/q117's dominant
+  * per-task cost) disappear.
+  */
+case class WordGramsExpr(child: Expression, n: Int)
+  extends UnaryExpression {
+  require(n >= 1, s"graft_word_grams needs n >= 1, got $n")
+  override def prettyName: String = "graft_word_grams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_grams requires a string column, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleEval.wordGrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleEval.wordGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramsExpr =
+    copy(child = newChild)
+}
+
+/** POSITIONAL n-gram 60-bit hashes — the seed generator for
+  * substring-span dedup (q193) and the novelty curve (q201):
+  * element i = md5Long60 of tokens i..i+n-1 joined by single spaces,
+  * one entry per position (NOT distinct — position is the point),
+  * empty array when the text has fewer than n whitespace tokens.
+  *
+  * Value-identical to the declarative form
+  * `transform(sequence(0, size(ts)-n), i -> md5Long60(array_join(
+  * slice(ts, i+1, n), ' ')))` (pinned in SketchExprSpec), but one
+  * eval per row: token bytes are encoded once and each gram's md5 is
+  * STREAMED through one digest (update per token + separator), so no
+  * per-gram string, no per-element lambda frames — the ~1 ms/row
+  * interpreted-HOF tax q193 paid at every scale disappears. The
+  * 60-bit fold mirrors `('0x' || substr(md5(x),1,15))::UBIGINT`:
+  * 7 full digest bytes then the high nibble of byte 7.
+  */
+case class PosGramHashesExpr(child: Expression, n: Int)
+  extends UnaryExpression {
+  require(n >= 1, s"graft_posgrams needs n >= 1, got $n")
+  override def prettyName: String = "graft_posgrams"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_posgrams requires a string column, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleEval.posGramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleEval.posGramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): PosGramHashesExpr =
+    copy(child = newChild)
+}
+
+/** Distinct word w-gram shingle HASHES — WordShinglesExpr composed
+  * with the 60-bit md5 reduced mod P, one native eval per row:
+  * value-identical to `baseHashes(wordShingles(text, w))` =
+  * `transform(graft_word_shingles(text, w), s -> pmod(md5Long60(s),
+  * P))` (pinned in SketchExprSpec) but with no per-element lambda
+  * frame and no intermediate shingle-string array surfacing — the
+  * MinHash signature pipelines' base in one pass.
+  */
+case class ShingleHashesExpr(child: Expression, w: Int)
+  extends UnaryExpression {
+  require(w >= 1, s"graft_shingle_hashes needs w >= 1, got $w")
+  override def prettyName: String = "graft_shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes requires a string column, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleEval.shingleHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleEval.shingleHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** Sliding-window co-occurrence pairs — the q110/q113 pair derivation
+  * as ONE native eval per row. For each token position i and offset
+  * d ∈ [1, win], emits the pair "tk(i) tk(i+d)" (or the
+  * lexicographically canonical "min max" when `canonical`), over the
+  * tokens surviving `minLen`; `dropSelf` skips equal-word pairs.
+  * Positional, NON-distinct — co-occurrence counts occurrences.
+  * Value-identical to the nested transform/filter/flatten lambda forms
+  * it replaces (pinned in SketchExprSpec), which evaluated one
+  * interpreted lambda frame per (position, offset) — the dominant
+  * per-task cost of both queries' derivation stages.
+  */
+case class CoocPairsExpr(child: Expression, win: Int, minLen: Int,
+    canonical: Boolean, dropSelf: Boolean)
+  extends UnaryExpression {
+  require(win >= 1, s"graft_cooc_pairs needs win >= 1, got $win")
+  override def prettyName: String = "graft_cooc_pairs"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_cooc_pairs requires a string column, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleEval.coocPairs(input.asInstanceOf[UTF8String], win, minLen,
+      canonical, dropSelf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.ShingleEval.coocPairs($c, $win, $minLen, $canonical, $dropSelf)")
 
   override protected def withNewChildInternal(newChild: Expression): CoocPairsExpr =
+    copy(child = newChild)
+}
+
+/** `size(array_intersect(a, b))` for SORTED arrays, as one zipper
+  * merge — the exact-Jaccard verification kernel (q32/q131/q135/q124
+  * candidate pairs). `array_intersect` builds a hash set per
+  * evaluation; with |candidates| ≫ |docs| that per-PAIR allocation
+  * dominated the verify stage, where this merge does one ordered pass
+  * with zero allocation. Value-identical to the set-semantics count
+  * (each common distinct value counts once, duplicates skipped) —
+  * sorting is a per-DOC cost paid once upstream (`sort_array`;
+  * UTF8String binary order, exactly sort_array's). Inputs MUST be
+  * sorted ascending; both array<string> and array<bigint> are
+  * supported.
+  */
+case class SortedInterCountExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_sorted_inter_count"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_inter_count requires two sorted array<string> or " +
+          s"array<bigint> columns, got $other")
+    }
+  private def isString: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == StringType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (isString)
+      ShingleEval.sortedInterCountStr(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      ShingleEval.sortedInterCountLong(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isString) "sortedInterCountStr" else "sortedInterCountLong"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.ShingleEval.$m($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedInterCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** All ordered pairs (s1 < s2) over the DISTINCT values of a long
+  * array, each PACKED as one long `s1 << 32 | s2`, as one native eval
+  * per row — the market-basket pair derivation (q120) without the
+  * self-join: `explode(graft_sorted_pairs(collect_set(item)))` emits
+  * exactly the pair multiset that `capped a JOIN capped b ON
+  * a.key = b.key AND a.item < b.item` produced, but the basket never
+  * leaves its row — no join-side shuffles, no sort-merge machinery,
+  * and the C(k,2) expansion happens in the same whole-stage-generated
+  * pass that feeds the pair aggregate's map-side combine. The packed
+  * single-long key halves the shuffled pair row and keeps the
+  * aggregate on the primitive fast path (UnsafeArrayData out — no
+  * boxing, no per-pair struct allocation); values must fit [0, 2^31)
+  * (enforced per row — ids up to ~2.1 billion, an order of magnitude
+  * past the 100 TB key space). Unpack with `shiftright(pk, 32)` /
+  * `pk & 0xFFFFFFFF`. Input order is irrelevant (sorted internally),
+  * so a `collect_set`'s nondeterministic element order cannot leak
+  * into results.
+  */
+case class SortedPairsExpr(child: Expression)
+  extends UnaryExpression {
+  override def prettyName: String = "graft_sorted_pairs"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_pairs requires an array<bigint> column without " +
+        s"null elements, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleEval.sortedPairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleEval.sortedPairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedPairsExpr =
     copy(child = newChild)
 }
 
@@ -308,9 +541,11 @@ case class CoocPairsExpr(child: Expression, win: Int, minLen: Int,
   * (q32/q33/q124 signatures, q117's per-occurrence feature hash) that
   * detour was a third of per-task CPU. The UTF8String's bytes feed the
   * digest directly — byte-identical to the UTF-8 encode md5() does.
+  * One thread-local digest per executor thread (r15) — the r14 form
+  * paid a `MessageDigest.getInstance` provider lookup per row.
   */
 case class Md5Long60Expr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def prettyName: String = "graft_md5_60"
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -319,14 +554,11 @@ case class Md5Long60Expr(child: Expression)
       s"graft_md5_60 requires a string column, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(input.asInstanceOf[UTF8String].getBytes)
-    var v = 0L
-    var k = 0
-    while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
-    (v << 4) | ((d(7) >> 4) & 0xfL)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ShingleEval.md5Long60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleEval.md5Long60($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Long60Expr =
     copy(child = newChild)

@@ -192,6 +192,72 @@ class SketchExprSpec extends AnyFunSuite {
     assert(diff.count() == 0, "graft_md5_60 diverged from the hex parse")
   }
 
+  test("graft_sorted_pairs == self-join pair set (packed, q120 form)") {
+    import spark.implicits._
+    // baskets with duplicates, singletons, empties, unsorted input —
+    // the expression must emit exactly the DISTINCT x < y pairs the
+    // capped self-join produced, packed s1 << 32 | s2
+    val baskets = Seq(
+      (1L, Seq(5L, 3L, 9L, 3L)), (2L, Seq(7L)), (3L, Seq.empty[Long]),
+      (4L, Seq(2L, 1L, 2L, 8L, 4L))).toDF("cust", "supps")
+    val fast = baskets
+      .select(col("cust"), explode(TextFunctions.sortedPairs(col("supps"))).as("pk"))
+      .select(col("cust"), shiftright(col("pk"), 32).as("s1"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("s2"))
+    val flat = baskets.select(col("cust"), explode(col("supps")).as("supp")).distinct()
+    val slow = flat.select(col("cust"), col("supp").as("s1"))
+      .join(flat.select(col("cust"), col("supp").as("s2")), Seq("cust"))
+      .filter(col("s1") < col("s2"))
+    assert(fast.exceptAll(slow).count() == 0 && slow.exceptAll(fast).count() == 0)
+  }
+
+  test("graft_sorted_pairs rejects values outside [0, 2^31)") {
+    import spark.implicits._
+    val bad = Seq(Seq(1L, 1L << 31)).toDF("supps")
+    val e = intercept[Exception] {
+      bad.select(TextFunctions.sortedPairs(col("supps"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("graft_sorted_inter_count == size(array_intersect) on sorted arrays") {
+    // corpus bigram shingles (the q32/q131/q135 verify input) plus
+    // edge shapes: empty sides, no overlap, full overlap, duplicates
+    import spark.implicits._
+    val sh = docs.limit(200)
+      .select(col("doc_id"), sort_array(
+        TextFunctions.wordShingles(col("text"), 2)).as("s"))
+    val pairs = sh.select(col("doc_id").as("a_id"), col("s").as("a_s"))
+      .crossJoin(sh.select(col("doc_id").as("b_id"), col("s").as("b_s")))
+      .filter(col("a_id") < col("b_id"))
+    val diff = pairs
+      .withColumn("fast", TextFunctions.sortedInterCount(col("a_s"), col("b_s")))
+      .withColumn("slow", size(array_intersect(col("a_s"), col("b_s"))).cast("long"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0, "sorted merge diverged from array_intersect")
+    val edges = Seq(
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq.empty[String], Seq("a")),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "b", "b", "c"), Seq("b", "b", "c", "z")),
+      (Seq("a", "a"), Seq("a", "a"))).toDF("a_s", "b_s")
+    val ediff = edges
+      .withColumn("fast", TextFunctions.sortedInterCount(col("a_s"), col("b_s")))
+      .withColumn("slow", size(array_intersect(col("a_s"), col("b_s"))).cast("long"))
+      .filter(col("fast") =!= col("slow"))
+    assert(ediff.count() == 0)
+    // long-array variant
+    val ledges = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L, 2L, 5L), Seq(2L, 5L, 5L, 9L)),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L))).toDF("a_s", "b_s")
+    val ldiff = ledges
+      .withColumn("fast", TextFunctions.sortedInterCount(col("a_s"), col("b_s")))
+      .withColumn("slow", size(array_intersect(col("a_s"), col("b_s"))).cast("long"))
+      .filter(col("fast") =!= col("slow"))
+    assert(ldiff.count() == 0)
+  }
+
   test("graft_minhash on empty shingle arrays mirrors array_min nulls") {
     import spark.implicits._
     val empty = Seq((1L, Seq.empty[Long])).toDF("id", "base")
