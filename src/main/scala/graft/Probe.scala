@@ -5,7 +5,7 @@ package graft
   * contract — Bench/Verify are.
   *
   * Usage: runMain graft.Probe <sfDir> [--explain] [--show] [--metrics]
-  *          [--reps N] q1 q2 ...
+  *          [--stages] [--set=key:value ...] [--reps N] q1 q2 ...
   *
   * --metrics attaches a task-end listener per run and prints job/task
   * counts, summed task time, shuffle-write and input bytes — the
@@ -66,11 +66,14 @@ object Probe {
         (repsIdx >= 0 && i + 1 == repsIdx + 1)
     }.map(_._1)
     val spark = GraftSession.get()
-    // dev A/B: --set key=value applies session confs before the runs
+    // dev A/B: --set=key:value applies session confs before the runs
     args.filter(_.startsWith("--set")).foreach { a =>
       val kv = a.stripPrefix("--set").stripPrefix("=")
-      val Array(k, v) = kv.split(":", 2)
-      spark.conf.set(k, v)
+      kv.split(":", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ => sys.error(
+          s"bad --set argument '$a': use the single-token form --set=key:value")
+      }
     }
     val targets =
       if (names.isEmpty) SparkEntry.queries.keys.toSeq.sorted else names.toSeq
@@ -86,7 +89,17 @@ object Probe {
         val n = df.count()
         val sec = (System.nanoTime() - t0) / 1e9
         if (metrics) {
-          Thread.sleep(300) // drain the async listener bus
+          // drain the async listener bus: poll until the counters stop
+          // moving (a fixed sleep under-reported task/shuffle counts on
+          // a loaded bus — ADVICE r14); bounded at 3s, best-effort
+          var last = -1L
+          var waited = 0
+          while (waited < 3000 &&
+              last != agg.nTasks.get + agg.nJobs.get + agg.shuffleWrite.get) {
+            last = agg.nTasks.get + agg.nJobs.get + agg.shuffleWrite.get
+            Thread.sleep(150)
+            waited += 150
+          }
           spark.sparkContext.removeSparkListener(agg)
         }
         if (explain && rep == 1) { println(s"=== $name"); df.explain("formatted") }

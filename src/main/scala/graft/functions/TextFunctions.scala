@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * consumer below is agnostic to that swap. All functions are
   * `org.apache.spark.sql.functions` compositions: codegen'd, no UDFs,
   * fully columnar (SURVEY.md §"Functions, not UDFs").
+  *
+  * NULL-input contract: the native expressions (graft_*) are
+  * null-propagating — NULL text yields NULL — while the declarative
+  * HOF twins yield an EMPTY array (their `when(size(tokens(c)) < n)`
+  * guard sees size(NULL) = -1). Every consumer explodes the array,
+  * which drops NULL and empty alike, so the divergence is
+  * unobservable in query results; SketchExprSpec pins both behaviors
+  * explicitly.
   */
 object TextFunctions {
 
@@ -265,10 +273,18 @@ object TextFunctions {
 
   /** Predicted language = argmax over stopword-hit counts; ties go to
     * the earliest language in [[stopwords]] order; zero hits → "und".
-    * Implemented as a first-match-wins when-chain so the oracle SQL is
-    * the literally identical CASE chain.
+    * Native expression (plans.LangIdExpr — one lowercase + one token
+    * scan per row); [[langIdHof]] is the declarative twin the oracle
+    * SQL mirrors as a CASE chain, value-pinned in SketchExprSpec.
     */
-  def langId(c: Column): Column = {
+  def langId(c: Column): Column =
+    call_function("graft_lang_id", c)
+
+  /** Declarative form of [[langId]] — the semantics the oracle
+    * mirrors; value-identical (SketchExprSpec), ~10× slower (five
+    * interpreted filter-HOFs per row, each re-tokenizing).
+    */
+  def langIdHof(c: Column): Column = {
     val toks = tokens(lower(c))
     val hits = stopwords.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words.map(lit): _*)))
@@ -282,9 +298,21 @@ object TextFunctions {
   /** Composite quality score in [0,1]: mean of four bounded signals —
     * length ratio (chars/500 capped), alpha ratio, stopword ratio
     * (capped at 5x), and short-token penalty. All arithmetic is
-    * integer-derived doubles: bit-identical across engines.
+    * integer-derived doubles: bit-identical across engines. Native
+    * expression (plans.QualityScoreExpr — the four raw signals in one
+    * pass each, identical IEEE arithmetic); [[qualityScoreHof]] is the
+    * declarative twin the oracle mirrors, value-pinned in
+    * SketchExprSpec.
     */
-  def qualityScore(c: Column): Column = {
+  def qualityScore(c: Column): Column =
+    call_function("graft_quality_score", c)
+
+  /** Declarative form of [[qualityScore]] — the semantics the oracle
+    * mirrors term-for-term; value-identical (SketchExprSpec), slower
+    * (a regexp_replace string build + an interpreted filter-HOF per
+    * row).
+    */
+  def qualityScoreHof(c: Column): Column = {
     val nChars = length(c).cast("double")
     val toks = tokens(c)
     val nToks = size(toks).cast("double")

@@ -124,7 +124,12 @@ object ProfileQueries {
         Future(src.write.option("timestampFormat", tsFmt)
           .json(s"$out/json")),
         Future(src.write.orc(s"$out/orc")))
-      writes.foreach(Await.result(_, Duration.Inf))
+      // settle ALL three before rethrowing the first failure — a
+      // sequential Await would propagate while sibling writes still
+      // run, leaving partial output dirs racing the cleanup below
+      // (ADVICE r14)
+      val settled = writes.map(w => scala.util.Try(Await.result(w, Duration.Inf)))
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
       val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
       // ONE action for all four fingerprints: the union's branches
       // run as parallel stages of a single job

@@ -235,8 +235,11 @@ object SamplingQueries {
     val keepIds = dup.groupBy(md5(col("text")).as("_h"))
       .agg(min("doc_id").as("doc_id")).drop("_h")
     val kept = dup.join(keepIds, Seq("doc_id"), "left_semi")
-    val scored = kept.join(
-      TextQueries.qualityScored(kept.select("doc_id", "text")), Seq("doc_id"))
+    // score attaches as a row-local column (r15 native expression) —
+    // the r14 doc_id self-join re-evaluated the whole semi-join subtree
+    // a second time just to carry the score back
+    val scored = kept.withColumn("score",
+        graft.functions.TextFunctions.qualityScore(col("text")))
       .filter(col("score") >= 0.55d)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(desc("score"), asc("doc_id"))
@@ -299,8 +302,9 @@ object SamplingQueries {
   def q84TemperatureSample(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.documents.select("doc_id", "source", "text")
+    // row-local score (r15 native expression) — no doc_id self-join
     val scored = docs
-      .join(TextQueries.qualityScored(docs.select("doc_id", "text")), Seq("doc_id"))
+      .withColumn("score", graft.functions.TextFunctions.qualityScore(col("text")))
       .withColumn("wt", floor(sqrt(col("score")) * 1000000d).cast("long"))
     val tot = scored.agg(sum("wt").as("total"), count(lit(1)).as("n"))
     val expCopies = lit(2.0d) * col("n") * col("wt") / col("total")

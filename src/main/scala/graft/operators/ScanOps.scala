@@ -54,7 +54,12 @@ object ScanOps {
     */
   def fanOutSmallScan(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // toRdd, not .rdd: the partition count is the same, but .rdd plans
+    // an extra deserializer projection per call just to be thrown away
+    // (ADVICE r14) — this is driver-side planning cost only
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** Shuffle width for the range exchange — the session conf already

@@ -39,40 +39,19 @@ object TextQueries {
     * min/max per bucket (min/max of doubles are order-independent,
     * unlike sums — safe to hash-compare).
     */
-  /** Per-doc quality score over any (doc_id, text) frame — the
-    * decomposed form of TextFunctions.qualityScore: the four raw
-    * signals materialize in one projection (each regex/tokenize pass
-    * runs once per row; the fused expression re-evaluated the alpha
-    * regex and the tokenizer), then the score is cheap arithmetic over
-    * attributes — identical doubles, term for term, to
-    * OracleSql.qualityScore. Shared by q21 and q55.
+  /** Per-doc quality score over any (doc_id, text) frame — one
+    * row-local native eval (plans.QualityScoreExpr, value-pinned
+    * bitwise against the declarative form in SketchExprSpec). The r14
+    * decomposed shape (token explode → per-doc hash aggregate → join
+    * back) existed because the declarative fused expression
+    * re-evaluated the alpha regex and the tokenizer per reference; the
+    * native expression computes all four signals in one pass, so the
+    * explode/aggregate/join machinery — a corpus-keyed exchange and a
+    * doc_id join per consumer — is gone. Shared by q21 and q55.
     */
   private[operators] def qualityScored(docs: DataFrame): DataFrame = {
-    val allStop = graft.functions.TextFunctions.stopwords.flatMap(_._2).distinct.sorted
-    // postings-first: tokens explode once and both token stats come out
-    // of one codegen'd hash aggregate (no interpreted HOF filter);
-    // token COUNT is case-insensitive so splitting the lowercased text
-    // serves both n_toks and stop_hits
-    val tokStats = docs
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("double").as("n_toks"),
-        count(when(col("tok").isin(allStop.map(lit): _*), 1))
-          .cast("double").as("stop_hits"))
-    val base = docs.select(
-      col("doc_id"),
-      length(col("text")).cast("double").as("_nc"),
-      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double").as("alpha"))
-      .join(tokStats, Seq("doc_id"), "left")
-      .na.fill(0.0, Seq("n_toks", "stop_hits"))
-    base.withColumn("score",
-      (least(col("_nc") / 500.0d, lit(1.0d))
-        + when(col("_nc") > 0, col("alpha") / col("_nc")).otherwise(lit(0.0d))
-        + when(col("n_toks") > 0,
-            least(col("stop_hits") * 5.0d / col("n_toks"), lit(1.0d))).otherwise(lit(0.0d))
-        + least(when(col("n_toks") > 0, col("alpha") / col("n_toks"))
-            .otherwise(lit(0.0d)) / 8.0d, lit(1.0d))) / 4.0d)
-      .select(col("doc_id"), col("score"))
+    docs.select(col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("score"))
   }
 
   def q21QualityHistogram(spark: SparkSession, dir: String): DataFrame = {

@@ -58,6 +58,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHashesExpr(children(0), intLit(children(1), "w"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_lang_id"),
+      new ExpressionInfo(classOf[LangIdExpr].getName, "graft_lang_id"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_lang_id(text)")
+        LangIdExpr(children(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quality_score"),
+      new ExpressionInfo(classOf[QualityScoreExpr].getName,
+        "graft_quality_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_quality_score(text)")
+        QualityScoreExpr(children(0))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_sorted_inter_count"),
       new ExpressionInfo(classOf[SortedInterCountExpr].getName,
         "graft_sorted_inter_count"),

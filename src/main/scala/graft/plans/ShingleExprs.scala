@@ -222,6 +222,108 @@ object ShingleEval {
     n
   }
 
+  // --- language-ID / quality-score kernels ------------------------
+  // The stopword tables mirror TextFunctions.stopwords exactly; the
+  // token → language-hit lookup is one shared immutable map built once.
+  private val langNames: Array[UTF8String] =
+    TextFunctions.stopwords.map(p => UTF8String.fromString(p._1)).toArray
+  private val nLangs = langNames.length
+  private val und = UTF8String.fromString("und")
+  private val stopLangsByWord: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    TextFunctions.stopwords.zipWithIndex.foreach { case ((_, ws), i) =>
+      ws.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+  private val allStopWords: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TextFunctions.stopwords.foreach(_._2.foreach(s.add))
+    s
+  }
+
+  /** Whitespace-token iteration without materializing the array:
+    * tokens(c) ≡ split("\\s+") with empties dropped ≡ the maximal runs
+    * of non-[ \t\n\f\r] characters (Java regex \s is ASCII-only).
+    */
+  private def foreachToken(s: String)(f: String => Unit): Int = {
+    val len = s.length
+    var i = 0
+    var n = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+          c == '\f' || c == '\r') i += 1
+      else {
+        val start = i
+        while (i < len && {
+          val d = s.charAt(i)
+          !(d == ' ' || d == '\t' || d == '\n' || d == '\u000B' ||
+            d == '\f' || d == '\r')
+        }) i += 1
+        n += 1
+        if (f != null) f(s.substring(start, i))
+      }
+    }
+    n
+  }
+
+  def langId(input: UTF8String): UTF8String = {
+    val lowered = input.toLowerCase.toString
+    val hits = new Array[Int](nLangs)
+    foreachToken(lowered) { t =>
+      val langs = stopLangsByWord.get(t)
+      if (langs != null) {
+        var j = 0
+        while (j < langs.length) { hits(langs(j)) += 1; j += 1 }
+      }
+    }
+    var mx = 0
+    var i = 0
+    while (i < nLangs) { if (hits(i) > mx) mx = hits(i); i += 1 }
+    if (mx <= 0) return und
+    i = 0
+    while (i < nLangs && hits(i) != mx) i += 1
+    langNames(i)
+  }
+
+  def qualityScore(input: UTF8String): Double = {
+    val nChars = input.numChars.toDouble // length() counts code points
+    // alpha ≡ length(regexp_replace(c, "[^A-Za-z]", "")): ASCII-letter
+    // bytes never occur inside a multi-byte UTF-8 sequence, so the
+    // surviving codepoint count is a byte scan
+    val bytes = input.getBytes
+    var alphaI = 0
+    var k = 0
+    while (k < bytes.length) {
+      val b = bytes(k)
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) alphaI += 1
+      k += 1
+    }
+    val alpha = alphaI.toDouble
+    // token count over the ORIGINAL text (lowercasing never introduces
+    // whitespace, but mirror the declarative term exactly); stop hits
+    // over the LOWERED tokens — both as in TextFunctions.qualityScore
+    val nToks = foreachToken(input.toString)(null).toDouble
+    var stopI = 0
+    foreachToken(input.toLowerCase.toString) { t =>
+      if (allStopWords.contains(t)) stopI += 1
+    }
+    val stopHits = stopI.toDouble
+    // identical IEEE operations in identical order to the declarative
+    // form (all inputs are integer-derived doubles)
+    val lenScore = math.min(nChars / 500.0d, 1.0d)
+    val alphaScore = if (nChars > 0) alpha / nChars else 0.0d
+    val stopScore =
+      if (nToks > 0) math.min(stopHits * 5.0d / nToks, 1.0d) else 0.0d
+    val wordLen = if (nToks > 0) alpha / nToks else 0.0d
+    val wordScore = math.min(wordLen / 8.0d, 1.0d)
+    (lenScore + alphaScore + stopScore + wordScore) / 4.0d
+  }
+
   def coocPairs(input: UTF8String, win: Int, minLen: Int,
       canonical: Boolean, dropSelf: Boolean): ArrayData = {
     // UTF8String comparisons/lengths throughout: `canonical` must rank
@@ -526,6 +628,66 @@ case class SortedPairsExpr(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.plans.ShingleEval.sortedPairs($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SortedPairsExpr =
+    copy(child = newChild)
+}
+
+/** Stopword-argmax language ID as ONE native eval per row —
+  * value-identical to TextFunctions.langIdHof (pinned in
+  * SketchExprSpec): tokens of the lowercased text, per-language
+  * stopword hit counts, argmax with ties to the earliest language in
+  * stopwords order, "und" when no stopword hits. The declarative form
+  * evaluated FIVE interpreted filter-HOFs per row — each with its own
+  * tokenize — twice over (once in the greatest(), once per CASE arm):
+  * ~150 µs/doc, the whole cost of q20/q154's scoring stage. Here:
+  * one lowercase, one token scan, one hash probe per token.
+  */
+case class LangIdExpr(child: Expression)
+  extends UnaryExpression {
+  override def prettyName: String = "graft_lang_id"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lang_id requires a string column, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleEval.langId(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleEval.langId($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
+/** Composite quality score as ONE native eval per row —
+  * value-identical to TextFunctions.qualityScoreHof (pinned in
+  * SketchExprSpec): the four raw signals (codepoint length,
+  * ASCII-letter count, whitespace-token count, stopword hits over the
+  * lowered tokens) from one pass each, then the identical IEEE double
+  * arithmetic in the identical order. The declarative form paid a
+  * regexp_replace string build plus an interpreted filter-HOF (with
+  * its own tokenize) per row — the dominant cost of every
+  * qualityScore consumer's scoring stage (q137/q197/q200).
+  */
+case class QualityScoreExpr(child: Expression)
+  extends UnaryExpression {
+  override def prettyName: String = "graft_quality_score"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_quality_score requires a string column, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleEval.qualityScore(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleEval.qualityScore($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): QualityScoreExpr =
     copy(child = newChild)
 }
 

@@ -258,6 +258,63 @@ class SketchExprSpec extends AnyFunSuite {
     assert(ldiff.count() == 0)
   }
 
+  test("graft_lang_id == declarative CASE chain on corpus + edges") {
+    import spark.implicits._
+    val texts = docs.select(col("text"))
+      .unionByName(Seq("", "   ", "the the der die le la el y de shi",
+        "de de de", // zh and de share 'de'; fr/es share 'le'/'la'
+        "le le la", "xyzzy plugh", "The A Of And TO In IS",
+        "naïvedéjà\tvu\r\nthe of and", "und").toDF("text"))
+    val diff = texts
+      .withColumn("fast", TextFunctions.langId(col("text")))
+      .withColumn("slow", TextFunctions.langIdHof(col("text")))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0, "graft_lang_id diverged from the CASE chain")
+  }
+
+  test("graft_quality_score == declarative form on corpus + edges (bitwise)") {
+    import spark.implicits._
+    val texts = docs.select(col("text"))
+      .unionByName(Seq("", " \t\r\n", "a", "The of and is a short text.",
+        "ALLCAPS 12345 !!!", "naïve — déjà vu ✓ the of",
+        ("word " * 200).trim, "\f", "ß İ 0").toDF("text"))
+    // bitwise double equality — same integer-derived inputs, same IEEE
+    // operations in the same order
+    val diff = texts
+      .withColumn("fast", TextFunctions.qualityScore(col("text")))
+      .withColumn("slow", TextFunctions.qualityScoreHof(col("text")))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0, "graft_quality_score diverged bitwise")
+  }
+
+  test("NULL text: native exprs return NULL, HOF twins an empty array") {
+    // documented divergence (ADVICE r14): on NULL input the native
+    // expressions are null-propagating (UnaryExpression nullSafeEval)
+    // while the declarative twins build an empty array — harmless in
+    // every consumer (all of them explode, which drops NULL and empty
+    // alike), but pinned explicitly here because the corpus-equality
+    // tests above compare with `=!=`, which silently skips null rows
+    import spark.implicits._
+    val nullText = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+    val r = nullText.select(
+      TextFunctions.wordGrams(col("text"), 2).as("native_grams"),
+      TextFunctions.wordGramsHof(col("text"), 2).as("hof_grams"),
+      TextFunctions.coocPairs(col("text"), 2, 1, canonical = true,
+        dropSelf = true).as("native_pairs"),
+      TextFunctions.md5Long60(col("text")).as("native_md5"))
+      .collect()(0)
+    assert(r.isNullAt(0), "native word_grams must be NULL on NULL text")
+    assert(r.getSeq[String](1) == Seq.empty, "HOF twin yields empty array")
+    assert(r.isNullAt(2), "native cooc_pairs must be NULL on NULL text")
+    assert(r.isNullAt(3), "native md5_60 must be NULL on NULL text")
+    // the consumer-level equivalence that makes the divergence benign
+    val exploded = nullText.select(explode(
+      TextFunctions.wordGrams(col("text"), 2)).as("g")).count()
+    val explodedHof = nullText.select(explode(
+      TextFunctions.wordGramsHof(col("text"), 2)).as("g")).count()
+    assert(exploded == 0 && explodedHof == 0)
+  }
+
   test("graft_minhash on empty shingle arrays mirrors array_min nulls") {
     import spark.implicits._
     val empty = Seq((1L, Seq.empty[Long])).toDF("id", "base")
