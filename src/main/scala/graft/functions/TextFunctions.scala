@@ -61,6 +61,21 @@ object TextFunctions {
     * whitespace would otherwise produce "" entries).
     */
   def tokens(c: Column): Column =
+    call_function("graft_tokens", c, lit(0))
+
+  /** Tokens of at least `minLen` codepoints — fuses the common
+    * `filter(tokens(c), t => length(t) >= n)` chain into the same
+    * native pass (see plans.TokensExpr).
+    */
+  def tokensMinLen(c: Column, minLen: Int): Column =
+    call_function("graft_tokens", c, lit(minLen))
+
+  /** Declarative form of [[tokens]] — the semantics the oracle mirrors
+    * (`list_filter(regexp_split_to_array(x, '\\s+'), ...)`);
+    * value-identical (SketchExprSpec), slower (one interpreted lambda
+    * frame per split element).
+    */
+  def tokensHof(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= "")
 
   /** Positional word n-grams, NON-distinct (native expression — one
@@ -86,7 +101,7 @@ object TextFunctions {
     * mirrors; value-identical (SketchExprSpec), slower.
     */
   def wordGramsHof(c: Column, n: Int): Column = {
-    val tk = tokens(c)
+    val tk = tokensHof(c)
     when(size(tk) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(tk) - n + 1),
         i => concat_ws(" ",
@@ -125,7 +140,7 @@ object TextFunctions {
     * mirrors; value-identical (SketchExprSpec), slower.
     */
   def wordShinglesHof(c: Column, w: Int): Column = {
-    val toks = tokens(c)
+    val toks = tokensHof(c)
     array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - w, lit(0))),
       i => array_join(slice(toks, i + 1, lit(w)), " ")))
@@ -285,7 +300,7 @@ object TextFunctions {
     * interpreted filter-HOFs per row, each re-tokenizing).
     */
   def langIdHof(c: Column): Column = {
-    val toks = tokens(lower(c))
+    val toks = tokensHof(lower(c))
     val hits = stopwords.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words.map(lit): _*)))
     }
@@ -314,11 +329,11 @@ object TextFunctions {
     */
   def qualityScoreHof(c: Column): Column = {
     val nChars = length(c).cast("double")
-    val toks = tokens(c)
+    val toks = tokensHof(c)
     val nToks = size(toks).cast("double")
     val alpha = length(regexp_replace(c, "[^A-Za-z]", "")).cast("double")
     val allStop = stopwords.flatMap(_._2).distinct.sorted
-    val stopHits = size(filter(tokens(lower(c)),
+    val stopHits = size(filter(tokensHof(lower(c)),
       t => t.isin(allStop.map(lit): _*))).cast("double")
     val lenScore = least(nChars / 500.0d, lit(1.0d))
     val alphaScore = when(nChars > 0, alpha / nChars).otherwise(lit(0.0d))

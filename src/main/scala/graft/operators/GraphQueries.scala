@@ -908,35 +908,32 @@ object GraphQueries {
     * top-30 is a TakeOrderedAndProject.
     */
   def q113Textrank(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.{coocPairs, md5Long60, tokens}
+    import graft.functions.TextFunctions.{coocPairs, md5Long60, tokensMinLen}
     val t = Tables(spark, dir)
-    val toks = t.documents.select(tokens(col("text")).as("tk0"))
-      .select(filter(col("tk0"), w => length(w) >= 4).as("tk"))
+    // native tokens with the length>=4 filter fused (r15) — the HOF
+    // filter paid one interpreted lambda frame per token
+    val toks = t.documents.select(tokensMinLen(col("text"), 4).as("tk"))
     val tk = col("tk")
     // native windowed-pair derivation over the length≥4 content words
     // (graft_cooc_pairs: ordered pairs, self-loops dropped) — replaces
     // the per-(position, offset) interpreted lambda (r14)
     val prsCol = coocPairs(col("text"), 2, 4, canonical = false,
       dropSelf = true)
-    // hash the VOCABULARY, not the occurrences: md5 per co-occurrence
-    // (2 per pair row) measured ~1.2s of the query at sf0.1; the
-    // vocabulary is Heaps-small, so hashing it once and resolving
-    // occurrences through two broadcast joins does |vocab| digests
-    // instead of 2·|pairs|. Lazy localCheckpoint: the kernel's first
-    // action materializes the dictionary once; the resolution join and
-    // the second broadcast reuse the checkpointed rows.
+    // hash the occurrences DIRECTLY (r15 reversal of the r14 hash-the-
+    // vocabulary shape): with the native thread-local md5 a digest is
+    // ~100ns, so 2 digests per pair row are far cheaper than the two
+    // broadcast dictionary joins (and their vocab checkpoint) that the
+    // r14 shape paid to avoid them when md5 still went through the
+    // hex-string detour. Every pair word is length>=4 by construction,
+    // so the dropped inner joins never filtered anything — identical
+    // pair multiset, identical node ids.
     val vocab = toks.select(explode(tk).as("word")).distinct()
       .withColumn("node_id", md5Long60(col("word")))
-      .localCheckpoint(false)
     val occ = t.documents.select(explode(prsCol).as("pr"))
       .select(substring_index(col("pr"), " ", 1).as("w1"),
         substring_index(col("pr"), " ", -1).as("w2"))
     val pairs = occ
-      .join(broadcast(vocab.select(col("word").as("w1"), col("node_id").as("a"))),
-        Seq("w1"))
-      .join(broadcast(vocab.select(col("word").as("w2"), col("node_id").as("b"))),
-        Seq("w2"))
-      .select("a", "b")
+      .select(md5Long60(col("w1")).as("a"), md5Long60(col("w2")).as("b"))
     val ranks = weightedPageRank(pairs, Iterations, Scale)
     ranks.join(vocab, Seq("node_id"))
       .select(col("word"), col("pr_rank").as("tr_rank"))

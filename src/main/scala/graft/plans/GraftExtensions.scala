@@ -58,6 +58,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHashesExpr(children(0), intLit(children(1), "w"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[TokensExpr].getName, "graft_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_tokens(text, minLen)")
+        TokensExpr(children(0), intLit(children(1), "minLen"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_lang_id"),
       new ExpressionInfo(classOf[LangIdExpr].getName, "graft_lang_id"),
       (children: Seq[Expression]) => {

@@ -271,6 +271,16 @@ object ShingleEval {
     n
   }
 
+  def tokens(input: UTF8String, minLen: Int): ArrayData = {
+    val s = input.toString
+    val out = mutable.ArrayBuilder.make[Any]
+    foreachToken(s) { t =>
+      val u = UTF8String.fromString(t)
+      if (minLen <= 0 || u.numChars >= minLen) out += u
+    }
+    new GenericArrayData(out.result())
+  }
+
   def langId(input: UTF8String): UTF8String = {
     val lowered = input.toLowerCase.toString
     val hits = new Array[Int](nLangs)
@@ -628,6 +638,36 @@ case class SortedPairsExpr(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.plans.ShingleEval.sortedPairs($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SortedPairsExpr =
+    copy(child = newChild)
+}
+
+/** Whitespace tokens as ONE native eval per row — value-identical to
+  * `filter(split(c, "\\s+"), t => t =!= "")` (pinned in
+  * SketchExprSpec): the maximal runs of non-\s characters (Java regex
+  * \s is the six ASCII separators), optionally dropping tokens shorter
+  * than `minLen` codepoints (≡ a chained `filter(_, length(t) >= n)`).
+  * The declarative form paid a regex split plus ONE INTERPRETED
+  * filter-HOF lambda frame PER TOKEN on every tokens() call site —
+  * the single most widely-paid per-row cost in the engine.
+  */
+case class TokensExpr(child: Expression, minLen: Int)
+  extends UnaryExpression {
+  require(minLen >= 0, s"graft_tokens needs minLen >= 0, got $minLen")
+  override def prettyName: String = "graft_tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_tokens requires a string column, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleEval.tokens(input.asInstanceOf[UTF8String], minLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ShingleEval.tokens($c, $minLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokensExpr =
     copy(child = newChild)
 }
 

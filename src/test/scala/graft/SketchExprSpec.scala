@@ -258,6 +258,25 @@ class SketchExprSpec extends AnyFunSuite {
     assert(ldiff.count() == 0)
   }
 
+  test("graft_tokens == filter(split) on corpus + edges (incl. minLen)") {
+    import spark.implicits._
+    val texts = docs.select(col("text"))
+      .unionByName(Seq("", " ", "  a  ", "a\tb\nc\rd\fe", "a\u000Bb",
+        "naïve — déjà vu ✓", "one", " lead", "trail ",
+        "\u00A0nbsp is not \\s\u00A0separated").toDF("text"))
+    val diff = texts
+      .withColumn("fast", TextFunctions.tokens(col("text")))
+      .withColumn("slow", TextFunctions.tokensHof(col("text")))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0, "graft_tokens diverged from filter(split)")
+    val diffMin = texts
+      .withColumn("fast", TextFunctions.tokensMinLen(col("text"), 4))
+      .withColumn("slow", filter(TextFunctions.tokensHof(col("text")),
+        t => length(t) >= 4))
+      .filter(col("fast") =!= col("slow"))
+    assert(diffMin.count() == 0, "minLen fusion diverged")
+  }
+
   test("graft_lang_id == declarative CASE chain on corpus + edges") {
     import spark.implicits._
     val texts = docs.select(col("text"))
